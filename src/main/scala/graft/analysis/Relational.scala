@@ -1,0 +1,89 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.GraftSession.table
+
+/** Generic relational analysis surface (the reference's distributions and
+  * cross-tabs are ordinary star-schema aggregations; these TPC-H-shaped
+  * queries are the bench headliners exercising the same plan shapes).
+  *
+  * Numeric discipline for oracle parity: never sum raw doubles (order
+  * dependent). Inputs are cast to exact DECIMAL first, summed exactly, and
+  * only the final value is cast back to double. Averages are
+  * double(exact sum)/double(count) — one IEEE division, order independent.
+  */
+object Relational {
+
+  /** Cast-to-exact helper: doubles in the test tables carry 2-decimal values. */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  def exactSum(c: Column): Column = sum(dec(c)).cast("double")
+
+  def exactAvg(c: Column): Column = sum(dec(c)).cast("double") / count(c).cast("double")
+
+  /** TPC-H Q1 pricing summary. One map-side-combinable aggregation; at scale
+    * this is a pure scan + partial agg + 4-group exchange.
+    */
+  def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = table(spark, sfDir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        exactSum(col("l_quantity")).as("sum_qty"),
+        exactSum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        exactAvg(col("l_quantity")).as("avg_qty"),
+        exactAvg(col("l_extendedprice")).as("avg_price"),
+        exactAvg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** TPC-H Q3-shaped shipping priority: filtered dim broadcast into the fact
+    * join, then agg + deterministic top-k.
+    */
+  def q3ShippingPriority(spark: SparkSession, sfDir: String, segment: String = "BUILDING"): DataFrame = {
+    val cust = table(spark, sfDir, "customer").filter(col("c_mktsegment") === segment)
+    val ord = table(spark, sfDir, "orders").filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+    val li = table(spark, sfDir, "lineitem").filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped local-supplier volume: star join with every dim
+    * broadcast; the fact table is shuffled at most once (on l_orderkey).
+    */
+  def q5LocalSupplier(spark: SparkSession, sfDir: String, regionName: String = "AFRICA"): DataFrame = {
+    val region = table(spark, sfDir, "region").filter(col("r_name") === regionName)
+    val nation = table(spark, sfDir, "nation")
+    val cust = table(spark, sfDir, "customer")
+    val supp = table(spark, sfDir, "supplier")
+    val ord = table(spark, sfDir, "orders")
+    val li = table(spark, sfDir, "lineitem")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+  }
+
+  /** Top-N rows per group by a metric — the reference's "top themes per
+    * episode" shape. Single shuffle on the group key.
+    */
+  def topNPerGroup(df: DataFrame, groupCols: Seq[Column], orderCol: Column, tiebreak: Column, n: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols: _*).orderBy(orderCol.desc, tiebreak.asc)
+    df.withColumn("rank_in_group", row_number().over(w)).filter(col("rank_in_group") <= n)
+  }
+}
