@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Session factory with the engine's standard tuning.
   *
@@ -18,6 +20,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Parquet TIMESTAMP(NANOS) is rejected by the vectorized reader
+      // (PARQUET_TYPE_ILLEGAL); read as raw nanos and normalize in table().
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def get(master: String = "local[*]"): SparkSession = {
@@ -26,7 +31,18 @@ object GraftSession {
     s
   }
 
-  /** Loads one of the standard test tables from an sf directory. */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Loads one of the standard test tables from an sf directory.
+    *
+    * Nanosecond timestamp columns (read as raw longs via nanosAsLong) are
+    * normalized to microsecond timestamps by integer floor-division — the
+    * same truncation a microsecond-native engine (e.g. DuckDB) applies when
+    * reading NANOS parquet, so values stay oracle-comparable.
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      // integer div, not `/`: nanos exceed 2^53 so double division loses µs
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
 }

