@@ -6,7 +6,9 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.GraftSession.table
 import graft.analysis.{Engagement, Relational}
+import graft.dedup.Dedup
 import graft.operators.{ColumnView, Filters, Imputation, Sessionize, Snapshots}
+import graft.similarity.Knn
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory each
   * query key maps to.
@@ -134,6 +136,50 @@ object SparkEntry {
       ColumnView.messageView(facts, demogs, "user_id")
         .withColumn("signup_n", coalesce(col("signup_n"), lit(0L)))
     }),
+
+    // ---- C. LLM-training-data operators ----
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(table(s, dir, "documents"), col("doc_id"), col("text"))),
+    "doc_fingerprint" -> ((s, dir) =>
+      Dedup.bottomKFingerprint(table(s, dir, "documents"), col("doc_id"), col("text"), 3, 4)),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(table(s, dir, "documents"), col("doc_id"), col("text"), 3, 16),
+        16, 4)),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash32(table(s, dir, "documents"), col("doc_id"), col("text"))),
+    "ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(table(s, dir, "documents"), col("doc_id"), col("text"), 3,
+        col("doc_id") < 50, 0.05)),
+    "langid" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      d.select((col("doc_id") +: graft.text.TextFeatures.langIdColumns(col("text"))): _*)
+    }),
+    "quality_score" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      d.select((col("doc_id") +: graft.text.TextFeatures.qualityColumns(col("text"))): _*)
+    }),
+    "token_count" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws"),
+        graft.functions.TokenCount.tokenCount(col("text")).as("n_tok"),
+        graft.text.TextFeatures.regexTokenCount(col("text")).as("n_re"))),
+    "ann_topk" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), Knn.toDoubleArray(col("embedding")).as("vec"))
+      Knn.bruteForceTopK(e.filter(col("id") < 8), e, 10)
+    }),
+    "ann_lsh_topk" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), Knn.toDoubleArray(col("embedding")).as("vec"))
+      Knn.lshTopK(e.filter(col("id") < 8), e, 10, 8, 64)
+    }),
+    "embedding_neardup" -> ((s, dir) =>
+      Knn.nearDupPairs(table(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+        col("label"), col("id") % 50 === 0, 0.25)),
+    "multimodal_decode" -> ((s, dir) =>
+      graft.multimodal.Media.decodeDocuments(s, table(s, dir, "documents"))),
 
     // ---- B. relational surface ----
     "q1_pricing_summary" -> ((s, dir) => Relational.q1PricingSummary(s, dir)),
@@ -278,6 +324,131 @@ object SparkEntry {
         |LEFT JOIN (SELECT user_id, COUNT(*) AS signup_n, MIN(ts) AS first_signup_ts
         |           FROM events WHERE event_type = 'signup' GROUP BY user_id) d
         |  ON e.user_id = d.user_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+        |FROM documents GROUP BY 1""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id, array_to_string(list_sort(list(DISTINCT md5(sh)))[1:4], ';') AS fingerprint
+        |FROM (
+        |  SELECT doc_id, sh FROM (
+        |    SELECT doc_id, [ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                     for i in generate_series(1, len(w)-2) ] AS shingles
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |    unnest(shingles) AS t(sh))
+        |GROUP BY doc_id""".stripMargin,
+    "dedup_minhash_lsh" ->
+      """WITH sets AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, [ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                     for i in generate_series(1, len(w)-2) ] AS shingles
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |    unnest(shingles) AS t(sh)),
+        |sig AS (
+        |  SELECT doc_id,
+        |    MIN(md5('0:'||sh)) s0, MIN(md5('1:'||sh)) s1, MIN(md5('2:'||sh)) s2, MIN(md5('3:'||sh)) s3,
+        |    MIN(md5('4:'||sh)) s4, MIN(md5('5:'||sh)) s5, MIN(md5('6:'||sh)) s6, MIN(md5('7:'||sh)) s7,
+        |    MIN(md5('8:'||sh)) s8, MIN(md5('9:'||sh)) s9, MIN(md5('10:'||sh)) s10, MIN(md5('11:'||sh)) s11,
+        |    MIN(md5('12:'||sh)) s12, MIN(md5('13:'||sh)) s13, MIN(md5('14:'||sh)) s14, MIN(md5('15:'||sh)) s15
+        |  FROM sets GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, 0 AS band, s0||'|'||s1||'|'||s2||'|'||s3 AS bk FROM sig
+        |  UNION ALL SELECT doc_id, 1, s4||'|'||s5||'|'||s6||'|'||s7 FROM sig
+        |  UNION ALL SELECT doc_id, 2, s8||'|'||s9||'|'||s10||'|'||s11 FROM sig
+        |  UNION ALL SELECT doc_id, 3, s12||'|'||s13||'|'||s14||'|'||s15 FROM sig)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id""".stripMargin,
+    "dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, md5(tok) AS h FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |votes AS (
+        |  SELECT doc_id, pos,
+        |    SUM((((strpos('0123456789abcdef', substr(h, pos // 4 + 1, 1)) - 1)
+        |          // (CASE pos % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2) * 2 - 1) AS s
+        |  FROM toks, unnest(generate_series(0, 31)) AS g(pos)
+        |  GROUP BY doc_id, pos)
+        |SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY pos) AS simhash
+        |FROM votes GROUP BY doc_id""".stripMargin,
+    "ngram_jaccard" ->
+      """WITH sets AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, [ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                     for i in generate_series(1, len(w)-2) ] AS shingles
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |    unnest(shingles) AS t(sh)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sets GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM sets a JOIN sets b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  WHERE a.doc_id < 50 GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM (
+        |  SELECT doc_a, doc_b,
+        |    CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS j
+        |  FROM inter JOIN sizes sa ON inter.doc_a = sa.doc_id
+        |             JOIN sizes sb ON inter.doc_b = sb.doc_id)
+        |WHERE j >= 0.05""".stripMargin,
+    "langid" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','y','que','en','un'))) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(string_split(text,' '), w -> w IN ('le','la','de','et','que','en','un'))) AS BIGINT) AS s_fr,
+        |  CAST(len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','zu','in','ist'))) AS BIGINT) AS s_de,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+        |       WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+        |       WHEN s_fr >= s_de THEN 'fr'
+        |       ELSE 'de' END AS predicted_lang
+        |FROM documents""".stripMargin,
+    "quality_score" ->
+      """SELECT doc_id, n_words, n_chars_m, n_punct, n_stopwords,
+        |  round(CAST(n_chars_m AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS avg_word_len,
+        |  round(CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS stopword_ratio,
+        |  round(1.0
+        |    - (CASE WHEN CAST(n_chars_m AS DOUBLE) / CAST(n_words AS DOUBLE) < 3.0
+        |              OR CAST(n_chars_m AS DOUBLE) / CAST(n_words AS DOUBLE) > 10.0 THEN 0.3 ELSE 0.0 END)
+        |    - (CASE WHEN CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE) < 0.01 THEN 0.2 ELSE 0.0 END)
+        |    - (CASE WHEN n_words < 10 THEN 0.5 ELSE 0.0 END), 6) AS quality_score
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+        |    CAST(length(text) AS BIGINT) AS n_chars_m,
+        |    CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS BIGINT) AS n_punct,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stopwords
+        |  FROM documents)""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tok,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_re
+        |FROM documents""".stripMargin,
+    "ann_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+        |SELECT query_id, vec_id, cos_sim, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    round(list_dot_product(q.v, c.v)
+        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_dot_product(q.v, c.v)
+        |        / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+        |        c.vec_id ASC) AS rank
+        |  FROM e q JOIN e c ON q.vec_id < 8 AND q.vec_id <> c.vec_id)
+        |WHERE rank <= 10""".stripMargin,
+    "embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+        |SELECT vec_a, vec_b, cos_sim FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE a.vec_id % 50 = 0)
+        |WHERE cos_sim >= 0.25""".stripMargin,
+    "multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+        |  CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
+        |  CAST((ascii(substr(text, 1, 1)) * 7) % 480 AS INT) AS fake_height
+        |FROM documents""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

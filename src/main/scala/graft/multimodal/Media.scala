@@ -1,0 +1,56 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media payloads travel as opaque binary
+  * columns with typed metadata; decode/feature-extract runs as batched
+  * per-partition logic so a real decoder (image/audio libs) can amortize
+  * native setup per partition, not per row.
+  *
+  * The decode itself is a STUB (media libraries are not available in this
+  * environment): `fakeDecode` derives deterministic pseudo-metadata from the
+  * raw bytes. The Spark-side plumbing — binary schema, partition batching,
+  * typed output — is real and is what a production decoder would drop into.
+  */
+object Media {
+
+  /** Raw media record: opaque bytes + carrier metadata. */
+  case class MediaRaw(media_id: Long, bytes: Array[Byte], mime: String)
+
+  /** Decoded metadata record (what a real image decode would emit). */
+  case class MediaMeta(media_id: Long, n_bytes: Long, first_byte: Int,
+                       fake_width: Int, fake_height: Int)
+
+  /** STUB decoder: deterministic pseudo-decode of an image payload.
+    * A real implementation would hand `raw.bytes` to an image library here.
+    */
+  def fakeDecode(raw: MediaRaw): MediaMeta = {
+    val fb = if (raw.bytes.isEmpty) 0 else raw.bytes(0) & 0xff
+    MediaMeta(raw.media_id, raw.bytes.length.toLong, fb,
+      (raw.bytes.length % 640).toInt, (fb * 7) % 480)
+  }
+
+  /** Batched decode over partitions: the iterator shape lets a real decoder
+    * initialize native context once per partition.
+    */
+  def decodeAll(ds: Dataset[MediaRaw]): Dataset[MediaMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition init of a real decoder would go here
+      it.map(fakeDecode)
+    }
+  }
+
+  /** Builds a media table from the documents table (text bytes standing in
+    * for an image payload) and runs the decode pipeline.
+    */
+  def decodeDocuments(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val raws = docs
+      .select(col("doc_id").as("media_id"), col("text").cast("binary").as("bytes"),
+        lit("image/fake").as("mime"))
+      .as[MediaRaw]
+    decodeAll(raws).toDF()
+  }
+}

@@ -1,0 +1,94 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  * Brute-force top-k is the exact baseline: broadcast the (small) query set,
+  * compute codegen'd dot products against the corpus, and take a windowed
+  * top-k per query — at 100 TB the corpus scan is embarrassingly parallel
+  * and the only shuffle is the per-query top-k (tiny).
+  *
+  * The scale path is sign-bucket LSH: deterministic pseudo-random
+  * hyperplanes, bucket by sign bits, search only within the query's bucket.
+  * Bucketing turns the corpus scan into a hash-partitioned lookup — the
+  * standard recall/latency trade.
+  */
+object Knn {
+
+  /** Element sum of products over double arrays, folded left-to-right (the
+    * same order a sequential engine uses, keeping the oracle comparable).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def toDoubleArray(c: Column): Column = transform(c, x => x.cast("double"))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact brute-force cosine top-k. `queries`/`corpus` need (id, vec)
+    * columns; vec must already be double[]. Rounded to 6 decimals before
+    * ranking so float noise can't flip an ordering against the oracle.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.as("c")
+      .join(broadcast(queries.as("q")), col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("vec_id"),
+        round(cosine(col("q.vec"), col("c.vec")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed), as literal arrays
+    * broadcast with the plan — no RNG at execution time, so reruns and
+    * resumes agree.
+    */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes, dim)(rnd.nextDouble() - 0.5)
+  }
+
+  /** Sign-bucket key: one bit per hyperplane. */
+  def signBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.map { p =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(vec, planeCol) >= 0, "1").otherwise("0")
+    }
+    concat(bits: _*)
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share the query's sign
+    * bucket; ranking matches bruteForceTopK within the bucket. Queries with
+    * an empty bucket return fewer than k rows (standard ANN recall trade).
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, numPlanes: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val qb = queries.withColumn("bucket", signBucket(col("vec"), planes))
+    val cb = corpus.withColumn("bucket", signBucket(col("vec"), planes))
+    val scored = cb.as("c")
+      .join(broadcast(qb.as("q")),
+        col("q.bucket") === col("c.bucket") && col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("vec_id"),
+        round(cosine(col("q.vec"), col("c.vec")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Cosine near-duplicate pairs within blocking groups: only pairs sharing
+    * `blockCol` are compared (at scale the block key is an LSH bucket or
+    * cluster id — never the full cross product). `leftPred` optionally
+    * samples the left side.
+    */
+  def nearDupPairs(df: DataFrame, id: Column, vec: Column, blockCol: Column,
+                   leftPred: Column, minCos: Double): DataFrame = {
+    val base = df.select(id.as("id"), toDoubleArray(vec).as("vec"), blockCol.as("blk"))
+    base.filter(leftPred).as("a")
+      .join(base.as("b"), col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
+        round(cosine(col("a.vec"), col("b.vec")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+  }
+}

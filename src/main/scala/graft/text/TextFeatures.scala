@@ -1,0 +1,84 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Text-analysis primitives for large-scale corpus pipelines: tokenization,
+  * shingling, stopword statistics, quality scoring, and a heuristic
+  * language-ID. All pure `functions._` column expressions — codegen'd,
+  * shuffle-free, and dialect-portable for the oracle (SURVEY.md §3).
+  */
+object TextFeatures {
+
+  /** Whitespace tokens. */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles (space-joined). Empty array when fewer than n
+    * words.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val w = words(text)
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + lit(j + 1))): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Number of tokens contained in `stopwords`. */
+  def stopwordHits(text: Column, stopwords: Seq[String]): Column =
+    size(filter(words(text), x => x.isInCollection(stopwords))).cast("long")
+
+  /** Regex token count (letter or digit runs) via built-in regexp machinery;
+    * graft.functions.TokenCount is the codegen'd fast path with identical
+    * semantics.
+    */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z0-9]+"), lit(0))).cast("long")
+
+  /** English-ish stopword list shared with the oracle side. */
+  val enStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+  val esStopwords: Seq[String] = Seq("el", "la", "de", "y", "que", "en", "un")
+  val frStopwords: Seq[String] = Seq("le", "la", "de", "et", "que", "en", "un")
+  val deStopwords: Seq[String] = Seq("der", "die", "das", "und", "zu", "in", "ist")
+
+  /** Quality metrics: word count, char count, average word length, stopword
+    * ratio, punctuation count, and a deterministic composite score.
+    * Mirrors the length/punct/stopword-ratio heuristics used for LLM
+    * training-data filtering.
+    */
+  def qualityColumns(text: Column): Seq[Column] = {
+    val nWords = size(words(text)).cast("long")
+    val nChars = length(text).cast("long")
+    val punct = length(regexp_replace(text, "[^.!?,;]", "")).cast("long")
+    val stops = stopwordHits(text, enStopwords)
+    val avgWordLen = nChars.cast("double") / nWords.cast("double")
+    val stopRatio = stops.cast("double") / nWords.cast("double")
+    val score = round(
+      lit(1.0)
+        - when(avgWordLen < 3.0 || avgWordLen > 10.0, 0.3).otherwise(0.0)
+        - when(stopRatio < 0.01, 0.2).otherwise(0.0)
+        - when(nWords < 10, 0.5).otherwise(0.0), 6)
+    Seq(
+      nWords.as("n_words"), nChars.as("n_chars_m"), punct.as("n_punct"),
+      stops.as("n_stopwords"),
+      round(avgWordLen, 6).as("avg_word_len"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      score.as("quality_score"))
+  }
+
+  /** Heuristic language-ID: stopword-hit score per language, argmax with a
+    * fixed language priority for ties. Deterministic by construction.
+    */
+  def langIdColumns(text: Column): Seq[Column] = {
+    val sEn = stopwordHits(text, enStopwords)
+    val sEs = stopwordHits(text, esStopwords)
+    val sFr = stopwordHits(text, frStopwords)
+    val sDe = stopwordHits(text, deStopwords)
+    val pred = when(sEn >= sEs && sEn >= sFr && sEn >= sDe, "en")
+      .when(sEs >= sFr && sEs >= sDe, "es")
+      .when(sFr >= sDe, "fr")
+      .otherwise("de")
+    Seq(sEn.as("s_en"), sEs.as("s_es"), sFr.as("s_fr"), sDe.as("s_de"), pred.as("predicted_lang"))
+  }
+}

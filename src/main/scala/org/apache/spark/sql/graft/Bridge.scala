@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's private[sql] Column<->Expression converters, so graft
+  * can expose custom Catalyst expressions through the public Column API.
+  * (Spark 4 removed the public Column(Expression) constructor with the
+  * Connect refactor; ExpressionUtils is the classic-session path.)
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

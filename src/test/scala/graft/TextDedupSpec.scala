@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.functions.TokenCount.tokenCount
+import graft.similarity.Knn
+import graft.text.TextFeatures
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("TokenCount matches the regex tokenizer on real documents") {
+    val docs = GraftSession.table(spark, "/root/testdata/sf0.001", "documents")
+    val mism = docs.select(
+      tokenCount(col("text")).as("fast"),
+      TextFeatures.regexTokenCount(col("text")).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(mism == 0)
+  }
+
+  test("TokenCount counts letter/digit runs and handles empties") {
+    val df = Seq("ab1 cd,, e9", "", "NOLOWER 42").toDF("t")
+    val got = df.select(tokenCount(col("t"))).as[Long].collect().toSeq
+    assert(got == Seq(3L, 0L, 1L))
+  }
+
+  test("shingles produce n-grams and empty below n") {
+    val df = Seq("a b c d", "a b").toDF("t")
+    val got = df.select(TextFeatures.shingles(col("t"), 3)).as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq("a b c", "b c d"), Seq()))
+  }
+
+  test("exact dedup groups identical texts") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("id", "text")
+    val got = Dedup.exact(df, col("id"), col("text"))
+      .select("n_dups", "keep_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((2L, 1L), (1L, 3L)))
+  }
+
+  test("minhash LSH pairs identical docs and not unrelated ones") {
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8")).toDF("id", "text")
+    val sig = Dedup.minhashSignatures(df, col("id"), col("text"), 3, 16)
+    val pairs = Dedup.lshCandidatePairs(sig, 16, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash is 32 bits and identical for identical docs") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "v w x y z")).toDF("id", "text")
+    val got = Dedup.simhash32(df, col("id"), col("text"))
+      .select("doc_id", "simhash").as[(Long, String)].collect().toMap
+    assert(got.values.forall(h => h.length == 32 && h.forall(c => c == '0' || c == '1')))
+    assert(got(1L) == got(2L))
+    assert(got(1L) != got(3L))
+  }
+
+  test("ngram jaccard is 1.0 for identical docs") {
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f")).toDF("id", "text")
+    val got = Dedup.ngramJaccard(df, col("id"), col("text"), 3, lit(true), 0.5)
+      .select("jaccard").as[Double].collect().toSeq
+    assert(got == Seq(1.0))
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val df = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "emb")
+    val v = Knn.toDoubleArray(col("emb"))
+    val got = df.select(round(Knn.cosine(v, v), 9)).as[Double].collect().head
+    assert(got == 1.0)
+  }
+
+  test("bruteForceTopK ranks the nearest vector first") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+      .select(col("vec_id").as("id"), Knn.toDoubleArray(col("embedding")).as("vec"))
+    val got = Knn.bruteForceTopK(df.filter(col("id") === 1), df, 2)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(2L, 3L))
+  }
+
+  test("media decode is deterministic and preserves byte length") {
+    val docs = GraftSession.table(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    val a = graft.multimodal.Media.decodeDocuments(spark, docs).orderBy("media_id").collect().toSeq
+    val b = graft.multimodal.Media.decodeDocuments(spark, docs).orderBy("media_id").collect().toSeq
+    assert(a == b)
+    assert(a.forall(r => r.getLong(1) > 0))
+  }
+}
