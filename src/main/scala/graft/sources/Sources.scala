@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface.
+  *
+  * The reference ingests from many APIs (RapidPro, CSV, Google Forms,
+  * Telegram, KoboToolbox — reference: src/&#42;_to_engagement_db/) into an
+  * engagement DB, always incrementally: fetch only records updated after the
+  * cached watermark (reference:
+  * src/common/get_messages_in_datasets.py:55-75), dedup on origin_id before
+  * insert (src/rapid_pro_to_engagement_db/rapid_pro_to_engagement_db.py:175).
+  *
+  * Spark-first: file-backed tables (parquet/csv/jsonl) with explicit schema,
+  * plus a watermark helper that turns any timestamped table into an
+  * incremental feed — a pure pushed-down predicate, so each sync reads only
+  * new partitions/row-groups.
+  */
+object Sources {
+
+  def parquet(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  def csv(spark: SparkSession, path: String, schema: StructType, header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
+
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Incremental slice: rows strictly after the watermark. The predicate is
+    * a plain column comparison — pushed to the scan, prunable by partition.
+    */
+  def readIncremental(df: DataFrame, tsCol: Column, watermark: java.sql.Timestamp): DataFrame =
+    df.filter(tsCol > lit(watermark))
+
+  /** Next watermark for a slice (None when the slice is empty). */
+  def nextWatermark(df: DataFrame, tsCol: Column): Option[java.sql.Timestamp] =
+    Option(df.agg(max(tsCol)).head.getTimestamp(0))
+
+  /** Origin-id dedup before insert: drop rows whose origin key already
+    * exists in the target. Anti join on the key — broadcast when the target
+    * key set is small, shuffle-hash otherwise.
+    */
+  def dedupAgainst(incoming: DataFrame, existing: DataFrame, key: String): DataFrame =
+    incoming.join(existing.select(key).distinct(), Seq(key), "left_anti")
+
+  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+}

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twins of the batch operators: the same engagement
+  * pipeline fed incrementally. Event-time windows with watermarks bound
+  * state; gap sessionization keeps per-user state in
+  * flatMapGroupsWithState (the streaming twin of operators.Sessionize).
+  *
+  * At scale: state is hash-partitioned by the group key across executors;
+  * the watermark bounds state size; sinks are idempotent per micro-batch.
+  */
+object Streams {
+
+  /** Schema of the events stream as the tests feed it (ts already µs). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming tumbling-window aggregation: twin of the batch
+    * `tumbling_window_agg` query (same window + aggs, plus a watermark to
+    * bound state).
+    */
+  def tumblingCounts(events: DataFrame, windowLen: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("val_sum"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("val_sum"))
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+  case class SessionState(sessionCount: Long, lastTsMicros: Long)
+  case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Stateful gap sessionization: per-user session counting with
+    * processing-time-independent event-time gaps. Emits one update per user
+    * per micro-batch (Update mode).
+    *
+    * State is one (count, lastTs) pair per user — constant-size, safe at any
+    * user cardinality that fits the state store.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapSeconds: Long): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapSeconds * 1000000L
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(SessionState, Long), SessionUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[(SessionState, Long)]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var (st, nEvents) = state.getOption.getOrElse((SessionState(0L, Long.MinValue), 0L))
+          var sessions = st.sessionCount
+          var lastTs = st.lastTsMicros
+          sorted.foreach { e =>
+            val tsMicros = e.ts.getTime * 1000L
+            if (lastTs == Long.MinValue || tsMicros - lastTs > gapMicros) sessions += 1
+            lastTs = tsMicros
+            nEvents += 1
+          }
+          state.update((SessionState(sessions, lastTs), nEvents))
+          Iterator.single(SessionUpdate(user, sessions, nEvents))
+      }
+  }
+}

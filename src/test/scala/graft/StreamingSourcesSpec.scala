@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{SessionEvent, SessionUpdate}
+
+class StreamingSourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("streaming tumbling window agg equals the batch twin") {
+    // feed the batch events table through a file stream
+    val batch = GraftSession.table(spark, sfDir, "events")
+    val dir = Files.createTempDirectory("graft_stream").toString
+    batch.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val q = Streams.tumblingCounts(stream)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("tumbling_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_out")
+        .orderBy("hour", "event_type").collect().toSeq
+      val expected = SparkEntry.queries("tumbling_window_agg")(spark, sfDir)
+        .orderBy("hour", "event_type").collect().toSeq
+      assert(streamed == expected)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization matches the batch sessionizer") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = Streams.sessionize(input.toDS(), 1800L)
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("sessions_out").start()
+    try {
+      val events = GraftSession.table(spark, sfDir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .as[SessionEvent].collect().sortBy(e => (e.ts.getTime, e.event_id))
+      // two micro-batches to prove state carries across batches
+      val (first, second) = events.splitAt(events.length / 2)
+      input.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(second.toIndexedSeq)
+      q.processAllAvailable()
+
+      val streamed = spark.table("sessions_out").as[SessionUpdate].collect()
+        .groupBy(_.user_id).map { case (u, rows) => u -> rows.last }
+        .values.map(r => (r.user_id, r.n_sessions, r.n_events)).toSet
+      val expected = SparkEntry.queries("sessionize")(spark, sfDir)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == expected)
+    } finally q.stop()
+  }
+
+  test("incremental watermark reads only new rows and advances") {
+    val ev = GraftSession.table(spark, sfDir, "events")
+    val w0 = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val slice = graft.sources.Sources.readIncremental(ev, col("ts"), w0)
+    assert(slice.count() > 0)
+    assert(slice.agg(min(col("ts"))).head.getTimestamp(0).after(w0))
+    val w1 = graft.sources.Sources.nextWatermark(slice, col("ts")).get
+    assert(graft.sources.Sources.readIncremental(ev, col("ts"), w1).count() == 0)
+  }
+
+  test("csv and jsonl round-trip with explicit schema") {
+    val dir = Files.createTempDirectory("graft_src").toString
+    val df = GraftSession.table(spark, sfDir, "documents").select("doc_id", "lang", "n_chars")
+    graft.sources.Sources.writeCsv(df, s"$dir/csv")
+    val back = graft.sources.Sources.csv(spark, s"$dir/csv", df.schema)
+    assert(back.orderBy("doc_id").collect().toSeq == df.orderBy("doc_id").collect().toSeq)
+
+    df.write.mode("overwrite").json(s"$dir/json")
+    val backJ = graft.sources.Sources.jsonl(spark, s"$dir/json", df.schema)
+    assert(backJ.orderBy("doc_id").collect().toSeq == df.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("dedupAgainst drops already-ingested origin ids") {
+    val existing = Seq((1L, "a"), (2L, "b")).toDF("origin_id", "v")
+    val incoming = Seq((2L, "b2"), (3L, "c")).toDF("origin_id", "v")
+    val got = graft.sources.Sources.dedupAgainst(incoming, existing, "origin_id")
+      .select("origin_id").as[Long].collect().toSeq
+    assert(got == Seq(3L))
+  }
+}
