@@ -328,36 +328,36 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY 1""".stripMargin,
     "doc_fingerprint" ->
-      """SELECT doc_id, array_to_string(list_sort(list(DISTINCT md5(sh)))[1:4], ';') AS fingerprint
+      """SELECT doc_id,
+        |  array_to_string(list_sort(list_transform(list_distinct(shingles), s -> md5(s)))[1:4], ';') AS fingerprint
         |FROM (
-        |  SELECT doc_id, sh FROM (
-        |    SELECT doc_id, [ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-        |                     for i in generate_series(1, len(w)-2) ] AS shingles
-        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
-        |    unnest(shingles) AS t(sh))
-        |GROUP BY doc_id""".stripMargin,
-    "dedup_minhash_lsh" ->
-      """WITH sets AS (
-        |  SELECT DISTINCT doc_id, sh FROM (
-        |    SELECT doc_id, [ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-        |                     for i in generate_series(1, len(w)-2) ] AS shingles
-        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
-        |    unnest(shingles) AS t(sh)),
-        |sig AS (
-        |  SELECT doc_id,
-        |    MIN(md5('0:'||sh)) s0, MIN(md5('1:'||sh)) s1, MIN(md5('2:'||sh)) s2, MIN(md5('3:'||sh)) s3,
-        |    MIN(md5('4:'||sh)) s4, MIN(md5('5:'||sh)) s5, MIN(md5('6:'||sh)) s6, MIN(md5('7:'||sh)) s7,
-        |    MIN(md5('8:'||sh)) s8, MIN(md5('9:'||sh)) s9, MIN(md5('10:'||sh)) s10, MIN(md5('11:'||sh)) s11,
-        |    MIN(md5('12:'||sh)) s12, MIN(md5('13:'||sh)) s13, MIN(md5('14:'||sh)) s14, MIN(md5('15:'||sh)) s15
-        |  FROM sets GROUP BY doc_id),
-        |banded AS (
-        |  SELECT doc_id, 0 AS band, s0||'|'||s1||'|'||s2||'|'||s3 AS bk FROM sig
-        |  UNION ALL SELECT doc_id, 1, s4||'|'||s5||'|'||s6||'|'||s7 FROM sig
-        |  UNION ALL SELECT doc_id, 2, s8||'|'||s9||'|'||s10||'|'||s11 FROM sig
-        |  UNION ALL SELECT doc_id, 3, s12||'|'||s13||'|'||s14||'|'||s15 FROM sig)
-        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |FROM banded a JOIN banded b
-        |  ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id""".stripMargin,
+        |  SELECT doc_id, [ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                   for i in generate_series(1, len(w)-2) ] AS shingles
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))""".stripMargin,
+    "dedup_minhash_lsh" -> {
+      val sigExprs = (0 until 16).map { p =>
+        s"list_min(list_transform(hs, x -> (x * ${Dedup.minhashA(p)} + ${Dedup.minhashB(p)}) % ${Dedup.minhashPrime})) AS s$p"
+      }.mkString(",\n    ")
+      s"""WITH shl AS (
+         |  SELECT doc_id, list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                                 for i in generate_series(1, len(w)-2) ]) AS shingles
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         |hv AS (
+         |  SELECT doc_id, list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+         |  FROM shl WHERE len(shingles) > 0),
+         |sig AS (
+         |  SELECT doc_id,
+         |    $sigExprs
+         |  FROM hv),
+         |banded AS (
+         |  SELECT doc_id, 0 AS band, s0||'|'||s1||'|'||s2||'|'||s3 AS bk FROM sig
+         |  UNION ALL SELECT doc_id, 1, s4||'|'||s5||'|'||s6||'|'||s7 FROM sig
+         |  UNION ALL SELECT doc_id, 2, s8||'|'||s9||'|'||s10||'|'||s11 FROM sig
+         |  UNION ALL SELECT doc_id, 3, s12||'|'||s13||'|'||s14||'|'||s15 FROM sig)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id""".stripMargin
+    },
     "dedup_simhash" ->
       """WITH toks AS (
         |  SELECT DISTINCT doc_id, md5(tok) AS h FROM (
@@ -371,22 +371,20 @@ object SparkEntry {
         |SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY pos) AS simhash
         |FROM votes GROUP BY doc_id""".stripMargin,
     "ngram_jaccard" ->
-      """WITH sets AS (
-        |  SELECT DISTINCT doc_id, sh FROM (
-        |    SELECT doc_id, [ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-        |                     for i in generate_series(1, len(w)-2) ] AS shingles
-        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
-        |    unnest(shingles) AS t(sh)),
-        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sets GROUP BY doc_id),
+      """WITH shl AS (
+        |  SELECT doc_id, list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                                 for i in generate_series(1, len(w)-2) ]) AS shingles
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |sets AS (SELECT doc_id, len(shingles) AS sz, s FROM shl, unnest(shingles) AS t(s)),
         |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-        |  FROM sets a JOIN sets b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    MAX(a.sz) AS sz_a, MAX(b.sz) AS sz_b, COUNT(*) AS i
+        |  FROM sets a JOIN sets b ON a.s = b.s AND a.doc_id < b.doc_id
         |  WHERE a.doc_id < 50 GROUP BY 1, 2)
         |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM (
         |  SELECT doc_a, doc_b,
-        |    CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS j
-        |  FROM inter JOIN sizes sa ON inter.doc_a = sa.doc_id
-        |             JOIN sizes sb ON inter.doc_b = sb.doc_id)
+        |    CAST(i AS DOUBLE) / CAST(sz_a + sz_b - i AS DOUBLE) AS j
+        |  FROM inter)
         |WHERE j >= 0.05""".stripMargin,
     "langid" ->
       """SELECT doc_id,

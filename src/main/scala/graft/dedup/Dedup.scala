@@ -7,48 +7,75 @@ import graft.text.TextFeatures
 
 /** Deduplication family for LLM training-data pipelines.
   *
-  * Design for 100 TB (SURVEY.md §5): every method is hash-partitioned on a
-  * content key (never a global sort, never n² over the corpus):
-  *  - exact: single groupBy on a content hash;
-  *  - minhash-LSH: candidate pairs only emerge from shared band buckets;
-  *  - ngram-Jaccard: pairs only from shared-shingle buckets (and the caller
-  *    bounds the left side or feeds LSH candidates);
-  *  - fingerprints (bottom-k) reduce each doc to a constant-size sketch.
+  * Design for 100 TB (SURVEY.md §5): sketches (fingerprints, minhash
+  * signatures, simhash) are computed PER ROW with array expressions — zero
+  * shuffle, fully inside codegen — so the corpus scan is embarrassingly
+  * parallel. Only the candidate-pair joins shuffle, and those only touch
+  * hash buckets (band keys / shared shingles), never the n² cross product.
   *
-  * Hash functions are md5-based so the DuckDB oracle can reproduce every
-  * signature byte-for-byte (no engine-private hash).
+  * Hash functions are md5-derived so the DuckDB oracle can reproduce every
+  * signature byte-for-byte (no engine-private hash). MinHash permutations
+  * are affine maps of one 32-bit base hash (1 md5 per shingle instead of
+  * numPerms md5s).
   */
 object Dedup {
 
   /** Exact dedup: group by full-content hash; emit group size and the id to
-    * keep (minimum). The output IS the dedup decision table.
+    * keep (minimum). The output IS the dedup decision table. Single hash
+    * shuffle on the content key.
     */
   def exact(df: DataFrame, id: Column, text: Column): DataFrame =
     df.groupBy(md5(text).as("text_hash"))
       .agg(count(lit(1)).as("n_dups"), min(id).as("keep_id"))
 
+  /** Distinct word n-gram shingles, per row (no shuffle). Codegen-fallback
+    * single-pass expression (graft.functions.DistinctShingles) — the
+    * higher-order-function formulation evaluates interpreted and is ~20x
+    * slower on the corpus scan.
+    */
+  private def distinctShingles(text: Column, n: Int): Column =
+    graft.functions.ShingleExpressions.distinctShingles(text, n)
+
   /** Bottom-k sketch fingerprint over word n-gram shingles (winnowing-style):
     * the k lexicographically-smallest shingle hashes, joined. Documents with
-    * equal fingerprints are near-dup candidates.
+    * equal fingerprints are near-dup candidates. Pure map — no shuffle,
+    * one fused expression per row.
     */
   def bottomKFingerprint(df: DataFrame, id: Column, text: Column, n: Int, k: Int): DataFrame =
-    df.select(id.as("doc_id"), explode(TextFeatures.shingles(text, n)).as("sh"))
-      .distinct()
-      .groupBy(col("doc_id"))
-      .agg(array_join(slice(array_sort(collect_set(md5(col("sh")))), 1, k), ";").as("fingerprint"))
+    df.select(id.as("doc_id"),
+      graft.functions.ShingleExpressions.bottomKFingerprint(text, n, k).as("fingerprint"))
 
-  /** MinHash signatures: numPerms md5-permutations, each the lexicographic
-    * min over the document's distinct shingles of md5("<p>:<shingle>").
-    * One explode + one groupBy with numPerms min-aggregates — a single
-    * shuffle on doc id.
+  /** MinHash permutation constants (odd multipliers), shared with the oracle
+    * SQL — see SparkEntry. Affine perm of a 32-bit base hash modulo a prime
+    * just above 2^32; products stay < 2^52, exact in int64 on any engine.
+    */
+  val minhashA: Seq[Long] = Seq(
+    179424673L, 179425457L, 179426549L, 179428399L,
+    179430413L, 179432351L, 179434223L, 179436179L,
+    179438057L, 179440031L, 179441911L, 179443847L,
+    179445761L, 179447681L, 179449633L, 179451589L).map(a => (a | 1L) % 1048576L)
+  val minhashB: Seq[Long] = Seq(
+    982451653L, 982451707L, 982451789L, 982451827L,
+    982451921L, 982452007L, 982452091L, 982452161L,
+    982452253L, 982452343L, 982452433L, 982452527L,
+    982452613L, 982452701L, 982452791L, 982452871L).map(_ % 1048576L)
+  val minhashPrime: Long = 4294967311L
+
+  /** MinHash signatures: numPerms affine permutations of the per-shingle
+    * 32-bit md5 base hash; each signature row is the min over the document's
+    * distinct shingles. One fused expression per row (split/shingle/md5/
+    * permute/min in a single pass) — zero shuffle. Documents with no
+    * shingles (shorter than n words) are dropped (they have no signature).
     */
   def minhashSignatures(df: DataFrame, id: Column, text: Column, n: Int, numPerms: Int): DataFrame = {
-    val exploded = df
-      .select(id.as("doc_id"), explode(TextFeatures.shingles(text, n)).as("sh"))
-      .distinct()
-    val sigAggs = (0 until numPerms).map(p =>
-      min(md5(concat(lit(s"$p:"), col("sh")))).as(s"sig_$p"))
-    exploded.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+    require(numPerms <= minhashA.length)
+    val sigs = df
+      .select(id.as("doc_id"),
+        graft.functions.ShingleExpressions.minhashSig(
+          text, n, minhashA.take(numPerms), minhashB.take(numPerms), minhashPrime).as("sigs"))
+      .filter(size(col("sigs")) > 0)
+    val sigCols = (0 until numPerms).map(p => element_at(col("sigs"), p + 1).as(s"sig_$p"))
+    sigs.select((col("doc_id") +: sigCols): _*)
   }
 
   /** LSH candidate pairs: split the signature into bands of `bandSize` rows;
@@ -83,8 +110,7 @@ object Dedup {
     */
   def simhash32(df: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = df
-      .select(id.as("doc_id"), explode(TextFeatures.words(text)).as("tok"))
-      .distinct()
+      .select(id.as("doc_id"), explode(array_distinct(TextFeatures.words(text))).as("tok"))
       .withColumn("h", md5(col("tok")))
     val positions = toks.select(col("doc_id"), col("h"),
       explode(sequence(lit(0), lit(31))).as("pos"))
@@ -107,19 +133,20 @@ object Dedup {
 
   /** N-gram Jaccard similarity for candidate pairs sharing at least one
     * shingle. `leftPred` bounds the left side (query set or LSH candidates) —
-    * the join itself only touches shared-shingle buckets.
+    * the join itself only touches shared-shingle buckets. Set sizes ride
+    * along with the exploded rows, so the only shuffles are the pair join
+    * and the pair-count aggregation.
     */
   def ngramJaccard(df: DataFrame, id: Column, text: Column, n: Int,
                    leftPred: Column, minJaccard: Double): DataFrame = {
-    val sets = df.select(id.as("doc_id"), explode(TextFeatures.shingles(text, n)).as("sh")).distinct()
-    val sizes = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val sets = df
+      .select(id.as("doc_id"), distinctShingles(text, n).as("shingles"))
+      .select(col("doc_id"), size(col("shingles")).as("sz"), explode(col("shingles")).as("sh"))
     val inter = sets.filter(leftPred).as("a")
       .join(sets.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+      .agg(max(col("a.sz")).as("sz_a"), max(col("b.sz")).as("sz_b"), count(lit(1)).as("inter"))
     inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= minJaccard)

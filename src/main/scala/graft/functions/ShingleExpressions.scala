@@ -1,0 +1,134 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass shingle/sketch expressions.
+  *
+  * Spark's higher-order array functions (transform/aggregate) evaluate
+  * interpreted — per-element closures with boxing, outside codegen. For the
+  * dedup hot path (every document, every shingle, at 100 TB) that's the
+  * bottleneck, so these expressions do the whole
+  * split -> shingle -> md5 -> permute/min pipeline in one tight JVM loop per
+  * row. Semantics are byte-for-byte the portable md5 formulation the DuckDB
+  * oracle runs (see SparkEntry oracle SQL).
+  */
+object ShingleUtil {
+
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  /** Distinct word n-gram shingles, insertion order (order never observable:
+    * consumers sort or take mins). Split mirrors split(text, ' ') with
+    * limit -1 (trailing empties kept).
+    */
+  def distinctShingles(text: String, n: Int): Array[String] = {
+    val words = text.split(" ", -1)
+    if (words.length < n) return Array.empty
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= words.length - n) {
+      val sb = new java.lang.StringBuilder(words(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  def md5Hex(s: String): String = {
+    val d = md5Local.get().digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** First 32 bits of md5 as an unsigned long (== parsing the first 8 hex
+    * chars, as the oracle does with ('0x' || substr(md5(s),1,8))::BIGINT).
+    */
+  def md5Base32(s: String): Long = {
+    val d = md5Local.get().digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+}
+
+/** array<string> of distinct word n-gram shingles. */
+case class DistinctShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = ShingleUtil.distinctShingles(input.asInstanceOf[UTF8String].toString, n)
+    new GenericArrayData(arr.map(x => UTF8String.fromString(x): Any))
+  }
+  override protected def withNewChildInternal(newChild: Expression): DistinctShingles = copy(newChild)
+}
+
+/** array<long> minhash signature: for each permutation p,
+  * min over distinct shingles of (md5base32(sh) * a(p) + b(p)) % prime.
+  * Empty array when the document has no shingles.
+  */
+case class MinHashSig(child: Expression, n: Int, a: Seq[Long], b: Seq[Long], prime: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private val numPerms = a.length
+  override def nullSafeEval(input: Any): Any = {
+    val sh = ShingleUtil.distinctShingles(input.asInstanceOf[UTF8String].toString, n)
+    if (sh.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val mins = Array.fill(numPerms)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      val h = ShingleUtil.md5Base32(sh(i))
+      var p = 0
+      while (p < numPerms) {
+        val v = (h * a(p) + b(p)) % prime
+        if (v < mins(p)) mins(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(x => x: Any))
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig = copy(newChild)
+}
+
+/** Bottom-k fingerprint: the k lexicographically-smallest md5 hex strings of
+  * the distinct shingles, joined with ';'. "" when no shingles.
+  */
+case class BottomKFingerprintExpr(child: Expression, n: Int, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any = {
+    val sh = ShingleUtil.distinctShingles(input.asInstanceOf[UTF8String].toString, n)
+    val hashes = new Array[String](sh.length)
+    var i = 0
+    while (i < sh.length) { hashes(i) = ShingleUtil.md5Hex(sh(i)); i += 1 }
+    java.util.Arrays.sort(hashes.asInstanceOf[Array[AnyRef]])
+    UTF8String.fromString(hashes.take(k).mkString(";"))
+  }
+  override protected def withNewChildInternal(newChild: Expression): BottomKFingerprintExpr = copy(newChild)
+}
+
+object ShingleExpressions {
+  def distinctShingles(text: Column, n: Int): Column =
+    Bridge.column(DistinctShingles(Bridge.expression(text), n))
+  def minhashSig(text: Column, n: Int, a: Seq[Long], b: Seq[Long], prime: Long): Column =
+    Bridge.column(MinHashSig(Bridge.expression(text), n, a, b, prime))
+  def bottomKFingerprint(text: Column, n: Int, k: Int): Column =
+    Bridge.column(BottomKFingerprintExpr(Bridge.expression(text), n, k))
+}
