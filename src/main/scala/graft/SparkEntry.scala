@@ -55,11 +55,8 @@ object SparkEntry {
       Filters.semiJoinKeys(ev, "user_id", allow)
         .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
     }),
-    "participants_column_view" -> ((s, dir) => {
-      val piv = ColumnView.participantView(events(s, dir), "user_id", "event_type", eventTypes, "value")
-      // pivot cells with no rows yield null counts; normalize to 0 like the oracle's FILTER
-      eventTypes.foldLeft(piv)((d, t) => d.withColumn(s"${t}_n", coalesce(col(s"${t}_n"), lit(0L))))
-    }),
+    "participants_column_view" -> ((s, dir) =>
+      ColumnView.participantView(events(s, dir), "user_id", "event_type", eventTypes, "value")),
     "fold_concat_texts" -> ((s, dir) =>
       ColumnView.foldConcat(events(s, dir).filter(col("event_type") === "purchase"),
         "user_id", col("ts"), col("event_id"), col("props"), ";")),

@@ -25,13 +25,21 @@ object ColumnView {
   /** One row per `key`; for each value of `typeCol` in `types`, a `{t}_n`
     * count and `{t}_val` exact sum of `valueCol` (DECIMAL-exact, emitted as
     * double).
+    *
+    * Conditional aggregation rather than `.pivot` — pivot plans two
+    * aggregate phases (two shuffles); this is one shuffle on the entity key
+    * with map-side partials, and empty cells match SQL FILTER semantics
+    * (count 0, sum NULL).
     */
-  def participantView(df: DataFrame, key: String, typeCol: String, types: Seq[String], valueCol: String): DataFrame =
-    df.groupBy(col(key))
-      .pivot(typeCol, types)
-      .agg(
-        count(lit(1)).as("n"),
-        sum(col(valueCol).cast(DecimalType(18, 2))).cast("double").as("val"))
+  def participantView(df: DataFrame, key: String, typeCol: String, types: Seq[String], valueCol: String): DataFrame = {
+    val aggs = types.flatMap { t =>
+      Seq(
+        sum(when(col(typeCol) === t, 1).otherwise(0)).as(s"${t}_n"),
+        sum(when(col(typeCol) === t, col(valueCol).cast(DecimalType(18, 2))))
+          .cast("double").as(s"${t}_val"))
+    }
+    df.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Ordered text fold: per `key`, concatenate `textCol` with `sep` in
     * (orderCol1, orderCol2) order. The order keys must form a total order.

@@ -1,0 +1,91 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+import graft.dedup.Dedup
+import graft.functions.{BottomKFingerprintExpr, DistinctShingles, MinHashSig, TokenCount}
+
+/** Rewrites comparisons against the nanosecond-normalized timestamp
+  * (`timestamp_micros(raw div 1000)`) into raw-long bounds, so the predicate
+  * reaches the parquet scan as a plain long comparison (PushedFilters) and
+  * row groups prune.
+  *
+  * Floor semantics (µs = floor(ns/1000), non-negative domain):
+  *   µs >  T  ⇔ ns >  T*1000 + 999
+  *   µs >= T  ⇔ ns >= T*1000
+  *   µs <  T  ⇔ ns <  T*1000
+  *   µs <= T  ⇔ ns <= T*1000 + 999
+  *   µs =  T  ⇔ T*1000 <= ns <= T*1000 + 999
+  */
+object NanoTimestampFilterRewrite extends Rule[LogicalPlan] {
+
+  private object NanoConv {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case MicrosToTimestamp(IntegralDivide(raw, Literal(1000L, LongType), _)) => Some(raw)
+      case _ => None
+    }
+  }
+
+  private object TsLit {
+    def unapply(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, TimestampType) if v < Long.MaxValue / 1000 - 1000 => Some(v)
+      case _ => None
+    }
+  }
+
+  private def nanos(v: Long): Literal = Literal(v * 1000L, LongType)
+  private def nanosHi(v: Long): Literal = Literal(v * 1000L + 999L, LongType)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case GreaterThan(NanoConv(raw), TsLit(v)) => GreaterThan(raw, nanosHi(v))
+    case GreaterThanOrEqual(NanoConv(raw), TsLit(v)) => GreaterThanOrEqual(raw, nanos(v))
+    case LessThan(NanoConv(raw), TsLit(v)) => LessThan(raw, nanos(v))
+    case LessThanOrEqual(NanoConv(raw), TsLit(v)) => LessThanOrEqual(raw, nanosHi(v))
+    case EqualTo(NanoConv(raw), TsLit(v)) =>
+      And(GreaterThanOrEqual(raw, nanos(v)), LessThanOrEqual(raw, nanosHi(v)))
+    case GreaterThan(TsLit(v), NanoConv(raw)) => LessThan(raw, nanos(v))
+    case GreaterThanOrEqual(TsLit(v), NanoConv(raw)) => LessThanOrEqual(raw, nanosHi(v))
+    case LessThan(TsLit(v), NanoConv(raw)) => GreaterThan(raw, nanosHi(v))
+    case LessThanOrEqual(TsLit(v), NanoConv(raw)) => GreaterThanOrEqual(raw, nanos(v))
+    case EqualTo(TsLit(v), NanoConv(raw)) =>
+      And(GreaterThanOrEqual(raw, nanos(v)), LessThanOrEqual(raw, nanosHi(v)))
+  }
+}
+
+/** Session extensions: the pushdown rule above, plus SQL registration of the
+  * custom expressions so `spark.sql` users get the same surface as the
+  * Column API (token_count, distinct_shingles, minhash_sig,
+  * bottomk_fingerprint).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => NanoTimestampFilterRewrite)
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("token_count"),
+      new ExpressionInfo("graft.functions.TokenCount", "token_count"),
+      (args: Seq[Expression]) => TokenCount(args.head)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("distinct_shingles"),
+      new ExpressionInfo("graft.functions.DistinctShingles", "distinct_shingles"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, Literal(n: Int, _)) => DistinctShingles(t, n)
+        case Seq(t) => DistinctShingles(t, 3)
+      }))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo("graft.functions.MinHashSig", "minhash_sig"),
+      (args: Seq[Expression]) =>
+        MinHashSig(args.head, 3, Dedup.minhashA, Dedup.minhashB, Dedup.minhashPrime)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("bottomk_fingerprint"),
+      new ExpressionInfo("graft.functions.BottomKFingerprintExpr", "bottomk_fingerprint"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, Literal(n: Int, _), Literal(k: Int, _)) => BottomKFingerprintExpr(t, n, k)
+        case Seq(t) => BottomKFingerprintExpr(t, 3, 4)
+      }))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Asserts the scale invariants from SURVEY.md §5 on the physical plans:
+  * filters reach the parquet scan, dims broadcast, sketches don't shuffle,
+  * hot paths stay in whole-stage codegen. These are regression guards — a
+  * refactor that silently adds a shuffle or loses pushdown fails here.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  private def count(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("q1 pushes the shipdate filter into the parquet scan and prunes columns") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(!p.contains("l_orderkey"), "q1 must not read unused columns")
+  }
+
+  test("time filters on the ns-normalized events ts reach the scan as long bounds") {
+    val p = plan("time_range_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"), p)
+    val p2 = plan("incremental_watermark")
+    assert(p2.contains("GreaterThan(ts,"), p2)
+  }
+
+  test("star joins broadcast their dimension sides") {
+    assert(count(plan("q3_shipping_priority"), "BroadcastHashJoin") >= 1)
+    assert(count(plan("q5_local_supplier"), "BroadcastHashJoin") >= 4)
+    assert(count(plan("location_hierarchy"), "BroadcastHashJoin") == 2)
+  }
+
+  test("per-row sketches run shuffle-free") {
+    assert(count(plan("doc_fingerprint"), "Exchange") == 0)
+    assert(count(plan("quality_score"), "Exchange") == 0)
+    assert(count(plan("token_count"), "Exchange") == 0)
+    assert(count(plan("langid"), "Exchange") == 0)
+    assert(count(plan("multimodal_decode"), "Exchange") == 0)
+  }
+
+  test("single-shuffle operators shuffle exactly once on the entity key") {
+    // AQE plans report shuffles as Exchange nodes before reuse; count initial plan
+    assert(count(plan("snapshot_latest"), "Exchange") == 1)
+    assert(count(plan("participants_column_view"), "Exchange") == 1)
+    assert(count(plan("fold_concat_texts"), "Exchange") == 1)
+    assert(count(plan("sessionize"), "Exchange") == 1)
+    // window on user + final 2-row rollup re-key: the second exchange moves
+    // a handful of partially-aggregated rows
+    assert(count(plan("consent_withdrawn"), "Exchange") == 2)
+  }
+
+  test("codegen'd expression paths stay inside WholeStageCodegen") {
+    // whole-stage codegen shows as "*(n)" stage markers in the plan string
+    val p = plan("token_count")
+    assert(p.contains("*(1) Project"), p)
+    assert(p.contains("tokencount"), p)
+  }
+
+  test("pushdown rewrite preserves filter semantics on events") {
+    // same rows with and without the rewrite (rewrite only changes the scan bound)
+    val ev = GraftSession.table(spark, sfDir, "events")
+    val lo = lit("2024-01-08 00:00:00").cast("timestamp")
+    val viaRule = ev.filter(col("ts") >= lo).count()
+    val noPush = ev.withColumn("ts2", col("ts")).filter(col("ts2") >= lo).count()
+    assert(viaRule == noPush)
+  }
+}
