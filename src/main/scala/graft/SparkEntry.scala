@@ -134,6 +134,26 @@ object SparkEntry {
         .withColumn("signup_n", coalesce(col("signup_n"), lit(0L)))
     }),
 
+    "asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+      graft.operators.AsOfJoin.asOf(purchases, clicks, "user_id", "ts", "ts", "event_id", Seq("value"))
+        .withColumnRenamed("asof_ts", "click_ts")
+        .withColumnRenamed("asof_value", "click_value")
+    }),
+    "regression_ols" -> ((s, dir) =>
+      graft.analysis.Regression.olsByGroup(
+        events(s, dir), Seq(col("event_type")),
+        regexp_extract(col("props"), "[0-9]+", 0).cast("int"), col("value"))),
+    "latest_label_per_scheme" -> ((s, dir) => {
+      val latest = Snapshots.latest(events(s, dir), Seq(col("user_id"), col("event_type")),
+        col("ts"), col("event_id"))
+      val codes = eventTypes.map(t => max(when(col("event_type") === t, col("value"))).as(s"${t}_code"))
+      latest.groupBy(col("user_id")).agg(codes.head, codes.tail: _*)
+    }),
+
     // ---- C. LLM-training-data operators ----
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(table(s, dir, "documents"), col("doc_id"), col("text"))),
@@ -321,6 +341,40 @@ object SparkEntry {
         |LEFT JOIN (SELECT user_id, COUNT(*) AS signup_n, MIN(ts) AS first_signup_ts
         |           FROM events WHERE event_type = 'signup' GROUP BY user_id) d
         |  ON e.user_id = d.user_id""".stripMargin,
+    "asof_join" ->
+      """SELECT l.event_id, l.user_id, l.ts, l.value,
+        |  r.ts AS click_ts, r.value AS click_value
+        |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "regression_ols" ->
+      """SELECT event_type, n,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+        |FROM (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(xd) AS DOUBLE) AS sx, CAST(SUM(yd) AS DOUBLE) AS sy,
+        |    CAST(SUM(xd * xd) AS DOUBLE) AS sxx, CAST(SUM(xd * yd) AS DOUBLE) AS sxy
+        |  FROM (SELECT event_type,
+        |          CAST(CAST(regexp_extract(props, '[0-9]+', 0) AS INT) AS DECIMAL(18,2)) AS xd,
+        |          CAST(value AS DECIMAL(18,2)) AS yd
+        |        FROM events
+        |        WHERE regexp_extract(props, '[0-9]+', 0) IS NOT NULL AND value IS NOT NULL)
+        |  GROUP BY event_type)""".stripMargin,
+    "latest_label_per_scheme" ->
+      """SELECT user_id,
+        |  MAX(CASE WHEN event_type = 'click' THEN value END) AS click_code,
+        |  MAX(CASE WHEN event_type = 'view' THEN value END) AS view_code,
+        |  MAX(CASE WHEN event_type = 'purchase' THEN value END) AS purchase_code,
+        |  MAX(CASE WHEN event_type = 'signup' THEN value END) AS signup_code,
+        |  MAX(CASE WHEN event_type = 'error' THEN value END) AS error_code
+        |FROM (
+        |  SELECT user_id, event_type, value FROM (
+        |    SELECT user_id, event_type, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events)
+        |  WHERE rn = 1)
+        |GROUP BY user_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY 1""".stripMargin,

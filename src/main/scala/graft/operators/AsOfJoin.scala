@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, attach the most recent right row (same
+  * key) with right.ts <= left.ts.
+  *
+  * Spark lacks this operator; rather than a custom SparkPlan, it composes
+  * scalably from a union + one window pass: tag both sides, sort each key
+  * partition by (ts, side), and carry the last right payload forward. One
+  * shuffle on the key, streaming window — the same plan shape a native
+  * sort-merge as-of join would produce, with AQE/salting applying as usual.
+  *
+  * The right side is pre-deduplicated to its latest row per (key, ts) so
+  * equal-timestamp matches are unambiguous.
+  */
+object AsOfJoin {
+
+  /** @param left      fact rows to enrich
+    * @param right     timeline rows to match backwards against
+    * @param key       equi-join key column name (both sides)
+    * @param leftTs    left event-time column name
+    * @param rightTs   right event-time column name
+    * @param rightTiebreak right column name making (key, ts) ordering total
+    * @param payload   right columns to carry (emitted as asof_<name>)
+    */
+  def asOf(left: DataFrame, right: DataFrame, key: String, leftTs: String,
+           rightTs: String, rightTiebreak: String, payload: Seq[String]): DataFrame = {
+    val r = Snapshots.latest(right, Seq(col(key), col(rightTs)), col(rightTiebreak))
+      .select(col(key), col(rightTs).as("__ts"),
+        struct((rightTs +: payload).map(col): _*).as("__pay"))
+      .withColumn("__tag", lit(0))
+    val leftCols = left.columns
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__pay", lit(null).cast(r.schema("__pay").dataType))
+      .withColumn("__tag", lit(1))
+      .select((Seq(key, "__ts", "__pay", "__tag") ++ leftCols.filterNot(_ == key)).map(col): _*)
+    val unioned = r.select(col(key), col("__ts"), col("__pay"), col("__tag"))
+      .unionByName(l, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned.withColumn("__carry", last(col("__pay"), ignoreNulls = true).over(w))
+    val out = carried.filter(col("__tag") === 1)
+    val payloadCols = (rightTs +: payload).map(p => col(s"__carry.$p").as(s"asof_$p"))
+    out.select(leftCols.map(col) ++ payloadCols: _*)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, SkewJoin}
+
+class AdvancedOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asOf attaches the latest right row at or before each left ts") {
+    val left = Seq(
+      (100L, "u1", ts("2024-01-01 10:00:00"), 5.0),
+      (101L, "u1", ts("2024-01-01 12:00:00"), 6.0),
+      (102L, "u2", ts("2024-01-01 09:00:00"), 7.0)
+    ).toDF("event_id", "user", "ts", "value")
+    val right = Seq(
+      (1L, "u1", ts("2024-01-01 09:30:00"), 1.0),
+      (2L, "u1", ts("2024-01-01 11:00:00"), 2.0),
+      (3L, "u1", ts("2024-01-01 13:00:00"), 3.0)
+    ).toDF("event_id", "user", "ts", "value")
+    val got = AsOfJoin.asOf(left, right, "user", "ts", "ts", "event_id", Seq("value"))
+      .select(col("event_id"), col("asof_value")).as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(100L -> Some(1.0), 101L -> Some(2.0), 102L -> None))
+  }
+
+  test("asOf matches equal timestamps inclusively and breaks right ties by tiebreak") {
+    val left = Seq((100L, "u1", ts("2024-01-01 10:00:00"), 0.0)).toDF("event_id", "user", "ts", "value")
+    val right = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00"), 1.0),
+      (2L, "u1", ts("2024-01-01 10:00:00"), 2.0) // same ts, higher tiebreak wins
+    ).toDF("event_id", "user", "ts", "value")
+    val got = AsOfJoin.asOf(left, right, "user", "ts", "ts", "event_id", Seq("value"))
+      .select("asof_value").as[Double].collect().toSeq
+    assert(got == Seq(2.0))
+  }
+
+  test("olsByGroup recovers a known line") {
+    // y = 2x + 1 exactly
+    val df = (1 to 10).map(x => ("g", x, 2.0 * x + 1)).toDF("g", "x", "y")
+    val got = graft.analysis.Regression.olsByGroup(df, Seq(col("g")), col("x"), col("y"))
+      .select("slope", "intercept").as[(Double, Double)].collect().head
+    assert(got == ((2.0, 1.0)))
+  }
+
+  test("saltedJoin equals the unsalted join") {
+    val facts = GraftSession.table(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val dim = facts.groupBy("user_id").agg(count(lit(1)).as("n"))
+    val plain = facts.join(dim, Seq("user_id")).orderBy("event_id").collect().toSeq
+    val salted = SkewJoin.saltedJoin(facts, dim, "user_id", col("event_id"), 8)
+      .select(plain.head.schema.fieldNames.map(col): _*).orderBy("event_id").collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("skewSafeDistinctCount equals plain countDistinct") {
+    val ev = GraftSession.table(spark, "/root/testdata/sf0.001", "events")
+    val plain = ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("n_distinct"))
+      .as[(String, Long)].collect().toMap
+    val safe = SkewJoin.skewSafeDistinctCount(ev, Seq(col("event_type")), col("user_id"), 8)
+      .as[(String, Long)].collect().toMap
+    assert(safe == plain)
+  }
+}
