@@ -168,6 +168,26 @@ object SparkEntry {
     "ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(table(s, dir, "documents"), col("doc_id"), col("text"), 3,
         col("doc_id") < 50, 0.05)),
+    "dedup_minhash_verified" -> ((s, dir) =>
+      Dedup.minhashDedupVerified(table(s, dir, "documents"), col("doc_id"), col("text"),
+        3, 16, 4, 0.5)),
+    "topk_values_agg" -> ((s, dir) =>
+      events(s, dir).groupBy(col("event_type"))
+        .agg(graft.functions.TopKAgg.topK(col("value"), 5).as("top_values"))),
+    "production_export" -> ((s, dir) => {
+      // consent filter -> message column view -> stable export projection
+      val ev = Imputation.propagateFlag(events(s, dir), "user_id",
+        col("event_type") === "error" && col("value") > 250.0, "consent_withdrawn")
+        .filter(!col("consent_withdrawn"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val demogs = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("signup_n"))
+      ColumnView.messageView(facts, demogs, "user_id")
+        .withColumn("signup_n", coalesce(col("signup_n"), lit(0L)))
+        .select(col("event_id").as("message_id"), col("user_id").as("participant_uuid"),
+          col("ts").as("timestamp"), col("value").as("message_value"), col("signup_n"))
+    }),
     "langid" -> ((s, dir) => {
       val d = table(s, dir, "documents")
       d.select((col("doc_id") +: graft.text.TextFeatures.langIdColumns(col("text"))): _*)
@@ -437,6 +457,54 @@ object SparkEntry {
         |    CAST(i AS DOUBLE) / CAST(sz_a + sz_b - i AS DOUBLE) AS j
         |  FROM inter)
         |WHERE j >= 0.05""".stripMargin,
+    "dedup_minhash_verified" -> {
+      val sigExprs = (0 until 16).map { p =>
+        s"list_min(list_transform(hs, x -> (x * ${Dedup.minhashA(p)} + ${Dedup.minhashB(p)}) % ${Dedup.minhashPrime})) AS s$p"
+      }.mkString(",\n    ")
+      s"""WITH shl AS (
+         |  SELECT doc_id, list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                                 for i in generate_series(1, len(w)-2) ]) AS shingles
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         |hv AS (
+         |  SELECT doc_id, list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+         |  FROM shl WHERE len(shingles) > 0),
+         |sig AS (
+         |  SELECT doc_id,
+         |    $sigExprs
+         |  FROM hv),
+         |banded AS (
+         |  SELECT doc_id, 0 AS band, s0||'|'||s1||'|'||s2||'|'||s3 AS bk FROM sig
+         |  UNION ALL SELECT doc_id, 1, s4||'|'||s5||'|'||s6||'|'||s7 FROM sig
+         |  UNION ALL SELECT doc_id, 2, s8||'|'||s9||'|'||s10||'|'||s11 FROM sig
+         |  UNION ALL SELECT doc_id, 3, s12||'|'||s13||'|'||s14||'|'||s15 FROM sig),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |      / CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS j
+         |  FROM pairs JOIN shl sa ON pairs.doc_a = sa.doc_id
+         |             JOIN shl sb ON pairs.doc_b = sb.doc_id)
+         |WHERE j >= 0.5""".stripMargin
+    },
+    "topk_values_agg" ->
+      """SELECT event_type, list_sort(list(value), 'DESC')[1:5] AS top_values
+        |FROM events GROUP BY event_type""".stripMargin,
+    "production_export" ->
+      """WITH flagged AS (
+        |  SELECT *,
+        |    MAX(CASE WHEN event_type = 'error' AND value > 250 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id) = 1 AS consent_withdrawn
+        |  FROM events),
+        |kept AS (SELECT * FROM flagged WHERE NOT consent_withdrawn)
+        |SELECT l.event_id AS message_id, l.user_id AS participant_uuid,
+        |  l.ts AS "timestamp", l.value AS message_value, COALESCE(d.signup_n, 0) AS signup_n
+        |FROM (SELECT event_id, user_id, ts, value FROM kept WHERE event_type = 'purchase') l
+        |LEFT JOIN (SELECT user_id, COUNT(*) AS signup_n FROM kept
+        |           WHERE event_type = 'signup' GROUP BY user_id) d
+        |  ON l.user_id = d.user_id""".stripMargin,
     "langid" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS s_en,

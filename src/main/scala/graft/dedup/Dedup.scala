@@ -131,6 +131,25 @@ object Dedup {
         x => x.getField("b")), "").as("simhash"))
   }
 
+  /** Full production dedup flow: MinHash-LSH candidate generation, then
+    * exact Jaccard verification on the candidates only. At 100 TB the
+    * verification join touches just the candidate pairs (bounded by band
+    * collisions), never the corpus cross product.
+    */
+  def minhashDedupVerified(df: DataFrame, id: Column, text: Column, n: Int,
+                           numPerms: Int, bandSize: Int, minJaccard: Double): DataFrame = {
+    val pairs = lshCandidatePairs(minhashSignatures(df, id, text, n, numPerms), numPerms, bandSize)
+    val sets = df.select(id.as("doc_id"), distinctShingles(text, n).as("shingles"))
+    pairs
+      .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
+      .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** N-gram Jaccard similarity for candidate pairs sharing at least one
     * shingle. `leftPred` bounds the left side (query set or LSH candidates) —
     * the join itself only touches shared-shingle buckets. Set sizes ride

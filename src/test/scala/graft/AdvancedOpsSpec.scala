@@ -62,4 +62,23 @@ class AdvancedOpsSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(safe == plain)
   }
+
+  test("TopKDoubles equals sort-based top-k") {
+    val ev = GraftSession.table(spark, "/root/testdata/sf0.001", "events")
+    val fast = ev.groupBy("event_type")
+      .agg(graft.functions.TopKAgg.topK(col("value"), 5).as("tv"))
+      .as[(String, Seq[Double])].collect().toMap
+    val slow = ev.groupBy("event_type")
+      .agg(slice(reverse(array_sort(collect_list(col("value")))), 1, 5).as("tv"))
+      .as[(String, Seq[Double])].collect().toMap
+    assert(fast == slow)
+  }
+
+  test("minhashDedupVerified finds the planted near-dups with high jaccard") {
+    val docs = GraftSession.table(spark, "/root/testdata/sf0.01", "documents")
+    val got = graft.dedup.Dedup.minhashDedupVerified(docs, col("doc_id"), col("text"), 3, 16, 4, 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_._3 >= 0.5))
+  }
 }
