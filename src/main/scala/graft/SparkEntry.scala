@@ -134,6 +134,22 @@ object SparkEntry {
         .withColumn("signup_n", coalesce(col("signup_n"), lit(0L)))
     }),
 
+    "membership_tagging" -> ((s, dir) => {
+      // external membership list (customer segments standing in for the
+      // reference's membership-group CSVs), broadcast-joined onto activity
+      val members = table(s, dir, "customer")
+        .select((col("c_custkey") - 1).as("user_id"), col("c_mktsegment").as("membership_group"))
+      events(s, dir).join(broadcast(members), Seq("user_id"), "left")
+        .withColumn("membership_group", coalesce(col("membership_group"), lit("NON_MEMBER")))
+        .groupBy(col("membership_group"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+    }),
+    "advert_nonrelevant_uuids" -> ((s, dir) =>
+      // participants whose research answers are all below the relevance bar
+      events(s, dir).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(max(col("value")).as("max_value"), count(lit(1)).as("n_answers"))
+        .filter(col("max_value") < 50.0)),
     "asof_join" -> ((s, dir) => {
       val ev = events(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -361,6 +377,15 @@ object SparkEntry {
         |LEFT JOIN (SELECT user_id, COUNT(*) AS signup_n, MIN(ts) AS first_signup_ts
         |           FROM events WHERE event_type = 'signup' GROUP BY user_id) d
         |  ON e.user_id = d.user_id""".stripMargin,
+    "membership_tagging" ->
+      """SELECT COALESCE(c.c_mktsegment, 'NON_MEMBER') AS membership_group,
+        |  COUNT(*) AS n, COUNT(DISTINCT e.user_id) AS n_users
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey - 1
+        |GROUP BY 1""".stripMargin,
+    "advert_nonrelevant_uuids" ->
+      """SELECT user_id, MAX(value) AS max_value, COUNT(*) AS n_answers
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id HAVING MAX(value) < 50""".stripMargin,
     "asof_join" ->
       """SELECT l.event_id, l.user_id, l.ts, l.value,
         |  r.ts AS click_ts, r.value AS click_value

@@ -33,6 +33,14 @@ object Streams {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("val_sum"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("val_sum"))
 
+  /** Streaming ingest dedup: the streaming twin of snapshot dedup — drop
+    * repeated keys, with the watermark bounding how long a key is
+    * remembered (the reference dedups on origin_id at ingest;
+    * rapid_pro_to_engagement_db.py:175).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], tsCol: String, watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark).dropDuplicates(keyCols)
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
   case class SessionState(sessionCount: Long, lastTsMicros: Long)
   case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)

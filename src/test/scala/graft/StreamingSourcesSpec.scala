@@ -89,4 +89,30 @@ class StreamingSourcesSpec extends SparkSpec {
       .select("origin_id").as[Long].collect().toSeq
     assert(got == Seq(3L))
   }
+
+  test("streaming dedup drops repeated keys across micro-batches") {
+    implicit val sqlCtx2: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = graft.streaming.Streams.dedupStream(
+        input.toDS().toDF(), Seq("user_id"), "ts", "1 hour")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_out").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      input.addData(Seq(SessionEvent(1L, t0, 1L), SessionEvent(1L, t0, 2L), SessionEvent(2L, t0, 3L)))
+      q.processAllAvailable()
+      input.addData(Seq(SessionEvent(1L, t0, 4L), SessionEvent(3L, t0, 5L)))
+      q.processAllAvailable()
+      val users = spark.table("dedup_out").select("user_id").as[Long].collect().sorted.toSeq
+      assert(users == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("typed Message model adapts events") {
+    val ev = GraftSession.table(spark, sfDir, "events")
+    val msgs = graft.model.Model.eventsAsMessages(spark, ev)
+    assert(msgs.count() == ev.count())
+    val m = msgs.filter(_.dataset == "purchase").head()
+    assert(m.participant_uuid.nonEmpty && m.message_id >= 0)
+  }
 }
