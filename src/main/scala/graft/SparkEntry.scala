@@ -100,6 +100,11 @@ object SparkEntry {
       Engagement.weeklyActive(events(s, dir), col("ts"), col("user_id"))),
     "episode_new_vs_repeat" -> ((s, dir) =>
       Engagement.episodeNewVsRepeat(events(s, dir), col("ts"), col("user_id"))),
+    "funnel_conversion" -> ((s, dir) =>
+      Engagement.funnel(events(s, dir), col("user_id"), col("event_type"), col("ts"),
+        "view", "purchase")),
+    "retention_cohorts" -> ((s, dir) =>
+      Engagement.retentionCohorts(events(s, dir), col("ts"), col("user_id"))),
     "sessionize" -> ((s, dir) =>
       Sessionize.sessionCounts(events(s, dir), "user_id", col("ts"), col("event_id"), 1800L)),
     "pseudonymize" -> ((s, dir) =>
@@ -340,6 +345,25 @@ object SparkEntry {
         |  SELECT k, week, MIN(week) OVER (PARTITION BY k) AS first_week FROM (
         |    SELECT DISTINCT user_id AS k, CAST(date_trunc('week', ts) AS DATE) AS week FROM events))
         |GROUP BY week""".stripMargin,
+    "funnel_conversion" ->
+      """SELECT n_entered, n_converted,
+        |  round(CAST(n_converted AS DOUBLE) / CAST(n_entered AS DOUBLE), 6) AS conv_rate
+        |FROM (
+        |  SELECT COUNT(*) AS n_entered,
+        |    CAST(SUM(CASE WHEN t_to IS NOT NULL AND t_to > t_from THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+        |  FROM (
+        |    SELECT user_id,
+        |      MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_from,
+        |      MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_to
+        |    FROM events GROUP BY user_id)
+        |  WHERE t_from IS NOT NULL)""".stripMargin,
+    "retention_cohorts" ->
+      """SELECT cohort_week, CAST(date_diff('day', cohort_week, week) / 7 AS INT) AS week_offset,
+        |  COUNT(*) AS n_users
+        |FROM (
+        |  SELECT k, week, MIN(week) OVER (PARTITION BY k) AS cohort_week FROM (
+        |    SELECT DISTINCT user_id AS k, CAST(date_trunc('week', ts) AS DATE) AS week FROM events))
+        |GROUP BY 1, 2""".stripMargin,
     "sessionize" ->
       """SELECT user_id, CAST(MAX(session_id) + 1 AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
         |  SELECT user_id,

@@ -54,4 +54,44 @@ object Engagement {
   /** Theme distribution / demographic cross-tab: counts along two dims. */
   def crosstab2(df: DataFrame, dim1: Column, dim2: Column): DataFrame =
     df.groupBy(dim1, dim2).agg(count(lit(1)).as("n"))
+
+  /** Approximate distinct participants per dim — the ungated 100 TB
+    * dashboard variant of stats(): HLL sketch, mergeable map-side, no exact
+    * shuffle of the key space. rsd=0.02 ≈ 2% error.
+    */
+  def statsApprox(df: DataFrame, dim: Column, key: Column): DataFrame =
+    df.groupBy(dim).agg(
+      count(lit(1)).as("n"),
+      approx_count_distinct(key, 0.02).as("n_users_approx"))
+
+  /** Funnel conversion: of the entities that reached `fromStage`, how many
+    * later (strictly) reached `toStage`. One per-entity aggregation, then a
+    * single-row rollup.
+    */
+  def funnel(df: DataFrame, key: Column, stageCol: Column, ts: Column,
+             fromStage: String, toStage: String): DataFrame = {
+    val per = df.groupBy(key.as("k")).agg(
+      min(when(stageCol === fromStage, ts)).as("t_from"),
+      min(when(stageCol === toStage, ts)).as("t_to"))
+    per.filter(col("t_from").isNotNull)
+      .agg(
+        count(lit(1)).as("n_entered"),
+        sum(when(col("t_to").isNotNull && col("t_to") > col("t_from"), 1).otherwise(0)).as("n_converted"))
+      .withColumn("conv_rate",
+        round(col("n_converted").cast("double") / col("n_entered").cast("double"), 6))
+  }
+
+  /** Retention cohorts: entities grouped by first active week, counted per
+    * subsequent week offset. Two shuffles: the (entity, week) distinct and
+    * the cohort rollup; the window min reuses the first shuffle's
+    * partitioning.
+    */
+  def retentionCohorts(df: DataFrame, ts: Column, key: Column): DataFrame = {
+    val userWeeks = df.select(key.as("k"), date_trunc("week", ts).cast("date").as("week")).distinct()
+    val withFirst = userWeeks.withColumn("cohort_week", min(col("week")).over(Window.partitionBy(col("k"))))
+    withFirst
+      .withColumn("week_offset", (datediff(col("week"), col("cohort_week")) / 7).cast("int"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -81,4 +81,15 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(got.forall(_._3 >= 0.5))
   }
+
+  test("statsApprox is within 5 percent of exact distinct counts") {
+    val ev = GraftSession.table(spark, "/root/testdata/sf0.01", "events")
+    val approx = graft.analysis.Engagement.statsApprox(ev, col("event_type"), col("user_id"))
+      .select("event_type", "n_users_approx").as[(String, Long)].collect().toMap
+    val exact = ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n < 0.05, s"$k: approx=${approx(k)} exact=$n")
+    }
+  }
 }
