@@ -164,6 +164,15 @@ object SparkEntry {
         .withColumnRenamed("asof_ts", "click_ts")
         .withColumnRenamed("asof_value", "click_value")
     }),
+    "asof_join_native" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+      graft.plans.AsOfJoinNative.asOf(purchases, clicks, "user_id", "ts", "ts", "event_id", Seq("value"))
+        .withColumnRenamed("asof_ts", "click_ts")
+        .withColumnRenamed("asof_value", "click_value")
+    }),
     "regression_ols" -> ((s, dir) =>
       graft.analysis.Regression.olsByGroup(
         events(s, dir), Seq(col("event_type")),
@@ -410,6 +419,12 @@ object SparkEntry {
       """SELECT user_id, MAX(value) AS max_value, COUNT(*) AS n_answers
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY user_id HAVING MAX(value) < 50""".stripMargin,
+    "asof_join_native" ->
+      """SELECT l.event_id, l.user_id, l.ts, l.value,
+        |  r.ts AS click_ts, r.value AS click_value
+        |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
     "asof_join" ->
       """SELECT l.event_id, l.user_id, l.ts, l.value,
         |  r.ts AS click_ts, r.value AS click_value

@@ -64,6 +64,7 @@ object NanoTimestampFilterRewrite extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => NanoTimestampFilterRewrite)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("token_count"),
       new ExpressionInfo("graft.functions.TokenCount", "token_count"),

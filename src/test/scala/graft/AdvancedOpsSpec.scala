@@ -92,4 +92,27 @@ class AdvancedOpsSpec extends SparkSpec {
       assert(math.abs(approx(k) - n).toDouble / n < 0.05, s"$k: approx=${approx(k)} exact=$n")
     }
   }
+
+  test("native as-of exec equals the composed as-of on real data") {
+    val ev = GraftSession.table(spark, "/root/testdata/sf0.01", "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+    val composed = graft.operators.AsOfJoin.asOf(purchases, clicks, "user_id", "ts", "ts", "event_id", Seq("value"))
+      .orderBy("event_id").collect().toSeq
+    val native = graft.plans.AsOfJoinNative.asOf(purchases, clicks, "user_id", "ts", "ts", "event_id", Seq("value"))
+      .orderBy("event_id").collect().toSeq
+    assert(native == composed)
+  }
+
+  test("native as-of exec plan contains the custom operator and sorted exchanges") {
+    val ev = GraftSession.table(spark, "/root/testdata/sf0.001", "events")
+    val l = ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts", "value")
+    val r = ev.filter(col("event_type") === "click")
+    val p = graft.plans.AsOfJoinNative.asOf(l, r, "user_id", "ts", "ts", "event_id", Seq("value"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin "), p)
+    assert(p.contains("REQUIRED_BY_STATEFUL_OPERATOR"), p) // AQE-proof co-partitioning
+    assert(p.contains("Sort ["), p)
+  }
 }
