@@ -77,6 +77,40 @@ object Knn {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF-style ANN: a coarse quantizer assigns every vector to its nearest
+    * centroid (squared-L2, deterministic tie-break on centroid id); queries
+    * search only their own bucket. With K centroids the corpus scan per
+    * query drops to ~1/K — the standard inverted-file recall/latency trade,
+    * and unlike sign-LSH the buckets adapt to the data distribution.
+    *
+    * Distances use the dot-product expansion (|a|² - 2a·b + |b|²) folded in
+    * a fixed order and rounded before ranking, so the oracle reproduces
+    * bucket assignments exactly.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
+    val cent = centroids.select(col("id").as("cid"), col("vec").as("cvec"))
+    def assignBucket(df: DataFrame): DataFrame = {
+      val d = round(
+        dot(col("vec"), col("vec")) - lit(2.0) * dot(col("vec"), col("cvec"))
+          + dot(col("cvec"), col("cvec")), 6)
+      val w = Window.partitionBy(col("id")).orderBy(col("__dist").asc, col("cid").asc)
+      df.crossJoin(broadcast(cent))
+        .withColumn("__dist", d)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("id"), col("vec"), col("cid").as("bucket"))
+    }
+    val corpusB = assignBucket(corpus)
+    val queriesB = assignBucket(queries)
+    val scored = corpusB.as("c")
+      .join(broadcast(queriesB.as("q")),
+        col("q.bucket") === col("c.bucket") && col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("vec_id"),
+        round(cosine(col("q.vec"), col("c.vec")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Cosine near-duplicate pairs within blocking groups: only pairs sharing
     * `blockCol` are compared (at scale the block key is an LSH bucket or
     * cluster id — never the full cross product). `leftPred` optionally
