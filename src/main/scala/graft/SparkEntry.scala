@@ -252,6 +252,10 @@ object SparkEntry {
         col("label"), col("id") % 50 === 0, 0.25)),
     "multimodal_decode" -> ((s, dir) =>
       graft.multimodal.Media.decodeDocuments(s, table(s, dir, "documents"))),
+    "multimodal_frames" -> ((s, dir) =>
+      graft.multimodal.Media.frameStatsDocuments(s, table(s, dir, "documents"), 32, 3)),
+    "multimodal_features" -> ((s, dir) =>
+      graft.multimodal.Media.featuresDocuments(s, table(s, dir, "documents"), 8)),
 
     // ---- B. relational surface ----
     "q1_pricing_summary" -> ((s, dir) => Relational.q1PricingSummary(s, dir)),
@@ -656,6 +660,21 @@ object SparkEntry {
         |  CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
         |  CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
         |  CAST((ascii(substr(text, 1, 1)) * 7) % 480 AS INT) AS fake_height
+        |FROM documents""".stripMargin,
+    "multimodal_frames" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(nc AS BIGINT) AS n_frames_total,
+        |  CAST((nc + 2) // 3 AS BIGINT) AS n_frames_sampled,
+        |  CAST((nc + 2) // 3 * 32
+        |       - (CASE WHEN nc > 0 AND (nc - 1) % 3 = 0 THEN nc * 32 - L ELSE 0 END) AS BIGINT) AS sampled_bytes
+        |FROM (SELECT doc_id, octet_length(encode(text)) AS L,
+        |             (octet_length(encode(text)) + 31) // 32 AS nc
+        |      FROM documents)""".stripMargin,
+    "multimodal_features" ->
+      """SELECT doc_id AS media_id, 8 AS feat_dim,
+        |  CAST(ascii(substr(text,1,1)) + ascii(substr(text,2,1)) + ascii(substr(text,3,1))
+        |     + ascii(substr(text,4,1)) + ascii(substr(text,5,1)) + ascii(substr(text,6,1))
+        |     + ascii(substr(text,7,1)) + ascii(substr(text,8,1)) AS BIGINT) AS feat_sum
         |FROM documents""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -53,4 +53,49 @@ object Media {
       .as[MediaRaw]
     decodeAll(raws).toDF()
   }
+
+  /** Frame-sampling stats for a video-like payload: fixed-size frames,
+    * every `stride`-th frame kept. */
+  case class MediaFrameStats(media_id: Long, n_frames_total: Long, n_frames_sampled: Long,
+                             sampled_bytes: Long)
+
+  /** STUB frame sampler: chunks the payload into `frameSize`-byte frames and
+    * keeps every `stride`-th frame (a real video pipeline would seek
+    * keyframes here). The chunking and batch shape are real.
+    */
+  def frameSample(raw: MediaRaw, frameSize: Int, stride: Int): MediaFrameStats = {
+    val frames = raw.bytes.grouped(frameSize).toArray
+    val sampled = frames.indices.collect { case i if i % stride == 0 => frames(i) }
+    MediaFrameStats(raw.media_id, frames.length.toLong, sampled.length.toLong,
+      sampled.map(_.length.toLong).sum)
+  }
+
+  /** STUB feature extractor: a fake fixed-dim embedding from the payload
+    * head (a real image model would run here, batched per partition). */
+  case class MediaFeature(media_id: Long, feat_dim: Int, feat_sum: Long)
+
+  def featureExtract(raw: MediaRaw, dim: Int): MediaFeature = {
+    val head = raw.bytes.take(dim)
+    MediaFeature(raw.media_id, dim, head.map(b => (b & 0xff).toLong).sum)
+  }
+
+  /** Frame-sampling pipeline over the documents-as-media table. */
+  def frameStatsDocuments(spark: SparkSession, docs: DataFrame, frameSize: Int, stride: Int): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").as("media_id"), col("text").cast("binary").as("bytes"),
+        lit("video/fake").as("mime"))
+      .as[MediaRaw]
+      .mapPartitions(_.map(frameSample(_, frameSize, stride)))
+      .toDF()
+  }
+
+  /** Feature-extraction pipeline over the documents-as-media table. */
+  def featuresDocuments(spark: SparkSession, docs: DataFrame, dim: Int): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").as("media_id"), col("text").cast("binary").as("bytes"),
+        lit("image/fake").as("mime"))
+      .as[MediaRaw]
+      .mapPartitions(_.map(featureExtract(_, dim)))
+      .toDF()
+  }
 }

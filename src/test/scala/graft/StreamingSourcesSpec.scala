@@ -115,4 +115,25 @@ class StreamingSourcesSpec extends SparkSpec {
     val m = msgs.filter(_.dataset == "purchase").head()
     assert(m.participant_uuid.nonEmpty && m.message_id >= 0)
   }
+
+  test("streaming near-dup dedup via fingerprint column") {
+    val docs = GraftSession.table(spark, sfDir, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs_stream").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+      .withColumn("fp", graft.functions.ShingleExpressions.bottomKFingerprint(col("text"), 3, 4))
+      .withColumn("ingest_ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    val q = graft.streaming.Streams.dedupStream(stream, Seq("fp"), "ingest_ts", "1 hour")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("fp_dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("fp_dedup_out").count()
+      val batch = docs
+        .withColumn("fp", graft.functions.ShingleExpressions.bottomKFingerprint(col("text"), 3, 4))
+        .dropDuplicates("fp").count()
+      assert(streamed == batch)
+      assert(streamed < docs.count()) // the planted near-dups collapse
+    } finally q.stop()
+  }
 }
