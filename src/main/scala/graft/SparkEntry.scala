@@ -261,6 +261,8 @@ object SparkEntry {
     "q1_pricing_summary" -> ((s, dir) => Relational.q1PricingSummary(s, dir)),
     "q3_shipping_priority" -> ((s, dir) => Relational.q3ShippingPriority(s, dir)),
     "q5_local_supplier" -> ((s, dir) => Relational.q5LocalSupplier(s, dir)),
+    "q17_small_quantity" -> ((s, dir) => Relational.q17SmallQuantity(s, dir)),
+    "q18_large_orders" -> ((s, dir) => Relational.q18LargeOrders(s, dir)),
     "top_n_per_group" -> ((s, dir) =>
       Relational.topNPerGroup(
         table(s, dir, "orders").select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
@@ -711,6 +713,24 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'AFRICA'
         |GROUP BY n_name""".stripMargin,
+    "q17_small_quantity" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN (SELECT l_partkey AS p_key,
+        |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |          / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty
+        |      FROM lineitem GROUP BY l_partkey) a
+        |  ON l_partkey = p_key
+        |WHERE l_quantity < 0.5 * avg_qty""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_name, o_orderkey, o_orderdate, sum_qty FROM (
+        |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 150) b
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty DESC, o_orderkey ASC
+        |LIMIT 20""".stripMargin,
     "top_n_per_group" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, rank_in_group FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,

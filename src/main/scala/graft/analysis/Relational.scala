@@ -79,6 +79,37 @@ object Relational {
         .cast("double").as("revenue"))
   }
 
+  /** TPC-H Q17-shaped: revenue from line items whose quantity is below half
+    * the part's average. The per-part average is a partial-aggregated
+    * broadcast side; the fact table never shuffles.
+    */
+  def q17SmallQuantity(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = table(spark, sfDir, "lineitem")
+    val avgQty = li.groupBy(col("l_partkey").as("p_key"))
+      .agg((sum(dec(col("l_quantity"))).cast("double") / count(col("l_quantity")).cast("double"))
+        .as("avg_qty"))
+    li.join(broadcast(avgQty), col("l_partkey") === col("p_key"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(exactSum(col("l_extendedprice")).as("total_price"), count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q18-shaped: large orders (HAVING over the fact rollup) joined
+    * back to their customers, deterministic top-k.
+    */
+  def q18LargeOrders(spark: SparkSession, sfDir: String, minQty: Double = 150.0, k: Int = 20): DataFrame = {
+    val li = table(spark, sfDir, "lineitem")
+    val ord = table(spark, sfDir, "orders")
+    val cust = table(spark, sfDir, "customer")
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(exactSum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    big.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("o_orderdate"), col("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey").asc)
+      .limit(k)
+  }
+
   /** Top-N rows per group by a metric — the reference's "top themes per
     * episode" shape. Single shuffle on the group key.
     */

@@ -63,6 +63,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("tokencount"), p)
   }
 
+  test("no query plans an unbroadcast cartesian product") {
+    SparkEntry.queries.keys.foreach { name =>
+      assert(!plan(name).contains("CartesianProduct"), s"$name plans a CartesianProduct")
+    }
+  }
+
   test("pushdown rewrite preserves filter semantics on events") {
     // same rows with and without the rewrite (rewrite only changes the scan bound)
     val ev = GraftSession.table(spark, sfDir, "events")
