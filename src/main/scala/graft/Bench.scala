@@ -8,7 +8,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up: session/codegen init + file-index caches, so per-query times
     // reflect steady state rather than first-query JVM startup.
-    Seq("lineitem", "orders", "events", "documents", "embeddings", "customer")
+    Seq("lineitem", "orders", "events", "documents", "embeddings", "customer",
+        "supplier", "nation", "region", "part")
       .foreach(t => GraftSession.table(spark, sfDir, t).count())
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

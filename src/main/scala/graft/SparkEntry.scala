@@ -313,7 +313,7 @@ object SparkEntry {
       """SELECT user_id, string_agg(props, ';' ORDER BY ts, event_id) AS folded_text, COUNT(*) AS n
         |FROM events WHERE event_type = 'purchase' GROUP BY user_id""".stripMargin,
     "relabel_move_datasets" ->
-      """SELECT CASE WHEN CAST(regexp_extract(props, '[0-9]+', 0) AS INT) >= 50
+      """SELECT CASE WHEN CAST(NULLIF(regexp_extract(props, '[0-9]+', 0), '') AS INT) >= 50
         |            THEN 'ws_' || event_type ELSE event_type END AS event_type,
         |  COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
@@ -321,7 +321,7 @@ object SparkEntry {
       """SELECT code, COUNT(*) AS n_users FROM (
         |  SELECT COALESCE(CAST(d.demog_k AS VARCHAR), 'TRUE_MISSING') AS code
         |  FROM (SELECT DISTINCT user_id FROM events) u
-        |  LEFT JOIN (SELECT user_id, MAX(CAST(regexp_extract(props, '[0-9]+', 0) AS INT)) AS demog_k
+        |  LEFT JOIN (SELECT user_id, MAX(CAST(NULLIF(regexp_extract(props, '[0-9]+', 0), '') AS INT)) AS demog_k
         |             FROM events WHERE event_type = 'signup' GROUP BY user_id) d
         |    ON u.user_id = d.user_id)
         |GROUP BY code""".stripMargin,
@@ -434,13 +434,23 @@ object SparkEntry {
       """SELECT l.event_id, l.user_id, l.ts, l.value,
         |  r.ts AS click_ts, r.value AS click_value
         |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') l
-        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') r
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT user_id, ts, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'click')
+        |  WHERE rn = 1) r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
     "asof_join" ->
       """SELECT l.event_id, l.user_id, l.ts, l.value,
         |  r.ts AS click_ts, r.value AS click_value
         |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') l
-        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') r
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT user_id, ts, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'click')
+        |  WHERE rn = 1) r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
     "regression_ols" ->
       """SELECT event_type, n,
@@ -451,10 +461,10 @@ object SparkEntry {
         |    CAST(SUM(xd) AS DOUBLE) AS sx, CAST(SUM(yd) AS DOUBLE) AS sy,
         |    CAST(SUM(xd * xd) AS DOUBLE) AS sxx, CAST(SUM(xd * yd) AS DOUBLE) AS sxy
         |  FROM (SELECT event_type,
-        |          CAST(CAST(regexp_extract(props, '[0-9]+', 0) AS INT) AS DECIMAL(18,2)) AS xd,
+        |          CAST(CAST(NULLIF(regexp_extract(props, '[0-9]+', 0), '') AS INT) AS DECIMAL(18,2)) AS xd,
         |          CAST(value AS DECIMAL(18,2)) AS yd
         |        FROM events
-        |        WHERE regexp_extract(props, '[0-9]+', 0) IS NOT NULL AND value IS NOT NULL)
+        |        WHERE NULLIF(regexp_extract(props, '[0-9]+', 0), '') IS NOT NULL AND value IS NOT NULL)
         |  GROUP BY event_type)""".stripMargin,
     "latest_label_per_scheme" ->
       """SELECT user_id,
@@ -659,7 +669,7 @@ object SparkEntry {
     "multimodal_decode" ->
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+        |  CAST(ascii(substr(text, 1, 1)) AS INT) AS first_cp,
         |  CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
         |  CAST((ascii(substr(text, 1, 1)) * 7) % 480 AS INT) AS fake_height
         |FROM documents""".stripMargin,

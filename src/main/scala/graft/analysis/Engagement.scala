@@ -78,7 +78,8 @@ object Engagement {
         count(lit(1)).as("n_entered"),
         sum(when(col("t_to").isNotNull && col("t_to") > col("t_from"), 1).otherwise(0)).as("n_converted"))
       .withColumn("conv_rate",
-        round(col("n_converted").cast("double") / col("n_entered").cast("double"), 6))
+        when(col("n_entered") =!= 0,
+          round(col("n_converted").cast("double") / col("n_entered").cast("double"), 6)))
   }
 
   /** Retention cohorts: entities grouped by first active week, counted per

@@ -35,13 +35,14 @@ object Regression {
       sum(yd).cast("double").as("sy"),
       sum(xd * xd).cast("double").as("sxx"),
       sum(xd * yd).cast("double").as("sxy"))
+    // guard the degenerate denominator (constant x / n=1): emit NULL like
+    // SQL engines do on 0/0, not NaN/Infinity
+    val denom = col("n") * col("sxx") - col("sx") * col("sx")
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / denom
     agg
-      .withColumn("slope",
-        round((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx")), 6))
+      .withColumn("slope", when(denom =!= 0.0, round(slope, 6)))
       .withColumn("intercept",
-        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n"), 6))
+        when(denom =!= 0.0, round((col("sy") - slope * col("sx")) / col("n"), 6)))
       .drop("sx", "sy", "sxx", "sxy")
   }
 }

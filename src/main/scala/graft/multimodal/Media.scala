@@ -18,17 +18,22 @@ object Media {
   /** Raw media record: opaque bytes + carrier metadata. */
   case class MediaRaw(media_id: Long, bytes: Array[Byte], mime: String)
 
-  /** Decoded metadata record (what a real image decode would emit). */
-  case class MediaMeta(media_id: Long, n_bytes: Long, first_byte: Int,
+  /** Decoded metadata record (what a real image decode would emit).
+    * first_cp is the first code point of the decoded payload — code-point
+    * (not raw-byte) semantics so the metadata is encoding-stable for
+    * multi-byte text payloads.
+    */
+  case class MediaMeta(media_id: Long, n_bytes: Long, first_cp: Int,
                        fake_width: Int, fake_height: Int)
 
   /** STUB decoder: deterministic pseudo-decode of an image payload.
     * A real implementation would hand `raw.bytes` to an image library here.
     */
   def fakeDecode(raw: MediaRaw): MediaMeta = {
-    val fb = if (raw.bytes.isEmpty) 0 else raw.bytes(0) & 0xff
-    MediaMeta(raw.media_id, raw.bytes.length.toLong, fb,
-      (raw.bytes.length % 640).toInt, (fb * 7) % 480)
+    val s = new String(raw.bytes, "UTF-8")
+    val cp = if (s.isEmpty) 0 else s.codePointAt(0)
+    MediaMeta(raw.media_id, raw.bytes.length.toLong, cp,
+      (raw.bytes.length % 640).toInt, (cp * 7) % 480)
   }
 
   /** Batched decode over partitions: the iterator shape lets a real decoder
@@ -75,8 +80,10 @@ object Media {
   case class MediaFeature(media_id: Long, feat_dim: Int, feat_sum: Long)
 
   def featureExtract(raw: MediaRaw, dim: Int): MediaFeature = {
-    val head = raw.bytes.take(dim)
-    MediaFeature(raw.media_id, dim, head.map(b => (b & 0xff).toLong).sum)
+    // code-point semantics (see MediaMeta.first_cp): stable for multi-byte text
+    val s = new String(raw.bytes, "UTF-8")
+    val head = s.codePoints().limit(dim).toArray
+    MediaFeature(raw.media_id, dim, head.map(_.toLong).sum)
   }
 
   /** Frame-sampling pipeline over the documents-as-media table. */

@@ -70,7 +70,8 @@ case class AsOfJoinExec(
     val rTs = BindReferences.bindReference(rightTs: Expression, right.output)
     val keyOrdering = org.apache.spark.sql.catalyst.util.TypeUtils
       .getInterpretedOrdering(leftKey.dataType)
-    val joinedSchema = left.output ++ right.output
+    // right side must bind as nullable: unmatched left rows read a null row
+    val joinedSchema = left.output ++ right.output.map(_.withNullability(true))
     val outputAttrs = output
     val rightArity = right.output.length
 
@@ -84,28 +85,39 @@ case class AsOfJoinExec(
 
       lIter.map { lRow =>
         val lk = lKey.eval(lRow)
-        val lt = lTs.eval(lRow).asInstanceOf[Long]
-        if (carriedKey != null && keyOrdering.compare(carriedKey.asInstanceOf[AnyRef], lk.asInstanceOf[AnyRef]) != 0) {
-          carried = null; carriedKey = null
-        }
-        var advance = true
-        while (advance && rBuf.hasNext) {
-          val peek = rBuf.head
-          val rk = rKey.eval(peek)
-          val cmp = keyOrdering.compare(rk.asInstanceOf[AnyRef], lk.asInstanceOf[AnyRef])
-          if (cmp < 0) {
-            rBuf.next() // earlier key: its carry can never match again
-          } else if (cmp == 0 && rTs.eval(peek).asInstanceOf[Long] <= lt) {
-            carried = rBuf.next().copy()
-            carriedKey = lk
-          } else {
-            advance = false
+        val ltAny = lTs.eval(lRow)
+        if (lk == null || ltAny == null) {
+          // null key/ts never matches (same as the composed join and SQL ASOF)
+          proj(joined(lRow, nullRight))
+        } else {
+          val lt = ltAny.asInstanceOf[Long]
+          if (carriedKey != null && keyOrdering.compare(carriedKey.asInstanceOf[AnyRef], lk.asInstanceOf[AnyRef]) != 0) {
+            carried = null; carriedKey = null
           }
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val peek = rBuf.head
+            val rk = rKey.eval(peek)
+            val rtAny = if (rk == null) null else rTs.eval(peek)
+            if (rk == null || rtAny == null) {
+              rBuf.next() // null-keyed/ts right rows match nothing
+            } else {
+              val cmp = keyOrdering.compare(rk.asInstanceOf[AnyRef], lk.asInstanceOf[AnyRef])
+              if (cmp < 0) {
+                rBuf.next() // earlier key: its carry can never match again
+              } else if (cmp == 0 && rtAny.asInstanceOf[Long] <= lt) {
+                carried = rBuf.next().copy()
+                carriedKey = lk
+              } else {
+                advance = false
+              }
+            }
+          }
+          val r = if (carried != null && carriedKey != null &&
+            keyOrdering.compare(carriedKey.asInstanceOf[AnyRef], lk.asInstanceOf[AnyRef]) == 0) carried
+          else nullRight
+          proj(joined(lRow, r))
         }
-        val r = if (carried != null && carriedKey != null &&
-          keyOrdering.compare(carriedKey.asInstanceOf[AnyRef], lk.asInstanceOf[AnyRef]) == 0) carried
-        else nullRight
-        proj(joined(lRow, r))
       }
     }
   }

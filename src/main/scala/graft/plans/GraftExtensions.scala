@@ -31,8 +31,11 @@ object NanoTimestampFilterRewrite extends Rule[LogicalPlan] {
   }
 
   private object TsLit {
+    // v >= 1 keeps the rewrite exact even for negative raw nanos: `div`
+    // truncates toward zero (not floor), so pre-epoch rows evaluate to
+    // µs <= 0 on both the original and rewritten predicate when v >= 1.
     def unapply(e: Expression): Option[Long] = e match {
-      case Literal(v: Long, TimestampType) if v < Long.MaxValue / 1000 - 1000 => Some(v)
+      case Literal(v: Long, TimestampType) if v >= 1 && v < Long.MaxValue / 1000 - 1000 => Some(v)
       case _ => None
     }
   }

@@ -60,12 +60,14 @@ object Streams {
       .flatMapGroupsWithState[(SessionState, Long), SessionUpdate](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[SessionEvent], state: GroupState[(SessionState, Long)]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
           var (st, nEvents) = state.getOption.getOrElse((SessionState(0L, Long.MinValue), 0L))
           var sessions = st.sessionCount
           var lastTs = st.lastTsMicros
           sorted.foreach { e =>
-            val tsMicros = e.ts.getTime * 1000L
+            // getTime is whole ms; recover sub-ms precision from getNanos so
+            // gap comparisons match the batch operator's unix_micros exactly
+            val tsMicros = (e.ts.getTime / 1000L) * 1000000L + e.ts.getNanos / 1000L
             if (lastTs == Long.MinValue || tsMicros - lastTs > gapMicros) sessions += 1
             lastTs = tsMicros
             nEvents += 1

@@ -115,4 +115,27 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(p.contains("REQUIRED_BY_STATEFUL_OPERATOR"), p) // AQE-proof co-partitioning
     assert(p.contains("Sort ["), p)
   }
+
+  test("native as-of handles null keys and timestamps without matching or crashing") {
+    val left = Seq(
+      (100L, Some("u1"), Some(ts("2024-01-01 10:00:00")), 1.0),
+      (101L, None, Some(ts("2024-01-01 10:00:00")), 2.0),
+      (102L, Some("u1"), None, 3.0)
+    ).toDF("event_id", "user", "ts", "value")
+    val right = Seq(
+      (1L, Some("u1"), Some(ts("2024-01-01 09:00:00")), 9.0),
+      (2L, None, Some(ts("2024-01-01 09:00:00")), 8.0),
+      (3L, Some("u1"), None, 7.0)
+    ).toDF("event_id", "user", "ts", "value")
+    val got = graft.plans.AsOfJoinNative.asOf(left, right, "user", "ts", "ts", "event_id", Seq("value"))
+      .select(col("event_id"), col("asof_value")).as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(100L -> Some(9.0), 101L -> None, 102L -> None))
+  }
+
+  test("OLS emits null slope for constant-x groups instead of NaN") {
+    val df = Seq(("g", 5, 1.0), ("g", 5, 2.0)).toDF("g", "x", "y")
+    val row = graft.analysis.Regression.olsByGroup(df, Seq(col("g")), col("x"), col("y")).head()
+    assert(row.isNullAt(row.fieldIndex("slope")))
+    assert(row.isNullAt(row.fieldIndex("intercept")))
+  }
 }
