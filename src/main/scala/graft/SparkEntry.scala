@@ -121,6 +121,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(18, 2))).cast("double").as("val_sum"))
         .select(col("window.start").as("hour"), col("event_type"), col("n"), col("val_sum"))),
+    "sliding_window_agg" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("event_type"), col("n"))),
     "theme_distribution" -> ((s, dir) =>
       table(s, dir, "documents")
         .groupBy(col("lang"), col("source"))
@@ -139,6 +144,18 @@ object SparkEntry {
         .withColumn("signup_n", coalesce(col("signup_n"), lit(0L)))
     }),
 
+    "clean_responses" -> ((s, dir) => {
+      // cleaner layer over raw response text (props standing in for survey
+      // answers): extract + bound-check the numeric answer, band it
+      val age = graft.text.Cleaners.cleanAge(col("props"), 10, 99)
+      events(s, dir)
+        .select(Imputation.imputeMissing(age.cast("string"), "INVALID").as("cleaned"),
+          col("user_id"))
+        .groupBy(when(col("cleaned") === "INVALID", "INVALID")
+          .otherwise(Imputation.band(col("cleaned").cast("int").cast("double"),
+            Seq(20.0, 40.0, 60.0), Seq("10s", "20-39", "40-59", "60+"))).as("age_band"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+    }),
     "membership_tagging" -> ((s, dir) => {
       // external membership list (customer segments standing in for the
       // reference's membership-group CSVs), broadcast-joined onto activity
@@ -405,6 +422,12 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "sliding_window_agg" ->
+      """SELECT win_start, event_type, COUNT(*) AS n FROM (
+        |  SELECT date_trunc('hour', ts) AS win_start, event_type FROM events
+        |  UNION ALL
+        |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type FROM events)
+        |GROUP BY 1, 2""".stripMargin,
     "theme_distribution" ->
       """SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars_sum
         |FROM documents GROUP BY lang, source""".stripMargin,
@@ -421,6 +444,19 @@ object SparkEntry {
         |LEFT JOIN (SELECT user_id, COUNT(*) AS signup_n, MIN(ts) AS first_signup_ts
         |           FROM events WHERE event_type = 'signup' GROUP BY user_id) d
         |  ON e.user_id = d.user_id""".stripMargin,
+    "clean_responses" ->
+      """SELECT CASE WHEN cleaned IS NULL THEN 'INVALID'
+        |            WHEN cleaned < 20 THEN '10s'
+        |            WHEN cleaned < 40 THEN '20-39'
+        |            WHEN cleaned < 60 THEN '40-59'
+        |            ELSE '60+' END AS age_band,
+        |  COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN a IS NOT NULL AND a >= 10 AND a <= 99 THEN a END AS cleaned
+        |  FROM (SELECT user_id, CAST(NULLIF(regexp_extract(props, '[0-9]+', 0), '') AS INT) AS a
+        |        FROM events))
+        |GROUP BY 1""".stripMargin,
     "membership_tagging" ->
       """SELECT COALESCE(c.c_mktsegment, 'NON_MEMBER') AS membership_group,
         |  COUNT(*) AS n, COUNT(DISTINCT e.user_id) AS n_users

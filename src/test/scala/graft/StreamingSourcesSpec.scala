@@ -136,4 +136,18 @@ class StreamingSourcesSpec extends SparkSpec {
       assert(streamed < docs.count()) // the planted near-dups collapse
     } finally q.stop()
   }
+
+  test("uuid table round-trips pseudonymization") {
+    val ev = GraftSession.table(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id").cast("string").as("urn"), col("value"))
+    val table = graft.sources.UuidTable.build(ev, "urn")
+    // stable: rebuilding yields the same mapping
+    assert(table.collect().toSet == graft.sources.UuidTable.build(ev, "urn").collect().toSet)
+    val pseud = graft.sources.UuidTable.pseudonymize(ev, "urn", table)
+    assert(pseud.columns.contains("participant_uuid") && !pseud.columns.contains("urn"))
+    assert(pseud.count() == ev.count())
+    val back = graft.sources.UuidTable.reidentify(pseud, table)
+    assert(back.select("event_id", "urn", "value").orderBy("event_id").collect().toSeq ==
+      ev.select("event_id", "urn", "value").orderBy("event_id").collect().toSeq)
+  }
 }
