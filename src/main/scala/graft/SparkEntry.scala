@@ -194,6 +194,28 @@ object SparkEntry {
       graft.analysis.Regression.olsByGroup(
         events(s, dir), Seq(col("event_type")),
         regexp_extract(col("props"), "[0-9]+", 0).cast("int"), col("value"))),
+    "regression_ols2" -> ((s, dir) =>
+      graft.analysis.Regression.ols2ByGroup(
+        events(s, dir), Seq(col("event_type")),
+        regexp_extract(col("props"), "[0-9]+", 0).cast("int"),
+        hour(col("ts")), col("value"))),
+    "value_quantiles" -> ((s, dir) =>
+      events(s, dir).groupBy(col("event_type"))
+        .agg(expr("percentile(value, array(0.5D, 0.9D))").as("quantiles"))),
+    "normalize_scheme_versions" -> ((s, dir) => {
+      // duplicate code schemes carry a numeric suffix; normalize to the base
+      // scheme id, then keep the latest label per (participant, base scheme)
+      val k = regexp_extract(col("props"), "[0-9]+", 0).cast("int")
+      val labeled = events(s, dir)
+        .withColumn("scheme",
+          concat(lit("sch"), (k % 5).cast("string"),
+            when(k % 7 === 0, "-1").otherwise("")))
+        .withColumn("base_scheme", regexp_replace(col("scheme"), "-[0-9]+$", ""))
+      Snapshots.latest(labeled, Seq(col("user_id"), col("base_scheme")), col("ts"), col("event_id"))
+        .groupBy(col("base_scheme"))
+        .agg(count(lit(1)).as("n_latest"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("val_sum"))
+    }),
     "latest_label_per_scheme" -> ((s, dir) => {
       val latest = Snapshots.latest(events(s, dir), Seq(col("user_id"), col("event_type")),
         col("ts"), col("event_id"))
@@ -502,6 +524,56 @@ object SparkEntry {
         |        FROM events
         |        WHERE NULLIF(regexp_extract(props, '[0-9]+', 0), '') IS NOT NULL AND value IS NOT NULL)
         |  GROUP BY event_type)""".stripMargin,
+    "regression_ols2" ->
+      """SELECT event_type, n,
+        |  CASE WHEN det <> 0 THEN round((s22 * s1y - s12 * s2y) / det, 6) END AS b1,
+        |  CASE WHEN det <> 0 THEN round((s11 * s2y - s12 * s1y) / det, 6) END AS b2,
+        |  CASE WHEN det <> 0 THEN round((sy - ((s22 * s1y - s12 * s2y) / det) * sx1
+        |                                    - ((s11 * s2y - s12 * s1y) / det) * sx2) / n, 6) END AS b0
+        |FROM (
+        |  SELECT *, s11 * s22 - s12 * s12 AS det FROM (
+        |    SELECT *,
+        |      sx1x1 - sx1 * sx1 / n AS s11,
+        |      sx2x2 - sx2 * sx2 / n AS s22,
+        |      sx1x2 - sx1 * sx2 / n AS s12,
+        |      sx1y - sx1 * sy / n AS s1y,
+        |      sx2y - sx2 * sy / n AS s2y
+        |    FROM (
+        |      SELECT event_type, COUNT(*) AS n,
+        |        CAST(SUM(x1d) AS DOUBLE) AS sx1, CAST(SUM(x2d) AS DOUBLE) AS sx2,
+        |        CAST(SUM(yd) AS DOUBLE) AS sy,
+        |        CAST(SUM(x1d * x1d) AS DOUBLE) AS sx1x1,
+        |        CAST(SUM(x2d * x2d) AS DOUBLE) AS sx2x2,
+        |        CAST(SUM(x1d * x2d) AS DOUBLE) AS sx1x2,
+        |        CAST(SUM(x1d * yd) AS DOUBLE) AS sx1y,
+        |        CAST(SUM(x2d * yd) AS DOUBLE) AS sx2y
+        |      FROM (
+        |        SELECT event_type,
+        |          CAST(CAST(NULLIF(regexp_extract(props, '[0-9]+', 0), '') AS INT) AS DECIMAL(18,2)) AS x1d,
+        |          CAST(EXTRACT(HOUR FROM ts) AS DECIMAL(18,2)) AS x2d,
+        |          CAST(value AS DECIMAL(18,2)) AS yd
+        |        FROM events
+        |        WHERE NULLIF(regexp_extract(props, '[0-9]+', 0), '') IS NOT NULL AND value IS NOT NULL)
+        |      GROUP BY event_type)))""".stripMargin,
+    "value_quantiles" ->
+      """SELECT event_type, quantile_cont(value, [0.5, 0.9]) AS quantiles
+        |FROM events GROUP BY event_type""".stripMargin,
+    "normalize_scheme_versions" ->
+      """SELECT base_scheme, COUNT(*) AS n_latest,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        |FROM (
+        |  SELECT base_scheme, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, base_scheme ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM (
+        |    SELECT user_id, ts, event_id, value,
+        |      regexp_replace(scheme, '-[0-9]+$', '') AS base_scheme
+        |    FROM (
+        |      SELECT user_id, ts, event_id, value,
+        |        'sch' || CAST(k % 5 AS VARCHAR) || (CASE WHEN k % 7 = 0 THEN '-1' ELSE '' END) AS scheme
+        |      FROM (SELECT user_id, ts, event_id, value,
+        |              CAST(NULLIF(regexp_extract(props, '[0-9]+', 0), '') AS INT) AS k
+        |            FROM events))))
+        |WHERE rn = 1 GROUP BY base_scheme""".stripMargin,
     "latest_label_per_scheme" ->
       """SELECT user_id,
         |  MAX(CASE WHEN event_type = 'click' THEN value END) AS click_code,

@@ -45,4 +45,38 @@ object Regression {
         when(denom =!= 0.0, round((col("sy") - slope * col("sx")) / col("n"), 6)))
       .drop("sx", "sy", "sxx", "sxy")
   }
+
+  /** Per-group bivariate OLS (y on x1, x2 with intercept) via centered
+    * second moments and Cramer's rule — still one exact-decimal aggregation
+    * pass, no iterative solver. Degenerate designs (collinear/constant
+    * regressors) yield NULL coefficients.
+    */
+  def ols2ByGroup(df: DataFrame, groupCols: Seq[Column], x1: Column, x2: Column, y: Column): DataFrame = {
+    val cc = df.filter(x1.isNotNull && x2.isNotNull && y.isNotNull)
+    def d(c: Column) = c.cast(DecimalType(18, 2))
+    val agg = cc.groupBy(groupCols: _*).agg(
+      count(lit(1)).as("n"),
+      sum(d(x1)).cast("double").as("sx1"), sum(d(x2)).cast("double").as("sx2"),
+      sum(d(y)).cast("double").as("sy"),
+      sum(d(x1) * d(x1)).cast("double").as("sx1x1"),
+      sum(d(x2) * d(x2)).cast("double").as("sx2x2"),
+      sum(d(x1) * d(x2)).cast("double").as("sx1x2"),
+      sum(d(x1) * d(y)).cast("double").as("sx1y"),
+      sum(d(x2) * d(y)).cast("double").as("sx2y"))
+    val n = col("n")
+    val s11 = col("sx1x1") - col("sx1") * col("sx1") / n
+    val s22 = col("sx2x2") - col("sx2") * col("sx2") / n
+    val s12 = col("sx1x2") - col("sx1") * col("sx2") / n
+    val s1y = col("sx1y") - col("sx1") * col("sy") / n
+    val s2y = col("sx2y") - col("sx2") * col("sy") / n
+    val det = s11 * s22 - s12 * s12
+    val b1 = (s22 * s1y - s12 * s2y) / det
+    val b2 = (s11 * s2y - s12 * s1y) / det
+    agg
+      .withColumn("b1", when(det =!= 0.0, round(b1, 6)))
+      .withColumn("b2", when(det =!= 0.0, round(b2, 6)))
+      .withColumn("b0", when(det =!= 0.0,
+        round((col("sy") - b1 * col("sx1") - b2 * col("sx2")) / n, 6)))
+      .drop("sx1", "sx2", "sy", "sx1x1", "sx2x2", "sx1x2", "sx1y", "sx2y")
+  }
 }

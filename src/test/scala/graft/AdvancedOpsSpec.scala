@@ -138,4 +138,13 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(row.isNullAt(row.fieldIndex("slope")))
     assert(row.isNullAt(row.fieldIndex("intercept")))
   }
+
+  test("ols2ByGroup recovers a known plane") {
+    // y = 2*x1 + 3*x2 + 1 exactly, non-collinear design
+    val rows = for (x1 <- 1 to 6; x2 <- 1 to 4) yield ("g", x1, x2, 2.0 * x1 + 3.0 * x2 + 1)
+    val df = rows.toDF("g", "x1", "x2", "y")
+    val r = graft.analysis.Regression.ols2ByGroup(df, Seq(col("g")), col("x1"), col("x2"), col("y"))
+      .select("b1", "b2", "b0").as[(Double, Double, Double)].collect().head
+    assert(r == ((2.0, 3.0, 1.0)))
+  }
 }
