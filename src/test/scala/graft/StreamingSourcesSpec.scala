@@ -150,4 +150,25 @@ class StreamingSourcesSpec extends SparkSpec {
     assert(back.select("event_id", "urn", "value").orderBy("event_id").collect().toSeq ==
       ev.select("event_id", "urn", "value").orderBy("event_id").collect().toSeq)
   }
+
+  test("json ingest flattens nested submissions into per-answer messages") {
+    val payloads = Seq(
+      """{"response_id":"r1","participant":"p1","submitted_at":"2024-01-01T10:00:00Z","answers":[{"question_id":"q_age","text":"25"},{"question_id":"q_loc","text":"nairobi"}]}""",
+      """{"response_id":"r2","participant":"p2","submitted_at":"2024-01-02T11:00:00Z","answers":[{"question_id":"q_age","text":"30"}]}"""
+    ).toDF("payload")
+    val got = graft.sources.JsonIngest.flattenSubmissions(payloads)
+    assert(got.count() == 3)
+    val r1 = got.filter(col("origin_id") === "r1/0").head()
+    assert(r1.getAs[String]("dataset") == "q_age" && r1.getAs[String]("text") == "25")
+    assert(got.select("origin_id").distinct().count() == 3)
+  }
+
+  test("mergeSync keeps the newest version per key, remote wins ties") {
+    val local = Seq(("m1", 2L, "local-new"), ("m2", 1L, "local-only")).toDF("id", "v", "body")
+    val remote = Seq(("m1", 1L, "remote-old"), ("m2", 1L, "remote-tie"), ("m3", 5L, "remote-only"))
+      .toDF("id", "v", "body")
+    val got = graft.sources.JsonIngest.mergeSync(local, remote, "id", "v")
+      .select("id", "body").as[(String, String)].collect().toMap
+    assert(got == Map("m1" -> "local-new", "m2" -> "remote-tie", "m3" -> "remote-only"))
+  }
 }
