@@ -24,6 +24,10 @@ object SparkEntry {
 
   private def events(s: SparkSession, dir: String): DataFrame = table(s, dir, "events")
 
+  /** Numeric answer extracted from the props payload; oracle twin is
+    * CAST(NULLIF(regexp_extract(props,'[0-9]+',0),'') AS INT). */
+  private def propsInt = regexp_extract(col("props"), "[0-9]+", 0).cast("int")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
@@ -61,14 +65,14 @@ object SparkEntry {
       ColumnView.foldConcat(events(s, dir).filter(col("event_type") === "purchase"),
         "user_id", col("ts"), col("event_id"), col("props"), ";")),
     "relabel_move_datasets" -> ((s, dir) => {
-      val k = regexp_extract(col("props"), "[0-9]+", 0).cast("int")
+      val k = propsInt
       Imputation.relabel(events(s, dir), "event_type", k >= 50, "ws_")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
     }),
     "impute_missing_code" -> ((s, dir) => {
       val ev = events(s, dir)
-      val k = regexp_extract(col("props"), "[0-9]+", 0).cast("int")
+      val k = propsInt
       val users = ev.select(col("user_id")).distinct()
       val demog = ev.filter(col("event_type") === "signup")
         .groupBy(col("user_id")).agg(max(k).as("demog_k"))
@@ -118,8 +122,7 @@ object SparkEntry {
     "tumbling_window_agg" -> ((s, dir) =>
       events(s, dir)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("val_sum"))
+        .agg(count(lit(1)).as("n"), Relational.exactSum(col("value")).as("val_sum"))
         .select(col("window.start").as("hour"), col("event_type"), col("n"), col("val_sum"))),
     "sliding_window_agg" -> ((s, dir) =>
       events(s, dir)
@@ -193,11 +196,11 @@ object SparkEntry {
     "regression_ols" -> ((s, dir) =>
       graft.analysis.Regression.olsByGroup(
         events(s, dir), Seq(col("event_type")),
-        regexp_extract(col("props"), "[0-9]+", 0).cast("int"), col("value"))),
+        propsInt, col("value"))),
     "regression_ols2" -> ((s, dir) =>
       graft.analysis.Regression.ols2ByGroup(
         events(s, dir), Seq(col("event_type")),
-        regexp_extract(col("props"), "[0-9]+", 0).cast("int"),
+        propsInt,
         hour(col("ts")), col("value"))),
     "value_quantiles" -> ((s, dir) =>
       events(s, dir).groupBy(col("event_type"))
@@ -205,7 +208,7 @@ object SparkEntry {
     "normalize_scheme_versions" -> ((s, dir) => {
       // duplicate code schemes carry a numeric suffix; normalize to the base
       // scheme id, then keep the latest label per (participant, base scheme)
-      val k = regexp_extract(col("props"), "[0-9]+", 0).cast("int")
+      val k = propsInt
       val labeled = events(s, dir)
         .withColumn("scheme",
           concat(lit("sch"), (k % 5).cast("string"),
@@ -213,8 +216,7 @@ object SparkEntry {
         .withColumn("base_scheme", regexp_replace(col("scheme"), "-[0-9]+$", ""))
       Snapshots.latest(labeled, Seq(col("user_id"), col("base_scheme")), col("ts"), col("event_id"))
         .groupBy(col("base_scheme"))
-        .agg(count(lit(1)).as("n_latest"),
-          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("val_sum"))
+        .agg(count(lit(1)).as("n_latest"), Relational.exactSum(col("value")).as("val_sum"))
     }),
     "latest_label_per_scheme" -> ((s, dir) => {
       val latest = Snapshots.latest(events(s, dir), Seq(col("user_id"), col("event_type")),
@@ -307,6 +309,20 @@ object SparkEntry {
         table(s, dir, "orders").select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
         Seq(col("o_orderpriority")), col("o_totalprice"), col("o_orderkey"), 3))
   )
+
+  /** Shared by asof_join and asof_join_native: both implementations are
+    * gated against the identical oracle. */
+  private val asofOracle: String =
+    """SELECT l.event_id, l.user_id, l.ts, l.value,
+      |  r.ts AS click_ts, r.value AS click_value
+      |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') l
+      |ASOF LEFT JOIN (
+      |  SELECT user_id, ts, value FROM (
+      |    SELECT user_id, ts, value,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      |    FROM events WHERE event_type = 'click')
+      |  WHERE rn = 1) r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
 
   /** DuckDB-runnable oracle SQL per query key (same tables, same aliases). */
   def oracleSql: Map[String, String] = Map(
@@ -489,27 +505,9 @@ object SparkEntry {
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY user_id HAVING MAX(value) < 50""".stripMargin,
     "asof_join_native" ->
-      """SELECT l.event_id, l.user_id, l.ts, l.value,
-        |  r.ts AS click_ts, r.value AS click_value
-        |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') l
-        |ASOF LEFT JOIN (
-        |  SELECT user_id, ts, value FROM (
-        |    SELECT user_id, ts, value,
-        |      ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
-        |    FROM events WHERE event_type = 'click')
-        |  WHERE rn = 1) r
-        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+asofOracle,
     "asof_join" ->
-      """SELECT l.event_id, l.user_id, l.ts, l.value,
-        |  r.ts AS click_ts, r.value AS click_value
-        |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') l
-        |ASOF LEFT JOIN (
-        |  SELECT user_id, ts, value FROM (
-        |    SELECT user_id, ts, value,
-        |      ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
-        |    FROM events WHERE event_type = 'click')
-        |  WHERE rn = 1) r
-        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+asofOracle,
     "regression_ols" ->
       """SELECT event_type, n,
         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
@@ -765,6 +763,25 @@ object SparkEntry {
         |        c.id ASC) AS rank
         |  FROM queries_b q JOIN corpus_b c ON q.bucket = c.bucket AND q.id <> c.id)
         |WHERE rank <= 5""".stripMargin,
+    "ann_lsh_topk" -> {
+      val planes = Knn.hyperplanes(8, 64)
+      val bucketExpr = planes.map(p =>
+        s"(CASE WHEN list_dot_product(v, [${p.mkString(", ")}]) >= 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      s"""WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |b AS (SELECT id, v, $bucketExpr AS bucket FROM e),
+         |q AS (SELECT * FROM b WHERE id < 8)
+         |SELECT query_id, vec_id, cos_sim, rank FROM (
+         |  SELECT q.id AS query_id, c.id AS vec_id,
+         |    round(list_dot_product(q.v, c.v)
+         |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q.id
+         |      ORDER BY round(list_dot_product(q.v, c.v)
+         |        / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+         |        c.id ASC) AS rank
+         |  FROM q JOIN b c ON q.bucket = c.bucket AND q.id <> c.id)
+         |WHERE rank <= 10""".stripMargin
+    },
     "embedding_neardup" ->
       """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
         |SELECT vec_a, vec_b, cos_sim FROM (

@@ -8,9 +8,11 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every oracleSql key has a queries entry") {
-    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
-    assert(missing.isEmpty, s"oracleSql without query: $missing")
+  test("queries and oracleSql cover each other exactly") {
+    val noQuery = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(noQuery.isEmpty, s"oracleSql without query: $noQuery")
+    val unGated = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unGated.isEmpty, s"query without oracle (would ship unverified): $unGated")
   }
 
   test("every query runs at sf0.001 and has a stable schema") {
