@@ -33,6 +33,18 @@ object Streams {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("val_sum"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("val_sum"))
 
+  /** Streaming sliding-window counts: twin of the batch `sliding_window_agg`
+    * query (overlapping windows; each event lands in windowLen/slide
+    * windows, watermark bounds state).
+    */
+  def slidingCounts(events: DataFrame, windowLen: String = "2 hours", slide: String = "1 hour",
+                    watermark: String = "3 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
   /** Streaming ingest dedup: the streaming twin of snapshot dedup — drop
     * repeated keys, with the watermark bounding how long a key is
     * remembered (the reference dedups on origin_id at ingest;

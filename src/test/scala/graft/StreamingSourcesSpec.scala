@@ -171,4 +171,21 @@ class StreamingSourcesSpec extends SparkSpec {
       .select("id", "body").as[(String, String)].collect().toMap
     assert(got == Map("m1" -> "local-new", "m2" -> "remote-tie", "m3" -> "remote-only"))
   }
+
+  test("streaming sliding window agg equals the batch twin") {
+    val batch = GraftSession.table(spark, sfDir, "events")
+    val dir = java.nio.file.Files.createTempDirectory("graft_slide").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val q = graft.streaming.Streams.slidingCounts(stream)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("sliding_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sliding_out").orderBy("win_start", "event_type").collect().toSeq
+      val expected = SparkEntry.queries("sliding_window_agg")(spark, sfDir)
+        .orderBy("win_start", "event_type").collect().toSeq
+      assert(streamed == expected)
+    } finally q.stop()
+  }
 }
