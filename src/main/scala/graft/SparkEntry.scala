@@ -591,7 +591,7 @@ asofOracle,
         |FROM documents GROUP BY 1""".stripMargin,
     "doc_fingerprint" ->
       """SELECT doc_id,
-        |  array_to_string(list_sort(list_transform(list_distinct(shingles), s -> md5(s)))[1:4], ';') AS fingerprint
+        |  NULLIF(array_to_string(list_sort(list_transform(list_distinct(shingles), s -> md5(s)))[1:4], ';'), '') AS fingerprint
         |FROM (
         |  SELECT doc_id, [ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
         |                   for i in generate_series(1, len(w)-2) ] AS shingles
@@ -641,7 +641,8 @@ asofOracle,
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    MAX(a.sz) AS sz_a, MAX(b.sz) AS sz_b, COUNT(*) AS i
-        |  FROM sets a JOIN sets b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  FROM sets a JOIN sets b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |    AND (a.doc_id < b.doc_id OR b.doc_id >= 50)
         |  WHERE a.doc_id < 50 GROUP BY 1, 2)
         |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM (
         |  SELECT doc_a, doc_b,
@@ -788,7 +789,8 @@ asofOracle,
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |    round(list_dot_product(a.v, b.v)
         |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
-        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+        |    AND (a.vec_id < b.vec_id OR b.vec_id % 50 <> 0)
         |  WHERE a.vec_id % 50 = 0)
         |WHERE cos_sim >= 0.25""".stripMargin,
     "multimodal_decode" ->

@@ -161,8 +161,12 @@ object Dedup {
     val sets = df
       .select(id.as("doc_id"), distinctShingles(text, n).as("shingles"))
       .select(col("doc_id"), size(col("shingles")).as("sz"), explode(col("shingles")).as("sh"))
-    val inter = sets.filter(leftPred).as("a")
-      .join(sets.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("__q", leftPred)
+    // query docs keep all shared-shingle partners: query-query pairs once
+    // (smaller id left), query-nonquery pairs regardless of id order
+    val inter = sets.filter(col("__q")).as("a")
+      .join(sets.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id") &&
+        (col("a.doc_id") < col("b.doc_id") || !col("b.__q")))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(max(col("a.sz")).as("sz_a"), max(col("b.sz")).as("sz_b"), count(lit(1)).as("inter"))
     inter

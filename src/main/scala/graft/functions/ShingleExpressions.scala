@@ -113,8 +113,12 @@ case class MinHashSig(child: Expression, n: Int, a: Seq[Long], b: Seq[Long], pri
 case class BottomKFingerprintExpr(child: Expression, n: Int, k: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StringType
+  override def nullable: Boolean = true
   override def nullSafeEval(input: Any): Any = {
     val sh = ShingleUtil.distinctShingles(input.asInstanceOf[UTF8String].toString, n)
+    // no shingles -> NULL, not "": an empty-string fingerprint would collapse
+    // every short document into one giant false near-dup group
+    if (sh.isEmpty) return null
     val hashes = new Array[String](sh.length)
     var i = 0
     while (i < sh.length) { hashes(i) = ShingleUtil.md5Hex(sh(i)); i += 1 }

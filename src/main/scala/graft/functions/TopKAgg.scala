@@ -27,6 +27,7 @@ case class TopKDoubles(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.PriorityQueue[java.lang.Double]] {
+  require(k >= 1, s"topK needs k >= 1, got $k")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -98,7 +99,9 @@ case class TopKDoubles(
 }
 
 object TopKAgg {
-  /** Aggregate Column: exact top-k of `c` per group, descending. */
+  /** Aggregate Column: exact top-k of `c` per group, descending. Any numeric
+    * input is cast to double up front (the buffer is a double heap).
+    */
   def topK(c: Column, k: Int): Column =
-    Bridge.column(TopKDoubles(Bridge.expression(c), k).toAggregateExpression())
+    Bridge.column(TopKDoubles(Bridge.expression(c.cast("double")), k).toAggregateExpression())
 }

@@ -28,7 +28,10 @@ object AsOfJoin {
     */
   def asOf(left: DataFrame, right: DataFrame, key: String, leftTs: String,
            rightTs: String, rightTiebreak: String, payload: Seq[String]): DataFrame = {
-    val r = Snapshots.latest(right, Seq(col(key), col(rightTs)), col(rightTiebreak))
+    // null-keyed/ts right rows can never match (SQL join semantics — the
+    // window would otherwise group null keys together and carry them)
+    val rightClean = right.filter(col(key).isNotNull && col(rightTs).isNotNull)
+    val r = Snapshots.latest(rightClean, Seq(col(key), col(rightTs)), col(rightTiebreak))
       .select(col(key), col(rightTs).as("__ts"),
         struct((rightTs +: payload).map(col): _*).as("__pay"))
       .withColumn("__tag", lit(0))

@@ -26,9 +26,11 @@ object Imputation {
   def band(c: Column, thresholds: Seq[Double], labels: Seq[String]): Column = {
     require(labels.length == thresholds.length + 1)
     val base: Column = lit(labels.last)
-    thresholds.zip(labels).reverse.foldLeft(base) {
+    val banded = thresholds.zip(labels).reverse.foldLeft(base) {
       case (acc, (t, l)) => when(c < lit(t), lit(l)).otherwise(acc)
     }
+    // null stays null — a bare CaseWhen would fall through to the top bucket
+    when(c.isNotNull, banded)
   }
 
   /** Propagate an entity-level condition to every row of the entity.

@@ -26,8 +26,23 @@ object Knn {
 
   def toDoubleArray(c: Column): Column = transform(c, x => x.cast("double"))
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** NULL for zero-magnitude vectors (ANSI mode would otherwise throw
+    * DIVIDE_BY_ZERO and kill the job on one bad embedding; NULL also matches
+    * SQL engines' float x/0 behavior).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
+    when(denom =!= 0.0, dot(a, b) / denom)
+  }
+
+  /** Shared ranking contract for every top-k variant: round to 6 decimals,
+    * order desc with vec_id tiebreak, keep k. One definition so exact and
+    * approximate paths can never drift apart.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 
   /** Exact brute-force cosine top-k. `queries`/`corpus` need (id, vec)
     * columns; vec must already be double[]. Rounded to 6 decimals before
@@ -38,8 +53,7 @@ object Knn {
       .join(broadcast(queries.as("q")), col("q.id") =!= col("c.id"))
       .select(col("q.id").as("query_id"), col("c.id").as("vec_id"),
         round(cosine(col("q.vec"), col("c.vec")), 6).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplanes (fixed seed), as literal arrays
@@ -73,8 +87,7 @@ object Knn {
         col("q.bucket") === col("c.bucket") && col("q.id") =!= col("c.id"))
       .select(col("q.id").as("query_id"), col("c.id").as("vec_id"),
         round(cosine(col("q.vec"), col("c.vec")), 6).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** IVF-style ANN: a coarse quantizer assigns every vector to its nearest
@@ -107,8 +120,7 @@ object Knn {
         col("q.bucket") === col("c.bucket") && col("q.id") =!= col("c.id"))
       .select(col("q.id").as("query_id"), col("c.id").as("vec_id"),
         round(cosine(col("q.vec"), col("c.vec")), 6).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** Cosine near-duplicate pairs within blocking groups: only pairs sharing
@@ -118,9 +130,14 @@ object Knn {
     */
   def nearDupPairs(df: DataFrame, id: Column, vec: Column, blockCol: Column,
                    leftPred: Column, minCos: Double): DataFrame = {
+    // the sampled side keeps ALL its block neighbors: pairs where both sides
+    // are sampled are emitted once (smaller id left); pairs whose partner is
+    // unsampled are kept regardless of id order
     val base = df.select(id.as("id"), toDoubleArray(vec).as("vec"), blockCol.as("blk"))
-    base.filter(leftPred).as("a")
-      .join(base.as("b"), col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("__q", leftPred)
+    base.filter(col("__q")).as("a")
+      .join(base.as("b"), col("a.blk") === col("b.blk") && col("a.id") =!= col("b.id") &&
+        (col("a.id") < col("b.id") || !col("b.__q")))
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
         round(cosine(col("a.vec"), col("b.vec")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)

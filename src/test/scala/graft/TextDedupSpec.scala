@@ -89,4 +89,36 @@ class TextDedupSpec extends SparkSpec {
     assert(a == b)
     assert(a.forall(r => r.getLong(1) > 0))
   }
+
+  test("cosine of a zero vector is null, not a job-killing divide-by-zero") {
+    val df = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 0.0f))).toDF("id", "emb")
+    val v = Knn.toDoubleArray(col("emb"))
+    val got = df.select(Knn.cosine(v, v).as("c")).collect().map(r => r.isNullAt(0)).toSeq
+    assert(got == Seq(true, false))
+  }
+
+  test("band leaves null inputs null instead of assigning the top bucket") {
+    val df = Seq(Some(5.0), None).toDF("x")
+    val got = df.select(graft.operators.Imputation.band(col("x"), Seq(10.0), Seq("low", "high")).as("b"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(got == Seq("low", null))
+  }
+
+  test("fingerprint of a too-short doc is null, not empty string") {
+    val df = Seq((1L, "a b"), (2L, "a b c d")).toDF("id", "text")
+    val got = graft.dedup.Dedup.bottomKFingerprint(df, col("id"), col("text"), 3, 4)
+      .orderBy("doc_id").collect().map(r => r.isNullAt(1)).toSeq
+    assert(got == Seq(true, false))
+  }
+
+  test("nearDupPairs keeps sampled-vector pairs regardless of id order") {
+    // ids 0 (sampled) and 1 (not), plus 50 (sampled) with a smaller unsampled near-dup 3
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f), 1), (1L, Array(1.0f, 0.01f), 1),
+      (50L, Array(0.0f, 1.0f), 2), (3L, Array(0.01f, 1.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Knn.nearDupPairs(df, col("vec_id"), col("embedding"), col("label"),
+      col("id") % 50 === 0, 0.9).select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L), (50L, 3L))) // 50 > 3 but the pair is not lost
+  }
 }
