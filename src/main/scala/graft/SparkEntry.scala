@@ -25,8 +25,10 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String): DataFrame = table(s, dir, "events")
 
   /** Numeric answer extracted from the props payload; oracle twin is
-    * CAST(NULLIF(regexp_extract(props,'[0-9]+',0),'') AS INT). */
-  private def propsInt = regexp_extract(col("props"), "[0-9]+", 0).cast("int")
+    * CAST(NULLIF(regexp_extract(props,'[0-9]+',0),'') AS INT). The nullif
+    * guard matters under ANSI mode: regexp_extract returns "" on no match
+    * and CAST('' AS INT) throws rather than yielding null. */
+  private def propsInt = nullif(regexp_extract(col("props"), "[0-9]+", 0), lit("")).cast("int")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
