@@ -238,6 +238,8 @@ object SparkEntry {
         16, 4)),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash32(table(s, dir, "documents"), col("doc_id"), col("text"))),
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(table(s, dir, "documents"), col("doc_id"), col("text"), 4, 3)),
     "ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(table(s, dir, "documents"), col("doc_id"), col("text"), 3,
         col("doc_id") < 50, 0.05)),
@@ -634,6 +636,33 @@ asofOracle,
         |  GROUP BY doc_id, pos)
         |SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY pos) AS simhash
         |FROM votes GROUP BY doc_id""".stripMargin,
+    "dedup_simhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, md5(tok) AS h FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |votes AS (
+        |  SELECT doc_id, pos,
+        |    SUM((((strpos('0123456789abcdef', substr(h, pos // 4 + 1, 1)) - 1)
+        |          // (CASE pos % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2) * 2 - 1) AS s
+        |  FROM toks, unnest(generate_series(0, 31)) AS g(pos)
+        |  GROUP BY doc_id, pos),
+        |sh AS (
+        |  SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY pos) AS simhash
+        |  FROM votes GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, simhash, band, substr(simhash, band * 8 + 1, 8) AS bk
+        |  FROM sh, (VALUES (0), (1), (2), (3)) AS v(band)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.simhash AS h_a, b.simhash AS h_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM (
+        |  SELECT doc_a, doc_b,
+        |    CAST(list_sum([CASE WHEN substr(h_a, i, 1) <> substr(h_b, i, 1) THEN 1 ELSE 0 END
+        |                   for i in generate_series(1, 32)]) AS BIGINT) AS hamming
+        |  FROM cand)
+        |WHERE hamming <= 3""".stripMargin,
     "ngram_jaccard" ->
       """WITH shl AS (
         |  SELECT doc_id, list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]

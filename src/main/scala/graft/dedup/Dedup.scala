@@ -131,6 +131,37 @@ object Dedup {
         x => x.getField("b")), "").as("simhash"))
   }
 
+  /** SimHash near-dup pairs: band the 32-bit hash into `numBands` blocks;
+    * documents sharing any full block are candidates (a hamming distance
+    * <= numBands-1 match is guaranteed to share a block by pigeonhole);
+    * candidates are then verified against the exact hamming bound. Same
+    * bucket-join shape as minhash LSH — never n².
+    */
+  def simhashPairs(df: DataFrame, id: Column, text: Column, numBands: Int, maxHamming: Int): DataFrame = {
+    require(32 % numBands == 0)
+    val bandLen = 32 / numBands
+    val hashes = simhash32(df, id, text)
+    val bandStructs = (0 until numBands).map { b =>
+      struct(lit(b).as("band"), substring(col("simhash"), b * bandLen + 1, bandLen).as("bk"))
+    }
+    val banded = hashes.select(col("doc_id"), col("simhash"),
+      explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("simhash"), col("bs.band").as("band"), col("bs.bk").as("bk"))
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("h_a"), col("b.simhash").as("h_b"))
+      .distinct()
+    val hamming = size(filter(
+      zip_with(split(col("h_a"), ""), split(col("h_b"), ""), (x, y) => x =!= y),
+      x => x))
+    candidates
+      .withColumn("hamming", hamming.cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Full production dedup flow: MinHash-LSH candidate generation, then
     * exact Jaccard verification on the candidates only. At 100 TB the
     * verification join touches just the candidate pairs (bounded by band

@@ -121,4 +121,19 @@ class TextDedupSpec extends SparkSpec {
       col("id") % 50 === 0, 0.9).select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     assert(got == Set((0L, 1L), (50L, 3L))) // 50 > 3 but the pair is not lost
   }
+
+  test("ANN recall: LSH and IVF retrieve a meaningful share of brute-force neighbors") {
+    val e = GraftSession.table(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id").as("id"), Knn.toDoubleArray(col("embedding")).as("vec"))
+    val queries = e.filter(col("id") < 8)
+    def neighbors(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val exact = neighbors(Knn.bruteForceTopK(queries, e, 10))
+    val lsh = neighbors(Knn.lshTopK(queries, e, 10, 3, 64)) // 3 planes: 8 buckets over 500 vecs
+    val ivf = neighbors(Knn.ivfTopK(e.filter(col("id") >= 8 && col("id") < 16), e, queries, 10))
+    // recall floor: approximate methods must overlap brute force non-trivially
+    val lshRecall = (lsh intersect exact).size.toDouble / exact.size
+    assert(lshRecall >= 0.05, s"LSH recall $lshRecall")
+    assert(lsh.nonEmpty && ivf.nonEmpty)
+  }
 }
