@@ -90,6 +90,33 @@ object Knn {
     rankTopK(scored, k)
   }
 
+  /** Multi-probe LSH: each query also probes every bucket at hamming
+    * distance 1 from its own (flip one sign bit), trading numPlanes extra
+    * lookups for substantially better recall — the standard fix for
+    * sign-LSH's hard bucket boundaries. Candidates are ranked identically
+    * to the exact path.
+    */
+  def lshMultiProbeTopK(queries: DataFrame, corpus: DataFrame, k: Int, numPlanes: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val qb = queries.withColumn("bucket", signBucket(col("vec"), planes))
+    val cb = corpus.withColumn("bucket", signBucket(col("vec"), planes))
+    // probe set: own bucket + each one-bit flip
+    val flips = (0 until numPlanes).map { i =>
+      concat(
+        substring(col("bucket"), 1, i),
+        when(substring(col("bucket"), i + 1, 1) === "1", "0").otherwise("1"),
+        substring(col("bucket"), i + 2, numPlanes - i - 1))
+    }
+    val probed = qb.withColumn("probe", explode(array((col("bucket") +: flips): _*)))
+    val scored = cb.as("c")
+      .join(broadcast(probed.as("q")),
+        col("q.probe") === col("c.bucket") && col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("vec_id"),
+        round(cosine(col("q.vec"), col("c.vec")), 6).as("cos_sim"))
+      .distinct()
+    rankTopK(scored, k)
+  }
+
   /** IVF-style ANN: a coarse quantizer assigns every vector to its nearest
     * centroid (squared-L2, deterministic tie-break on centroid id); queries
     * search only their own bucket. With K centroids the corpus scan per

@@ -136,4 +136,18 @@ class TextDedupSpec extends SparkSpec {
     assert(lshRecall >= 0.05, s"LSH recall $lshRecall")
     assert(lsh.nonEmpty && ivf.nonEmpty)
   }
+
+  test("multi-probe LSH strictly improves on single-bucket recall") {
+    val e = GraftSession.table(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id").as("id"), Knn.toDoubleArray(col("embedding")).as("vec"))
+    val queries = e.filter(col("id") < 8)
+    def neighbors(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val exact = neighbors(Knn.bruteForceTopK(queries, e, 10))
+    val single = neighbors(Knn.lshTopK(queries, e, 10, 8, 64))
+    val multi = neighbors(Knn.lshMultiProbeTopK(queries, e, 10, 8, 64))
+    val rSingle = (single intersect exact).size.toDouble / exact.size
+    val rMulti = (multi intersect exact).size.toDouble / exact.size
+    assert(rMulti > rSingle, s"multi=$rMulti single=$rSingle")
+  }
 }
