@@ -150,6 +150,50 @@ object Knn {
     rankTopK(scored, k)
   }
 
+  /** Deterministic k-means-lite training for the IVF quantizer: seeds are
+    * the k lowest-id vectors, then `iters` Lloyd steps run as DataFrame
+    * aggregations (assign = windowed argmin like ivfTopK, update = per-
+    * cluster mean rounded to 6 decimals so run-to-run float-order noise
+    * cannot move a centroid). Only the k centroid vectors ever reach the
+    * driver — the training data never does.
+    */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cent = corpus.orderBy(col("id").asc).limit(k)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    for (_ <- 0 until iters) {
+      val d = round(
+        dot(col("vec"), col("vec")) - lit(2.0) * dot(col("vec"), col("cvec"))
+          + dot(col("cvec"), col("cvec")), 6)
+      val w = Window.partitionBy(col("id")).orderBy(col("__dist").asc, col("cid").asc)
+      val assigned = corpus.crossJoin(broadcast(cent))
+        .withColumn("__dist", d)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("cid"), col("vec"))
+      cent = assigned
+        .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(round(avg(col("x")), 6).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("cvec"))
+    }
+    cent.select(col("cid").as("id"), col("cvec").as("vec"))
+  }
+
+  /** Mean within-cluster squared distance — training-quality metric. */
+  def inertia(corpus: DataFrame, centroids: DataFrame): Double = {
+    val cent = centroids.select(col("id").as("cid"), col("vec").as("cvec"))
+    val d = dot(col("vec"), col("vec")) - lit(2.0) * dot(col("vec"), col("cvec")) +
+      dot(col("cvec"), col("cvec"))
+    val w = Window.partitionBy(col("id")).orderBy(col("__dist").asc, col("cid").asc)
+    corpus.crossJoin(broadcast(cent))
+      .withColumn("__dist", d)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .agg(avg(col("__dist"))).head().getDouble(0)
+  }
+
   /** Cosine near-duplicate pairs within blocking groups: only pairs sharing
     * `blockCol` are compared (at scale the block key is an LSH bucket or
     * cluster id — never the full cross product). `leftPred` optionally

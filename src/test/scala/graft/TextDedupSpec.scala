@@ -150,4 +150,17 @@ class TextDedupSpec extends SparkSpec {
     val rMulti = (multi intersect exact).size.toDouble / exact.size
     assert(rMulti > rSingle, s"multi=$rMulti single=$rSingle")
   }
+
+  test("trained IVF centroids reduce inertia versus the untrained seed set") {
+    val e = GraftSession.table(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id").as("id"), Knn.toDoubleArray(col("embedding")).as("vec"))
+    val seeds = e.filter(col("id") < 8)
+    val trained = Knn.kmeansCentroids(e, 8, 2).cache()
+    val before = Knn.inertia(e, seeds)
+    val after = Knn.inertia(e, trained)
+    assert(after < before, s"inertia after=$after before=$before")
+    // trained centroids still drive the IVF search end-to-end
+    val queries = e.filter(col("id") >= 8 && col("id") < 16)
+    assert(Knn.ivfTopK(queries, e, trained, 5).count() > 0)
+  }
 }
