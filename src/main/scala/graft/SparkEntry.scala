@@ -314,6 +314,32 @@ object SparkEntry {
         Seq(col("o_orderpriority")), col("o_totalprice"), col("o_orderkey"), 3))
   )
 
+  /** Shared minhash CTE prologue (shingles -> base hashes -> signatures ->
+    * bands) used by both minhash oracle queries; constants come from Dedup
+    * so Spark and oracle can never drift.
+    */
+  private def minhashCtes: String = {
+    val sigExprs = (0 until 16).map { p =>
+      s"list_min(list_transform(hs, x -> (x * ${Dedup.minhashA(p)} + ${Dedup.minhashB(p)}) % ${Dedup.minhashPrime})) AS s$p"
+    }.mkString(",\n    ")
+    s"""WITH shl AS (
+       |  SELECT doc_id, list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                                 for i in generate_series(1, len(w)-2) ]) AS shingles
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+       |hv AS (
+       |  SELECT doc_id, list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+       |  FROM shl WHERE len(shingles) > 0),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigExprs
+       |  FROM hv),
+       |banded AS (
+       |  SELECT doc_id, 0 AS band, s0||'|'||s1||'|'||s2||'|'||s3 AS bk FROM sig
+       |  UNION ALL SELECT doc_id, 1, s4||'|'||s5||'|'||s6||'|'||s7 FROM sig
+       |  UNION ALL SELECT doc_id, 2, s8||'|'||s9||'|'||s10||'|'||s11 FROM sig
+       |  UNION ALL SELECT doc_id, 3, s12||'|'||s13||'|'||s14||'|'||s15 FROM sig)""".stripMargin
+  }
+
   /** Shared by asof_join and asof_join_native: both implementations are
     * gated against the identical oracle. */
   private val asofOracle: String =
@@ -600,30 +626,11 @@ asofOracle,
         |  SELECT doc_id, [ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
         |                   for i in generate_series(1, len(w)-2) ] AS shingles
         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))""".stripMargin,
-    "dedup_minhash_lsh" -> {
-      val sigExprs = (0 until 16).map { p =>
-        s"list_min(list_transform(hs, x -> (x * ${Dedup.minhashA(p)} + ${Dedup.minhashB(p)}) % ${Dedup.minhashPrime})) AS s$p"
-      }.mkString(",\n    ")
-      s"""WITH shl AS (
-         |  SELECT doc_id, list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-         |                                 for i in generate_series(1, len(w)-2) ]) AS shingles
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
-         |hv AS (
-         |  SELECT doc_id, list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
-         |  FROM shl WHERE len(shingles) > 0),
-         |sig AS (
-         |  SELECT doc_id,
-         |    $sigExprs
-         |  FROM hv),
-         |banded AS (
-         |  SELECT doc_id, 0 AS band, s0||'|'||s1||'|'||s2||'|'||s3 AS bk FROM sig
-         |  UNION ALL SELECT doc_id, 1, s4||'|'||s5||'|'||s6||'|'||s7 FROM sig
-         |  UNION ALL SELECT doc_id, 2, s8||'|'||s9||'|'||s10||'|'||s11 FROM sig
-         |  UNION ALL SELECT doc_id, 3, s12||'|'||s13||'|'||s14||'|'||s15 FROM sig)
+    "dedup_minhash_lsh" ->
+      s"""$minhashCtes
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM banded a JOIN banded b
-         |  ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id""".stripMargin
-    },
+         |  ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id""".stripMargin,
     "dedup_simhash" ->
       """WITH toks AS (
         |  SELECT DISTINCT doc_id, md5(tok) AS h FROM (
@@ -680,26 +687,8 @@ asofOracle,
         |    CAST(i AS DOUBLE) / CAST(sz_a + sz_b - i AS DOUBLE) AS j
         |  FROM inter)
         |WHERE j >= 0.05""".stripMargin,
-    "dedup_minhash_verified" -> {
-      val sigExprs = (0 until 16).map { p =>
-        s"list_min(list_transform(hs, x -> (x * ${Dedup.minhashA(p)} + ${Dedup.minhashB(p)}) % ${Dedup.minhashPrime})) AS s$p"
-      }.mkString(",\n    ")
-      s"""WITH shl AS (
-         |  SELECT doc_id, list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-         |                                 for i in generate_series(1, len(w)-2) ]) AS shingles
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
-         |hv AS (
-         |  SELECT doc_id, list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
-         |  FROM shl WHERE len(shingles) > 0),
-         |sig AS (
-         |  SELECT doc_id,
-         |    $sigExprs
-         |  FROM hv),
-         |banded AS (
-         |  SELECT doc_id, 0 AS band, s0||'|'||s1||'|'||s2||'|'||s3 AS bk FROM sig
-         |  UNION ALL SELECT doc_id, 1, s4||'|'||s5||'|'||s6||'|'||s7 FROM sig
-         |  UNION ALL SELECT doc_id, 2, s8||'|'||s9||'|'||s10||'|'||s11 FROM sig
-         |  UNION ALL SELECT doc_id, 3, s12||'|'||s13||'|'||s14||'|'||s15 FROM sig),
+    "dedup_minhash_verified" ->
+      s"""$minhashCtes,
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM banded a JOIN banded b
@@ -710,8 +699,7 @@ asofOracle,
          |      / CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS j
          |  FROM pairs JOIN shl sa ON pairs.doc_a = sa.doc_id
          |             JOIN shl sb ON pairs.doc_b = sb.doc_id)
-         |WHERE j >= 0.5""".stripMargin
-    },
+         |WHERE j >= 0.5""".stripMargin,
     "topk_values_agg" ->
       """SELECT event_type, list_sort(list(value), 'DESC')[1:5] AS top_values
         |FROM events GROUP BY event_type""".stripMargin,

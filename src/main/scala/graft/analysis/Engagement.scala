@@ -36,15 +36,20 @@ object Engagement {
     df.groupBy(date_trunc("week", ts).cast("date").as("week"))
       .agg(countDistinct(key).as("n_users"), count(lit(1)).as("n"))
 
+  /** Distinct (entity, active week) pairs with the entity's first active
+    * week attached — the shared base of episode and retention analyses.
+    */
+  private def userWeeksWithFirst(df: DataFrame, ts: Column, key: Column): DataFrame =
+    df.select(key.as("k"), date_trunc("week", ts).cast("date").as("week")).distinct()
+      .withColumn("first_week", min(col("week")).over(Window.partitionBy(col("k"))))
+
   /** Per-week new vs repeat participation: an entity is "new" in its first
     * active week. Reference: repeat/new participation per episode
     * (automated_analysis.py). Two shuffles: distinct on (entity, week),
     * then the window min reuses that partitioning; final rollup is tiny.
     */
   def episodeNewVsRepeat(df: DataFrame, ts: Column, key: Column): DataFrame = {
-    val userWeeks = df.select(key.as("k"), date_trunc("week", ts).cast("date").as("week")).distinct()
-    val withFirst = userWeeks.withColumn("first_week", min(col("week")).over(Window.partitionBy(col("k"))))
-    withFirst.groupBy(col("week"))
+    userWeeksWithFirst(df, ts, key).groupBy(col("week"))
       .agg(
         count(lit(1)).as("n_users"),
         sum(when(col("week") === col("first_week"), 1).otherwise(0)).as("new_users"))
@@ -88,9 +93,8 @@ object Engagement {
     * partitioning.
     */
   def retentionCohorts(df: DataFrame, ts: Column, key: Column): DataFrame = {
-    val userWeeks = df.select(key.as("k"), date_trunc("week", ts).cast("date").as("week")).distinct()
-    val withFirst = userWeeks.withColumn("cohort_week", min(col("week")).over(Window.partitionBy(col("k"))))
-    withFirst
+    userWeeksWithFirst(df, ts, key)
+      .withColumnRenamed("first_week", "cohort_week")
       .withColumn("week_offset", (datediff(col("week"), col("cohort_week")) / 7).cast("int"))
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(count(lit(1)).as("n_users"))

@@ -25,6 +25,10 @@ object Relational {
 
   def exactAvg(c: Column): Column = sum(dec(c)).cast("double") / count(c).cast("double")
 
+  /** Exact discounted revenue: sum(price * (1 - discount)) in DECIMAL. */
+  def revenueSum(price: Column, discount: Column): Column =
+    sum(dec(price) * (lit(1).cast(DecimalType(18, 2)) - dec(discount))).cast("double")
+
   /** TPC-H Q1 pricing summary. One map-side-combinable aggregation; at scale
     * this is a pure scan + partial agg + 4-group exchange.
     */
@@ -35,8 +39,7 @@ object Relational {
       .agg(
         exactSum(col("l_quantity")).as("sum_qty"),
         exactSum(col("l_extendedprice")).as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
-          .cast("double").as("sum_disc_price"),
+        revenueSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
         exactAvg(col("l_quantity")).as("avg_qty"),
         exactAvg(col("l_extendedprice")).as("avg_price"),
         exactAvg(col("l_discount")).as("avg_disc"),
@@ -53,8 +56,7 @@ object Relational {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
-        .cast("double").as("revenue"))
+      .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
   }
@@ -75,8 +77,7 @@ object Relational {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
-        .cast("double").as("revenue"))
+      .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
   }
 
   /** TPC-H Q17-shaped: revenue from line items whose quantity is below half

@@ -105,37 +105,25 @@ object Dedup {
     * Emitted as a 32-char '0'/'1' string so the oracle can reproduce it
     * without engine-specific integer hashing.
     *
-    * Plan shape: explode tokens (distinct) x 32 positions, two partial-agg
-    * groupBys — both shuffle on doc id only.
+    * One fused expression per row (graft.functions.SimHash32) — zero
+    * shuffle; the exploded token x position formulation cost two groupBys
+    * over |tokens| x 32 rows.
     */
-  def simhash32(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val toks = df
-      .select(id.as("doc_id"), explode(array_distinct(TextFeatures.words(text))).as("tok"))
-      .withColumn("h", md5(col("tok")))
-    val positions = toks.select(col("doc_id"), col("h"),
-      explode(sequence(lit(0), lit(31))).as("pos"))
-    // hex digit at pos div 4, then extract bit (pos % 4) by integer division —
-    // pure arithmetic so the oracle reproduces it in any SQL dialect
-    val bit = expr(
-      "((instr('0123456789abcdef', substr(h, pos div 4 + 1, 1)) - 1)" +
-        " div (CASE pos % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2")
-    val bitVote = positions
-      .withColumn("vote", bit * 2 - 1)
-      .groupBy(col("doc_id"), col("pos"))
-      .agg(sum(col("vote")).as("s"))
-    bitVote
-      .withColumn("bit", when(col("s") > 0, "1").otherwise("0"))
-      .groupBy(col("doc_id"))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("pos"), col("bit").as("b")))),
-        x => x.getField("b")), "").as("simhash"))
-  }
+  def simhash32(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"),
+      graft.functions.ShingleExpressions.simhash32(text).as("simhash"))
 
   /** SimHash near-dup pairs: band the 32-bit hash into `numBands` blocks;
     * documents sharing any full block are candidates (a hamming distance
     * <= numBands-1 match is guaranteed to share a block by pigeonhole);
     * candidates are then verified against the exact hamming bound. Same
     * bucket-join shape as minhash LSH — never n².
+    *
+    * Note on candidate volume: on low-diversity corpora simhashes cluster,
+    * so band buckets can grow hot and candidate counts approach pairwise
+    * within the hot buckets. The production lever is a wider hash (64-bit)
+    * for more discrimination; 32 bits are used here for oracle
+    * practicality.
     */
   def simhashPairs(df: DataFrame, id: Column, text: Column, numBands: Int, maxHamming: Int): DataFrame = {
     require(32 % numBands == 0)
@@ -147,19 +135,16 @@ object Dedup {
     val banded = hashes.select(col("doc_id"), col("simhash"),
       explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("simhash"), col("bs.band").as("band"), col("bs.bk").as("bk"))
-    val candidates = banded.as("a").join(banded.as("b"),
+    // verify (cheap fused hamming) BEFORE deduplicating: the filter drops
+    // the bulk of the multi-band duplicates, so only survivors shuffle
+    banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("h_a"), col("b.simhash").as("h_b"))
-      .distinct()
-    val hamming = size(filter(
-      zip_with(split(col("h_a"), ""), split(col("h_b"), ""), (x, y) => x =!= y),
-      x => x))
-    candidates
-      .withColumn("hamming", hamming.cast("long"))
+        graft.functions.ShingleExpressions.hammingDistance(
+          col("a.simhash"), col("b.simhash")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 
   /** Full production dedup flow: MinHash-LSH candidate generation, then

@@ -128,6 +128,61 @@ case class BottomKFingerprintExpr(child: Expression, n: Int, k: Int)
   override protected def withNewChildInternal(newChild: Expression): BottomKFingerprintExpr = copy(newChild)
 }
 
+/** 32-bit SimHash as a '0'/'1' string — the fused single-pass form of the
+  * distinct-token md5 bit-vote (oracle formulation: per distinct token, hex
+  * digit of md5 at pos/4, bit (pos%4) extracted by integer division, votes
+  * +-1 summed per position, bit '1' iff sum > 0).
+  */
+case class SimHash32(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val seen = new java.util.HashSet[String]()
+    val votes = new Array[Int](32)
+    var i = 0
+    while (i < words.length) {
+      if (seen.add(words(i))) {
+        val hex = ShingleUtil.md5Hex(words(i))
+        var pos = 0
+        while (pos < 32) {
+          val digit = Character.digit(hex.charAt(pos / 4), 16)
+          val bit = (digit >> (3 - pos % 4)) & 1
+          votes(pos) += bit * 2 - 1
+          pos += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Char](32)
+    var p = 0
+    while (p < 32) { out(p) = if (votes(p) > 0) '1' else '0'; p += 1 }
+    UTF8String.fromString(new String(out))
+  }
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 = copy(newChild)
+}
+
+/** Hamming distance between two equal-length strings (e.g. simhash bit
+  * strings) — one fused byte scan; the higher-order-function formulation
+  * (split + zip_with + filter) is interpreted and dominates candidate-pair
+  * verification at scale.
+  */
+case class HammingDistance(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[UTF8String].getBytes
+    val b = r.asInstanceOf[UTF8String].getBytes
+    val n = math.min(a.length, b.length)
+    var d = (a.length - b.length).abs.toLong
+    var i = 0
+    while (i < n) { if (a(i) != b(i)) d += 1; i += 1 }
+    d
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): HammingDistance =
+    copy(left = newLeft, right = newRight)
+}
+
 object ShingleExpressions {
   def distinctShingles(text: Column, n: Int): Column =
     Bridge.column(DistinctShingles(Bridge.expression(text), n))
@@ -135,4 +190,8 @@ object ShingleExpressions {
     Bridge.column(MinHashSig(Bridge.expression(text), n, a, b, prime))
   def bottomKFingerprint(text: Column, n: Int, k: Int): Column =
     Bridge.column(BottomKFingerprintExpr(Bridge.expression(text), n, k))
+  def hammingDistance(a: Column, b: Column): Column =
+    Bridge.column(HammingDistance(Bridge.expression(a), Bridge.expression(b)))
+  def simhash32(text: Column): Column =
+    Bridge.column(SimHash32(Bridge.expression(text)))
 }

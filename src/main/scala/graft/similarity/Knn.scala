@@ -90,6 +90,24 @@ object Knn {
     rankTopK(scored, k)
   }
 
+  /** Squared-L2 via the dot-product expansion, rounded for determinism. */
+  private def sqDist: Column = round(
+    dot(col("vec"), col("vec")) - lit(2.0) * dot(col("vec"), col("cvec"))
+      + dot(col("cvec"), col("cvec")), 6)
+
+  /** Nearest-centroid assignment (deterministic tie-break on centroid id):
+    * shared by IVF search, k-means training, and inertia measurement.
+    * Returns (id, vec, cid, __dist).
+    */
+  private def assignNearest(df: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("__dist").asc, col("cid").asc)
+    df.crossJoin(broadcast(cent))
+      .withColumn("__dist", sqDist)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("vec"), col("cid"), col("__dist"))
+  }
+
   /** Multi-probe LSH: each query also probes every bucket at hamming
     * distance 1 from its own (flip one sign bit), trading numPlanes extra
     * lookups for substantially better recall — the standard fix for
@@ -129,17 +147,8 @@ object Knn {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
     val cent = centroids.select(col("id").as("cid"), col("vec").as("cvec"))
-    def assignBucket(df: DataFrame): DataFrame = {
-      val d = round(
-        dot(col("vec"), col("vec")) - lit(2.0) * dot(col("vec"), col("cvec"))
-          + dot(col("cvec"), col("cvec")), 6)
-      val w = Window.partitionBy(col("id")).orderBy(col("__dist").asc, col("cid").asc)
-      df.crossJoin(broadcast(cent))
-        .withColumn("__dist", d)
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("id"), col("vec"), col("cid").as("bucket"))
-    }
+    def assignBucket(df: DataFrame): DataFrame =
+      assignNearest(df, cent).select(col("id"), col("vec"), col("cid").as("bucket"))
     val corpusB = assignBucket(corpus)
     val queriesB = assignBucket(queries)
     val scored = corpusB.as("c")
@@ -161,15 +170,7 @@ object Knn {
     var cent = corpus.orderBy(col("id").asc).limit(k)
       .select(col("id").as("cid"), col("vec").as("cvec"))
     for (_ <- 0 until iters) {
-      val d = round(
-        dot(col("vec"), col("vec")) - lit(2.0) * dot(col("vec"), col("cvec"))
-          + dot(col("cvec"), col("cvec")), 6)
-      val w = Window.partitionBy(col("id")).orderBy(col("__dist").asc, col("cid").asc)
-      val assigned = corpus.crossJoin(broadcast(cent))
-        .withColumn("__dist", d)
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("cid"), col("vec"))
+      val assigned = assignNearest(corpus, cent).select(col("cid"), col("vec"))
       cent = assigned
         .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
@@ -177,6 +178,8 @@ object Knn {
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("cvec"))
+        // truncate lineage: each Lloyd step otherwise embeds every prior one
+        .localCheckpoint(true)
     }
     cent.select(col("cid").as("id"), col("cvec").as("vec"))
   }
@@ -184,14 +187,7 @@ object Knn {
   /** Mean within-cluster squared distance — training-quality metric. */
   def inertia(corpus: DataFrame, centroids: DataFrame): Double = {
     val cent = centroids.select(col("id").as("cid"), col("vec").as("cvec"))
-    val d = dot(col("vec"), col("vec")) - lit(2.0) * dot(col("vec"), col("cvec")) +
-      dot(col("cvec"), col("cvec"))
-    val w = Window.partitionBy(col("id")).orderBy(col("__dist").asc, col("cid").asc)
-    corpus.crossJoin(broadcast(cent))
-      .withColumn("__dist", d)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .agg(avg(col("__dist"))).head().getDouble(0)
+    assignNearest(corpus, cent).agg(avg(col("__dist"))).head().getDouble(0)
   }
 
   /** Cosine near-duplicate pairs within blocking groups: only pairs sharing
