@@ -459,7 +459,7 @@ object SparkEntry {
         |  FROM (
         |    SELECT user_id,
         |      MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_from,
-        |      MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_to
+        |      MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS t_to
         |    FROM events GROUP BY user_id)
         |  WHERE t_from IS NOT NULL)""".stripMargin,
     "retention_cohorts" ->
@@ -540,8 +540,10 @@ asofOracle,
 asofOracle,
     "regression_ols" ->
       """SELECT event_type, n,
-        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+        |  CASE WHEN abs(n * sxx - sx * sx) > 1e-9 * greatest(abs(n * sxx), abs(sx * sx))
+        |       THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END AS slope,
+        |  CASE WHEN abs(n * sxx - sx * sx) > 1e-9 * greatest(abs(n * sxx), abs(sx * sx))
+        |       THEN round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) END AS intercept
         |FROM (
         |  SELECT event_type, COUNT(*) AS n,
         |    CAST(SUM(xd) AS DOUBLE) AS sx, CAST(SUM(yd) AS DOUBLE) AS sy,
@@ -554,10 +556,13 @@ asofOracle,
         |  GROUP BY event_type)""".stripMargin,
     "regression_ols2" ->
       """SELECT event_type, n,
-        |  CASE WHEN det <> 0 THEN round((s22 * s1y - s12 * s2y) / det, 6) END AS b1,
-        |  CASE WHEN det <> 0 THEN round((s11 * s2y - s12 * s1y) / det, 6) END AS b2,
-        |  CASE WHEN det <> 0 THEN round((sy - ((s22 * s1y - s12 * s2y) / det) * sx1
-        |                                    - ((s11 * s2y - s12 * s1y) / det) * sx2) / n, 6) END AS b0
+        |  CASE WHEN abs(det) > 1e-9 * greatest(abs(s11 * s22), abs(s12 * s12))
+        |       THEN round((s22 * s1y - s12 * s2y) / det, 6) END AS b1,
+        |  CASE WHEN abs(det) > 1e-9 * greatest(abs(s11 * s22), abs(s12 * s12))
+        |       THEN round((s11 * s2y - s12 * s1y) / det, 6) END AS b2,
+        |  CASE WHEN abs(det) > 1e-9 * greatest(abs(s11 * s22), abs(s12 * s12))
+        |       THEN round((sy - ((s22 * s1y - s12 * s2y) / det) * sx1
+        |                      - ((s11 * s2y - s12 * s1y) / det) * sx2) / n, 6) END AS b0
         |FROM (
         |  SELECT *, s11 * s22 - s12 * s12 AS det FROM (
         |    SELECT *,

@@ -77,7 +77,10 @@ object Engagement {
              fromStage: String, toStage: String): DataFrame = {
     val per = df.groupBy(key.as("k")).agg(
       min(when(stageCol === fromStage, ts)).as("t_from"),
-      min(when(stageCol === toStage, ts)).as("t_to"))
+      // latest to-stage time: converted iff ANY to-stage event is strictly
+      // after the first from-stage event (min would miss users who hit the
+      // to-stage both before and after entering the funnel)
+      max(when(stageCol === toStage, ts)).as("t_to"))
     per.filter(col("t_from").isNotNull)
       .agg(
         count(lit(1)).as("n_entered"),

@@ -35,14 +35,17 @@ object Regression {
       sum(yd).cast("double").as("sy"),
       sum(xd * xd).cast("double").as("sxx"),
       sum(xd * yd).cast("double").as("sxy"))
-    // guard the degenerate denominator (constant x / n=1): emit NULL like
-    // SQL engines do on 0/0, not NaN/Infinity
+    // degenerate-design guard (constant x / n=1): the exact-decimal sums can
+    // leave a ~1e-18 residue once cast to double, so test the denominator
+    // RELATIVE to its terms, not against literal zero; emit NULL like SQL
+    // engines do on 0/0
     val denom = col("n") * col("sxx") - col("sx") * col("sx")
+    val ok = abs(denom) > lit(1e-9) * greatest(abs(col("n") * col("sxx")), abs(col("sx") * col("sx")))
     val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / denom
     agg
-      .withColumn("slope", when(denom =!= 0.0, round(slope, 6)))
+      .withColumn("slope", when(ok, round(slope, 6)))
       .withColumn("intercept",
-        when(denom =!= 0.0, round((col("sy") - slope * col("sx")) / col("n"), 6)))
+        when(ok, round((col("sy") - slope * col("sx")) / col("n"), 6)))
       .drop("sx", "sy", "sxx", "sxy")
   }
 
@@ -70,12 +73,14 @@ object Regression {
     val s1y = col("sx1y") - col("sx1") * col("sy") / n
     val s2y = col("sx2y") - col("sx2") * col("sy") / n
     val det = s11 * s22 - s12 * s12
+    // relative guard: see olsByGroup — collinear designs leave float residue
+    val ok = abs(det) > lit(1e-9) * greatest(abs(s11 * s22), abs(s12 * s12))
     val b1 = (s22 * s1y - s12 * s2y) / det
     val b2 = (s11 * s2y - s12 * s1y) / det
     agg
-      .withColumn("b1", when(det =!= 0.0, round(b1, 6)))
-      .withColumn("b2", when(det =!= 0.0, round(b2, 6)))
-      .withColumn("b0", when(det =!= 0.0,
+      .withColumn("b1", when(ok, round(b1, 6)))
+      .withColumn("b2", when(ok, round(b2, 6)))
+      .withColumn("b0", when(ok,
         round((col("sy") - b1 * col("sx1") - b2 * col("sx2")) / n, 6)))
       .drop("sx1", "sx2", "sy", "sx1x1", "sx2x2", "sx1x2", "sx1y", "sx2y")
   }

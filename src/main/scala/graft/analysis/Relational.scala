@@ -71,9 +71,11 @@ object Relational {
     val supp = table(spark, sfDir, "supplier")
     val ord = table(spark, sfDir, "orders")
     val li = table(spark, sfDir, "lineitem")
+    // customer/supplier scale with SF: no broadcast hint (AQE/size stats
+    // decide); nation/region are bounded dims and stay hinted
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
@@ -81,15 +83,18 @@ object Relational {
   }
 
   /** TPC-H Q17-shaped: revenue from line items whose quantity is below half
-    * the part's average. The per-part average is a partial-aggregated
-    * broadcast side; the fact table never shuffles.
+    * the part's average. The per-part average is partial-aggregated and
+    * joined back; at small SF it broadcasts, at scale it shuffle-joins on
+    * the part key.
     */
   def q17SmallQuantity(spark: SparkSession, sfDir: String): DataFrame = {
     val li = table(spark, sfDir, "lineitem")
     val avgQty = li.groupBy(col("l_partkey").as("p_key"))
       .agg((sum(dec(col("l_quantity"))).cast("double") / count(col("l_quantity")).cast("double"))
         .as("avg_qty"))
-    li.join(broadcast(avgQty), col("l_partkey") === col("p_key"))
+    // the per-part average scales with SF — let the planner choose the
+    // join strategy from size statistics rather than forcing a broadcast
+    li.join(avgQty, col("l_partkey") === col("p_key"))
       .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
       .agg(exactSum(col("l_extendedprice")).as("total_price"), count(lit(1)).as("n_items"))
   }

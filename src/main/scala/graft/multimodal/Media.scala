@@ -69,6 +69,7 @@ object Media {
     * keyframes here). The chunking and batch shape are real.
     */
   def frameSample(raw: MediaRaw, frameSize: Int, stride: Int): MediaFrameStats = {
+    require(frameSize >= 1 && stride >= 1, s"frameSize/stride must be >= 1, got $frameSize/$stride")
     val frames = raw.bytes.grouped(frameSize).toArray
     val sampled = frames.indices.collect { case i if i % stride == 0 => frames(i) }
     MediaFrameStats(raw.media_id, frames.length.toLong, sampled.length.toLong,

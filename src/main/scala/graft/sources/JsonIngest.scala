@@ -41,7 +41,9 @@ object JsonIngest {
         col("sub.submitted_at").as("timestamp"),
         posexplode(col("sub.answers")).as(Seq("answer_idx", "answer")))
       .select(
-        concat_ws("/", col("response_id"), col("answer_idx")).as("origin_id"),
+        // plain concat so a null response_id yields a NULL origin id (never
+        // colliding in ingest dedup) instead of collapsing to the bare index
+        concat(col("response_id"), lit("/"), col("answer_idx").cast("string")).as("origin_id"),
         col("participant_urn"), col("timestamp"),
         col("answer.question_id").as("dataset"),
         col("answer.text").as("text"))

@@ -43,7 +43,8 @@ object Sources {
     * key set is small, shuffle-hash otherwise.
     */
   def dedupAgainst(incoming: DataFrame, existing: DataFrame, key: String): DataFrame =
-    incoming.join(existing.select(key).distinct(), Seq(key), "left_anti")
+    incoming.dropDuplicates(key) // a batch can carry its own repeats (page overlap)
+      .join(existing.select(key), Seq(key), "left_anti")
 
   def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode("overwrite")

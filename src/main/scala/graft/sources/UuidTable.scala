@@ -34,12 +34,19 @@ object UuidTable {
     df.select(col(urnCol).as("urn")).distinct()
       .withColumn("participant_uuid", uuidFor(col("urn"), hashKey))
 
-  /** Replace the URN column with the mapped uuid. */
-  def pseudonymize(df: DataFrame, urnCol: String, table: DataFrame): DataFrame =
-    df.join(table.withColumnRenamed("urn", urnCol), Seq(urnCol))
+  /** Replace the URN column with the mapped uuid. URNs missing from the
+    * table get a freshly computed uuid (same keyed hash) instead of being
+    * silently dropped — new participants must never lose messages.
+    */
+  def pseudonymize(df: DataFrame, urnCol: String, table: DataFrame, hashKey: String = "graft"): DataFrame =
+    df.join(table.withColumnRenamed("urn", urnCol), Seq(urnCol), "left")
+      .withColumn("participant_uuid",
+        coalesce(col("participant_uuid"), uuidFor(col(urnCol), hashKey)))
       .drop(urnCol)
 
-  /** Re-attach URNs for an authorized re-identification flow. */
+  /** Re-attach URNs for an authorized re-identification flow; uuids absent
+    * from the table keep a null urn rather than dropping the row.
+    */
   def reidentify(df: DataFrame, table: DataFrame): DataFrame =
-    df.join(table, Seq("participant_uuid"))
+    df.join(table, Seq("participant_uuid"), "left")
 }

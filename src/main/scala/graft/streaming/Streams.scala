@@ -51,7 +51,7 @@ object Streams {
     * rapid_pro_to_engagement_db.py:175).
     */
   def dedupStream(events: DataFrame, keyCols: Seq[String], tsCol: String, watermark: String): DataFrame =
-    events.withWatermark(tsCol, watermark).dropDuplicates(keyCols)
+    events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
 
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
   case class SessionState(sessionCount: Long, lastTsMicros: Long)
@@ -62,7 +62,11 @@ object Streams {
     * per micro-batch (Update mode).
     *
     * State is one (count, lastTs) pair per user — constant-size, safe at any
-    * user cardinality that fits the state store.
+    * user cardinality that fits the state store. Assumes per-key event-time
+    * order across micro-batches (upstream watermark/sort); an event arriving
+    * with ts earlier than the state's lastTs is counted toward n_events and
+    * folded into the current session without rewinding lastTs, so one late
+    * record cannot corrupt subsequent gap decisions.
     */
   def sessionize(events: Dataset[SessionEvent], gapSeconds: Long): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
@@ -81,7 +85,7 @@ object Streams {
             // gap comparisons match the batch operator's unix_micros exactly
             val tsMicros = (e.ts.getTime / 1000L) * 1000000L + e.ts.getNanos / 1000L
             if (lastTs == Long.MinValue || tsMicros - lastTs > gapMicros) sessions += 1
-            lastTs = tsMicros
+            if (tsMicros > lastTs) lastTs = tsMicros // never rewind on late data
             nEvents += 1
           }
           state.update((SessionState(sessions, lastTs), nEvents))

@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   */
 object Cleaners {
 
-  /** Lowercase, trim, collapse internal whitespace runs. */
+  /** Lowercase, trim, collapse whitespace runs (all whitespace classes —
+    * SMS/form payloads carry tabs and newlines, not just spaces). */
   def normalizeText(c: Column): Column =
-    regexp_replace(trim(lower(c)), " +", " ")
+    trim(regexp_replace(lower(c), "\\s+", " "))
 
   /** Strip everything but digits (phone-number style normalization). */
   def digitsOnly(c: Column): Column = regexp_replace(c, "[^0-9]", "")

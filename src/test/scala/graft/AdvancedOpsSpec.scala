@@ -147,4 +147,11 @@ class AdvancedOpsSpec extends SparkSpec {
       .select("b1", "b2", "b0").as[(Double, Double, Double)].collect().head
     assert(r == ((2.0, 3.0, 1.0)))
   }
+
+  test("OLS null guard also catches fractional constant-x designs") {
+    // sx=0.3, sxx=0.03: exact in decimal but leaves ~1e-18 residue in double
+    val df = Seq(("g", 0.10, 1.0), ("g", 0.10, 2.0), ("g", 0.10, 3.0)).toDF("g", "x", "y")
+    val row = graft.analysis.Regression.olsByGroup(df, Seq(col("g")), col("x"), col("y")).head()
+    assert(row.isNullAt(row.fieldIndex("slope")))
+  }
 }
