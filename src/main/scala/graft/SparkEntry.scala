@@ -239,7 +239,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash32(table(s, dir, "documents"), col("doc_id"), col("text"))),
     "dedup_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(table(s, dir, "documents"), col("doc_id"), col("text"), 4, 3)),
+      Dedup.simhashPairs(table(s, dir, "documents"), col("doc_id"), col("text"), 4, 3, 1000L)),
     "ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(table(s, dir, "documents"), col("doc_id"), col("text"), 3,
         col("doc_id") < 50, 0.05)),
@@ -661,9 +661,13 @@ asofOracle,
         |sh AS (
         |  SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY pos) AS simhash
         |  FROM votes GROUP BY doc_id),
-        |banded AS (
+        |banded_all AS (
         |  SELECT doc_id, simhash, band, substr(simhash, band * 8 + 1, 8) AS bk
         |  FROM sh, (VALUES (0), (1), (2), (3)) AS v(band)),
+        |banded AS (
+        |  SELECT * FROM (
+        |    SELECT *, COUNT(*) OVER (PARTITION BY band, bk) AS cnt FROM banded_all)
+        |  WHERE cnt <= 1000),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    a.simhash AS h_a, b.simhash AS h_b

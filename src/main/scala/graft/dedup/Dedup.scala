@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.text.TextFeatures
@@ -125,16 +126,27 @@ object Dedup {
     * for more discrimination; 32 bits are used here for oracle
     * practicality.
     */
-  def simhashPairs(df: DataFrame, id: Column, text: Column, numBands: Int, maxHamming: Int): DataFrame = {
+  def simhashPairs(df: DataFrame, id: Column, text: Column, numBands: Int, maxHamming: Int,
+                   maxBucketSize: Long = 0L): DataFrame = {
     require(32 % numBands == 0)
     val bandLen = 32 / numBands
     val hashes = simhash32(df, id, text)
     val bandStructs = (0 until numBands).map { b =>
       struct(lit(b).as("band"), substring(col("simhash"), b * bandLen + 1, bandLen).as("bk"))
     }
-    val banded = hashes.select(col("doc_id"), col("simhash"),
+    val allBanded = hashes.select(col("doc_id"), col("simhash"),
       explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("simhash"), col("bs.band").as("band"), col("bs.bk").as("bk"))
+    // frequent-bucket suppression: a band value shared by a large fraction of
+    // the corpus is low-information and quadratic to join — drop those
+    // buckets (a near-dup pair usually still shares a rarer band; standard
+    // LSH recall/cost trade). 0 disables the cap.
+    val banded =
+      if (maxBucketSize <= 0) allBanded
+      else allBanded.withColumn("__cnt",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("bk"))))
+        .filter(col("__cnt") <= maxBucketSize)
+        .drop("__cnt")
     // verify (cheap fused hamming) BEFORE deduplicating: the filter drops
     // the bulk of the multi-band duplicates, so only survivors shuffle
     banded.as("a").join(banded.as("b"),
