@@ -4,8 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.text.TextFeatures
-
 /** Deduplication family for LLM training-data pipelines.
   *
   * Design for 100 TB (SURVEY.md §5): sketches (fingerprints, minhash

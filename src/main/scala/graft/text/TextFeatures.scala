@@ -2,7 +2,6 @@ package graft.text
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.IntegerType
 
 /** Text-analysis primitives for large-scale corpus pipelines: tokenization,
   * shingling, stopword statistics, quality scoring, and a heuristic

@@ -163,4 +163,23 @@ class TextDedupSpec extends SparkSpec {
     val queries = e.filter(col("id") >= 8 && col("id") < 16)
     assert(Knn.ivfTopK(queries, e, trained, 5).count() > 0)
   }
+
+  test("simhash bucket cap suppresses hot buckets but keeps rare-band pairs") {
+    // two near-identical docs (many shared tokens -> tiny hamming) + filler
+    // sharing a hot common band
+    val base = (1 to 24).map(i => s"tok$i").mkString(" ")
+    val near = Seq((1L, base + " endA"), (2L, base + " endB"))
+    // filler: long shared vocabulary -> near-identical simhashes -> hot buckets
+    val fillerBase = (1 to 30).map(i => s"fill$i").mkString(" ")
+    val filler = (10L to 40L).map(i => (i, s"$fillerBase w$i"))
+    val df = (near ++ filler).toDF("id", "text")
+    val unlimited = graft.dedup.Dedup.simhashPairs(df, col("id"), col("text"), 4, 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val capped = graft.dedup.Dedup.simhashPairs(df, col("id"), col("text"), 4, 8, maxBucketSize = 10L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(unlimited))
+    assert(unlimited.contains((1L, 2L)))
+    assert(capped.contains((1L, 2L)), "rare-band near-dup pair must survive the cap")
+    assert(capped.size < unlimited.size, "hot-bucket pairs must be suppressed")
+  }
 }
