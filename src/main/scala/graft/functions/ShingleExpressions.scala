@@ -162,6 +162,39 @@ case class SimHash32(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): SimHash32 = copy(newChild)
 }
 
+/** 64-bit SimHash — the production-width variant (see Dedup.simhashPairs
+  * note): twice the band discrimination of SimHash32 on low-diversity
+  * corpora. Same bit-vote semantics over the first 16 md5 hex digits.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val seen = new java.util.HashSet[String]()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < words.length) {
+      if (seen.add(words(i))) {
+        val hex = ShingleUtil.md5Hex(words(i))
+        var pos = 0
+        while (pos < 64) {
+          val digit = Character.digit(hex.charAt(pos / 4), 16)
+          val bit = (digit >> (3 - pos % 4)) & 1
+          votes(pos) += bit * 2 - 1
+          pos += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Char](64)
+    var p = 0
+    while (p < 64) { out(p) = if (votes(p) > 0) '1' else '0'; p += 1 }
+    UTF8String.fromString(new String(out))
+  }
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(newChild)
+}
+
 /** Hamming distance between two equal-length strings (e.g. simhash bit
   * strings) — one fused byte scan; the higher-order-function formulation
   * (split + zip_with + filter) is interpreted and dominates candidate-pair
@@ -194,4 +227,6 @@ object ShingleExpressions {
     Bridge.column(HammingDistance(Bridge.expression(a), Bridge.expression(b)))
   def simhash32(text: Column): Column =
     Bridge.column(SimHash32(Bridge.expression(text)))
+  def simhash64(text: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(text)))
 }

@@ -182,4 +182,16 @@ class TextDedupSpec extends SparkSpec {
     assert(capped.contains((1L, 2L)), "rare-band near-dup pair must survive the cap")
     assert(capped.size < unlimited.size, "hot-bucket pairs must be suppressed")
   }
+
+  test("simhash64 discriminates better than simhash32 on a low-diversity corpus") {
+    val docs = GraftSession.table(spark, "/root/testdata/sf0.01", "documents")
+    val h = docs.select(
+      graft.functions.ShingleExpressions.simhash32(col("text")).as("h32"),
+      graft.functions.ShingleExpressions.simhash64(col("text")).as("h64"))
+    val Array(d32, d64) = h.agg(countDistinct(col("h32")), countDistinct(col("h64")))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(d64 >= d32, s"d64=$d64 d32=$d32")
+    // 64-bit prefix agrees with the 32-bit hash (same vote semantics)
+    assert(h.filter(substring(col("h64"), 1, 32) =!= col("h32")).count() == 0)
+  }
 }
