@@ -32,6 +32,32 @@ object Cleaners {
     when(n.isNotNull && n >= minAge && n <= maxAge, n)
   }
 
+  /** Number words for locale-aware age cleaning (the reference ships Somali
+    * and Swahili demographic cleaners; these are the public numerals).
+    * Tens-words only — composite forms fall back to digit extraction.
+    */
+  val somaliTens: Map[String, Int] = Map(
+    "toban" -> 10, "labaatan" -> 20, "soddon" -> 30, "afartan" -> 40,
+    "konton" -> 50, "lixdan" -> 60, "toddobaatan" -> 70, "siddeetan" -> 80,
+    "sagaashan" -> 90)
+  val swahiliTens: Map[String, Int] = Map(
+    "kumi" -> 10, "ishirini" -> 20, "thelathini" -> 30, "arobaini" -> 40,
+    "hamsini" -> 50, "sitini" -> 60, "sabini" -> 70, "themanini" -> 80,
+    "tisini" -> 90)
+
+  /** Age cleaning with locale number-word support: digits first, then any
+    * known number word in the normalized text. Bounds apply to both paths.
+    */
+  def cleanAgeLocalized(c: Column, words: Map[String, Int],
+                        minAge: Int = 10, maxAge: Int = 99): Column = {
+    val fromDigits = cleanAge(c, minAge, maxAge)
+    val toks = split(normalizeText(c), " ")
+    val fromWords = words.foldLeft(lit(null).cast("int")) { case (acc, (w, v)) =>
+      if (v >= minAge && v <= maxAge) coalesce(acc, when(array_contains(toks, w), v)) else acc
+    }
+    coalesce(fromDigits, fromWords)
+  }
+
   /** Map yes/no response variants onto canonical codes; null when unmatched. */
   def cleanYesNo(c: Column): Column = {
     val t = normalizeText(c)

@@ -38,4 +38,17 @@ class BucketedSpec extends SparkSpec {
       .orderBy("user_id").collect().toSeq
     assert(a == b)
   }
+
+  test("window operators on the bucketed table need no exchange either") {
+    // relies on the table created by the previous test in this suite
+    val sess = graft.operators.Sessionize.sessionCounts(
+      spark.table("events_bucketed"), "user_id", col("ts"), col("event_id"), 1800L)
+    val plan = sess.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    val expected = graft.operators.Sessionize.sessionCounts(
+      GraftSession.table(spark, "/root/testdata/sf0.001", "events"),
+      "user_id", col("ts"), col("event_id"), 1800L)
+      .orderBy("user_id").collect().toSeq
+    assert(sess.orderBy("user_id").collect().toSeq == expected)
+  }
 }

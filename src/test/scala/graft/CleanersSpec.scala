@@ -30,4 +30,12 @@ class CleanersSpec extends SparkSpec {
       .select(Cleaners.cleanYesNo(col("t"))).as[Option[String]].collect().toSeq
     assert(got == Seq(Some("yes"), Some("no"), None))
   }
+
+  test("cleanAgeLocalized understands Somali and Swahili tens words") {
+    val got = Seq("waxaan ahay labaatan jir", "nina miaka thelathini", "I am 45", "no age here")
+      .toDF("t")
+      .select(Cleaners.cleanAgeLocalized(col("t"),
+        Cleaners.somaliTens ++ Cleaners.swahiliTens)).as[Option[Int]].collect().toSeq
+    assert(got == Seq(Some(20), Some(30), Some(45), None))
+  }
 }
