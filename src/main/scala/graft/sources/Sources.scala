@@ -46,6 +46,19 @@ object Sources {
     incoming.dropDuplicates(key) // a batch can carry its own repeats (page overlap)
       .join(existing.select(key), Seq(key), "left_anti")
 
+  /** Persist a fact table bucketed (and sorted) by its entity key: every
+    * downstream entity-keyed aggregation/window then plans without an
+    * exchange (proven in BucketedSpec). The standard layout investment for
+    * re-keyed pipelines at 100 TB.
+    */
+  def writeBucketed(df: DataFrame, tableName: String, path: String,
+                    bucketCol: String, numBuckets: Int, sortCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(sortCols.head, sortCols.tail: _*)
+      .option("path", path)
+      .saveAsTable(tableName)
+
   def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)

@@ -14,10 +14,8 @@ class BucketedSpec extends SparkSpec {
   test("aggregations on a user-bucketed events table plan no exchange") {
     val wh = Files.createTempDirectory("graft_wh").toString
     val ev = GraftSession.table(spark, "/root/testdata/sf0.001", "events")
-    ev.write.mode("overwrite")
-      .bucketBy(8, "user_id").sortBy("user_id", "ts")
-      .option("path", s"$wh/events_bucketed")
-      .saveAsTable("events_bucketed")
+    graft.sources.Sources.writeBucketed(ev, "events_bucketed", s"$wh/events_bucketed",
+      "user_id", 8, Seq("user_id", "ts"))
 
     val agg = spark.table("events_bucketed")
       .groupBy(col("user_id"))
