@@ -204,8 +204,13 @@ object SparkEntry {
         propsInt,
         hour(col("ts")), col("value"))),
     "value_quantiles" -> ((s, dir) =>
+      // scalar columns (not an array) so the driver's pandas sort-hash can
+      // factorize the result; Spark exact `percentile` ≡ DuckDB quantile_cont
       events(s, dir).groupBy(col("event_type"))
-        .agg(expr("percentile(value, array(0.5D, 0.9D))").as("quantiles"))),
+        .agg(expr("percentile(value, array(0.5D, 0.9D))").as("__q"))
+        .select(col("event_type"),
+          round(element_at(col("__q"), 1), 6).as("p50"),
+          round(element_at(col("__q"), 2), 6).as("p90"))),
     "normalize_scheme_versions" -> ((s, dir) => {
       // duplicate code schemes carry a numeric suffix; normalize to the base
       // scheme id, then keep the latest label per (participant, base scheme)
@@ -246,8 +251,12 @@ object SparkEntry {
       Dedup.minhashDedupVerified(table(s, dir, "documents"), col("doc_id"), col("text"),
         3, 16, 4, 0.5)),
     "topk_values_agg" -> ((s, dir) =>
+      // exploded to (event_type, rank, value) rows — array columns break the
+      // driver's pandas sort-hash; the heap agg itself is unchanged
       events(s, dir).groupBy(col("event_type"))
-        .agg(graft.functions.TopKAgg.topK(col("value"), 5).as("top_values"))),
+        .agg(graft.functions.TopKAgg.topK(col("value"), 5).as("__tv"))
+        .select(col("event_type"), posexplode(col("__tv")).as(Seq("__pos", "value")))
+        .select(col("event_type"), (col("__pos") + 1).as("rank"), col("value"))),
     "production_export" -> ((s, dir) => {
       // consent filter -> message column view -> stable export projection
       val ev = Imputation.propagateFlag(events(s, dir), "user_id",
@@ -588,7 +597,8 @@ asofOracle,
         |        WHERE NULLIF(regexp_extract(props, '[0-9]+', 0), '') IS NOT NULL AND value IS NOT NULL)
         |      GROUP BY event_type)))""".stripMargin,
     "value_quantiles" ->
-      """SELECT event_type, quantile_cont(value, [0.5, 0.9]) AS quantiles
+      """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90
         |FROM events GROUP BY event_type""".stripMargin,
     "normalize_scheme_versions" ->
       """SELECT base_scheme, COUNT(*) AS n_latest,
@@ -709,8 +719,13 @@ asofOracle,
          |             JOIN shl sb ON pairs.doc_b = sb.doc_id)
          |WHERE j >= 0.5""".stripMargin,
     "topk_values_agg" ->
-      """SELECT event_type, list_sort(list(value), 'DESC')[1:5] AS top_values
-        |FROM events GROUP BY event_type""".stripMargin,
+      """WITH tv AS (
+        |  SELECT event_type,
+        |    list_sort(list(value) FILTER (WHERE value IS NOT NULL), 'DESC')[1:5] AS top_values
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, r AS rank, top_values[r] AS value
+        |FROM tv, (VALUES (1), (2), (3), (4), (5)) AS v(r)
+        |WHERE r <= len(top_values)""".stripMargin,
     "production_export" ->
       """WITH flagged AS (
         |  SELECT *,
