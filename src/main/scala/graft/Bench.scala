@@ -10,14 +10,21 @@ object Bench {
     Seq("lineitem", "orders", "events", "documents", "embeddings", "customer",
         "supplier", "nation", "region", "part")
       .foreach(t => GraftSession.table(spark, sfDir, t).count())
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated query filter for dev iteration; the driver
+    // leaves this unset and benches the full contract
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // deterministic (sorted) execution order so per-query times are
+    // comparable across rounds — Map iteration order is arbitrary
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -150,13 +150,15 @@ object SparkEntry {
 
     "clean_responses" -> ((s, dir) => {
       // cleaner layer over raw response text (props standing in for survey
-      // answers): extract + bound-check the numeric answer, band it
-      val age = graft.text.Cleaners.cleanAge(col("props"), 10, 99)
+      // answers): extract ONCE into an attribute, then bound-check and band
+      // the attribute — banding the raw extraction instead re-evaluates the
+      // regex per predicate reference (the round-1 5.6 s)
+      import graft.text.Cleaners
       events(s, dir)
-        .select(Imputation.imputeMissing(age.cast("string"), "INVALID").as("cleaned"),
-          col("user_id"))
-        .groupBy(when(col("cleaned") === "INVALID", "INVALID")
-          .otherwise(Imputation.band(col("cleaned").cast("int").cast("double"),
+        .select(Cleaners.firstInt(col("props")).as("__age_raw"), col("user_id"))
+        .select(Cleaners.boundedAge(col("__age_raw"), 10, 99).as("__cleaned"), col("user_id"))
+        .groupBy(when(col("__cleaned").isNull, "INVALID")
+          .otherwise(Imputation.band(col("__cleaned").cast("double"),
             Seq(20.0, 40.0, 60.0), Seq("10s", "20-39", "40-59", "60+"))).as("age_band"))
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
     }),

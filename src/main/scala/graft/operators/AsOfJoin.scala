@@ -28,6 +28,8 @@ object AsOfJoin {
     */
   def asOf(left: DataFrame, right: DataFrame, key: String, leftTs: String,
            rightTs: String, rightTiebreak: String, payload: Seq[String]): DataFrame = {
+    graft.util.TempCols.assertFree(left, "__ts", "__pay", "__tag", "__carry")
+    graft.util.TempCols.assertFree(right, "__ts", "__pay", "__tag", "__carry")
     // null-keyed/ts right rows can never match (SQL join semantics — the
     // window would otherwise group null keys together and carry them)
     val rightClean = right.filter(col(key).isNotNull && col(rightTs).isNotNull)

@@ -21,6 +21,8 @@ object SkewJoin {
     */
   def saltedJoin(facts: DataFrame, dim: DataFrame, key: String,
                  distributeBy: Column, saltBuckets: Int): DataFrame = {
+    graft.util.TempCols.assertFree(facts, "__salt")
+    graft.util.TempCols.assertFree(dim, "__salt", "__salt_i")
     val salted = facts.withColumn("__salt", pmod(xxhash64(distributeBy), lit(saltBuckets)))
     val replicated = dim
       .withColumn("__salt_i", explode(sequence(lit(0), lit(saltBuckets - 1))))
@@ -34,6 +36,7 @@ object SkewJoin {
     */
   def skewSafeDistinctCount(df: DataFrame, groupCols: Seq[Column], distinctCol: Column,
                             saltBuckets: Int): DataFrame = {
+    graft.util.TempCols.assertFree(df, "__salt", "__partial")
     val pre = df
       .withColumn("__salt", pmod(xxhash64(distinctCol), lit(saltBuckets)))
       .groupBy(groupCols :+ col("__salt"): _*)

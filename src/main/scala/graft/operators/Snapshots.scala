@@ -22,6 +22,7 @@ object Snapshots {
     * `tiebreaks` (must make the ordering total for deterministic results).
     */
   def latest(df: DataFrame, key: Seq[Column], version: Column, tiebreaks: Column*): DataFrame = {
+    graft.util.TempCols.assertFree(df, "__rn")
     val w = Window.partitionBy(key: _*).orderBy((version.desc +: tiebreaks.map(_.desc)): _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -63,60 +63,141 @@ case class AsOfJoinExec(
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
+  /** Timestamps must be physically long-backed; enforced at plan time so a
+    * DateType/IntegerType misuse fails with a clear message, not a cast
+    * error deep inside doExecute. */
+  private def requireLongBacked(a: Attribute, side: String): Unit = a.dataType match {
+    case org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType |
+         org.apache.spark.sql.types.LongType => ()
+    case other => throw new IllegalArgumentException(
+      s"AsOfJoinExec: $side timestamp column '${a.name}' must be TIMESTAMP or BIGINT, got $other")
+  }
+  requireLongBacked(leftTs, "left")
+  requireLongBacked(rightTs, "right")
+
   override protected def doExecute(): RDD[InternalRow] = {
-    val lKey = BindReferences.bindReference(leftKey: Expression, left.output)
-    val lTs = BindReferences.bindReference(leftTs: Expression, left.output)
-    val rKey = BindReferences.bindReference(rightKey: Expression, right.output)
-    val rTs = BindReferences.bindReference(rightTs: Expression, right.output)
-    val keyOrdering = org.apache.spark.sql.catalyst.util.TypeUtils
-      .getInterpretedOrdering(leftKey.dataType)
+    import org.apache.spark.sql.types._
+    val lTsOrd = left.output.indexWhere(_.exprId == leftTs.exprId)
+    val rTsOrd = right.output.indexWhere(_.exprId == rightTs.exprId)
+    val lKeyOrd = left.output.indexWhere(_.exprId == leftKey.exprId)
+    val rKeyOrd = right.output.indexWhere(_.exprId == rightKey.exprId)
+    require(lTsOrd >= 0 && rTsOrd >= 0 && lKeyOrd >= 0 && rKeyOrd >= 0,
+      "as-of key/timestamp columns must be direct child outputs")
+    val keyType = leftKey.dataType
+    // long-backed keys take a primitive path: no key projections, no
+    // generated ordering — three fewer codegen units (the cold-run cost)
+    // and zero per-row allocation.
+    val primitiveKey = keyType match {
+      case LongType | IntegerType | ShortType | ByteType |
+           TimestampType | TimestampNTZType | DateType => true
+      case _ => false
+    }
     // right side must bind as nullable: unmatched left rows read a null row
     val joinedSchema = left.output ++ right.output.map(_.withNullability(true))
     val outputAttrs = output
     val rightArity = right.output.length
+    val leftOutput = left.output
+    val rightOutput = right.output
+    val lKeyAttr = leftKey
+    val rKeyAttr = rightKey
+
+    def keyAsLong(dt: DataType): (InternalRow, Int) => Long = dt match {
+      case LongType | TimestampType | TimestampNTZType => (r, i) => r.getLong(i)
+      case IntegerType | DateType => (r, i) => r.getInt(i).toLong
+      case ShortType => (r, i) => r.getShort(i).toLong
+      case ByteType => (r, i) => r.getByte(i).toLong
+    }
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val proj = UnsafeProjection.create(outputAttrs, joinedSchema)
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightArity)
       val rBuf = rIter.buffered
+      // Carried state is always a private copy: sorter iterators reuse both
+      // the row object AND (on spill) the backing buffer, so caching a live
+      // row or an evaluated non-primitive key would silently mutate.
+      // UnsafeRow.copyFrom reuses the carry buffer — no steady-state alloc.
       var carried: InternalRow = null
-      var carriedKey: Any = null
+      def stashRow(dst: InternalRow, src: InternalRow): InternalRow = (dst, src) match {
+        case (d: UnsafeRow, s: UnsafeRow) => d.copyFrom(s); d
+        case (null, s: UnsafeRow) => s.copy()
+        case (_, s) => s.copy()
+      }
 
-      lIter.map { lRow =>
-        val lk = lKey.eval(lRow)
-        val ltAny = lTs.eval(lRow)
-        if (lk == null || ltAny == null) {
-          // null key/ts never matches (same as the composed join and SQL ASOF)
-          proj(joined(lRow, nullRight))
-        } else {
-          val lt = ltAny.asInstanceOf[Long]
-          if (carriedKey != null && keyOrdering.compare(carriedKey.asInstanceOf[AnyRef], lk.asInstanceOf[AnyRef]) != 0) {
-            carried = null; carriedKey = null
-          }
-          var advance = true
-          while (advance && rBuf.hasNext) {
-            val peek = rBuf.head
-            val rk = rKey.eval(peek)
-            val rtAny = if (rk == null) null else rTs.eval(peek)
-            if (rk == null || rtAny == null) {
-              rBuf.next() // null-keyed/ts right rows match nothing
-            } else {
-              val cmp = keyOrdering.compare(rk.asInstanceOf[AnyRef], lk.asInstanceOf[AnyRef])
-              if (cmp < 0) {
-                rBuf.next() // earlier key: its carry can never match again
-              } else if (cmp == 0 && rtAny.asInstanceOf[Long] <= lt) {
-                carried = rBuf.next().copy()
-                carriedKey = lk
+      if (primitiveKey) {
+        val lKeyGet = keyAsLong(keyType)
+        val rKeyGet = keyAsLong(keyType)
+        var carriedKey = 0L
+        var hasCarried = false
+        lIter.map { lRow =>
+          if (lRow.isNullAt(lKeyOrd) || lRow.isNullAt(lTsOrd)) {
+            // null key/ts never matches (same as the composed join and SQL ASOF)
+            proj(joined(lRow, nullRight))
+          } else {
+            val lk = lKeyGet(lRow, lKeyOrd)
+            val lt = lRow.getLong(lTsOrd)
+            if (hasCarried && carriedKey != lk) hasCarried = false
+            var advance = true
+            while (advance && rBuf.hasNext) {
+              val peek = rBuf.head
+              if (peek.isNullAt(rKeyOrd) || peek.isNullAt(rTsOrd)) {
+                rBuf.next() // null-keyed/ts right rows match nothing
               } else {
-                advance = false
+                val rk = rKeyGet(peek, rKeyOrd)
+                if (rk < lk) {
+                  rBuf.next() // earlier key: its carry can never match again
+                } else if (rk == lk && peek.getLong(rTsOrd) <= lt) {
+                  carried = stashRow(carried, rBuf.next())
+                  carriedKey = lk
+                  hasCarried = true
+                } else {
+                  advance = false
+                }
               }
             }
+            proj(joined(lRow, if (hasCarried) carried else nullRight))
           }
-          val r = if (carried != null && carriedKey != null &&
-            keyOrdering.compare(carriedKey.asInstanceOf[AnyRef], lk.asInstanceOf[AnyRef]) == 0) carried
-          else nullRight
-          proj(joined(lRow, r))
+        }
+      } else {
+        // generic keys (string/decimal/...): codegen'd single-field key
+        // projections + generated UnsafeRow ordering; carried key is copied
+        // so a sort-spill buffer reuse can never alias it (strings point
+        // into sorter memory).
+        val lKeyProj = UnsafeProjection.create(Seq(lKeyAttr: Expression), leftOutput)
+        val rKeyProj = UnsafeProjection.create(Seq(rKeyAttr: Expression), rightOutput)
+        val keyOrdering = org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+          .create(StructType(Seq(StructField("k", keyType))))
+        var carriedKey: UnsafeRow = null
+        var hasCarried = false
+        lIter.map { lRow =>
+          val lk = lKeyProj(lRow)
+          if (lk.isNullAt(0) || lRow.isNullAt(lTsOrd)) {
+            proj(joined(lRow, nullRight))
+          } else {
+            val lt = lRow.getLong(lTsOrd)
+            if (hasCarried && keyOrdering.compare(carriedKey, lk) != 0) hasCarried = false
+            var advance = true
+            while (advance && rBuf.hasNext) {
+              val peek = rBuf.head
+              val rk = rKeyProj(peek)
+              if (rk.isNullAt(0) || peek.isNullAt(rTsOrd)) {
+                rBuf.next()
+              } else {
+                val cmp = keyOrdering.compare(rk, lk)
+                if (cmp < 0) {
+                  rBuf.next()
+                } else if (cmp == 0 && peek.getLong(rTsOrd) <= lt) {
+                  carried = stashRow(carried, rBuf.next())
+                  carriedKey = stashRow(carriedKey, lk).asInstanceOf[UnsafeRow]
+                  hasCarried = true
+                } else {
+                  advance = false
+                }
+              }
+            }
+            proj(joined(lRow, if (hasCarried) carried else nullRight))
+          }
         }
       }
     }
@@ -145,6 +226,10 @@ object AsOfJoinNative {
     import org.apache.spark.sql.functions.col
     // prefix the right side so the joined output has unambiguous names
     val rcols = (Seq(key, rightTs, rightTiebreak) ++ payload).distinct
+    val reserved = rcols.filterNot(_ == key).map(c => s"__r_$c").toSet
+    val clash = (left.columns ++ right.columns).filter(reserved)
+    require(clash.isEmpty,
+      s"AsOfJoinNative.asOf: input columns ${clash.mkString(", ")} collide with reserved __r_* names")
     val r = right.select(rcols.map(c => col(c).as(if (c == key) c else s"__r_$c")): _*)
     val lPlan = Bridge.analyzed(left)
     val rPlan = Bridge.analyzed(r)

@@ -65,31 +65,48 @@ object NanoTimestampFilterRewrite extends Rule[LogicalPlan] {
   * bottomk_fingerprint).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Explicit signature errors: a builder that falls through a `match` throws
+    * an opaque MatchError, and silently ignoring extra arguments (e.g.
+    * minhash_sig(text, 8) running with the default perms) is worse. */
+  private def bad(sig: String, args: Seq[Expression]): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "_LEGACY_ERROR_TEMP_0035",
+      messageParameters = Map("message" ->
+        s"expected $sig, got ${args.length} argument(s); size parameters must be integer literals"))
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => NanoTimestampFilterRewrite)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("token_count"),
       new ExpressionInfo("graft.functions.TokenCount", "token_count"),
-      (args: Seq[Expression]) => TokenCount(args.head)))
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => TokenCount(t)
+        case other => bad("token_count(text)", other)
+      }))
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("distinct_shingles"),
       new ExpressionInfo("graft.functions.DistinctShingles", "distinct_shingles"),
       (args: Seq[Expression]) => args match {
         case Seq(t, Literal(n: Int, _)) => DistinctShingles(t, n)
         case Seq(t) => DistinctShingles(t, 3)
+        case other => bad("distinct_shingles(text[, n])", other)
       }))
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
       new ExpressionInfo("graft.functions.MinHashSig", "minhash_sig"),
-      (args: Seq[Expression]) =>
-        MinHashSig(args.head, 3, Dedup.minhashA, Dedup.minhashB, Dedup.minhashPrime)))
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => MinHashSig(t, 3, Dedup.minhashA, Dedup.minhashB, Dedup.minhashPrime)
+        case other => bad("minhash_sig(text)", other)
+      }))
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("bottomk_fingerprint"),
       new ExpressionInfo("graft.functions.BottomKFingerprintExpr", "bottomk_fingerprint"),
       (args: Seq[Expression]) => args match {
         case Seq(t, Literal(n: Int, _), Literal(k: Int, _)) => BottomKFingerprintExpr(t, n, k)
         case Seq(t) => BottomKFingerprintExpr(t, 3, 4)
+        case other => bad("bottomk_fingerprint(text[, n, k])", other)
       }))
   }
 }

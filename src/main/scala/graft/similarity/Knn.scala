@@ -20,9 +20,11 @@ object Knn {
 
   /** Element sum of products over double arrays, folded left-to-right (the
     * same order a sequential engine uses, keeping the oracle comparable).
+    * Fused single-loop expression — the HOF formulation
+    * (aggregate(zip_with(...))) evaluates interpreted, a boxed closure call
+    * per element, and dominated the ANN family's round-1 cost.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExpressions.dot(a, b)
 
   def toDoubleArray(c: Column): Column = transform(c, x => x.cast("double"))
 
@@ -34,6 +36,18 @@ object Knn {
     val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
     when(denom =!= 0.0, dot(a, b) / denom)
   }
+
+  /** Cosine with pre-computed per-side norms: at pair time only ONE dot
+    * product is evaluated instead of three. Numerically identical to
+    * `cosine` (each norm is the same sqrt(dot(v,v)), just computed once per
+    * vector instead of once per pair).
+    */
+  private def cosinePrenormed(a: Column, b: Column, denom: Column): Column =
+    when(denom =!= 0.0, dot(a, b) / denom)
+
+  /** Adds the vector's L2 norm once per row, before any pair join. */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("__norm", sqrt(dot(col("vec"), col("vec"))))
 
   /** Shared ranking contract for every top-k variant: round to 6 decimals,
     * order desc with vec_id tiebreak, keep k. One definition so exact and
@@ -49,10 +63,11 @@ object Knn {
     * ranking so float noise can't flip an ordering against the oracle.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.as("c")
-      .join(broadcast(queries.as("q")), col("q.id") =!= col("c.id"))
+    val scored = withNorm(corpus).as("c")
+      .join(broadcast(withNorm(queries).as("q")), col("q.id") =!= col("c.id"))
       .select(col("q.id").as("query_id"), col("c.id").as("vec_id"),
-        round(cosine(col("q.vec"), col("c.vec")), 6).as("cos_sim"))
+        round(cosinePrenormed(col("q.vec"), col("c.vec"),
+          col("q.__norm") * col("c.__norm")), 6).as("cos_sim"))
     rankTopK(scored, k)
   }
 
@@ -80,13 +95,14 @@ object Knn {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, numPlanes: Int, dim: Int): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
-    val qb = queries.withColumn("bucket", signBucket(col("vec"), planes))
-    val cb = corpus.withColumn("bucket", signBucket(col("vec"), planes))
+    val qb = withNorm(queries).withColumn("bucket", signBucket(col("vec"), planes))
+    val cb = withNorm(corpus).withColumn("bucket", signBucket(col("vec"), planes))
     val scored = cb.as("c")
       .join(broadcast(qb.as("q")),
         col("q.bucket") === col("c.bucket") && col("q.id") =!= col("c.id"))
       .select(col("q.id").as("query_id"), col("c.id").as("vec_id"),
-        round(cosine(col("q.vec"), col("c.vec")), 6).as("cos_sim"))
+        round(cosinePrenormed(col("q.vec"), col("c.vec"),
+          col("q.__norm") * col("c.__norm")), 6).as("cos_sim"))
     rankTopK(scored, k)
   }
 
@@ -116,8 +132,8 @@ object Knn {
     */
   def lshMultiProbeTopK(queries: DataFrame, corpus: DataFrame, k: Int, numPlanes: Int, dim: Int): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
-    val qb = queries.withColumn("bucket", signBucket(col("vec"), planes))
-    val cb = corpus.withColumn("bucket", signBucket(col("vec"), planes))
+    val qb = withNorm(queries).withColumn("bucket", signBucket(col("vec"), planes))
+    val cb = withNorm(corpus).withColumn("bucket", signBucket(col("vec"), planes))
     // probe set: own bucket + each one-bit flip
     val flips = (0 until numPlanes).map { i =>
       concat(
@@ -130,7 +146,8 @@ object Knn {
       .join(broadcast(probed.as("q")),
         col("q.probe") === col("c.bucket") && col("q.id") =!= col("c.id"))
       .select(col("q.id").as("query_id"), col("c.id").as("vec_id"),
-        round(cosine(col("q.vec"), col("c.vec")), 6).as("cos_sim"))
+        round(cosinePrenormed(col("q.vec"), col("c.vec"),
+          col("q.__norm") * col("c.__norm")), 6).as("cos_sim"))
       .distinct()
     rankTopK(scored, k)
   }
@@ -149,13 +166,14 @@ object Knn {
     val cent = centroids.select(col("id").as("cid"), col("vec").as("cvec"))
     def assignBucket(df: DataFrame): DataFrame =
       assignNearest(df, cent).select(col("id"), col("vec"), col("cid").as("bucket"))
-    val corpusB = assignBucket(corpus)
-    val queriesB = assignBucket(queries)
+    val corpusB = withNorm(assignBucket(corpus))
+    val queriesB = withNorm(assignBucket(queries))
     val scored = corpusB.as("c")
       .join(broadcast(queriesB.as("q")),
         col("q.bucket") === col("c.bucket") && col("q.id") =!= col("c.id"))
       .select(col("q.id").as("query_id"), col("c.id").as("vec_id"),
-        round(cosine(col("q.vec"), col("c.vec")), 6).as("cos_sim"))
+        round(cosinePrenormed(col("q.vec"), col("c.vec"),
+          col("q.__norm") * col("c.__norm")), 6).as("cos_sim"))
     rankTopK(scored, k)
   }
 
@@ -200,13 +218,14 @@ object Knn {
     // the sampled side keeps ALL its block neighbors: pairs where both sides
     // are sampled are emitted once (smaller id left); pairs whose partner is
     // unsampled are kept regardless of id order
-    val base = df.select(id.as("id"), toDoubleArray(vec).as("vec"), blockCol.as("blk"))
+    val base = withNorm(df.select(id.as("id"), toDoubleArray(vec).as("vec"), blockCol.as("blk")))
       .withColumn("__q", leftPred)
     base.filter(col("__q")).as("a")
       .join(base.as("b"), col("a.blk") === col("b.blk") && col("a.id") =!= col("b.id") &&
         (col("a.id") < col("b.id") || !col("b.__q")))
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
-        round(cosine(col("a.vec"), col("b.vec")), 6).as("cos_sim"))
+        round(cosinePrenormed(col("a.vec"), col("b.vec"),
+          col("a.__norm") * col("b.__norm")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
   }
 }

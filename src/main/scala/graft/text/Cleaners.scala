@@ -27,10 +27,20 @@ object Cleaners {
     * Reference: age cleaning ahead of _impute_age_category
     * (code_imputation_functions.py:265).
     */
-  def cleanAge(c: Column, minAge: Int = 10, maxAge: Int = 99): Column = {
-    val n = nullif(regexp_extract(c, "[0-9]+", 0), lit("")).cast("int")
+  def cleanAge(c: Column, minAge: Int = 10, maxAge: Int = 99): Column =
+    boundedAge(firstInt(c), minAge, maxAge)
+
+  /** First integer in the text; null when absent (the nullif guard matters
+    * under ANSI mode — CAST('' AS INT) throws). Project this ONCE, then
+    * bound/band the resulting attribute: referencing the raw extraction from
+    * several predicates re-evaluates the regex per reference.
+    */
+  def firstInt(c: Column): Column =
+    nullif(regexp_extract(c, "[0-9]+", 0), lit("")).cast("int")
+
+  /** Plausibility bounds over an already-extracted integer column. */
+  def boundedAge(n: Column, minAge: Int = 10, maxAge: Int = 99): Column =
     when(n.isNotNull && n >= minAge && n <= maxAge, n)
-  }
 
   /** Number words for locale-aware age cleaning (the reference ships Somali
     * and Swahili demographic cleaners; these are the public numerals).

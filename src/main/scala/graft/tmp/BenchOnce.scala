@@ -1,0 +1,24 @@
+package graft.tmp
+
+import graft.{GraftSession, SparkEntry}
+
+/** Throwaway dev harness: times each named query twice in one session to
+  * separate codegen warmup from steady-state cost. Not part of the library. */
+object BenchOnce {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.table(spark, sfDir, "events").count()
+    args.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        println(f"BENCHONCE $name run$i ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -132,6 +132,33 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(got == Map(100L -> Some(9.0), 101L -> None, 102L -> None))
   }
 
+  test("native as-of with string keys equals the composed as-of across many keys") {
+    // generic (non-primitive) key path: carried key must be a private copy,
+    // never an alias into sorter memory
+    val left = (0 until 5000).map { i =>
+      (i.toLong, s"user_${i % 97}", ts("2024-01-01 00:00:00").getTime + i * 61000L, i * 1.0)
+    }.toDF("event_id", "user", "ms", "value")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+    val right = (0 until 5000).map { i =>
+      (10000L + i, s"user_${i % 101}", ts("2024-01-01 00:00:00").getTime + i * 59000L, i * 2.0)
+    }.toDF("event_id", "user", "ms", "value")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+    val composed = graft.operators.AsOfJoin.asOf(left, right, "user", "ts", "ts", "event_id", Seq("value"))
+      .orderBy("event_id").collect().toSeq
+    val native = graft.plans.AsOfJoinNative.asOf(left, right, "user", "ts", "ts", "event_id", Seq("value"))
+      .orderBy("event_id").collect().toSeq
+    assert(native == composed)
+  }
+
+  test("native as-of rejects non-timestamp ts columns at plan time") {
+    val left = Seq((1L, "u1", 5, 1.0)).toDF("event_id", "user", "ts", "value") // ts is INT
+    val right = Seq((2L, "u1", 3, 2.0)).toDF("event_id", "user", "ts", "value")
+    val e = intercept[Exception] {
+      graft.plans.AsOfJoinNative.asOf(left, right, "user", "ts", "ts", "event_id", Seq("value")).collect()
+    }
+    assert(e.getMessage.contains("must be TIMESTAMP or BIGINT"), e.getMessage)
+  }
+
   test("OLS emits null slope for constant-x groups instead of NaN") {
     val df = Seq(("g", 5, 1.0), ("g", 5, 2.0)).toDF("g", "x", "y")
     val row = graft.analysis.Regression.olsByGroup(df, Seq(col("g")), col("x"), col("y")).head()

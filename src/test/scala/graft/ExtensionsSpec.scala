@@ -32,6 +32,19 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("SQL function builders reject wrong arity with a clear signature message") {
+    GraftSession.table(spark, sfDir, "documents").createOrReplaceTempView("docs_v")
+    val cases = Seq(
+      "SELECT token_count(text, 2) FROM docs_v",          // extra arg
+      "SELECT minhash_sig(text, 8) FROM docs_v",          // would silently drop 8
+      "SELECT distinct_shingles(text, 2, 3) FROM docs_v", // extra arg
+      "SELECT bottomk_fingerprint(text, 3) FROM docs_v")  // partial size args
+    cases.foreach { q =>
+      val e = intercept[Exception](spark.sql(q).collect())
+      assert(e.getMessage.contains("expected"), s"$q -> ${e.getMessage}")
+    }
+  }
+
   test("nano-timestamp pushdown rule fires for events time filters") {
     val plan = GraftSession.table(spark, sfDir, "events")
       .filter(col("ts") > lit("2024-01-15 00:00:00").cast("timestamp"))
