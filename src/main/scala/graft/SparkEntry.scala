@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.GraftSession.table
 import graft.analysis.{Engagement, Relational}
 import graft.dedup.Dedup
-import graft.operators.{ColumnView, Filters, Imputation, Sessionize, Snapshots}
+import graft.operators.{ColumnView, Filters, Imputation, Sessionize, Snapshots, WsCorrection}
 import graft.similarity.Knn
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory each
@@ -32,6 +32,24 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
+  /** Per-message WS-correction state derived deterministically from props:
+    * current dataset, previous-datasets history, proposed correction target
+    * (null = no WS code). Shared by ws_cycle_relabel and sync_stats.
+    */
+  private def wsState(s: SparkSession, dir: String): DataFrame = {
+    val k = propsInt
+    events(s, dir).select(
+      col("event_id"),
+      col("event_type").as("dataset"),
+      when(k % 5 === 1, col("event_type"))
+        .when(k % 5 === 2, lit("click"))
+        .when(k % 5 === 3, lit("view"))
+        .when(k % 5 === 4, lit("purchase")).as("proposed"),
+      when(k % 3 === 1, array(lit("click")))
+        .when(k % 3 === 2, array(lit("view"), lit("error")))
+        .otherwise(array().cast("array<string>")).as("previous"))
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -232,6 +250,40 @@ object SparkEntry {
       val codes = eventTypes.map(t => max(when(col("event_type") === t, col("value"))).as(s"${t}_code"))
       latest.groupBy(col("user_id")).agg(codes.head, codes.tail: _*)
     }),
+    "traffic_analysis" -> ((s, dir) => {
+      // labelled [start, end) time-block message counts (reference
+      // automated_analysis traffic_analysis export); block config broadcasts
+      val ev = events(s, dir)
+      val blocks = graft.analysis.Traffic.uniformBlocks(
+        ev, "2024-01-08 00:00:00", "2024-01-22 00:00:00", "6 HOUR")
+      graft.analysis.Traffic.trafficCounts(ev, col("ts"), col("event_type"), blocks)
+    }),
+    "sample_messages" -> ((s, dir) =>
+      // deterministic per-code sample (reference sample_messages export,
+      // limit_per_code): md5-of-id order, stable across runs and engines
+      graft.analysis.Traffic.sampleMessages(events(s, dir),
+        col("event_type"), col("event_id"), col("props"), 10)),
+    "ws_cycle_relabel" -> ((s, dir) => {
+      // one WS-correction sync step incl. cycle defense over per-message
+      // (dataset, previous_datasets, proposed) state derived from props
+      WsCorrection.correctStep(wsState(s, dir),
+          col("dataset"), col("previous"), col("proposed"))
+        .groupBy(col("new_dataset"), col("sync_event"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    "sync_stats" -> ((s, dir) =>
+      // the reference's per-dataset SyncStats accounting over the same step
+      WsCorrection.syncStats(
+        WsCorrection.correctStep(wsState(s, dir),
+          col("dataset"), col("previous"), col("proposed")),
+        Seq(col("dataset")), col("sync_event"))),
+    "reverse_sync_contacts" -> ((s, dir) =>
+      // engagement-db -> RapidPro contact fields: per-participant folded
+      // texts per dataset + consent flag (CONCATENATE_TEXTS write mode)
+      graft.operators.ReverseSync.contactFields(events(s, dir),
+        col("user_id"), col("event_type"), col("props"), col("ts"), col("event_id"),
+        Seq("click", "view", "purchase"),
+        col("event_type") === "error" && col("value") > 250.0)),
 
     // ---- C. LLM-training-data operators ----
     "dedup_exact" -> ((s, dir) =>
@@ -246,6 +298,10 @@ object SparkEntry {
       Dedup.simhash32(table(s, dir, "documents"), col("doc_id"), col("text"))),
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(table(s, dir, "documents"), col("doc_id"), col("text"), 4, 3, 1000L)),
+    "dedup_simhash64_pairs" -> ((s, dir) =>
+      // production-width variant: same pigeonhole recall at numBands=4,
+      // ~256x fewer random band collisions than 32-bit (16-bit band keys)
+      Dedup.simhashPairs64(table(s, dir, "documents"), col("doc_id"), col("text"), 4, 3, 1000L)),
     "ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(table(s, dir, "documents"), col("doc_id"), col("text"), 3,
         col("doc_id") < 50, 0.05)),
@@ -348,6 +404,67 @@ object SparkEntry {
        |  UNION ALL SELECT doc_id, 1, s4||'|'||s5||'|'||s6||'|'||s7 FROM sig
        |  UNION ALL SELECT doc_id, 2, s8||'|'||s9||'|'||s10||'|'||s11 FROM sig
        |  UNION ALL SELECT doc_id, 3, s12||'|'||s13||'|'||s14||'|'||s15 FROM sig)""".stripMargin
+  }
+
+  /** WS-correction state + one-step decision CTEs, the SQL twin of
+    * `wsState` + `WsCorrection.correctStep` — shared by ws_cycle_relabel
+    * and sync_stats. */
+  private def wsStateCtes: String =
+    """WITH st AS (
+      |  SELECT event_id, event_type AS dataset,
+      |    CASE WHEN k % 5 = 1 THEN event_type
+      |         WHEN k % 5 = 2 THEN 'click'
+      |         WHEN k % 5 = 3 THEN 'view'
+      |         WHEN k % 5 = 4 THEN 'purchase' END AS proposed,
+      |    CASE WHEN k % 3 = 1 THEN ['click']
+      |         WHEN k % 3 = 2 THEN ['view', 'error']
+      |         ELSE [] END AS previous
+      |  FROM (SELECT event_id, event_type,
+      |          CAST(NULLIF(regexp_extract(props, '[0-9]+', 0), '') AS INT) AS k
+      |        FROM events)),
+      |ws_events AS (
+      |  SELECT *,
+      |    CASE WHEN proposed IS NULL THEN 'labels_match'
+      |         WHEN proposed = dataset THEN 'ws_correct_to_current'
+      |         WHEN list_contains(previous, proposed) THEN 'fix_ws_cycle'
+      |         ELSE 'ws_correction' END AS sync_event
+      |  FROM st)""".stripMargin
+
+  /** Width-parameterized simhash banded-pairs oracle (32- and 64-bit rows
+    * share one formulation so they can never drift). numBands=4,
+    * maxHamming=3, bucket cap 1000 — the constants the Spark queries use. */
+  private def simhashPairsOracleSql(width: Int): String = {
+    val bandLen = width / 4
+    s"""WITH toks AS (
+       |  SELECT DISTINCT doc_id, md5(tok) AS h FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+       |votes AS (
+       |  SELECT doc_id, pos,
+       |    SUM((((strpos('0123456789abcdef', substr(h, pos // 4 + 1, 1)) - 1)
+       |          // (CASE pos % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2) * 2 - 1) AS s
+       |  FROM toks, unnest(generate_series(0, ${width - 1})) AS g(pos)
+       |  GROUP BY doc_id, pos),
+       |sh AS (
+       |  SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY pos) AS simhash
+       |  FROM votes GROUP BY doc_id),
+       |banded_all AS (
+       |  SELECT doc_id, simhash, band, substr(simhash, band * $bandLen + 1, $bandLen) AS bk
+       |  FROM sh, (VALUES (0), (1), (2), (3)) AS v(band)),
+       |banded AS (
+       |  SELECT * FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY band, bk) AS cnt FROM banded_all)
+       |  WHERE cnt <= 1000),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.simhash AS h_a, b.simhash AS h_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM (
+       |  SELECT doc_a, doc_b,
+       |    CAST(list_sum([CASE WHEN substr(h_a, i, 1) <> substr(h_b, i, 1) THEN 1 ELSE 0 END
+       |                   for i in generate_series(1, $width)]) AS BIGINT) AS hamming
+       |  FROM cand)
+       |WHERE hamming <= 3""".stripMargin
   }
 
   /** Shared by asof_join and asof_join_native: both implementations are
@@ -632,6 +749,44 @@ asofOracle,
         |    FROM events)
         |  WHERE rn = 1)
         |GROUP BY user_id""".stripMargin,
+    "traffic_analysis" ->
+      """WITH blocks AS (
+        |  SELECT 'blk_' || strftime(bs, '%Y%m%d%H') AS block_label, bs AS block_start,
+        |    bs + INTERVAL 6 HOUR AS block_end
+        |  FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-08 00:00:00',
+        |          TIMESTAMP '2024-01-22 00:00:00' - INTERVAL 6 HOUR, INTERVAL 6 HOUR)) AS bs))
+        |SELECT block_label, block_start, event_type AS category, COUNT(*) AS n_messages
+        |FROM events JOIN blocks ON ts >= block_start AND ts < block_end
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "sample_messages" ->
+      """SELECT code, message_id, text, sample_rank FROM (
+        |  SELECT event_type AS code, event_id AS message_id, props AS text,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS sample_rank
+        |  FROM events)
+        |WHERE sample_rank <= 10""".stripMargin,
+    "ws_cycle_relabel" ->
+      s"""$wsStateCtes
+         |SELECT CASE WHEN sync_event = 'ws_correction' THEN proposed
+         |            WHEN sync_event = 'fix_ws_cycle' THEN previous[1]
+         |            ELSE dataset END AS new_dataset,
+         |  sync_event, COUNT(*) AS n
+         |FROM ws_events GROUP BY 1, 2""".stripMargin,
+    "sync_stats" ->
+      s"""$wsStateCtes
+         |SELECT dataset, sync_event, COUNT(*) AS n
+         |FROM ws_events GROUP BY 1, 2""".stripMargin,
+    "reverse_sync_contacts" ->
+      """SELECT user_id AS participant,
+        |  COALESCE(string_agg('"' || props || '" - engagement_db.' || event_type, '; ' ORDER BY ts, event_id)
+        |    FILTER (WHERE event_type = 'click'), '') AS click_field,
+        |  COALESCE(string_agg('"' || props || '" - engagement_db.' || event_type, '; ' ORDER BY ts, event_id)
+        |    FILTER (WHERE event_type = 'view'), '') AS view_field,
+        |  COALESCE(string_agg('"' || props || '" - engagement_db.' || event_type, '; ' ORDER BY ts, event_id)
+        |    FILTER (WHERE event_type = 'purchase'), '') AS purchase_field,
+        |  CASE WHEN MAX(CASE WHEN event_type = 'error' AND value > 250 THEN 1 ELSE 0 END) = 1
+        |       THEN 'yes' ELSE '' END AS consent_withdrawn
+        |FROM events GROUP BY user_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY 1""".stripMargin,
@@ -659,37 +814,8 @@ asofOracle,
         |  GROUP BY doc_id, pos)
         |SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY pos) AS simhash
         |FROM votes GROUP BY doc_id""".stripMargin,
-    "dedup_simhash_pairs" ->
-      """WITH toks AS (
-        |  SELECT DISTINCT doc_id, md5(tok) AS h FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
-        |votes AS (
-        |  SELECT doc_id, pos,
-        |    SUM((((strpos('0123456789abcdef', substr(h, pos // 4 + 1, 1)) - 1)
-        |          // (CASE pos % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2) * 2 - 1) AS s
-        |  FROM toks, unnest(generate_series(0, 31)) AS g(pos)
-        |  GROUP BY doc_id, pos),
-        |sh AS (
-        |  SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY pos) AS simhash
-        |  FROM votes GROUP BY doc_id),
-        |banded_all AS (
-        |  SELECT doc_id, simhash, band, substr(simhash, band * 8 + 1, 8) AS bk
-        |  FROM sh, (VALUES (0), (1), (2), (3)) AS v(band)),
-        |banded AS (
-        |  SELECT * FROM (
-        |    SELECT *, COUNT(*) OVER (PARTITION BY band, bk) AS cnt FROM banded_all)
-        |  WHERE cnt <= 1000),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    a.simhash AS h_a, b.simhash AS h_b
-        |  FROM banded a JOIN banded b
-        |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, hamming FROM (
-        |  SELECT doc_a, doc_b,
-        |    CAST(list_sum([CASE WHEN substr(h_a, i, 1) <> substr(h_b, i, 1) THEN 1 ELSE 0 END
-        |                   for i in generate_series(1, 32)]) AS BIGINT) AS hamming
-        |  FROM cand)
-        |WHERE hamming <= 3""".stripMargin,
+    "dedup_simhash_pairs" -> simhashPairsOracleSql(32),
+    "dedup_simhash64_pairs" -> simhashPairsOracleSql(64),
     "ngram_jaccard" ->
       """WITH shl AS (
         |  SELECT doc_id, list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]

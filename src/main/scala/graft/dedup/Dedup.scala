@@ -112,6 +112,15 @@ object Dedup {
     df.select(id.as("doc_id"),
       graft.functions.ShingleExpressions.simhash32(text).as("simhash"))
 
+  /** 64-bit SimHash — the production width. Twice the band discrimination of
+    * the 32-bit hash: band keys are 16 bits instead of 8 at numBands=4, so
+    * random collisions drop ~256x and hot buckets on low-diversity corpora
+    * shrink accordingly (see the width comparison in DedupSpec).
+    */
+  def simhash64(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"),
+      graft.functions.ShingleExpressions.simhash64(text).as("simhash"))
+
   /** SimHash near-dup pairs: band the 32-bit hash into `numBands` blocks;
     * documents sharing any full block are candidates (a hamming distance
     * <= numBands-1 match is guaranteed to share a block by pigeonhole);
@@ -120,15 +129,29 @@ object Dedup {
     *
     * Note on candidate volume: on low-diversity corpora simhashes cluster,
     * so band buckets can grow hot and candidate counts approach pairwise
-    * within the hot buckets. The production lever is a wider hash (64-bit)
-    * for more discrimination; 32 bits are used here for oracle
-    * practicality.
+    * within the hot buckets. The production lever is the 64-bit variant
+    * (`simhashPairs64`) for more discrimination; 32 bits kept for the
+    * width-tradeoff comparison.
     */
   def simhashPairs(df: DataFrame, id: Column, text: Column, numBands: Int, maxHamming: Int,
-                   maxBucketSize: Long = 0L): DataFrame = {
-    require(32 % numBands == 0)
-    val bandLen = 32 / numBands
-    val hashes = simhash32(df, id, text)
+                   maxBucketSize: Long = 0L): DataFrame =
+    simhashPairsImpl(simhash32(df, id, text), 32, numBands, maxHamming, maxBucketSize)
+
+  /** 64-bit SimHash near-dup pairs — same banded pigeonhole + exact-hamming
+    * verify as `simhashPairs`, over the production-width hash. At equal
+    * numBands the pigeonhole guarantee (hamming <= numBands-1 always shares
+    * a band) is identical; what changes is collision rate: 16-bit band keys
+    * make random bucket collisions ~2^-16 instead of 2^-8, so the candidate
+    * join touches far fewer false pairs.
+    */
+  def simhashPairs64(df: DataFrame, id: Column, text: Column, numBands: Int, maxHamming: Int,
+                     maxBucketSize: Long = 0L): DataFrame =
+    simhashPairsImpl(simhash64(df, id, text), 64, numBands, maxHamming, maxBucketSize)
+
+  private def simhashPairsImpl(hashes: DataFrame, width: Int, numBands: Int, maxHamming: Int,
+                               maxBucketSize: Long): DataFrame = {
+    require(width % numBands == 0)
+    val bandLen = width / numBands
     val bandStructs = (0 until numBands).map { b =>
       struct(lit(b).as("band"), substring(col("simhash"), b * bandLen + 1, bandLen).as("bk"))
     }

@@ -38,6 +38,58 @@ object Sources {
   def nextWatermark(df: DataFrame, tsCol: Column): Option[java.sql.Timestamp] =
     Option(df.agg(max(tsCol)).head.getTimestamp(0))
 
+  /** Persists a sync watermark as ISO-8601 text at `<cacheDir>/<name>.txt`,
+    * mirroring the reference's incremental-sync cache
+    * (src/common/cache.py:36 `set_date_time`/`get_date_time`). Uses the
+    * Hadoop FileSystem API so the cache dir can live on HDFS/S3/GCS next to
+    * the data, not only on a local disk; the write goes through a temp file
+    * + rename so a crashed sync never leaves a torn watermark.
+    */
+  def writeWatermark(spark: SparkSession, cacheDir: String, name: String,
+                     watermark: java.sql.Timestamp): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(cacheDir)
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp")
+    val dst = new org.apache.hadoop.fs.Path(dir, s"$name.txt")
+    val out = fs.create(tmp, true)
+    try out.write(watermark.toInstant.toString.getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"failed to move watermark into place at $dst")
+  }
+
+  /** Restores a persisted watermark; None when no sync has run yet. */
+  def readWatermark(spark: SparkSession, cacheDir: String, name: String): Option[java.sql.Timestamp] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(cacheDir, s"$name.txt")
+    val fs = dst.getFileSystem(conf)
+    if (!fs.exists(dst)) None
+    else {
+      val in = fs.open(dst)
+      try {
+        val txt = new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
+        Some(java.sql.Timestamp.from(java.time.Instant.parse(txt)))
+      } finally in.close()
+    }
+  }
+
+  /** One incremental sync round with a persisted watermark: reads rows
+    * after the cached watermark (full table on first run), advances the
+    * cache only when the slice is non-empty. Returns the slice.
+    */
+  def syncIncremental(spark: SparkSession, df: DataFrame, tsCol: Column,
+                      cacheDir: String, name: String): DataFrame = {
+    val slice = readWatermark(spark, cacheDir, name) match {
+      case Some(wm) => readIncremental(df, tsCol, wm)
+      case None => df
+    }
+    nextWatermark(slice, tsCol).foreach(writeWatermark(spark, cacheDir, name, _))
+    slice
+  }
+
   /** Origin-id dedup before insert: drop rows whose origin key already
     * exists in the target. Anti join on the key — broadcast when the target
     * key set is small, shuffle-hash otherwise.
