@@ -204,13 +204,30 @@ object Dedup {
     * the join itself only touches shared-shingle buckets. Set sizes ride
     * along with the exploded rows, so the only shuffles are the pair join
     * and the pair-count aggregation.
+    *
+    * `maxShingleFreq` (0 = off) drops shingles shared by more than that many
+    * documents BEFORE the pair join — the same hot-bucket lever as the
+    * simhash/LSH bucket caps: one ubiquitous n-gram ("of the and") otherwise
+    * makes a quadratic bucket at corpus scale. Dropping a shingle from the
+    * intersection can only LOWER a pair's Jaccard (set sizes are computed
+    * before the cap), so the filter trades recall on pairs whose overlap is
+    * mostly stop-shingles — the standard LSH recall/cost trade.
     */
   def ngramJaccard(df: DataFrame, id: Column, text: Column, n: Int,
-                   leftPred: Column, minJaccard: Double): DataFrame = {
-    val sets = df
+                   leftPred: Column, minJaccard: Double,
+                   maxShingleFreq: Long = 0L): DataFrame = {
+    val exploded = df
       .select(id.as("doc_id"), distinctShingles(text, n).as("shingles"))
       .select(col("doc_id"), size(col("shingles")).as("sz"), explode(col("shingles")).as("sh"))
-      .withColumn("__q", leftPred)
+    // the frequency window partitions on sh — the same key the pair join
+    // hashes on, so the exchange is reused, not added
+    val capped =
+      if (maxShingleFreq <= 0) exploded
+      else exploded
+        .withColumn("__freq", count(lit(1)).over(Window.partitionBy(col("sh"))))
+        .filter(col("__freq") <= maxShingleFreq)
+        .drop("__freq")
+    val sets = capped.withColumn("__q", leftPred)
     // query docs keep all shared-shingle partners: query-query pairs once
     // (smaller id left), query-nonquery pairs regardless of id order
     val inter = sets.filter(col("__q")).as("a")

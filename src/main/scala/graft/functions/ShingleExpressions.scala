@@ -47,6 +47,10 @@ object ShingleUtil {
     seen.toArray(new Array[String](seen.size))
   }
 
+  /** Raw 16-byte md5 digest. */
+  def md5Bytes(s: String): Array[Byte] =
+    md5Local.get().digest(s.getBytes("UTF-8"))
+
   def md5Hex(s: String): String = {
     val d = md5Local.get().digest(s.getBytes("UTF-8"))
     val out = new Array[Char](32)
@@ -128,6 +132,38 @@ case class BottomKFingerprintExpr(child: Expression, n: Int, k: Int)
   override protected def withNewChildInternal(newChild: Expression): BottomKFingerprintExpr = copy(newChild)
 }
 
+/** Width-generic SimHash bit-vote over the raw md5 digest bytes.
+  *
+  * The hex formulation the oracle runs (hex digit at pos/4, bit (pos%4) by
+  * integer division) reads exactly bit `7 - pos%8` of digest byte `pos/8` —
+  * the digest's natural MSB-first bit order — so voting from the bytes is
+  * byte-for-byte identical and skips the hex encode + per-char decode.
+  */
+private[functions] object SimHashUtil {
+  def simhash(input: Any, width: Int): UTF8String = {
+    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val seen = new java.util.HashSet[String]()
+    val votes = new Array[Int](width)
+    var i = 0
+    while (i < words.length) {
+      if (seen.add(words(i))) {
+        val d = ShingleUtil.md5Bytes(words(i))
+        var pos = 0
+        while (pos < width) {
+          val bit = (d(pos >> 3) >> (7 - (pos & 7))) & 1
+          votes(pos) += bit * 2 - 1
+          pos += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Byte](width)
+    var p = 0
+    while (p < width) { out(p) = if (votes(p) > 0) '1' else '0'; p += 1 }
+    UTF8String.fromBytes(out)
+  }
+}
+
 /** 32-bit SimHash as a '0'/'1' string — the fused single-pass form of the
   * distinct-token md5 bit-vote (oracle formulation: per distinct token, hex
   * digit of md5 at pos/4, bit (pos%4) extracted by integer division, votes
@@ -136,29 +172,7 @@ case class BottomKFingerprintExpr(child: Expression, n: Int, k: Int)
 case class SimHash32(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StringType
-  override def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
-    val seen = new java.util.HashSet[String]()
-    val votes = new Array[Int](32)
-    var i = 0
-    while (i < words.length) {
-      if (seen.add(words(i))) {
-        val hex = ShingleUtil.md5Hex(words(i))
-        var pos = 0
-        while (pos < 32) {
-          val digit = Character.digit(hex.charAt(pos / 4), 16)
-          val bit = (digit >> (3 - pos % 4)) & 1
-          votes(pos) += bit * 2 - 1
-          pos += 1
-        }
-      }
-      i += 1
-    }
-    val out = new Array[Char](32)
-    var p = 0
-    while (p < 32) { out(p) = if (votes(p) > 0) '1' else '0'; p += 1 }
-    UTF8String.fromString(new String(out))
-  }
+  override def nullSafeEval(input: Any): Any = SimHashUtil.simhash(input, 32)
   override protected def withNewChildInternal(newChild: Expression): SimHash32 = copy(newChild)
 }
 
@@ -169,29 +183,7 @@ case class SimHash32(child: Expression)
 case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StringType
-  override def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
-    val seen = new java.util.HashSet[String]()
-    val votes = new Array[Int](64)
-    var i = 0
-    while (i < words.length) {
-      if (seen.add(words(i))) {
-        val hex = ShingleUtil.md5Hex(words(i))
-        var pos = 0
-        while (pos < 64) {
-          val digit = Character.digit(hex.charAt(pos / 4), 16)
-          val bit = (digit >> (3 - pos % 4)) & 1
-          votes(pos) += bit * 2 - 1
-          pos += 1
-        }
-      }
-      i += 1
-    }
-    val out = new Array[Char](64)
-    var p = 0
-    while (p < 64) { out(p) = if (votes(p) > 0) '1' else '0'; p += 1 }
-    UTF8String.fromString(new String(out))
-  }
+  override def nullSafeEval(input: Any): Any = SimHashUtil.simhash(input, 64)
   override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(newChild)
 }
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.classic.Strategy
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{Distribution, Partitioning, StatefulOpClusteredDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.graft.Bridge
 
@@ -17,11 +17,10 @@ import org.apache.spark.sql.graft.Bridge
   * Compared to the composed union+window formulation
   * (graft.operators.AsOfJoin.asOf), the physical operator streams each
   * co-partitioned, co-sorted key group once with a single carried right row —
-  * no unioned wide schema, no window buffer. Children are planned with
-  * StatefulOpClusteredDistribution (fixed partition count, the same
-  * mechanism streaming stateful operators use) so AQE cannot coalesce the
-  * two sides inconsistently, and with required orderings so the planner
-  * inserts spilling SortExecs.
+  * no unioned wide schema, no window buffer. Children are planned with the
+  * same ClusteredDistribution contract SortMergeJoinExec uses — EnsureRequirements
+  * co-partitions both sides and AQE coalesces them consistently — and with
+  * required orderings so the planner inserts spilling SortExecs.
   *
   * Semantics: for each left row, the latest right row of the same key with
   * right.ts <= left.ts (ties on right (key, ts) resolved by the sort's
@@ -52,9 +51,15 @@ case class AsOfJoinExec(
     rightTiebreak: Attribute,
     override val output: Seq[Attribute]) extends BinaryExecNode {
 
+  // Same contract as SortMergeJoinExec: ClusteredDistribution on both sides.
+  // EnsureRequirements co-partitions the children (inserting compatible
+  // hash exchanges), and AQE's shuffle coalescing treats the two sides of a
+  // binary node consistently — while letting it shrink the partition count
+  // when the data is small, which a fixed StatefulOpClusteredDistribution
+  // forbids (that cost 32 near-empty tasks per side at bench scale).
   override def requiredChildDistribution: Seq[Distribution] = Seq(
-    StatefulOpClusteredDistribution(Seq(leftKey), conf.numShufflePartitions),
-    StatefulOpClusteredDistribution(Seq(rightKey), conf.numShufflePartitions))
+    ClusteredDistribution(Seq(leftKey)),
+    ClusteredDistribution(Seq(rightKey)))
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
@@ -130,6 +135,25 @@ case class AsOfJoinExec(
         val rKeyGet = keyAsLong(keyType)
         var carriedKey = 0L
         var hasCarried = false
+        // One-row lookahead with the peeked row's key/ts extracted ONCE:
+        // the old buffered-iterator shape re-extracted (null checks + field
+        // reads) on every left row that peeked at the same right row.
+        // Null-keyed/ts right rows (which match nothing) are skipped eagerly
+        // inside the pull.
+        var peekRow: InternalRow = null
+        var peekKey = 0L
+        var peekTs = 0L
+        def pullPeek(): Unit = {
+          while (peekRow == null && rIter.hasNext) {
+            val r = rIter.next()
+            if (!r.isNullAt(rKeyOrd) && !r.isNullAt(rTsOrd)) {
+              peekRow = r
+              peekKey = rKeyGet(r, rKeyOrd)
+              peekTs = r.getLong(rTsOrd)
+            }
+          }
+        }
+        pullPeek()
         lIter.map { lRow =>
           if (lRow.isNullAt(lKeyOrd) || lRow.isNullAt(lTsOrd)) {
             // null key/ts never matches (same as the composed join and SQL ASOF)
@@ -138,23 +162,17 @@ case class AsOfJoinExec(
             val lk = lKeyGet(lRow, lKeyOrd)
             val lt = lRow.getLong(lTsOrd)
             if (hasCarried && carriedKey != lk) hasCarried = false
-            var advance = true
-            while (advance && rBuf.hasNext) {
-              val peek = rBuf.head
-              if (peek.isNullAt(rKeyOrd) || peek.isNullAt(rTsOrd)) {
-                rBuf.next() // null-keyed/ts right rows match nothing
-              } else {
-                val rk = rKeyGet(peek, rKeyOrd)
-                if (rk < lk) {
-                  rBuf.next() // earlier key: its carry can never match again
-                } else if (rk == lk && peek.getLong(rTsOrd) <= lt) {
-                  carried = stashRow(carried, rBuf.next())
-                  carriedKey = lk
-                  hasCarried = true
-                } else {
-                  advance = false
-                }
+            // advance while the peek is at an earlier key (its carry can
+            // never match again) or a usable same-key row at/before lt
+            while (peekRow != null &&
+                   (peekKey < lk || (peekKey == lk && peekTs <= lt))) {
+              if (peekKey == lk) {
+                carried = stashRow(carried, peekRow)
+                carriedKey = lk
+                hasCarried = true
               }
+              peekRow = null
+              pullPeek()
             }
             proj(joined(lRow, if (hasCarried) carried else nullRight))
           }

@@ -112,7 +112,10 @@ class AdvancedOpsSpec extends SparkSpec {
     val p = graft.plans.AsOfJoinNative.asOf(l, r, "user_id", "ts", "ts", "event_id", Seq("value"))
       .queryExecution.executedPlan.toString
     assert(p.contains("AsOfJoin "), p)
-    assert(p.contains("REQUIRED_BY_STATEFUL_OPERATOR"), p) // AQE-proof co-partitioning
+    // SMJ-style contract: EnsureRequirements co-partitions both children on
+    // the key (AQE may then coalesce both sides consistently)
+    assert(p.contains("ENSURE_REQUIREMENTS"), p)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 2, p)
     assert(p.contains("Sort ["), p)
   }
 

@@ -65,6 +65,24 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Seq(1.0))
   }
 
+  test("ngram frequent-shingle cap suppresses the quadratic bucket, keeps true pairs") {
+    // every doc shares one ubiquitous shingle ("of the and"); docs 0/1 also
+    // share distinctive content
+    val docs = (0 until 100).map { i =>
+      val text = if (i <= 1) s"of the and alpha beta gamma delta$i"
+                 else s"of the and filler$i more$i stuff$i"
+      (i.toLong, text)
+    }.toDF("id", "text")
+    val uncapped = Dedup.ngramJaccard(docs, col("id"), col("text"), 3, lit(true), 0.0)
+    val capped = Dedup.ngramJaccard(docs, col("id"), col("text"), 3, lit(true), 0.0,
+      maxShingleFreq = 10L)
+    // without the cap, the shared stop-shingle makes every pair a candidate
+    assert(uncapped.count() == 100L * 99 / 2)
+    val cappedPairs = capped.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // with the cap only the genuinely-overlapping pair survives
+    assert(cappedPairs == Set((0L, 1L)))
+  }
+
   test("cosine of a vector with itself is 1") {
     val df = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "emb")
     val v = Knn.toDoubleArray(col("emb"))
