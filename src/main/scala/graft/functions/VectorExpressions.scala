@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
@@ -12,16 +12,17 @@ import org.apache.spark.sql.types._
   * Spark evaluates higher-order array functions (`aggregate(zip_with(...))`)
   * interpreted — a boxed closure call per element. For the ANN family every
   * candidate pair pays dim× that cost, which made brute-force top-k the
-  * slowest non-asof query in round 1. These expressions run the whole dot
-  * product as one primitive loop per row (CodegenFallback: a single virtual
-  * call per ROW, not per element).
+  * slowest non-asof query in round 1. This expression runs the whole dot
+  * product as one primitive loop per row, and implements doGenCode so the
+  * surrounding projection stays inside whole-stage codegen (a
+  * CodegenFallback would evict the entire stage from codegen).
   *
   * Numerics match the HOF formulation exactly: left-to-right summation over
   * ascending indices — the same order DuckDB's list_dot_product uses, so
   * oracle parity is preserved bit-for-bit.
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
@@ -55,6 +56,29 @@ case class DotProduct(left: Expression, right: Expression)
     }
     acc
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      // mirrors eval(): length mismatch or null element -> null result
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
