@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
@@ -72,13 +72,24 @@ object ShingleUtil {
   }
 }
 
-/** array<string> of distinct word n-gram shingles. */
+/** array<string> of distinct word n-gram shingles.
+  *
+  * All expressions in this file implement doGenCode as a single helper call
+  * per row (via addReferenceObj): the work is string/digest-bound, so the
+  * win is not inlining the loop but keeping the surrounding stage inside
+  * whole-stage codegen — a CodegenFallback evicts the entire stage.
+  */
 case class DistinctShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val arr = ShingleUtil.distinctShingles(input.asInstanceOf[UTF8String].toString, n)
+  def compute(input: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val arr = ShingleUtil.distinctShingles(input.toString, n)
     new GenericArrayData(arr.map(x => UTF8String.fromString(x): Any))
+  }
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("distinctShingles", this, classOf[DistinctShingles].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
   }
   override protected def withNewChildInternal(newChild: Expression): DistinctShingles = copy(newChild)
 }
@@ -88,11 +99,11 @@ case class DistinctShingles(child: Expression, n: Int)
   * Empty array when the document has no shingles.
   */
 case class MinHashSig(child: Expression, n: Int, a: Seq[Long], b: Seq[Long], prime: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   private val numPerms = a.length
-  override def nullSafeEval(input: Any): Any = {
-    val sh = ShingleUtil.distinctShingles(input.asInstanceOf[UTF8String].toString, n)
+  def compute(input: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val sh = ShingleUtil.distinctShingles(input.toString, n)
     if (sh.isEmpty) return new GenericArrayData(Array.empty[Any])
     val mins = Array.fill(numPerms)(Long.MaxValue)
     var i = 0
@@ -108,6 +119,11 @@ case class MinHashSig(child: Expression, n: Int, a: Seq[Long], b: Seq[Long], pri
     }
     new GenericArrayData(mins.map(x => x: Any))
   }
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("minhashSig", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
   override protected def withNewChildInternal(newChild: Expression): MinHashSig = copy(newChild)
 }
 
@@ -115,11 +131,11 @@ case class MinHashSig(child: Expression, n: Int, a: Seq[Long], b: Seq[Long], pri
   * the distinct shingles, joined with ';'. "" when no shingles.
   */
 case class BottomKFingerprintExpr(child: Expression, n: Int, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
-  override def nullSafeEval(input: Any): Any = {
-    val sh = ShingleUtil.distinctShingles(input.asInstanceOf[UTF8String].toString, n)
+  def compute(input: UTF8String): UTF8String = {
+    val sh = ShingleUtil.distinctShingles(input.toString, n)
     // no shingles -> NULL, not "": an empty-string fingerprint would collapse
     // every short document into one giant false near-dup group
     if (sh.isEmpty) return null
@@ -128,6 +144,14 @@ case class BottomKFingerprintExpr(child: Expression, n: Int, k: Int)
     while (i < sh.length) { hashes(i) = ShingleUtil.md5Hex(sh(i)); i += 1 }
     java.util.Arrays.sort(hashes.asInstanceOf[Array[AnyRef]])
     UTF8String.fromString(hashes.take(k).mkString(";"))
+  }
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("bottomK", this, classOf[BottomKFingerprintExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = $self.compute($c);
+      |if (${ev.value} == null) { ${ev.isNull} = true; }
+      """.stripMargin)
   }
   override protected def withNewChildInternal(newChild: Expression): BottomKFingerprintExpr = copy(newChild)
 }
@@ -170,9 +194,14 @@ private[functions] object SimHashUtil {
   * +-1 summed per position, bit '1' iff sum > 0).
   */
 case class SimHash32(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StringType
-  override def nullSafeEval(input: Any): Any = SimHashUtil.simhash(input, 32)
+  def compute(input: UTF8String): UTF8String = SimHashUtil.simhash(input, 32)
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("simhash32", this, classOf[SimHash32].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
   override protected def withNewChildInternal(newChild: Expression): SimHash32 = copy(newChild)
 }
 
@@ -181,9 +210,14 @@ case class SimHash32(child: Expression)
   * corpora. Same bit-vote semantics over the first 16 md5 hex digits.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StringType
-  override def nullSafeEval(input: Any): Any = SimHashUtil.simhash(input, 64)
+  def compute(input: UTF8String): UTF8String = SimHashUtil.simhash(input, 64)
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("simhash64", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
   override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(newChild)
 }
 
@@ -193,7 +227,7 @@ case class SimHash64(child: Expression)
   * verification at scale.
   */
 case class HammingDistance(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = LongType
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[UTF8String].getBytes
@@ -204,6 +238,21 @@ case class HammingDistance(left: Expression, right: Expression)
     while (i < n) { if (a(i) != b(i)) d += 1; i += 1 }
     d
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val a = ctx.freshName("a")
+      val b = ctx.freshName("b")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      s"""
+         |byte[] $a = $l.getBytes();
+         |byte[] $b = $r.getBytes();
+         |int $n = java.lang.Math.min($a.length, $b.length);
+         |long ${ev.value}_d = java.lang.Math.abs($a.length - $b.length);
+         |for (int $i = 0; $i < $n; $i++) { if ($a[$i] != $b[$i]) ${ev.value}_d++; }
+         |${ev.value} = ${ev.value}_d;
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): HammingDistance =
     copy(left = newLeft, right = newRight)
 }
