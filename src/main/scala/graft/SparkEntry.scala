@@ -128,6 +128,13 @@ object SparkEntry {
         "view", "purchase")),
     "retention_cohorts" -> ((s, dir) =>
       Engagement.retentionCohorts(events(s, dir), col("ts"), col("user_id"))),
+    "repeat_participations" -> ((s, dir) =>
+      // the reference's repeat_participations export: how many participants
+      // engaged in exactly n episodes (weeks)
+      events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("week")).distinct()
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_episodes"))
+        .groupBy(col("n_episodes")).agg(count(lit(1)).as("n_participants"))),
     "sessionize" -> ((s, dir) =>
       Sessionize.sessionCounts(events(s, dir), "user_id", col("ts"), col("event_id"), 1800L)),
     "pseudonymize" -> ((s, dir) =>
@@ -308,6 +315,15 @@ object SparkEntry {
     "dedup_minhash_verified" -> ((s, dir) =>
       Dedup.minhashDedupVerified(table(s, dir, "documents"), col("doc_id"), col("text"),
         3, 16, 4, 0.5)),
+    "topk_ngrams" -> ((s, dir) =>
+      // corpus-wide n-gram document frequency, top-k: map-side partial agg on
+      // the exploded shingles, then TakeOrderedAndProject (no global sort
+      // materialization); ties at the cut broken on the ngram itself
+      table(s, dir, "documents")
+        .select(explode(graft.functions.ShingleExpressions.distinctShingles(col("text"), 3)).as("ngram"))
+        .groupBy(col("ngram")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("ngram").asc)
+        .limit(20)),
     "topk_values_agg" -> ((s, dir) =>
       // exploded to (event_type, rank, value) rows — array columns break the
       // driver's pandas sort-hash; the heap agg itself is unchanged
@@ -749,6 +765,22 @@ asofOracle,
         |    FROM events)
         |  WHERE rn = 1)
         |GROUP BY user_id""".stripMargin,
+    "repeat_participations" ->
+      """SELECT n_episodes, COUNT(*) AS n_participants FROM (
+        |  SELECT user_id, COUNT(*) AS n_episodes FROM (
+        |    SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events)
+        |  GROUP BY user_id)
+        |GROUP BY n_episodes""".stripMargin,
+    "topk_ngrams" ->
+      """SELECT s AS ngram, COUNT(*) AS n_docs
+        |FROM (
+        |  SELECT doc_id, list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                                 for i in generate_series(1, len(w)-2) ]) AS shingles
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)) shl,
+        |  unnest(shingles) AS t(s)
+        |GROUP BY s
+        |ORDER BY n_docs DESC, ngram ASC
+        |LIMIT 20""".stripMargin,
     "traffic_analysis" ->
       """WITH blocks AS (
         |  SELECT 'blk_' || strftime(bs, '%Y%m%d%H') AS block_label, bs AS block_start,
