@@ -257,6 +257,19 @@ object SparkEntry {
       val codes = eventTypes.map(t => max(when(col("event_type") === t, col("value"))).as(s"${t}_code"))
       latest.groupBy(col("user_id")).agg(codes.head, codes.tail: _*)
     }),
+    "demog_conflicts" -> ((s, dir) => {
+      // NIC imputation input (reference _demog_has_conflicting_normal_labels
+      // / _impute_nic_demogs, code_imputation_functions.py:595,636): a
+      // participant whose answers within one dataset disagree is flagged
+      // "not internally consistent" rather than trusted
+      val k = propsInt
+      events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(countDistinct(k).as("nd"))
+        .groupBy(col("event_type"))
+        .agg(count(when(col("nd") > 1, 1)).as("n_conflicted"),
+          count(when(col("nd") <= 1, 1)).as("n_consistent"))
+    }),
     "traffic_analysis" -> ((s, dir) => {
       // labelled [start, end) time-block message counts (reference
       // automated_analysis traffic_analysis export); block config broadcasts
@@ -765,6 +778,15 @@ asofOracle,
         |    FROM events)
         |  WHERE rn = 1)
         |GROUP BY user_id""".stripMargin,
+    "demog_conflicts" ->
+      """SELECT event_type,
+        |  COUNT(*) FILTER (WHERE nd > 1) AS n_conflicted,
+        |  COUNT(*) FILTER (WHERE nd <= 1) AS n_consistent
+        |FROM (
+        |  SELECT user_id, event_type,
+        |    COUNT(DISTINCT CAST(NULLIF(regexp_extract(props, '[0-9]+', 0), '') AS INT)) AS nd
+        |  FROM events GROUP BY user_id, event_type)
+        |GROUP BY event_type""".stripMargin,
     "repeat_participations" ->
       """SELECT n_episodes, COUNT(*) AS n_participants FROM (
         |  SELECT user_id, COUNT(*) AS n_episodes FROM (

@@ -48,7 +48,8 @@ object Traffic {
     */
   def sampleMessages(messages: DataFrame, code: Column, id: Column, text: Column,
                      limitPerCode: Int): DataFrame = {
-    graft.util.TempCols.assertFree(messages, "__rank")
+    // no reserved-name guard needed: the select below projects the input
+    // down to (code, message_id, text) before __rank is added
     messages
       .select(code.as("code"), id.as("message_id"), text.as("text"))
       .withColumn("__rank",

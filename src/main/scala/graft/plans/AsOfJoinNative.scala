@@ -80,6 +80,13 @@ case class AsOfJoinExec(
   }
   requireLongBacked(leftTs, "left")
   requireLongBacked(rightTs, "right")
+  // both key readers (and the generic ordering) are built from the LEFT key
+  // type — a silent left/right type mismatch would read the wrong field
+  // width instead of failing
+  require(leftKey.dataType == rightKey.dataType,
+    s"AsOfJoinExec: key types must match, got ${leftKey.dataType} vs ${rightKey.dataType}")
+  require(leftTs.dataType == rightTs.dataType,
+    s"AsOfJoinExec: timestamp types must match, got ${leftTs.dataType} vs ${rightTs.dataType}")
 
   override protected def doExecute(): RDD[InternalRow] = {
     import org.apache.spark.sql.types._
@@ -118,7 +125,6 @@ case class AsOfJoinExec(
       val proj = UnsafeProjection.create(outputAttrs, joinedSchema)
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightArity)
-      val rBuf = rIter.buffered
       // Carried state is always a private copy: sorter iterators reuse both
       // the row object AND (on spill) the backing buffer, so caching a live
       // row or an evaluated non-primitive key would silently mutate.
@@ -182,6 +188,7 @@ case class AsOfJoinExec(
         // projections + generated UnsafeRow ordering; carried key is copied
         // so a sort-spill buffer reuse can never alias it (strings point
         // into sorter memory).
+        val rBuf = rIter.buffered
         val lKeyProj = UnsafeProjection.create(Seq(lKeyAttr: Expression), leftOutput)
         val rKeyProj = UnsafeProjection.create(Seq(rKeyAttr: Expression), rightOutput)
         val keyOrdering = org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering

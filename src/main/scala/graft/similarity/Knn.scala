@@ -32,15 +32,14 @@ object Knn {
     * DIVIDE_BY_ZERO and kill the job on one bad embedding; NULL also matches
     * SQL engines' float x/0 behavior).
     */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
-    when(denom =!= 0.0, dot(a, b) / denom)
-  }
+  def cosine(a: Column, b: Column): Column =
+    cosinePrenormed(a, b, sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** Cosine with pre-computed per-side norms: at pair time only ONE dot
     * product is evaluated instead of three. Numerically identical to
     * `cosine` (each norm is the same sqrt(dot(v,v)), just computed once per
-    * vector instead of once per pair).
+    * vector instead of once per pair); the zero-denominator guard lives
+    * only here so the exact and prenormed paths can never diverge.
     */
   private def cosinePrenormed(a: Column, b: Column, denom: Column): Column =
     when(denom =!= 0.0, dot(a, b) / denom)

@@ -77,17 +77,23 @@ object Sources {
   }
 
   /** One incremental sync round with a persisted watermark: reads rows
-    * after the cached watermark (full table on first run), advances the
-    * cache only when the slice is non-empty. Returns the slice.
+    * after the cached watermark (full table on first run), hands the slice
+    * to `process`, and advances the cache ONLY after `process` returns —
+    * a failure mid-process leaves the watermark untouched, so the next sync
+    * re-reads the same slice (at-least-once, like the reference's cache-
+    * after-sync ordering). Returns the new watermark, if any rows were read.
     */
   def syncIncremental(spark: SparkSession, df: DataFrame, tsCol: Column,
-                      cacheDir: String, name: String): DataFrame = {
+                      cacheDir: String, name: String)
+                     (process: DataFrame => Unit): Option[java.sql.Timestamp] = {
     val slice = readWatermark(spark, cacheDir, name) match {
       case Some(wm) => readIncremental(df, tsCol, wm)
       case None => df
     }
-    nextWatermark(slice, tsCol).foreach(writeWatermark(spark, cacheDir, name, _))
-    slice
+    process(slice)
+    val next = nextWatermark(slice, tsCol)
+    next.foreach(writeWatermark(spark, cacheDir, name, _))
+    next
   }
 
   /** Origin-id dedup before insert: drop rows whose origin key already

@@ -69,26 +69,53 @@ class SyncOpsSpec extends SparkSpec {
   }
 
   test("watermark cache round-trips and drives incremental sync") {
+    import graft.sources.Sources
     val dir = java.nio.file.Files.createTempDirectory("graft_wm").toString
     val df = Seq((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-02 10:00:00")))
       .toDF("id", "ts")
-    assert(graft.sources.Sources.readWatermark(spark, dir, "events") == None)
-    // first sync: no watermark -> full table, cache advanced to max ts
-    val first = graft.sources.Sources.syncIncremental(spark, df, col("ts"), dir, "events")
-    assert(first.count() == 2)
-    assert(graft.sources.Sources.readWatermark(spark, dir, "events")
-      == Some(ts("2024-01-02 10:00:00")))
+    assert(Sources.readWatermark(spark, dir, "events") == None)
+    // first sync: no watermark -> full table; cache advances AFTER process
+    var seen: Seq[Long] = Nil
+    Sources.syncIncremental(spark, df, col("ts"), dir, "events") { s =>
+      seen = s.select("id").as[Long].collect().toSeq.sorted
+    }
+    assert(seen == Seq(1L, 2L))
+    assert(Sources.readWatermark(spark, dir, "events") == Some(ts("2024-01-02 10:00:00")))
     // second sync over the same data: nothing new, watermark unchanged
-    val second = graft.sources.Sources.syncIncremental(spark, df, col("ts"), dir, "events")
-    assert(second.count() == 0)
-    assert(graft.sources.Sources.readWatermark(spark, dir, "events")
-      == Some(ts("2024-01-02 10:00:00")))
+    Sources.syncIncremental(spark, df, col("ts"), dir, "events") { s =>
+      seen = s.select("id").as[Long].collect().toSeq
+    }
+    assert(seen == Nil)
+    assert(Sources.readWatermark(spark, dir, "events") == Some(ts("2024-01-02 10:00:00")))
     // new rows arrive: only they are read, watermark advances
     val grown = df.union(Seq((3L, ts("2024-01-03 10:00:00"))).toDF("id", "ts"))
-    val third = graft.sources.Sources.syncIncremental(spark, grown, col("ts"), dir, "events")
-    assert(third.select("id").as[Long].collect().toSeq == Seq(3L))
-    assert(graft.sources.Sources.readWatermark(spark, dir, "events")
-      == Some(ts("2024-01-03 10:00:00")))
+    Sources.syncIncremental(spark, grown, col("ts"), dir, "events") { s =>
+      seen = s.select("id").as[Long].collect().toSeq
+    }
+    assert(seen == Seq(3L))
+    assert(Sources.readWatermark(spark, dir, "events") == Some(ts("2024-01-03 10:00:00")))
+    // a FAILED process must leave the watermark untouched so the slice is
+    // re-read next round (at-least-once)
+    val grown2 = grown.union(Seq((4L, ts("2024-01-04 10:00:00"))).toDF("id", "ts"))
+    intercept[RuntimeException] {
+      Sources.syncIncremental(spark, grown2, col("ts"), dir, "events") { _ =>
+        throw new RuntimeException("downstream write failed")
+      }
+    }
+    assert(Sources.readWatermark(spark, dir, "events") == Some(ts("2024-01-03 10:00:00")))
+    Sources.syncIncremental(spark, grown2, col("ts"), dir, "events") { s =>
+      seen = s.select("id").as[Long].collect().toSeq
+    }
+    assert(seen == Seq(4L))
+  }
+
+  test("native as-of rejects mismatched key types at plan time") {
+    val left = Seq((1L, 1, ts("2024-01-01 10:00:00"), 1.0)).toDF("event_id", "user", "ts", "value")
+    val right = Seq((2L, 1L, ts("2024-01-01 09:00:00"), 2.0)).toDF("event_id", "user", "ts", "value")
+    val e = intercept[Exception] {
+      graft.plans.AsOfJoinNative.asOf(left, right, "user", "ts", "ts", "event_id", Seq("value")).collect()
+    }
+    assert(e.getMessage.contains("key types must match"), e.getMessage)
   }
 
   test("simhash64 pairs keep pigeonhole recall and cut false candidates vs 32-bit") {
