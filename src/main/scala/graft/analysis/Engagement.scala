@@ -69,6 +69,23 @@ object Engagement {
       count(lit(1)).as("n"),
       approx_count_distinct(key, 0.02).as("n_users_approx"))
 
+  /** Approximate per-group quantiles — the ungated 100 TB variant of
+    * value_quantiles: exact `percentile` materializes every group's values
+    * at the merger, while percentile_approx keeps a bounded KLL-style
+    * sketch per group (mergeable map-side). `accuracy` trades memory for
+    * error: 1/accuracy is the approximate relative rank error.
+    */
+  def quantilesApprox(df: DataFrame, dim: Column, value: Column,
+                      probs: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    val arr = probs.map(p => lit(p))
+    val qs = percentile_approx(value, array(arr: _*), lit(accuracy))
+    df.groupBy(dim)
+      .agg(qs.as("__q"))
+      .select((dim +: probs.zipWithIndex.map { case (p, i) =>
+        element_at(col("__q"), i + 1).as(s"p${(p * 100).round}")
+      }): _*)
+  }
+
   /** Funnel conversion: of the entities that reached `fromStage`, how many
     * later (strictly) reached `toStage`. One per-entity aggregation, then a
     * single-row rollup.

@@ -63,6 +63,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("tokencount"), p)
   }
 
+  test("round-2 operators keep their scale shapes") {
+    // traffic range-join broadcasts the config-sized block table
+    assert(count(plan("traffic_analysis"), "BroadcastNestedLoopJoin") == 1)
+    // per-code sampling pushes the top-k below the final sort/window
+    // (WindowGroupLimit caps per-partition state before the shuffle)
+    assert(plan("sample_messages").contains("WindowGroupLimit"), plan("sample_messages"))
+    // corpus-wide top-k never materializes a global sort
+    val tk = plan("topk_ngrams")
+    assert(tk.contains("TakeOrderedAndProject"), tk)
+    assert(!tk.contains("Sort ["), tk)
+    // the WS decision is row-local: only the final stats aggregation shuffles
+    assert(count(plan("ws_cycle_relabel"), "Exchange") == 1)
+    assert(count(plan("sync_stats"), "Exchange") == 1)
+    // reverse sync folds every contact field in ONE shuffle on participant
+    assert(count(plan("reverse_sync_contacts"), "Exchange") == 1)
+  }
+
   test("no query plans an unbroadcast cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"), s"$name plans a CartesianProduct")

@@ -118,6 +118,34 @@ class SyncOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("key types must match"), e.getMessage)
   }
 
+  test("approx dashboard variants track the exact oracle-gated forms") {
+    // the 100-TB paths for the two exact-form scale risks: HLL distinct
+    // counts and sketched quantiles must stay within their error bounds
+    val ev = GraftSession.table(spark, "/root/testdata/sf0.01", "events")
+    val exactStats = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approxStats = graft.analysis.Engagement.statsApprox(ev, col("event_type"), col("user_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    exactStats.foreach { case (k, exact) =>
+      val approx = approxStats(k)
+      assert(math.abs(approx - exact).toDouble / exact < 0.05,
+        s"$k: approx $approx vs exact $exact")
+    }
+    val exactQ = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.5D, 0.9D))").as("q")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val approxQ = graft.analysis.Engagement.quantilesApprox(
+        ev, col("event_type"), col("value"), Seq(0.5, 0.9))
+      .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2))).toMap
+    exactQ.foreach { case (k, ex) =>
+      approxQ(k).zip(ex).foreach { case (a, e) =>
+        assert(math.abs(a - e) / math.max(math.abs(e), 1e-9) < 0.05,
+          s"$k: approx $a vs exact $e")
+      }
+    }
+  }
+
   test("simhash64 pairs keep pigeonhole recall and cut false candidates vs 32-bit") {
     // simhash hamming scales as width*sqrt(2/(pi*n_tokens)) per differing
     // token, so hamming<=3 near-dups need docs sharing hundreds of tokens:
