@@ -328,6 +328,26 @@ object SparkEntry {
     "dedup_minhash_verified" -> ((s, dir) =>
       Dedup.minhashDedupVerified(table(s, dir, "documents"), col("doc_id"), col("text"),
         3, 16, 4, 0.5)),
+    "repetition_stats" -> ((s, dir) => {
+      // Gopher-style repetition quality signals, all row-local (zero
+      // shuffle): fraction of a doc's n-gram shingles that are internal
+      // repeats, and the share of tokens taken by the single most common
+      // token
+      val se = graft.functions.ShingleExpressions
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ", -1)).cast("long").as("n_words"),
+          size(se.distinctShingles(col("text"), 3)).cast("long").as("n_shingles_distinct"),
+          se.topTokenCount(col("text")).as("__top"))
+        .select(col("doc_id"), col("n_words"),
+          greatest(col("n_words") - 2, lit(0L)).as("n_shingles_total"),
+          col("n_shingles_distinct"), col("__top"))
+        .select(col("doc_id"), col("n_words"), col("n_shingles_total"), col("n_shingles_distinct"),
+          when(col("n_shingles_total") > 0,
+            round(lit(1.0) - col("n_shingles_distinct").cast("double")
+              / col("n_shingles_total").cast("double"), 6)).as("dup_shingle_frac"),
+          round(col("__top").cast("double") / col("n_words").cast("double"), 6).as("top_token_frac"))
+    }),
     "topk_ngrams" -> ((s, dir) =>
       // corpus-wide n-gram document frequency, top-k: map-side partial agg on
       // the exploded shingles, then TakeOrderedAndProject (no global sort
@@ -793,6 +813,21 @@ asofOracle,
         |    SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events)
         |  GROUP BY user_id)
         |GROUP BY n_episodes""".stripMargin,
+    "repetition_stats" ->
+      """SELECT doc_id, n_words,
+        |  n_total AS n_shingles_total, n_distinct AS n_shingles_distinct,
+        |  CASE WHEN n_total > 0
+        |       THEN round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+        |  END AS dup_shingle_frac,
+        |  round(CAST(top_tok AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS top_token_frac
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(greatest(len(w) - 2, 0) AS BIGINT) AS n_total,
+        |    CAST(len(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                             for i in generate_series(1, len(w)-2) ])) AS BIGINT) AS n_distinct,
+        |    CAST(list_max(list_transform(list_distinct(w), x -> len(list_filter(w, y -> y = x)))) AS BIGINT) AS top_tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))""".stripMargin,
     "topk_ngrams" ->
       """SELECT s AS ngram, COUNT(*) AS n_docs
         |FROM (

@@ -257,6 +257,33 @@ case class HammingDistance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Occurrence count of the most frequent whitespace token — the numerator
+  * of the "fraction of tokens that are the single most common token"
+  * repetition filter (Gopher-style quality rule). One hash-count pass per
+  * row; codegen'd like the rest of the family.
+  */
+case class TopTokenCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  def compute(input: UTF8String): Long = {
+    val words = input.toString.split(" ", -1)
+    val counts = new java.util.HashMap[String, Int]()
+    var best = 0
+    var i = 0
+    while (i < words.length) {
+      val c = counts.merge(words(i), 1, (a, b) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    best.toLong
+  }
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("topTokenCount", this, classOf[TopTokenCount].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): TopTokenCount = copy(newChild)
+}
+
 object ShingleExpressions {
   def distinctShingles(text: Column, n: Int): Column =
     Bridge.column(DistinctShingles(Bridge.expression(text), n))
@@ -270,4 +297,6 @@ object ShingleExpressions {
     Bridge.column(SimHash32(Bridge.expression(text)))
   def simhash64(text: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(text)))
+  def topTokenCount(text: Column): Column =
+    Bridge.column(TopTokenCount(Bridge.expression(text)))
 }

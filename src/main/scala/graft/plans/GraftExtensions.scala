@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{LongType, TimestampType}
 
 import graft.dedup.Dedup
-import graft.functions.{BottomKFingerprintExpr, DistinctShingles, MinHashSig, TokenCount}
+import graft.functions.{BottomKFingerprintExpr, DistinctShingles, DotProduct, HammingDistance,
+  MinHashSig, SimHash32, SimHash64, TokenCount, TopTokenCount}
 
 /** Rewrites comparisons against the nanosecond-normalized timestamp
   * (`timestamp_micros(raw div 1000)`) into raw-long bounds, so the predicate
@@ -107,6 +108,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(t, Literal(n: Int, _), Literal(k: Int, _)) => BottomKFingerprintExpr(t, n, k)
         case Seq(t) => BottomKFingerprintExpr(t, 3, 4)
         case other => bad("bottomk_fingerprint(text[, n, k])", other)
+      }))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("simhash32"),
+      new ExpressionInfo("graft.functions.SimHash32", "simhash32"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => SimHash32(t)
+        case other => bad("simhash32(text)", other)
+      }))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
+      new ExpressionInfo("graft.functions.SimHash64", "simhash64"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => SimHash64(t)
+        case other => bad("simhash64(text)", other)
+      }))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("hamming_distance"),
+      new ExpressionInfo("graft.functions.HammingDistance", "hamming_distance"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => HammingDistance(a, b)
+        case other => bad("hamming_distance(a, b)", other)
+      }))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("top_token_count"),
+      new ExpressionInfo("graft.functions.TopTokenCount", "top_token_count"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => TopTokenCount(t)
+        case other => bad("top_token_count(text)", other)
+      }))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
+      new ExpressionInfo("graft.functions.DotProduct", "dot_product"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => DotProduct(a, b)
+        case other => bad("dot_product(a, b)", other)
       }))
   }
 }

@@ -32,6 +32,24 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("full SQL function surface evaluates from spark.sql") {
+    GraftSession.table(spark, sfDir, "documents").createOrReplaceTempView("docs_sql")
+    val r = spark.sql(
+      """SELECT simhash32(text) AS h32, simhash64(text) AS h64,
+        |  hamming_distance(simhash32(text), simhash32(text)) AS d0,
+        |  top_token_count(text) AS topn,
+        |  dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp
+        |FROM docs_sql LIMIT 5""".stripMargin).collect()
+    assert(r.length == 5)
+    r.foreach { row =>
+      assert(row.getString(0).length == 32 && row.getString(0).forall(c => c == '0' || c == '1'))
+      assert(row.getString(1).length == 64)
+      assert(row.getLong(2) == 0L)
+      assert(row.getLong(3) >= 1L)
+      assert(row.getDouble(4) == 11.0)
+    }
+  }
+
   test("SQL function builders reject wrong arity with a clear signature message") {
     GraftSession.table(spark, sfDir, "documents").createOrReplaceTempView("docs_v")
     val cases = Seq(
