@@ -176,6 +176,33 @@ object Knn {
     rankTopK(scored, k)
   }
 
+  /** Multi-probe IVF: each query searches its `nprobe` nearest centroid
+    * buckets instead of one — the standard IVF recall lever (corpus vectors
+    * just inside a neighboring Voronoi cell are invisible to single-probe).
+    * Cost scales linearly with nprobe while staying ~nprobe/K of the full
+    * scan; candidates cannot duplicate (each corpus vector lives in exactly
+    * one bucket, and a query's probed buckets are distinct).
+    */
+  def ivfTopKProbes(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                    k: Int, nprobe: Int): DataFrame = {
+    val cent = centroids.select(col("id").as("cid"), col("vec").as("cvec"))
+    val corpusB = withNorm(
+      assignNearest(corpus, cent).select(col("id"), col("vec"), col("cid").as("bucket")))
+    val w = Window.partitionBy(col("id")).orderBy(col("__dist").asc, col("cid").asc)
+    val queriesP = withNorm(queries).crossJoin(broadcast(cent))
+      .withColumn("__dist", sqDist)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nprobe)
+      .select(col("id"), col("vec"), col("__norm"), col("cid").as("bucket"))
+    val scored = corpusB.as("c")
+      .join(broadcast(queriesP.as("q")),
+        col("q.bucket") === col("c.bucket") && col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("vec_id"),
+        round(cosinePrenormed(col("q.vec"), col("c.vec"),
+          col("q.__norm") * col("c.__norm")), 6).as("cos_sim"))
+    rankTopK(scored, k)
+  }
+
   /** Deterministic k-means-lite training for the IVF quantizer: seeds are
     * the k lowest-id vectors, then `iters` Lloyd steps run as DataFrame
     * aggregations (assign = windowed argmin like ivfTopK, update = per-

@@ -122,6 +122,22 @@ object Sources {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Writes parquet with the output file count sized from the optimizer's
+    * size estimate (`targetMb` per file): the standard defense against the
+    * two layout failure modes at 100 TB — thousands of kilobyte files from
+    * over-partitioned upstreams (NameNode/listing pressure, per-file open
+    * cost) and multi-GB files from `coalesce(1)` habits (no read
+    * parallelism). Estimates come from plan statistics, so no extra pass
+    * over the data; the repartition is a round-robin shuffle of only the
+    * final output.
+    */
+  def writeSizedParquet(df: DataFrame, path: String, targetMb: Int = 512): Unit = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val files = (bytes / (targetMb.toLong << 20)).toLong.max(1L)
+      .min(Int.MaxValue.toLong).toInt
+    df.repartition(files).write.mode("overwrite").parquet(path)
+  }
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 }

@@ -118,6 +118,18 @@ class SyncOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("key types must match"), e.getMessage)
   }
 
+  test("sized parquet writer picks file count from plan statistics") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sized").toString
+    val df = GraftSession.table(spark, "/root/testdata/sf0.1", "events")
+    // tiny target forces multiple files; the count must follow the estimate
+    graft.sources.Sources.writeSizedParquet(df, s"$dir/out", targetMb = 1)
+    val files = new java.io.File(s"$dir/out").listFiles().count(_.getName.endsWith(".parquet"))
+    val estMb = (df.queryExecution.optimizedPlan.stats.sizeInBytes / (1L << 20)).toLong
+    assert(files >= 2, s"expected multiple ~1MB files for ~${estMb}MB estimate, got $files")
+    // round-trips losslessly
+    assert(spark.read.parquet(s"$dir/out").count() == df.count())
+  }
+
   test("approx dashboard variants track the exact oracle-gated forms") {
     // the 100-TB paths for the two exact-form scale risks: HLL distinct
     // counts and sketched quantiles must stay within their error bounds

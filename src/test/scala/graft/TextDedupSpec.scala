@@ -169,6 +169,25 @@ class TextDedupSpec extends SparkSpec {
     assert(rMulti > rSingle, s"multi=$rMulti single=$rSingle")
   }
 
+  test("multi-probe IVF improves on single-probe recall against brute force") {
+    val e = GraftSession.table(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id").as("id"), Knn.toDoubleArray(col("embedding")).as("vec"))
+    val queries = e.filter(col("id") >= 8 && col("id") < 16)
+    val cents = e.filter(col("id") < 8)
+    def neighbors(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val exact = neighbors(Knn.bruteForceTopK(queries, e, 10))
+    val single = neighbors(Knn.ivfTopK(queries, e, cents, 10))
+    val multi = neighbors(Knn.ivfTopKProbes(queries, e, cents, 10, 3))
+    val rSingle = (single intersect exact).size.toDouble / exact.size
+    val rMulti = (multi intersect exact).size.toDouble / exact.size
+    // probing 3 cells must not lose recall, and single-probe's own bucket is
+    // always the first probe -> candidates are a superset
+    assert(rMulti >= rSingle, s"multi=$rMulti single=$rSingle")
+    assert(multi.size >= single.size)
+    assert(rMulti > 0.2, s"multi-probe recall $rMulti")
+  }
+
   test("trained IVF centroids reduce inertia versus the untrained seed set") {
     val e = GraftSession.table(spark, "/root/testdata/sf0.01", "embeddings")
       .select(col("vec_id").as("id"), Knn.toDoubleArray(col("embedding")).as("vec"))
