@@ -53,6 +53,58 @@ object Streams {
   def dedupStream(events: DataFrame, keyCols: Seq[String], tsCol: String, watermark: String): DataFrame =
     events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
 
+  case class EnrichEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+                         is_left: Boolean, value: Double)
+  case class EnrichOut(event_id: Long, user_id: Long, ts: java.sql.Timestamp, value: Double,
+                       asof_ts: Option[java.sql.Timestamp], asof_value: Option[Double])
+  case class CarryState(ts: java.sql.Timestamp, eventId: Long, value: Double)
+
+  private def micros(t: java.sql.Timestamp): Long =
+    (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Streaming as-of enrichment — the streaming twin of the as-of join:
+    * per key, every left row is enriched with the latest right row at or
+    * before its event time. State is ONE carried right row per key
+    * (constant-size, like the batch exec's carry). Within a micro-batch
+    * rows are processed in event-time order with right-before-left ties and
+    * the right tiebreak on event_id, matching the batch operator exactly.
+    *
+    * Assumes per-key event-time ordering ACROSS micro-batches (same
+    * contract as `sessionize`); a left row arriving after a later right row
+    * has been carried emits a null match rather than a wrong
+    * from-the-future one.
+    */
+  def asOfEnrich(events: Dataset[EnrichEvent]): Dataset[EnrichOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CarryState, EnrichOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[EnrichEvent], state: GroupState[CarryState]) =>
+          // right rows (is_left=false) sort before left at equal ts, so a
+          // same-timestamp click is visible to the purchase, as in SQL ASOF
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.is_left, e.event_id))
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer[EnrichOut]()
+          sorted.foreach { e =>
+            val m = micros(e.ts)
+            if (!e.is_left) {
+              // carry the latest right row; ties on ts keep the highest id
+              if (st == null || m > micros(st.ts) ||
+                  (m == micros(st.ts) && e.event_id > st.eventId)) {
+                st = CarryState(e.ts, e.event_id, e.value)
+              }
+            } else {
+              if (st != null && micros(st.ts) <= m)
+                out += EnrichOut(e.event_id, user, e.ts, e.value, Some(st.ts), Some(st.value))
+              else
+                out += EnrichOut(e.event_id, user, e.ts, e.value, None, None)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
   case class SessionState(sessionCount: Long, lastTsMicros: Long)
   case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)

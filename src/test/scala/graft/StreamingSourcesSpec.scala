@@ -60,6 +60,37 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment matches the batch as-of join") {
+    import graft.streaming.Streams.{EnrichEvent, EnrichOut}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[EnrichEvent]
+    val q = Streams.asOfEnrich(input.toDS())
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("asof_out").start()
+    try {
+      val ev = GraftSession.table(spark, sfDir, "events")
+      val tagged = ev.filter(col("event_type").isin("purchase", "click"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("event_type") === "purchase").as("is_left"), col("value"))
+        .as[EnrichEvent].collect()
+        .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+      // split mid-stream: the carried right row must survive the batch gap
+      val (first, second) = tagged.splitAt(tagged.length / 2)
+      input.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(second.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("asof_out").as[EnrichOut].collect()
+        .map(o => (o.event_id, o.asof_ts.map(_.getTime), o.asof_value)).toSet
+      val expected = SparkEntry.queries("asof_join")(spark, sfDir)
+        .select(col("event_id"), col("click_ts"), col("click_value")).collect()
+        .map(r => (r.getLong(0),
+          Option(r.getTimestamp(1)).map(_.getTime),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      assert(streamed == expected)
+    } finally q.stop()
+  }
+
   test("incremental watermark reads only new rows and advances") {
     val ev = GraftSession.table(spark, sfDir, "events")
     val w0 = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
