@@ -79,10 +79,14 @@ object Engagement {
                       probs: Seq[Double], accuracy: Int = 10000): DataFrame = {
     val arr = probs.map(p => lit(p))
     val qs = percentile_approx(value, array(arr: _*), lit(accuracy))
+    // full-precision names (p50, p99_5, p0_5) — rounding to whole percents
+    // would collide p0.005 and p0.01 into one ambiguous column
+    def nameOf(p: Double): String =
+      "p" + BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString.replace(".", "_")
     df.groupBy(dim)
       .agg(qs.as("__q"))
       .select((dim +: probs.zipWithIndex.map { case (p, i) =>
-        element_at(col("__q"), i + 1).as(s"p${(p * 100).round}")
+        element_at(col("__q"), i + 1).as(nameOf(p))
       }): _*)
   }
 

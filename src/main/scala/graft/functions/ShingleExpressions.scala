@@ -3,7 +3,7 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.Bridge
@@ -80,7 +80,8 @@ object ShingleUtil {
   * whole-stage codegen — a CodegenFallback evicts the entire stage.
   */
 case class DistinctShingles(child: Expression, n: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   def compute(input: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
     val arr = ShingleUtil.distinctShingles(input.toString, n)
@@ -99,7 +100,8 @@ case class DistinctShingles(child: Expression, n: Int)
   * Empty array when the document has no shingles.
   */
 case class MinHashSig(child: Expression, n: Int, a: Seq[Long], b: Seq[Long], prime: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   private val numPerms = a.length
   def compute(input: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
@@ -131,7 +133,8 @@ case class MinHashSig(child: Expression, n: Int, a: Seq[Long], b: Seq[Long], pri
   * the distinct shingles, joined with ';'. "" when no shingles.
   */
 case class BottomKFingerprintExpr(child: Expression, n: Int, k: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   def compute(input: UTF8String): UTF8String = {
@@ -194,7 +197,8 @@ private[functions] object SimHashUtil {
   * +-1 summed per position, bit '1' iff sum > 0).
   */
 case class SimHash32(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = StringType
   def compute(input: UTF8String): UTF8String = SimHashUtil.simhash(input, 32)
   override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
@@ -210,7 +214,8 @@ case class SimHash32(child: Expression)
   * corpora. Same bit-vote semantics over the first 16 md5 hex digits.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = StringType
   def compute(input: UTF8String): UTF8String = SimHashUtil.simhash(input, 64)
   override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
@@ -227,7 +232,8 @@ case class SimHash64(child: Expression)
   * verification at scale.
   */
 case class HammingDistance(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
   override def dataType: DataType = LongType
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[UTF8String].getBytes
@@ -262,7 +268,8 @@ case class HammingDistance(left: Expression, right: Expression)
   * repetition filter (Gopher-style quality rule). One hash-count pass per
   * row; codegen'd like the rest of the family.
   */
-case class TopTokenCount(child: Expression) extends UnaryExpression {
+case class TopTokenCount(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
   def compute(input: UTF8String): Long = {
     val words = input.toString.split(" ", -1)

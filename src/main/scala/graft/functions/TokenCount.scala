@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -14,7 +14,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * the hot-path shape for 100 TB token accounting. Stays inside
   * whole-stage codegen via doGenCode.
   */
-case class TokenCount(child: Expression) extends UnaryExpression {
+case class TokenCount(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(org.apache.spark.sql.types.StringType)
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any = {

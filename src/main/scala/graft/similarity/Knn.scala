@@ -96,13 +96,7 @@ object Knn {
     val planes = hyperplanes(numPlanes, dim)
     val qb = withNorm(queries).withColumn("bucket", signBucket(col("vec"), planes))
     val cb = withNorm(corpus).withColumn("bucket", signBucket(col("vec"), planes))
-    val scored = cb.as("c")
-      .join(broadcast(qb.as("q")),
-        col("q.bucket") === col("c.bucket") && col("q.id") =!= col("c.id"))
-      .select(col("q.id").as("query_id"), col("c.id").as("vec_id"),
-        round(cosinePrenormed(col("q.vec"), col("c.vec"),
-          col("q.__norm") * col("c.__norm")), 6).as("cos_sim"))
-    rankTopK(scored, k)
+    bucketJoinTopK(qb, cb, k)
   }
 
   /** Squared-L2 via the dot-product expansion, rounded for determinism. */
@@ -112,15 +106,31 @@ object Knn {
 
   /** Nearest-centroid assignment (deterministic tie-break on centroid id):
     * shared by IVF search, k-means training, and inertia measurement.
-    * Returns (id, vec, cid, __dist).
+    * Returns (id, vec, cid, __dist); with topN > 1, the N nearest centroids
+    * per vector (the multi-probe set).
     */
-  private def assignNearest(df: DataFrame, cent: DataFrame): DataFrame = {
+  private def assignNearest(df: DataFrame, cent: DataFrame, topN: Int = 1): DataFrame = {
     val w = Window.partitionBy(col("id")).orderBy(col("__dist").asc, col("cid").asc)
     df.crossJoin(broadcast(cent))
       .withColumn("__dist", sqDist)
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+      .filter(col("__rn") <= topN)
       .select(col("id"), col("vec"), col("cid"), col("__dist"))
+  }
+
+  /** The one bucket-join + score + rank block every approximate top-k
+    * variant shares: corpus rows meet broadcast query rows on an equal
+    * bucket key, cosine from pre-computed norms, common rankTopK contract.
+    * Both inputs need (id, vec, __norm, bucket).
+    */
+  private def bucketJoinTopK(queriesB: DataFrame, corpusB: DataFrame, k: Int): DataFrame = {
+    val scored = corpusB.as("c")
+      .join(broadcast(queriesB.as("q")),
+        col("q.bucket") === col("c.bucket") && col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("vec_id"),
+        round(cosinePrenormed(col("q.vec"), col("c.vec"),
+          col("q.__norm") * col("c.__norm")), 6).as("cos_sim"))
+    rankTopK(scored, k)
   }
 
   /** Multi-probe LSH: each query also probes every bucket at hamming
@@ -161,20 +171,8 @@ object Knn {
     * a fixed order and rounded before ranking, so the oracle reproduces
     * bucket assignments exactly.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
-    val cent = centroids.select(col("id").as("cid"), col("vec").as("cvec"))
-    def assignBucket(df: DataFrame): DataFrame =
-      assignNearest(df, cent).select(col("id"), col("vec"), col("cid").as("bucket"))
-    val corpusB = withNorm(assignBucket(corpus))
-    val queriesB = withNorm(assignBucket(queries))
-    val scored = corpusB.as("c")
-      .join(broadcast(queriesB.as("q")),
-        col("q.bucket") === col("c.bucket") && col("q.id") =!= col("c.id"))
-      .select(col("q.id").as("query_id"), col("c.id").as("vec_id"),
-        round(cosinePrenormed(col("q.vec"), col("c.vec"),
-          col("q.__norm") * col("c.__norm")), 6).as("cos_sim"))
-    rankTopK(scored, k)
-  }
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame, k: Int): DataFrame =
+    ivfTopKProbes(queries, corpus, centroids, k, nprobe = 1)
 
   /** Multi-probe IVF: each query searches its `nprobe` nearest centroid
     * buckets instead of one — the standard IVF recall lever (corpus vectors
@@ -186,21 +184,9 @@ object Knn {
   def ivfTopKProbes(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
                     k: Int, nprobe: Int): DataFrame = {
     val cent = centroids.select(col("id").as("cid"), col("vec").as("cvec"))
-    val corpusB = withNorm(
-      assignNearest(corpus, cent).select(col("id"), col("vec"), col("cid").as("bucket")))
-    val w = Window.partitionBy(col("id")).orderBy(col("__dist").asc, col("cid").asc)
-    val queriesP = withNorm(queries).crossJoin(broadcast(cent))
-      .withColumn("__dist", sqDist)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= nprobe)
-      .select(col("id"), col("vec"), col("__norm"), col("cid").as("bucket"))
-    val scored = corpusB.as("c")
-      .join(broadcast(queriesP.as("q")),
-        col("q.bucket") === col("c.bucket") && col("q.id") =!= col("c.id"))
-      .select(col("q.id").as("query_id"), col("c.id").as("vec_id"),
-        round(cosinePrenormed(col("q.vec"), col("c.vec"),
-          col("q.__norm") * col("c.__norm")), 6).as("cos_sim"))
-    rankTopK(scored, k)
+    def buckets(df: DataFrame, n: Int): DataFrame = withNorm(
+      assignNearest(df, cent, n).select(col("id"), col("vec"), col("cid").as("bucket")))
+    bucketJoinTopK(buckets(queries, nprobe), buckets(corpus, 1), k)
   }
 
   /** Deterministic k-means-lite training for the IVF quantizer: seeds are

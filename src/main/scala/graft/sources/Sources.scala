@@ -131,10 +131,16 @@ object Sources {
     * over the data; the repartition is a round-robin shuffle of only the
     * final output.
     */
-  def writeSizedParquet(df: DataFrame, path: String, targetMb: Int = 512): Unit = {
+  def writeSizedParquet(df: DataFrame, path: String, targetMb: Int = 512,
+                        maxFiles: Int = 100000): Unit = {
+    // sizeInBytes is an estimate and join nodes multiply child sizes, so
+    // clamp IN BigInt (a blind .toLong can wrap negative on deep joins) and
+    // cap the file count — a bad estimate must never drive a
+    // 2-billion-partition shuffle
+    val target = BigInt(targetMb.toLong << 20)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val files = (bytes / (targetMb.toLong << 20)).toLong.max(1L)
-      .min(Int.MaxValue.toLong).toInt
+    val want = (bytes + target - 1) / target // ceiling: files average <= targetMb
+    val files = want.min(BigInt(maxFiles)).max(BigInt(1)).toInt
     df.repartition(files).write.mode("overwrite").parquet(path)
   }
 

@@ -73,7 +73,9 @@ class StreamingSourcesSpec extends SparkSpec {
         .select(col("user_id"), col("ts"), col("event_id"),
           (col("event_type") === "purchase").as("is_left"), col("value"))
         .as[EnrichEvent].collect()
-        .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+        // right-before-left at equal ts, so the mid-array split can never
+        // separate a same-timestamp click from the purchase that needs it
+        .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.is_left, e.event_id))
       // split mid-stream: the carried right row must survive the batch gap
       val (first, second) = tagged.splitAt(tagged.length / 2)
       input.addData(first.toIndexedSeq)
