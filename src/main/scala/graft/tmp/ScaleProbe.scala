@@ -1,0 +1,84 @@
+package graft.tmp
+
+import org.apache.spark.sql.functions._
+import graft.GraftSession
+
+/** Throwaway dev probe: do the hot operators hold at ~200x the sf0.1 row
+  * count on this machine? Synthesizes 20M events / 1M documents in memory
+  * (probe-only data — the oracle gate always runs on the provided
+  * testdata) and times the operators whose scale behavior matters most.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder("local[32]", 64).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def time(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"SCALE $tag ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+
+    val nEvents = 20000000L
+    val events = spark.range(nEvents).select(
+      col("id").as("event_id"),
+      pmod(xxhash64(col("id")), lit(200000)).as("user_id"),
+      timestamp_micros(lit(1704067200000000L) + (col("id") % 7776000L) * 1000000L).as("ts"),
+      element_at(array(lit("click"), lit("view"), lit("purchase"), lit("signup"), lit("error")),
+        (pmod(col("id"), lit(5)) + 1).cast("int")).as("event_type"),
+      (pmod(xxhash64(col("id") + 7), lit(100000)) / lit(100.0)).as("value"))
+      .localCheckpoint() // materialize once so every probe reads the same input
+
+    time("baseline_count") { events.count() }
+
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = events.filter(col("event_type") === "click")
+    time("asof_native_4M_x_4M") {
+      graft.plans.AsOfJoinNative.asOf(purchases, clicks, "user_id", "ts", "ts",
+        "event_id", Seq("value")).count()
+    }
+    time("sessionize_20M") {
+      graft.operators.Sessionize.sessionCounts(events, "user_id", col("ts"),
+        col("event_id"), 1800L).count()
+    }
+    time("snapshot_latest_20M") {
+      graft.operators.Snapshots.latest(events, Seq(col("user_id")), col("ts"),
+        col("event_id")).count()
+    }
+    time("ws_correct_step_20M") {
+      val st = events.select(col("event_id"), col("event_type").as("dataset"),
+        when(col("event_id") % 5 === 2, lit("click")).as("proposed"),
+        when(col("event_id") % 3 === 1, array(lit("click")))
+          .otherwise(array().cast("array<string>")).as("previous"))
+      graft.operators.WsCorrection.correctStep(st, col("dataset"), col("previous"), col("proposed"))
+        .groupBy(col("new_dataset"), col("sync_event")).count().count()
+    }
+
+    // 1M docs, ~40 words each, with planted near-dups (every 100th doc is a
+    // 1-word variant of its predecessor)
+    val words = (0 until 500).map(i => s"w$i")
+    val docs = spark.range(1000000L).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 40).map(j =>
+        element_at(array(words.map(lit): _*),
+          (pmod(xxhash64(col("id") / 100 * 100 + lit(j * 7)), lit(500)) + 1).cast("int"))) :+
+        when(col("id") % 100 === 99, concat(lit("uniq"), col("id"))).otherwise(lit("common")): _*)
+        .as("text"))
+      .localCheckpoint()
+
+    time("docs_count") { docs.count() }
+    time("minhash_sigs_1M") {
+      graft.dedup.Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 3, 16).count()
+    }
+    time("simhash64_1M") {
+      graft.dedup.Dedup.simhash64(docs, col("doc_id"), col("text")).count()
+    }
+    time("token_count_1M") {
+      docs.select(graft.functions.TokenCount.tokenCount(col("text")).as("n"))
+        .agg(sum(col("n"))).count()
+    }
+    spark.stop()
+  }
+}
