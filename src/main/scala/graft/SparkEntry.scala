@@ -328,6 +328,13 @@ object SparkEntry {
     "dedup_minhash_verified" -> ((s, dir) =>
       Dedup.minhashDedupVerified(table(s, dir, "documents"), col("doc_id"), col("text"),
         3, 16, 4, 0.5)),
+    "dedup_components" -> ((s, dir) =>
+      // the dedup DECISION: LSH-verified near-dup pairs -> connected
+      // components -> keep component-min doc id, drop the rest
+      Dedup.connectedComponents(
+        Dedup.minhashDedupVerified(table(s, dir, "documents"), col("doc_id"), col("text"),
+          3, 16, 4, 0.5),
+        "doc_a", "doc_b")),
     "repetition_stats" -> ((s, dir) => {
       // Gopher-style repetition quality signals, all row-local (zero
       // shuffle): fraction of a doc's n-gram shingles that are internal
@@ -813,6 +820,32 @@ asofOracle,
         |    SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events)
         |  GROUP BY user_id)
         |GROUP BY n_episodes""".stripMargin,
+    "dedup_components" -> {
+      // the recursive reach CTE duplicates paths but UNION (set) bounds it;
+      // component ids are the min reachable doc id, exactly the Spark
+      // label-propagation fixpoint
+      val base = minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")
+      s"""$base,
+         |vpairs AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT p.doc_a, p.doc_b,
+         |      CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |        / CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS j
+         |    FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM banded a JOIN banded b
+         |            ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id) p
+         |    JOIN shl sa ON p.doc_a = sa.doc_id
+         |    JOIN shl sb ON p.doc_b = sb.doc_id)
+         |  WHERE j >= 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM vpairs
+         |          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM vpairs),
+         |reach(src, node) AS (
+         |  SELECT src, src FROM edges GROUP BY src
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src)
+         |SELECT src AS doc_id, CAST(MIN(node) AS BIGINT) AS component
+         |FROM reach GROUP BY src""".stripMargin
+    },
     "repetition_stats" ->
       """SELECT doc_id, n_words,
         |  n_total AS n_shingles_total, n_distinct AS n_shingles_distinct,

@@ -199,6 +199,43 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Connected components over a near-dup pair table — the step that turns
+    * pairwise similarity into a dedup DECISION (every document in a
+    * component keeps `component` = the minimum doc id reachable through
+    * near-dup edges; keep that one, drop the rest).
+    *
+    * Iterative min-label propagation: each round every node takes the min
+    * label among itself and its neighbors — converges in O(component
+    * diameter) rounds, and near-dup components are shallow (pairs come from
+    * shared buckets). Each round is one shuffle join + one aggregation;
+    * lineage is truncated per round so round N never recomputes rounds
+    * 1..N-1. Label propagation is the Spark-native formulation of
+    * union-find: no driver-side state at any corpus size.
+    */
+  def connectedComponents(pairs: DataFrame, a: String, b: String,
+                          maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
+      .union(pairs.select(col(b).as("src"), col(a).as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node"))
+    var iters = 0
+    var changed = true
+    while (changed && iters < maxIters) {
+      val propagated = labels.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), col("component"))
+        .union(labels)
+        .groupBy(col("node")).agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      changed = propagated.as("n").join(labels.as("o"),
+          col("n.node") === col("o.node") && col("n.component") =!= col("o.component"))
+        .limit(1).count() > 0
+      labels = propagated
+      iters += 1
+    }
+    labels.select(col("node").as("doc_id"), col("component"))
+  }
+
   /** N-gram Jaccard similarity for candidate pairs sharing at least one
     * shingle. `leftPred` bounds the left side (query set or LSH candidates) —
     * the join itself only touches shared-shingle buckets. Set sizes ride

@@ -65,6 +65,16 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Seq(1.0))
   }
 
+  test("connected components assign min-reachable ids over chained pairs") {
+    // chain 1-2-3, pair 7-8, chain 10-11-12-13 (propagation needs >1 round)
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (10L, 11L), (11L, 12L), (12L, 13L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
+  }
+
   test("ngram frequent-shingle cap suppresses the quadratic bucket, keeps true pairs") {
     // every doc shares one ubiquitous shingle ("of the and"); docs 0/1 also
     // share distinctive content
