@@ -423,6 +423,8 @@ object SparkEntry {
       graft.multimodal.Media.frameStatsDocuments(s, table(s, dir, "documents"), 32, 3)),
     "multimodal_features" -> ((s, dir) =>
       graft.multimodal.Media.featuresDocuments(s, table(s, dir, "documents"), 8)),
+    "multimodal_resize" -> ((s, dir) =>
+      graft.multimodal.Media.resizeDocuments(s, table(s, dir, "documents"), 64, 64)),
 
     // ---- B. relational surface ----
     "q1_pricing_summary" -> ((s, dir) => Relational.q1PricingSummary(s, dir)),
@@ -1101,6 +1103,22 @@ asofOracle,
         |FROM (SELECT doc_id, octet_length(encode(text)) AS L,
         |             (octet_length(encode(text)) + 31) // 32 AS nc
         |      FROM documents)""".stripMargin,
+    "multimodal_resize" ->
+      """SELECT media_id, w AS src_width, h AS src_height,
+        |  dw AS dst_width, dh AS dst_height,
+        |  CAST(dw AS BIGINT) * dh * 3 AS out_bytes
+        |FROM (
+        |  SELECT media_id, w, h,
+        |    CASE WHEN w <= 0 OR h <= 0 THEN 0
+        |         WHEN w * 64 <= h * 64 THEN w * 64 // h
+        |         ELSE 64 END AS dw,
+        |    CASE WHEN w <= 0 OR h <= 0 THEN 0
+        |         WHEN w * 64 <= h * 64 THEN 64
+        |         ELSE h * 64 // w END AS dh
+        |  FROM (SELECT doc_id AS media_id,
+        |          CAST(octet_length(encode(text)) % 640 AS INT) AS w,
+        |          CAST((ascii(substr(text, 1, 1)) * 7) % 480 AS INT) AS h
+        |        FROM documents))""".stripMargin,
     "multimodal_features" ->
       """SELECT doc_id AS media_id, 8 AS feat_dim,
         |  CAST(ascii(substr(text,1,1)) + ascii(substr(text,2,1)) + ascii(substr(text,3,1))

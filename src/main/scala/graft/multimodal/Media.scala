@@ -87,6 +87,38 @@ object Media {
     MediaFeature(raw.media_id, dim, head.map(_.toLong).sum)
   }
 
+  /** Aspect-preserving resize plan: source dims from the (stub) decode,
+    * destination dims fit inside the target box. All arithmetic is integer
+    * (rational scale via cross-multiplication, floor division) so the plan
+    * is bit-reproducible by any engine — a real resampler would consume
+    * these dims; the byte estimate assumes 3 bytes/pixel.
+    */
+  case class MediaResized(media_id: Long, src_width: Int, src_height: Int,
+                          dst_width: Int, dst_height: Int, out_bytes: Long)
+
+  def resizePlan(raw: MediaRaw, targetW: Int, targetH: Int): MediaResized = {
+    require(targetW >= 1 && targetH >= 1, s"target dims must be >= 1, got ${targetW}x$targetH")
+    val m = fakeDecode(raw)
+    val (w, h) = (m.fake_width, m.fake_height)
+    val (dw, dh) =
+      if (w <= 0 || h <= 0) (0, 0)
+      // limited by height iff w/h <= tw/th  ⟺  w*th <= h*tw (integer-exact)
+      else if (w.toLong * targetH <= h.toLong * targetW)
+        ((w.toLong * targetH / h).toInt, targetH)
+      else (targetW, (h.toLong * targetW / w).toInt)
+    MediaResized(raw.media_id, w, h, dw, dh, dw.toLong * dh * 3L)
+  }
+
+  /** Resize pipeline over the documents-as-media table. */
+  def resizeDocuments(spark: SparkSession, docs: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").as("media_id"), col("text").cast("binary").as("bytes"),
+        lit("image/fake").as("mime"))
+      .as[MediaRaw]
+      .mapPartitions(_.map(resizePlan(_, targetW, targetH)))
+      .toDF()
+  }
+
   /** Frame-sampling pipeline over the documents-as-media table. */
   def frameStatsDocuments(spark: SparkSession, docs: DataFrame, frameSize: Int, stride: Int): DataFrame = {
     import spark.implicits._

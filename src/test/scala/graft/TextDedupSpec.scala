@@ -118,6 +118,19 @@ class TextDedupSpec extends SparkSpec {
     assert(a.forall(r => r.getLong(1) > 0))
   }
 
+  test("resize plan preserves aspect ratio and survives zero source dims") {
+    import graft.multimodal.Media
+    def plan(bytes: Array[Byte]) = Media.resizePlan(Media.MediaRaw(1L, bytes, "image/fake"), 64, 64)
+    // 100 bytes -> w=100, h=(cp('x')*7)%480=360: limited by height? w*64 <= h*64 -> 100<=360 yes
+    val p = plan(("x" * 100).getBytes("UTF-8"))
+    assert(p.src_width == 100 && p.src_height == 360)
+    assert(p.dst_height == 64 && p.dst_width == 100 * 64 / 360)
+    assert(p.out_bytes == p.dst_width.toLong * p.dst_height * 3)
+    // 640 bytes -> w = 640 % 640 = 0: degenerate source must not divide by zero
+    val z = plan(("y" * 640).getBytes("UTF-8"))
+    assert(z.src_width == 0 && z.dst_width == 0 && z.dst_height == 0 && z.out_bytes == 0L)
+  }
+
   test("cosine of a zero vector is null, not a job-killing divide-by-zero") {
     val df = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 0.0f))).toDF("id", "emb")
     val v = Knn.toDoubleArray(col("emb"))
