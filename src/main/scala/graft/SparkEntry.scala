@@ -414,6 +414,13 @@ object SparkEntry {
         .select(col("vec_id").as("id"), Knn.toDoubleArray(col("embedding")).as("vec"))
       Knn.ivfTopK(e.filter(col("id") >= 8 && col("id") < 16), e, e.filter(col("id") < 8), 5)
     }),
+    "ann_ivf_multiprobe" -> ((s, dir) => {
+      // nprobe=3: same quantizer, 3 nearest cells searched per query
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), Knn.toDoubleArray(col("embedding")).as("vec"))
+      Knn.ivfTopKProbes(e.filter(col("id") >= 8 && col("id") < 16), e,
+        e.filter(col("id") < 8), 5, 3)
+    }),
     "embedding_neardup" -> ((s, dir) =>
       Knn.nearDupPairs(table(s, dir, "embeddings"), col("vec_id"), col("embedding"),
         col("label"), col("id") % 50 === 0, 0.25)),
@@ -524,6 +531,34 @@ object SparkEntry {
        |  FROM cand)
        |WHERE hamming <= 3""".stripMargin
   }
+
+  /** nprobe-parameterized IVF oracle: corpus vectors live in their nearest
+    * cell; each query searches its `nprobe` nearest cells. nprobe=1 is the
+    * classic single-probe row; both rows share one formulation so the
+    * quantizer/tiebreak contract can never drift.
+    */
+  private def ivfOracleSql(nprobe: Int): String =
+    s"""WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |cent AS (SELECT id AS cid, v AS cvec FROM e WHERE id < 8),
+       |assign AS (
+       |  SELECT e.id, e.v, cent.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY
+       |      round(list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, cent.cvec)
+       |            + list_dot_product(cent.cvec, cent.cvec), 6) ASC, cent.cid ASC) AS rn
+       |  FROM e CROSS JOIN cent),
+       |corpus_b AS (SELECT id, v, cid AS bucket FROM assign WHERE rn = 1),
+       |queries_b AS (SELECT id, v, cid AS bucket FROM assign
+       |              WHERE rn <= $nprobe AND id >= 8 AND id < 16)
+       |SELECT query_id, vec_id, cos_sim, rank FROM (
+       |  SELECT q.id AS query_id, c.id AS vec_id,
+       |    round(list_dot_product(q.v, c.v)
+       |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q.id
+       |      ORDER BY round(list_dot_product(q.v, c.v)
+       |        / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+       |        c.id ASC) AS rank
+       |  FROM queries_b q JOIN corpus_b c ON q.bucket = c.bucket AND q.id <> c.id)
+       |WHERE rank <= 5""".stripMargin
 
   /** Shared by asof_join and asof_join_native: both implementations are
     * gated against the identical oracle. */
@@ -1036,28 +1071,8 @@ asofOracle,
         |        c.vec_id ASC) AS rank
         |  FROM e q JOIN e c ON q.vec_id < 8 AND q.vec_id <> c.vec_id)
         |WHERE rank <= 10""".stripMargin,
-    "ann_ivf_topk" ->
-      """WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |cent AS (SELECT id AS cid, v AS cvec FROM e WHERE id < 8),
-        |corpus_b AS (
-        |  SELECT id, v, cid AS bucket FROM (
-        |    SELECT e.id, e.v, cent.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY
-        |        round(list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, cent.cvec)
-        |              + list_dot_product(cent.cvec, cent.cvec), 6) ASC, cent.cid ASC) AS rn
-        |    FROM e CROSS JOIN cent)
-        |  WHERE rn = 1),
-        |queries_b AS (SELECT * FROM corpus_b WHERE id >= 8 AND id < 16)
-        |SELECT query_id, vec_id, cos_sim, rank FROM (
-        |  SELECT q.id AS query_id, c.id AS vec_id,
-        |    round(list_dot_product(q.v, c.v)
-        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim,
-        |    ROW_NUMBER() OVER (PARTITION BY q.id
-        |      ORDER BY round(list_dot_product(q.v, c.v)
-        |        / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
-        |        c.id ASC) AS rank
-        |  FROM queries_b q JOIN corpus_b c ON q.bucket = c.bucket AND q.id <> c.id)
-        |WHERE rank <= 5""".stripMargin,
+    "ann_ivf_topk" -> ivfOracleSql(nprobe = 1),
+    "ann_ivf_multiprobe" -> ivfOracleSql(nprobe = 3),
     "ann_lsh_topk" -> {
       val planes = Knn.hyperplanes(8, 64)
       val bucketExpr = planes.map(p =>
