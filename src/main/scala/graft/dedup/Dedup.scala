@@ -222,11 +222,14 @@ object Dedup {
     var iters = 0
     var changed = true
     while (changed && iters < maxIters) {
+      // lazy checkpoint: the convergence probe below is the round's single
+      // action and materializes the truncated lineage as a side effect —
+      // an eager checkpoint would cost a second job per round
       val propagated = labels.join(edges, col("node") === col("src"))
         .select(col("dst").as("node"), col("component"))
         .union(labels)
         .groupBy(col("node")).agg(min(col("component")).as("component"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = propagated.as("n").join(labels.as("o"),
           col("n.node") === col("o.node") && col("n.component") =!= col("o.component"))
         .limit(1).count() > 0
