@@ -404,6 +404,13 @@ object SparkEntry {
         .select(col("vec_id").as("id"), Knn.toDoubleArray(col("embedding")).as("vec"))
       Knn.bruteForceTopK(e.filter(col("id") < 8), e, 10)
     }),
+    "ann_lsh_multiprobe" -> ((s, dir) => {
+      // own bucket + every one-bit flip probed: the recall fix for
+      // sign-LSH's hard bucket boundaries
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), Knn.toDoubleArray(col("embedding")).as("vec"))
+      Knn.lshMultiProbeTopK(e.filter(col("id") < 8), e, 10, 8, 64)
+    }),
     "ann_lsh_topk" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
         .select(col("vec_id").as("id"), Knn.toDoubleArray(col("embedding")).as("vec"))
@@ -1090,6 +1097,33 @@ asofOracle,
          |        / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
          |        c.id ASC) AS rank
          |  FROM q JOIN b c ON q.bucket = c.bucket AND q.id <> c.id)
+         |WHERE rank <= 10""".stripMargin
+    },
+    "ann_lsh_multiprobe" -> {
+      val planes = Knn.hyperplanes(8, 64)
+      val bucketExpr = planes.map(p =>
+        s"(CASE WHEN list_dot_product(v, [${p.mkString(", ")}]) >= 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      s"""WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |b AS (SELECT id, v, $bucketExpr AS bucket FROM e),
+         |q0 AS (SELECT * FROM b WHERE id < 8),
+         |probes AS (
+         |  SELECT id, v, bucket AS probe FROM q0
+         |  UNION ALL
+         |  SELECT id, v,
+         |    substr(bucket, 1, i - 1)
+         |      || (CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END)
+         |      || substr(bucket, i + 1) AS probe
+         |  FROM q0, (VALUES (1), (2), (3), (4), (5), (6), (7), (8)) AS f(i)),
+         |cand AS (
+         |  SELECT DISTINCT q.id AS query_id, c.id AS vec_id,
+         |    round(list_dot_product(q.v, c.v)
+         |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+         |  FROM probes q JOIN b c ON q.probe = c.bucket AND q.id <> c.id)
+         |SELECT query_id, vec_id, cos_sim, rank FROM (
+         |  SELECT query_id, vec_id, cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+         |  FROM cand)
          |WHERE rank <= 10""".stripMargin
     },
     "embedding_neardup" ->
