@@ -539,6 +539,15 @@ object SparkEntry {
        |WHERE hamming <= 3""".stripMargin
   }
 
+  /** The sign-bucket SQL expression both LSH oracles share — one definition
+    * so the plane constants / sign convention can never drift between the
+    * single- and multi-probe rows (or from Knn.signBucket, whose
+    * hyperplanes these literals come from). */
+  private def lshBucketExpr: String =
+    Knn.hyperplanes(8, 64).map(p =>
+      s"(CASE WHEN list_dot_product(v, [${p.mkString(", ")}]) >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+
   /** nprobe-parameterized IVF oracle: corpus vectors live in their nearest
     * cell; each query searches its `nprobe` nearest cells. nprobe=1 is the
     * classic single-probe row; both rows share one formulation so the
@@ -1081,12 +1090,8 @@ asofOracle,
     "ann_ivf_topk" -> ivfOracleSql(nprobe = 1),
     "ann_ivf_multiprobe" -> ivfOracleSql(nprobe = 3),
     "ann_lsh_topk" -> {
-      val planes = Knn.hyperplanes(8, 64)
-      val bucketExpr = planes.map(p =>
-        s"(CASE WHEN list_dot_product(v, [${p.mkString(", ")}]) >= 0 THEN '1' ELSE '0' END)")
-        .mkString(" || ")
       s"""WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |b AS (SELECT id, v, $bucketExpr AS bucket FROM e),
+         |b AS (SELECT id, v, $lshBucketExpr AS bucket FROM e),
          |q AS (SELECT * FROM b WHERE id < 8)
          |SELECT query_id, vec_id, cos_sim, rank FROM (
          |  SELECT q.id AS query_id, c.id AS vec_id,
@@ -1100,12 +1105,8 @@ asofOracle,
          |WHERE rank <= 10""".stripMargin
     },
     "ann_lsh_multiprobe" -> {
-      val planes = Knn.hyperplanes(8, 64)
-      val bucketExpr = planes.map(p =>
-        s"(CASE WHEN list_dot_product(v, [${p.mkString(", ")}]) >= 0 THEN '1' ELSE '0' END)")
-        .mkString(" || ")
       s"""WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |b AS (SELECT id, v, $bucketExpr AS bucket FROM e),
+         |b AS (SELECT id, v, $lshBucketExpr AS bucket FROM e),
          |q0 AS (SELECT * FROM b WHERE id < 8),
          |probes AS (
          |  SELECT id, v, bucket AS probe FROM q0

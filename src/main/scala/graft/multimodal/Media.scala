@@ -47,17 +47,20 @@ object Media {
     }
   }
 
+
+  /** The docs-as-media projection every pipeline shares. */
+  private def asMediaRaw(docs: DataFrame, mime: String)
+                        (implicit spark: SparkSession): Dataset[MediaRaw] = {
+    import spark.implicits._
+    docs.select(col("doc_id").as("media_id"), col("text").cast("binary").as("bytes"),
+      lit(mime).as("mime")).as[MediaRaw]
+  }
+
   /** Builds a media table from the documents table (text bytes standing in
     * for an image payload) and runs the decode pipeline.
     */
-  def decodeDocuments(spark: SparkSession, docs: DataFrame): DataFrame = {
-    import spark.implicits._
-    val raws = docs
-      .select(col("doc_id").as("media_id"), col("text").cast("binary").as("bytes"),
-        lit("image/fake").as("mime"))
-      .as[MediaRaw]
-    decodeAll(raws).toDF()
-  }
+  def decodeDocuments(spark: SparkSession, docs: DataFrame): DataFrame =
+    decodeAll(asMediaRaw(docs, "image/fake")(spark)).toDF()
 
   /** Frame-sampling stats for a video-like payload: fixed-size frames,
     * every `stride`-th frame kept. */
@@ -112,9 +115,7 @@ object Media {
   /** Resize pipeline over the documents-as-media table. */
   def resizeDocuments(spark: SparkSession, docs: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").as("media_id"), col("text").cast("binary").as("bytes"),
-        lit("image/fake").as("mime"))
-      .as[MediaRaw]
+    asMediaRaw(docs, "image/fake")(spark)
       .mapPartitions(_.map(resizePlan(_, targetW, targetH)))
       .toDF()
   }
@@ -122,9 +123,7 @@ object Media {
   /** Frame-sampling pipeline over the documents-as-media table. */
   def frameStatsDocuments(spark: SparkSession, docs: DataFrame, frameSize: Int, stride: Int): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").as("media_id"), col("text").cast("binary").as("bytes"),
-        lit("video/fake").as("mime"))
-      .as[MediaRaw]
+    asMediaRaw(docs, "video/fake")(spark)
       .mapPartitions(_.map(frameSample(_, frameSize, stride)))
       .toDF()
   }
@@ -132,9 +131,7 @@ object Media {
   /** Feature-extraction pipeline over the documents-as-media table. */
   def featuresDocuments(spark: SparkSession, docs: DataFrame, dim: Int): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").as("media_id"), col("text").cast("binary").as("bytes"),
-        lit("image/fake").as("mime"))
-      .as[MediaRaw]
+    asMediaRaw(docs, "image/fake")(spark)
       .mapPartitions(_.map(featureExtract(_, dim)))
       .toDF()
   }
