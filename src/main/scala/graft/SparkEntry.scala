@@ -335,6 +335,13 @@ object SparkEntry {
         Dedup.minhashDedupVerified(table(s, dir, "documents"), col("doc_id"), col("text"),
           3, 16, 4, 0.5),
         "doc_a", "doc_b")),
+    "quality_filter" -> ((s, dir) =>
+      // the curation DECISION: per-document keep/drop verdict with the first
+      // failing Gopher-style rule as the reason; projected before the
+      // groupBy so the fused expressions evaluate once per row
+      table(s, dir, "documents")
+        .select(graft.text.TextFeatures.filterDecision(col("text")).as("decision"))
+        .groupBy(col("decision")).agg(count(lit(1)).as("n_docs"))),
     "repetition_stats" -> ((s, dir) => {
       // Gopher-style repetition quality signals, all row-local (zero
       // shuffle): fraction of a doc's n-gram shingles that are internal
@@ -899,6 +906,28 @@ asofOracle,
          |SELECT src AS doc_id, CAST(MIN(node) AS BIGINT) AS component
          |FROM reach GROUP BY src""".stripMargin
     },
+    "quality_filter" ->
+      """SELECT decision, COUNT(*) AS n_docs FROM (
+        |  SELECT CASE WHEN n_words < 10 THEN 'too_short'
+        |              WHEN awl < 3.0 OR awl > 10.0 THEN 'word_length'
+        |              WHEN sr < 0.01 THEN 'no_stopwords'
+        |              WHEN dup > 0.3 THEN 'repetitive_ngrams'
+        |              WHEN tt > 0.2 THEN 'dominant_token'
+        |              ELSE 'kept' END AS decision
+        |  FROM (
+        |    SELECT
+        |      CAST(len(w) AS BIGINT) AS n_words,
+        |      CAST(length(text) AS DOUBLE) / len(w) AS awl,
+        |      CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(w) AS sr,
+        |      CASE WHEN len(w) > 2
+        |           THEN 1.0 - CAST(len(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                                               for i in generate_series(1, len(w)-2) ])) AS DOUBLE)
+        |                      / (len(w) - 2)
+        |           ELSE 0.0 END AS dup,
+        |      CAST(list_max(list_transform(list_distinct(w), x -> len(list_filter(w, y -> y = x)))) AS DOUBLE)
+        |        / len(w) AS tt
+        |    FROM (SELECT text, string_split(text, ' ') AS w FROM documents)))
+        |GROUP BY decision""".stripMargin,
     "repetition_stats" ->
       """SELECT doc_id, n_words,
         |  n_total AS n_shingles_total, n_distinct AS n_shingles_distinct,

@@ -66,6 +66,32 @@ object TextFeatures {
       score.as("quality_score"))
   }
 
+  /** Gopher-style quality-filter DECISION: the first failing rule names the
+    * drop reason, 'kept' when all pass. Rules: minimum length, word-length
+    * band, stopword floor, within-doc n-gram repetition cap, dominant-token
+    * cap. All row-local (fused expressions), so the filter pass is a pure
+    * map over the corpus — the shape a 100 TB curation sweep needs.
+    * Divisions are safe: split() yields at least one element, so n_words
+    * is never zero.
+    */
+  def filterDecision(text: Column): Column = {
+    import graft.functions.ShingleExpressions
+    val nWords = size(words(text)).cast("long")
+    val avgWordLen = length(text).cast("double") / nWords.cast("double")
+    val stopRatio = stopwordHits(text, enStopwords).cast("double") / nWords.cast("double")
+    val nTotal = nWords - 2
+    val nDistinct = size(ShingleExpressions.distinctShingles(text, 3)).cast("long")
+    val dupFrac = when(nTotal > 0,
+      lit(1.0) - nDistinct.cast("double") / nTotal.cast("double")).otherwise(lit(0.0))
+    val topFrac = ShingleExpressions.topTokenCount(text).cast("double") / nWords.cast("double")
+    when(nWords < 10, "too_short")
+      .when(avgWordLen < 3.0 || avgWordLen > 10.0, "word_length")
+      .when(stopRatio < 0.01, "no_stopwords")
+      .when(dupFrac > 0.3, "repetitive_ngrams")
+      .when(topFrac > 0.2, "dominant_token")
+      .otherwise("kept")
+  }
+
   /** Heuristic language-ID: stopword-hit score per language, argmax with a
     * fixed language priority for ties. Deterministic by construction.
     */
