@@ -236,6 +236,12 @@ object Dedup {
       labels = propagated
       iters += 1
     }
+    // Returning unconverged labels would silently split a component into
+    // several ids; near-dup components are shallow, so hitting the cap
+    // means something is wrong (or maxIters is genuinely too small).
+    if (changed) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters rounds; " +
+        "raise maxIters (component diameter exceeds the cap)")
     labels.select(col("node").as("doc_id"), col("component"))
   }
 

@@ -86,14 +86,20 @@ object Sources {
   def syncIncremental(spark: SparkSession, df: DataFrame, tsCol: Column,
                       cacheDir: String, name: String)
                      (process: DataFrame => Unit): Option[java.sql.Timestamp] = {
-    val slice = readWatermark(spark, cacheDir, name) match {
+    // Materialize the slice ONCE before handing it out: on a live source,
+    // re-reading it for the watermark could see rows that arrived after
+    // process() ran and advance the watermark past data never processed.
+    // The checkpoint pins both reads to the same snapshot.
+    val slice = (readWatermark(spark, cacheDir, name) match {
       case Some(wm) => readIncremental(df, tsCol, wm)
       case None => df
-    }
-    process(slice)
-    val next = nextWatermark(slice, tsCol)
-    next.foreach(writeWatermark(spark, cacheDir, name, _))
-    next
+    }).localCheckpoint()
+    try {
+      process(slice)
+      val next = nextWatermark(slice, tsCol)
+      next.foreach(writeWatermark(spark, cacheDir, name, _))
+      next
+    } finally slice.unpersist()
   }
 
   /** Origin-id dedup before insert: drop rows whose origin key already

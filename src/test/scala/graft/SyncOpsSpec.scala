@@ -51,6 +51,21 @@ class SyncOpsSpec extends SparkSpec {
     assert(out(3L)._1 == "c" && out(3L)._3 == "labels_match")
   }
 
+  test("lazy correction chase (countMoves=false) matches the probed path") {
+    val corrections = Seq(("a", "b"), ("b", "c"), ("x", "y"), ("y", "x")).toDF("from_ds", "to_ds")
+    val msgs = Seq(
+      (1L, "a", Seq.empty[String]),
+      (2L, "x", Seq.empty[String]),
+      (3L, "c", Seq.empty[String])
+    ).toDF("id", "dataset", "previous")
+    def run(probe: Boolean) = WsCorrection
+      .correctToFixpoint(msgs, "dataset", "previous", corrections, countMoves = probe)
+      .select(col("id"), col("dataset"), col("ws_frozen"), col("last_event"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(run(false) == run(true))
+  }
+
   test("provenance history accumulates across chained transforms") {
     val at = lit(ts("2024-01-01 00:00:00"))
     val base = Seq((1L, "u1", ts("2024-01-02 00:00:00")), (2L, "u1", ts("2024-01-03 00:00:00")))
