@@ -446,6 +446,52 @@ object SparkEntry {
       graft.multimodal.Media.featuresDocuments(s, table(s, dir, "documents"), 8)),
     "multimodal_resize" -> ((s, dir) =>
       graft.multimodal.Media.resizeDocuments(s, table(s, dir, "documents"), 64, 64)),
+    "decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: every 50th doc plays the eval set; the
+      // rest is the training corpus checked for shared trigrams
+      val d = table(s, dir, "documents")
+      graft.curation.Curation.decontaminate(
+        d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0),
+        col("doc_id"), col("text"), 3)
+    }),
+    "line_dedup" -> ((s, dir) => {
+      // corpus "lines" derived deterministically by chunking words in
+      // groups of 8 (the testdata has no newlines); the operator itself is
+      // generic over any array-of-lines column
+      val w = split(col("text"), " ", -1)
+      val lines = transform(
+        sequence(lit(0L), floor((size(w) - 1) / lit(8.0)).cast("long")),
+        i => array_join(slice(w, (i * 8 + 1).cast("int"), lit(8)), " "))
+      graft.curation.Curation.lineDedup(table(s, dir, "documents"), col("doc_id"), lines)
+    }),
+    "pii_redact" -> ((s, dir) => {
+      // deterministic PII injection (the word-soup corpus has none), so the
+      // oracle exercises real masking: one URL, one email, one phone per doc
+      val d = table(s, dir, "documents")
+      val withPii = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example see https://ex.ample/d/"), col("doc_id").cast("string"),
+        lit(" tel +2547"), lpad(pmod(col("doc_id"), lit(1000000)).cast("string"), 6, "0"))
+      d.select((col("doc_id") +: graft.text.Redact.piiColumns(withPii)): _*)
+    }),
+    "semdedup" -> ((s, dir) => {
+      // semantic dedup: nearest-centroid clusters (same quantizer contract
+      // as ann_ivf_topk), drop any vector with a >= 0.3-cosine neighbor of
+      // smaller id in its cluster
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), Knn.toDoubleArray(col("embedding")).as("vec"))
+      Knn.semDedup(e, e.filter(col("id") < 8), 0.3)
+    }),
+    "seq_packing" -> ((s, dir) => {
+      val C = graft.curation.Curation
+      C.packStats(table(s, dir, "documents"), col("doc_id"),
+        graft.functions.TokenCount.tokenCount(col("text")),
+        C.hashShard(col("doc_id"), 8), 512)
+    }),
+    "data_mixture" -> ((s, dir) =>
+      graft.curation.Curation.mixtureStats(table(s, dir, "documents"),
+        col("doc_id"), col("lang"),
+        Map("en" -> 100, "fr" -> 50, "es" -> 25, "de" -> 10, "zh" -> 75))),
 
     // ---- B. relational surface ----
     "q1_pricing_summary" -> ((s, dir) => Relational.q1PricingSummary(s, dir)),
@@ -1262,6 +1308,91 @@ asofOracle,
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
         |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_group
         |  FROM orders)
-        |WHERE rank_in_group <= 3""".stripMargin
+        |WHERE rank_in_group <= 3""".stripMargin,
+    "decontaminate" ->
+      """WITH shl AS (
+        |  SELECT doc_id, list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                                 for i in generate_series(1, len(w)-2) ]) AS shingles
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |bsh AS (SELECT DISTINCT s FROM shl, unnest(shingles) AS t(s) WHERE doc_id % 50 = 0),
+        |hits AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT doc_id, s FROM shl, unnest(shingles) AS t(s) WHERE doc_id % 50 <> 0) c
+        |  JOIN bsh USING (s) GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(h.n, 0) AS n_overlap, COALESCE(h.n, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+        |LEFT JOIN hits h USING (doc_id)""".stripMargin,
+    "line_dedup" ->
+      """WITH lw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |lines AS (
+        |  SELECT doc_id, [ array_to_string(w[i*8+1:i*8+8], ' ')
+        |                   for i in generate_series(0, (len(w)-1)//8) ] AS ls
+        |  FROM lw),
+        |ex AS (SELECT doc_id, i - 1 AS pos, ls[i] AS line
+        |       FROM lines, unnest(generate_series(1, len(ls))) AS t(i)),
+        |r AS (SELECT doc_id, pos, line,
+        |        ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id ASC, pos ASC) AS rn
+        |      FROM ex)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos ASC), '') AS text_kept
+        |FROM r GROUP BY doc_id""".stripMargin,
+    "pii_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\+[0-9]{7,15}')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    'https?://[^ ]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9]{7,15}', '<PHONE>', 'g') AS redacted
+        |FROM (
+        |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@mail.example see https://ex.ample/d/' || CAST(doc_id AS VARCHAR)
+        |    || ' tel +2547' || lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0') AS t
+        |  FROM documents)""".stripMargin,
+    "semdedup" ->
+      """WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |cent AS (SELECT id AS cid, v AS cvec FROM e WHERE id < 8),
+        |assign AS (
+        |  SELECT e.id, e.v, cent.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY
+        |      round(list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, cent.cvec)
+        |            + list_dot_product(cent.cvec, cent.cvec), 6) ASC, cent.cid ASC) AS rn
+        |  FROM e CROSS JOIN cent),
+        |cl AS (SELECT id, v, cid AS cluster FROM assign WHERE rn = 1),
+        |dropped AS (
+        |  SELECT DISTINCT a.id FROM cl a JOIN cl b ON a.cluster = b.cluster AND b.id < a.id
+        |  WHERE round(list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3)
+        |SELECT cl.id AS vec_id, cl.cluster, d.id IS NULL AS keep
+        |FROM cl LEFT JOIN dropped d ON cl.id = d.id""".stripMargin,
+    "seq_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tok,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 4))::BIGINT % 8 AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT shard, doc_id, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS strt
+        |  FROM t)
+        |SELECT shard, strt // 512 AS chunk_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    "data_mixture" ->
+      """WITH t AS (
+        |  SELECT lang AS source,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS pct,
+        |    CASE lang WHEN 'en' THEN 100 WHEN 'fr' THEN 50 WHEN 'es' THEN 25
+        |              WHEN 'de' THEN 10 WHEN 'zh' THEN 75 ELSE 100 END AS w
+        |  FROM documents)
+        |SELECT source, n_total, n_kept,
+        |  round(CAST(n_kept AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS rate
+        |FROM (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
+        |    CAST(SUM(CASE WHEN pct < w THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |  FROM t GROUP BY source)""".stripMargin
   )
 }

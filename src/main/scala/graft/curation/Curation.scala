@@ -1,0 +1,155 @@
+package graft.curation
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.ShingleExpressions
+
+/** Corpus-curation operators for a training-data pipeline: benchmark
+  * decontamination, cross-document line dedup, sequence packing, and
+  * weighted source mixing. Each is a pure DataFrame plan — deterministic,
+  * shuffle-minimal, no driver-side state — so the same code path holds from
+  * the sf0.01 oracle fixtures to a 100 TB corpus.
+  */
+object Curation {
+
+  /** Benchmark decontamination: flag corpus documents that share at least
+    * one n-gram with an evaluation/benchmark set (the standard guard against
+    * test-set leakage into training data).
+    *
+    * Scale shape: the benchmark side is always small relative to the corpus
+    * (eval sets are thousands of documents), so its distinct shingle set is
+    * BROADCAST — the corpus-side scan stays embarrassingly parallel and the
+    * only shuffle is the per-document overlap count, which is map-side
+    * combinable. Shingling uses the fused single-pass expression (the HOF
+    * formulation evaluates interpreted).
+    *
+    * Returns one row per corpus document: (doc_id, n_overlap, contaminated)
+    * where n_overlap counts the document's DISTINCT shingles that appear
+    * anywhere in the benchmark.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    id: Column, text: Column, n: Int): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(ShingleExpressions.distinctShingles(text, n)).as("__s"))
+      .distinct()
+    val hits = corpus
+      .select(id.as("doc_id"), explode(ShingleExpressions.distinctShingles(text, n)).as("__s"))
+      .join(broadcast(benchShingles), "__s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    corpus.select(id.as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Cross-document line deduplication (C4-style): a line is kept only at
+    * its first occurrence in the corpus — the occurrence with the smallest
+    * (doc_id, position) — and removed everywhere else; documents are then
+    * reassembled in original line order.
+    *
+    * `lines` must be an array<string> column with positional semantics.
+    * Two shuffles, both keyed hash-partitions: one on the line text for the
+    * first-occurrence window, one on doc_id for reassembly. A boilerplate
+    * line repeated across millions of documents makes a hot line-partition;
+    * AQE's skew handling covers the window, and the reassembly key (doc_id)
+    * is unskewed by construction.
+    *
+    * Returns (doc_id, n_lines, n_kept, text_kept) with kept lines joined by
+    * '\n' — empty string when every line of a document was a repeat.
+    */
+  def lineDedup(df: DataFrame, id: Column, lines: Column): DataFrame = {
+    val exploded = df.select(id.as("doc_id"), posexplode(lines).as(Seq("pos", "line")))
+    val firstOcc = Window.partitionBy(col("line")).orderBy(col("doc_id").asc, col("pos").asc)
+    exploded
+      .withColumn("__rn", row_number().over(firstOcc))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        // collect_list drops the nulls from non-kept lines; sort restores
+        // original order deterministically (pos is unique within a doc)
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__rn") === 1, struct(col("pos"), col("line"))))),
+            x => x.getField("line")),
+          "\n").as("text_kept"))
+  }
+
+  /** Deterministic, dialect-portable [0, 100) hash percentile of a key —
+    * the sampling coin for mixture weighting. Built from md5 hex so any SQL
+    * engine reproduces it bit-for-bit (engine-native hash functions don't
+    * agree across systems). `offset` decorrelates independent decisions
+    * drawn from the same key.
+    */
+  def hashPct(key: Column, offset: Int = 1): Column =
+    conv(substring(md5(key.cast("string")), offset, 4), 16, 10).cast("long") % 100
+
+  /** Deterministic shard assignment from the same portable hash family —
+    * used to scatter documents into independent packing shards. */
+  def hashShard(key: Column, numShards: Int): Column =
+    conv(substring(md5(key.cast("string")), 9, 4), 16, 10).cast("long") % numShards
+
+  /** Weighted source mixing: each document is kept with probability
+    * weight(source)/100, decided by a deterministic per-document hash coin —
+    * reruns, resumes, and the oracle all agree on exactly which documents
+    * survive. Returns per-source accounting (n_total, n_kept, rate).
+    *
+    * The decision itself is row-local (zero shuffle); only the audit
+    * aggregation shuffles, map-side combined on the small source key.
+    */
+  def mixtureStats(df: DataFrame, id: Column, source: Column,
+                   weights: Map[String, Int], defaultWeight: Int = 100): DataFrame = {
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (k, v)) =>
+      when(source === k, lit(v)).otherwise(acc)
+    }
+    df.select(source.as("source"), (hashPct(id) < w).as("__keep"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("rate",
+        round(col("n_kept").cast("double") / col("n_total").cast("double"), 6))
+  }
+
+  /** The row-level mixture decision (for building the filtered corpus
+    * rather than the audit): keep iff hashPct(id) < weight(source). */
+  def mixtureKeep(id: Column, source: Column, weights: Map[String, Int],
+                  defaultWeight: Int = 100): Column = {
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (k, v)) =>
+      when(source === k, lit(v)).otherwise(acc)
+    }
+    hashPct(id) < w
+  }
+
+  /** Sequence packing (concat-and-chunk): within each shard, documents are
+    * laid end-to-end in deterministic doc-id order and cut into fixed
+    * `ctxLen`-token training chunks; a document belongs to the chunk its
+    * first token lands in. Returns per-chunk packing stats
+    * (shard, chunk_id, n_docs, n_tokens).
+    *
+    * The running token offset is a windowed prefix sum PARTITIONED BY SHARD
+    * — the global-order formulation would serialize the whole corpus into
+    * one sort partition, which is exactly the plan that dies at 100 TB.
+    * Sharding is how training data is materialized anyway (one output file
+    * per shard), and each shard's window sorts only its own slice. One
+    * shuffle on the shard key; the chunk aggregation reuses the same
+    * partitioning modulo the chunk sub-key (map-side combinable).
+    */
+  def packStats(df: DataFrame, id: Column, tokens: Column, shard: Column,
+                ctxLen: Int): DataFrame = {
+    require(ctxLen > 0, "ctxLen must be positive")
+    val cum = Window.partitionBy(col("shard")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(id.as("doc_id"), tokens.cast("long").as("n_tok"), shard.as("shard"))
+      .withColumn("__start", sum(col("n_tok")).over(cum) - col("n_tok"))
+      // integer floor-division of non-negative longs: exact, no float path
+      .withColumn("chunk_id", (col("__start") - pmod(col("__start"), lit(ctxLen.toLong))) / ctxLen)
+      .withColumn("chunk_id", col("chunk_id").cast("long"))
+      .groupBy(col("shard"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+  }
+}

@@ -220,6 +220,35 @@ object Knn {
     assignNearest(corpus, cent).agg(avg(col("__dist"))).head().getDouble(0)
   }
 
+  /** SemDedup (semantic dedup over embeddings): assign every vector to its
+    * nearest centroid (the same deterministic quantizer contract as ivfTopK),
+    * then within each cluster drop any vector that has a too-similar
+    * (cosine >= minCos) neighbor with a smaller id — the deterministic
+    * greedy-by-id variant of the published keep-one-per-similar-group rule.
+    *
+    * Scale shape: the pair comparison is confined to cluster buckets (never
+    * a corpus cross-product), and the number of centroids is chosen to grow
+    * with the corpus, bounding cluster width. Centroids are broadcast for
+    * assignment; the only shuffles are the cluster-keyed self-join and the
+    * final keep flag join.
+    *
+    * Returns one row per corpus vector: (vec_id, cluster, keep).
+    */
+  def semDedup(corpus: DataFrame, centroids: DataFrame, minCos: Double): DataFrame = {
+    val cent = centroids.select(col("id").as("cid"), col("vec").as("cvec"))
+    val clustered = withNorm(
+      assignNearest(corpus, cent).select(col("id"), col("vec"), col("cid").as("cluster")))
+    val dropped = clustered.as("a")
+      .join(clustered.as("b"), col("a.cluster") === col("b.cluster") && col("b.id") < col("a.id"))
+      .filter(round(cosinePrenormed(col("a.vec"), col("b.vec"),
+        col("a.__norm") * col("b.__norm")), 6) >= minCos)
+      .select(col("a.id").as("vec_id")).distinct()
+      .withColumn("__dup", lit(true))
+    clustered.select(col("id").as("vec_id"), col("cluster"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("__dup").isNull.as("keep"))
+  }
+
   /** Cosine near-duplicate pairs within blocking groups: only pairs sharing
     * `blockCol` are compared (at scale the block key is an LSH bucket or
     * cluster id — never the full cross product). `leftPred` optionally

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.curation.Curation
+import graft.text.Redact
+
+/** Curation operators: decontamination, line dedup, PII redaction,
+  * sequence packing, mixture weighting, semantic dedup. The oracle gate
+  * covers the corpus bindings; these specs pin the behavioral contracts on
+  * constructed fixtures the word-soup corpus can't express (multi-line
+  * docs, real PII strings, packing boundaries).
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),      // shares "alpha beta gamma"
+      (2L, "epsilon zeta eta theta"),      // clean
+      (3L, "x y alpha beta gamma")         // shares the same trigram mid-doc
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma PRIME")).toDF("doc_id", "text")
+    val out = Curation.decontaminate(corpus, bench, col("doc_id"), col("text"), 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // doc 1 shingles: {alpha beta gamma, beta gamma delta}; only the first is in the benchmark
+    assert(out(1L) == ((1L, true)))
+    assert(out(2L) == ((0L, false)))
+    assert(out(3L) == ((1L, true)))
+  }
+
+  test("decontaminate counts DISTINCT overlapping shingles once") {
+    // doc repeats the contaminated trigram; distinct-shingle semantics count it once
+    val corpus = Seq((1L, "a b c a b c a b c")).toDF("doc_id", "text")
+    val bench = Seq((9L, "a b c")).toDF("doc_id", "text")
+    val out = Curation.decontaminate(corpus, bench, col("doc_id"), col("text"), 3).collect()
+    // doc shingles: {a b c, b c a, c a b} -> only "a b c" is in the benchmark
+    assert(out.head.getLong(1) == 1L && out.head.getBoolean(2))
+  }
+
+  test("lineDedup keeps only first occurrences and reassembles in order") {
+    val docs = Seq(
+      (1L, Seq("shared header", "body one", "shared footer")),
+      (2L, Seq("shared header", "body two", "shared footer")),
+      (3L, Seq("shared header", "shared header")) // repeat within one doc
+    ).toDF("doc_id", "lines")
+    val out = Curation.lineDedup(docs, col("doc_id"), col("lines"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 saw every line first: keeps all three
+    assert(out(1L) == ((3L, 3L, "shared header\nbody one\nshared footer")))
+    // doc 2 keeps only its unique body
+    assert(out(2L) == ((3L, 1L, "body two")))
+    // doc 3: both lines are repeats of doc 1's header
+    assert(out(3L) == ((2L, 0L, "")))
+  }
+
+  test("redactPii masks urls, emails and phones without cross-matching") {
+    val df = Seq(
+      (1L, "see https://ex.ample/a?q=1 mail me at jo.doe+x@mail.example or call +254712345678"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.co c@d.org and short +123 not a phone")
+    ).toDF("id", "text")
+    val out = df.select((col("id") +: Redact.piiColumns(col("text"))): _*)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((1L, 1L, 1L, "see <URL> mail me at <EMAIL> or call <PHONE>")))
+    assert(out(2L) == ((0L, 0L, 0L, "no pii here at all")))
+    // +123 is below the 7-digit phone floor; both emails masked
+    assert(out(3L) == ((0L, 2L, 0L, "two mails <EMAIL> <EMAIL> and short +123 not a phone")))
+  }
+
+  test("packStats fills fixed chunks: doc joins the chunk its first token lands in") {
+    // one shard; ctx=10; docs of 4,5,3,10,1 tokens: starts 0,4,9,12,22
+    val docs = Seq((1L, 4L), (2L, 5L), (3L, 3L), (4L, 10L), (5L, 1L))
+      .toDF("doc_id", "n_tok").withColumn("shard", lit(0L))
+    val out = Curation.packStats(docs, col("doc_id"), col("n_tok"), col("shard"), 10)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) == ((3L, 12L))) // docs 1,2,3 start at 0,4,9
+    assert(out(1L) == ((1L, 10L))) // doc 4 starts at 12
+    assert(out(2L) == ((1L, 1L)))  // doc 5 starts at 22
+  }
+
+  test("packStats shards independently and conserves tokens") {
+    val docs = Seq.tabulate(100)(i => (i.toLong, (i % 7 + 1).toLong))
+      .toDF("doc_id", "n_tok")
+      .withColumn("shard", Curation.hashShard(col("doc_id"), 4))
+    val out = Curation.packStats(docs, col("doc_id"), col("n_tok"), col("shard"), 16)
+    val total = out.agg(sum("n_tokens")).head.getLong(0)
+    assert(total == docs.agg(sum("n_tok")).head.getLong(0))
+    assert(out.select("shard").distinct().count() == 4)
+    // every non-final chunk of a shard is filled past the boundary check:
+    // chunk ids per shard are contiguous from 0
+    val chunks = out.select("shard", "chunk_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq)
+    chunks.foreach { case (_, ids) => assert(ids == (0L until ids.length).toSeq) }
+  }
+
+  test("mixture weighting is deterministic and tracks requested rates") {
+    val docs = Seq.tabulate(4000)(i => (i.toLong, if (i % 2 == 0) "keep_all" else "half"))
+      .toDF("doc_id", "source")
+    val weights = Map("keep_all" -> 100, "half" -> 50)
+    val out = Curation.mixtureStats(docs, col("doc_id"), col("source"), weights)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("keep_all") == ((2000L, 2000L, 1.0)))
+    // hash coin: expect ~50% within a few points on 2000 draws
+    val (n, kept, rate) = out("half")
+    assert(n == 2000L && math.abs(rate - 0.5) < 0.05, s"rate=$rate kept=$kept")
+    // decision column agrees with the audit
+    val kept2 = docs.filter(Curation.mixtureKeep(col("doc_id"), col("source"), weights))
+      .filter(col("source") === "half").count()
+    assert(kept2 == kept)
+  }
+
+  test("semDedup keeps the smallest id of a similar group and respects clusters") {
+    // centroids far apart on axes; dup pair (10,11) identical in cluster 0;
+    // vec 12 similar to nothing; 13/14 identical but in different clusters
+    def v(xs: Double*) = xs.toArray
+    val vecs = Seq(
+      (0L, v(10, 0, 0)), (1L, v(0, 10, 0)),          // centroids
+      (10L, v(9, 1, 0)), (11L, v(9, 1, 0)),          // dups in cluster 0
+      (12L, v(8, -6, 0)),                            // cluster 0, dissimilar
+      (13L, v(5, 4.9, 0)), (14L, v(4.9, 5, 0))       // near-identical, straddle clusters
+    ).toDF("id", "vec")
+    val out = graft.similarity.Knn.semDedup(
+        vecs.filter(col("id") >= 10), vecs.filter(col("id") < 2), 0.95)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(10L) == ((0L, true)))   // smallest id of the dup pair survives
+    assert(out(11L) == ((0L, false)))  // dropped: 10 is its smaller twin
+    assert(out(12L)._2)                // nothing similar
+    // 13 and 14 are ~identical but live in different clusters: both kept
+    assert(out(13L) == ((1L, true)) || out(13L) == ((0L, true)))
+    assert(out(14L)._2 && out(13L)._1 != out(14L)._1)
+  }
+}
