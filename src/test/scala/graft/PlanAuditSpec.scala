@@ -80,6 +80,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(count(plan("reverse_sync_contacts"), "Exchange") == 1)
   }
 
+  test("round-3 curation operators keep their scale shapes") {
+    // decontaminate: the (small) benchmark shingle set is broadcast — the
+    // corpus side must never shuffle into a sort-merge join against it
+    val dc = plan("decontaminate")
+    assert(count(dc, "BroadcastHashJoin") >= 1, dc)
+    // pii redaction is a pure row-local projection
+    assert(count(plan("pii_redact"), "Exchange") == 0)
+    // seq packing: the prefix-sum window is PARTITIONED by shard — a global
+    // unpartitioned window would plan a single-partition Exchange
+    val sp = plan("seq_packing")
+    assert(!sp.contains("SinglePartition"), sp)
+    // semdedup: centroid assignment broadcasts the centroids; the pair join
+    // is cluster-bucketed, never a cartesian product. The assignment subtree
+    // is referenced three times (pair sides + final keep join) — the
+    // executed plan must share its shuffle via AQE exchange reuse rather
+    // than recompute the corpus-wide assignment per branch.
+    val sdDf = SparkEntry.queries("semdedup")(spark, sfDir)
+    sdDf.collect() // count() would plan a NEW QueryExecution; collect runs this one
+    val sd = sdDf.queryExecution.executedPlan.toString
+    assert(sd.contains("ReusedExchange"), sd)
+    assert(!sd.contains("CartesianProduct"), sd)
+    // mixture audit: decision is row-local; only the source-keyed audit
+    // aggregation shuffles
+    assert(count(plan("data_mixture"), "Exchange") == 1)
+  }
+
   test("no query plans an unbroadcast cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"), s"$name plans a CartesianProduct")
