@@ -492,6 +492,29 @@ object SparkEntry {
       graft.curation.Curation.mixtureStats(table(s, dir, "documents"),
         col("doc_id"), col("lang"),
         Map("en" -> 100, "fr" -> 50, "es" -> 25, "de" -> 10, "zh" -> 75))),
+    "corpus_report" -> ((s, dir) =>
+      // the dataset card: per-source doc/token counts, quality keep rate,
+      // language spread — one pass, one map-side-combinable aggregation
+      table(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          graft.functions.TokenCount.tokenCount(col("text")).as("n_tok"),
+          (graft.text.TextFeatures.filterDecision(col("text")) === "kept").as("kept"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          countDistinct(col("lang")).as("n_langs"))
+        .withColumn("keep_rate",
+          round(col("n_kept").cast("double") / col("n_docs").cast("double"), 6))),
+    "vocab_build" -> ((s, dir) =>
+      // 24 < the corpus's 31 distinct tokens, so OOV is a real case here
+      graft.text.Vocab.build(table(s, dir, "documents"), col("text"), 24)),
+    "encode_docs" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      graft.text.Vocab.encode(d, col("doc_id"), col("text"),
+        graft.text.Vocab.build(d, col("text"), 24))
+    }),
 
     // ---- B. relational surface ----
     "q1_pricing_summary" -> ((s, dir) => Relational.q1PricingSummary(s, dir)),
@@ -628,6 +651,45 @@ object SparkEntry {
        |        c.id ASC) AS rank
        |  FROM queries_b q JOIN corpus_b c ON q.bucket = c.bucket AND q.id <> c.id)
        |WHERE rank <= 5""".stripMargin
+
+  /** Gopher-style per-document decision SQL, parameterized on pass-through
+    * columns so quality_filter and corpus_report share one formulation (the
+    * thresholds/rules can never drift between the two rows). `inner` is
+    * computed where `text` is in scope; `outer` is the pass-through column
+    * list; both end with a trailing comma or are empty.
+    */
+  private def gopherDecisionSql(inner: String, outer: String): String =
+    s"""SELECT $outer
+       |  CASE WHEN n_words < 10 THEN 'too_short'
+       |       WHEN awl < 3.0 OR awl > 10.0 THEN 'word_length'
+       |       WHEN sr < 0.01 THEN 'no_stopwords'
+       |       WHEN dup > 0.3 THEN 'repetitive_ngrams'
+       |       WHEN tt > 0.2 THEN 'dominant_token'
+       |       ELSE 'kept' END AS decision
+       |FROM (
+       |  SELECT $outer
+       |    CAST(len(w) AS BIGINT) AS n_words,
+       |    CAST(length(text) AS DOUBLE) / len(w) AS awl,
+       |    CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(w) AS sr,
+       |    CASE WHEN len(w) > 2
+       |         THEN 1.0 - CAST(len(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                                             for i in generate_series(1, len(w)-2) ])) AS DOUBLE)
+       |                    / (len(w) - 2)
+       |         ELSE 0.0 END AS dup,
+       |    CAST(list_max(list_transform(list_distinct(w), x -> len(list_filter(w, y -> y = x)))) AS DOUBLE)
+       |      / len(w) AS tt
+       |  FROM (SELECT $inner text, string_split(text, ' ') AS w FROM documents))""".stripMargin
+
+  /** Frequency-ranked vocab CTE (24 entries, ties on token asc) shared by
+    * vocab_build and encode_docs. */
+  private val vocabCte: String =
+    """f AS (
+      |  SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+      |    SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token FROM documents)
+      |  GROUP BY token),
+      |v AS (
+      |  SELECT token, freq, CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS INT) AS token_id
+      |  FROM (SELECT token, freq FROM f ORDER BY freq DESC, token ASC LIMIT 24))""".stripMargin
 
   /** Shared by asof_join and asof_join_native: both implementations are
     * gated against the identical oracle. */
@@ -953,27 +1015,34 @@ asofOracle,
          |FROM reach GROUP BY src""".stripMargin
     },
     "quality_filter" ->
-      """SELECT decision, COUNT(*) AS n_docs FROM (
-        |  SELECT CASE WHEN n_words < 10 THEN 'too_short'
-        |              WHEN awl < 3.0 OR awl > 10.0 THEN 'word_length'
-        |              WHEN sr < 0.01 THEN 'no_stopwords'
-        |              WHEN dup > 0.3 THEN 'repetitive_ngrams'
-        |              WHEN tt > 0.2 THEN 'dominant_token'
-        |              ELSE 'kept' END AS decision
-        |  FROM (
-        |    SELECT
-        |      CAST(len(w) AS BIGINT) AS n_words,
-        |      CAST(length(text) AS DOUBLE) / len(w) AS awl,
-        |      CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(w) AS sr,
-        |      CASE WHEN len(w) > 2
-        |           THEN 1.0 - CAST(len(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-        |                                               for i in generate_series(1, len(w)-2) ])) AS DOUBLE)
-        |                      / (len(w) - 2)
-        |           ELSE 0.0 END AS dup,
-        |      CAST(list_max(list_transform(list_distinct(w), x -> len(list_filter(w, y -> y = x)))) AS DOUBLE)
-        |        / len(w) AS tt
-        |    FROM (SELECT text, string_split(text, ' ') AS w FROM documents)))
-        |GROUP BY decision""".stripMargin,
+      s"""SELECT decision, COUNT(*) AS n_docs FROM (
+         |${gopherDecisionSql("", "")})
+         |GROUP BY decision""".stripMargin,
+    "corpus_report" -> {
+      val inner = "source, lang, CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tok,"
+      val outer = "source, lang, n_tok,"
+      s"""SELECT source, n_docs, n_tokens, n_kept, n_langs,
+         |  round(CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS keep_rate
+         |FROM (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(CASE WHEN decision = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+         |  FROM (
+         |${gopherDecisionSql(inner, outer)})
+         |  GROUP BY source)""".stripMargin
+    },
+    "vocab_build" ->
+      s"""WITH $vocabCte
+         |SELECT token, freq, token_id FROM v""".stripMargin,
+    "encode_docs" ->
+      s"""WITH $vocabCte,
+         |toks AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS ts FROM documents),
+         |ex AS (
+         |  SELECT doc_id, i - 1 AS pos, ts[i] AS token
+         |  FROM toks, unnest(generate_series(1, len(ts))) AS g(i))
+         |SELECT e.doc_id, CAST(e.pos AS INT) AS pos, COALESCE(v.token_id, 0) AS token_id
+         |FROM ex e LEFT JOIN v ON e.token = v.token""".stripMargin,
     "repetition_stats" ->
       """SELECT doc_id, n_words,
         |  n_total AS n_shingles_total, n_distinct AS n_shingles_distinct,

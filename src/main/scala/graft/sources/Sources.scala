@@ -152,4 +152,22 @@ object Sources {
 
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Training-shard export: the last step of a curation pipeline. Rows are
+    * scattered into `shardCol` directories (one dir per shard value, the
+    * layout trainers consume) and laid down in a deterministic within-shard
+    * order, so re-running the export — or re-reading it epoch after epoch —
+    * yields byte-identical sequence order. The shard column should be a
+    * content-independent hash (Curation.hashShard) so shards are balanced
+    * and the "shuffle" of training data is frozen into the layout instead
+    * of recomputed per epoch.
+    *
+    * One hash-partition shuffle on the shard key; the per-shard sort is
+    * local (sortWithinPartitions, no global sort).
+    */
+  def writeTrainingShards(df: DataFrame, path: String, shardCol: String,
+                          orderCols: Seq[String]): Unit =
+    df.repartition(col(shardCol))
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(shardCol).parquet(path)
 }

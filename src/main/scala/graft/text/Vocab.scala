@@ -1,0 +1,45 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Frequency-ranked vocabulary construction and corpus encoding — the
+  * token-id step of a training-data pipeline (a deterministic stand-in for
+  * a learned BPE vocabulary, with the same plumbing shape).
+  *
+  * Scale shape: the corpus-wide token count is one map-side-combinable
+  * aggregation; the candidate set is cut to `vocabSize` with
+  * TakeOrderedAndProject BEFORE the id-assigning window, so the only
+  * single-partition step ever sees vocab-sized data (tens of thousands of
+  * rows), never the corpus. Encoding broadcasts the finished vocabulary.
+  */
+object Vocab {
+
+  /** Token extraction matching TokenCount's contract ([a-z0-9]+ runs). */
+  def tokens(text: Column): Column = regexp_extract_all(text, lit("[a-z0-9]+"), lit(0))
+
+  /** (token, freq, token_id) with ids 1..vocabSize assigned by descending
+    * corpus frequency, ties broken on the token itself. Id 0 is reserved
+    * for out-of-vocabulary tokens.
+    */
+  def build(df: DataFrame, text: Column, vocabSize: Int): DataFrame = {
+    val byRank = Window.orderBy(col("freq").desc, col("token").asc)
+    df.select(explode(tokens(text)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc).limit(vocabSize)
+      // the window runs on <= vocabSize rows (post-limit), so the implied
+      // single partition is bounded by the vocabulary, not the corpus
+      .withColumn("token_id", row_number().over(byRank))
+  }
+
+  /** Encode every document against a finished vocabulary: one output row
+    * per token position, OOV mapped to `oovId`. The vocabulary side is
+    * broadcast — the corpus explode never shuffles.
+    */
+  def encode(df: DataFrame, id: Column, text: Column, vocab: DataFrame,
+             oovId: Int = 0): DataFrame =
+    df.select(id.as("doc_id"), posexplode(tokens(text)).as(Seq("pos", "token")))
+      .join(broadcast(vocab.select(col("token"), col("token_id"))), Seq("token"), "left")
+      .select(col("doc_id"), col("pos"), coalesce(col("token_id"), lit(oovId)).as("token_id"))
+}
