@@ -79,6 +79,51 @@ object ScaleProbe {
       docs.select(graft.functions.TokenCount.tokenCount(col("text")).as("n"))
         .agg(sum(col("n"))).count()
     }
+
+    // round-3 curation operators at 1M docs
+    val C = graft.curation.Curation
+    time("decontaminate_1M_vs_10k") {
+      C.decontaminate(docs.filter(col("doc_id") % 100 =!= 0),
+        docs.filter(col("doc_id") % 100 === 0),
+        col("doc_id"), col("text"), 3).count()
+    }
+    time("line_dedup_1M") {
+      val w = split(col("text"), " ", -1)
+      val lines = transform(
+        sequence(lit(0L), floor((size(w) - 1) / lit(8.0)).cast("long")),
+        i => array_join(slice(w, (i * 8 + 1).cast("int"), lit(8)), " "))
+      C.lineDedup(docs, col("doc_id"), lines).count()
+    }
+    time("seq_packing_1M") {
+      C.packStats(docs, col("doc_id"),
+        graft.functions.TokenCount.tokenCount(col("text")),
+        C.hashShard(col("doc_id"), 256), 2048).count()
+    }
+    time("mixture_1M") {
+      C.mixtureStats(docs, col("doc_id"),
+        concat(lit("src"), pmod(col("doc_id"), lit(20))), Map("src0" -> 50)).count()
+    }
+    time("vocab_encode_1M") {
+      val v = graft.text.Vocab.build(docs, col("text"), 600)
+      graft.text.Vocab.encode(docs, col("doc_id"), col("text"), v)
+        .agg(sum(col("token_id"))).count()
+    }
+    time("pii_redact_1M") {
+      docs.select(graft.text.Redact.piiColumns(col("text")): _*)
+        .agg(sum(col("n_emails"))).count()
+    }
+
+    // 200k embeddings in 256 clusters (40x sf0.1): the semdedup pair stage
+    // is ~n²/k dots per cluster — the probe pins the constant so the
+    // centroid-count-grows-with-corpus rule in the docs stays honest
+    val vecs = spark.range(200000L).select(
+      col("id"),
+      transform(sequence(lit(0), lit(31)),
+        j => (pmod(xxhash64(col("id") * 37 + j), lit(1000)) / lit(500.0) - 1.0)).as("vec"))
+      .localCheckpoint()
+    time("semdedup_200k_256c") {
+      graft.similarity.Knn.semDedup(vecs, vecs.filter(col("id") < 256), 0.95).count()
+    }
     spark.stop()
   }
 }
