@@ -515,6 +515,13 @@ object SparkEntry {
       graft.text.Vocab.encode(d, col("doc_id"), col("text"),
         graft.text.Vocab.build(d, col("text"), 24))
     }),
+    "chunk_docs" -> ((s, dir) =>
+      // 32-word chunks every 24 words: consecutive chunks overlap by 8
+      graft.curation.Curation.chunkDocs(table(s, dir, "documents"),
+        col("doc_id"), col("text"), 32, 24)),
+    "tfidf_topterms" -> ((s, dir) =>
+      graft.text.Vocab.tfidfTopTerms(table(s, dir, "documents"),
+        col("doc_id"), col("text"), 3)),
 
     // ---- B. relational surface ----
     "q1_pricing_summary" -> ((s, dir) => Relational.q1PricingSummary(s, dir)),
@@ -1043,6 +1050,27 @@ asofOracle,
          |  FROM toks, unnest(generate_series(1, len(ts))) AS g(i))
          |SELECT e.doc_id, CAST(e.pos AS INT) AS pos, COALESCE(v.token_id, 0) AS token_id
          |FROM ex e LEFT JOIN v ON e.token = v.token""".stripMargin,
+    "chunk_docs" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_id,
+        |  CAST(len(w[i*24+1:i*24+32]) AS BIGINT) AS n_tokens,
+        |  array_to_string(w[i*24+1:i*24+32], ' ') AS chunk
+        |FROM ws, unnest(generate_series(0, (greatest(0, len(w) - 32) + 23) // 24)) AS g(i)""".stripMargin,
+    "tfidf_topterms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, token,
+        |    round(CAST(tf AS DOUBLE) * ln(n.n / CAST(df AS DOUBLE)), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+        |SELECT doc_id, token, tfidf, rank FROM (
+        |  SELECT doc_id, token, tfidf,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rank
+        |  FROM s)
+        |WHERE rank <= 3""".stripMargin,
     "repetition_stats" ->
       """SELECT doc_id, n_words,
         |  n_total AS n_shingles_total, n_distinct AS n_shingles_distinct,

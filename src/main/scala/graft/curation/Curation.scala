@@ -125,6 +125,32 @@ object Curation {
     hashPct(id) < w
   }
 
+  /** Overlapping token-window chunking (retrieval / long-document prep):
+    * each document is cut into `window`-word chunks starting every `stride`
+    * words, so consecutive chunks overlap by `window - stride`. Entirely
+    * row-local (the chunk array is built per document, then exploded) —
+    * zero shuffle, embarrassingly parallel at any corpus size.
+    *
+    * Chunk starts run 0, stride, 2*stride, ... up to the last start that
+    * still adds new words; every document produces at least one chunk, and
+    * the final chunk may be shorter than `window`.
+    */
+  def chunkDocs(df: DataFrame, id: Column, text: Column,
+                window: Int, stride: Int): DataFrame = {
+    require(stride > 0 && window >= stride,
+      "need stride > 0 and window >= stride (otherwise words are skipped)")
+    val w = split(text, " ", -1)
+    // ceil((len - window) / stride) extra chunks after the first, floored at 0
+    val nExtra = floor((greatest(lit(0), size(w) - window) + (stride - 1))
+      / lit(stride.toDouble)).cast("int")
+    val chunks = transform(sequence(lit(0), nExtra), i =>
+      slice(w, (i * stride + 1).cast("int"), lit(window)))
+    df.select(id.as("doc_id"), posexplode(chunks).as(Seq("chunk_id", "ws")))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        array_join(col("ws"), " ").as("chunk"))
+  }
+
   /** Sequence packing (concat-and-chunk): within each shard, documents are
     * laid end-to-end in deterministic doc-id order and cut into fixed
     * `ctxLen`-token training chunks; a document belongs to the chunk its

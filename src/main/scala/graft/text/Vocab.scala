@@ -33,6 +33,30 @@ object Vocab {
       .withColumn("token_id", row_number().over(byRank))
   }
 
+  /** Top-k characteristic terms per document by tf-idf (keyword
+    * extraction / topic signals for dataset cards). Term frequency is a
+    * per-(doc, token) aggregation; document frequency and the corpus size
+    * are corpus-wide aggregates broadcast back onto it. Ranking rounds to
+    * 6 decimals and breaks ties on the token so the order is total.
+    *
+    * Shuffles: one on (doc, token) for tf, one on token for df — df is
+    * vocabulary-sized and broadcast into the join; the per-doc top-k window
+    * caps state per partition (WindowGroupLimit).
+    */
+  def tfidfTopTerms(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    val toks = df.select(id.as("doc_id"), explode(tokens(text)).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).cast("double").as("n"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("token"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"),
+        round(col("tf").cast("double") * log(col("n") / col("df").cast("double")), 6).as("tfidf"))
+    val byScore = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(byScore)).filter(col("rank") <= k)
+  }
+
   /** Encode every document against a finished vocabulary: one output row
     * per token position, OOV mapped to `oovId`. The vocabulary side is
     * broadcast — the corpus explode never shuffles.

@@ -110,6 +110,37 @@ class CurationSpec extends SparkSpec {
     assert(kept2 == kept)
   }
 
+  test("chunkDocs overlaps by window-stride and never loses a word") {
+    // 10 words, window 4, stride 3 -> starts 0,3,6 (ceil((10-4)/3)=2 extra)
+    val docs = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+                   (2L, "a b")).toDF("doc_id", "text")
+    val out = Curation.chunkDocs(docs, col("doc_id"), col("text"), 4, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out((1L, 0)) == ((4L, "w1 w2 w3 w4")))
+    assert(out((1L, 1)) == ((4L, "w4 w5 w6 w7")))
+    assert(out((1L, 2)) == ((4L, "w7 w8 w9 w10"))) // every word covered
+    // short doc: one (short) chunk, never zero chunks
+    assert(out((2L, 0)) == ((2L, "a b")))
+    assert(!out.contains((2L, 1)))
+  }
+
+  test("tfidf top terms rank corpus-rare tokens above ubiquitous ones") {
+    import graft.text.Vocab
+    val docs = Seq(
+      (1L, "common common rare1 rare1 rare1"),
+      (2L, "common rare2"),
+      (3L, "common filler")
+    ).toDF("doc_id", "text")
+    val out = Vocab.tfidfTopTerms(docs, col("doc_id"), col("text"), 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getString(1)).toMap
+    // "common" appears in every doc -> idf = ln(1) = 0; rare tokens win
+    assert(out((1L, 1)) == "rare1")
+    assert(out((2L, 1)) == "rare2")
+    assert(out((3L, 1)) == "filler")
+    // zero-idf token still ranks (below), by token asc among ties
+    assert(out((1L, 2)) == "common")
+  }
+
   test("vocab build ranks by frequency with token tiebreak; encode maps OOV to 0") {
     import graft.text.Vocab
     val docs = Seq(
