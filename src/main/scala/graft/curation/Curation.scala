@@ -82,14 +82,21 @@ object Curation {
   /** Deterministic, dialect-portable [0, 100) hash percentile of a key —
     * the sampling coin for mixture weighting. Built from md5 hex so any SQL
     * engine reproduces it bit-for-bit (engine-native hash functions don't
-    * agree across systems). `offset` decorrelates independent decisions
-    * drawn from the same key.
+    * agree across systems). `offset` selects one of 8 NON-OVERLAPPING
+    * 16-bit windows of the digest, so decisions at different offsets are
+    * genuinely independent (a sliding window would share 12 of 16 bits
+    * with its neighbor). Offset 3 is the window hashShard draws from —
+    * avoid it when the decision must be independent of shard assignment.
     */
-  def hashPct(key: Column, offset: Int = 1): Column =
-    conv(substring(md5(key.cast("string")), offset, 4), 16, 10).cast("long") % 100
+  def hashPct(key: Column, offset: Int = 1): Column = {
+    require(offset >= 1 && offset <= 8, "offset must select one of the 8 digest windows")
+    conv(substring(md5(key.cast("string")), 1 + 4 * (offset - 1), 4), 16, 10).cast("long") % 100
+  }
 
   /** Deterministic shard assignment from the same portable hash family —
-    * used to scatter documents into independent packing shards. */
+    * used to scatter documents into independent packing shards. Draws the
+    * digest window at offset 3 (hex chars 9-12), disjoint from hashPct's
+    * default window. */
   def hashShard(key: Column, numShards: Int): Column =
     conv(substring(md5(key.cast("string")), 9, 4), 16, 10).cast("long") % numShards
 
@@ -103,10 +110,8 @@ object Curation {
     */
   def mixtureStats(df: DataFrame, id: Column, source: Column,
                    weights: Map[String, Int], defaultWeight: Int = 100): DataFrame = {
-    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (k, v)) =>
-      when(source === k, lit(v)).otherwise(acc)
-    }
-    df.select(source.as("source"), (hashPct(id) < w).as("__keep"))
+    // the audit MUST use the same coin as the row-level decision
+    df.select(source.as("source"), mixtureKeep(id, source, weights, defaultWeight).as("__keep"))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_total"),
@@ -172,9 +177,9 @@ object Curation {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(id.as("doc_id"), tokens.cast("long").as("n_tok"), shard.as("shard"))
       .withColumn("__start", sum(col("n_tok")).over(cum) - col("n_tok"))
-      // integer floor-division of non-negative longs: exact, no float path
-      .withColumn("chunk_id", (col("__start") - pmod(col("__start"), lit(ctxLen.toLong))) / ctxLen)
-      .withColumn("chunk_id", col("chunk_id").cast("long"))
+      // integral division (Spark's `/` would detour through DOUBLE and lose
+      // exactness past 2^53 — a real bound for a corpus-scale prefix sum)
+      .withColumn("chunk_id", expr(s"__start div ${ctxLen}"))
       .groupBy(col("shard"), col("chunk_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
   }

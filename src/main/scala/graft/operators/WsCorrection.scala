@@ -95,15 +95,19 @@ object WsCorrection {
           when(col("ws_frozen"), lit(EventFixCycle)).otherwise(col("sync_event")))
         .drop("from_ds", "to_ds", "__prop", "new_dataset", "new_previous",
           "labels_cleared", "sync_event")
-      // Truncate lineage every round, probe or not: the next round joins
-      // `corrections` again, and without the cut the plan would both grow
-      // per round and lean on self-join disambiguation against a relation
-      // already joined away upstream. Lazy when there is no probe action —
-      // the final consumer's action materializes the whole chain once.
-      cur = cur.localCheckpoint(eager = countMoves)
       if (countMoves) {
+        // truncate lineage before the convergence probe: the probe is an
+        // action, and the next round builds on this result — without the
+        // checkpoint every round would recompute all prior rounds
+        cur = cur.localCheckpoint()
         moving = cur.filter(col("last_event") === EventCorrected).limit(1).count() > 0
       }
+      // countMoves=false stays a pure lazy plan: depth is bounded by
+      // maxRounds (no per-round growth beyond that), nothing is pinned in
+      // executor storage, and each round's join re-resolves `corrections`
+      // by plan id (covered by the lazy-equals-probed spec). A lazy
+      // localCheckpoint here would pin maxRounds full copies of the
+      // dataset at MEMORY_AND_DISK on first materialization.
       rounds += 1
     }
     cur

@@ -86,20 +86,27 @@ object Sources {
   def syncIncremental(spark: SparkSession, df: DataFrame, tsCol: Column,
                       cacheDir: String, name: String)
                      (process: DataFrame => Unit): Option[java.sql.Timestamp] = {
-    // Materialize the slice ONCE before handing it out: on a live source,
-    // re-reading it for the watermark could see rows that arrived after
-    // process() ran and advance the watermark past data never processed.
-    // The checkpoint pins both reads to the same snapshot.
-    val slice = (readWatermark(spark, cacheDir, name) match {
+    val base = readWatermark(spark, cacheDir, name) match {
       case Some(wm) => readIncremental(df, tsCol, wm)
       case None => df
-    }).localCheckpoint()
-    try {
-      process(slice)
-      val next = nextWatermark(slice, tsCol)
-      next.foreach(writeWatermark(spark, cacheDir, name, _))
-      next
-    } finally slice.unpersist()
+    }
+    // Fix the watermark bound FIRST, then process only rows at or below it:
+    // on a live source, computing the max AFTER process() would let rows
+    // that arrived in between advance the watermark past data process()
+    // never saw (silent loss). With the bound taken up front, later-arriving
+    // rows are either <= bound and re-read next round (at-least-once, the
+    // usual late-data trade every watermark scheme makes) or > bound and
+    // picked up next round. Costs one extra cheap max-aggregation scan;
+    // nothing is cached or checkpointed, so the first full-table sync
+    // streams through at any size.
+    val next = nextWatermark(base, tsCol)
+    val slice = next match {
+      case Some(hi) => base.filter(tsCol <= lit(hi))
+      case None => base // empty slice; process still observes it
+    }
+    process(slice)
+    next.foreach(writeWatermark(spark, cacheDir, name, _))
+    next
   }
 
   /** Origin-id dedup before insert: drop rows whose origin key already
@@ -168,6 +175,10 @@ object Sources {
   def writeTrainingShards(df: DataFrame, path: String, shardCol: String,
                           orderCols: Seq[String]): Unit =
     df.repartition(col(shardCol))
-      .sortWithinPartitions(orderCols.map(col): _*)
+      // the shard column leads the sort so the ordering satisfies the
+      // dynamic-partition write's requirement contractually — otherwise the
+      // writer inserts its own Sort(shardCol) on top and within-shard order
+      // would survive only while that sort happens to be stable
+      .sortWithinPartitions((shardCol +: orderCols).map(col): _*)
       .write.mode("overwrite").partitionBy(shardCol).parquet(path)
 }

@@ -46,10 +46,17 @@ object Vocab {
   def tfidfTopTerms(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
     val toks = df.select(id.as("doc_id"), explode(tokens(text)).as("token"))
     val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dfreq = toks.distinct().groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // tf rows ARE the distinct (doc, token) pairs — df falls out of the tf
+    // aggregate (no second corpus explode, no extra distinct shuffle); AQE
+    // exchange reuse shares tf's shuffle between the two consumers
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).cast("double").as("n"))
+    // no broadcast hint on dfreq: its size is the corpus's distinct-token
+    // count, which is NOT bounded by a vocabulary — let the planner pick
+    // broadcast vs shuffle from measured size (AQE) instead of forcing a
+    // driver OOM on a high-cardinality token space
     val scored = tf
-      .join(broadcast(dfreq), Seq("token"))
+      .join(dfreq, Seq("token"))
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"),
         round(col("tf").cast("double") * log(col("n") / col("df").cast("double")), 6).as("tfidf"))

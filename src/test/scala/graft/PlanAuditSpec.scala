@@ -104,6 +104,16 @@ class PlanAuditSpec extends SparkSpec {
     // mixture audit: decision is row-local; only the source-keyed audit
     // aggregation shuffles
     assert(count(plan("data_mixture"), "Exchange") == 1)
+    // chunking is a pure row-local explode
+    assert(count(plan("chunk_docs"), "Exchange") == 0)
+    // tfidf: per-doc top-k caps window state before the shuffle, and the
+    // vocab-sized df/n sides come in as broadcasts
+    val tt = plan("tfidf_topterms")
+    assert(tt.contains("WindowGroupLimit"), tt)
+    assert(count(tt, "BroadcastHashJoin") >= 1, tt)
+    // vocab id assignment sees only vocab-sized data: the corpus-wide agg
+    // is cut by TakeOrderedAndProject before the single-partition window
+    assert(plan("vocab_build").contains("TakeOrderedAndProject"), plan("vocab_build"))
   }
 
   test("no query plans an unbroadcast cartesian product") {
