@@ -52,29 +52,32 @@ object Curation {
     * reassembled in original line order.
     *
     * `lines` must be an array<string> column with positional semantics.
-    * Two shuffles, both keyed hash-partitions: one on the line text for the
-    * first-occurrence window, one on doc_id for reassembly. A boilerplate
-    * line repeated across millions of documents makes a hot line-partition;
-    * AQE's skew handling covers the window, and the reassembly key (doc_id)
-    * is unskewed by construction.
+    * The first occurrence per line is a `min(struct(doc_id, pos))`
+    * AGGREGATION, not a window: partial aggregation combines map-side, so a
+    * boilerplate line repeated across millions of documents costs one row
+    * per task instead of one hot window partition (the skew cliff a
+    * row_number formulation would have). The join back on the line key is
+    * skew-splittable by AQE; the reassembly key (doc_id) is unskewed by
+    * construction.
     *
     * Returns (doc_id, n_lines, n_kept, text_kept) with kept lines joined by
     * '\n' — empty string when every line of a document was a repeat.
     */
   def lineDedup(df: DataFrame, id: Column, lines: Column): DataFrame = {
     val exploded = df.select(id.as("doc_id"), posexplode(lines).as(Seq("pos", "line")))
-    val firstOcc = Window.partitionBy(col("line")).orderBy(col("doc_id").asc, col("pos").asc)
-    exploded
-      .withColumn("__rn", row_number().over(firstOcc))
+    val firsts = exploded.groupBy(col("line"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__first"))
+    exploded.join(firsts, Seq("line"))
+      .withColumn("__keep", struct(col("doc_id"), col("pos")) === col("__first"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_lines"),
-        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
         // collect_list drops the nulls from non-kept lines; sort restores
         // original order deterministically (pos is unique within a doc)
         array_join(
           transform(
-            array_sort(collect_list(when(col("__rn") === 1, struct(col("pos"), col("line"))))),
+            array_sort(collect_list(when(col("__keep"), struct(col("pos"), col("line"))))),
             x => x.getField("line")),
           "\n").as("text_kept"))
   }

@@ -53,6 +53,19 @@ object Streams {
   def dedupStream(events: DataFrame, keyCols: Seq[String], tsCol: String, watermark: String): DataFrame =
     events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming curation: quality-filter decision + PII masking applied to a
+    * document stream. Every signal is row-local (fused expressions), so the
+    * streaming plan is STATELESS — no watermark, no state store, unbounded
+    * uptime — and produces exactly the batch operators' output on the same
+    * rows. This is the shape an always-on ingest-and-curate pipeline runs:
+    * dedupStream bounds the keyed state, curateStream costs none.
+    */
+  def curateStream(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("decision", graft.text.TextFeatures.filterDecision(col(textCol)))
+      .withColumn("redacted", graft.text.Redact.redactPii(col(textCol)))
+      .filter(col("decision") === "kept")
+
   case class EnrichEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
                          is_left: Boolean, value: Double)
   case class EnrichOut(event_id: Long, user_id: Long, ts: java.sql.Timestamp, value: Double,

@@ -141,6 +141,28 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation matches the batch filter+redact on the same docs") {
+    val batch = GraftSession.table(spark, sfDir, "documents")
+      .withColumn("text", concat(col("text"), lit(" mail x"), col("doc_id").cast("string"),
+        lit("@ex.ample")))
+      .select("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_curate_stream").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val q = graft.streaming.Streams.curateStream(stream, "text")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("curate_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("curate_out").orderBy("doc_id").collect().toSeq
+      val expected = graft.streaming.Streams.curateStream(batch, "text")
+        .orderBy("doc_id").collect().toSeq
+      assert(streamed.nonEmpty && streamed == expected)
+      // stateless plan: nothing in the state store
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("typed Message model adapts events") {
     val ev = GraftSession.table(spark, sfDir, "events")
     val msgs = graft.model.Model.eventsAsMessages(spark, ev)
