@@ -522,6 +522,10 @@ object SparkEntry {
     "tfidf_topterms" -> ((s, dir) =>
       graft.text.Vocab.tfidfTopTerms(table(s, dir, "documents"),
         col("doc_id"), col("text"), 3)),
+    "dup_span_stats" -> ((s, dir) =>
+      // 16-token spans every 8: the exact-substring duplication signal
+      graft.curation.Curation.dupSpanStats(table(s, dir, "documents"),
+        col("doc_id"), col("text"), 16, 8)),
 
     // ---- B. relational surface ----
     "q1_pricing_summary" -> ((s, dir) => Relational.q1PricingSummary(s, dir)),
@@ -1056,6 +1060,22 @@ asofOracle,
         |  CAST(len(w[i*24+1:i*24+32]) AS BIGINT) AS n_tokens,
         |  array_to_string(w[i*24+1:i*24+32], ' ') AS chunk
         |FROM ws, unnest(generate_series(0, (greatest(0, len(w) - 32) + 23) // 24)) AS g(i)""".stripMargin,
+    "dup_span_stats" ->
+      """WITH lw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ch AS (
+        |  SELECT doc_id, array_to_string(w[i*8+1:i*8+16], ' ') AS chunk,
+        |    len(w[i*8+1:i*8+16]) AS n
+        |  FROM lw, unnest(generate_series(0, (greatest(0, len(w) - 16) + 7) // 8)) AS g(i)),
+        |spans AS (SELECT doc_id, chunk FROM ch WHERE n = 16),
+        |fr AS (SELECT chunk, COUNT(DISTINCT doc_id) AS ndocs FROM spans GROUP BY chunk),
+        |st AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |    CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        |  FROM spans JOIN fr USING (chunk) GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(st.n_spans, 0) AS n_spans, COALESCE(st.n_shared, 0) AS n_shared,
+        |  CASE WHEN COALESCE(st.n_spans, 0) > 0
+        |       THEN round(CAST(st.n_shared AS DOUBLE) / CAST(st.n_spans AS DOUBLE), 6) END AS shared_frac
+        |FROM (SELECT doc_id FROM documents) d LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin,
     "tfidf_topterms" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token FROM documents),

@@ -159,6 +159,40 @@ object Curation {
         array_join(col("ws"), " ").as("chunk"))
   }
 
+  /** Cross-document verbatim-span duplication signal (the Spark-shaped
+    * stand-in for suffix-array exact-substring dedup): slide a
+    * `window`-token span every `stride` tokens, and report per document how
+    * many of its full spans appear verbatim in at least one other document.
+    * The span fingerprints come from the same chunker the retrieval prep
+    * uses; the per-span document count is a (chunk → distinct doc)
+    * aggregation — partial-agg combinable, candidate work proportional to
+    * shared spans, never a doc×doc product.
+    *
+    * Returns one row per document: (doc_id, n_spans, n_shared,
+    * shared_frac); shared_frac is NULL for documents too short for a full
+    * window.
+    */
+  def dupSpanStats(df: DataFrame, id: Column, text: Column,
+                   window: Int, stride: Int): DataFrame = {
+    val spans = chunkDocs(df, id, text, window, stride)
+      .filter(col("n_tokens") === window) // partial trailing spans can't be verbatim repeats
+      .select(col("doc_id"), col("chunk"))
+    val freq = spans.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("__ndocs"))
+    val stats = spans.join(freq, Seq("chunk"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__ndocs") > 1, 1L).otherwise(0L)).as("n_shared"))
+    df.select(id.as("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(coalesce(col("n_spans"), lit(0L)) > 0,
+          round(col("n_shared").cast("double") / col("n_spans").cast("double"), 6))
+          .as("shared_frac"))
+  }
+
   /** Sequence packing (concat-and-chunk): within each shard, documents are
     * laid end-to-end in deterministic doc-id order and cut into fixed
     * `ctxLen`-token training chunks; a document belongs to the chunk its

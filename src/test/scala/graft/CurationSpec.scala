@@ -124,6 +124,22 @@ class CurationSpec extends SparkSpec {
     assert(!out.contains((2L, 1)))
   }
 
+  test("dupSpanStats counts verbatim cross-doc spans, null for short docs") {
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared a b c d e f g h"),    // 16 words: spans at 0 and 8 (partial)
+      (2L, s"$shared p q r s t u v w"),    // shares NO full 8-token window with doc 1?
+      (3L, "tiny doc")
+    ).toDF("doc_id", "text")
+    // window=8, stride=8: doc1 spans: [s1..s8], [a..h]; doc2: [s1..s8], [p..w]
+    val out = Curation.dupSpanStats(docs, col("doc_id"), col("text"), 8, 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out(1L) == ((2L, 1L, Some(0.5)))) // the shared prefix span
+    assert(out(2L) == ((2L, 1L, Some(0.5))))
+    assert(out(3L) == ((0L, 0L, None)))      // too short for a full window
+  }
+
   test("tfidf top terms rank corpus-rare tokens above ubiquitous ones") {
     import graft.text.Vocab
     val docs = Seq(
