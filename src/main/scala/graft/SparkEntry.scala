@@ -526,6 +526,11 @@ object SparkEntry {
       // 16-token spans every 8: the exact-substring duplication signal
       graft.curation.Curation.dupSpanStats(table(s, dir, "documents"),
         col("doc_id"), col("text"), 16, 8)),
+    "curation_funnel" -> ((s, dir) =>
+      // the composed pipeline decision: quality -> exact dedup -> mixture
+      graft.curation.Curation.curationFunnel(table(s, dir, "documents"),
+        col("doc_id"), col("text"), col("lang"),
+        Map("en" -> 100, "fr" -> 50, "es" -> 25, "de" -> 10, "zh" -> 75))),
 
     // ---- B. relational surface ----
     "q1_pricing_summary" -> ((s, dir) => Relational.q1PricingSummary(s, dir)),
@@ -1060,6 +1065,30 @@ asofOracle,
         |  CAST(len(w[i*24+1:i*24+32]) AS BIGINT) AS n_tokens,
         |  array_to_string(w[i*24+1:i*24+32], ' ') AS chunk
         |FROM ws, unnest(generate_series(0, (greatest(0, len(w) - 32) + 23) // 24)) AS g(i)""".stripMargin,
+    "curation_funnel" -> {
+      val inner = "doc_id, lang AS source, CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tok,"
+      val outer = "doc_id, source, n_tok, text,"
+      s"""WITH base AS (
+         |${gopherDecisionSql(inner, outer)}),
+         |f AS (SELECT doc_id, source, n_tok, text, decision = 'kept' AS q FROM base),
+         |firsts AS (SELECT text, MIN(doc_id) AS first_id FROM f WHERE q GROUP BY text),
+         |staged AS (
+         |  SELECT f.doc_id, f.source, f.n_tok, f.q,
+         |    (f.q AND f.doc_id = firsts.first_id) AS d,
+         |    (f.q AND f.doc_id = firsts.first_id AND
+         |     ('0x' || substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 <
+         |       CASE f.source WHEN 'en' THEN 100 WHEN 'fr' THEN 50 WHEN 'es' THEN 25
+         |                     WHEN 'de' THEN 10 WHEN 'zh' THEN 75 ELSE 100 END) AS m
+         |  FROM f LEFT JOIN firsts ON f.text = firsts.text)
+         |SELECT stage, stage_name,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |FROM (
+         |  SELECT 0 AS stage, 'ingested' AS stage_name, n_tok FROM staged
+         |  UNION ALL SELECT 1, 'quality_filter', n_tok FROM staged WHERE q
+         |  UNION ALL SELECT 2, 'exact_dedup', n_tok FROM staged WHERE d
+         |  UNION ALL SELECT 3, 'mixture', n_tok FROM staged WHERE m)
+         |GROUP BY stage, stage_name""".stripMargin
+    },
     "dup_span_stats" ->
       """WITH lw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |ch AS (

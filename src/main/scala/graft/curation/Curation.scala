@@ -159,6 +159,42 @@ object Curation {
         array_join(col("ws"), " ").as("chunk"))
   }
 
+  /** The composed curation DECISION pipeline — what a user actually runs
+    * over an ingested corpus: Gopher-style quality filter, then exact dedup
+    * (keep the minimum doc id per identical text, judged among quality
+    * survivors), then weighted mixture sampling. Returns the funnel
+    * accounting: one row per stage with surviving docs and tokens.
+    *
+    * One pass computes every stage flag (the filters are row-local, the
+    * dedup first-keeper is a map-side-combinable min-aggregation joined
+    * back), then a single explode + groupBy produces all stage counts —
+    * the corpus is read once, not once per stage.
+    */
+  def curationFunnel(df: DataFrame, id: Column, text: Column, source: Column,
+                     weights: Map[String, Int], defaultWeight: Int = 100): DataFrame = {
+    val flagged = df
+      .select(id.as("doc_id"), text.as("text"), source.as("source"))
+      .withColumn("n_tok", graft.functions.TokenCount.tokenCount(col("text")))
+      .withColumn("q", graft.text.TextFeatures.filterDecision(col("text")) === "kept")
+    val firsts = flagged.filter(col("q"))
+      .groupBy(col("text")).agg(min(col("doc_id")).as("__first"))
+    val staged = flagged.join(firsts, Seq("text"), "left")
+      .withColumn("d", col("q") && col("doc_id") === col("__first"))
+      .withColumn("m", col("d") && mixtureKeep(col("doc_id"), col("source"), weights, defaultWeight))
+    def stage(n: Int, name: String, pass: Column) = struct(
+      lit(n).as("stage"), lit(name).as("stage_name"),
+      pass.as("pass"), col("n_tok").as("n_tok"))
+    staged
+      .select(explode(array(
+        stage(0, "ingested", lit(true)),
+        stage(1, "quality_filter", col("q")),
+        stage(2, "exact_dedup", col("d")),
+        stage(3, "mixture", col("m")))).as("s"))
+      .filter(col("s.pass"))
+      .groupBy(col("s.stage").as("stage"), col("s.stage_name").as("stage_name"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("s.n_tok")).as("n_tokens"))
+  }
+
   /** Cross-document verbatim-span duplication signal (the Spark-shaped
     * stand-in for suffix-array exact-substring dedup): slide a
     * `window`-token span every `stride` tokens, and report per document how

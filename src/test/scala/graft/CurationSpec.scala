@@ -124,6 +124,26 @@ class CurationSpec extends SparkSpec {
     assert(!out.contains((2L, 1)))
   }
 
+  test("curation funnel stages are monotone and agree with the operators") {
+    // passes every Gopher rule: "the" sits at exactly 0.2 top-token share
+    val doc = (1 to 20).map(i => s"the w$i x$i y$i z$i").mkString(" ")
+    val docs = Seq(
+      (1L, doc, "en"), (2L, doc, "en"),       // exact dup pair: keep doc 1
+      (3L, "too short", "en"),                 // quality-dropped
+      (4L, doc + " tail variant", "drop_all")  // unique, but weight 0
+    ).toDF("doc_id", "text", "lang")
+    val out = Curation.curationFunnel(docs, col("doc_id"), col("text"), col("lang"),
+        Map("en" -> 100, "drop_all" -> 0))
+      .collect().map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out("ingested")._1 == 4L)
+    assert(out("quality_filter")._1 == 3L)   // doc 3 dropped
+    assert(out("exact_dedup")._1 == 2L)      // doc 2 deduped against doc 1
+    assert(out("mixture")._1 == 1L)          // doc 4's source weighted to 0
+    // tokens shrink monotonically with docs
+    val toks = Seq("ingested", "quality_filter", "exact_dedup", "mixture").map(out(_)._2)
+    assert(toks == toks.sorted.reverse)
+  }
+
   test("dupSpanStats counts verbatim cross-doc spans, null for short docs") {
     val shared = (1 to 8).map(i => s"s$i").mkString(" ")
     val docs = Seq(
