@@ -58,6 +58,64 @@ class PropertySpec extends SparkSpec {
     assert(mism == 0)
   }
 
+  test("chunkDocs covers every word and respects the overlap arithmetic") {
+    import graft.curation.Curation
+    val texts = samples(text, 60).filter(_.nonEmpty).distinct
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for ((window, stride) <- Seq((4, 4), (6, 4), (8, 3))) {
+      val chunks = Curation.chunkDocs(df, col("doc_id"), col("text"), window, stride)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3)))
+      val byDoc = chunks.groupBy(_._1)
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val words = t.split(" ", -1)
+        val got = byDoc(i.toLong).sortBy(_._2).map(_._3)
+        // chunk c starts at c*stride and takes `window` words
+        got.zipWithIndex.foreach { case (chunk, c) =>
+          assert(chunk == words.slice(c * stride, c * stride + window).mkString(" "))
+        }
+        // full coverage: the last chunk reaches the final word
+        assert((got.length - 1) * stride + window >= words.length)
+        // no empty trailing chunk
+        assert((got.length - 1) * stride < words.length)
+      }
+    }
+  }
+
+  test("packStats conserves documents and tokens at every (ctx, shard) choice") {
+    import graft.curation.Curation
+    val docs = samples(Gen.chooseNum(0L, 50L), 400).zipWithIndex
+      .map { case (tok, i) => (i.toLong, tok) }.toDF("doc_id", "n_tok")
+    for (ctx <- Seq(7, 64, 1000); shards <- Seq(1, 5)) {
+      val out = Curation.packStats(docs, col("doc_id"), col("n_tok"),
+        Curation.hashShard(col("doc_id"), shards), ctx).collect()
+      assert(out.map(_.getLong(2)).sum == 400L)                 // every doc in exactly one chunk
+      assert(out.map(_.getLong(3)).sum == docs.agg(sum("n_tok")).head.getLong(0))
+      // per shard: ids start at 0 and never exceed the token-mass bound
+      // (a doc longer than ctx legitimately skips the chunks it spans)
+      out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+        val ids = rows.map(_.getLong(1))
+        val toks = rows.map(_.getLong(3)).sum
+        assert(ids.min == 0L)
+        assert(ids.max <= toks / ctx, s"max chunk ${ids.max} vs ${toks / ctx}")
+      }
+    }
+  }
+
+  test("lineDedup keeps each distinct line exactly once corpus-wide") {
+    import graft.curation.Curation
+    val line = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon zeta")
+    val doc = Gen.nonEmptyListOf(line)
+    val docs = samples(doc, 80).zipWithIndex
+      .map { case (ls, i) => (i.toLong, ls) }.toDF("doc_id", "lines")
+    val out = Curation.lineDedup(docs, col("doc_id"), col("lines")).collect()
+    val keptLines = out.flatMap(r => r.getString(3).split("\n", -1).filter(_.nonEmpty))
+    // every distinct line survives exactly once across the whole corpus
+    val allLines = samples(doc, 80).flatten.distinct.sorted
+    assert(keptLines.sorted.toSeq == allLines)
+    // accounting adds up
+    out.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
   test("minhash base hashes are stable and signature mins are order-independent") {
     for (t <- samples(text, 100) if t.split(" ", -1).length >= 3) {
       val hs = ShingleUtil.distinctShingles(t, 3).map(ShingleUtil.md5Base32)
