@@ -214,8 +214,13 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, a: String, b: String,
                           maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
-      .union(pairs.select(col(b).as("src"), col(a).as("dst")))
+    // both edge directions from ONE evaluation of the (possibly expensive)
+    // pair plan: a union of two references would recompute it twice before
+    // the checkpoint cuts the lineage
+    val edges = pairs.select(explode(array(
+        struct(col(a).as("src"), col(b).as("dst")),
+        struct(col(b).as("src"), col(a).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
