@@ -160,6 +160,10 @@ object Sources {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** JSONL export — the interchange format most training stacks ingest. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** Training-shard export: the last step of a curation pipeline. Rows are
     * scattered into `shardCol` directories (one dir per shard value, the
     * layout trainers consume) and laid down in a deterministic within-shard

@@ -110,7 +110,7 @@ class StreamingSourcesSpec extends SparkSpec {
     val back = graft.sources.Sources.csv(spark, s"$dir/csv", df.schema)
     assert(back.orderBy("doc_id").collect().toSeq == df.orderBy("doc_id").collect().toSeq)
 
-    df.write.mode("overwrite").json(s"$dir/json")
+    graft.sources.Sources.writeJsonl(df, s"$dir/json")
     val backJ = graft.sources.Sources.jsonl(spark, s"$dir/json", df.schema)
     assert(backJ.orderBy("doc_id").collect().toSeq == df.orderBy("doc_id").collect().toSeq)
   }
