@@ -195,6 +195,50 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("s.n_tok")).as("n_tokens"))
   }
 
+  /** The 100-TB decontamination lever: when the benchmark's distinct
+    * shingle set is too large to broadcast as rows (hundreds of millions of
+    * n-grams), compress it into a Bloom filter — `numBits/8` bytes shipped
+    * once, instead of the raw strings — and screen the corpus against it.
+    * Built from Spark's own bloom aggregate + might_contain expressions
+    * (the runtime-filter machinery), with xxhash64 applied identically on
+    * the build and probe sides.
+    *
+    * One-sided error: every truly-overlapping shingle is flagged (no false
+    * negatives), a ~fpp fraction of clean shingles is flagged spuriously —
+    * so `n_candidates` is an upper bound and `maybe_contaminated` a
+    * screening verdict; the exact `decontaminate` join over the candidate
+    * subset is the verification stage, now at 1/fpp the cost.
+    */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+                         id: Column, text: Column, n: Int,
+                         expectedItems: Long, numBits: Long): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Bridge
+
+    val benchSh = benchmark
+      .select(explode(ShingleExpressions.distinctShingles(text, n)).as("__s"))
+    val bloomAgg = Bridge.column(new BloomFilterAggregate(
+        XxHash64(Seq(Bridge.expression(col("__s"))), 42L),
+        Bridge.expression(lit(expectedItems)), Bridge.expression(lit(numBits)))
+      .toAggregateExpression())
+    val bloom = benchSh.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
+    require(bloom != null, "benchmark produced no shingles to build a filter from")
+    val mightContain = Bridge.column(BloomFilterMightContain(
+      Bridge.expression(lit(bloom)),
+      XxHash64(Seq(Bridge.expression(col("__s"))), 42L)))
+    val hits = corpus
+      .select(id.as("doc_id"), explode(ShingleExpressions.distinctShingles(text, n)).as("__s"))
+      .filter(mightContain)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_candidates"))
+    corpus.select(id.as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        (coalesce(col("n_candidates"), lit(0L)) > 0).as("maybe_contaminated"))
+  }
+
   /** Cross-document verbatim-span duplication signal (the Spark-shaped
     * stand-in for suffix-array exact-substring dedup): slide a
     * `window`-token span every `stride` tokens, and report per document how

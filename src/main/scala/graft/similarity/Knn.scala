@@ -99,20 +99,24 @@ object Knn {
     bucketJoinTopK(qb, cb, k)
   }
 
-  /** Squared-L2 via the dot-product expansion, rounded for determinism. */
-  private def sqDist: Column = round(
-    dot(col("vec"), col("vec")) - lit(2.0) * dot(col("vec"), col("cvec"))
-      + dot(col("cvec"), col("cvec")), 6)
-
   /** Nearest-centroid assignment (deterministic tie-break on centroid id):
     * shared by IVF search, k-means training, and inertia measurement.
     * Returns (id, vec, cid, __dist); with topN > 1, the N nearest centroids
     * per vector (the multi-probe set).
+    *
+    * Squared-L2 via the dot-product expansion |v|² - 2v·c + |c|², with the
+    * two self-dots PRE-COMPUTED — |v|² once per row (reused across all k
+    * centroids) and |c|² once per centroid — so the k-wide scan evaluates
+    * one dot per pair instead of three. Same doubles in the same fold
+    * order ((x - y) + z), so distances are bit-identical to the inline
+    * form and the oracle contract is unchanged.
     */
   private def assignNearest(df: DataFrame, cent: DataFrame, topN: Int = 1): DataFrame = {
     val w = Window.partitionBy(col("id")).orderBy(col("__dist").asc, col("cid").asc)
-    df.crossJoin(broadcast(cent))
-      .withColumn("__dist", sqDist)
+    df.withColumn("__v2", dot(col("vec"), col("vec")))
+      .crossJoin(broadcast(cent.withColumn("__c2", dot(col("cvec"), col("cvec")))))
+      .withColumn("__dist", round(
+        col("__v2") - lit(2.0) * dot(col("vec"), col("cvec")) + col("__c2"), 6))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= topN)
       .select(col("id"), col("vec"), col("cid"), col("__dist"))

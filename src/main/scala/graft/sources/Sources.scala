@@ -177,7 +177,7 @@ object Sources {
     * local (sortWithinPartitions, no global sort).
     */
   def writeTrainingShards(df: DataFrame, path: String, shardCol: String,
-                          orderCols: Seq[String]): Unit =
+                          orderCols: Seq[String]): Unit = {
     df.repartition(col(shardCol))
       // the shard column leads the sort so the ordering satisfies the
       // dynamic-partition write's requirement contractually — otherwise the
@@ -185,4 +185,33 @@ object Sources {
       // would survive only while that sort happens to be stable
       .sortWithinPartitions((shardCol +: orderCols).map(col): _*)
       .write.mode("overwrite").partitionBy(shardCol).parquet(path)
+    writeShardManifest(df, path, shardCol)
+  }
+
+  /** Per-shard manifest (`_manifest.jsonl` at the export root): row count
+    * and an order-independent content hash per shard, the integrity record
+    * a trainer checks before consuming an epoch. The hash is a sum of
+    * per-row xxhash64 over ALL columns — commutative, so it is independent
+    * of task scheduling, and cheap (one map-side-combinable aggregation;
+    * only shard-count rows ever reach the manifest writer).
+    */
+  def writeShardManifest(df: DataFrame, path: String, shardCol: String): Unit = {
+    val rows = df
+      .groupBy(col(shardCol).cast("string").as("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        // exact decimal accumulation (a raw long sum overflows under ANSI),
+        // folded back to a stable 63-bit value
+        pmod(sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)")),
+          lit(Long.MaxValue)).cast("long").as("content_hash"))
+      .orderBy(col("shard"))
+      .collect() // shard-count rows only — never the data
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(path, "_manifest.jsonl")
+    val fs = dst.getFileSystem(conf)
+    val out = fs.create(dst, true)
+    try rows.foreach { r =>
+      out.write((s"""{"shard":"${r.getString(0)}","n_rows":${r.getLong(1)},""" +
+        s""""content_hash":${r.getLong(2)}}""" + "\n").getBytes("UTF-8"))
+    } finally out.close()
+  }
 }

@@ -124,6 +124,19 @@ object ScaleProbe {
     time("semdedup_200k_256c") {
       graft.similarity.Knn.semDedup(vecs, vecs.filter(col("id") < 256), 0.95).count()
     }
+    // the learned-quantizer path: Lloyd-trained centroids instead of the
+    // fixed low-id seed set (what a 100 TB deployment runs, k ~ n/1000)
+    time("semdedup_200k_trained256") {
+      val cent = graft.similarity.Knn.kmeansCentroids(vecs, 256, 2)
+      graft.similarity.Knn.semDedup(vecs, cent, 0.95).count()
+    }
+    // bloom screening vs exact broadcast at a 100k-doc benchmark: the
+    // filter ships ~2 MB instead of ~100 MB of shingle strings
+    time("decontaminate_bloom_1M_vs_100k") {
+      C.decontaminateBloom(docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        col("doc_id"), col("text"), 3, 4000000L, 1L << 24).count()
+    }
     spark.stop()
   }
 }

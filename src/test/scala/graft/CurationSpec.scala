@@ -38,6 +38,24 @@ class CurationSpec extends SparkSpec {
     assert(out.head.getLong(1) == 1L && out.head.getBoolean(2))
   }
 
+  test("bloom decontamination screens with zero false negatives") {
+    val docs = GraftSession.table(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val exact = Curation.decontaminate(corpus, bench, col("doc_id"), col("text"), 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val bloom = Curation.decontaminateBloom(corpus, bench, col("doc_id"), col("text"), 3,
+        expectedItems = 10000L, numBits = 1L << 16)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(bloom.keySet == exact.keySet)
+    // one-sided error: everything exactly contaminated MUST be flagged
+    exact.foreach { case (d, c) => if (c) assert(bloom(d), s"false negative on doc $d") }
+    // and the screen should not flag everything (fp rate is bounded)
+    val fp = bloom.count { case (d, c) => c && !exact(d) }
+    val clean = exact.count(!_._2)
+    assert(clean == 0 || fp.toDouble / clean < 0.5, s"fp=$fp of $clean clean docs")
+  }
+
   test("lineDedup keeps only first occurrences and reassembles in order") {
     val docs = Seq(
       (1L, Seq("shared header", "body one", "shared footer")),
@@ -210,6 +228,18 @@ class CurationSpec extends SparkSpec {
     // the partition column comes back int-inferred from the dir names
     back.select("doc_id", "shard").collect()
       .foreach(r => assert(expected(r.getLong(0)) == r.getAs[Number](1).longValue))
+    // the manifest records per-shard counts; its underscore name keeps it
+    // invisible to Spark's file index (it can never pollute a data read)
+    import scala.jdk.CollectionConverters._
+    val mre = """\{"shard":"(\d+)","n_rows":(\d+),"content_hash":(-?\d+)\}""".r
+    val manifest = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(s"$dir/out/_manifest.jsonl")).asScala.map {
+      case mre(s, n, _) => s -> n.toLong
+      case other => fail(s"malformed manifest line: $other")
+    }.toMap
+    val actual = docs.groupBy("shard").count()
+      .collect().map(r => r.getLong(0).toString -> r.getLong(1)).toMap
+    assert(manifest == actual)
     // a second export produces identical per-shard files (deterministic
     // order): compare row sequences file by file
     Sources.writeTrainingShards(docs, s"$dir/out2", "shard", Seq("doc_id"))
