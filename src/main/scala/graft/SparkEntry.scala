@@ -454,16 +454,12 @@ object SparkEntry {
         d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0),
         col("doc_id"), col("text"), 3)
     }),
-    "line_dedup" -> ((s, dir) => {
+    "line_dedup" -> ((s, dir) =>
       // corpus "lines" derived deterministically by chunking words in
       // groups of 8 (the testdata has no newlines); the operator itself is
       // generic over any array-of-lines column
-      val w = split(col("text"), " ", -1)
-      val lines = transform(
-        sequence(lit(0L), floor((size(w) - 1) / lit(8.0)).cast("long")),
-        i => array_join(slice(w, (i * 8 + 1).cast("int"), lit(8)), " "))
-      graft.curation.Curation.lineDedup(table(s, dir, "documents"), col("doc_id"), lines)
-    }),
+      graft.curation.Curation.lineDedup(table(s, dir, "documents"), col("doc_id"),
+        graft.curation.Curation.wordLines(col("text"), 8))),
     "pii_redact" -> ((s, dir) => {
       // deterministic PII injection (the word-soup corpus has none), so the
       // oracle exercises real masking: one URL, one email, one phone per doc
@@ -695,6 +691,10 @@ object SparkEntry {
        |    CAST(list_max(list_transform(list_distinct(w), x -> len(list_filter(w, y -> y = x)))) AS DOUBLE)
        |      / len(w) AS tt
        |  FROM (SELECT $inner text, string_split(text, ' ') AS w FROM documents))""".stripMargin
+
+  /** The SQL twin of TokenCount ([a-z0-9]+ runs, as BIGINT) — one
+    * definition for every oracle that counts tokens. */
+  private val sqlTokCount = "CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)"
 
   /** Frequency-ranked vocab CTE (24 entries, ties on token asc) shared by
     * vocab_build and encode_docs. */
@@ -1035,7 +1035,7 @@ asofOracle,
          |${gopherDecisionSql("", "")})
          |GROUP BY decision""".stripMargin,
     "corpus_report" -> {
-      val inner = "source, lang, CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tok,"
+      val inner = s"source, lang, $sqlTokCount AS n_tok,"
       val outer = "source, lang, n_tok,"
       s"""SELECT source, n_docs, n_tokens, n_kept, n_langs,
          |  round(CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS keep_rate
@@ -1066,7 +1066,7 @@ asofOracle,
         |  array_to_string(w[i*24+1:i*24+32], ' ') AS chunk
         |FROM ws, unnest(generate_series(0, (greatest(0, len(w) - 32) + 23) // 24)) AS g(i)""".stripMargin,
     "curation_funnel" -> {
-      val inner = "doc_id, lang AS source, CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tok,"
+      val inner = s"doc_id, lang AS source, $sqlTokCount AS n_tok,"
       val outer = "doc_id, source, n_tok, text,"
       s"""WITH base AS (
          |${gopherDecisionSql(inner, outer)}),
@@ -1291,11 +1291,11 @@ asofOracle,
         |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stopwords
         |  FROM documents)""".stripMargin,
     "token_count" ->
-      """SELECT doc_id,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
-        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tok,
-        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_re
-        |FROM documents""".stripMargin,
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+         |  $sqlTokCount AS n_tok,
+         |  $sqlTokCount AS n_re
+         |FROM documents""".stripMargin,
     "ann_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
         |SELECT query_id, vec_id, cos_sim, rank FROM (
@@ -1514,9 +1514,9 @@ asofOracle,
         |SELECT cl.id AS vec_id, cl.cluster, d.id IS NULL AS keep
         |FROM cl LEFT JOIN dropped d ON cl.id = d.id""".stripMargin,
     "seq_packing" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tok,
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    $sqlTokCount AS n_tok,
         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 4))::BIGINT % 8 AS shard
         |  FROM documents),
         |c AS (

@@ -29,21 +29,30 @@ object Curation {
     * where n_overlap counts the document's DISTINCT shingles that appear
     * anywhere in the benchmark.
     */
+  /** (doc_id, __s) rows: one per distinct shingle per document. */
+  private def explodedShingles(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    df.select(id.as("doc_id"), explode(ShingleExpressions.distinctShingles(text, n)).as("__s"))
+
+  /** Left-join per-doc hit counts back onto the full corpus so clean
+    * documents get an explicit (0, false) verdict row. */
+  private def perDocVerdict(corpus: DataFrame, id: Column, hits: DataFrame,
+                            cnt: String, flag: String): DataFrame =
+    corpus.select(id.as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col(cnt), lit(0L)).as(cnt),
+        (coalesce(col(cnt), lit(0L)) > 0).as(flag))
+
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     id: Column, text: Column, n: Int): DataFrame = {
     val benchShingles = benchmark
       .select(explode(ShingleExpressions.distinctShingles(text, n)).as("__s"))
       .distinct()
-    val hits = corpus
-      .select(id.as("doc_id"), explode(ShingleExpressions.distinctShingles(text, n)).as("__s"))
+    val hits = explodedShingles(corpus, id, text, n)
       .join(broadcast(benchShingles), "__s")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_overlap"))
-    corpus.select(id.as("doc_id"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-        (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
+    perDocVerdict(corpus, id, hits, "n_overlap", "contaminated")
   }
 
   /** Cross-document line deduplication (C4-style): a line is kept only at
@@ -143,21 +152,32 @@ object Curation {
     * still adds new words; every document produces at least one chunk, and
     * the final chunk may be shorter than `window`.
     */
-  def chunkDocs(df: DataFrame, id: Column, text: Column,
-                window: Int, stride: Int): DataFrame = {
+  /** array<array<string>> of word chunks: starts every `stride` words,
+    * `window` words each (last may be short). The one chunk-math owner —
+    * chunkDocs and wordLines both build on it. */
+  private def wordChunks(text: Column, window: Int, stride: Int): Column = {
     require(stride > 0 && window >= stride,
       "need stride > 0 and window >= stride (otherwise words are skipped)")
     val w = split(text, " ", -1)
     // ceil((len - window) / stride) extra chunks after the first, floored at 0
     val nExtra = floor((greatest(lit(0), size(w) - window) + (stride - 1))
       / lit(stride.toDouble)).cast("int")
-    val chunks = transform(sequence(lit(0), nExtra), i =>
+    transform(sequence(lit(0), nExtra), i =>
       slice(w, (i * stride + 1).cast("int"), lit(window)))
-    df.select(id.as("doc_id"), posexplode(chunks).as(Seq("chunk_id", "ws")))
+  }
+
+  /** Fixed-width "lines" derived by chunking words — how a corpus without
+    * newlines gets a positional lines column for lineDedup. */
+  def wordLines(text: Column, width: Int): Column =
+    transform(wordChunks(text, width, width), ws => array_join(ws, " "))
+
+  def chunkDocs(df: DataFrame, id: Column, text: Column,
+                window: Int, stride: Int): DataFrame =
+    df.select(id.as("doc_id"),
+        posexplode(wordChunks(text, window, stride)).as(Seq("chunk_id", "ws")))
       .select(col("doc_id"), col("chunk_id"),
         size(col("ws")).cast("long").as("n_tokens"),
         array_join(col("ws"), " ").as("chunk"))
-  }
 
   /** The composed curation DECISION pipeline — what a user actually runs
     * over an ingested corpus: Gopher-style quality filter, then exact dedup
@@ -227,16 +247,11 @@ object Curation {
     val mightContain = Bridge.column(BloomFilterMightContain(
       Bridge.expression(lit(bloom)),
       XxHash64(Seq(Bridge.expression(col("__s"))), 42L)))
-    val hits = corpus
-      .select(id.as("doc_id"), explode(ShingleExpressions.distinctShingles(text, n)).as("__s"))
+    val hits = explodedShingles(corpus, id, text, n)
       .filter(mightContain)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_candidates"))
-    corpus.select(id.as("doc_id"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-        (coalesce(col("n_candidates"), lit(0L)) > 0).as("maybe_contaminated"))
+    perDocVerdict(corpus, id, hits, "n_candidates", "maybe_contaminated")
   }
 
   /** Cross-document verbatim-span duplication signal (the Spark-shaped

@@ -88,11 +88,7 @@ object ScaleProbe {
         col("doc_id"), col("text"), 3).count()
     }
     time("line_dedup_1M") {
-      val w = split(col("text"), " ", -1)
-      val lines = transform(
-        sequence(lit(0L), floor((size(w) - 1) / lit(8.0)).cast("long")),
-        i => array_join(slice(w, (i * 8 + 1).cast("int"), lit(8)), " "))
-      C.lineDedup(docs, col("doc_id"), lines).count()
+      C.lineDedup(docs, col("doc_id"), C.wordLines(col("text"), 8)).count()
     }
     time("seq_packing_1M") {
       C.packStats(docs, col("doc_id"),

@@ -105,13 +105,13 @@ class PropertySpec extends SparkSpec {
     import graft.curation.Curation
     val line = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon zeta")
     val doc = Gen.nonEmptyListOf(line)
-    val docs = samples(doc, 80).zipWithIndex
+    val corpus = samples(doc, 80)
+    val docs = corpus.zipWithIndex
       .map { case (ls, i) => (i.toLong, ls) }.toDF("doc_id", "lines")
     val out = Curation.lineDedup(docs, col("doc_id"), col("lines")).collect()
     val keptLines = out.flatMap(r => r.getString(3).split("\n", -1).filter(_.nonEmpty))
     // every distinct line survives exactly once across the whole corpus
-    val allLines = samples(doc, 80).flatten.distinct.sorted
-    assert(keptLines.sorted.toSeq == allLines)
+    assert(keptLines.sorted.toSeq == corpus.flatten.distinct.sorted)
     // accounting adds up
     out.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
   }
