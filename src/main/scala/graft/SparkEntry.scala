@@ -532,6 +532,9 @@ object SparkEntry {
     "q1_pricing_summary" -> ((s, dir) => Relational.q1PricingSummary(s, dir)),
     "q3_shipping_priority" -> ((s, dir) => Relational.q3ShippingPriority(s, dir)),
     "q5_local_supplier" -> ((s, dir) => Relational.q5LocalSupplier(s, dir)),
+    "q6_forecast_revenue" -> ((s, dir) => Relational.q6ForecastRevenue(s, dir)),
+    "q10_returned_items" -> ((s, dir) => Relational.q10ReturnedItems(s, dir)),
+    "q15_top_supplier" -> ((s, dir) => Relational.q15TopSupplier(s, dir)),
     "q17_small_quantity" -> ((s, dir) => Relational.q17SmallQuantity(s, dir)),
     "q18_large_orders" -> ((s, dir) => Relational.q18LargeOrders(s, dir)),
     "top_n_per_group" -> ((s, dir) =>
@@ -1431,6 +1434,39 @@ asofOracle,
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'AFRICA'
         |GROUP BY n_name""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name, revenue FROM (
+        |  SELECT c_custkey, c_name, c_acctbal, n_name,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY c_custkey, c_name, c_acctbal, n_name)
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        |ORDER BY s_suppkey ASC""".stripMargin,
     "q17_small_quantity" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         |  COUNT(*) AS n_items

@@ -116,6 +116,57 @@ object Relational {
       .limit(k)
   }
 
+  /** TPC-H Q6-shaped forecast revenue: a pure scan + filter + one-row
+    * aggregate. Every predicate is a plain column comparison pushed into
+    * the parquet scan — the cheapest possible shape, and the benchmark's
+    * pushdown canary.
+    */
+  def q6ForecastRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24.0)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))).cast("double")
+        .as("revenue"))
+
+  /** TPC-H Q10-shaped returned-item reporting: revenue lost to returns per
+    * customer over a quarter, top k. Fact join shuffles on the order key;
+    * the customer and nation dims broadcast.
+    */
+  def q10ReturnedItems(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    val li = table(spark, sfDir, "lineitem").filter(col("l_returnflag") === "R")
+    val ord = table(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val cust = table(spark, sfDir, "customer")
+    val nat = table(spark, sfDir, "nation")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(k)
+  }
+
+  /** TPC-H Q15-shaped top supplier: the supplier(s) achieving the maximum
+    * quarterly revenue. The revenue rollup aggregates once; the max is a
+    * single-row broadcast joined back (no correlated re-scan).
+    */
+  def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = table(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("total_revenue"))
+    val top = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.join(broadcast(top), col("total_revenue") === col("max_revenue"))
+      .join(broadcast(table(spark, sfDir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey").asc)
+  }
+
   /** Top-N rows per group by a metric — the reference's "top themes per
     * episode" shape. Single shuffle on the group key.
     */

@@ -31,6 +31,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p2.contains("GreaterThan(ts,"), p2)
   }
 
+  test("q6 pushes every predicate into the scan and reads only needed columns") {
+    val p = plan("q6_forecast_revenue")
+    // the plan string truncates the filter list; the prefix proves all
+    // three columns' null-guards (and thus their comparisons) reached the
+    // scan, and ReadSchema proves pruning to exactly the 4 needed columns
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)"), p)
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp_ntz>"), p)
+    assert(!p.contains("l_orderkey"), "q6 must not read unused columns")
+  }
+
   test("star joins broadcast their dimension sides") {
     assert(count(plan("q3_shipping_priority"), "BroadcastHashJoin") >= 1)
     assert(count(plan("q5_local_supplier"), "BroadcastHashJoin") >= 4)
