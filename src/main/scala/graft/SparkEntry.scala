@@ -533,6 +533,8 @@ object SparkEntry {
     "q3_shipping_priority" -> ((s, dir) => Relational.q3ShippingPriority(s, dir)),
     "q5_local_supplier" -> ((s, dir) => Relational.q5LocalSupplier(s, dir)),
     "q6_forecast_revenue" -> ((s, dir) => Relational.q6ForecastRevenue(s, dir)),
+    "q8_market_share" -> ((s, dir) => Relational.q8MarketShare(s, dir)),
+    "q14_promo_effect" -> ((s, dir) => Relational.q14PromoEffect(s, dir)),
     "q10_returned_items" -> ((s, dir) => Relational.q10ReturnedItems(s, dir)),
     "q15_top_supplier" -> ((s, dir) => Relational.q15TopSupplier(s, dir)),
     "q17_small_quantity" -> ((s, dir) => Relational.q17SmallQuantity(s, dir)),
@@ -1441,6 +1443,37 @@ asofOracle,
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "q8_market_share" ->
+      """SELECT o_year, total_revenue, nation_revenue,
+        |  CASE WHEN total_revenue <> 0 THEN round(nation_revenue / total_revenue, 6) END AS mkt_share
+        |FROM (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
+        |    CAST(SUM(CASE WHEN sn.n_name = 'NATION_0'
+        |                  THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_revenue
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type LIKE 'STANDARD%'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'AFRICA'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  GROUP BY o_year)""".stripMargin,
+    "q14_promo_effect" ->
+      """SELECT total_revenue, promo_revenue,
+        |  CASE WHEN total_revenue <> 0 THEN round(100.0 * promo_revenue / total_revenue, 6) END AS promo_share
+        |FROM (
+        |  SELECT
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
+        |    CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+        |                  THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00')""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name, revenue FROM (
         |  SELECT c_custkey, c_name, c_acctbal, n_name,

@@ -167,6 +167,65 @@ object Relational {
       .orderBy(col("s_suppkey").asc)
   }
 
+  /** TPC-H Q14-shaped promotion effect: share of monthly revenue from promo
+    * parts. One fact shuffle against the broadcast part dim; the share is a
+    * conditional aggregate over the same pass (no second scan).
+    */
+  def q14PromoEffect(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = table(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
+    val part = table(spark, sfDir, "part")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        revenueSum(col("l_extendedprice"), col("l_discount")).as("total_revenue"),
+        sum(when(col("p_type").startsWith("PROMO"),
+            dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double").as("promo_revenue"))
+      .withColumn("promo_share",
+        when(col("total_revenue") =!= 0.0,
+          round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6)))
+  }
+
+  /** TPC-H Q8-shaped national market share: a target nation's share of a
+    * region's yearly revenue in one part type. Seven tables: the fact
+    * stream shuffles once per fact-fact join (orders); every dim —
+    * part filter, customer->nation->region chain, supplier nation —
+    * broadcasts. The share is a conditional aggregate per year.
+    */
+  def q8MarketShare(spark: SparkSession, sfDir: String,
+                    nationName: String = "NATION_0", regionName: String = "AFRICA",
+                    partType: String = "STANDARD"): DataFrame = {
+    val part = table(spark, sfDir, "part").filter(col("p_type").startsWith(partType))
+    val nat = table(spark, sfDir, "nation")
+    val reg = table(spark, sfDir, "region").filter(col("r_name") === regionName)
+    // customers restricted to the target region (the "market")
+    val custRegion = table(spark, sfDir, "customer")
+      .join(broadcast(nat.select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    // suppliers labeled with their nation name (the "share" dimension)
+    val suppNation = table(spark, sfDir, "supplier")
+      .join(broadcast(nat.select(col("n_nationkey").as("sn_key"), col("n_name"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("n_name"))
+    table(spark, sfDir, "lineitem")
+      .join(broadcast(part.select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .join(table(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custRegion), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        revenueSum(col("l_extendedprice"), col("l_discount")).as("total_revenue"),
+        sum(when(col("n_name") === nationName,
+            dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double").as("nation_revenue"))
+      .withColumn("mkt_share",
+        when(col("total_revenue") =!= 0.0,
+          round(col("nation_revenue") / col("total_revenue"), 6)))
+  }
+
   /** Top-N rows per group by a metric — the reference's "top themes per
     * episode" shape. Single shuffle on the group key.
     */
