@@ -151,8 +151,11 @@ object Relational {
   }
 
   /** TPC-H Q15-shaped top supplier: the supplier(s) achieving the maximum
-    * quarterly revenue. The revenue rollup aggregates once; the max is a
-    * single-row broadcast joined back (no correlated re-scan).
+    * quarterly revenue. The fact scan + rollup runs ONCE; the argmax is a
+    * global-max window over the rollup, whose single partition holds only
+    * supplier-cardinality rows (the same bounded-input rationale as the
+    * vocabulary id window) — a separate max-aggregate join would re-scan
+    * lineitem for the second plan branch.
     */
   def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
     val rev = table(spark, sfDir, "lineitem")
@@ -160,8 +163,8 @@ object Relational {
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
       .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("total_revenue"))
-    val top = rev.agg(max(col("total_revenue")).as("max_revenue"))
-    rev.join(broadcast(top), col("total_revenue") === col("max_revenue"))
+    rev.withColumn("max_revenue", max(col("total_revenue")).over(Window.partitionBy()))
+      .filter(col("total_revenue") === col("max_revenue"))
       .join(broadcast(table(spark, sfDir, "supplier")), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
       .orderBy(col("s_suppkey").asc)

@@ -185,10 +185,15 @@ object Curation {
     * survivors), then weighted mixture sampling. Returns the funnel
     * accounting: one row per stage with surviving docs and tokens.
     *
-    * One pass computes every stage flag (the filters are row-local, the
-    * dedup first-keeper is a map-side-combinable min-aggregation joined
-    * back), then a single explode + groupBy produces all stage counts —
-    * the corpus is read once, not once per stage.
+    * Every stage flag is computed in one projection pass (the filters are
+    * row-local; the dedup first-keeper is a map-side-combinable
+    * min-aggregation joined back), and a single explode + groupBy produces
+    * all stage counts. The first-keeper join does reference the flagged
+    * corpus from both sides, so the row-local signal expressions evaluate
+    * twice per document — the deliberate trade against persisting the full
+    * corpus between the two branches (2x scan CPU is cheaper than corpus-
+    * sized storage at scale; callers that already have the corpus cached
+    * pay the scan only once).
     */
   def curationFunnel(df: DataFrame, id: Column, text: Column, source: Column,
                      weights: Map[String, Int], defaultWeight: Int = 100): DataFrame = {

@@ -185,32 +185,44 @@ object Sources {
       // would survive only while that sort happens to be stable
       .sortWithinPartitions((shardCol +: orderCols).map(col): _*)
       .write.mode("overwrite").partitionBy(shardCol).parquet(path)
-    writeShardManifest(df, path, shardCol)
+    writeShardManifest(df.sparkSession, path, shardCol)
   }
 
   /** Per-shard manifest (`_manifest.jsonl` at the export root): row count
     * and an order-independent content hash per shard, the integrity record
-    * a trainer checks before consuming an epoch. The hash is a sum of
-    * per-row xxhash64 over ALL columns — commutative, so it is independent
-    * of task scheduling, and cheap (one map-side-combinable aggregation;
-    * only shard-count rows ever reach the manifest writer).
+    * a trainer checks before consuming an epoch. Computed by READING BACK
+    * the just-written files — the (typically expensive) input plan is never
+    * re-evaluated, and the hash is defined over exactly the bytes a
+    * verifier would re-read. The hash is a commutative fold of per-row
+    * xxhash64 over the data columns (the shard value lives in the path),
+    * accumulated in exact decimal (a raw long sum overflows under ANSI);
+    * only shard-count rows ever reach the manifest writer.
     */
-  def writeShardManifest(df: DataFrame, path: String, shardCol: String): Unit = {
-    val rows = df
+  def writeShardManifest(spark: SparkSession, path: String, shardCol: String): Unit = {
+    val back = spark.read.parquet(path)
+    val dataCols = back.columns.filter(_ != shardCol).map(col)
+    val rows = back
       .groupBy(col(shardCol).cast("string").as("shard"))
       .agg(count(lit(1)).as("n_rows"),
-        // exact decimal accumulation (a raw long sum overflows under ANSI),
-        // folded back to a stable 63-bit value
-        pmod(sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)")),
+        pmod(sum(xxhash64(dataCols: _*).cast("decimal(38,0)")),
           lit(Long.MaxValue)).cast("long").as("content_hash"))
       .orderBy(col("shard"))
       .collect() // shard-count rows only — never the data
-    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    def jsonEscape(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => "\\u%04x".format(c.toInt)
+        case c => c.toString
+      }
+    val conf = spark.sparkContext.hadoopConfiguration
     val dst = new org.apache.hadoop.fs.Path(path, "_manifest.jsonl")
     val fs = dst.getFileSystem(conf)
     val out = fs.create(dst, true)
     try rows.foreach { r =>
-      out.write((s"""{"shard":"${r.getString(0)}","n_rows":${r.getLong(1)},""" +
+      // a null shard lands in Hive's default partition dir; name it as laid out
+      val shard = Option(r.getString(0)).getOrElse("__HIVE_DEFAULT_PARTITION__")
+      out.write((s"""{"shard":"${jsonEscape(shard)}","n_rows":${r.getLong(1)},""" +
         s""""content_hash":${r.getLong(2)}}""" + "\n").getBytes("UTF-8"))
     } finally out.close()
   }

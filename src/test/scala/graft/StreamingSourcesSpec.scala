@@ -161,8 +161,12 @@ class StreamingSourcesSpec extends SparkSpec {
         q.processAllAvailable()
         assert(q.lastProgress.stateOperators.nonEmpty)
         assert(spark.table("rocksdb_sessions").count() > 0)
-        // the memoryUsedBytes metric proves the RocksDB provider served state
         assert(q.lastProgress.stateOperators.head.numRowsTotal >= 2)
+        // provider-specific custom metrics prove RocksDB actually served
+        // the state (a misspelled conf silently falls back to the heap
+        // provider, whose metrics carry no rocksdb entries)
+        val metricKeys = q.lastProgress.stateOperators.head.customMetrics.keySet()
+        assert(metricKeys.toString.toLowerCase.contains("rocksdb"), metricKeys.toString)
       } finally q.stop()
     } finally prev match {
       case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
