@@ -179,6 +179,34 @@ object Curation {
         size(col("ws")).cast("long").as("n_tokens"),
         array_join(col("ws"), " ").as("chunk"))
 
+  /** Per-document stage flags for the composed pipeline: q (quality kept),
+    * d (also the exact-dup first keeper), m (also survives the mixture
+    * coin). Shared by the funnel accounting and the survivor selector so
+    * the report can never disagree with the dataset it describes.
+    */
+  private def curationStages(df: DataFrame, id: Column, text: Column, source: Column,
+                             weights: Map[String, Int], defaultWeight: Int): DataFrame = {
+    val flagged = df
+      .select(id.as("doc_id"), text.as("text"), source.as("source"))
+      .withColumn("n_tok", graft.functions.TokenCount.tokenCount(col("text")))
+      .withColumn("q", graft.text.TextFeatures.filterDecision(col("text")) === "kept")
+    val firsts = flagged.filter(col("q"))
+      .groupBy(col("text")).agg(min(col("doc_id")).as("__first"))
+    flagged.join(firsts, Seq("text"), "left")
+      .withColumn("d", col("q") && col("doc_id") === col("__first"))
+      .withColumn("m", col("d") && mixtureKeep(col("doc_id"), col("source"), weights, defaultWeight))
+  }
+
+  /** The curated OUTPUT corpus: documents surviving every funnel stage
+    * (quality, exact dedup, mixture), ready for chunking/packing/export.
+    * Exactly the rows the funnel's final stage counts.
+    */
+  def curationSurvivors(df: DataFrame, id: Column, text: Column, source: Column,
+                        weights: Map[String, Int], defaultWeight: Int = 100): DataFrame =
+    curationStages(df, id, text, source, weights, defaultWeight)
+      .filter(col("m"))
+      .select(col("doc_id"), col("text"), col("source"), col("n_tok"))
+
   /** The composed curation DECISION pipeline — what a user actually runs
     * over an ingested corpus: Gopher-style quality filter, then exact dedup
     * (keep the minimum doc id per identical text, judged among quality
@@ -197,15 +225,7 @@ object Curation {
     */
   def curationFunnel(df: DataFrame, id: Column, text: Column, source: Column,
                      weights: Map[String, Int], defaultWeight: Int = 100): DataFrame = {
-    val flagged = df
-      .select(id.as("doc_id"), text.as("text"), source.as("source"))
-      .withColumn("n_tok", graft.functions.TokenCount.tokenCount(col("text")))
-      .withColumn("q", graft.text.TextFeatures.filterDecision(col("text")) === "kept")
-    val firsts = flagged.filter(col("q"))
-      .groupBy(col("text")).agg(min(col("doc_id")).as("__first"))
-    val staged = flagged.join(firsts, Seq("text"), "left")
-      .withColumn("d", col("q") && col("doc_id") === col("__first"))
-      .withColumn("m", col("d") && mixtureKeep(col("doc_id"), col("source"), weights, defaultWeight))
+    val staged = curationStages(df, id, text, source, weights, defaultWeight)
     def stage(n: Int, name: String, pass: Column) = struct(
       lit(n).as("stage"), lit(name).as("stage_name"),
       pass.as("pass"), col("n_tok").as("n_tok"))

@@ -160,6 +160,12 @@ class CurationSpec extends SparkSpec {
     // tokens shrink monotonically with docs
     val toks = Seq("ingested", "quality_filter", "exact_dedup", "mixture").map(out(_)._2)
     assert(toks == toks.sorted.reverse)
+    // the survivor corpus is exactly the funnel's final stage
+    val surv = Curation.curationSurvivors(docs, col("doc_id"), col("text"), col("lang"),
+      Map("en" -> 100, "drop_all" -> 0))
+    assert(surv.count() == out("mixture")._1)
+    assert(surv.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    assert(surv.agg(sum("n_tok")).head.getLong(0) == out("mixture")._2)
   }
 
   test("dupSpanStats counts verbatim cross-doc spans, null for short docs") {
