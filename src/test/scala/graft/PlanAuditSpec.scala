@@ -128,6 +128,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("vocab_build").contains("TakeOrderedAndProject"), plan("vocab_build"))
   }
 
+  test("round-3 relational additions keep their scale shapes") {
+    // q4: the EXISTS must plan as a LEFT SEMI join (lineitem columns never
+    // materialize), with the order-window predicates pushed into the scan
+    val q4 = plan("q4_priority_checking")
+    assert(q4.contains("LeftSemi"), q4)
+    assert(q4.contains("GreaterThanOrEqual(o_orderdate"), q4)
+    // q19: Catalyst OR-distributes the 3-way disjunction — the brand/size
+    // conjuncts must reach the part side and the quantity bounds the
+    // lineitem side as pre-join Filters, even though the full predicate is
+    // only post-join. (Assert on the Filter nodes, not PushedFilters —
+    // explain truncates long pushed-filter lists with "...".)
+    val q19 = plan("q19_disjunctive_revenue")
+    assert(q19.contains("= Brand#1)"), q19)
+    assert(q19.contains(">= 20.0)"), q19)
+    // q21: EXISTS/NOT EXISTS plan as one semi + one anti join; the fact-
+    // sized relations carry no broadcast hint, so at scale AQE may choose
+    // shuffle joins — locally either shape is fine, but never a cartesian
+    val q21 = plan("q21_waiting_suppliers")
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"), q21)
+    // q22: the global-average scalar joins as a 1-row broadcast nested
+    // loop, and the no-recent-orders check is a LEFT ANTI join
+    val q22 = plan("q22_dormant_accounts")
+    assert(q22.contains("BroadcastNestedLoopJoin"), q22)
+    assert(q22.contains("LeftAnti"), q22)
+  }
+
   test("no query plans an unbroadcast cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"), s"$name plans a CartesianProduct")
