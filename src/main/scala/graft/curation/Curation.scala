@@ -183,6 +183,16 @@ object Curation {
     * d (also the exact-dup first keeper), m (also survives the mixture
     * coin). Shared by the funnel accounting and the survivor selector so
     * the report can never disagree with the dataset it describes.
+    *
+    * The first-keeper aggregation and its join back are keyed on
+    * md5(text), never the raw text (same identity convention as
+    * Dedup.exact): the `firsts` side stays fixed-width regardless of
+    * document size, shuffle sort/compare cost is per 32-char digest
+    * rather than per document, and a boilerplate-heavy corpus (one text
+    * duplicated millions of times) leaves a hot key that AQE's skew-join
+    * splitting can divide on the probe side cheaply — with raw-text keys
+    * every comparison in the split partitions would still pay full
+    * document length.
     */
   private def curationStages(df: DataFrame, id: Column, text: Column, source: Column,
                              weights: Map[String, Int], defaultWeight: Int): DataFrame = {
@@ -190,11 +200,13 @@ object Curation {
       .select(id.as("doc_id"), text.as("text"), source.as("source"))
       .withColumn("n_tok", graft.functions.TokenCount.tokenCount(col("text")))
       .withColumn("q", graft.text.TextFeatures.filterDecision(col("text")) === "kept")
+      .withColumn("__digest", md5(col("text")))
     val firsts = flagged.filter(col("q"))
-      .groupBy(col("text")).agg(min(col("doc_id")).as("__first"))
-    flagged.join(firsts, Seq("text"), "left")
+      .groupBy(col("__digest")).agg(min(col("doc_id")).as("__first"))
+    flagged.join(firsts, Seq("__digest"), "left")
       .withColumn("d", col("q") && col("doc_id") === col("__first"))
       .withColumn("m", col("d") && mixtureKeep(col("doc_id"), col("source"), weights, defaultWeight))
+      .drop("__digest", "__first")
   }
 
   /** The curated OUTPUT corpus: documents surviving every funnel stage

@@ -168,6 +168,26 @@ class CurationSpec extends SparkSpec {
     assert(surv.agg(sum("n_tok")).head.getLong(0) == out("mixture")._2)
   }
 
+  test("funnel first-keeper join keys on the text digest, not the document") {
+    // boilerplate-heavy corpus: ONE quality-passing text duplicated across
+    // many doc ids — the skew shape the digest keying exists for
+    val doc = (1 to 20).map(i => s"the w$i x$i y$i z$i").mkString(" ")
+    val docs = (1L to 500L).map(i => (i, doc, "en")).toDF("doc_id", "text", "lang")
+    val funnel = Curation.curationFunnel(docs, col("doc_id"), col("text"), col("lang"),
+      Map("en" -> 100))
+    val out = funnel.collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out("ingested") == 500L && out("quality_filter") == 500L)
+    assert(out("exact_dedup") == 1L && out("mixture") == 1L)
+    val surv = Curation.curationSurvivors(docs, col("doc_id"), col("text"), col("lang"),
+      Map("en" -> 100))
+    assert(surv.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    // the first-keeper shuffle must hash the fixed-width digest, never the
+    // raw document text (full-text sort keys are the 100-TB skew cliff)
+    val plan = funnel.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__digest"), plan)
+    assert(!plan.contains("hashpartitioning(text"), plan)
+  }
+
   test("dupSpanStats counts verbatim cross-doc spans, null for short docs") {
     val shared = (1 to 8).map(i => s"s$i").mkString(" ")
     val docs = Seq(
