@@ -396,6 +396,11 @@ object SparkEntry {
       val d = table(s, dir, "documents")
       d.select((col("doc_id") +: graft.text.TextFeatures.langIdColumns(col("text"))): _*)
     }),
+    "langid_profiled" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      d.select((col("doc_id") +: graft.text.TextFeatures.langIdProfiled(
+        col("text"), graft.text.TextFeatures.defaultProfiles)): _*)
+    }),
     "quality_score" -> ((s, dir) => {
       val d = table(s, dir, "documents")
       d.select((col("doc_id") +: graft.text.TextFeatures.qualityColumns(col("text"))): _*)
@@ -1287,6 +1292,24 @@ asofOracle,
         |       WHEN s_fr >= s_de THEN 'fr'
         |       ELSE 'de' END AS predicted_lang
         |FROM documents""".stripMargin,
+    // Generated from the SAME profile table as the Spark side, so adding a
+    // language can never drift the two formulations apart. DuckDB list_max
+    // over structs is field-order lexicographic, matching Spark array_max.
+    "langid_profiled" -> {
+      val profiles = graft.text.TextFeatures.defaultProfiles
+      val scoreCols = profiles.map { case (code, stops) =>
+        s"  CAST(len(list_filter(string_split(text,' '), w -> w IN (${
+          stops.map(w => s"'$w'").mkString(",")}))) AS BIGINT) AS s_$code"
+      }.mkString(",\n")
+      val structs = profiles.zipWithIndex.map { case ((code, _), i) =>
+        s"{'score': s_$code, 'prio': ${-i}, 'lang': '$code'}"
+      }.mkString(", ")
+      s"""SELECT doc_id, ${profiles.map(p => "s_" + p._1).mkString(", ")},
+         |  (list_max([$structs])).lang AS predicted_lang
+         |FROM (SELECT doc_id,
+         |$scoreCols
+         |FROM documents)""".stripMargin
+    },
     "quality_score" ->
       """SELECT doc_id, n_words, n_chars_m, n_punct, n_stopwords,
         |  round(CAST(n_chars_m AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS avg_word_len,

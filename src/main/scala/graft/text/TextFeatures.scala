@@ -95,15 +95,43 @@ object TextFeatures {
   /** Heuristic language-ID: stopword-hit score per language, argmax with a
     * fixed language priority for ties. Deterministic by construction.
     */
-  def langIdColumns(text: Column): Seq[Column] = {
-    val sEn = stopwordHits(text, enStopwords)
-    val sEs = stopwordHits(text, esStopwords)
-    val sFr = stopwordHits(text, frStopwords)
-    val sDe = stopwordHits(text, deStopwords)
-    val pred = when(sEn >= sEs && sEn >= sFr && sEn >= sDe, "en")
-      .when(sEs >= sFr && sEs >= sDe, "es")
-      .when(sFr >= sDe, "fr")
-      .otherwise("de")
-    Seq(sEn.as("s_en"), sEs.as("s_es"), sFr.as("s_fr"), sDe.as("s_de"), pred.as("predicted_lang"))
+  def langIdColumns(text: Column): Seq[Column] =
+    langIdProfiled(text, Seq("en" -> enStopwords, "es" -> esStopwords,
+      "fr" -> frStopwords, "de" -> deStopwords))
+
+  /** Language profiles as DATA, not code: (code, stopword table) in tie-
+    * break priority order. The default table covers the languages a
+    * cross-African engagement corpus actually mixes (reference pipelines
+    * run in Somali/Swahili/English markets) plus the major European ones.
+    * Callers supply their own table for other domains — the scoring
+    * scaffolding is profile-agnostic.
+    */
+  val defaultProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> enStopwords,
+    "es" -> esStopwords,
+    "fr" -> frStopwords,
+    "de" -> deStopwords,
+    "pt" -> Seq("o", "a", "de", "e", "que", "em", "um"),
+    "it" -> Seq("il", "la", "di", "e", "che", "in", "per"),
+    "nl" -> Seq("de", "het", "een", "en", "van", "is"),
+    "sw" -> Seq("na", "ya", "wa", "ni", "kwa", "za", "katika"),
+    "so" -> Seq("iyo", "ka", "oo", "waa", "ku", "ayaa", "soo"),
+    "id" -> Seq("yang", "dan", "di", "itu", "dengan", "untuk"))
+
+  /** Data-driven language-ID over any profile table: one `s_<code>` score
+    * column per profile plus `predicted_lang` — the argmax, with EARLIER
+    * profiles winning ties. One shuffle-free pass: the argmax is
+    * array_max over (score, -index, code) structs, so adding a language
+    * is a table entry, not new comparison code. Generalizes the fixed
+    * 4-way when-chain (same semantics on the same 4 profiles).
+    */
+  def langIdProfiled(text: Column, profiles: Seq[(String, Seq[String])]): Seq[Column] = {
+    require(profiles.nonEmpty, "langIdProfiled needs at least one profile")
+    val scored = profiles.map { case (code, stops) => code -> stopwordHits(text, stops) }
+    val best = array_max(array(scored.zipWithIndex.map { case ((code, s), i) =>
+      struct(s.as("score"), lit(-i).as("prio"), lit(code).as("lang"))
+    }: _*))
+    scored.map { case (code, s) => s.as(s"s_$code") } :+
+      best.getField("lang").as("predicted_lang")
   }
 }

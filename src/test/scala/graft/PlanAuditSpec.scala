@@ -54,6 +54,7 @@ class PlanAuditSpec extends SparkSpec {
     assert(count(plan("quality_score"), "Exchange") == 0)
     assert(count(plan("token_count"), "Exchange") == 0)
     assert(count(plan("langid"), "Exchange") == 0)
+    assert(count(plan("langid_profiled"), "Exchange") == 0)
     assert(count(plan("multimodal_decode"), "Exchange") == 0)
   }
 

@@ -31,6 +31,28 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Seq(Seq("a b c", "b c d"), Seq()))
   }
 
+  test("profiled langid scores any profile table and breaks ties by priority") {
+    val df = Seq(
+      "maji na chakula ni muhimu kwa watu",       // Swahili stopword hits
+      "biyaha iyo cuntada waa muhiim oo badan",   // Somali
+      "the cat sat in the hat",                   // English
+      "zzz qqq")                                   // no hits anywhere
+      .toDF("text")
+    val pred = df.select(TextFeatures.langIdProfiled(col("text"),
+      TextFeatures.defaultProfiles).last).as[String].collect().toSeq
+    // the no-hit row ties every profile at 0 — the FIRST profile must win
+    assert(pred == Seq("sw", "so", "en", "en"))
+    // the 4-profile fixed scaffolding is the same machinery: identical
+    // predictions on the original table
+    val legacy = df.select(TextFeatures.langIdColumns(col("text")).last).as[String]
+      .collect().toSeq
+    val viaProfiles = df.select(TextFeatures.langIdProfiled(col("text"),
+      Seq("en" -> TextFeatures.enStopwords, "es" -> TextFeatures.esStopwords,
+        "fr" -> TextFeatures.frStopwords, "de" -> TextFeatures.deStopwords)).last)
+      .as[String].collect().toSeq
+    assert(legacy == viaProfiles)
+  }
+
   test("exact dedup groups identical texts") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("id", "text")
     val got = Dedup.exact(df, col("id"), col("text"))
