@@ -278,6 +278,13 @@ object SparkEntry {
         ev, "2024-01-08 00:00:00", "2024-01-22 00:00:00", "6 HOUR")
       graft.analysis.Traffic.trafficCounts(ev, col("ts"), col("event_type"), blocks)
     }),
+    "range_join_traffic" -> ((s, dir) => {
+      // hot-interval stats via the grid-bucketed range join: both sides of
+      // the point-in-interval join stay large at 100 TB, so the equi-join-
+      // on-cell rewrite (never a nested loop) is the graded plan shape
+      val ev = events(s, dir)
+      graft.operators.RangeJoin.hotIntervalStats(ev, col("ts"), col("user_id"))
+    }),
     "sample_messages" -> ((s, dir) =>
       // deterministic per-code sample (reference sample_messages export,
       // limit_per_code): md5-of-id order, stable across runs and engines
@@ -1172,6 +1179,18 @@ asofOracle,
         |SELECT block_label, block_start, event_type AS category, COUNT(*) AS n_messages
         |FROM events JOIN blocks ON ts >= block_start AND ts < block_end
         |GROUP BY 1, 2, 3""".stripMargin,
+    "range_join_traffic" ->
+      """WITH hours AS (
+        |  SELECT date_trunc('hour', ts) AS hour, count(*) AS n FROM events GROUP BY 1),
+        |intervals AS (
+        |  SELECT min(hour) AS start_hour, max(hour) + INTERVAL 1 HOUR AS end_hour
+        |  FROM (SELECT hour, epoch(hour)::BIGINT - (row_number() OVER (ORDER BY hour)) * 3600 AS grp
+        |        FROM hours WHERE n > (SELECT CAST(SUM(n) AS DOUBLE) / count(*) FROM hours))
+        |  GROUP BY grp)
+        |SELECT start_hour, end_hour, count(*) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM intervals JOIN events ON ts >= start_hour AND ts < end_hour
+        |GROUP BY 1, 2""".stripMargin,
     "sample_messages" ->
       """SELECT code, message_id, text, sample_rank FROM (
         |  SELECT event_type AS code, event_id AS message_id, props AS text,

@@ -68,6 +68,41 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Map("u1" -> 2L, "u2" -> 1L))
   }
 
+  test("RangeJoin.pointInInterval matches the naive inequality join, closed-open") {
+    val points = Seq(
+      (1L, "2024-01-01 00:00:00"),     // exactly on interval start: IN
+      (2L, "2024-01-01 02:59:59.9"),   // sub-second, just inside: IN
+      (3L, "2024-01-01 03:00:00"),     // exactly on interval end: OUT
+      (4L, "2024-01-01 01:30:00"),     // mid-interval: IN
+      (5L, "2024-01-02 12:00:00"))     // far outside: OUT
+      .toDF("pid", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val intervals = Seq(
+      ("a", "2024-01-01 00:00:00", "2024-01-01 03:00:00"),  // spans many cells
+      ("b", "2024-01-01 01:00:00", "2024-01-01 01:45:00"))  // overlapping, sub-cell
+      .toDF("iid", "s", "e")
+      .withColumn("s", col("s").cast("timestamp")).withColumn("e", col("e").cast("timestamp"))
+    // tiny 600 s grid so interval "a" explodes across 19 cells
+    val got = RangeJoin.pointInInterval(points, col("ts"), intervals, col("s"), col("e"), 600L)
+      .select("pid", "iid").as[(Long, String)].collect().toSet
+    val naive = points.crossJoin(intervals)
+      .filter(col("ts") >= col("s") && col("ts") < col("e"))
+      .select("pid", "iid").as[(Long, String)].collect().toSet
+    assert(got == naive)
+    assert(got == Set((1L, "a"), (2L, "a"), (4L, "a"), (4L, "b")))
+  }
+
+  test("RangeJoin.hotIntervals merges consecutive hot hours into maximal intervals") {
+    // 3 events in hours h0,h1 and in h3; 1 event elsewhere → avg < 3, so
+    // hot = {h0,h1,h3}: one merged [h0,h2) island and one [h3,h4)
+    def at(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val ev = (Seq(0, 1, 3).flatMap(h => Seq(at(h, 1), at(h, 2), at(h, 3))) ++
+      Seq(at(5, 0))).map(Tuple1(_)).toDF("ts")
+    val got = RangeJoin.hotIntervals(ev, col("ts"))
+      .select("start_hour", "end_hour").as[(java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().toSet
+    assert(got == Set((at(0, 0), at(2, 0)), (at(3, 0), at(4, 0))))
+  }
+
   test("ColumnView.foldConcat concatenates in order regardless of input order") {
     val df = Seq(("u1", 3L, "c"), ("u1", 1L, "a"), ("u1", 2L, "b")).toDF("user", "o", "t")
     val got = ColumnView.foldConcat(df, "user", col("o"), col("o"), col("t"), ";")

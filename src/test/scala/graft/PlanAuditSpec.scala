@@ -155,6 +155,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(q22.contains("LeftAnti"), q22)
   }
 
+  test("range join rewrites the inequality into a grid-cell equi-join") {
+    // the point-in-interval join must key on the grid cell (equi-join with
+    // the range as residual), never plan the range itself as a nested loop
+    val p = plan("range_join_traffic")
+    assert(p.contains("__cell"), p)
+  }
+
   test("no query plans an unbroadcast cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"), s"$name plans a CartesianProduct")
