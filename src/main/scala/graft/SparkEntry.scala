@@ -230,6 +230,15 @@ object SparkEntry {
         events(s, dir), Seq(col("event_type")),
         propsInt,
         hour(col("ts")), col("value"))),
+    "regression_ols_imputed" -> ((s, dir) => {
+      // the events fixture has no organic nulls, so missingness is injected
+      // with the repo's deterministic md5 hash coin (20% of rows), mirrored
+      // verbatim in the oracle SQL
+      val coin = graft.curation.Curation.hashPct(col("event_id"), 1)
+      val xMiss = when(coin < 20, lit(null).cast("int")).otherwise(propsInt)
+      graft.analysis.Regression.olsImputedByGroup(
+        events(s, dir), Seq(col("event_type")), xMiss, col("value"))
+    }),
     "value_quantiles" -> ((s, dir) =>
       // scalar columns (not an array) so the driver's pandas sort-hash can
       // factorize the result; Spark exact `percentile` ≡ DuckDB quantile_cont
@@ -979,6 +988,39 @@ asofOracle,
         |          CAST(value AS DECIMAL(18,2)) AS yd
         |        FROM events
         |        WHERE NULLIF(regexp_extract(props, '[0-9]+', 0), '') IS NOT NULL AND value IS NOT NULL)
+        |      GROUP BY event_type)))""".stripMargin,
+    // mirrors olsImputedByGroup's closed-form imputed moments with the
+    // SAME IEEE expression tree (m, then sx+nmiss*m etc.) for bit parity
+    "regression_ols_imputed" ->
+      """SELECT event_type, n, n_obs,
+        |  CASE WHEN n_obs > 0 AND abs(n * sxxall - sxall * sxall)
+        |            > 1e-9 * greatest(abs(n * sxxall), abs(sxall * sxall))
+        |       THEN round((n * sxyall - sxall * sy) / (n * sxxall - sxall * sxall), 6) END AS slope,
+        |  CASE WHEN n_obs > 0 AND abs(n * sxxall - sxall * sxall)
+        |            > 1e-9 * greatest(abs(n * sxxall), abs(sxall * sxall))
+        |       THEN round((sy - ((n * sxyall - sxall * sy) / (n * sxxall - sxall * sxall)) * sxall) / n, 6) END AS intercept
+        |FROM (
+        |  SELECT event_type, n, n_obs, sy,
+        |    sx + nmiss * m AS sxall,
+        |    sxx + nmiss * m * m AS sxxall,
+        |    sxy + m * COALESCE(sy_miss, 0) AS sxyall
+        |  FROM (
+        |    SELECT *, CAST(n - n_obs AS DOUBLE) AS nmiss,
+        |      sx / (CASE WHEN n_obs > 0 THEN CAST(n_obs AS DOUBLE) END) AS m
+        |    FROM (
+        |      SELECT event_type, COUNT(*) AS n, COUNT(xd) AS n_obs,
+        |        CAST(SUM(xd) AS DOUBLE) AS sx,
+        |        CAST(SUM(xd * xd) AS DOUBLE) AS sxx,
+        |        CAST(SUM(xd * yd) AS DOUBLE) AS sxy,
+        |        CAST(SUM(yd) AS DOUBLE) AS sy,
+        |        CAST(SUM(CASE WHEN xd IS NULL THEN yd END) AS DOUBLE) AS sy_miss
+        |      FROM (
+        |        SELECT event_type,
+        |          CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 20
+        |               THEN NULL
+        |               ELSE CAST(CAST(NULLIF(regexp_extract(props, '[0-9]+', 0), '') AS INT) AS DECIMAL(18,2)) END AS xd,
+        |          CAST(value AS DECIMAL(18,2)) AS yd
+        |        FROM events WHERE value IS NOT NULL)
         |      GROUP BY event_type)))""".stripMargin,
     "value_quantiles" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,

@@ -49,6 +49,52 @@ object Regression {
       .drop("sx", "sy", "sxx", "sxy")
   }
 
+  /** Per-group OLS of y on x where missing x is MEAN-IMPUTED within the
+    * group — the deterministic Spark analogue of the reference's
+    * imputation-then-regress family (multiple_imputation_regression_
+    * analysis.py:1 runs R mice + glm; random chained-equation draws can't
+    * be oracle-gated, group-mean imputation can). Contrast olsByGroup,
+    * which is the complete-case strategy (drop incomplete rows).
+    *
+    * The imputed dataset is never materialized: with m = mean(observed x),
+    * the imputed moments fold in closed form from one conditional
+    * aggregation pass —
+    *   Σx' = Σx + n_miss·m,  Σx'² = Σx² + n_miss·m²,  Σx'y = Σxy + m·Σ_miss y
+    * — so imputation costs zero extra scans, joins, or shuffles at any
+    * scale. Rows with null y are dropped (y is the response; only
+    * predictors are imputed).
+    */
+  def olsImputedByGroup(df: DataFrame, groupCols: Seq[Column], x: Column, y: Column): DataFrame = {
+    val withY = df.filter(y.isNotNull)
+    val xd = x.cast(DecimalType(18, 2))
+    val yd = y.cast(DecimalType(18, 2))
+    val agg = withY.groupBy(groupCols: _*).agg(
+      count(lit(1)).as("n"),
+      count(x).as("n_obs"),
+      sum(xd).cast("double").as("sx"),
+      sum(xd * xd).cast("double").as("sxx"),
+      sum(xd * yd).cast("double").as("sxy"),
+      sum(yd).cast("double").as("sy"),
+      sum(when(x.isNull, yd)).cast("double").as("sy_miss"))
+    val nMiss = (col("n") - col("n_obs")).cast("double")
+    // null divisor (not 0) when nothing was observed: ANSI double division
+    // by zero throws, x/NULL propagates NULL into the guard instead
+    val m = col("sx") / when(col("n_obs") > 0, col("n_obs").cast("double"))
+    val sxAll = col("sx") + nMiss * m
+    val sxxAll = col("sxx") + nMiss * m * m
+    val sxyAll = col("sxy") + m * coalesce(col("sy_miss"), lit(0.0))
+    val denom = col("n") * sxxAll - sxAll * sxAll
+    // relative degenerate-design guard (see olsByGroup); n_obs = 0 means no
+    // mean exists to impute with — the whole group is NULL
+    val ok = col("n_obs") > 0 &&
+      abs(denom) > lit(1e-9) * greatest(abs(col("n") * sxxAll), abs(sxAll * sxAll))
+    val slope = (col("n") * sxyAll - sxAll * col("sy")) / denom
+    agg
+      .withColumn("slope", when(ok, round(slope, 6)))
+      .withColumn("intercept", when(ok, round((col("sy") - slope * sxAll) / col("n"), 6)))
+      .drop("sx", "sxx", "sxy", "sy", "sy_miss")
+  }
+
   /** Per-group bivariate OLS (y on x1, x2 with intercept) via centered
     * second moments and Cramer's rule — still one exact-decimal aggregation
     * pass, no iterative solver. Degenerate designs (collinear/constant

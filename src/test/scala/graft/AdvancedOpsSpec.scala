@@ -44,6 +44,39 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(got == ((2.0, 1.0)))
   }
 
+  test("olsImputedByGroup mean-imputes missing x without materializing it") {
+    // observed x ∈ {1,2,3} (mean 2) on y = 2x+1; two extra rows with
+    // missing x get x̂ = 2 — same as a literal impute-then-regress
+    val df = Seq(
+      ("g", Some(1), 3.0), ("g", Some(2), 5.0), ("g", Some(3), 7.0),
+      ("g", None, 4.0), ("g", None, 6.0),
+      ("allmiss", None, 1.0), ("allmiss", None, 2.0))
+      .toDF("g", "x", "y")
+    val got = graft.analysis.Regression.olsImputedByGroup(
+        df, Seq(col("g")), col("x"), col("y"))
+      .select("g", "n", "n_obs", "slope", "intercept")
+      .as[(String, Long, Long, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    // literal imputed dataset: (1,3),(2,5),(3,7),(2,4),(2,6)
+    val lit5 = Seq((1.0, 3.0), (2.0, 5.0), (3.0, 7.0), (2.0, 4.0), (2.0, 6.0))
+    val n = lit5.size.toDouble
+    val (sx, sy) = (lit5.map(_._1).sum, lit5.map(_._2).sum)
+    val sxx = lit5.map(p => p._1 * p._1).sum
+    val sxy = lit5.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = (sy - slope * sx) / n
+    assert(got("g")._2 == 5L && got("g")._3 == 3L)
+    assert(got("g")._4.contains(math.rint(slope * 1e6) / 1e6))
+    assert(got("g")._5.contains(math.rint(icept * 1e6) / 1e6))
+    // a group with NO observed x has no mean to impute: NULL coefficients
+    assert(got("allmiss")._4.isEmpty && got("allmiss")._5.isEmpty)
+    // with no missing rows it degenerates to exactly the complete-case OLS
+    val full = (1 to 10).map(x => ("h", x, 2.0 * x + 1)).toDF("g", "x", "y")
+    val a = graft.analysis.Regression.olsImputedByGroup(full, Seq(col("g")), col("x"), col("y"))
+      .select("slope", "intercept").as[(Double, Double)].collect().head
+    assert(a == ((2.0, 1.0)))
+  }
+
   test("saltedJoin equals the unsalted join") {
     val facts = GraftSession.table(spark, "/root/testdata/sf0.001", "events")
       .select(col("event_id"), col("user_id"), col("value"))
