@@ -66,6 +66,47 @@ object Streams {
       .withColumn("redacted", graft.text.Redact.redactPii(col(textCol)))
       .filter(col("decision") === "kept")
 
+  /** Streaming interval join — the streaming twin of
+    * `operators.RangeJoin.pointInInterval`: a point stream joined into an
+    * interval stream on `ts ∈ [start, end)`, both sides unbounded.
+    *
+    * Stream-stream joins REQUIRE an equality predicate, and the same grid
+    * rewrite as the batch operator provides it: points key to their time
+    * cell, intervals explode to covered cells, the join keys on the cell
+    * with the range as residual — so state is also hash-partitioned by
+    * cell rather than held in one global relation.
+    *
+    * Eviction needs the join condition to bound the two event times in
+    * both directions, so the maximum interval length is declared: the
+    * condition carries `ts < start + maxSpan` (with `ts >= start` this
+    * pins `start ∈ (ts − maxSpan, ts]`). For the data that conjunct is
+    * redundant (every interval satisfies end − start ≤ maxSpan); for the
+    * ENGINE it is what lets an interval row be dropped once the point
+    * watermark passes — state on both sides stays O(watermark + maxSpan
+    * of traffic), independent of stream length.
+    */
+  def intervalJoinStream(points: DataFrame, tsCol: String,
+                         intervals: DataFrame, startCol: String, endCol: String,
+                         bucketSeconds: Long, maxSpan: String, watermark: String): DataFrame = {
+    val b = lit(bucketSeconds)
+    val p = points.withWatermark(tsCol, watermark)
+      .withColumn("__pcell", floor(unix_timestamp(col(tsCol)) / b))
+    val iv = intervals.withWatermark(startCol, watermark)
+      .withColumn("__icell", explode(sequence(
+        floor(unix_timestamp(col(startCol)) / b),
+        floor(unix_timestamp(col(endCol)) / b))))
+    p.join(iv,
+        col("__pcell") === col("__icell") &&
+          col(tsCol) >= col(startCol) &&
+          col(tsCol) < col(endCol) &&
+          col(tsCol) < col(startCol) + expr(s"INTERVAL $maxSpan"))
+      .drop("__pcell", "__icell")
+  }
+
+  case class PointEv(pid: Long, ts: java.sql.Timestamp)
+  case class IntervalEv(iid: String, start_hour: java.sql.Timestamp,
+                        end_hour: java.sql.Timestamp)
+
   case class EnrichEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
                          is_left: Boolean, value: Double)
   case class EnrichOut(event_id: Long, user_id: Long, ts: java.sql.Timestamp, value: Double,

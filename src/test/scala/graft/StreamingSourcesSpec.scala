@@ -141,6 +141,37 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming interval join matches the batch range join") {
+    implicit val sqlCtx3: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.Streams.{IntervalEv, PointEv}
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val points = MemoryStream[PointEv]
+    val intervals = MemoryStream[IntervalEv]
+    val q = graft.streaming.Streams.intervalJoinStream(
+        points.toDS().toDF(), "ts",
+        intervals.toDS().toDF(), "start_hour", "end_hour",
+        bucketSeconds = 3600L, maxSpan = "3 hours", watermark = "1 hour")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ivj_out").start()
+    try {
+      intervals.addData(Seq(
+        IntervalEv("a", ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")),
+        IntervalEv("b", ts("2024-01-01 11:30:00"), ts("2024-01-01 12:30:00"))))
+      points.addData(Seq(
+        PointEv(1L, ts("2024-01-01 10:00:00")),    // on "a" start: IN
+        PointEv(2L, ts("2024-01-01 11:45:00")),    // inside both
+        PointEv(3L, ts("2024-01-01 12:00:00"))))   // on "a" end: only "b"
+      q.processAllAvailable()
+      // points can arrive AFTER their interval as long as the watermark
+      // hasn't passed — cross-micro-batch matching is the point of state
+      points.addData(Seq(PointEv(4L, ts("2024-01-01 12:15:00"))))
+      q.processAllAvailable()
+      val got = spark.table("ivj_out").select("pid", "iid")
+        .as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "a"), (2L, "a"), (2L, "b"), (3L, "b"), (4L, "b")))
+    } finally q.stop()
+  }
+
   test("stateful sessionization runs on the RocksDB state store (the scale backend)") {
     // the provider is a runtime conf read at query start; exercise the
     // disk-backed path end-to-end and confirm state actually lives in it
