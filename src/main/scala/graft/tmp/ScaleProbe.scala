@@ -56,6 +56,15 @@ object ScaleProbe {
         .groupBy(col("new_dataset"), col("sync_event")).count().count()
     }
 
+    time("range_join_hot_intervals_20M") {
+      graft.operators.RangeJoin.hotIntervalStats(events, col("ts"), col("user_id")).count()
+    }
+    time("ols_imputed_20M") {
+      graft.analysis.Regression.olsImputedByGroup(events, Seq(col("event_type")),
+        when(col("event_id") % 5 === 0, lit(null).cast("double")).otherwise(col("value")),
+        col("value")).count()
+    }
+
     // 1M docs, ~40 words each, with planted near-dups (every 100th doc is a
     // 1-word variant of its predecessor)
     val words = (0 until 500).map(i => s"w$i")
@@ -97,6 +106,15 @@ object ScaleProbe {
     }
     time("mixture_1M") {
       C.mixtureStats(docs, col("doc_id"),
+        concat(lit("src"), pmod(col("doc_id"), lit(20))), Map("src0" -> 50)).count()
+    }
+    time("curation_funnel_1M_boilerplate") {
+      // skew probe for the digest-keyed first-keeper join: every 3rd doc is
+      // the SAME quality-passing text — one md5 key carries 333k probe rows
+      val boiler = (1 to 20).map(i => s"the w$i x$i y$i z$i").mkString(" ")
+      val bdocs = docs.withColumn("text",
+        when(col("doc_id") % 3 === 0, lit(boiler)).otherwise(col("text")))
+      C.curationFunnel(bdocs, col("doc_id"), col("text"),
         concat(lit("src"), pmod(col("doc_id"), lit(20))), Map("src0" -> 50)).count()
     }
     time("vocab_encode_1M") {
