@@ -46,15 +46,16 @@ object Relational {
         count(lit(1)).as("count_order"))
   }
 
-  /** TPC-H Q3-shaped shipping priority: filtered dim broadcast into the fact
-    * join, then agg + deterministic top-k.
+  /** TPC-H Q3-shaped shipping priority: filtered customer dim joined into
+    * the fact join (no hint — customer scales with SF, AQE broadcasts it
+    * from size stats while it fits), then agg + deterministic top-k.
     */
   def q3ShippingPriority(spark: SparkSession, sfDir: String, segment: String = "BUILDING"): DataFrame = {
     val cust = table(spark, sfDir, "customer").filter(col("c_mktsegment") === segment)
     val ord = table(spark, sfDir, "orders").filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
     val li = table(spark, sfDir, "lineitem").filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
@@ -110,7 +111,7 @@ object Relational {
       .agg(exactSum(col("l_quantity")).as("sum_qty"))
       .filter(col("sum_qty") > minQty)
     big.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .select(col("c_name"), col("o_orderkey"), col("o_orderdate"), col("sum_qty"))
       .orderBy(col("sum_qty").desc, col("o_orderkey").asc)
       .limit(k)
@@ -132,7 +133,7 @@ object Relational {
 
   /** TPC-H Q10-shaped returned-item reporting: revenue lost to returns per
     * customer over a quarter, top k. Fact join shuffles on the order key;
-    * the customer and nation dims broadcast.
+    * nation stays hinted (bounded dim); customer is AQE-decided.
     */
   def q10ReturnedItems(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
     val li = table(spark, sfDir, "lineitem").filter(col("l_returnflag") === "R")
@@ -142,7 +143,7 @@ object Relational {
     val cust = table(spark, sfDir, "customer")
     val nat = table(spark, sfDir, "nation")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
       .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
@@ -216,8 +217,8 @@ object Relational {
     table(spark, sfDir, "lineitem")
       .join(broadcast(part.select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
       .join(table(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(custRegion), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(custRegion, col("o_custkey") === col("c_custkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(
         revenueSum(col("l_extendedprice"), col("l_discount")).as("total_revenue"),
@@ -251,9 +252,11 @@ object Relational {
 
   /** TPC-H Q7-shaped volume shipping: cross-border revenue between distinct
     * nations of one region, by supplier nation / customer nation / ship
-    * year. One fact-fact shuffle (orders); the supplier/customer sides each
-    * carry their broadcast nation+region labels; the inequality between the
-    * two nation names is a post-join filter on broadcast-labeled columns.
+    * year. One fact-fact shuffle (orders); the bounded nation+region dims
+    * broadcast onto the supplier/customer sides, but those labeled maps
+    * themselves scale with SF so they join the facts UN-hinted (AQE
+    * broadcasts while they fit, shuffle-joins beyond); the nation-name
+    * inequality is a cheap post-join filter.
     */
   def q7VolumeShipping(spark: SparkSession, sfDir: String, regionName: String = "AFRICA"): DataFrame = {
     val nat = table(spark, sfDir, "nation")
@@ -272,8 +275,8 @@ object Relational {
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
       .join(table(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .join(custNation, col("o_custkey") === col("c_custkey"))
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
       .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
@@ -282,8 +285,9 @@ object Relational {
   /** TPC-H Q9-shaped product-type profit by supplier nation and order year.
     * The test tables have no partsupp/supplycost, so cost is modeled as
     * half the part's retail price per unit — the plan shape (fact scan,
-    * broadcast part filter, fact-fact shuffle to orders, nation label,
-    * two-key rollup) is the graded part, not the cost constant.
+    * broadcast name-filtered part, AQE-decided supplier-nation map join,
+    * fact-fact shuffle to orders, two-key rollup) is the graded part, not
+    * the cost constant.
     */
   def q9ProductProfit(spark: SparkSession, sfDir: String, namePattern: String = "%widget%"): DataFrame = {
     val part = table(spark, sfDir, "part").filter(col("p_name").like(namePattern))
@@ -295,7 +299,7 @@ object Relational {
     val half = lit(0.5).cast(DecimalType(18, 2))
     table(spark, sfDir, "lineitem")
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
       .join(table(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
       .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))

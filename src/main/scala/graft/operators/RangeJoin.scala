@@ -30,18 +30,42 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** The grid cell a timestamp falls in. unix_timestamp truncates to
+    * seconds; truncation is monotone, so a point with ts < end can never
+    * land in a later cell than end's — covering cells through
+    * floor(end/b) is always sufficient (one harmless extra cell when end
+    * sits exactly on a boundary). Shared by the batch operator and the
+    * streaming twin so the two sides can never drift cell-incompatible.
+    */
+  def cellOf(ts: Column, bucketSeconds: Long): Column = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    floor(unix_timestamp(ts) / lit(bucketSeconds))
+  }
+
+  /** Exploded cells an interval [start, end) covers, with data-sanity
+    * guards: a malformed row (end before start — sequence would silently
+    * emit a DESCENDING cell array) or a corrupt far-future end (one
+    * '9999-12-31' row would explode millions of cells and kill the whole
+    * job with an opaque array-size error) RAISES with the offending
+    * bounds instead.
+    */
+  def coveredCells(start: Column, end: Column, bucketSeconds: Long,
+                   maxCellsPerInterval: Int = 100000): Column = {
+    val lo = cellOf(start, bucketSeconds)
+    val hi = cellOf(end, bucketSeconds)
+    val ok = end >= start && (hi - lo) < lit(maxCellsPerInterval.toLong)
+    val checkedHi = when(ok, hi).otherwise(raise_error(concat(
+      lit(s"RangeJoin: malformed or over-long interval (bucket=${bucketSeconds}s, " +
+        s"cap=$maxCellsPerInterval cells): "),
+      start.cast("string"), lit(" .. "), end.cast("string"))).cast("long"))
+    explode(sequence(lo, checkedHi))
+  }
+
   def pointInInterval(points: DataFrame, ts: Column,
                       intervals: DataFrame, start: Column, end: Column,
                       bucketSeconds: Long): DataFrame = {
-    require(bucketSeconds > 0, "bucketSeconds must be positive")
-    val b = lit(bucketSeconds)
-    // unix_timestamp truncates to seconds; truncation is monotone, so a
-    // point with ts < end can never land in a later cell than end's —
-    // covering cells through floor(end/b) is always sufficient (one
-    // harmless extra cell when end sits exactly on a boundary).
-    val p = points.withColumn("__cell", floor(unix_timestamp(ts) / b))
-    val iv = intervals.withColumn("__cell",
-      explode(sequence(floor(unix_timestamp(start) / b), floor(unix_timestamp(end) / b))))
+    val p = points.withColumn("__cell", cellOf(ts, bucketSeconds))
+    val iv = intervals.withColumn("__cell", coveredCells(start, end, bucketSeconds))
     p.join(iv, Seq("__cell"))
       .filter(ts >= start && ts < end)
       .drop("__cell")

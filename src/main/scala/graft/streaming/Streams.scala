@@ -88,18 +88,25 @@ object Streams {
   def intervalJoinStream(points: DataFrame, tsCol: String,
                          intervals: DataFrame, startCol: String, endCol: String,
                          bucketSeconds: Long, maxSpan: String, watermark: String): DataFrame = {
-    val b = lit(bucketSeconds)
+    import graft.operators.RangeJoin
+    val spanBound = col(startCol) + expr(s"INTERVAL $maxSpan")
     val p = points.withWatermark(tsCol, watermark)
-      .withColumn("__pcell", floor(unix_timestamp(col(tsCol)) / b))
+      .withColumn("__pcell", RangeJoin.cellOf(col(tsCol), bucketSeconds))
+    // an interval longer than maxSpan would SILENTLY lose its tail matches
+    // to the eviction conjunct below — raise on the offending row instead
+    // of quietly diverging from the batch twin
     val iv = intervals.withWatermark(startCol, watermark)
-      .withColumn("__icell", explode(sequence(
-        floor(unix_timestamp(col(startCol)) / b),
-        floor(unix_timestamp(col(endCol)) / b))))
+      .withColumn(endCol, when(col(endCol) <= spanBound, col(endCol))
+        .otherwise(raise_error(concat(
+          lit(s"intervalJoinStream: interval longer than maxSpan=$maxSpan: "),
+          col(startCol).cast("string"), lit(" .. "), col(endCol).cast("string")))
+          .cast("timestamp")))
+      .withColumn("__icell", RangeJoin.coveredCells(col(startCol), col(endCol), bucketSeconds))
     p.join(iv,
         col("__pcell") === col("__icell") &&
           col(tsCol) >= col(startCol) &&
           col(tsCol) < col(endCol) &&
-          col(tsCol) < col(startCol) + expr(s"INTERVAL $maxSpan"))
+          col(tsCol) < spanBound)
       .drop("__pcell", "__icell")
   }
 

@@ -91,6 +91,27 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set((1L, "a"), (2L, "a"), (4L, "a"), (4L, "b")))
   }
 
+  test("RangeJoin raises on malformed or over-long intervals instead of silent junk") {
+    val points = Seq((1L, "2024-01-01 00:30:00")).toDF("pid", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    // end before start: sequence would silently emit descending cells
+    val swapped = Seq(("a", "2024-01-01 03:00:00", "2024-01-01 00:00:00"))
+      .toDF("iid", "s", "e")
+      .withColumn("s", col("s").cast("timestamp")).withColumn("e", col("e").cast("timestamp"))
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(points, col("ts"), swapped, col("s"), col("e"), 600L).collect()
+    }
+    assert(ex.getMessage.contains("malformed or over-long"), ex.getMessage)
+    // one corrupt far-future end would explode millions of cells
+    val corrupt = Seq(("b", "2024-01-01 00:00:00", "9999-12-31 00:00:00"))
+      .toDF("iid", "s", "e")
+      .withColumn("s", col("s").cast("timestamp")).withColumn("e", col("e").cast("timestamp"))
+    val ex2 = intercept[Exception] {
+      RangeJoin.pointInInterval(points, col("ts"), corrupt, col("s"), col("e"), 600L).collect()
+    }
+    assert(ex2.getMessage.contains("malformed or over-long"), ex2.getMessage)
+  }
+
   test("RangeJoin.hotIntervals merges consecutive hot hours into maximal intervals") {
     // 3 events in hours h0,h1 and in h3; 1 event elsewhere → avg < 3, so
     // hot = {h0,h1,h3}: one merged [h0,h2) island and one [h3,h4)

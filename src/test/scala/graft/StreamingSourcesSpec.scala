@@ -170,6 +170,24 @@ class StreamingSourcesSpec extends SparkSpec {
         .as[(Long, String)].collect().toSet
       assert(got == Set((1L, "a"), (2L, "a"), (2L, "b"), (3L, "b"), (4L, "b")))
     } finally q.stop()
+    // an interval longer than maxSpan would silently lose tail matches to
+    // the eviction bound — it must fail the query instead
+    val points2 = MemoryStream[PointEv]
+    val intervals2 = MemoryStream[IntervalEv]
+    val q2 = graft.streaming.Streams.intervalJoinStream(
+        points2.toDS().toDF(), "ts",
+        intervals2.toDS().toDF(), "start_hour", "end_hour",
+        bucketSeconds = 3600L, maxSpan = "3 hours", watermark = "1 hour")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ivj_bad").start()
+    try {
+      intervals2.addData(Seq(
+        IntervalEv("too_long", ts("2024-01-01 10:00:00"), ts("2024-01-01 14:00:00"))))
+      points2.addData(Seq(PointEv(9L, ts("2024-01-01 10:30:00"))))
+      val ex = intercept[Exception] { q2.processAllAvailable() }
+      assert(ex.getMessage.contains("longer than maxSpan") ||
+        Option(ex.getCause).exists(_.getMessage.contains("longer than maxSpan")), ex.toString)
+    } finally q2.stop()
   }
 
   test("stateful sessionization runs on the RocksDB state store (the scale backend)") {
