@@ -421,6 +421,9 @@ object SparkEntry {
       val d = table(s, dir, "documents")
       d.select((col("doc_id") +: graft.text.TextFeatures.qualityColumns(col("text"))): _*)
     }),
+    "lm_bigram_score" -> ((s, dir) =>
+      graft.text.LangModel.bigramScore(table(s, dir, "documents"),
+        col("doc_id"), col("text"))),
     "token_count" -> ((s, dir) =>
       table(s, dir, "documents").select(
         col("doc_id"),
@@ -1371,6 +1374,29 @@ asofOracle,
          |$scoreCols
          |FROM documents)""".stripMargin
     },
+    // mirrors LangModel.bigramScore's IEEE tree: (cbg + 1.0)/(cw + 1.0*v),
+    // -ln, round 6, exact DECIMAL(18,6) accumulation per doc
+    "lm_bigram_score" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM base),
+        |uni AS (SELECT w, count(*) AS cw FROM toks GROUP BY w),
+        |voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+        |bigr AS (
+        |  SELECT doc_id, unnest([ w[i] || ' ' || w[i+1]
+        |                          for i in generate_series(1, len(w)-1) ]) AS bg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM base)),
+        |bi AS (SELECT bg, count(*) AS cbg FROM bigr GROUP BY bg),
+        |scored AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    SUM(CAST(round(-ln((cbg + 1.0) / (cw + 1.0 * v)), 6) AS DECIMAL(18,6))) AS nll_sum
+        |  FROM bigr JOIN bi USING (bg)
+        |  JOIN uni ON string_split(bg, ' ')[1] = uni.w
+        |  CROSS JOIN voc
+        |  GROUP BY doc_id)
+        |SELECT base.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  round(CAST(nll_sum AS DOUBLE) /
+        |    (CASE WHEN n_bigrams > 0 THEN CAST(n_bigrams AS DOUBLE) END), 6) AS lm_nll
+        |FROM base LEFT JOIN scored USING (doc_id)""".stripMargin,
     "quality_score" ->
       """SELECT doc_id, n_words, n_chars_m, n_punct, n_stopwords,
         |  round(CAST(n_chars_m AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS avg_word_len,

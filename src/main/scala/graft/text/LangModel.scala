@@ -1,0 +1,54 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** In-engine n-gram language-model quality scoring (the CCNet-style
+  * signal: score each document by how surprising its text is under a
+  * model of the corpus itself; low-quality/boilerplate text scores at the
+  * extremes). A KenLM-style external model is an opaque binary; training
+  * the bigram LM in-engine keeps the whole signal a deterministic,
+  * oracle-checkable dataflow.
+  *
+  * Plan shape: two counting aggregations build the model (unigram and
+  * bigram tables — corpus-sized, so they stay DISTRIBUTED; only the
+  * 1-row vocabulary size broadcasts), then each document's bigram
+  * instances join their counts back and re-aggregate per document.
+  * Every shuffle keys on a token/ngram/doc id. The unigram join's hot
+  * keys ("the") are classic AQE-skew-split territory; the bigram join is
+  * finer-grained. Per-instance log-probs are rounded then accumulated as
+  * exact DECIMAL so the per-doc sum is order-independent (SURVEY §3).
+  */
+object LangModel {
+
+  /** Per-document average negative log-likelihood under an add-k-smoothed
+    * bigram model trained on the corpus itself:
+    * P(w2|w1) = (C(w1 w2) + k) / (C(w1) + k·V). Documents with fewer than
+    * two tokens have no bigrams: n_bigrams = 0, null score.
+    */
+  def bigramScore(docs: DataFrame, id: Column, text: Column, k: Double = 1.0): DataFrame = {
+    val base = docs.select(id.as("doc_id"), text.as("text"))
+    val toks = base.select(col("doc_id"), explode(TextFeatures.words(col("text"))).as("w"))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bigr = base.select(col("doc_id"),
+      explode(TextFeatures.shingles(col("text"), 2)).as("bg"))
+    val bi = bigr.groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
+    val scored = bigr
+      .join(bi, Seq("bg"))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll",
+        round(-log((col("cbg") + lit(k)) / (col("cw") + lit(k) * col("v"))), 6)
+          .cast(DecimalType(18, 6)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("nll_sum"))
+    base.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("nll_sum").cast("double") /
+          when(col("n_bigrams") > 0, col("n_bigrams").cast("double")), 6).as("lm_nll"))
+  }
+}

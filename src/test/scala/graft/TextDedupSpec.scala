@@ -53,6 +53,21 @@ class TextDedupSpec extends SparkSpec {
     assert(legacy == viaProfiles)
   }
 
+  test("bigram LM scores match the hand-computed smoothed probabilities") {
+    // corpus: unigrams a:3 b:2 c:1 z:1 → V=4; bigrams "a b":2, "a c":1
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "z")).toDF("doc_id", "text")
+    val got = graft.text.LangModel.bigramScore(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val ab = r6(-math.log((2 + 1.0) / (3 + 1.0 * 4)))   // P(b|a) = 3/7
+    val ac = r6(-math.log((1 + 1.0) / (3 + 1.0 * 4)))   // P(c|a) = 2/7
+    assert(got == Seq(
+      (1L, 1L, Some(r6(ab))), (2L, 1L, Some(r6(ab))),
+      (3L, 1L, Some(r6(ac))),
+      (4L, 0L, None)))   // single-token doc: no bigrams, null score
+  }
+
   test("exact dedup groups identical texts") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("id", "text")
     val got = Dedup.exact(df, col("id"), col("text"))
