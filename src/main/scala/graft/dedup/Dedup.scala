@@ -222,8 +222,13 @@ object Dedup {
         struct(col(b).as("src"), col(a).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("component", col("node"))
+    // initialize with the first propagation hop already folded in:
+    // component0 = min(self, neighbors) comes free from one aggregation
+    // over the edge list (which replaces the distinct-nodes scan), so
+    // diameter-d components converge in d-1 loop rounds instead of d
+    var labels = edges.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("__mind"))
+      .select(col("node"), least(col("node"), col("__mind")).as("component"))
     var iters = 0
     var changed = true
     while (changed && iters < maxIters) {
