@@ -193,9 +193,10 @@ object Relational {
 
   /** TPC-H Q8-shaped national market share: a target nation's share of a
     * region's yearly revenue in one part type. Seven tables: the fact
-    * stream shuffles once per fact-fact join (orders); every dim —
-    * part filter, customer->nation->region chain, supplier nation —
-    * broadcasts. The share is a conditional aggregate per year.
+    * stream shuffles once per fact-fact join (orders); the bounded
+    * nation/region dims broadcast, while the part filter and the
+    * customer-region / supplier-nation maps (SF-scaling) join un-hinted —
+    * AQE broadcasts them while they fit. Share = conditional agg per year.
     */
   def q8MarketShare(spark: SparkSession, sfDir: String,
                     nationName: String = "NATION_0", regionName: String = "AFRICA",

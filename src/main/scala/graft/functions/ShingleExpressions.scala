@@ -47,6 +47,25 @@ object ShingleUtil {
     seen.toArray(new Array[String](seen.size))
   }
 
+  /** ALL word n-gram instances in order, duplicates kept — the counting
+    * twin of [[distinctShingles]] (LM training needs multiplicities).
+    * Same split contract: split(text, ' ') with limit -1.
+    */
+  def wordNgrams(text: String, n: Int): Array[String] = {
+    val words = text.split(" ", -1)
+    if (words.length < n) return Array.empty
+    val out = new Array[String](words.length - n + 1)
+    var i = 0
+    while (i <= words.length - n) {
+      val sb = new java.lang.StringBuilder(words(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
+      out(i) = sb.toString
+      i += 1
+    }
+    out
+  }
+
   /** Raw 16-byte md5 digest. */
   def md5Bytes(s: String): Array[Byte] =
     md5Local.get().digest(s.getBytes("UTF-8"))
@@ -99,6 +118,26 @@ case class DistinctShingles(child: Expression, n: Int)
   * min over distinct shingles of (md5base32(sh) * a(p) + b(p)) % prime.
   * Empty array when the document has no shingles.
   */
+/** Single-pass non-distinct n-gram instance list (see
+  * ShingleUtil.wordNgrams) — replaces the interpreted HOF formulation in
+  * hot LM-training scans.
+  */
+case class WordNgrams(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  def compute(input: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val arr = ShingleUtil.wordNgrams(input.toString, n)
+    new GenericArrayData(arr.map(x => UTF8String.fromString(x): Any))
+  }
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("wordNgrams", this, classOf[WordNgrams].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams = copy(newChild)
+}
+
 case class MinHashSig(child: Expression, n: Int, a: Seq[Long], b: Seq[Long], prime: Long)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType)
@@ -294,6 +333,8 @@ case class TopTokenCount(child: Expression) extends UnaryExpression with Expects
 object ShingleExpressions {
   def distinctShingles(text: Column, n: Int): Column =
     Bridge.column(DistinctShingles(Bridge.expression(text), n))
+  def wordNgrams(text: Column, n: Int): Column =
+    Bridge.column(WordNgrams(Bridge.expression(text), n))
   def minhashSig(text: Column, n: Int, a: Seq[Long], b: Seq[Long], prime: Long): Column =
     Bridge.column(MinHashSig(Bridge.expression(text), n, a, b, prime))
   def bottomKFingerprint(text: Column, n: Int, k: Int): Column =

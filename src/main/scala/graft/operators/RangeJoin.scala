@@ -44,28 +44,34 @@ object RangeJoin {
 
   /** Exploded cells an interval [start, end) covers, with data-sanity
     * guards: a malformed row (end before start — sequence would silently
-    * emit a DESCENDING cell array) or a corrupt far-future end (one
-    * '9999-12-31' row would explode millions of cells and kill the whole
+    * emit a DESCENDING cell array) or an over-long interval (one corrupt
+    * '9999-12-31' end would explode millions of cells and kill the whole
     * job with an opaque array-size error) RAISES with the offending
-    * bounds instead.
+    * bounds. NULL bounds keep SQL join semantics: a NULL predicate can
+    * never match, so the row contributes no cells (explode drops it)
+    * rather than crashing the job. Size `maxCellsPerInterval` to the
+    * longest LEGITIMATE interval at the chosen grid: span/bucket + 2.
     */
   def coveredCells(start: Column, end: Column, bucketSeconds: Long,
                    maxCellsPerInterval: Int = 100000): Column = {
     val lo = cellOf(start, bucketSeconds)
     val hi = cellOf(end, bucketSeconds)
     val ok = end >= start && (hi - lo) < lit(maxCellsPerInterval.toLong)
-    val checkedHi = when(ok, hi).otherwise(raise_error(concat(
-      lit(s"RangeJoin: malformed or over-long interval (bucket=${bucketSeconds}s, " +
-        s"cap=$maxCellsPerInterval cells): "),
-      start.cast("string"), lit(" .. "), end.cast("string"))).cast("long"))
+    val checkedHi = when(ok.isNull, lit(null).cast("long"))
+      .when(ok, hi)
+      .otherwise(raise_error(concat(
+        lit(s"RangeJoin: malformed or over-long interval (bucket=${bucketSeconds}s, " +
+          s"cap=$maxCellsPerInterval cells): "),
+        start.cast("string"), lit(" .. "), end.cast("string"))).cast("long"))
     explode(sequence(lo, checkedHi))
   }
 
   def pointInInterval(points: DataFrame, ts: Column,
                       intervals: DataFrame, start: Column, end: Column,
-                      bucketSeconds: Long): DataFrame = {
+                      bucketSeconds: Long, maxCellsPerInterval: Int = 100000): DataFrame = {
     val p = points.withColumn("__cell", cellOf(ts, bucketSeconds))
-    val iv = intervals.withColumn("__cell", coveredCells(start, end, bucketSeconds))
+    val iv = intervals.withColumn("__cell",
+      coveredCells(start, end, bucketSeconds, maxCellsPerInterval))
     p.join(iv, Seq("__cell"))
       .filter(ts >= start && ts < end)
       .drop("__cell")

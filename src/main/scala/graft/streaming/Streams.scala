@@ -87,21 +87,26 @@ object Streams {
     */
   def intervalJoinStream(points: DataFrame, tsCol: String,
                          intervals: DataFrame, startCol: String, endCol: String,
-                         bucketSeconds: Long, maxSpan: String, watermark: String): DataFrame = {
+                         bucketSeconds: Long, maxSpan: String, watermark: String,
+                         maxCellsPerInterval: Int = 100000): DataFrame = {
     import graft.operators.RangeJoin
     val spanBound = col(startCol) + expr(s"INTERVAL $maxSpan")
     val p = points.withWatermark(tsCol, watermark)
       .withColumn("__pcell", RangeJoin.cellOf(col(tsCol), bucketSeconds))
     // an interval longer than maxSpan would SILENTLY lose its tail matches
     // to the eviction conjunct below — raise on the offending row instead
-    // of quietly diverging from the batch twin
+    // of quietly diverging from the batch twin. NULL bounds stay SQL-null
+    // (no match, no crash), mirroring coveredCells.
+    val spanOk = col(endCol) <= spanBound
     val iv = intervals.withWatermark(startCol, watermark)
-      .withColumn(endCol, when(col(endCol) <= spanBound, col(endCol))
+      .withColumn(endCol, when(spanOk.isNull, lit(null).cast("timestamp"))
+        .when(spanOk, col(endCol))
         .otherwise(raise_error(concat(
           lit(s"intervalJoinStream: interval longer than maxSpan=$maxSpan: "),
           col(startCol).cast("string"), lit(" .. "), col(endCol).cast("string")))
           .cast("timestamp")))
-      .withColumn("__icell", RangeJoin.coveredCells(col(startCol), col(endCol), bucketSeconds))
+      .withColumn("__icell",
+        RangeJoin.coveredCells(col(startCol), col(endCol), bucketSeconds, maxCellsPerInterval))
     p.join(iv,
         col("__pcell") === col("__icell") &&
           col(tsCol) >= col(startCol) &&

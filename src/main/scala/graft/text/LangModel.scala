@@ -32,12 +32,16 @@ object LangModel {
     val toks = base.select(col("doc_id"), explode(TextFeatures.words(col("text"))).as("w"))
     val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cw"))
     val vocab = uni.agg(count(lit(1)).as("v"))
+    // the corpus is scanned and shingled twice (model build + scoring join)
+    // — the same deliberate 2x-scan-CPU-vs-corpus-sized-storage trade as
+    // Curation.curationStages; each pass uses the fused single-pass ngram
+    // expression, not the ~20x interpreted HOF formulation (SURVEY §3)
     val bigr = base.select(col("doc_id"),
-      explode(TextFeatures.shingles(col("text"), 2)).as("bg"))
+      explode(graft.functions.ShingleExpressions.wordNgrams(col("text"), 2)).as("bg"))
     val bi = bigr.groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
     val scored = bigr
       .join(bi, Seq("bg"))
-      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
       .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
       .crossJoin(broadcast(vocab))
       .withColumn("nll",

@@ -110,6 +110,13 @@ class OperatorsSpec extends SparkSpec {
       RangeJoin.pointInInterval(points, col("ts"), corrupt, col("s"), col("e"), 600L).collect()
     }
     assert(ex2.getMessage.contains("malformed or over-long"), ex2.getMessage)
+    // NULL bounds are SQL semantics, not corruption: the row silently
+    // matches nothing (as in the naive inequality join) — no crash
+    val nullEnd = Seq(("c", "2024-01-01 00:00:00", null: String)).toDF("iid", "s", "e")
+      .withColumn("s", col("s").cast("timestamp")).withColumn("e", col("e").cast("timestamp"))
+    val rows = RangeJoin.pointInInterval(points, col("ts"), nullEnd, col("s"), col("e"), 600L)
+      .collect()
+    assert(rows.isEmpty)
   }
 
   test("RangeJoin.hotIntervals merges consecutive hot hours into maximal intervals") {

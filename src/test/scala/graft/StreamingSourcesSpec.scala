@@ -185,8 +185,11 @@ class StreamingSourcesSpec extends SparkSpec {
         IntervalEv("too_long", ts("2024-01-01 10:00:00"), ts("2024-01-01 14:00:00"))))
       points2.addData(Seq(PointEv(9L, ts("2024-01-01 10:30:00"))))
       val ex = intercept[Exception] { q2.processAllAvailable() }
-      assert(ex.getMessage.contains("longer than maxSpan") ||
-        Option(ex.getCause).exists(_.getMessage.contains("longer than maxSpan")), ex.toString)
+      // walk the whole cause chain: streaming wraps the raise_error several
+      // levels deep and how far varies by Spark version
+      val chain = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(chain.contains("longer than maxSpan"), chain)
     } finally q2.stop()
   }
 
