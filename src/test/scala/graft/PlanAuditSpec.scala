@@ -155,6 +155,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(q22.contains("LeftAnti"), q22)
   }
 
+  test("ANN top-k ranking gets the group-limit pushdown (bounded memory per task)") {
+    // row_number <= k over (query_id) must plan as WindowGroupLimit — the
+    // optimizer's map-side partial top-k means a giant candidate bucket
+    // never materializes fully in one task's window buffer
+    Seq("ann_topk", "ann_lsh_topk", "ann_ivf_topk").foreach { q =>
+      assert(plan(q).contains("WindowGroupLimit"), s"$q lost the group-limit pushdown")
+    }
+  }
+
   test("range join rewrites the inequality into a grid-cell equi-join") {
     // the point-in-interval join must key on the grid cell (equi-join with
     // the range as residual), never plan the range itself as a nested loop
