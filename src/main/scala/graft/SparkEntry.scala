@@ -1375,7 +1375,8 @@ asofOracle,
          |FROM documents)""".stripMargin
     },
     // mirrors LangModel.bigramScore's IEEE tree: (cbg + 1.0)/(cw + 1.0*v),
-    // -ln, round 6, exact DECIMAL(18,6) accumulation per doc
+    // -ln, floor-based half-up rounding (engine round() disagrees on
+    // half-way quotients), exact DECIMAL(18,6) accumulation per doc
     "lm_bigram_score" ->
       """WITH base AS (SELECT doc_id, text FROM documents),
         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM base),
@@ -1388,14 +1389,16 @@ asofOracle,
         |bi AS (SELECT bg, count(*) AS cbg FROM bigr GROUP BY bg),
         |scored AS (
         |  SELECT doc_id, count(*) AS n_bigrams,
-        |    SUM(CAST(round(-ln((cbg + 1.0) / (cw + 1.0 * v)), 6) AS DECIMAL(18,6))) AS nll_sum
+        |    SUM(CAST(floor(-ln((cbg + 1.0) / (cw + 1.0 * v)) * 1000000.0 + 0.5) / 1000000.0
+        |             AS DECIMAL(18,6))) AS nll_sum
         |  FROM bigr JOIN bi USING (bg)
         |  JOIN uni ON string_split(bg, ' ')[1] = uni.w
         |  CROSS JOIN voc
         |  GROUP BY doc_id)
         |SELECT base.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
-        |  round(CAST(nll_sum AS DOUBLE) /
-        |    (CASE WHEN n_bigrams > 0 THEN CAST(n_bigrams AS DOUBLE) END), 6) AS lm_nll
+        |  floor(CAST(nll_sum AS DOUBLE) /
+        |    (CASE WHEN n_bigrams > 0 THEN CAST(n_bigrams AS DOUBLE) END)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS lm_nll
         |FROM base LEFT JOIN scored USING (doc_id)""".stripMargin,
     "quality_score" ->
       """SELECT doc_id, n_words, n_chars_m, n_punct, n_stopwords,

@@ -45,14 +45,23 @@ object LangModel {
       .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
       .crossJoin(broadcast(vocab))
       .withColumn("nll",
-        round(-log((col("cbg") + lit(k)) / (col("cw") + lit(k) * col("v"))), 6)
+        round6(-log((col("cbg") + lit(k)) / (col("cw") + lit(k) * col("v"))))
           .cast(DecimalType(18, 6)))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("nll_sum"))
     base.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        round(col("nll_sum").cast("double") /
-          when(col("n_bigrams") > 0, col("n_bigrams").cast("double")), 6).as("lm_nll"))
+        round6(col("nll_sum").cast("double") /
+          when(col("n_bigrams") > 0, col("n_bigrams").cast("double"))).as("lm_nll"))
   }
+
+  /** Half-up 6-decimal rounding as explicit IEEE arithmetic (valid for the
+    * non-negative NLL domain). Engine round() implementations disagree on
+    * half-way quotients (HALF_UP over the binary value vs scaled
+    * re-rounding — observed at sf0.1: 3.4140895 → 3.414089 vs 3.414090);
+    * floor(x·1e6 + 0.5)/1e6 is the same double-op sequence in any engine.
+    */
+  private def round6(x: Column): Column =
+    floor(x * lit(1.0e6) + lit(0.5)) / lit(1.0e6)
 }

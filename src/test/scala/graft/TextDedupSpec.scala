@@ -59,7 +59,7 @@ class TextDedupSpec extends SparkSpec {
     val got = graft.text.LangModel.bigramScore(docs, col("doc_id"), col("text"))
       .orderBy("doc_id")
       .as[(Long, Long, Option[Double])].collect().toSeq
-    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
     val ab = r6(-math.log((2 + 1.0) / (3 + 1.0 * 4)))   // P(b|a) = 3/7
     val ac = r6(-math.log((1 + 1.0) / (3 + 1.0 * 4)))   // P(c|a) = 2/7
     assert(got == Seq(
