@@ -351,6 +351,17 @@ object SparkEntry {
         Dedup.minhashDedupVerified(table(s, dir, "documents"), col("doc_id"), col("text"),
           3, 16, 4, 0.5),
         "doc_a", "doc_b")),
+    "dedup_keep_best" -> ((s, dir) => {
+      // quality-aware variant: the keeper is the component's best-quality
+      // member, not its min id
+      val d = table(s, dir, "documents")
+      val comp = Dedup.connectedComponents(
+        Dedup.minhashDedupVerified(d, col("doc_id"), col("text"), 3, 16, 4, 0.5),
+        "doc_a", "doc_b")
+      val q = d.select(col("doc_id"), graft.text.TextFeatures.qualityColumns(col("text")).last)
+        .withColumnRenamed("quality_score", "qscore")
+      Dedup.keepBestPerComponent(comp, q)
+    }),
     "quality_filter" -> ((s, dir) =>
       // the curation DECISION: per-document keep/drop verdict with the first
       // failing Gopher-style rule as the reason; projected before the
@@ -733,6 +744,36 @@ object SparkEntry {
     * definition for every oracle that counts tokens. */
   private val sqlTokCount = "CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)"
 
+  /** Near-dup components as a recursive reach CTE (min reachable doc id —
+    * exactly the Spark label-propagation fixpoint). The recursive CTE
+    * duplicates paths but UNION (set) bounds it. Shared by the min-id and
+    * best-quality keeper oracles so the component definition cannot drift.
+    */
+  private def componentCtes: String = {
+    val base = minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")
+    s"""$base,
+       |vpairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT p.doc_a, p.doc_b,
+       |      CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+       |        / CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS j
+       |    FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM banded a JOIN banded b
+       |            ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id) p
+       |    JOIN shl sa ON p.doc_a = sa.doc_id
+       |    JOIN shl sb ON p.doc_b = sb.doc_id)
+       |  WHERE j >= 0.5),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM vpairs
+       |          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM vpairs),
+       |reach(src, node) AS (
+       |  SELECT src, src FROM edges GROUP BY src
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src),
+       |comps AS (
+       |  SELECT src AS doc_id, CAST(MIN(node) AS BIGINT) AS component
+       |  FROM reach GROUP BY src)""".stripMargin
+  }
+
   /** Frequency-ranked vocab CTE (24 entries, ties on token asc) shared by
     * vocab_build and encode_docs. */
   private val vocabCte: String =
@@ -1074,32 +1115,28 @@ asofOracle,
         |    SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events)
         |  GROUP BY user_id)
         |GROUP BY n_episodes""".stripMargin,
-    "dedup_components" -> {
-      // the recursive reach CTE duplicates paths but UNION (set) bounds it;
-      // component ids are the min reachable doc id, exactly the Spark
-      // label-propagation fixpoint
-      val base = minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")
-      s"""$base,
-         |vpairs AS (
-         |  SELECT doc_a, doc_b FROM (
-         |    SELECT p.doc_a, p.doc_b,
-         |      CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-         |        / CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS j
-         |    FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |          FROM banded a JOIN banded b
-         |            ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id) p
-         |    JOIN shl sa ON p.doc_a = sa.doc_id
-         |    JOIN shl sb ON p.doc_b = sb.doc_id)
-         |  WHERE j >= 0.5),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM vpairs
-         |          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM vpairs),
-         |reach(src, node) AS (
-         |  SELECT src, src FROM edges GROUP BY src
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src)
-         |SELECT src AS doc_id, CAST(MIN(node) AS BIGINT) AS component
-         |FROM reach GROUP BY src""".stripMargin
-    },
+    "dedup_components" ->
+      s"""$componentCtes
+         |SELECT doc_id, component FROM comps""".stripMargin,
+    "dedup_keep_best" ->
+      s"""$componentCtes,
+         |qual AS (
+         |  SELECT doc_id, round(1.0
+         |    - (CASE WHEN CAST(n_chars_m AS DOUBLE) / CAST(n_words AS DOUBLE) < 3.0
+         |              OR CAST(n_chars_m AS DOUBLE) / CAST(n_words AS DOUBLE) > 10.0 THEN 0.3 ELSE 0.0 END)
+         |    - (CASE WHEN CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE) < 0.01 THEN 0.2 ELSE 0.0 END)
+         |    - (CASE WHEN n_words < 10 THEN 0.5 ELSE 0.0 END), 6) AS qscore
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+         |      CAST(length(text) AS BIGINT) AS n_chars_m,
+         |      CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stopwords
+         |    FROM documents))
+         |SELECT component,
+         |  CAST(-((max({'q': qscore, 'nid': -doc_id})).nid) AS BIGINT) AS keeper_id,
+         |  CAST(count(*) AS BIGINT) AS n_members
+         |FROM comps JOIN qual USING (doc_id)
+         |GROUP BY component""".stripMargin,
     "quality_filter" ->
       s"""SELECT decision, COUNT(*) AS n_docs FROM (
          |${gopherDecisionSql("", "")})

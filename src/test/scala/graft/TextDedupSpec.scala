@@ -53,6 +53,18 @@ class TextDedupSpec extends SparkSpec {
     assert(legacy == viaProfiles)
   }
 
+  test("keepBestPerComponent keeps the best-quality member, min id on ties") {
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("doc_id", "component")
+    val qual = Seq((1L, 0.5), (2L, 0.8), (3L, 0.8), (7L, 0.7), (9L, 0.7))
+      .toDF("doc_id", "qscore")
+    val got = Dedup.keepBestPerComponent(comp, qual)
+      .orderBy("component").as[(Long, Long, Long)].collect().toSeq
+    // component 1: docs 2 and 3 tie at 0.8 → min id 2 wins over min-id-1
+    // member (0.5); component 7: tie at 0.7 → 7
+    assert(got == Seq((1L, 2L, 3L), (7L, 7L, 2L)))
+  }
+
   test("bigram LM scores match the hand-computed smoothed probabilities") {
     // corpus: unigrams a:3 b:2 c:1 z:1 → V=4; bigrams "a b":2, "a c":1
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "z")).toDF("doc_id", "text")
