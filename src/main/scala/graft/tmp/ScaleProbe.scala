@@ -122,6 +122,10 @@ object ScaleProbe {
       graft.text.Vocab.encode(docs, col("doc_id"), col("text"), v)
         .agg(sum(col("token_id"))).count()
     }
+    time("lm_bigram_score_1M") {
+      graft.text.LangModel.bigramScore(docs, col("doc_id"), col("text"))
+        .agg(sum(col("n_bigrams"))).count()
+    }
     time("pii_redact_1M") {
       docs.select(graft.text.Redact.piiColumns(col("text")): _*)
         .agg(sum(col("n_emails"))).count()
