@@ -744,6 +744,25 @@ object SparkEntry {
     * definition for every oracle that counts tokens. */
   private val sqlTokCount = "CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)"
 
+  /** The quality_score oracle's building blocks, shared with the
+    * dedup_keep_best keeper so the quality definition cannot drift between
+    * the two (same reason componentCtes is shared).
+    */
+  private val qualityCountsSql: String =
+    """SELECT doc_id,
+      |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+      |    CAST(length(text) AS BIGINT) AS n_chars_m,
+      |    CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS BIGINT) AS n_punct,
+      |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stopwords
+      |  FROM documents""".stripMargin
+
+  private def qualityScoreExprSql(alias: String): String =
+    s"""round(1.0
+       |    - (CASE WHEN CAST(n_chars_m AS DOUBLE) / CAST(n_words AS DOUBLE) < 3.0
+       |              OR CAST(n_chars_m AS DOUBLE) / CAST(n_words AS DOUBLE) > 10.0 THEN 0.3 ELSE 0.0 END)
+       |    - (CASE WHEN CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE) < 0.01 THEN 0.2 ELSE 0.0 END)
+       |    - (CASE WHEN n_words < 10 THEN 0.5 ELSE 0.0 END), 6) AS $alias""".stripMargin
+
   /** Near-dup components as a recursive reach CTE (min reachable doc id —
     * exactly the Spark label-propagation fixpoint). The recursive CTE
     * duplicates paths but UNION (set) bounds it. Shared by the min-id and
@@ -1121,17 +1140,9 @@ asofOracle,
     "dedup_keep_best" ->
       s"""$componentCtes,
          |qual AS (
-         |  SELECT doc_id, round(1.0
-         |    - (CASE WHEN CAST(n_chars_m AS DOUBLE) / CAST(n_words AS DOUBLE) < 3.0
-         |              OR CAST(n_chars_m AS DOUBLE) / CAST(n_words AS DOUBLE) > 10.0 THEN 0.3 ELSE 0.0 END)
-         |    - (CASE WHEN CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE) < 0.01 THEN 0.2 ELSE 0.0 END)
-         |    - (CASE WHEN n_words < 10 THEN 0.5 ELSE 0.0 END), 6) AS qscore
+         |  SELECT doc_id, ${qualityScoreExprSql("qscore")}
          |  FROM (
-         |    SELECT doc_id,
-         |      CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
-         |      CAST(length(text) AS BIGINT) AS n_chars_m,
-         |      CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stopwords
-         |    FROM documents))
+         |    $qualityCountsSql))
          |SELECT component,
          |  CAST(-((max({'q': qscore, 'nid': -doc_id})).nid) AS BIGINT) AS keeper_id,
          |  CAST(count(*) AS BIGINT) AS n_members
@@ -1438,21 +1449,12 @@ asofOracle,
         |    * 1000000.0 + 0.5) / 1000000.0 AS lm_nll
         |FROM base LEFT JOIN scored USING (doc_id)""".stripMargin,
     "quality_score" ->
-      """SELECT doc_id, n_words, n_chars_m, n_punct, n_stopwords,
-        |  round(CAST(n_chars_m AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS avg_word_len,
-        |  round(CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS stopword_ratio,
-        |  round(1.0
-        |    - (CASE WHEN CAST(n_chars_m AS DOUBLE) / CAST(n_words AS DOUBLE) < 3.0
-        |              OR CAST(n_chars_m AS DOUBLE) / CAST(n_words AS DOUBLE) > 10.0 THEN 0.3 ELSE 0.0 END)
-        |    - (CASE WHEN CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE) < 0.01 THEN 0.2 ELSE 0.0 END)
-        |    - (CASE WHEN n_words < 10 THEN 0.5 ELSE 0.0 END), 6) AS quality_score
-        |FROM (
-        |  SELECT doc_id,
-        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
-        |    CAST(length(text) AS BIGINT) AS n_chars_m,
-        |    CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS BIGINT) AS n_punct,
-        |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stopwords
-        |  FROM documents)""".stripMargin,
+      s"""SELECT doc_id, n_words, n_chars_m, n_punct, n_stopwords,
+         |  round(CAST(n_chars_m AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS avg_word_len,
+         |  round(CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS stopword_ratio,
+         |  ${qualityScoreExprSql("quality_score")}
+         |FROM (
+         |  $qualityCountsSql)""".stripMargin,
     "token_count" ->
       s"""SELECT doc_id,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,

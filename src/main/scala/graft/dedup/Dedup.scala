@@ -212,21 +212,6 @@ object Dedup {
     * 1..N-1. Label propagation is the Spark-native formulation of
     * union-find: no driver-side state at any corpus size.
     */
-  /** Quality-aware dedup decision: within each near-dup component keep the
-    * HIGHEST-quality member (production pipelines keep the best duplicate,
-    * not an arbitrary one; min-id keepers discard the cleaner copy
-    * whenever it arrived later). `quality` is (doc_id, qscore); the
-    * keeper is argmax(qscore) with the min doc id breaking ties —
-    * expressed as one max-of-struct aggregation, so the whole decision is
-    * a single shuffle over component members.
-    */
-  def keepBestPerComponent(components: DataFrame, quality: DataFrame): DataFrame =
-    components.join(quality, Seq("doc_id"))
-      .groupBy(col("component"))
-      .agg(count(lit(1)).as("n_members"),
-        max(struct(col("qscore").as("q"), (-col("doc_id")).as("nid"))).as("__best"))
-      .select(col("component"), (-col("__best.nid")).as("keeper_id"), col("n_members"))
-
   def connectedComponents(pairs: DataFrame, a: String, b: String,
                           maxIters: Int = 20): DataFrame = {
     // both edge directions from ONE evaluation of the (possibly expensive)
@@ -269,6 +254,28 @@ object Dedup {
         "raise maxIters (component diameter exceeds the cap)")
     labels.select(col("node").as("doc_id"), col("component"))
   }
+
+  /** Quality-aware dedup decision: within each near-dup component keep the
+    * HIGHEST-quality member (production pipelines keep the best duplicate,
+    * not an arbitrary one; min-id keepers discard the cleaner copy
+    * whenever it arrived later). `quality` is (doc_id, qscore) and MUST
+    * cover every component member — a member with no quality row raises
+    * (a silently pre-filtered quality frame would otherwise undercount
+    * n_members and could elect a worse keeper). The keeper is
+    * argmax(qscore) with the min doc id breaking ties — one max-of-struct
+    * aggregation, so the whole decision is a single shuffle over
+    * component members.
+    */
+  def keepBestPerComponent(components: DataFrame, quality: DataFrame): DataFrame =
+    components.join(quality, Seq("doc_id"), "left")
+      .withColumn("qscore", when(col("qscore").isNotNull, col("qscore"))
+        .otherwise(raise_error(concat(
+          lit("keepBestPerComponent: no quality row for doc "),
+          col("doc_id").cast("string")))))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("qscore").as("q"), (-col("doc_id")).as("nid"))).as("__best"))
+      .select(col("component"), (-col("__best.nid")).as("keeper_id"), col("n_members"))
 
   /** N-gram Jaccard similarity for candidate pairs sharing at least one
     * shingle. `leftPred` bounds the left side (query set or LSH candidates) —

@@ -1,0 +1,11 @@
+package graft.tmp
+import graft.{GraftSession, SparkEntry}
+object EntryCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder("local[8]", 8).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val n = SparkEntry.entry(spark).count()
+    println(s"ENTRY rows=$n")
+    spark.stop()
+  }
+}

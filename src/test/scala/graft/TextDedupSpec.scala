@@ -63,6 +63,13 @@ class TextDedupSpec extends SparkSpec {
     // component 1: docs 2 and 3 tie at 0.8 → min id 2 wins over min-id-1
     // member (0.5); component 7: tie at 0.7 → 7
     assert(got == Seq((1L, 2L, 3L), (7L, 7L, 2L)))
+    // a member with no quality row fails loudly — a silently pre-filtered
+    // quality frame would undercount members and could elect a worse keeper
+    val partial = qual.filter(col("doc_id") =!= 2L)
+    val ex = intercept[Exception] {
+      Dedup.keepBestPerComponent(comp, partial).collect()
+    }
+    assert(ex.getMessage.contains("no quality row"), ex.getMessage)
   }
 
   test("bigram LM scores match the hand-computed smoothed probabilities") {
