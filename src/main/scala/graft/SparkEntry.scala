@@ -435,6 +435,9 @@ object SparkEntry {
     "lm_bigram_score" -> ((s, dir) =>
       graft.text.LangModel.bigramScore(table(s, dir, "documents"),
         col("doc_id"), col("text"))),
+    "lm_trigram_score" -> ((s, dir) =>
+      graft.text.LangModel.ngramScore(table(s, dir, "documents"),
+        col("doc_id"), col("text"), 3)),
     "token_count" -> ((s, dir) =>
       table(s, dir, "documents").select(
         col("doc_id"),
@@ -1446,6 +1449,33 @@ asofOracle,
         |SELECT base.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
         |  floor(CAST(nll_sum AS DOUBLE) /
         |    (CASE WHEN n_bigrams > 0 THEN CAST(n_bigrams AS DOUBLE) END)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS lm_nll
+        |FROM base LEFT JOIN scored USING (doc_id)""".stripMargin,
+    "lm_trigram_score" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |voc AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+        |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM base)),
+        |ctxs AS (
+        |  SELECT doc_id, unnest([ w[i] || ' ' || w[i+1]
+        |                          for i in generate_series(1, len(w)-1) ]) AS ctx
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM base)),
+        |cc AS (SELECT ctx, count(*) AS cctx FROM ctxs GROUP BY ctx),
+        |ngrams AS (
+        |  SELECT doc_id, unnest([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                          for i in generate_series(1, len(w)-2) ]) AS ng
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM base)),
+        |nc AS (SELECT ng, count(*) AS cng FROM ngrams GROUP BY ng),
+        |scored AS (
+        |  SELECT doc_id, count(*) AS n_ngrams,
+        |    SUM(CAST(floor(-ln((cng + 1.0) / (cctx + 1.0 * v)) * 1000000.0 + 0.5) / 1000000.0
+        |             AS DECIMAL(18,6))) AS nll_sum
+        |  FROM ngrams JOIN nc USING (ng)
+        |  JOIN cc ON array_to_string(string_split(ng, ' ')[1:2], ' ') = cc.ctx
+        |  CROSS JOIN voc
+        |  GROUP BY doc_id)
+        |SELECT base.doc_id, CAST(COALESCE(n_ngrams, 0) AS BIGINT) AS n_ngrams,
+        |  floor(CAST(nll_sum AS DOUBLE) /
+        |    (CASE WHEN n_ngrams > 0 THEN CAST(n_ngrams AS DOUBLE) END)
         |    * 1000000.0 + 0.5) / 1000000.0 AS lm_nll
         |FROM base LEFT JOIN scored USING (doc_id)""".stripMargin,
     "quality_score" ->

@@ -27,33 +27,47 @@ object LangModel {
     * P(w2|w1) = (C(w1 w2) + k) / (C(w1) + k·V). Documents with fewer than
     * two tokens have no bigrams: n_bigrams = 0, null score.
     */
-  def bigramScore(docs: DataFrame, id: Column, text: Column, k: Double = 1.0): DataFrame = {
+  def bigramScore(docs: DataFrame, id: Column, text: Column, k: Double = 1.0): DataFrame =
+    ngramScore(docs, id, text, 2, k).withColumnRenamed("n_ngrams", "n_bigrams")
+
+  /** General order-n version: P(wₙ | w₁..wₙ₋₁) with add-k smoothing over
+    * the unigram vocabulary. Contexts are counted as (n−1)-gram INSTANCES
+    * (for n = 2 that is exactly the token counts), so the whole model is
+    * two counting aggregations at any order; higher n only grows the
+    * distinct-ngram tables, not the number of passes. Documents with
+    * fewer than n tokens have no ngrams: n_ngrams = 0, null score.
+    */
+  def ngramScore(docs: DataFrame, id: Column, text: Column, n: Int, k: Double = 1.0): DataFrame = {
+    require(n >= 2, "ngramScore needs order >= 2")
     val base = docs.select(id.as("doc_id"), text.as("text"))
-    val toks = base.select(col("doc_id"), explode(TextFeatures.words(col("text"))).as("w"))
-    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cw"))
-    val vocab = uni.agg(count(lit(1)).as("v"))
+    val ctxs = base.select(col("doc_id"),
+      explode(graft.functions.ShingleExpressions.wordNgrams(col("text"), n - 1)).as("ctx"))
+    val ctxCounts = ctxs.groupBy(col("ctx")).agg(count(lit(1)).as("cctx"))
+    val vocab = base
+      .select(explode(TextFeatures.words(col("text"))).as("w")).distinct()
+      .agg(count(lit(1)).as("v"))
     // the corpus is scanned and shingled twice (model build + scoring join)
     // — the same deliberate 2x-scan-CPU-vs-corpus-sized-storage trade as
     // Curation.curationStages; each pass uses the fused single-pass ngram
     // expression, not the ~20x interpreted HOF formulation (SURVEY §3)
-    val bigr = base.select(col("doc_id"),
-      explode(graft.functions.ShingleExpressions.wordNgrams(col("text"), 2)).as("bg"))
-    val bi = bigr.groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
-    val scored = bigr
-      .join(bi, Seq("bg"))
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+    val ngrams = base.select(col("doc_id"),
+      explode(graft.functions.ShingleExpressions.wordNgrams(col("text"), n)).as("ng"))
+    val ngCounts = ngrams.groupBy(col("ng")).agg(count(lit(1)).as("cng"))
+    val scored = ngrams
+      .join(ngCounts, Seq("ng"))
+      .withColumn("ctx", substring_index(col("ng"), " ", n - 1))
+      .join(ctxCounts, Seq("ctx"))
       .crossJoin(broadcast(vocab))
       .withColumn("nll",
-        round6(-log((col("cbg") + lit(k)) / (col("cw") + lit(k) * col("v"))))
+        round6(-log((col("cng") + lit(k)) / (col("cctx") + lit(k) * col("v"))))
           .cast(DecimalType(18, 6)))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("nll_sum"))
+      .agg(count(lit(1)).as("n_ngrams"), sum(col("nll")).as("nll_sum"))
     base.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
         round6(col("nll_sum").cast("double") /
-          when(col("n_bigrams") > 0, col("n_bigrams").cast("double"))).as("lm_nll"))
+          when(col("n_ngrams") > 0, col("n_ngrams").cast("double"))).as("lm_nll"))
   }
 
   /** Half-up 6-decimal rounding as explicit IEEE arithmetic (valid for the

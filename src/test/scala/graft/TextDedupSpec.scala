@@ -87,6 +87,21 @@ class TextDedupSpec extends SparkSpec {
       (4L, 0L, None)))   // single-token doc: no bigrams, null score
   }
 
+  test("trigram LM generalizes the same dataflow with hand-checked scores") {
+    // contexts (bigram instances): "a b":2, "b c":2, "c a":1, "x y":1;
+    // trigrams: "a b c":2, "b c a":1; V = 5 distinct unigrams (a b c x y)
+    val docs = Seq((1L, "a b c"), (2L, "a b c a"), (3L, "x y")).toDF("doc_id", "text")
+    val got = graft.text.LangModel.ngramScore(docs, col("doc_id"), col("text"), 3)
+      .orderBy("doc_id").as[(Long, Long, Option[Double])].collect().toSeq
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val v = 5.0  // distinct unigrams: a b c x y
+    val abc = r6(-math.log((2 + 1.0) / (2 + 1.0 * v)))  // C(abc)=2, C(ab)=2
+    val bca = r6(-math.log((1 + 1.0) / (2 + 1.0 * v)))  // C(bca)=1, C(bc)=2
+    assert(got(0) == ((1L, 1L, Some(r6(abc)))))
+    assert(got(1) == ((2L, 2L, Some(r6((abc + bca) / 2.0)))))
+    assert(got(2) == ((3L, 0L, None)))  // 2 tokens: no trigrams
+  }
+
   test("exact dedup groups identical texts") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("id", "text")
     val got = Dedup.exact(df, col("id"), col("text"))
