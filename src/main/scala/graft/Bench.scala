@@ -15,17 +15,30 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     // deterministic (sorted) execution order so per-query times are
     // comparable across rounds — Map iteration order is arbitrary
+    // SPARK_GRAFT_WARM=1: run each query twice and ALSO report the second
+    // (steady-state) time — separates per-query codegen/JIT warm-up from
+    // real plan cost, so machine-noise vs regression is mechanical. The
+    // driver leaves this unset; the output stays one JSON line either way.
+    val warm = sys.env.get("SPARK_GRAFT_WARM").contains("1")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cold = once()
+      (name, cold, if (warm) Some(once()) else None)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def obj(xs: Seq[(String, Double)]) =
+      xs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = obj(results.map(r => r._1 -> r._2))
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val warmPart =
+      if (warm) s""","warm_queries":${obj(results.map(r => r._1 -> r._3.get))}"""
+      else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$warmPart,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
