@@ -362,6 +362,21 @@ object SparkEntry {
         .withColumnRenamed("quality_score", "qscore")
       Dedup.keepBestPerComponent(comp, q)
     }),
+    "dedup_fuzzy_edit" -> ((s, dir) =>
+      // fuzzy dedup: LSH candidates verified in character space (Levenshtein
+      // similarity) — the verifier that catches small in-place edits
+      Dedup.editSimilarityVerified(table(s, dir, "documents"), col("doc_id"), col("text"),
+        3, 16, 4, 0.4)),
+    "minhash_jaccard_est" -> ((s, dir) =>
+      // verification-free scale path: Jaccard estimated from signature
+      // agreement alone — shingle sets never materialize past the sketch
+      Dedup.minhashJaccardEstimate(table(s, dir, "documents"), col("doc_id"), col("text"),
+        3, 16, 4)),
+    "cross_source_leakage" -> ((s, dir) =>
+      // which sources mirror each other: distinct verbatim 16-token spans
+      // shared per source pair (span chunker shared with dup_span_stats)
+      graft.curation.Curation.crossSourceLeakage(table(s, dir, "documents"),
+        col("text"), col("source"), 16, 8)),
     "quality_filter" -> ((s, dir) =>
       // the curation DECISION: per-document keep/drop verdict with the first
       // failing Gopher-style rule as the reason; projected before the
@@ -1375,6 +1390,43 @@ asofOracle,
          |  FROM pairs JOIN shl sa ON pairs.doc_a = sa.doc_id
          |             JOIN shl sb ON pairs.doc_b = sb.doc_id)
          |WHERE j >= 0.5""".stripMargin,
+    "dedup_fuzzy_edit" ->
+      s"""$minhashCtes,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, edit_sim FROM (
+         |  SELECT doc_a, doc_b,
+         |    round(1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
+         |      / CAST(greatest(len(ta.text), len(tb.text)) AS DOUBLE), 6) AS edit_sim
+         |  FROM pairs JOIN documents ta ON pairs.doc_a = ta.doc_id
+         |             JOIN documents tb ON pairs.doc_b = tb.doc_id)
+         |WHERE edit_sim >= 0.4""".stripMargin,
+    "minhash_jaccard_est" -> {
+      val matchTerms = (0 until 16)
+        .map(p => s"(CASE WHEN sa.s$p = sb.s$p THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""$minhashCtes,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  round(CAST($matchTerms AS DOUBLE) / CAST(16 AS DOUBLE), 6) AS est_jaccard
+         |FROM pairs JOIN sig sa ON pairs.doc_a = sa.doc_id
+         |           JOIN sig sb ON pairs.doc_b = sb.doc_id""".stripMargin
+    },
+    "cross_source_leakage" ->
+      """WITH lw AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+        |ch AS (
+        |  SELECT source, w[i*8+1:i*8+16] AS ws
+        |  FROM lw, unnest(generate_series(0, (greatest(0, len(w) - 16) + 7) // 8)) AS g(i)),
+        |hs AS (
+        |  SELECT DISTINCT md5(array_to_string(ws, ' ')) AS h, source AS src
+        |  FROM ch WHERE len(ws) = 16)
+        |SELECT a.src AS source_a, b.src AS source_b, COUNT(*) AS n_shared_spans
+        |FROM hs a JOIN hs b ON a.h = b.h AND a.src < b.src
+        |GROUP BY 1, 2""".stripMargin,
     "topk_values_agg" ->
       """WITH tv AS (
         |  SELECT event_type,

@@ -325,6 +325,34 @@ object Curation {
           .as("shared_frac"))
   }
 
+  /** Cross-source leakage matrix: for every pair of sources, how many
+    * distinct verbatim `window`-token spans they share. The
+    * corpus-diagnostic twin of benchmark decontamination — it answers
+    * "which of my sources are copies of each other" before mixture weights
+    * are chosen (a scraped mirror inflating one source's weight is a
+    * classic training-data bug). Span-level rather than whole-document so
+    * partial mirrors (same article, different boilerplate) still register.
+    *
+    * Shape: spans come from the same chunker as dupSpanStats; (span-hash,
+    * source) pairs are distinct-ed first (one map-side-combinable agg), so
+    * each span bucket holds at most |sources| rows and the self-join is
+    * bounded by #distinct-spans x #sources², never corpus-quadratic. The
+    * span is md5'd before the distinct so everything after the chunk scan
+    * shuffles 32-char digests, not raw text.
+    */
+  def crossSourceLeakage(df: DataFrame, text: Column, source: Column,
+                         window: Int, stride: Int): DataFrame = {
+    // source rides along with the exploded chunks — no join back to the corpus
+    val hs = df.select(source.as("__src"),
+        explode(wordChunks(text, window, stride)).as("ws"))
+      .filter(size(col("ws")) === window)
+      .select(md5(array_join(col("ws"), " ")).as("__h"), col("__src")).distinct()
+    hs.as("a").join(hs.as("b"),
+        col("a.__h") === col("b.__h") && col("a.__src") < col("b.__src"))
+      .groupBy(col("a.__src").as("source_a"), col("b.__src").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_spans"))
+  }
+
   /** Sequence packing (concat-and-chunk): within each shard, documents are
     * laid end-to-end in deterministic doc-id order and cut into fixed
     * `ctxLen`-token training chunks; a document belongs to the chunk its

@@ -199,6 +199,58 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Fuzzy dedup by edit distance: MinHash-LSH candidate pairs verified with
+    * Levenshtein similarity (1 - dist / max(len)) on the raw text. Catches
+    * small in-place edits (typo fixes, token substitutions) that keep the
+    * shingle sets similar but are easier to threshold in character space
+    * than in Jaccard space.
+    *
+    * Scale: Levenshtein is O(len_a * len_b) per pair — by far the most
+    * expensive verifier here — so it only ever runs on the LSH-bounded
+    * candidate pairs (band-bucket collisions), never the corpus cross
+    * product, and each pair ships just its two texts through the join.
+    */
+  def editSimilarityVerified(df: DataFrame, id: Column, text: Column, n: Int,
+                             numPerms: Int, bandSize: Int, minSim: Double): DataFrame = {
+    val pairs = lshCandidatePairs(minhashSignatures(df, id, text, n, numPerms), numPerms, bandSize)
+    val txts = df.select(id.as("doc_id"), text.as("__t"))
+    pairs
+      .join(txts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("__t", "__ta"), "doc_a")
+      .join(txts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("__t", "__tb"), "doc_b")
+      .withColumn("edit_sim", round(lit(1.0) -
+        levenshtein(col("__ta"), col("__tb")).cast("double") /
+          greatest(length(col("__ta")), length(col("__tb"))).cast("double"), 6))
+      .filter(col("edit_sim") >= minSim)
+      .select(col("doc_a"), col("doc_b"), col("edit_sim"))
+  }
+
+  /** Estimated Jaccard from signature agreement: the fraction of minhash
+    * positions on which two candidate documents agree is an unbiased
+    * estimator of their Jaccard similarity. This is the scale path when
+    * exact verification is too expensive — the estimate needs only the
+    * numPerms-int signatures already computed for banding, so the shingle
+    * sets are never materialized or joined. Estimator stderr is
+    * ~sqrt(j(1-j)/numPerms) (±0.125 at numPerms=16, j=0.5); production
+    * raises numPerms, not the verify cost.
+    */
+  def minhashJaccardEstimate(df: DataFrame, id: Column, text: Column, n: Int,
+                             numPerms: Int, bandSize: Int): DataFrame = {
+    val sigs = minhashSignatures(df, id, text, n, numPerms)
+    val pairs = lshCandidatePairs(sigs, numPerms, bandSize)
+    def renamed(tag: String) = (0 until numPerms)
+      .foldLeft(sigs.withColumnRenamed("doc_id", s"doc_$tag")) { (d, p) =>
+        d.withColumnRenamed(s"sig_$p", s"${tag}_$p")
+      }
+    val matches = (0 until numPerms)
+      .map(p => when(col(s"a_$p") === col(s"b_$p"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs
+      .join(renamed("a"), "doc_a")
+      .join(renamed("b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(matches.cast("double") / lit(numPerms.toDouble), 6).as("est_jaccard"))
+  }
+
   /** Connected components over a near-dup pair table — the step that turns
     * pairwise similarity into a dedup DECISION (every document in a
     * component keeps `component` = the minimum doc id reachable through

@@ -314,6 +314,59 @@ class TextDedupSpec extends SparkSpec {
     assert(capped.size < unlimited.size, "hot-bucket pairs must be suppressed")
   }
 
+  test("edit-similarity verify keeps close edits, drops shared-band strangers") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("delta", "delra")),  // one-char edit: sim ~0.98
+      (3L, base)                              // exact copy of 1
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.editSimilarityVerified(docs, col("doc_id"), col("text"), 3, 16, 4, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    val exact = pairs.find(p => (p._1, p._2) == ((1L, 3L))).get._3
+    assert(exact == 1.0)
+    assert(pairs.forall(_._3 >= 0.9))
+    // a high threshold drops the edited pairs but keeps the exact copy
+    val strict = Dedup.editSimilarityVerified(docs, col("doc_id"), col("text"), 3, 16, 4, 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(strict.toSeq == Seq((1L, 3L)))
+  }
+
+  test("signature-agreement Jaccard estimate is exact on copies, bounded in [0,1]") {
+    val docs = GraftSession.table(spark, "/root/testdata/sf0.01", "documents")
+    val est = Dedup.minhashJaccardEstimate(docs, col("doc_id"), col("text"), 3, 16, 4)
+    val rows = est.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, _, j) => j >= 0.0 && j <= 1.0 })
+    // LSH candidacy requires one full shared band (4 of 16 positions) -> est >= 0.25
+    assert(rows.forall(_._3 >= 0.25))
+    // estimate agrees in expectation with the exact verified Jaccard: on this
+    // corpus every candidate pair's estimate is within estimator noise
+    val exact = Dedup.minhashDedupVerified(docs, col("doc_id"), col("text"), 3, 16, 4, 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val worst = rows.map { case (a, b, j) => math.abs(j - exact((a, b))) }.max
+    assert(worst <= 0.35, s"estimate drifted $worst from exact Jaccard (stderr ~0.125 at k=16)")
+  }
+
+  test("cross-source leakage counts distinct shared spans per source pair, a<b only") {
+    val docs = Seq(
+      (1L, "one two three four five six", "srcA"),   // spans at window=4, stride=2
+      (2L, "one two three four five six", "srcB"),   // full mirror of 1
+      (3L, "three four five six seven eight", "srcC"),// shares the 3..6 span with A/B
+      (4L, "nine ten eleven twelve", "srcA")          // unshared
+    ).toDF("doc_id", "text", "source")
+    val got = graft.curation.Curation.crossSourceLeakage(docs, col("text"), col("source"), 4, 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // doc1/doc2 spans: "one two three four", "three four five six" -> 2 shared
+    assert(got(("srcA", "srcB")) == 2L)
+    // doc3 shares exactly "three four five six" with both mirrors
+    assert(got(("srcA", "srcC")) == 1L)
+    assert(got(("srcB", "srcC")) == 1L)
+    assert(got.size == 3)
+    assert(got.keys.forall { case (a, b) => a < b })
+  }
+
   test("simhash64 discriminates better than simhash32 on a low-diversity corpus") {
     val docs = GraftSession.table(spark, "/root/testdata/sf0.01", "documents")
     val h = docs.select(
