@@ -109,6 +109,54 @@ object Sources {
     next
   }
 
+  /** Pipeline run-event log — the operations-dashboard record of every
+    * pipeline run (reference: log_pipeline_event.py:14 writes run
+    * start/end events, keyed by pipeline name and run id, to a dashboard
+    * table). Spark-native: one small immutable JSON file per event under
+    * `logDir` (object-store safe — no appends, no contention between
+    * concurrent runs), readable back as a DataFrame for monitoring
+    * queries. Events are per pipeline RUN, not per row, so the log stays
+    * tiny at any data scale; the write is temp+rename like the watermark
+    * cache so a crash never leaves a torn event.
+    */
+  def logRunEvent(spark: SparkSession, logDir: String, pipelineName: String,
+                  runId: String, eventKey: String,
+                  at: java.time.Instant): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(logDir)
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    def jsonEscape(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    }
+    // event identity in the file name: a retried logger call overwrites its
+    // own event instead of duplicating it (idempotent), while distinct
+    // events never collide
+    val name = s"${jsonEscape(runId)}_${jsonEscape(eventKey)}.json"
+      .replaceAll("[/\\\\:]", "_")
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp")
+    val dst = new org.apache.hadoop.fs.Path(dir, name)
+    val out = fs.create(tmp, true)
+    try out.write((s"""{"pipeline":"${jsonEscape(pipelineName)}",""" +
+      s""""run_id":"${jsonEscape(runId)}","event":"${jsonEscape(eventKey)}",""" +
+      s""""at":"${at.toString}"}""" + "\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"failed to move run event into place at $dst")
+  }
+
+  /** Reads the run-event log back for dashboarding (explicit schema — a
+    * corrupt stray file surfaces as nulls to filter, not a schema guess). */
+  def readRunEvents(spark: SparkSession, logDir: String): DataFrame = {
+    val schema = StructType.fromDDL(
+      "pipeline STRING, run_id STRING, event STRING, at TIMESTAMP")
+    spark.read.schema(schema).json(logDir + "/*.json")
+  }
+
   /** Origin-id dedup before insert: drop rows whose origin key already
     * exists in the target. Anti join on the key — broadcast when the target
     * key set is small, shuffle-hash otherwise.

@@ -103,6 +103,27 @@ class StreamingSourcesSpec extends SparkSpec {
     assert(graft.sources.Sources.readIncremental(ev, col("ts"), w1).count() == 0)
   }
 
+  test("run-event log is idempotent per (run,event) and reads back typed") {
+    val dir = Files.createTempDirectory("graft_runlog").toString
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    graft.sources.Sources.logRunEvent(spark, dir, "engagement", "run-1", "pipeline_run_start", t0)
+    graft.sources.Sources.logRunEvent(spark, dir, "engagement", "run-1", "pipeline_run_end",
+      t0.plusSeconds(60))
+    // a retried logger call for the same (run, event) overwrites — no dup rows
+    graft.sources.Sources.logRunEvent(spark, dir, "engagement", "run-1", "pipeline_run_end",
+      t0.plusSeconds(90))
+    graft.sources.Sources.logRunEvent(spark, dir, "engagement", "run-2", "pipeline_run_start",
+      t0.plusSeconds(120))
+    val ev = graft.sources.Sources.readRunEvents(spark, dir)
+      .orderBy(col("at")).collect()
+    assert(ev.length == 3)
+    assert(ev.map(_.getString(2)).toSeq ==
+      Seq("pipeline_run_start", "pipeline_run_end", "pipeline_run_start"))
+    // the retry's timestamp won — and `at` reads back as a real timestamp
+    assert(ev(1).getTimestamp(3).toInstant == t0.plusSeconds(90))
+    assert(ev.forall(_.getString(0) == "engagement"))
+  }
+
   test("csv and jsonl round-trip with explicit schema") {
     val dir = Files.createTempDirectory("graft_src").toString
     val df = GraftSession.table(spark, sfDir, "documents").select("doc_id", "lang", "n_chars")
