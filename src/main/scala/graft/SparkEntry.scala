@@ -367,6 +367,16 @@ object SparkEntry {
       // similarity) — the verifier that catches small in-place edits
       Dedup.editSimilarityVerified(table(s, dir, "documents"), col("doc_id"), col("text"),
         3, 16, 4, 0.4)),
+    "dedup_incremental" -> ((s, dir) => {
+      // the daily-ingest formulation: an incoming batch (doc_id % 7 == 0
+      // stands in for today's sync) checked against the already-indexed
+      // archive — the archive's band keys are persisted in production and
+      // never recomputed
+      val d = table(s, dir, "documents")
+      Dedup.incrementalDedupVerified(
+        d.filter(col("doc_id") % 7 === 0), d.filter(col("doc_id") % 7 =!= 0),
+        col("doc_id"), col("text"), 3, 16, 4, 0.5)
+    }),
     "minhash_jaccard_est" -> ((s, dir) =>
       // verification-free scale path: Jaccard estimated from signature
       // agreement alone — shingle sets never materialize past the sketch
@@ -1403,6 +1413,20 @@ asofOracle,
          |  FROM pairs JOIN documents ta ON pairs.doc_a = ta.doc_id
          |             JOIN documents tb ON pairs.doc_b = tb.doc_id)
          |WHERE edit_sim >= 0.4""".stripMargin,
+    "dedup_incremental" ->
+      s"""$minhashCtes,
+         |pairs AS (
+         |  SELECT DISTINCT n.doc_id AS new_doc, i.doc_id AS index_doc
+         |  FROM banded n JOIN banded i
+         |    ON n.band = i.band AND n.bk = i.bk
+         |  WHERE n.doc_id % 7 = 0 AND i.doc_id % 7 <> 0)
+         |SELECT new_doc, index_doc, round(j, 6) AS jaccard FROM (
+         |  SELECT new_doc, index_doc,
+         |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |      / CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS j
+         |  FROM pairs JOIN shl sa ON pairs.new_doc = sa.doc_id
+         |             JOIN shl sb ON pairs.index_doc = sb.doc_id)
+         |WHERE j >= 0.5""".stripMargin,
     "minhash_jaccard_est" -> {
       val matchTerms = (0 until 16)
         .map(p => s"(CASE WHEN sa.s$p = sb.s$p THEN 1 ELSE 0 END)").mkString(" + ")

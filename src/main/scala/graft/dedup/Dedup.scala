@@ -77,26 +77,76 @@ object Dedup {
     sigs.select((col("doc_id") +: sigCols): _*)
   }
 
-  /** LSH candidate pairs: split the signature into bands of `bandSize` rows;
-    * two documents sharing any full band are candidates. Pairs come from a
-    * self-join on (band_id, band_key) — i.e. only within hash buckets, never
-    * a cross join. Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+  /** (doc_id, band, bk) band keys from a signature frame: the LSH index
+    * representation. Persist this (bucketed by `bk` at scale) to get an
+    * incremental-dedup index the daily ingest joins against without ever
+    * re-hashing the archive.
     */
-  def lshCandidatePairs(signatures: DataFrame, numPerms: Int, bandSize: Int): DataFrame = {
+  def bandKeys(signatures: DataFrame, numPerms: Int, bandSize: Int): DataFrame = {
     require(numPerms % bandSize == 0)
     val numBands = numPerms / bandSize
     val bandStructs = (0 until numBands).map { b =>
       val keyCols = (0 until bandSize).map(i => col(s"sig_${b * bandSize + i}"))
       struct(lit(b).as("band"), concat_ws("|", keyCols: _*).as("bk"))
     }
-    val banded = signatures
+    signatures
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bk").as("bk"))
+  }
+
+  /** LSH candidate pairs: split the signature into bands of `bandSize` rows;
+    * two documents sharing any full band are candidates. Pairs come from a
+    * self-join on (band_id, band_key) — i.e. only within hash buckets, never
+    * a cross join. Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+    */
+  def lshCandidatePairs(signatures: DataFrame, numPerms: Int, bandSize: Int): DataFrame = {
+    val banded = bandKeys(signatures, numPerms, bandSize)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** Incremental dedup against an indexed archive: candidates for the NEW
+    * batch only, by joining its band keys against a persisted band-key
+    * index (`bandKeys` of the historical corpus). This is how LSH dedup
+    * actually runs day over day at 100 TB — the archive is hashed ONCE and
+    * only each (small) incoming batch pays signature cost; the join is
+    * new-batch-sized on one side, so it broadcasts while the batch fits and
+    * hash-joins on the shared `bk` buckets otherwise. Returns distinct
+    * (new_doc, index_doc) candidates.
+    */
+  def incrementalCandidates(newSignatures: DataFrame, bandIndex: DataFrame,
+                            numPerms: Int, bandSize: Int): DataFrame =
+    bandKeys(newSignatures, numPerms, bandSize).as("n")
+      .join(bandIndex.as("i"),
+        col("n.band") === col("i.band") && col("n.bk") === col("i.bk"))
+      .select(col("n.doc_id").as("new_doc"), col("i.doc_id").as("index_doc"))
+      .distinct()
+
+  /** The full incremental-ingest dedup decision: new batch vs archive
+    * candidates, verified with exact Jaccard over the two frames' shingle
+    * sets (archive shingles are joined only for candidate index docs).
+    * Emits (new_doc, index_doc, jaccard) for verified near-dups — the rows
+    * an ingest pipeline drops (or routes to keeper logic) before insert.
+    */
+  def incrementalDedupVerified(newDf: DataFrame, indexDf: DataFrame,
+                               id: Column, text: Column, n: Int,
+                               numPerms: Int, bandSize: Int, minJaccard: Double): DataFrame = {
+    val newSigs = minhashSignatures(newDf, id, text, n, numPerms)
+    val index = bandKeys(minhashSignatures(indexDf, id, text, n, numPerms), numPerms, bandSize)
+    val pairs = incrementalCandidates(newSigs, index, numPerms, bandSize)
+    val newSets = newDf.select(id.as("new_doc"), distinctShingles(text, n).as("sh_a"))
+    val idxSets = indexDf.select(id.as("index_doc"), distinctShingles(text, n).as("sh_b"))
+    pairs
+      .join(newSets, "new_doc")
+      .join(idxSets, "index_doc")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("new_doc"), col("index_doc"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** 32-bit SimHash as a bit-string: each distinct token votes its md5 bits

@@ -367,6 +367,25 @@ class TextDedupSpec extends SparkSpec {
     assert(got.keys.forall { case (a, b) => a < b })
   }
 
+  test("incremental dedup equals the cross-split slice of the batch decision") {
+    val docs = GraftSession.table(spark, "/root/testdata/sf0.01", "documents")
+    val newB = docs.filter(col("doc_id") % 7 === 0)
+    val idx = docs.filter(col("doc_id") % 7 =!= 0)
+    val inc = Dedup.incrementalDedupVerified(newB, idx, col("doc_id"), col("text"), 3, 16, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the batch decision over the whole corpus, sliced to cross-split pairs
+    // and re-oriented (new_doc first), must be exactly the incremental result
+    val expected = Dedup.minhashDedupVerified(docs, col("doc_id"), col("text"), 3, 16, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, j) =>
+        if (a % 7 == 0 && b % 7 != 0) Some((a, b, j))
+        else if (b % 7 == 0 && a % 7 != 0) Some((b, a, j))
+        else None
+      }.toSet
+    assert(inc == expected)
+    assert(inc.nonEmpty, "split chosen so the gate exercises real cross-split pairs")
+  }
+
   test("simhash64 discriminates better than simhash32 on a low-diversity corpus") {
     val docs = GraftSession.table(spark, "/root/testdata/sf0.01", "documents")
     val h = docs.select(
