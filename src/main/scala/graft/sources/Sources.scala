@@ -165,6 +165,30 @@ object Sources {
     incoming.dropDuplicates(key) // a batch can carry its own repeats (page overlap)
       .join(existing.select(key), Seq(key), "left_anti")
 
+  /** At-least-once delivery → effectively-once storage: append only rows
+    * whose origin key is not already in the target. This is the standard
+    * `foreachBatch` upsert for streaming ingest (the reference dedups on
+    * origin_id before insert for exactly this reason): a re-delivered
+    * micro-batch — restart without checkpoint, retried epoch, overlapping
+    * API page — inserts nothing. The existing-key read snapshots the
+    * target's file list BEFORE the append starts, so the anti-join never
+    * sees its own write. At scale, partition the target so a batch's
+    * anti-join reads only the slice it can collide with (e.g. by date for
+    * time-ordered origins).
+    */
+  def appendDeduped(df: DataFrame, path: String, key: String): Unit = {
+    val spark = df.sparkSession
+    val existing =
+      try Some(spark.read.parquet(path))
+      catch { case e: org.apache.spark.sql.AnalysisException
+        if e.getCondition == "PATH_NOT_FOUND" => None }
+    val fresh = existing match {
+      case Some(ex) => dedupAgainst(df, ex, key)
+      case None => df.dropDuplicates(key)
+    }
+    fresh.write.mode("append").parquet(path)
+  }
+
   /** Persist a fact table bucketed (and sorted) by its entity key: every
     * downstream entity-keyed aggregation/window then plans without an
     * exchange (proven in BucketedSpec). The standard layout investment for

@@ -131,6 +131,23 @@ object ScaleProbe {
         .agg(sum(col("n_emails"))).count()
     }
 
+    // incremental ingest path at 1M-doc archive: band keys for the archive
+    // computed once, 10k-doc batch joins + verifies against them. Candidate
+    // volume is the cost driver (99 planted archive twins per batch doc ->
+    // ~1M verified pairs, the worst realistic case)
+    time("incremental_dedup_1M_vs_10k") {
+      val newB = docs.filter(col("doc_id") % 100 === 99)
+      val idx = docs.filter(col("doc_id") % 100 =!= 99)
+      graft.dedup.Dedup.incrementalDedupVerified(newB, idx,
+        col("doc_id"), col("text"), 3, 16, 4, 0.5).count()
+    }
+    // span-leakage matrix at 1M docs x 20 sources: ~5M exploded spans,
+    // distinct-ed to (hash, source) before the bounded self-join
+    time("cross_source_leakage_1M") {
+      C.crossSourceLeakage(docs, col("text"),
+        concat(lit("src"), pmod(col("doc_id"), lit(20))), 16, 8).count()
+    }
+
     // 200k embeddings in 256 clusters (40x sf0.1): the semdedup pair stage
     // is ~n²/k dots per cluster — the probe pins the constant so the
     // centroid-count-grows-with-corpus rule in the docs stays honest

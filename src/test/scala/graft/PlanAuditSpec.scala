@@ -174,6 +174,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("__cell"), p)
   }
 
+  test("late round-3 dedup additions keep their scale shapes") {
+    // signature-agreement estimate must verify from the sketch ints alone:
+    // no shingle-set rematerialization (array_intersect) anywhere in the plan
+    val je = plan("minhash_jaccard_est")
+    assert(!je.contains("array_intersect"), je)
+    // fuzzy edit runs Levenshtein strictly AFTER the band-bucket pair join —
+    // as a projection/filter, never as a join condition (which would force
+    // a nested-loop comparison of unpaired rows)
+    val fe = plan("dedup_fuzzy_edit")
+    assert(fe.contains("levenshtein"), fe)
+    assert(!fe.contains("BroadcastNestedLoopJoin"), fe)
+    // leakage: the (span-hash, source) distinct must aggregate BEFORE the
+    // self-join — the bounded-bucket guarantee. A plan that joins first
+    // would put the HashAggregate pair above the SortMergeJoin instead.
+    val xl = plan("cross_source_leakage")
+    val joinAt = xl.indexOf("Join")
+    val aggAt = xl.lastIndexOf("HashAggregate")
+    assert(joinAt >= 0 && aggAt > joinAt,
+      s"distinct must sit below the self-join (join@$joinAt agg@$aggAt)\n$xl")
+  }
+
   test("no query plans an unbroadcast cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"), s"$name plans a CartesianProduct")

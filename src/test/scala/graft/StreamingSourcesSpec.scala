@@ -103,6 +103,50 @@ class StreamingSourcesSpec extends SparkSpec {
     assert(graft.sources.Sources.readIncremental(ev, col("ts"), w1).count() == 0)
   }
 
+  test("stream-static dim enrichment stays stateless and matches the batch join") {
+    // enrich a message stream with a slowly-changing dimension (code schemes,
+    // contact attributes): stream-static joins re-plan the static side per
+    // micro-batch — no state store, no watermark needed
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq((0L, "bronze"), (1L, "silver"), (2L, "gold")).toDF("tier_id", "tier")
+    val ms = MemoryStream[(Long, Long)]
+    val joined = ms.toDF().toDF("event_id", "tier_id").join(dim, "tier_id")
+    val q = joined.writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    ms.addData((10L, 0L), (11L, 2L))
+    q.processAllAvailable()
+    ms.addData((12L, 1L), (13L, 9L)) // 9 has no dim row: inner join drops it
+    q.processAllAvailable()
+    val got = spark.table("enriched").collect()
+      .map(r => (r.getLong(1), r.getString(2))).sortBy(_._1)
+    q.stop()
+    assert(got.toSeq == Seq((10L, "bronze"), (11L, "gold"), (12L, "silver")))
+  }
+
+  test("foreachBatch + origin-key dedup makes re-delivered batches no-ops") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val target = Files.createTempDirectory("graft_upsert").toString + "/t"
+    def runOnce(): Unit = {
+      // a fresh MemoryStream with NO checkpoint reuse: the second run
+      // re-delivers the same rows — the at-least-once worst case
+      val ms = MemoryStream[(Long, String)]
+      val q = ms.toDF().toDF("origin_id", "payload")
+        .writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.sources.Sources.appendDeduped(batch, target, "origin_id")
+        }.start()
+      ms.addData((1L, "a"), (2L, "b"), (2L, "b")) // in-batch repeat too
+      q.processAllAvailable()
+      q.stop()
+    }
+    runOnce()
+    assert(spark.read.parquet(target).count() == 2)
+    runOnce() // full re-delivery: nothing new may land
+    val rows = spark.read.parquet(target).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(rows.toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
   test("run-event log is idempotent per (run,event) and reads back typed") {
     val dir = Files.createTempDirectory("graft_runlog").toString
     val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
