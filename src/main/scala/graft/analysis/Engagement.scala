@@ -69,6 +69,30 @@ object Engagement {
       count(lit(1)).as("n"),
       approx_count_distinct(key, 0.02).as("n_users_approx"))
 
+  /** Persisted mergeable distinct-count sketches — the INCREMENTAL
+    * dashboard path at 100 TB. One Apache DataSketches HLL sketch per
+    * slice (e.g. dataset × day), stored as bytes next to the data: any
+    * later rollup — day→month, dataset→global, yesterday ∪ today — is a
+    * union over sketch bytes (`rollupSketches`), never a rescan of the
+    * raw corpus. Unlike `statsApprox` (one-shot estimate), the sketch
+    * COLUMN survives its query, so each sync appends only its own slice's
+    * sketches and dashboards recombine them at read time. `lgK` trades
+    * 4·2^lgK bytes per sketch for accuracy (rel. stderr ≈ 1.04/√2^lgK;
+    * lgK=12 ≈ 1.6%).
+    */
+  def distinctSketches(df: DataFrame, slice: Seq[Column], key: Column,
+                       lgK: Int = 12): DataFrame =
+    df.groupBy(slice: _*).agg(hll_sketch_agg(key, lit(lgK)).as("sketch"))
+
+  /** Rolls persisted sketches up to `rollup` granularity and estimates the
+    * distinct count per group. Union is associative/commutative, so any
+    * slicing of the original data gives the same merged sketch state.
+    */
+  def rollupSketches(sketches: DataFrame, rollup: Seq[Column]): DataFrame =
+    sketches.groupBy(rollup: _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
+        .as("n_distinct_est"))
+
   /** Approximate per-group quantiles — the ungated 100 TB variant of
     * value_quantiles: exact `percentile` materializes every group's values
     * at the merger, while percentile_approx keeps a bounded KLL-style

@@ -126,6 +126,34 @@ class AdvancedOpsSpec extends SparkSpec {
     }
   }
 
+  test("persisted HLL sketches roll up without rescanning and match exact counts") {
+    val ev = GraftSession.table(spark, "/root/testdata/sf0.01", "events")
+    val E = graft.analysis.Engagement
+    // per (event_type, week) sketches — the slice a daily sync would persist
+    val slices = E.distinctSketches(ev,
+      Seq(col("event_type"), date_trunc("week", col("ts")).as("week")), col("user_id"))
+    // parquet round-trip: the sketch is plain bytes, storable with the data
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    slices.write.mode("overwrite").parquet(dir)
+    val restored = spark.read.parquet(dir)
+    // rollup across weeks touches only sketch bytes, never the events table
+    val est = E.rollupSketches(restored, Seq(col("event_type")))
+      .as[(String, Long)].collect().toMap
+    val exact = ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(est(k) - n).toDouble / n < 0.05, s"$k: est=${est(k)} exact=$n")
+    }
+    // merge consistency: slicing differently (by week only, then global)
+    // unions to the same estimate as slicing by type-week then global —
+    // union state is order/shape independent
+    val globalA = E.rollupSketches(restored, Nil).as[Long].head()
+    val globalB = E.rollupSketches(
+      E.distinctSketches(ev, Seq(date_trunc("week", col("ts")).as("week")), col("user_id")),
+      Nil).as[Long].head()
+    assert(globalA == globalB)
+  }
+
   test("native as-of exec equals the composed as-of on real data") {
     val ev = GraftSession.table(spark, "/root/testdata/sf0.01", "events")
     val purchases = ev.filter(col("event_type") === "purchase")
