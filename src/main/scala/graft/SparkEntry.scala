@@ -110,6 +110,18 @@ object SparkEntry {
         .join(broadcast(table(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"))
         .agg(count(lit(1)).as("n_customers"), Relational.exactSum(col("c_acctbal")).as("acct_sum"))),
+    "participation_by_location" -> ((s, dir) =>
+      // the participation-map frequency table (reference renders these as
+      // choropleth maps; the queryable artifact is distinct participants
+      // per admin region x dataset): fact shuffles once on the entity key,
+      // location dims broadcast up the hierarchy
+      table(s, dir, "orders")
+        .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("o_orderpriority").as("dataset"))
+        .agg(countDistinct(col("c_custkey")).as("n_participants"),
+          count(lit(1)).as("n_messages"))),
     "consent_withdrawn" -> ((s, dir) =>
       Imputation.propagateFlag(events(s, dir), "user_id",
           col("event_type") === "error" && col("value") > 250.0, "consent_withdrawn")
@@ -916,6 +928,14 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
+    "participation_by_location" ->
+      """SELECT r_name AS region, o_orderpriority AS dataset,
+        |  COUNT(DISTINCT c_custkey) AS n_participants, COUNT(*) AS n_messages
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
     "consent_withdrawn" ->
       """SELECT consent_withdrawn, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users FROM (
         |  SELECT user_id,

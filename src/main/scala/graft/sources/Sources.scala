@@ -202,6 +202,20 @@ object Sources {
       .option("path", path)
       .saveAsTable(tableName)
 
+  /** Range-clustered layout: rows range-partitioned AND sorted on `rangeCol`
+    * (typically event time), so file- and row-group-level min/max stats are
+    * disjoint and a time-bounded scan prunes to the few files that can
+    * match. This is the layout investment for time-sliced workloads —
+    * incremental syncs, traffic analysis, retention windows — the
+    * complement of `writeBucketed` (which serves key-equality workloads).
+    * One range shuffle (sampled boundaries) + local sorts; no global sort.
+    */
+  def writeRangeLayout(df: DataFrame, path: String, rangeCol: String,
+                       numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, col(rangeCol))
+      .sortWithinPartitions(rangeCol)
+      .write.mode("overwrite").parquet(path)
+
   def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)

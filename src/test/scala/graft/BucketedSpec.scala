@@ -37,6 +37,30 @@ class BucketedSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("range layout yields disjoint per-file time ranges (min/max pruning holds)") {
+    val dir = Files.createTempDirectory("graft_range").toString + "/ev"
+    val ev = GraftSession.table(spark, "/root/testdata/sf0.001", "events")
+    graft.sources.Sources.writeRangeLayout(ev, dir, "ts", 8)
+    val back = spark.read.parquet(dir)
+    // nothing lost, and a time-bounded read equals the logical filter
+    assert(back.count() == ev.count())
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+    assert(back.filter(col("ts") < cut).count() == ev.filter(col("ts") < cut).count())
+    // per-file min/max must not overlap — that disjointness is exactly what
+    // lets parquet footer stats prune a time-bounded scan to few files
+    val files = back.inputFiles
+    assert(files.length > 1, files.mkString(","))
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min(col("ts")), max(col("ts"))).head
+      (r.getTimestamp(0), r.getTimestamp(1))
+    }.filter(r => r._1 != null).sortBy(_._1.getTime)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) =>
+        assert(!hi.after(lo), s"file ranges overlap: $hi > $lo")
+      case _ =>
+    }
+  }
+
   test("window operators on the bucketed table need no exchange either") {
     // relies on the table created by the previous test in this suite
     val sess = graft.operators.Sessionize.sessionCounts(
