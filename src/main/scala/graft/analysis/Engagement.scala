@@ -84,14 +84,24 @@ object Engagement {
                        lgK: Int = 12): DataFrame =
     df.groupBy(slice: _*).agg(hll_sketch_agg(key, lit(lgK)).as("sketch"))
 
+  /** Unions persisted sketches up to `rollup` granularity, KEEPING the
+    * merged sketch column — so intermediate granularities (day→month) can
+    * be re-persisted and unioned further later (month→year) without ever
+    * returning to the finest slices. Union is associative/commutative, so
+    * any slicing of the original data gives the same merged state.
+    */
+  def unionSketches(sketches: DataFrame, rollup: Seq[Column]): DataFrame =
+    sketches.groupBy(rollup: _*)
+      .agg(hll_union_agg(col("sketch"), lit(false)).as("sketch"))
+
   /** Rolls persisted sketches up to `rollup` granularity and estimates the
-    * distinct count per group. Union is associative/commutative, so any
-    * slicing of the original data gives the same merged sketch state.
+    * distinct count per group (the dashboard read path over
+    * `unionSketches`).
     */
   def rollupSketches(sketches: DataFrame, rollup: Seq[Column]): DataFrame =
-    sketches.groupBy(rollup: _*)
-      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
-        .as("n_distinct_est"))
+    unionSketches(sketches, rollup)
+      .withColumn("n_distinct_est", hll_sketch_estimate(col("sketch")))
+      .drop("sketch")
 
   /** Approximate per-group quantiles — the ungated 100 TB variant of
     * value_quantiles: exact `percentile` materializes every group's values

@@ -138,10 +138,14 @@ object Dedup {
     val index = bandKeys(minhashSignatures(indexDf, id, text, n, numPerms), numPerms, bandSize)
     val pairs = incrementalCandidates(newSigs, index, numPerms, bandSize)
     val newSets = newDf.select(id.as("new_doc"), distinctShingles(text, n).as("sh_a"))
-    val idxSets = indexDf.select(id.as("index_doc"), distinctShingles(text, n).as("sh_b"))
+    // archive shingles are computed AFTER the candidate join (projection on
+    // the joined rows), so each run pays shingle cost only for candidate
+    // index docs — shingling the whole archive per sync is exactly the
+    // O(archive) work the band-key index exists to avoid
     pairs
       .join(newSets, "new_doc")
-      .join(idxSets, "index_doc")
+      .join(indexDf.select(id.as("index_doc"), text.as("__tb")), "index_doc")
+      .withColumn("sh_b", distinctShingles(col("__tb"), n))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))

@@ -134,9 +134,15 @@ object Sources {
     }
     // event identity in the file name: a retried logger call overwrites its
     // own event instead of duplicating it (idempotent), while distinct
-    // events never collide
-    val name = s"${jsonEscape(runId)}_${jsonEscape(eventKey)}.json"
-      .replaceAll("[/\\\\:]", "_")
+    // events never collide. Each component is percent-encoded (including
+    // '_' and '%') before joining with '_', so ("run_1","end") and
+    // ("run","1_end") map to different names — a sanitize-then-join that
+    // flattened separators would silently alias such pairs.
+    def enc(s: String): String = s.flatMap {
+      case c if c.isLetterOrDigit || c == '-' || c == '.' => c.toString
+      case c => f"%%${c.toInt}%02X"
+    }
+    val name = s"${enc(runId)}_${enc(eventKey)}.json"
     val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp")
     val dst = new org.apache.hadoop.fs.Path(dir, name)
     val out = fs.create(tmp, true)
@@ -159,11 +165,16 @@ object Sources {
 
   /** Origin-id dedup before insert: drop rows whose origin key already
     * exists in the target. Anti join on the key — broadcast when the target
-    * key set is small, shuffle-hash otherwise.
+    * key set is small, shuffle-hash otherwise. The join is NULL-SAFE to
+    * match dropDuplicates' null handling: a null-keyed row already in the
+    * target blocks further null-keyed inserts, instead of re-inserting on
+    * every redelivery (`=== null` never matches, `<=>` does).
     */
-  def dedupAgainst(incoming: DataFrame, existing: DataFrame, key: String): DataFrame =
+  def dedupAgainst(incoming: DataFrame, existing: DataFrame, key: String): DataFrame = {
+    val ex = existing.select(col(key).as("__existing_key"))
     incoming.dropDuplicates(key) // a batch can carry its own repeats (page overlap)
-      .join(existing.select(key), Seq(key), "left_anti")
+      .join(ex, col(key) <=> col("__existing_key"), "left_anti")
+  }
 
   /** At-least-once delivery → effectively-once storage: append only rows
     * whose origin key is not already in the target. This is the standard

@@ -152,6 +152,12 @@ class AdvancedOpsSpec extends SparkSpec {
       E.distinctSketches(ev, Seq(date_trunc("week", col("ts")).as("week")), col("user_id")),
       Nil).as[Long].head()
     assert(globalA == globalB)
+    // two-hop rollup: week sketches -> per-type MERGED SKETCHES (the
+    // re-persistable intermediate) -> global, without revisiting the
+    // finest slices — must equal the one-hop union
+    val byType = E.unionSketches(restored, Seq(col("event_type")))
+    val globalC = E.rollupSketches(byType, Nil).as[Long].head()
+    assert(globalC == globalA)
   }
 
   test("native as-of exec equals the composed as-of on real data") {

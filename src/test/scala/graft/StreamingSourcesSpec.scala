@@ -147,6 +147,27 @@ class StreamingSourcesSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, "a"), (2L, "b")))
   }
 
+  test("appendDeduped blocks null-keyed re-inserts too (null-safe anti join)") {
+    val target = Files.createTempDirectory("graft_upsert_null").toString + "/t"
+    val batch = Seq((Some(1L), "a"), (None, "unkeyed")).toDF("origin_id", "payload")
+    graft.sources.Sources.appendDeduped(batch, target, "origin_id")
+    assert(spark.read.parquet(target).count() == 2)
+    // redelivery: an === anti join would re-insert the null-keyed row forever
+    graft.sources.Sources.appendDeduped(batch, target, "origin_id")
+    assert(spark.read.parquet(target).count() == 2)
+  }
+
+  test("run-event log file names cannot alias across (run, event) pairs") {
+    val dir = Files.createTempDirectory("graft_runlog_amb").toString
+    val t0 = java.time.Instant.parse("2024-02-01T00:00:00Z")
+    // sanitize-then-join would map both of these to "run_1_end.json"
+    graft.sources.Sources.logRunEvent(spark, dir, "p", "run_1", "end", t0)
+    graft.sources.Sources.logRunEvent(spark, dir, "p", "run", "1_end", t0.plusSeconds(5))
+    val got = graft.sources.Sources.readRunEvents(spark, dir)
+      .select("run_id", "event").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("run_1", "end"), ("run", "1_end")))
+  }
+
   test("run-event log is idempotent per (run,event) and reads back typed") {
     val dir = Files.createTempDirectory("graft_runlog").toString
     val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
