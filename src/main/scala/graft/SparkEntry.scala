@@ -472,6 +472,21 @@ object SparkEntry {
     "lm_bigram_score" -> ((s, dir) =>
       graft.text.LangModel.bigramScore(table(s, dir, "documents"),
         col("doc_id"), col("text"))),
+    "ccnet_buckets" -> ((s, dir) => {
+      // CCNet-style head/middle/tail: every doc bucketed by its source's
+      // OWN perplexity distribution (per-slice calibration)
+      val d = table(s, dir, "documents")
+      val scored = graft.text.LangModel.bigramScore(d, col("doc_id"), col("text"))
+        .join(d.select(col("doc_id"), col("source")), "doc_id")
+      graft.text.LangModel.perplexityBuckets(scored,
+        col("doc_id"), col("source"), col("lm_nll"))
+    }),
+    "token_budget_fill" -> ((s, dir) =>
+      // fill each source's token budget with its best documents; docs past
+      // the cut are reported kept=false, so the accounting is auditable
+      graft.curation.Curation.budgetFill(table(s, dir, "documents"),
+        col("doc_id"), col("source"), size(split(col("text"), " ", -1)),
+        graft.text.TextFeatures.qualityColumns(col("text")).last, 600L)),
     "lm_trigram_score" -> ((s, dir) =>
       graft.text.LangModel.ngramScore(table(s, dir, "documents"),
         col("doc_id"), col("text"), 3)),
@@ -802,6 +817,35 @@ object SparkEntry {
        |              OR CAST(n_chars_m AS DOUBLE) / CAST(n_words AS DOUBLE) > 10.0 THEN 0.3 ELSE 0.0 END)
        |    - (CASE WHEN CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE) < 0.01 THEN 0.2 ELSE 0.0 END)
        |    - (CASE WHEN n_words < 10 THEN 0.5 ELSE 0.0 END), 6) AS $alias""".stripMargin
+
+  /** Corpus-trained bigram-LM CTE prologue ending in
+    * `lmv(doc_id, n_bigrams, lm_nll)` — shared by the raw score query and
+    * the CCNet bucketing so the model definition cannot drift.
+    */
+  private def lmBigramOracleCtes: String =
+    """WITH base AS (SELECT doc_id, text FROM documents),
+      |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM base),
+      |uni AS (SELECT w, count(*) AS cw FROM toks GROUP BY w),
+      |voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+      |bigr AS (
+      |  SELECT doc_id, unnest([ w[i] || ' ' || w[i+1]
+      |                          for i in generate_series(1, len(w)-1) ]) AS bg
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM base)),
+      |bi AS (SELECT bg, count(*) AS cbg FROM bigr GROUP BY bg),
+      |scored AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |    SUM(CAST(floor(-ln((cbg + 1.0) / (cw + 1.0 * v)) * 1000000.0 + 0.5) / 1000000.0
+      |             AS DECIMAL(18,6))) AS nll_sum
+      |  FROM bigr JOIN bi USING (bg)
+      |  JOIN uni ON string_split(bg, ' ')[1] = uni.w
+      |  CROSS JOIN voc
+      |  GROUP BY doc_id),
+      |lmv AS (
+      |  SELECT base.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |    floor(CAST(nll_sum AS DOUBLE) /
+      |      (CASE WHEN n_bigrams > 0 THEN CAST(n_bigrams AS DOUBLE) END)
+      |      * 1000000.0 + 0.5) / 1000000.0 AS lm_nll
+      |  FROM base LEFT JOIN scored USING (doc_id))""".stripMargin
 
   /** Near-dup components as a recursive reach CTE (min reachable doc id —
     * exactly the Spark label-propagation fixpoint). The recursive CTE
@@ -1525,28 +1569,38 @@ asofOracle,
     // -ln, floor-based half-up rounding (engine round() disagrees on
     // half-way quotients), exact DECIMAL(18,6) accumulation per doc
     "lm_bigram_score" ->
-      """WITH base AS (SELECT doc_id, text FROM documents),
-        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM base),
-        |uni AS (SELECT w, count(*) AS cw FROM toks GROUP BY w),
-        |voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
-        |bigr AS (
-        |  SELECT doc_id, unnest([ w[i] || ' ' || w[i+1]
-        |                          for i in generate_series(1, len(w)-1) ]) AS bg
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM base)),
-        |bi AS (SELECT bg, count(*) AS cbg FROM bigr GROUP BY bg),
-        |scored AS (
-        |  SELECT doc_id, count(*) AS n_bigrams,
-        |    SUM(CAST(floor(-ln((cbg + 1.0) / (cw + 1.0 * v)) * 1000000.0 + 0.5) / 1000000.0
-        |             AS DECIMAL(18,6))) AS nll_sum
-        |  FROM bigr JOIN bi USING (bg)
-        |  JOIN uni ON string_split(bg, ' ')[1] = uni.w
-        |  CROSS JOIN voc
-        |  GROUP BY doc_id)
-        |SELECT base.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
-        |  floor(CAST(nll_sum AS DOUBLE) /
-        |    (CASE WHEN n_bigrams > 0 THEN CAST(n_bigrams AS DOUBLE) END)
-        |    * 1000000.0 + 0.5) / 1000000.0 AS lm_nll
-        |FROM base LEFT JOIN scored USING (doc_id)""".stripMargin,
+      s"""$lmBigramOracleCtes
+         |SELECT doc_id, n_bigrams, lm_nll FROM lmv""".stripMargin,
+    "ccnet_buckets" ->
+      s"""$lmBigramOracleCtes,
+         |srcs AS (SELECT doc_id, source AS slice FROM documents),
+         |cuts AS (
+         |  SELECT slice,
+         |    floor(quantile_cont(lm_nll, 0.3) * 1000000.0 + 0.5) / 1000000.0 AS c1,
+         |    floor(quantile_cont(lm_nll, 0.7) * 1000000.0 + 0.5) / 1000000.0 AS c2
+         |  FROM lmv JOIN srcs USING (doc_id)
+         |  WHERE lm_nll IS NOT NULL GROUP BY slice)
+         |SELECT doc_id, slice, lm_nll AS score,
+         |  CASE WHEN lm_nll IS NULL THEN 'unscored'
+         |       WHEN lm_nll <= c1 THEN 'head'
+         |       WHEN lm_nll <= c2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM lmv JOIN srcs USING (doc_id) LEFT JOIN cuts USING (slice)""".stripMargin,
+    "token_budget_fill" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, ${qualityScoreExprSql("quality")}
+         |  FROM (
+         |  $qualityCountsSql)),
+         |t AS (
+         |  SELECT d.doc_id, d.source AS slice,
+         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok, q.quality
+         |  FROM documents d JOIN q USING (doc_id))
+         |SELECT doc_id, slice, n_tok, quality,
+         |  CAST(SUM(n_tok) OVER w AS BIGINT) AS cum_tok,
+         |  (SUM(n_tok) OVER w) <= 600 AS kept
+         |FROM t
+         |WINDOW w AS (PARTITION BY slice ORDER BY quality DESC, doc_id ASC
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     "lm_trigram_score" ->
       """WITH base AS (SELECT doc_id, text FROM documents),
         |voc AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v

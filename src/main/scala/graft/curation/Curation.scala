@@ -325,6 +325,31 @@ object Curation {
           .as("shared_frac"))
   }
 
+  /** Token-budget fill: per slice (source / language), keep the BEST
+    * documents — ordered by quality desc, id asc for determinism — until
+    * the slice's token budget is reached; the op every "build an N-token
+    * training mix" run ends with. A document is kept iff the running token
+    * total INCLUDING it still fits the budget (documents after the cut are
+    * reported, not silently dropped, so budget accounting is auditable).
+    *
+    * Scale shape: one window per slice (running sum), one shuffle. A slice
+    * is typically source×language — millions of rows, not the whole
+    * corpus, and never a global sort. For a pathologically large slice,
+    * pre-band it with `LangModel.perplexityBuckets`-style cutpoints and
+    * window only the band that straddles the budget boundary; the bands
+    * fully below it are kept wholesale.
+    */
+  def budgetFill(df: DataFrame, id: Column, slice: Column, tokens: Column,
+                 quality: Column, budgetTokens: Long): DataFrame = {
+    val w = Window.partitionBy(col("slice"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(id.as("doc_id"), slice.as("slice"),
+        tokens.cast("long").as("n_tok"), quality.as("quality"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .withColumn("kept", col("cum_tok") <= budgetTokens)
+  }
+
   /** Cross-source leakage matrix: for every pair of sources, how many
     * distinct verbatim `window`-token spans they share. The
     * corpus-diagnostic twin of benchmark decontamination — it answers

@@ -70,6 +70,41 @@ object LangModel {
           when(col("n_ngrams") > 0, col("n_ngrams").cast("double"))).as("lm_nll"))
   }
 
+  /** CCNet-style perplexity bucketing: every document is assigned to its
+    * slice's `head` / `middle` / `tail` by the slice's OWN score
+    * distribution (cut at the 0.3 / 0.7 exact percentiles). Per-slice
+    * calibration is the point — a "hard" language or source has a
+    * different absolute perplexity range, but its relative tail is still
+    * its worst 30%. Unscored documents (too short for an n-gram) bucket as
+    * `unscored`.
+    *
+    * Scale shape: the cutpoints are ONE exact-percentile aggregation
+    * (slice-count output rows, broadcast back); assignment is two
+    * comparisons per row. No percent_rank — that would sort each slice's
+    * whole corpus slice in one partition. Cuts are rounded with the same
+    * portable floor arithmetic as the scores so the knife-edge comparison
+    * is engine-independent.
+    *
+    * `scored`: (doc_id, slice, score) — compose with `bigramScore` /
+    * `ngramScore` (or any quality signal) upstream.
+    */
+  def perplexityBuckets(scored: DataFrame, id: Column, slice: Column,
+                        score: Column): DataFrame = {
+    val base = scored.select(id.as("doc_id"), slice.as("slice"), score.as("score"))
+    val cuts = base.filter(col("score").isNotNull)
+      .groupBy(col("slice"))
+      .agg(expr("percentile(score, array(0.3D, 0.7D))").as("__c"))
+      .select(col("slice"),
+        round6(element_at(col("__c"), 1)).as("__c1"),
+        round6(element_at(col("__c"), 2)).as("__c2"))
+    base.join(broadcast(cuts), Seq("slice"), "left")
+      .select(col("doc_id"), col("slice"), col("score"),
+        when(col("score").isNull, lit("unscored"))
+          .when(col("score") <= col("__c1"), lit("head"))
+          .when(col("score") <= col("__c2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Half-up 6-decimal rounding as explicit IEEE arithmetic (valid for the
     * non-negative NLL domain). Engine round() implementations disagree on
     * half-way quotients (HALF_UP over the binary value vs scaled

@@ -102,6 +102,43 @@ class TextDedupSpec extends SparkSpec {
     assert(got(2) == ((3L, 0L, None)))  // 2 tokens: no trigrams
   }
 
+  test("perplexity buckets calibrate per slice, not globally") {
+    // slice A scores 1..10, slice B scores 101..110: global cuts would put
+    // ALL of A in head and ALL of B in tail; per-slice cuts split each
+    val rows = (1 to 10).map(i => (i.toLong, "A", Some(i.toDouble))) ++
+      (1 to 10).map(i => (100L + i, "B", Some(100.0 + i))) :+
+      ((999L, "A", None: Option[Double]))
+    val scored = rows.toDF("doc_id", "slice", "score")
+    val got = graft.text.LangModel.perplexityBuckets(scored,
+        col("doc_id"), col("slice"), col("score"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // percentile(0.3) over 1..10 = 3.7, percentile(0.7) = 7.3
+    for (s <- Seq(0L, 100L)) {
+      assert((1 to 3).forall(i => got(s + i) == "head"))
+      assert((4 to 7).forall(i => got(s + i) == "middle"))
+      assert((8 to 10).forall(i => got(s + i) == "tail"))
+    }
+    assert(got(999L) == "unscored")
+  }
+
+  test("budget fill keeps best-first per slice and reports the cut honestly") {
+    val docs = Seq(
+      (1L, "A", 40L, 0.5), (2L, "A", 40L, 1.0), (3L, "A", 40L, 0.7), (4L, "A", 40L, 1.0),
+      (5L, "B", 90L, 0.2), (6L, "B", 30L, 0.9)
+    ).toDF("doc_id", "slice", "n_tok", "q")
+    val got = graft.curation.Curation.budgetFill(docs,
+        col("doc_id"), col("slice"), col("n_tok"), col("q"), 100L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(4), r.getBoolean(5)))).toMap
+    // slice A fills quality-desc, id-asc: 2 (40), 4 (80), 3 (120 over)
+    assert(got(2L) == ((40L, true)))
+    assert(got(4L) == ((80L, true)))
+    assert(got(3L) == ((120L, false)))
+    assert(got(1L) == ((160L, false)))
+    // slice B: 6 fits, then 5 overshoots — budgets are per slice
+    assert(got(6L) == ((30L, true)))
+    assert(got(5L) == ((120L, false)))
+  }
+
   test("exact dedup groups identical texts") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("id", "text")
     val got = Dedup.exact(df, col("id"), col("text"))
