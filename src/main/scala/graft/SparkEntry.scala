@@ -525,6 +525,14 @@ object SparkEntry {
       Knn.ivfTopKProbes(e.filter(col("id") >= 8 && col("id") < 16), e,
         e.filter(col("id") < 8), 5, 3)
     }),
+    "hard_negatives" -> ((s, dir) => {
+      // training-pair mining: per anchor, the most-similar vectors that are
+      // NOT near-dups (those would be false negatives); anchors share the
+      // embedding_neardup query set so its τ=0.25 near-dup tier exists
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), Knn.toDoubleArray(col("embedding")).as("vec"))
+      Knn.hardNegativeTopK(e.filter(col("id") % 50 === 0), e, 5, 0.25)
+    }),
     "embedding_neardup" -> ((s, dir) =>
       Knn.nearDupPairs(table(s, dir, "embeddings"), col("vec_id"), col("embedding"),
         col("label"), col("id") % 50 === 0, 0.25)),
@@ -1653,6 +1661,19 @@ asofOracle,
         |        c.vec_id ASC) AS rank
         |  FROM e q JOIN e c ON q.vec_id < 8 AND q.vec_id <> c.vec_id)
         |WHERE rank <= 10""".stripMargin,
+    "hard_negatives" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+        |SELECT query_id, vec_id, cos_sim, rank FROM (
+        |  SELECT query_id, vec_id, cos_sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        |  FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |      round(list_dot_product(q.v, c.v)
+        |        / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+        |    FROM e q JOIN e c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id)
+        |  WHERE cos_sim < 0.25)
+        |WHERE rank <= 5""".stripMargin,
     "ann_ivf_topk" -> ivfOracleSql(nprobe = 1),
     "ann_ivf_multiprobe" -> ivfOracleSql(nprobe = 3),
     "ann_lsh_topk" -> {

@@ -70,6 +70,27 @@ object Knn {
     rankTopK(scored, k)
   }
 
+  /** Hard-negative mining for embedding-model training: per anchor, the
+    * top-k most-similar corpus vectors that are NOT near-duplicates of it
+    * (cos >= `dupThreshold` means "same content" — a false negative that
+    * would poison the training pairs). The duplicate exclusion happens
+    * BEFORE ranking, so all k slots hold usable negatives — a post-filter
+    * on plain top-k would return fewer than k whenever duplicates crowd
+    * the head. Same broadcast + partial-top-k shape as bruteForceTopK
+    * (WindowGroupLimit bounds per-task state); swap in the LSH/IVF bucket
+    * join for the corpus-scale path.
+    */
+  def hardNegativeTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                       dupThreshold: Double): DataFrame = {
+    val scored = withNorm(corpus).as("c")
+      .join(broadcast(withNorm(queries).as("q")), col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("vec_id"),
+        round(cosinePrenormed(col("q.vec"), col("c.vec"),
+          col("q.__norm") * col("c.__norm")), 6).as("cos_sim"))
+      .filter(col("cos_sim") < dupThreshold)
+    rankTopK(scored, k)
+  }
+
   /** Deterministic pseudo-random hyperplanes (fixed seed), as literal arrays
     * broadcast with the plan — no RNG at execution time, so reruns and
     * resumes agree.

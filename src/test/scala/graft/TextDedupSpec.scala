@@ -218,6 +218,24 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Seq(2L, 3L))
   }
 
+  test("hard negatives exclude near-dups BEFORE ranking, keeping k usable slots") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)),     // anchor
+      (2L, Array(0.99f, 0.01f)),   // near-dup of anchor (cos ~1): excluded
+      (3L, Array(0.98f, 0.02f)),   // near-dup: excluded
+      (4L, Array(0.7f, 0.7f)),     // cos ~0.7: the hardest usable negative
+      (5L, Array(0.0f, 1.0f)),     // orthogonal
+      (6L, Array(-1.0f, 0.0f))     // opposite
+    ).toDF("vec_id", "embedding")
+      .select(col("vec_id").as("id"), graft.similarity.Knn.toDoubleArray(col("embedding")).as("vec"))
+    val got = graft.similarity.Knn.hardNegativeTopK(df.filter(col("id") === 1), df, 2, 0.95)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2)))
+    // a post-filtered plain top-2 would have returned ONLY dups (2, 3);
+    // pre-filter ranking yields two real negatives
+    assert(got.map(_._1).toSeq == Seq(4L, 5L))
+    assert(got.forall(_._2 < 0.95))
+  }
+
   test("media decode is deterministic and preserves byte length") {
     val docs = GraftSession.table(spark, "/root/testdata/sf0.001", "documents").limit(20)
     val a = graft.multimodal.Media.decodeDocuments(spark, docs).orderBy("media_id").collect().toSeq
