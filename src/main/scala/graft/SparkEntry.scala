@@ -552,6 +552,15 @@ object SparkEntry {
         d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0),
         col("doc_id"), col("text"), 3)
     }),
+    "decontaminate_surgical" -> ((s, dir) => {
+      // excise benchmark lines, keep the rest of each doc (same eval-set
+      // split as `decontaminate`; width-8 word lines as in line_dedup)
+      val d = table(s, dir, "documents")
+      val C = graft.curation.Curation
+      C.decontaminateSurgical(
+        d.filter(col("doc_id") % 50 =!= 0), col("doc_id"), C.wordLines(col("text"), 8),
+        d.filter(col("doc_id") % 50 === 0), C.wordLines(col("text"), 8))
+    }),
     "line_dedup" -> ((s, dir) =>
       // corpus "lines" derived deterministically by chunking words in
       // groups of 8 (the testdata has no newlines); the operator itself is
@@ -1982,6 +1991,22 @@ asofOracle,
         |SELECT d.doc_id, COALESCE(h.n, 0) AS n_overlap, COALESCE(h.n, 0) > 0 AS contaminated
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
         |LEFT JOIN hits h USING (doc_id)""".stripMargin,
+    "decontaminate_surgical" ->
+      """WITH lw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |lines AS (
+        |  SELECT doc_id, [ array_to_string(w[i*8+1:i*8+8], ' ')
+        |                   for i in generate_series(0, (len(w)-1)//8) ] AS ls
+        |  FROM lw),
+        |ex AS (SELECT doc_id, i - 1 AS pos, ls[i] AS line
+        |       FROM lines, unnest(generate_series(1, len(ls))) AS t(i)),
+        |bench AS (SELECT DISTINCT line FROM ex WHERE doc_id % 50 = 0),
+        |corp AS (SELECT doc_id, pos, line FROM ex WHERE doc_id % 50 <> 0)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  COALESCE(string_agg(CASE WHEN b.line IS NULL THEN corp.line END, chr(10) ORDER BY pos ASC), '')
+        |    AS text_clean
+        |FROM corp LEFT JOIN bench b ON corp.line = b.line
+        |GROUP BY doc_id""".stripMargin,
     "line_dedup" ->
       """WITH lw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |lines AS (

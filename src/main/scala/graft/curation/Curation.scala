@@ -91,6 +91,36 @@ object Curation {
           "\n").as("text_kept"))
   }
 
+  /** Surgical decontamination: excise the individual lines whose content
+    * appears in the benchmark and keep the rest of the document in order —
+    * the alternative to dropping contaminated documents wholesale (which
+    * loses an entire book over one quoted test question). Returns per doc
+    * the clean reassembled text plus line/removal counts, so the caller
+    * can still drop documents that were MOSTLY benchmark (high
+    * n_removed/n_lines) rather than lightly contaminated.
+    *
+    * Scale shape: the benchmark's distinct line set is benchmark-sized —
+    * broadcast; the corpus explodes once, the reassembly is one groupBy on
+    * the doc key (same shape as lineDedup). Line identity is the exact
+    * text here; at 100 TB hash the line first so the broadcast ships
+    * digests, not benchmark text.
+    */
+  def decontaminateSurgical(corpus: DataFrame, id: Column, lines: Column,
+                            benchmark: DataFrame, benchLines: Column): DataFrame = {
+    val ex = corpus.select(id.as("doc_id"), posexplode(lines).as(Seq("pos", "line")))
+    val bench = benchmark.select(explode(benchLines).as("line")).distinct()
+      .withColumn("__hit", lit(true))
+    ex.join(broadcast(bench), Seq("line"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__hit").isNull, struct(col("pos"), col("line"))))),
+            x => x.getField("line")),
+          "\n").as("text_clean"))
+  }
+
   /** Deterministic, dialect-portable [0, 100) hash percentile of a key —
     * the sampling coin for mixture weighting. Built from md5 hex so any SQL
     * engine reproduces it bit-for-bit (engine-native hash functions don't

@@ -276,6 +276,23 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("surgical decontamination excises benchmark lines, keeps the rest in order") {
+    val corpus = Seq(
+      (1L, Seq("keep one", "LEAKED QUESTION", "keep two")),
+      (2L, Seq("all clean", "still clean")),
+      (3L, Seq("LEAKED QUESTION", "ANOTHER LEAK"))   // fully contaminated
+    ).toDF("doc_id", "ls")
+    val bench = Seq((100L, Seq("LEAKED QUESTION", "ANOTHER LEAK"))).toDF("bid", "bls")
+    val got = graft.curation.Curation.decontaminateSurgical(
+        corpus, col("doc_id"), col("ls"), bench, col("bls"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((3L, 1L, "keep one\nkeep two")))
+    assert(got(2L) == ((2L, 0L, "all clean\nstill clean")))
+    // a mostly-benchmark doc survives as empty text + full removal count,
+    // so the caller can apply its own drop threshold on n_removed/n_lines
+    assert(got(3L) == ((2L, 2L, "")))
+  }
+
   test("semDedup keeps the smallest id of a similar group and respects clusters") {
     // centroids far apart on axes; dup pair (10,11) identical in cluster 0;
     // vec 12 similar to nothing; 13/14 identical but in different clusters
