@@ -38,28 +38,63 @@ object LangModel {
     * fewer than n tokens have no ngrams: n_ngrams = 0, null score.
     */
   def ngramScore(docs: DataFrame, id: Column, text: Column, n: Int, k: Double = 1.0): DataFrame = {
-    require(n >= 2, "ngramScore needs order >= 2")
     val base = docs.select(id.as("doc_id"), text.as("text"))
-    val ctxs = base.select(col("doc_id"),
-      explode(graft.functions.ShingleExpressions.wordNgrams(col("text"), n - 1)).as("ctx"))
-    val ctxCounts = ctxs.groupBy(col("ctx")).agg(count(lit(1)).as("cctx"))
-    val vocab = base
-      .select(explode(TextFeatures.words(col("text"))).as("w")).distinct()
-      .agg(count(lit(1)).as("v"))
     // the corpus is scanned and shingled twice (model build + scoring join)
     // — the same deliberate 2x-scan-CPU-vs-corpus-sized-storage trade as
     // Curation.curationStages; each pass uses the fused single-pass ngram
-    // expression, not the ~20x interpreted HOF formulation (SURVEY §3)
+    // expression, not the ~20x interpreted HOF formulation (SURVEY §3).
+    // In-corpus scoring never hits the unseen-count fallback (every ngram
+    // of the scored docs is in the model by construction), so this is
+    // byte-identical to the pre-model-split formulation.
+    val (ng, ctx, voc) = trainNgramModel(base, col("text"), n)
+    scoreAgainstModel(base, col("doc_id"), col("text"), n, ng, ctx, voc, k)
+  }
+
+  /** The three distributed model tables for an order-n LM: ngram counts,
+    * context ((n-1)-gram instance) counts, and the unigram vocabulary
+    * size. These ARE the trained model — persist them (parquet, keyed on
+    * the ngram/context string) and daily batches score against them via
+    * `scoreAgainstModel` without ever re-counting the archive: the LM twin
+    * of the dedup band-key index.
+    */
+  def trainNgramModel(docs: DataFrame, text: Column, n: Int): (DataFrame, DataFrame, DataFrame) = {
+    require(n >= 2, "ngram model needs order >= 2")
+    val base = docs.select(text.as("text"))
+    val ctxCounts = base.select(
+        explode(graft.functions.ShingleExpressions.wordNgrams(col("text"), n - 1)).as("ctx"))
+      .groupBy(col("ctx")).agg(count(lit(1)).as("cctx"))
+    val vocab = base
+      .select(explode(TextFeatures.words(col("text"))).as("w")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val ngCounts = base.select(
+        explode(graft.functions.ShingleExpressions.wordNgrams(col("text"), n)).as("ng"))
+      .groupBy(col("ng")).agg(count(lit(1)).as("cng"))
+    (ngCounts, ctxCounts, vocab)
+  }
+
+  /** Scores documents against a PREBUILT model (see `trainNgramModel`).
+    * Ngrams/contexts the model has never seen count as zero before
+    * smoothing — P = k/(cctx + kV) with cctx from the model, 0 if the
+    * context itself is unseen — so out-of-domain text scores high-NLL
+    * instead of erroring, which is exactly the filter semantics. The
+    * joins key on the ngram/context string: model-sized relations, AQE
+    * decides broadcast vs shuffle; the scored batch is typically the
+    * small side.
+    */
+  def scoreAgainstModel(docs: DataFrame, id: Column, text: Column, n: Int,
+                        ngCounts: DataFrame, ctxCounts: DataFrame, vocab: DataFrame,
+                        k: Double = 1.0): DataFrame = {
+    val base = docs.select(id.as("doc_id"), text.as("text"))
     val ngrams = base.select(col("doc_id"),
       explode(graft.functions.ShingleExpressions.wordNgrams(col("text"), n)).as("ng"))
-    val ngCounts = ngrams.groupBy(col("ng")).agg(count(lit(1)).as("cng"))
     val scored = ngrams
-      .join(ngCounts, Seq("ng"))
+      .join(ngCounts, Seq("ng"), "left")
       .withColumn("ctx", substring_index(col("ng"), " ", n - 1))
-      .join(ctxCounts, Seq("ctx"))
+      .join(ctxCounts, Seq("ctx"), "left")
       .crossJoin(broadcast(vocab))
       .withColumn("nll",
-        round6(-log((col("cng") + lit(k)) / (col("cctx") + lit(k) * col("v"))))
+        round6(-log((coalesce(col("cng"), lit(0L)) + lit(k))
+          / (coalesce(col("cctx"), lit(0L)) + lit(k) * col("v"))))
           .cast(DecimalType(18, 6)))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_ngrams"), sum(col("nll")).as("nll_sum"))

@@ -102,6 +102,30 @@ class TextDedupSpec extends SparkSpec {
     assert(got(2) == ((3L, 0L, None)))  // 2 tokens: no trigrams
   }
 
+  test("persisted LM model scores new batches; unseen text hits the smoothed floor") {
+    val L = graft.text.LangModel
+    val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "z")).toDF("doc_id", "text")
+    val (ng, ctx, voc) = L.trainNgramModel(corpus, col("text"), 2)
+    // the model is three plain tables: persist and restore (the daily-sync
+    // contract — the archive is never re-counted)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    ng.write.parquet(s"$dir/ng"); ctx.write.parquet(s"$dir/ctx"); voc.write.parquet(s"$dir/voc")
+    val (ngR, ctxR, vocR) = (spark.read.parquet(s"$dir/ng"),
+      spark.read.parquet(s"$dir/ctx"), spark.read.parquet(s"$dir/voc"))
+    val direct = L.bigramScore(corpus, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect().toSeq
+    val restored = L.scoreAgainstModel(corpus, col("doc_id"), col("text"), 2, ngR, ctxR, vocR)
+      .orderBy("doc_id").collect().toSeq
+    assert(restored == direct)
+    // a wholly out-of-domain doc: unseen context and ngram count as 0, so
+    // P = k/(0 + k*V) = 1/4 at k=1, V=4 -> nll = ln 4 (high = filtered out)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val fresh = L.scoreAgainstModel(Seq((9L, "q r")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), 2, ngR, ctxR, vocR)
+      .as[(Long, Long, Option[Double])].head()
+    assert(fresh == ((9L, 1L, Some(r6(math.log(4.0))))))
+  }
+
   test("perplexity buckets calibrate per slice, not globally") {
     // slice A scores 1..10, slice B scores 101..110: global cuts would put
     // ALL of A in head and ALL of B in tail; per-slice cuts split each
