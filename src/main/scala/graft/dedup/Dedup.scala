@@ -310,10 +310,13 @@ object Dedup {
     * component keeps `component` = the minimum doc id reachable through
     * near-dup edges; keep that one, drop the rest).
     *
-    * Iterative min-label propagation: each round every node takes the min
-    * label among itself and its neighbors — converges in O(component
-    * diameter) rounds, and near-dup components are shallow (pairs come from
-    * shared buckets). Each round is one shuffle join + one aggregation;
+    * Iterative min-label propagation with POINTER JUMPING: each round every
+    * node takes the min label among itself and its neighbors, then labels
+    * shortcut one hop (l ← min(l, label(l))). The shortcut makes the label
+    * distance roughly double per round, so convergence is O(log diameter)
+    * rounds rather than O(diameter) — a 200-link chain of near-dup edits
+    * (a long revision history) converges in ~8 rounds instead of blowing
+    * the round cap at 20. Each round is two keyed joins + one aggregation;
     * lineage is truncated per round so round N never recomputes rounds
     * 1..N-1. Label propagation is the Spark-native formulation of
     * union-find: no driver-side state at any corpus size.
@@ -338,18 +341,37 @@ object Dedup {
     var iters = 0
     var changed = true
     while (changed && iters < maxIters) {
-      // lazy checkpoint: the convergence probe below is the round's single
-      // action and materializes the truncated lineage as a side effect —
-      // an eager checkpoint would cost a second job per round
+      // EAGER checkpoint BEFORE the self-join: truncates lineage (round N
+      // never recomputes rounds 1..N-1) and, materialized, lets the jump
+      // self-join run over a plain scan — Catalyst's constraint rewrite
+      // mishandles a self-joined Union (AttributeMap key-not-found), so
+      // the union must be gone from the analyzed plan, not just deferred
       val propagated = labels.join(edges, col("node") === col("src"))
         .select(col("dst").as("node"), col("component"))
         .union(labels)
         .groupBy(col("node")).agg(min(col("component")).as("component"))
-        .localCheckpoint(false)
-      changed = propagated.as("n").join(labels.as("o"),
+        .localCheckpoint()
+      // pointer jump: follow the label one hop (a label is always a node id
+      // in the same component, so the shortcut stays inside the component
+      // and labels only decrease). This is what turns O(diameter) rounds
+      // into O(log diameter).
+      // the parent side gets FRESH attributes from the already-materialized
+      // RDD (createDataFrame, not a self-join): Catalyst's Union/self-join
+      // constraint rewrite trips over a shared checkpointed subplan
+      // (AttributeMap key-not-found in rewriteConstraints), and a fresh
+      // relation over the same RDD sidesteps it with zero recompute
+      val parent = propagated.sparkSession
+        .createDataFrame(propagated.rdd, propagated.schema)
+        .toDF("p_node", "p_comp")
+      val jumped = propagated
+        .join(parent, col("component") === col("p_node"))
+        .select(col("node"),
+          least(col("component"), col("p_comp")).as("component"))
+        .localCheckpoint()
+      changed = jumped.as("n").join(labels.as("o"),
           col("n.node") === col("o.node") && col("n.component") =!= col("o.component"))
         .limit(1).count() > 0
-      labels = propagated
+      labels = jumped
       iters += 1
     }
     // Returning unconverged labels would silently split a component into

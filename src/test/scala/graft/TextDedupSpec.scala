@@ -207,6 +207,16 @@ class TextDedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
   }
 
+  test("pointer jumping converges a 200-link chain within the default round cap") {
+    // diameter 200: plain min-label propagation needs ~200 rounds and would
+    // throw at maxIters=20; the label shortcut doubles reach per round
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(chain, "doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    assert(got.length == 201)
+    assert(got.forall(_._2 == 0L), "every chain node must reach the global min label")
+  }
+
   test("ngram frequent-shingle cap suppresses the quadratic bucket, keeps true pairs") {
     // every doc shares one ubiquitous shingle ("of the and"); docs 0/1 also
     // share distinctive content
