@@ -116,6 +116,45 @@ class PropertySpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
   }
 
+  test("budgetFill: kept docs are exactly a quality-ordered prefix per slice") {
+    val tok = Gen.choose(1L, 50L)
+    val q = Gen.oneOf(0.2, 0.5, 0.7, 1.0)
+    val row = for { t <- tok; qq <- q; s <- Gen.oneOf("A", "B", "C") } yield (t, qq, s)
+    val rows = samples(row, 120).zipWithIndex
+      .map { case ((t, qq, s), i) => (i.toLong, s, t, qq) }
+    val df = rows.toDF("doc_id", "slice", "n_tok", "q")
+    val out = graft.curation.Curation.budgetFill(df,
+        col("doc_id"), col("slice"), col("n_tok"), col("q"), 200L)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(4), r.getBoolean(5)))
+    out.groupBy(_._1).foreach { case (_, g) =>
+      // sort by the fill order; kept must be a prefix, cum must telescope
+      val ordered = g.sortBy(t => (t._4))
+      val kept = ordered.takeWhile(_._5)
+      assert(ordered.drop(kept.length).forall(!_._5), "kept rows must form a prefix")
+      assert(kept.forall(_._4 <= 200L))
+      assert(ordered.drop(kept.length).forall(_._4 > 200L))
+      var cum = 0L
+      ordered.foreach { t => cum += t._3; assert(t._4 == cum, "running sum must telescope") }
+    }
+  }
+
+  test("edit similarity is 1.0 exactly on equal texts and symmetric under swap") {
+    for (t <- samples(text, 60) if t.split(" ", -1).length >= 3) {
+      val variant = t.replaceFirst("a", "b")
+      val df = Seq((1L, t), (2L, t), (3L, variant)).toDF("doc_id", "text")
+      val pairs = graft.dedup.Dedup.editSimilarityVerified(
+          df, col("doc_id"), col("text"), 3, 16, 4, 0.0)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      // identical docs always land in the same LSH bucket: sim exactly 1.0
+      assert(pairs.get((1L, 2L)).contains(1.0), s"text='$t'")
+      // similarity is orientation-free: (1,3) and (2,3) see the same pair
+      (pairs.get((1L, 3L)), pairs.get((2L, 3L))) match {
+        case (Some(x), Some(y)) => assert(x == y)
+        case _ => // variant may legitimately miss the bucket when 'a' edit shifts shingles
+      }
+    }
+  }
+
   test("minhash base hashes are stable and signature mins are order-independent") {
     for (t <- samples(text, 100) if t.split(" ", -1).length >= 3) {
       val hs = ShingleUtil.distinctShingles(t, 3).map(ShingleUtil.md5Base32)
