@@ -399,6 +399,23 @@ object SparkEntry {
       // shared per source pair (span chunker shared with dup_span_stats)
       graft.curation.Curation.crossSourceLeakage(table(s, dir, "documents"),
         col("text"), col("source"), 16, 8)),
+    "neardup_rate_report" -> ((s, dir) => {
+      // corpus-health panel: which sources are internally duplicative —
+      // fraction of each source's docs with at least one VERIFIED near-dup
+      // partner anywhere in the corpus (the signal that decides whether a
+      // source needs aggressive dedup before mixing)
+      val d = table(s, dir, "documents")
+      val pairs = Dedup.minhashDedupVerified(d, col("doc_id"), col("text"), 3, 16, 4, 0.5)
+      val dupped = pairs
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+        .withColumn("__dup", lit(true))
+      val hit = sum(when(col("__dup"), 1L).otherwise(0L))
+      d.select(col("doc_id"), col("source"))
+        .join(dupped, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), hit.as("n_neardup"),
+          round(hit.cast("double") / count(lit(1)).cast("double"), 6).as("neardup_rate"))
+    }),
     "quality_filter" -> ((s, dir) =>
       // the curation DECISION: per-document keep/drop verdict with the first
       // failing Gopher-style rule as the reason; projected before the
@@ -1481,6 +1498,28 @@ asofOracle,
          |  FROM pairs JOIN shl sa ON pairs.doc_a = sa.doc_id
          |             JOIN shl sb ON pairs.doc_b = sb.doc_id)
          |WHERE j >= 0.5""".stripMargin,
+    "neardup_rate_report" ->
+      s"""$minhashCtes,
+         |prs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |ver AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b,
+         |      CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |        / CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS j
+         |    FROM prs JOIN shl sa ON prs.doc_a = sa.doc_id
+         |             JOIN shl sb ON prs.doc_b = sb.doc_id)
+         |  WHERE j >= 0.5),
+         |dup AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT doc_a AS doc_id FROM ver UNION ALL SELECT doc_b FROM ver))
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
+         |  round(CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE), 6) AS neardup_rate
+         |FROM documents LEFT JOIN dup USING (doc_id)
+         |GROUP BY source""".stripMargin,
     "dedup_fuzzy_edit" ->
       s"""$minhashCtes,
          |pairs AS (
