@@ -881,6 +881,26 @@ object SparkEntry {
       |      * 1000000.0 + 0.5) / 1000000.0 AS lm_nll
       |  FROM base LEFT JOIN scored USING (doc_id))""".stripMargin
 
+  /** Verified near-dup pair fragment `vpairs(doc_a, doc_b, j)` — appended
+    * after `minhashCtes`. The ONE owner of the LSH-candidate + exact
+    * Jaccard ≥ 0.5 verification SQL: dedup_minhash_verified, the
+    * component/keeper oracles and the rate report all read from it, so the
+    * verification definition cannot drift between the pair query and the
+    * queries that summarize it.
+    */
+  private val verifiedPairsCte: String =
+    """vpairs AS (
+      |  SELECT doc_a, doc_b, j FROM (
+      |    SELECT p.doc_a, p.doc_b,
+      |      CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+      |        / CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS j
+      |    FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |          FROM banded a JOIN banded b
+      |            ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id) p
+      |    JOIN shl sa ON p.doc_a = sa.doc_id
+      |    JOIN shl sb ON p.doc_b = sb.doc_id)
+      |  WHERE j >= 0.5)""".stripMargin
+
   /** Near-dup components as a recursive reach CTE (min reachable doc id —
     * exactly the Spark label-propagation fixpoint). The recursive CTE
     * duplicates paths but UNION (set) bounds it. Shared by the min-id and
@@ -889,17 +909,7 @@ object SparkEntry {
   private def componentCtes: String = {
     val base = minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")
     s"""$base,
-       |vpairs AS (
-       |  SELECT doc_a, doc_b FROM (
-       |    SELECT p.doc_a, p.doc_b,
-       |      CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-       |        / CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS j
-       |    FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |          FROM banded a JOIN banded b
-       |            ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id) p
-       |    JOIN shl sa ON p.doc_a = sa.doc_id
-       |    JOIN shl sb ON p.doc_b = sb.doc_id)
-       |  WHERE j >= 0.5),
+       |$verifiedPairsCte,
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM vpairs
        |          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM vpairs),
        |reach(src, node) AS (
@@ -1487,33 +1497,13 @@ asofOracle,
         |WHERE j >= 0.05""".stripMargin,
     "dedup_minhash_verified" ->
       s"""$minhashCtes,
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM banded a JOIN banded b
-         |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM (
-         |  SELECT doc_a, doc_b,
-         |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-         |      / CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS j
-         |  FROM pairs JOIN shl sa ON pairs.doc_a = sa.doc_id
-         |             JOIN shl sb ON pairs.doc_b = sb.doc_id)
-         |WHERE j >= 0.5""".stripMargin,
+         |$verifiedPairsCte
+         |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM vpairs""".stripMargin,
     "neardup_rate_report" ->
       s"""$minhashCtes,
-         |prs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM banded a JOIN banded b
-         |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
-         |ver AS (
-         |  SELECT doc_a, doc_b FROM (
-         |    SELECT doc_a, doc_b,
-         |      CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-         |        / CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS j
-         |    FROM prs JOIN shl sa ON prs.doc_a = sa.doc_id
-         |             JOIN shl sb ON prs.doc_b = sb.doc_id)
-         |  WHERE j >= 0.5),
+         |$verifiedPairsCte,
          |dup AS (SELECT DISTINCT doc_id FROM (
-         |  SELECT doc_a AS doc_id FROM ver UNION ALL SELECT doc_b FROM ver))
+         |  SELECT doc_a AS doc_id FROM vpairs UNION ALL SELECT doc_b FROM vpairs))
          |SELECT source, COUNT(*) AS n_docs,
          |  CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
          |  round(CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)

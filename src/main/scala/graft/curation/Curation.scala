@@ -82,14 +82,23 @@ object Curation {
       .agg(
         count(lit(1)).as("n_lines"),
         sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
-        // collect_list drops the nulls from non-kept lines; sort restores
-        // original order deterministically (pos is unique within a doc)
-        array_join(
-          transform(
-            array_sort(collect_list(when(col("__keep"), struct(col("pos"), col("line"))))),
-            x => x.getField("line")),
-          "\n").as("text_kept"))
+        reassembledText(col("__keep")).as("text_kept"))
   }
+
+  /** In-order reassembly of the lines satisfying `keep`, as an aggregate
+    * expression over exploded (pos, line) rows: collect_list drops the
+    * nulls from non-kept lines, and the struct sort restores original
+    * order deterministically (pos is unique within a doc). The one owner
+    * of that trick — lineDedup and decontaminateSurgical both aggregate
+    * with it, so the two line-level operators can never reassemble
+    * documents differently.
+    */
+  private def reassembledText(keep: Column): Column =
+    array_join(
+      transform(
+        array_sort(collect_list(when(keep, struct(col("pos"), col("line"))))),
+        x => x.getField("line")),
+      "\n")
 
   /** Surgical decontamination: excise the individual lines whose content
     * appears in the benchmark and keep the rest of the document in order —
@@ -114,11 +123,7 @@ object Curation {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("__hit"), 1L).otherwise(0L)).as("n_removed"),
-        array_join(
-          transform(
-            array_sort(collect_list(when(col("__hit").isNull, struct(col("pos"), col("line"))))),
-            x => x.getField("line")),
-          "\n").as("text_clean"))
+        reassembledText(col("__hit").isNull).as("text_clean"))
   }
 
   /** Deterministic, dialect-portable [0, 100) hash percentile of a key —

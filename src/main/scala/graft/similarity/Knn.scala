@@ -57,18 +57,23 @@ object Knn {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Exact brute-force cosine top-k. `queries`/`corpus` need (id, vec)
-    * columns; vec must already be double[]. Rounded to 6 decimals before
-    * ranking so float noise can't flip an ordering against the oracle.
+  /** The one exact scoring pipeline (broadcast queries, prenormed cosine,
+    * 6-decimal round): bruteForceTopK and hardNegativeTopK both build on
+    * it so the scoring contract cannot drift between the two.
     */
-  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val scored = withNorm(corpus).as("c")
+  private def scoredPairs(queries: DataFrame, corpus: DataFrame): DataFrame =
+    withNorm(corpus).as("c")
       .join(broadcast(withNorm(queries).as("q")), col("q.id") =!= col("c.id"))
       .select(col("q.id").as("query_id"), col("c.id").as("vec_id"),
         round(cosinePrenormed(col("q.vec"), col("c.vec"),
           col("q.__norm") * col("c.__norm")), 6).as("cos_sim"))
-    rankTopK(scored, k)
-  }
+
+  /** Exact brute-force cosine top-k. `queries`/`corpus` need (id, vec)
+    * columns; vec must already be double[]. Rounded to 6 decimals before
+    * ranking so float noise can't flip an ordering against the oracle.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    rankTopK(scoredPairs(queries, corpus), k)
 
   /** Hard-negative mining for embedding-model training: per anchor, the
     * top-k most-similar corpus vectors that are NOT near-duplicates of it
@@ -81,15 +86,8 @@ object Knn {
     * join for the corpus-scale path.
     */
   def hardNegativeTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-                       dupThreshold: Double): DataFrame = {
-    val scored = withNorm(corpus).as("c")
-      .join(broadcast(withNorm(queries).as("q")), col("q.id") =!= col("c.id"))
-      .select(col("q.id").as("query_id"), col("c.id").as("vec_id"),
-        round(cosinePrenormed(col("q.vec"), col("c.vec"),
-          col("q.__norm") * col("c.__norm")), 6).as("cos_sim"))
-      .filter(col("cos_sim") < dupThreshold)
-    rankTopK(scored, k)
-  }
+                       dupThreshold: Double): DataFrame =
+    rankTopK(scoredPairs(queries, corpus).filter(col("cos_sim") < dupThreshold), k)
 
   /** Deterministic pseudo-random hyperplanes (fixed seed), as literal arrays
     * broadcast with the plan — no RNG at execution time, so reruns and

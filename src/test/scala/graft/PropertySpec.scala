@@ -125,16 +125,25 @@ class PropertySpec extends SparkSpec {
     val df = rows.toDF("doc_id", "slice", "n_tok", "q")
     val out = graft.curation.Curation.budgetFill(df,
         col("doc_id"), col("slice"), col("n_tok"), col("q"), 200L)
-      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(4), r.getBoolean(5)))
+      .collect().map(r =>
+        (r.getString(1), r.getLong(0), r.getLong(2), r.getDouble(3), r.getLong(4), r.getBoolean(5)))
     out.groupBy(_._1).foreach { case (_, g) =>
-      // sort by the fill order; kept must be a prefix, cum must telescope
-      val ordered = g.sortBy(t => (t._4))
-      val kept = ordered.takeWhile(_._5)
-      assert(ordered.drop(kept.length).forall(!_._5), "kept rows must form a prefix")
-      assert(kept.forall(_._4 <= 200L))
-      assert(ordered.drop(kept.length).forall(_._4 > 200L))
+      // the fill order (ascending cum_tok) must BE quality-desc, id-asc —
+      // an inverted window (keeping each slice's worst docs) would still
+      // telescope, so order is asserted explicitly
+      val ordered = g.sortBy(_._5)
+      ordered.sliding(2).foreach {
+        case Array((_, id1, _, q1, _, _), (_, id2, _, q2, _, _)) =>
+          assert(q1 > q2 || (q1 == q2 && id1 < id2),
+            s"fill order must be quality desc, id asc: ($q1,$id1) before ($q2,$id2)")
+        case _ =>
+      }
+      val kept = ordered.takeWhile(_._6)
+      assert(ordered.drop(kept.length).forall(!_._6), "kept rows must form a prefix")
+      assert(kept.forall(_._5 <= 200L))
+      assert(ordered.drop(kept.length).forall(_._5 > 200L))
       var cum = 0L
-      ordered.foreach { t => cum += t._3; assert(t._4 == cum, "running sum must telescope") }
+      ordered.foreach { t => cum += t._3; assert(t._5 == cum, "running sum must telescope") }
     }
   }
 
