@@ -89,6 +89,24 @@ object Knn {
                        dupThreshold: Double): DataFrame =
     rankTopK(scoredPairs(queries, corpus).filter(col("cos_sim") < dupThreshold), k)
 
+  /** Symmetric int8 quantization of an embedding: per-vector scale =
+    * max|x|/127, components rounded to bytes. 4x smaller than float32 at
+    * rest and on the wire (8x vs the double arrays Spark otherwise
+    * exchanges) — the storage/shuffle lever for corpus-scale ANN, with
+    * recall loss bounded in KnnSpec. Returns struct(scale, q:array<byte>);
+    * `dequantizeInt8` restores doubles for exact re-ranking of a
+    * quantized shortlist.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val scale = greatest(array_max(transform(vec, x => abs(x))), lit(1e-12)) / lit(127.0)
+    struct(scale.as("scale"),
+      transform(vec, x => round(x / scale).cast("byte")).as("q"))
+  }
+
+  def dequantizeInt8(quantized: Column): Column =
+    transform(quantized.getField("q"),
+      x => x.cast("double") * quantized.getField("scale"))
+
   /** Deterministic pseudo-random hyperplanes (fixed seed), as literal arrays
     * broadcast with the plan — no RNG at execution time, so reruns and
     * resumes agree.

@@ -254,6 +254,35 @@ object Sources {
     df.repartition(files).write.mode("overwrite").parquet(path)
   }
 
+  /** In-place compaction of a parquet directory — the maintenance step an
+    * append-based ingest needs: every `appendDeduped` micro-batch lays
+    * down its own files, and a week of 5-minute batches is 2000 small
+    * files per table. Rewrites the current contents at `targetMb` sizing
+    * (via the plan-statistics sizing of writeSizedParquet), then swaps
+    * directories in a crash-safe order: write tmp → move old to trash →
+    * move tmp into place → drop trash. A crash leaves either the original
+    * or the compacted data plus a recoverable trash dir — never neither.
+    * Rename atomicity is per-filesystem (atomic on HDFS; object stores
+    * should compact behind a table format instead).
+    */
+  def compactParquet(spark: SparkSession, path: String, targetMb: Int = 512): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__compact_tmp")
+    val trash = new org.apache.hadoop.fs.Path(path + ".__compact_trash")
+    require(!fs.exists(tmp) && !fs.exists(trash),
+      s"stale compaction dirs next to $path — a previous compaction crashed; recover manually")
+    writeSizedParquet(spark.read.parquet(path), tmp.toString, targetMb)
+    if (!fs.rename(dst, trash))
+      throw new java.io.IOException(s"compaction: failed to move $dst aside")
+    if (!fs.rename(tmp, dst)) {
+      fs.rename(trash, dst) // roll back: restore the original
+      throw new java.io.IOException(s"compaction: failed to move $tmp into place")
+    }
+    fs.delete(trash, true)
+  }
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 

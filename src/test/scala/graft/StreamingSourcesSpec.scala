@@ -168,6 +168,31 @@ class StreamingSourcesSpec extends SparkSpec {
     assert(got == Set(("run_1", "end"), ("run", "1_end")))
   }
 
+  test("compaction collapses append-accumulated small files, preserving rows") {
+    val target = Files.createTempDirectory("graft_compact").toString + "/t"
+    // three appended micro-batches, several partitions each -> many files
+    (0 until 3).foreach { b =>
+      val batch = spark.range(b * 100L, b * 100L + 100L).repartition(8)
+        .select(col("id").as("origin_id"), (col("id") * 2).as("payload"))
+      graft.sources.Sources.appendDeduped(batch, target, "origin_id")
+    }
+    val before = spark.read.parquet(target)
+    val filesBefore = before.inputFiles.length
+    val rowsBefore = before.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // one file per appended micro-batch accumulates (AQE coalesces each
+    // batch's own write, but cannot merge across appends)
+    assert(filesBefore >= 3, s"expected a file per append, got $filesBefore")
+    graft.sources.Sources.compactParquet(spark, target, 512)
+    val after = spark.read.parquet(target)
+    assert(after.inputFiles.length == 1,
+      s"${after.inputFiles.length} files after compaction (before: $filesBefore)")
+    assert(after.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == rowsBefore)
+    // no tmp/trash residue
+    val fs = new org.apache.hadoop.fs.Path(target).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(target + ".__compact_tmp")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(target + ".__compact_trash")))
+  }
+
   test("run-event log is idempotent per (run,event) and reads back typed") {
     val dir = Files.createTempDirectory("graft_runlog").toString
     val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")

@@ -291,6 +291,26 @@ class TextDedupSpec extends SparkSpec {
     assert(z.src_width == 0 && z.dst_width == 0 && z.dst_height == 0 && z.out_bytes == 0L)
   }
 
+  test("int8 quantization preserves cosine and brute-force shortlists") {
+    val e = GraftSession.table(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id").as("id"), Knn.toDoubleArray(col("embedding")).as("vec"))
+    val deq = e.select(col("id"), Knn.dequantizeInt8(Knn.quantizeInt8(col("vec"))).as("vec"))
+    // per-vector fidelity: original vs round-tripped cosine stays ~1
+    val worst = e.withColumnRenamed("vec", "v0").join(deq, "id")
+      .select(Knn.cosine(col("v0"), col("vec")).as("c"))
+      .agg(min(col("c"))).head.getDouble(0)
+    assert(worst > 0.999, s"quantization cosine floor $worst")
+    // shortlist recall: top-10 over the quantized corpus vs exact
+    def neighbors(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val q0 = e.filter(col("id") < 8)
+    val qq = deq.filter(col("id") < 8)
+    val exact = neighbors(Knn.bruteForceTopK(q0, e, 10))
+    val quant = neighbors(Knn.bruteForceTopK(qq, deq, 10))
+    val recall = (quant intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"int8 recall $recall")
+  }
+
   test("cosine of a zero vector is null, not a job-killing divide-by-zero") {
     val df = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 0.0f))).toDF("id", "emb")
     val v = Knn.toDoubleArray(col("emb"))
