@@ -53,6 +53,26 @@ object Streams {
   def dedupStream(events: DataFrame, keyCols: Seq[String], tsCol: String, watermark: String): DataFrame =
     events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming near-dup screening against a PERSISTED archive index — the
+    * streaming twin of `Dedup.incrementalCandidates`: each incoming
+    * document's minhash band keys (row-local fused expression, stateless)
+    * join the static band-key index of the already-ingested corpus
+    * (stream-static join, re-planned per micro-batch so a republished
+    * index is picked up for free). Emits (new_doc, index_doc) candidate
+    * rows; a doc pair sharing several bands emits once per band — dedup
+    * per micro-batch at the sink (`foreachBatch` + distinct), where it is
+    * a plain batch operation, instead of holding pair state on the stream.
+    */
+  def nearDupCandidatesStream(docs: DataFrame, id: org.apache.spark.sql.Column,
+                              text: org.apache.spark.sql.Column, bandIndex: DataFrame,
+                              n: Int, numPerms: Int, bandSize: Int): DataFrame = {
+    import graft.dedup.Dedup
+    Dedup.bandKeys(Dedup.minhashSignatures(docs, id, text, n, numPerms), numPerms, bandSize)
+      .withColumnRenamed("doc_id", "new_doc")
+      .join(bandIndex.withColumnRenamed("doc_id", "index_doc"), Seq("band", "bk"))
+      .select(col("new_doc"), col("index_doc"))
+  }
+
   /** Streaming curation: quality-filter decision + PII masking applied to a
     * document stream. Every signal is row-local (fused expressions), so the
     * streaming plan is STATELESS — no watermark, no state store, unbounded

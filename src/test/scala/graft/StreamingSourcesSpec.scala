@@ -168,6 +168,35 @@ class StreamingSourcesSpec extends SparkSpec {
     assert(got == Set(("run_1", "end"), ("run", "1_end")))
   }
 
+  test("streaming near-dup screening against the static band index matches the batch path") {
+    import graft.dedup.Dedup
+    val d = GraftSession.table(spark, "/root/testdata/sf0.01", "documents")
+    val newB = d.filter(col("doc_id") % 7 === 0)
+    val idx = d.filter(col("doc_id") % 7 =!= 0)
+    val index = Dedup.bandKeys(
+      Dedup.minhashSignatures(idx, col("doc_id"), col("text"), 3, 16), 16, 4)
+    // batch truth
+    val expected = Dedup.incrementalCandidates(
+        Dedup.minhashSignatures(newB, col("doc_id"), col("text"), 3, 16), index, 16, 4)
+      .as[(Long, Long)].collect().toSet
+    // stream the new batch through in two micro-batches
+    val dir = Files.createTempDirectory("graft_npstream").toString
+    newB.select("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(
+      newB.select("doc_id", "text").schema).parquet(dir)
+    val got = scala.collection.mutable.Set[(Long, Long)]()
+    val q = Streams.nearDupCandidatesStream(stream, col("doc_id"), col("text"), index, 3, 16, 4)
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // per-micro-batch distinct is a plain batch op at the sink
+        got ++= batch.distinct().as[(Long, Long)].collect()
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(got.toSet == expected)
+    assert(expected.nonEmpty)
+  }
+
   test("compaction collapses append-accumulated small files, preserving rows") {
     val target = Files.createTempDirectory("graft_compact").toString + "/t"
     // three appended micro-batches, several partitions each -> many files
