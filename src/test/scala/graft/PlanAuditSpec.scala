@@ -153,6 +153,15 @@ class PlanAuditSpec extends SparkSpec {
     val q22 = plan("q22_dormant_accounts")
     assert(q22.contains("BroadcastNestedLoopJoin"), q22)
     assert(q22.contains("LeftAnti"), q22)
+    // q11: the national total/count is likewise a 1-row broadcast cross
+    // join — never a correlated re-aggregation of the fact side
+    val q11 = plan("q11_important_value")
+    assert(q11.contains("BroadcastNestedLoopJoin"), q11)
+    // q16: flagged-supplier exclusion must plan as a broadcast LEFT ANTI
+    // (the NOT IN over a tiny dim), part attributes as a broadcast join
+    val q16 = plan("q16_supplier_diversity")
+    assert(q16.contains("LeftAnti"), q16)
+    assert(count(q16, "BroadcastHashJoin") >= 1, q16)
   }
 
   test("ANN top-k ranking gets the group-limit pushdown (bounded memory per task)") {
