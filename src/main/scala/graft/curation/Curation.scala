@@ -254,6 +254,35 @@ object Curation {
       .filter(col("m"))
       .select(col("doc_id"), col("text"), col("source"), col("n_tok"))
 
+  /** The survivor selection with funnel accounting attached as OBSERVED
+    * metrics: per-stage doc/token counts ride the caller's own action
+    * (typically the export write) instead of costing a second corpus scan.
+    * At 100 TB that second scan is the difference between "accounting is
+    * free" and "accounting doubles the job". The returned Observation
+    * yields (ingested_docs/ingested_tokens, q/d/m per stage) after the
+    * FIRST action on the returned frame; the counts agree with
+    * `curationFunnel` on the same input by construction (same stage
+    * flags, observed pre-filter).
+    */
+  def curationSurvivorsObserved(df: DataFrame, id: Column, text: Column, source: Column,
+                                weights: Map[String, Int], defaultWeight: Int = 100)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("curation_funnel")
+    val staged = curationStages(df, id, text, source, weights, defaultWeight)
+      .observe(obs,
+        count(lit(1)).as("ingested_docs"),
+        sum(col("n_tok")).as("ingested_tokens"),
+        sum(when(col("q"), 1L).otherwise(0L)).as("quality_docs"),
+        sum(when(col("q"), col("n_tok")).otherwise(0L)).as("quality_tokens"),
+        sum(when(col("d"), 1L).otherwise(0L)).as("dedup_docs"),
+        sum(when(col("d"), col("n_tok")).otherwise(0L)).as("dedup_tokens"),
+        sum(when(col("m"), 1L).otherwise(0L)).as("mixture_docs"),
+        sum(when(col("m"), col("n_tok")).otherwise(0L)).as("mixture_tokens"))
+    val survivors = staged.filter(col("m"))
+      .select(col("doc_id"), col("text"), col("source"), col("n_tok"))
+    (survivors, obs)
+  }
+
   /** The composed curation DECISION pipeline — what a user actually runs
     * over an ingested corpus: Gopher-style quality filter, then exact dedup
     * (keep the minimum doc id per identical text, judged among quality

@@ -276,6 +276,28 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("observed funnel metrics ride the export action and match the funnel query") {
+    val docs = GraftSession.table(spark, "/root/testdata/sf0.01", "documents")
+    // identical slice column + weights as the curation_funnel query binding,
+    // so the observed counts must agree stage for stage
+    val weights = Map("en" -> 100, "fr" -> 50, "es" -> 25, "de" -> 10, "zh" -> 75)
+    val (survivors, obs) = graft.curation.Curation.curationSurvivorsObserved(
+      docs, col("doc_id"), col("text"), col("lang"), weights)
+    // ONE action (the caller's export stands in as a write) drives both the
+    // output and the accounting — no second corpus scan
+    val out = java.nio.file.Files.createTempDirectory("graft_obs").toString + "/surv"
+    survivors.write.mode("overwrite").parquet(out)
+    val m = obs.get
+    val funnel = SparkEntry.queries("curation_funnel")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert((m("ingested_docs"), m("ingested_tokens")) == funnel("ingested"))
+    assert((m("quality_docs"), m("quality_tokens")) == funnel("quality_filter"))
+    assert((m("dedup_docs"), m("dedup_tokens")) == funnel("exact_dedup"))
+    assert((m("mixture_docs"), m("mixture_tokens")) == funnel("mixture"))
+    // and the written corpus is exactly the final stage
+    assert(spark.read.parquet(out).count() == m("mixture_docs").asInstanceOf[Long])
+  }
+
   test("surgical decontamination excises benchmark lines, keeps the rest in order") {
     val corpus = Seq(
       (1L, Seq("keep one", "LEAKED QUESTION", "keep two")),
