@@ -126,19 +126,36 @@ object LangModel {
   def perplexityBuckets(scored: DataFrame, id: Column, slice: Column,
                         score: Column): DataFrame = {
     val base = scored.select(id.as("doc_id"), slice.as("slice"), score.as("score"))
-    val cuts = base.filter(col("score").isNotNull)
+    base.join(broadcast(scoreCuts(base, col("slice"), col("score"))), Seq("slice"), "left")
+      .select(col("doc_id"), col("slice"), col("score"),
+        bucketOf(col("score"), col("__c1"), col("__c2")).as("bucket"))
+  }
+
+  /** Per-slice 0.3/0.7 cutpoints as a tiny `(slice, __c1, __c2)` frame —
+    * the TRAINED calibration artifact. Persist it and apply to later
+    * batches or a live stream via `bucketOf` + a (stream-)static join:
+    * calibration is computed offline on the archive, applied online
+    * per row. Cuts are rounded with the portable floor arithmetic so the
+    * knife-edge comparison is engine-independent.
+    */
+  def scoreCuts(scored: DataFrame, slice: Column, score: Column): DataFrame =
+    scored.select(slice.as("slice"), score.as("score"))
+      .filter(col("score").isNotNull)
       .groupBy(col("slice"))
       .agg(expr("percentile(score, array(0.3D, 0.7D))").as("__c"))
       .select(col("slice"),
         round6(element_at(col("__c"), 1)).as("__c1"),
         round6(element_at(col("__c"), 2)).as("__c2"))
-    base.join(broadcast(cuts), Seq("slice"), "left")
-      .select(col("doc_id"), col("slice"), col("score"),
-        when(col("score").isNull, lit("unscored"))
-          .when(col("score") <= col("__c1"), lit("head"))
-          .when(col("score") <= col("__c2"), lit("middle"))
-          .otherwise(lit("tail")).as("bucket"))
-  }
+
+  /** Row-local bucket decision against precomputed cuts. A null score
+    * buckets as `unscored`; a scored row whose slice has NO cuts row (a
+    * slice unseen at calibration time) falls through to `tail` — the
+    * most-suspect bucket, the safe default for unknown provenance. */
+  def bucketOf(score: Column, c1: Column, c2: Column): Column =
+    when(score.isNull, lit("unscored"))
+      .when(score <= c1, lit("head"))
+      .when(score <= c2, lit("middle"))
+      .otherwise(lit("tail"))
 
   /** Half-up 6-decimal rounding as explicit IEEE arithmetic (valid for the
     * non-negative NLL domain). Engine round() implementations disagree on

@@ -168,6 +168,30 @@ class StreamingSourcesSpec extends SparkSpec {
     assert(got == Set(("run_1", "end"), ("run", "1_end")))
   }
 
+  test("offline-trained perplexity cuts apply to a stream and match the batch buckets") {
+    val L = graft.text.LangModel
+    val d = GraftSession.table(spark, "/root/testdata/sf0.01", "documents")
+    val scored = L.bigramScore(d, col("doc_id"), col("text"))
+      .join(d.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("doc_id"), col("source").as("slice"), col("lm_nll").as("score"))
+    // calibrate OFFLINE (this frame would be persisted in production)
+    val cuts = L.scoreCuts(scored, col("slice"), col("score"))
+    val expected = L.perplexityBuckets(scored, col("doc_id"), col("slice"), col("score"))
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    // apply ONLINE: scored docs stream in, cuts join stream-static
+    val dir = Files.createTempDirectory("graft_cuts").toString
+    scored.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(scored.schema).parquet(dir)
+      .join(cuts, Seq("slice"), "left")
+      .select(col("doc_id"), L.bucketOf(col("score"), col("__c1"), col("__c2")).as("bucket"))
+    val q = stream.writeStream.format("memory").queryName("cut_stream")
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("cut_stream").as[(Long, String)].collect().toMap
+    assert(got == expected)
+    assert(got.values.toSet.intersect(Set("head", "middle", "tail")).size == 3)
+  }
+
   test("streaming near-dup screening against the static band index matches the batch path") {
     import graft.dedup.Dedup
     val d = GraftSession.table(spark, "/root/testdata/sf0.01", "documents")
