@@ -195,6 +195,48 @@ object Streams {
   case class SessionState(sessionCount: Long, lastTsMicros: Long)
   case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)
 
+  /** Evicting variant of `sessionize`: per-user state carries an
+    * EVENT-TIME timeout at lastTs + gap — once the watermark passes it,
+    * the key's state is dropped. This is what bounds state at unbounded
+    * user cardinality (the plain sessionizer keeps one row per EVER-seen
+    * user; this one keeps one row per RECENTLY-ACTIVE user). The trade is
+    * explicit: a user returning after eviction starts a fresh session
+    * count — correct session semantics (the gap had passed anyway), reset
+    * lifetime totals. Requires a watermark on `ts` upstream.
+    */
+  def sessionizeEvicting(events: Dataset[SessionEvent], gapSeconds: Long,
+                         watermark: String): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapSeconds * 1000000L
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(SessionState, Long), SessionUpdate](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[(SessionState, Long)]) =>
+          if (state.hasTimedOut) {
+            // idle past the gap: drop the row; the next event re-creates it
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+            var (st, nEvents) = state.getOption.getOrElse((SessionState(0L, Long.MinValue), 0L))
+            var sessions = st.sessionCount
+            var lastTs = st.lastTsMicros
+            sorted.foreach { e =>
+              val tsMicros = micros(e.ts)
+              if (lastTs == Long.MinValue || tsMicros - lastTs > gapMicros) sessions += 1
+              if (tsMicros > lastTs) lastTs = tsMicros
+              nEvents += 1
+            }
+            state.update((SessionState(sessions, lastTs), nEvents))
+            // evict when the watermark passes the session gap after the
+            // user's latest event
+            state.setTimeoutTimestamp(lastTs / 1000L + gapSeconds * 1000L)
+            Iterator.single(SessionUpdate(user, sessions, nEvents))
+          }
+      }
+  }
+
   /** Stateful gap sessionization: per-user session counting with
     * processing-time-independent event-time gaps. Emits one update per user
     * per micro-batch (Update mode).

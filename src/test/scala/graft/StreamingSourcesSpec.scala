@@ -93,6 +93,33 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("evicting sessionizer drops idle state; a returning user starts fresh") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(user: Long, min: Int, id: Long) =
+      SessionEvent(user, java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00"), id)
+    val input = MemoryStream[SessionEvent]
+    val q = Streams.sessionizeEvicting(input.toDS(), gapSeconds = 600L, watermark = "0 seconds")
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("evict_sessions").start()
+    try {
+      input.addData(ev(1L, 0, 1), ev(1L, 5, 2)) // one session, 2 events
+      q.processAllAvailable()
+      // another user far in the future pushes the watermark past user 1's
+      // timeout (10:05 + 10 min gap) -> user 1's state is evicted
+      input.addData(ev(2L, 50, 3))
+      q.processAllAvailable()
+      // user 1 returns: with state evicted, counters start fresh (the gap
+      // had passed anyway, so the session count is still correct at 1)
+      input.addData(ev(1L, 55, 4))
+      q.processAllAvailable()
+      val updates = spark.table("evict_sessions")
+        .as[SessionUpdate].collect().filter(_.user_id == 1L)
+      assert(updates.head == SessionUpdate(1L, 1L, 2L))
+      assert(updates.last == SessionUpdate(1L, 1L, 1L),
+        "post-eviction return must restart counters (state was dropped)")
+    } finally q.stop()
+  }
+
   test("incremental watermark reads only new rows and advances") {
     val ev = GraftSession.table(spark, sfDir, "events")
     val w0 = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
