@@ -291,6 +291,21 @@ object SparkEntry {
         .agg(count(when(col("nd") > 1, 1)).as("n_conflicted"),
           count(when(col("nd") <= 1, 1)).as("n_consistent"))
     }),
+    "traffic_heatmap" -> ((s, dir) =>
+      // the broadcast-planning view: engagement by weekday x hour (when do
+      // participants actually text in). Spark dayofweek is 1=Sunday;
+      // DuckDB date_part('dow') is 0=Sunday — the oracle adds 1.
+      events(s, dir)
+        .groupBy(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hour_of_day"))
+        .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))),
+    "length_histogram" -> ((s, dir) =>
+      // per-source document-length distribution in log2 token buckets —
+      // the at-a-glance shape check a corpus report links to
+      table(s, dir, "documents")
+        .groupBy(col("source"),
+          floor(log2(size(split(col("text"), " ", -1)).cast("double"))).cast("long")
+            .as("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"))),
     "traffic_analysis" -> ((s, dir) => {
       // labelled [start, end) time-block message counts (reference
       // automated_analysis traffic_analysis export); block config broadcasts
@@ -1401,6 +1416,16 @@ asofOracle,
         |GROUP BY s
         |ORDER BY n_docs DESC, ngram ASC
         |LIMIT 20""".stripMargin,
+    "traffic_heatmap" ->
+      """SELECT CAST(date_part('dow', ts) + 1 AS INT) AS dow,
+        |  CAST(date_part('hour', ts) AS INT) AS hour_of_day,
+        |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "length_histogram" ->
+      """SELECT source,
+        |  CAST(floor(log2(CAST(len(string_split(text, ' ')) AS DOUBLE))) AS BIGINT) AS len_bucket,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     "traffic_analysis" ->
       """WITH blocks AS (
         |  SELECT 'blk_' || strftime(bs, '%Y%m%d%H') AS block_label, bs AS block_start,
