@@ -28,6 +28,24 @@ object Sources {
   def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** CSV ingest with quarantine: malformed rows land in `__corrupt` (raw
+    * line preserved) instead of failing the sync or being silently
+    * dropped — at 100 TB a feed WILL contain garbage, and the operational
+    * requirements are (a) the sync completes, (b) every bad line is
+    * retained for triage, (c) the clean split is one `__corrupt IS NULL`
+    * filter away. PERMISSIVE parsing with an explicit corrupt-record
+    * column; pair with `readRunEvents`-style monitoring on the quarantine
+    * count.
+    */
+  def csvWithQuarantine(spark: SparkSession, path: String, schema: StructType,
+                        header: Boolean = true): DataFrame =
+    spark.read
+      .schema(schema.add("__corrupt", "string"))
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "__corrupt")
+      .csv(path)
+
   /** Incremental slice: rows strictly after the watermark. The predicate is
     * a plain column comparison — pushed to the scan, prunable by partition.
     */

@@ -248,6 +248,32 @@ class StreamingSourcesSpec extends SparkSpec {
     assert(expected.nonEmpty)
   }
 
+  test("malformed csv rows are quarantined with the raw line, not dropped or fatal") {
+    val dir = Files.createTempDirectory("graft_csvq").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/feed.csv"),
+      """id,amount,label
+        |1,10.5,ok
+        |2,NOT_A_NUMBER,bad-amount
+        |3,7.25,ok2
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, amount DOUBLE, label STRING")
+    val df = graft.sources.Sources.csvWithQuarantine(spark, s"$dir/feed.csv", schema)
+      // PERMISSIVE corrupt-record capture requires the corrupt column to be
+      // materialized with the parse (cache before splitting)
+      .cache()
+    val clean = df.filter(col("__corrupt").isNull)
+    val quarantine = df.filter(col("__corrupt").isNotNull)
+    assert(clean.count() == 2)
+    assert(clean.select(sum(col("amount"))).head.getDouble(0) == 17.75)
+    val bad = quarantine.collect()
+    assert(bad.length == 1)
+    // the raw line is preserved verbatim for triage
+    assert(bad.head.getString(3) == "2,NOT_A_NUMBER,bad-amount")
+    df.unpersist()
+    ()
+  }
+
   test("compaction collapses append-accumulated small files, preserving rows") {
     val target = Files.createTempDirectory("graft_compact").toString + "/t"
     // three appended micro-batches, several partitions each -> many files
