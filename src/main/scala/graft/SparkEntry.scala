@@ -298,6 +298,24 @@ object SparkEntry {
       events(s, dir)
         .groupBy(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hour_of_day"))
         .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))),
+    "quality_drift" -> ((s, dir) => {
+      // corpus-regression check between two snapshots (even doc ids stand
+      // in for the previous sync, odd for the new one): per-source mean
+      // quality for each cohort plus the delta — the alert a nightly
+      // ingest watches. Averages are double(exact decimal sum)/count.
+      val q = graft.text.TextFeatures.qualityColumns(col("text")).last
+      table(s, dir, "documents")
+        .select(col("source"), (col("doc_id") % 2 === 0).as("__old"),
+          q.cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 6)).as("__q"))
+        .groupBy(col("source"))
+        .agg(
+          (sum(when(col("__old"), col("__q"))).cast("double") /
+            sum(when(col("__old"), 1L).otherwise(0L)).cast("double")).as("mean_q_old"),
+          (sum(when(!col("__old"), col("__q"))).cast("double") /
+            sum(when(!col("__old"), 1L).otherwise(0L)).cast("double")).as("mean_q_new"))
+        .select(col("source"), col("mean_q_old"), col("mean_q_new"),
+          round(col("mean_q_new") - col("mean_q_old"), 6).as("drift"))
+    }),
     "length_histogram" -> ((s, dir) =>
       // per-source document-length distribution in log2 token buckets —
       // the at-a-glance shape check a corpus report links to
@@ -1421,6 +1439,26 @@ asofOracle,
         |  CAST(date_part('hour', ts) AS INT) AS hour_of_day,
         |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "quality_drift" -> {
+      s"""WITH q AS (
+         |  SELECT doc_id, ${qualityScoreExprSql("qscore")}
+         |  FROM (
+         |  $qualityCountsSql)),
+         |t AS (
+         |  SELECT d.source, d.doc_id % 2 = 0 AS old_cohort,
+         |    CAST(q.qscore AS DECIMAL(18,6)) AS qd
+         |  FROM documents d JOIN q USING (doc_id))
+         |SELECT source,
+         |  CAST(SUM(CASE WHEN old_cohort THEN qd END) AS DOUBLE)
+         |    / CAST(SUM(CASE WHEN old_cohort THEN 1 ELSE 0 END) AS DOUBLE) AS mean_q_old,
+         |  CAST(SUM(CASE WHEN NOT old_cohort THEN qd END) AS DOUBLE)
+         |    / CAST(SUM(CASE WHEN NOT old_cohort THEN 1 ELSE 0 END) AS DOUBLE) AS mean_q_new,
+         |  round(CAST(SUM(CASE WHEN NOT old_cohort THEN qd END) AS DOUBLE)
+         |      / CAST(SUM(CASE WHEN NOT old_cohort THEN 1 ELSE 0 END) AS DOUBLE)
+         |    - CAST(SUM(CASE WHEN old_cohort THEN qd END) AS DOUBLE)
+         |      / CAST(SUM(CASE WHEN old_cohort THEN 1 ELSE 0 END) AS DOUBLE), 6) AS drift
+         |FROM t GROUP BY source""".stripMargin
+    },
     "length_histogram" ->
       """SELECT source,
         |  CAST(floor(log2(CAST(len(string_split(text, ' ')) AS DOUBLE))) AS BIGINT) AS len_bucket,
