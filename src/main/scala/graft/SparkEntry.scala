@@ -2028,7 +2028,7 @@ asofOracle,
         |  GROUP BY 1),
         |t AS (SELECT SUM(vdec) AS total, COUNT(*) AS cnt FROM v)
         |SELECT partkey, CAST(vdec AS DOUBLE) AS value
-        |FROM v, t WHERE vdec * 2 * cnt > total""".stripMargin,
+        |FROM v, t WHERE vdec * cnt > total * 2""".stripMargin,
     "q16_supplier_diversity" ->
       """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
         |FROM lineitem

@@ -316,10 +316,11 @@ object Relational {
     * (same shape as q22's global average), never a correlated re-scan. The
     * spec's cut is a fixed fraction of total (0.0001/SF — it scales with
     * data size); the scale-invariant equivalent used here keeps parts
-    * above twice the national per-part average, phrased multiplication-
-    * only (vdec·2·cnt > total) so the comparison stays on EXACT decimals
-    * on both engines — a decimal division would pick up engine-specific
-    * result scales. The double cast happens only on output.
+    * above twice the national per-part average (vdec > 2·total/cnt),
+    * phrased multiplication-only (vdec·cnt > total·2) so the comparison
+    * stays on EXACT decimals on both engines — a decimal division would
+    * pick up engine-specific result scales. The double cast happens only
+    * on output.
     */
   def q11ImportantValue(spark: SparkSession, sfDir: String,
                         nationName: String = "NATION_8"): DataFrame = {
@@ -334,7 +335,7 @@ object Relational {
       .agg(sum(dec(col("l_extendedprice"))).as("__vdec"))
     val cut = v.agg(sum(col("__vdec")).as("__total"), count(lit(1)).as("__cnt"))
     v.crossJoin(broadcast(cut))
-      .filter(col("__vdec") * lit(2) * col("__cnt") > col("__total"))
+      .filter(col("__vdec") * col("__cnt") > col("__total") * lit(2))
       .select(col("partkey"), col("__vdec").cast("double").as("value"))
   }
 

@@ -250,8 +250,12 @@ object Curation {
     */
   def curationSurvivors(df: DataFrame, id: Column, text: Column, source: Column,
                         weights: Map[String, Int], defaultWeight: Int = 100): DataFrame =
-    curationStages(df, id, text, source, weights, defaultWeight)
-      .filter(col("m"))
+    survivorProjection(curationStages(df, id, text, source, weights, defaultWeight))
+
+  /** The one owner of the exported survivor shape — plain and observed
+    * exports must stay column-identical. */
+  private def survivorProjection(staged: DataFrame): DataFrame =
+    staged.filter(col("m"))
       .select(col("doc_id"), col("text"), col("source"), col("n_tok"))
 
   /** The survivor selection with funnel accounting attached as OBSERVED
@@ -278,9 +282,7 @@ object Curation {
         sum(when(col("d"), col("n_tok")).otherwise(0L)).as("dedup_tokens"),
         sum(when(col("m"), 1L).otherwise(0L)).as("mixture_docs"),
         sum(when(col("m"), col("n_tok")).otherwise(0L)).as("mixture_tokens"))
-    val survivors = staged.filter(col("m"))
-      .select(col("doc_id"), col("text"), col("source"), col("n_tok"))
-    (survivors, obs)
+    (survivorProjection(staged), obs)
   }
 
   /** The composed curation DECISION pipeline — what a user actually runs

@@ -99,8 +99,12 @@ object Knn {
     */
   def quantizeInt8(vec: Column): Column = {
     val scale = greatest(array_max(transform(vec, x => abs(x))), lit(1e-12)) / lit(127.0)
-    struct(scale.as("scale"),
-      transform(vec, x => round(x / scale).cast("byte")).as("q"))
+    // bind the scale as a lambda variable (singleton-array transform) so it
+    // evaluates ONCE per row — inlining it into the per-element lambda
+    // would re-run the max-abs scan for every component: O(d²) per vector
+    element_at(transform(array(scale), s =>
+      struct(s.as("scale"),
+        transform(vec, x => round(x / s).cast("byte")).as("q"))), 1)
   }
 
   def dequantizeInt8(quantized: Column): Column =

@@ -34,8 +34,14 @@ object Sources {
     * requirements are (a) the sync completes, (b) every bad line is
     * retained for triage, (c) the clean split is one `__corrupt IS NULL`
     * filter away. PERMISSIVE parsing with an explicit corrupt-record
-    * column; pair with `readRunEvents`-style monitoring on the quarantine
-    * count.
+    * column.
+    *
+    * The returned frame is CACHED: Spark refuses queries that reference
+    * only the corrupt column of a raw CSV scan
+    * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), so the
+    * quarantine-count monitoring this helper exists for would throw on an
+    * uncached read. Callers should `unpersist()` once the clean and
+    * quarantined splits are written.
     */
   def csvWithQuarantine(spark: SparkSession, path: String, schema: StructType,
                         header: Boolean = true): DataFrame =
@@ -45,6 +51,7 @@ object Sources {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "__corrupt")
       .csv(path)
+      .cache()
 
   /** Incremental slice: rows strictly after the watermark. The predicate is
     * a plain column comparison — pushed to the scan, prunable by partition.
@@ -278,10 +285,13 @@ object Sources {
     * files per table. Rewrites the current contents at `targetMb` sizing
     * (via the plan-statistics sizing of writeSizedParquet), then swaps
     * directories in a crash-safe order: write tmp → move old to trash →
-    * move tmp into place → drop trash. A crash leaves either the original
-    * or the compacted data plus a recoverable trash dir — never neither.
-    * Rename atomicity is per-filesystem (atomic on HDFS; object stores
-    * should compact behind a table format instead).
+    * move tmp into place → drop trash. A crash leaves the data recoverable
+    * at every step (as the original, the trash copy, or the compacted
+    * output), though during the two-rename swap window `path` itself is
+    * briefly absent — in-place directory compaction cannot be atomic for
+    * CONCURRENT readers without a table format; run it in the pipeline's
+    * maintenance slot. Rename atomicity is per-filesystem (atomic on
+    * HDFS; object stores should compact behind a table format instead).
     */
   def compactParquet(spark: SparkSession, path: String, targetMb: Int = 512): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -295,8 +305,16 @@ object Sources {
     if (!fs.rename(dst, trash))
       throw new java.io.IOException(s"compaction: failed to move $dst aside")
     if (!fs.rename(tmp, dst)) {
-      fs.rename(trash, dst) // roll back: restore the original
-      throw new java.io.IOException(s"compaction: failed to move $tmp into place")
+      // roll back; if even that fails, say WHERE the data is — an operator
+      // recovering from "failed to move tmp" alone would look in the
+      // wrong directory
+      if (fs.rename(trash, dst))
+        throw new java.io.IOException(
+          s"compaction: failed to move $tmp into place; original restored at $dst")
+      else
+        throw new java.io.IOException(
+          s"compaction: failed to move $tmp into place AND the rollback failed — " +
+            s"the original data is intact at $trash, the compacted copy at $tmp")
     }
     fs.delete(trash, true)
   }

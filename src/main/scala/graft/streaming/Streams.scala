@@ -195,6 +195,28 @@ object Streams {
   case class SessionState(sessionCount: Long, lastTsMicros: Long)
   case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)
 
+  /** The one per-batch session fold both sessionizers share (so the
+    * evicting variant can never drift from its namesake): event-time sort
+    * with the event_id tie-break, gap-based session counting, and
+    * never-rewinding lastTs on late data. getTime is whole ms; sub-ms
+    * precision is recovered from getNanos so gap comparisons match the
+    * batch operator's unix_micros exactly.
+    */
+  private def foldSessions(rows: Iterator[SessionEvent], st: SessionState,
+                           nEvents0: Long, gapMicros: Long): (SessionState, Long) = {
+    val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    var sessions = st.sessionCount
+    var lastTs = st.lastTsMicros
+    var nEvents = nEvents0
+    sorted.foreach { e =>
+      val tsMicros = micros(e.ts)
+      if (lastTs == Long.MinValue || tsMicros - lastTs > gapMicros) sessions += 1
+      if (tsMicros > lastTs) lastTs = tsMicros // never rewind on late data
+      nEvents += 1
+    }
+    (SessionState(sessions, lastTs), nEvents)
+  }
+
   /** Evicting variant of `sessionize`: per-user state carries an
     * EVENT-TIME timeout at lastTs + gap — once the watermark passes it,
     * the key's state is dropped. This is what bounds state at unbounded
@@ -218,21 +240,13 @@ object Streams {
             state.remove()
             Iterator.empty
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
-            var (st, nEvents) = state.getOption.getOrElse((SessionState(0L, Long.MinValue), 0L))
-            var sessions = st.sessionCount
-            var lastTs = st.lastTsMicros
-            sorted.foreach { e =>
-              val tsMicros = micros(e.ts)
-              if (lastTs == Long.MinValue || tsMicros - lastTs > gapMicros) sessions += 1
-              if (tsMicros > lastTs) lastTs = tsMicros
-              nEvents += 1
-            }
-            state.update((SessionState(sessions, lastTs), nEvents))
+            val (st0, n0) = state.getOption.getOrElse((SessionState(0L, Long.MinValue), 0L))
+            val (st, nEvents) = foldSessions(rows, st0, n0, gapMicros)
+            state.update((st, nEvents))
             // evict when the watermark passes the session gap after the
             // user's latest event
-            state.setTimeoutTimestamp(lastTs / 1000L + gapSeconds * 1000L)
-            Iterator.single(SessionUpdate(user, sessions, nEvents))
+            state.setTimeoutTimestamp(st.lastTsMicros / 1000L + gapSeconds * 1000L)
+            Iterator.single(SessionUpdate(user, st.sessionCount, nEvents))
           }
       }
   }
@@ -256,20 +270,10 @@ object Streams {
       .flatMapGroupsWithState[(SessionState, Long), SessionUpdate](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[SessionEvent], state: GroupState[(SessionState, Long)]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
-          var (st, nEvents) = state.getOption.getOrElse((SessionState(0L, Long.MinValue), 0L))
-          var sessions = st.sessionCount
-          var lastTs = st.lastTsMicros
-          sorted.foreach { e =>
-            // getTime is whole ms; recover sub-ms precision from getNanos so
-            // gap comparisons match the batch operator's unix_micros exactly
-            val tsMicros = (e.ts.getTime / 1000L) * 1000000L + e.ts.getNanos / 1000L
-            if (lastTs == Long.MinValue || tsMicros - lastTs > gapMicros) sessions += 1
-            if (tsMicros > lastTs) lastTs = tsMicros // never rewind on late data
-            nEvents += 1
-          }
-          state.update((SessionState(sessions, lastTs), nEvents))
-          Iterator.single(SessionUpdate(user, sessions, nEvents))
+          val (st0, n0) = state.getOption.getOrElse((SessionState(0L, Long.MinValue), 0L))
+          val (st, nEvents) = foldSessions(rows, st0, n0, gapMicros)
+          state.update((st, nEvents))
+          Iterator.single(SessionUpdate(user, st.sessionCount, nEvents))
       }
   }
 }

@@ -258,10 +258,9 @@ class StreamingSourcesSpec extends SparkSpec {
         |""".stripMargin)
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "id BIGINT, amount DOUBLE, label STRING")
+    // the helper caches internally — corrupt-only queries throw on a raw
+    // CSV scan, and the quarantine count is the whole point
     val df = graft.sources.Sources.csvWithQuarantine(spark, s"$dir/feed.csv", schema)
-      // PERMISSIVE corrupt-record capture requires the corrupt column to be
-      // materialized with the parse (cache before splitting)
-      .cache()
     val clean = df.filter(col("__corrupt").isNull)
     val quarantine = df.filter(col("__corrupt").isNotNull)
     assert(clean.count() == 2)
