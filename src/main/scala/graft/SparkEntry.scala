@@ -412,6 +412,12 @@ object SparkEntry {
       // similarity) — the verifier that catches small in-place edits
       Dedup.editSimilarityVerified(table(s, dir, "documents"), col("doc_id"), col("text"),
         3, 16, 4, 0.4)),
+    "dedup_containment" -> ((s, dir) =>
+      // the subset-duplication signal Jaccard misses: an excerpt quoted
+      // inside a long doc has tiny Jaccard but containment ~1; candidates
+      // from shared shingles (band candidacy would drop subset pairs)
+      Dedup.ngramContainment(table(s, dir, "documents"), col("doc_id"), col("text"),
+        3, col("doc_id") < 50, 0.5)),
     "dedup_incremental" -> ((s, dir) => {
       // the daily-ingest formulation: an incoming batch (doc_id % 7 == 0
       // stands in for today's sync) checked against the already-indexed
@@ -1588,6 +1594,23 @@ asofOracle,
          |  FROM pairs JOIN documents ta ON pairs.doc_a = ta.doc_id
          |             JOIN documents tb ON pairs.doc_b = tb.doc_id)
          |WHERE edit_sim >= 0.4""".stripMargin,
+    "dedup_containment" ->
+      """WITH shl AS (
+        |  SELECT doc_id, list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                                 for i in generate_series(1, len(w)-2) ]) AS shingles
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |sets AS (SELECT doc_id, len(shingles) AS sz, s FROM shl, unnest(shingles) AS t(s)),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    MAX(a.sz) AS sz_a, MAX(b.sz) AS sz_b, COUNT(*) AS i
+        |  FROM sets a JOIN sets b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |    AND (a.doc_id < b.doc_id OR b.doc_id >= 50)
+        |  WHERE a.doc_id < 50 GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, round(c, 6) AS containment FROM (
+        |  SELECT doc_a, doc_b,
+        |    CAST(i AS DOUBLE) / CAST(least(sz_a, sz_b) AS DOUBLE) AS c
+        |  FROM inter)
+        |WHERE round(c, 6) >= 0.5""".stripMargin,
     "dedup_incremental" ->
       s"""$minhashCtes,
          |pairs AS (

@@ -305,6 +305,26 @@ object Dedup {
         round(matches.cast("double") / lit(numPerms.toDouble), 6).as("est_jaccard"))
   }
 
+  /** Containment-scored pairs — the subset-duplication verifier Jaccard
+    * structurally misses: a 10-shingle excerpt quoted verbatim inside a
+    * 2000-shingle article has Jaccard ≈ 0.005 but containment
+    * |A∩B|/min(|A|,|B|) = 1.0 — exactly the duplication (quotes, partial
+    * scrapes, mirrors plus boilerplate) a curation pipeline wants caught.
+    * Candidates come from SHARED SHINGLES, not minhash bands: a subset's
+    * minhash almost never shares a full band with its superset (each
+    * position's min survives with probability |A|/|B|), so band-bucket
+    * candidacy would drop precisely the pairs this operator exists for.
+    * Same explode/cap/pair-join machinery as ngramJaccard (shared core).
+    */
+  def ngramContainment(df: DataFrame, id: Column, text: Column, n: Int,
+                       leftPred: Column, minContainment: Double,
+                       maxShingleFreq: Long = 0L): DataFrame =
+    pairOverlaps(df, id, text, n, leftPred, maxShingleFreq)
+      .withColumn("containment", round(
+        col("inter").cast("double") / least(col("sz_a"), col("sz_b")).cast("double"), 6))
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+
   /** Connected components over a near-dup pair table — the step that turns
     * pairwise similarity into a dedup DECISION (every document in a
     * component keeps `component` = the minimum doc id reachable through
@@ -421,7 +441,19 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, id: Column, text: Column, n: Int,
                    leftPred: Column, minJaccard: Double,
-                   maxShingleFreq: Long = 0L): DataFrame = {
+                   maxShingleFreq: Long = 0L): DataFrame =
+    pairOverlaps(df, id, text, n, leftPred, maxShingleFreq)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** Shared-shingle pair overlaps — the one owner of the explode/cap/pair
+    * machinery (ngramJaccard and ngramContainment score the same
+    * (doc_a, doc_b, sz_a, sz_b, inter) rows differently).
+    */
+  private def pairOverlaps(df: DataFrame, id: Column, text: Column, n: Int,
+                           leftPred: Column, maxShingleFreq: Long): DataFrame = {
     val exploded = df
       .select(id.as("doc_id"), distinctShingles(text, n).as("shingles"))
       .select(col("doc_id"), size(col("shingles")).as("sz"), explode(col("shingles")).as("sh"))
@@ -436,15 +468,10 @@ object Dedup {
     val sets = capped.withColumn("__q", leftPred)
     // query docs keep all shared-shingle partners: query-query pairs once
     // (smaller id left), query-nonquery pairs regardless of id order
-    val inter = sets.filter(col("__q")).as("a")
+    sets.filter(col("__q")).as("a")
       .join(sets.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id") &&
         (col("a.doc_id") < col("b.doc_id") || !col("b.__q")))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(max(col("a.sz")).as("sz_a"), max(col("b.sz")).as("sz_b"), count(lit(1)).as("inter"))
-    inter
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 }

@@ -476,6 +476,25 @@ class TextDedupSpec extends SparkSpec {
     assert(got.keys.forall { case (a, b) => a < b })
   }
 
+  test("containment catches the excerpt-in-article pair that Jaccard misses") {
+    val article = (1 to 60).map(i => s"w$i").mkString(" ")
+    val excerpt = (10 to 21).map(i => s"w$i").mkString(" ")   // 12 words inside the article
+    val docs = Seq((1L, article), (2L, excerpt), (3L, "x y z q r s t u v")).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainment(docs, col("doc_id"), col("text"), 3, lit(true), 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // the excerpt's 10 shingles are ALL in the article: containment 1.0 ...
+    assert(cont.get((1L, 2L)).contains(1.0), cont.toString)
+    // ... while the minhash-LSH path never even surfaces the pair as a
+    // CANDIDATE (a subset's per-position min survives with p = |A|/|B|, so
+    // a full shared band is vanishingly unlikely) — which is exactly why
+    // containment candidates must come from shared shingles
+    val lsh = Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 3, 16), 16, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!lsh.contains((1L, 2L)), lsh.toString)
+    assert(!cont.contains((1L, 3L)) && !cont.contains((2L, 3L)))
+  }
+
   test("incremental dedup equals the cross-split slice of the batch decision") {
     val docs = GraftSession.table(spark, "/root/testdata/sf0.01", "documents")
     val newB = docs.filter(col("doc_id") % 7 === 0)
