@@ -147,6 +147,13 @@ object ScaleProbe {
       C.crossSourceLeakage(docs, col("text"),
         concat(lit("src"), pmod(col("doc_id"), lit(20))), 16, 8).count()
     }
+    // containment at 1M docs: the shared-shingle pair join with the hot-
+    // shingle cap (the cap is the scale lever — the probe corpus's block
+    // structure makes every block's shingles shared by ~100 docs)
+    time("containment_1M_capped") {
+      graft.dedup.Dedup.ngramContainment(docs, col("doc_id"), col("text"), 3,
+        col("doc_id") % 1000 === 0, 0.5, maxShingleFreq = 150L).count()
+    }
 
     // 200k embeddings in 256 clusters (40x sf0.1): the semdedup pair stage
     // is ~n²/k dots per cluster — the probe pins the constant so the
