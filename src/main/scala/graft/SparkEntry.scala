@@ -922,6 +922,20 @@ object SparkEntry {
       |      * 1000000.0 + 0.5) / 1000000.0 AS lm_nll
       |  FROM base LEFT JOIN scored USING (doc_id))""".stripMargin
 
+  /** The LSH candidate-pair subquery (distinct shared-band pairs, a < b) —
+    * every banded oracle derives its pairs from this one string. */
+  private val candidatePairsSql: String =
+    """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |          FROM banded a JOIN banded b
+      |            ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id""".stripMargin
+
+  /** Exact-Jaccard SQL over two shl-aliased shingle sets — shared by every
+    * verification oracle (self-dedup and incremental) so the similarity
+    * definition cannot drift. */
+  private def jaccardSql(sa: String, sb: String): String =
+    s"""CAST(len(list_intersect($sa.shingles, $sb.shingles)) AS DOUBLE)
+       |        / CAST(len($sa.shingles) + len($sb.shingles) - len(list_intersect($sa.shingles, $sb.shingles)) AS DOUBLE)""".stripMargin
+
   /** Verified near-dup pair fragment `vpairs(doc_a, doc_b, j)` — appended
     * after `minhashCtes`. The ONE owner of the LSH-candidate + exact
     * Jaccard ≥ 0.5 verification SQL: dedup_minhash_verified, the
@@ -929,18 +943,15 @@ object SparkEntry {
     * verification definition cannot drift between the pair query and the
     * queries that summarize it.
     */
-  private val verifiedPairsCte: String =
-    """vpairs AS (
-      |  SELECT doc_a, doc_b, j FROM (
-      |    SELECT p.doc_a, p.doc_b,
-      |      CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-      |        / CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS j
-      |    FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |          FROM banded a JOIN banded b
-      |            ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id) p
-      |    JOIN shl sa ON p.doc_a = sa.doc_id
-      |    JOIN shl sb ON p.doc_b = sb.doc_id)
-      |  WHERE j >= 0.5)""".stripMargin
+  private def verifiedPairsCte: String =
+    s"""vpairs AS (
+       |  SELECT doc_a, doc_b, j FROM (
+       |    SELECT p.doc_a, p.doc_b,
+       |      ${jaccardSql("sa", "sb")} AS j
+       |    FROM ($candidatePairsSql) p
+       |    JOIN shl sa ON p.doc_a = sa.doc_id
+       |    JOIN shl sb ON p.doc_b = sb.doc_id)
+       |  WHERE j >= 0.5)""".stripMargin
 
   /** Near-dup components as a recursive reach CTE (min reachable doc id —
     * exactly the Spark label-propagation fixpoint). The recursive CTE
@@ -1532,9 +1543,7 @@ asofOracle,
         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""$minhashCtes
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM banded a JOIN banded b
-         |  ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id""".stripMargin,
+         |$candidatePairsSql""".stripMargin,
     "dedup_simhash" ->
       """WITH toks AS (
         |  SELECT DISTINCT doc_id, md5(tok) AS h FROM (
@@ -1584,9 +1593,7 @@ asofOracle,
     "dedup_fuzzy_edit" ->
       s"""$minhashCtes,
          |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM banded a JOIN banded b
-         |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+         |  $candidatePairsSql)
          |SELECT doc_a, doc_b, edit_sim FROM (
          |  SELECT doc_a, doc_b,
          |    round(1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
@@ -1620,8 +1627,7 @@ asofOracle,
          |  WHERE n.doc_id % 7 = 0 AND i.doc_id % 7 <> 0)
          |SELECT new_doc, index_doc, round(j, 6) AS jaccard FROM (
          |  SELECT new_doc, index_doc,
-         |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-         |      / CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS j
+         |    ${jaccardSql("sa", "sb")} AS j
          |  FROM pairs JOIN shl sa ON pairs.new_doc = sa.doc_id
          |             JOIN shl sb ON pairs.index_doc = sb.doc_id)
          |WHERE j >= 0.5""".stripMargin,
@@ -1630,9 +1636,7 @@ asofOracle,
         .map(p => s"(CASE WHEN sa.s$p = sb.s$p THEN 1 ELSE 0 END)").mkString(" + ")
       s"""$minhashCtes,
          |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM banded a JOIN banded b
-         |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+         |  $candidatePairsSql)
          |SELECT doc_a, doc_b,
          |  round(CAST($matchTerms AS DOUBLE) / CAST(16 AS DOUBLE), 6) AS est_jaccard
          |FROM pairs JOIN sig sa ON pairs.doc_a = sa.doc_id
