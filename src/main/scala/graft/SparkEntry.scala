@@ -922,6 +922,25 @@ object SparkEntry {
       |      * 1000000.0 + 0.5) / 1000000.0 AS lm_nll
       |  FROM base LEFT JOIN scored USING (doc_id))""".stripMargin
 
+  /** Shared-shingle pair-overlap CTE prologue ending in
+    * `inter(doc_a, doc_b, sz_a, sz_b, i)` — the SQL twin of
+    * `Dedup.pairOverlaps`, shared by the Jaccard and containment oracles
+    * so candidacy and shingle definitions cannot drift between them.
+    * Query side: doc_id < 50.
+    */
+  private val pairOverlapCtes: String =
+    """WITH shl AS (
+      |  SELECT doc_id, list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                                 for i in generate_series(1, len(w)-2) ]) AS shingles
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      |sets AS (SELECT doc_id, len(shingles) AS sz, s FROM shl, unnest(shingles) AS t(s)),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    MAX(a.sz) AS sz_a, MAX(b.sz) AS sz_b, COUNT(*) AS i
+      |  FROM sets a JOIN sets b ON a.s = b.s AND a.doc_id <> b.doc_id
+      |    AND (a.doc_id < b.doc_id OR b.doc_id >= 50)
+      |  WHERE a.doc_id < 50 GROUP BY 1, 2)""".stripMargin
+
   /** The LSH candidate-pair subquery (distinct shared-band pairs, a < b) —
     * every banded oracle derives its pairs from this one string. */
   private val candidatePairsSql: String =
@@ -1559,22 +1578,12 @@ asofOracle,
     "dedup_simhash_pairs" -> simhashPairsOracleSql(32),
     "dedup_simhash64_pairs" -> simhashPairsOracleSql(64),
     "ngram_jaccard" ->
-      """WITH shl AS (
-        |  SELECT doc_id, list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-        |                                 for i in generate_series(1, len(w)-2) ]) AS shingles
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
-        |sets AS (SELECT doc_id, len(shingles) AS sz, s FROM shl, unnest(shingles) AS t(s)),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    MAX(a.sz) AS sz_a, MAX(b.sz) AS sz_b, COUNT(*) AS i
-        |  FROM sets a JOIN sets b ON a.s = b.s AND a.doc_id <> b.doc_id
-        |    AND (a.doc_id < b.doc_id OR b.doc_id >= 50)
-        |  WHERE a.doc_id < 50 GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM (
-        |  SELECT doc_a, doc_b,
-        |    CAST(i AS DOUBLE) / CAST(sz_a + sz_b - i AS DOUBLE) AS j
-        |  FROM inter)
-        |WHERE j >= 0.05""".stripMargin,
+      s"""$pairOverlapCtes
+         |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |    CAST(i AS DOUBLE) / CAST(sz_a + sz_b - i AS DOUBLE) AS j
+         |  FROM inter)
+         |WHERE j >= 0.05""".stripMargin,
     "dedup_minhash_verified" ->
       s"""$minhashCtes,
          |$verifiedPairsCte
@@ -1602,22 +1611,12 @@ asofOracle,
          |             JOIN documents tb ON pairs.doc_b = tb.doc_id)
          |WHERE edit_sim >= 0.4""".stripMargin,
     "dedup_containment" ->
-      """WITH shl AS (
-        |  SELECT doc_id, list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-        |                                 for i in generate_series(1, len(w)-2) ]) AS shingles
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
-        |sets AS (SELECT doc_id, len(shingles) AS sz, s FROM shl, unnest(shingles) AS t(s)),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    MAX(a.sz) AS sz_a, MAX(b.sz) AS sz_b, COUNT(*) AS i
-        |  FROM sets a JOIN sets b ON a.s = b.s AND a.doc_id <> b.doc_id
-        |    AND (a.doc_id < b.doc_id OR b.doc_id >= 50)
-        |  WHERE a.doc_id < 50 GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, round(c, 6) AS containment FROM (
-        |  SELECT doc_a, doc_b,
-        |    CAST(i AS DOUBLE) / CAST(least(sz_a, sz_b) AS DOUBLE) AS c
-        |  FROM inter)
-        |WHERE round(c, 6) >= 0.5""".stripMargin,
+      s"""$pairOverlapCtes
+         |SELECT doc_a, doc_b, round(c, 6) AS containment FROM (
+         |  SELECT doc_a, doc_b,
+         |    CAST(i AS DOUBLE) / CAST(least(sz_a, sz_b) AS DOUBLE) AS c
+         |  FROM inter)
+         |WHERE c >= 0.5""".stripMargin,
     "dedup_incremental" ->
       s"""$minhashCtes,
          |pairs AS (

@@ -320,10 +320,12 @@ object Dedup {
                        leftPred: Column, minContainment: Double,
                        maxShingleFreq: Long = 0L): DataFrame =
     pairOverlaps(df, id, text, n, leftPred, maxShingleFreq)
-      .withColumn("containment", round(
-        col("inter").cast("double") / least(col("sz_a"), col("sz_b")).cast("double"), 6))
+      // filter on the RAW score, round only for output — the same
+      // borderline semantics as ngramJaccard and the incremental verifier
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("sz_a"), col("sz_b")).cast("double"))
       .filter(col("containment") >= minContainment)
-      .select(col("doc_a"), col("doc_b"), col("containment"))
+      .select(col("doc_a"), col("doc_b"), round(col("containment"), 6).as("containment"))
 
   /** Connected components over a near-dup pair table — the step that turns
     * pairwise similarity into a dedup DECISION (every document in a
