@@ -31,14 +31,31 @@ object Bench {
       val cold = once()
       (name, cold, if (warm) Some(once()) else None)
     }
+    def r3(v: Double) = math.round(v * 1000) / 1000.0
     def obj(xs: Seq[(String, Double)]) =
-      xs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      xs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val qs = obj(results.map(r => r._1 -> r._2))
     val total = results.map(_._2).sum
     val warmPart =
       if (warm) s""","warm_queries":${obj(results.map(r => r._1 -> r._3.get))}"""
       else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$warmPart,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$warmPart,"sf":"$sfDir"}"""
+    // The driver captures only the tail of stdout; with 120+ per-query
+    // timings the one-line JSON can exceed that window. Persist the full
+    // JSON to a file, and keep stdout parseable: print the full line when it
+    // fits, otherwise a line with the slowest queries plus a file pointer.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_full.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outFile), (full + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    val line =
+      if (full.length <= 1800) full
+      else {
+        val slowest = obj(results.sortBy(-_._2).take(25).map(r => r._1 -> r._2))
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"sf":"$sfDir","truncated":true,"full":"$outFile"}"""
+      }
+    println(line)
     spark.stop()
   }
 }

@@ -499,13 +499,21 @@ object SparkEntry {
         .select(col("event_type"), posexplode(col("__tv")).as(Seq("__pos", "value")))
         .select(col("event_type"), (col("__pos") + 1).as("rank"), col("value"))),
     "production_export" -> ((s, dir) => {
-      // consent filter -> message column view -> stable export projection
-      val ev = Imputation.propagateFlag(events(s, dir), "user_id",
-        col("event_type") === "error" && col("value") > 250.0, "consent_withdrawn")
-        .filter(!col("consent_withdrawn"))
+      // consent filter -> message column view -> stable export projection.
+      // The withdrawn-user set is tiny (error events over a high threshold),
+      // so a broadcast anti-join replaces the per-user window: both branches
+      // stay shuffle-free, the event_type filters push down to the scan, and
+      // the flag subtree is no longer executed once per consumer (the
+      // identical broadcast exchange is reused across the two branches).
+      val ev = events(s, dir)
+      val withdrawn = ev
+        .filter(col("event_type") === "error" && col("value") > 250.0)
+        .select(col("user_id")).distinct()
       val facts = ev.filter(col("event_type") === "purchase")
+        .join(broadcast(withdrawn), Seq("user_id"), "left_anti")
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       val demogs = ev.filter(col("event_type") === "signup")
+        .join(broadcast(withdrawn), Seq("user_id"), "left_anti")
         .groupBy(col("user_id")).agg(count(lit(1)).as("signup_n"))
       ColumnView.messageView(facts, demogs, "user_id")
         .withColumn("signup_n", coalesce(col("signup_n"), lit(0L)))
@@ -1603,13 +1611,13 @@ asofOracle,
       s"""$minhashCtes,
          |pairs AS (
          |  $candidatePairsSql)
-         |SELECT doc_a, doc_b, edit_sim FROM (
+         |SELECT doc_a, doc_b, round(raw_sim, 6) AS edit_sim FROM (
          |  SELECT doc_a, doc_b,
-         |    round(1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
-         |      / CAST(greatest(len(ta.text), len(tb.text)) AS DOUBLE), 6) AS edit_sim
+         |    1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
+         |      / CAST(greatest(len(ta.text), len(tb.text)) AS DOUBLE) AS raw_sim
          |  FROM pairs JOIN documents ta ON pairs.doc_a = ta.doc_id
          |             JOIN documents tb ON pairs.doc_b = tb.doc_id)
-         |WHERE edit_sim >= 0.4""".stripMargin,
+         |WHERE raw_sim >= 0.4""".stripMargin,
     "dedup_containment" ->
       s"""$pairOverlapCtes
          |SELECT doc_a, doc_b, round(c, 6) AS containment FROM (
@@ -2202,7 +2210,7 @@ asofOracle,
         |    SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS strt
         |  FROM t)
-        |SELECT shard, strt // 512 AS chunk_id,
+        |SELECT shard, CAST(strt // 512 AS BIGINT) AS chunk_id,
         |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
         |FROM c GROUP BY 1, 2""".stripMargin,
     "data_mixture" ->

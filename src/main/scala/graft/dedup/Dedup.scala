@@ -271,11 +271,11 @@ object Dedup {
     pairs
       .join(txts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("__t", "__ta"), "doc_a")
       .join(txts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("__t", "__tb"), "doc_b")
-      .withColumn("edit_sim", round(lit(1.0) -
+      .withColumn("__raw_sim", lit(1.0) -
         levenshtein(col("__ta"), col("__tb")).cast("double") /
-          greatest(length(col("__ta")), length(col("__tb"))).cast("double"), 6))
-      .filter(col("edit_sim") >= minSim)
-      .select(col("doc_a"), col("doc_b"), col("edit_sim"))
+          greatest(length(col("__ta")), length(col("__tb"))).cast("double"))
+      .filter(col("__raw_sim") >= minSim)
+      .select(col("doc_a"), col("doc_b"), round(col("__raw_sim"), 6).as("edit_sim"))
   }
 
   /** Estimated Jaccard from signature agreement: the fraction of minhash

@@ -36,22 +36,26 @@ object Sources {
     * filter away. PERMISSIVE parsing with an explicit corrupt-record
     * column.
     *
-    * The returned frame is CACHED: Spark refuses queries that reference
+    * The returned frame is PERSISTED: Spark refuses queries that reference
     * only the corrupt column of a raw CSV scan
     * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), so the
     * quarantine-count monitoring this helper exists for would throw on an
-    * uncached read. Callers should `unpersist()` once the clean and
-    * quarantined splits are written.
+    * unpersisted read. The default storage level is DISK_ONLY so a large
+    * feed can never evict other cached state from executor memory; pass
+    * MEMORY_AND_DISK for small feeds queried repeatedly. Callers should
+    * `unpersist()` once the clean and quarantined splits are written.
     */
   def csvWithQuarantine(spark: SparkSession, path: String, schema: StructType,
-                        header: Boolean = true): DataFrame =
+                        header: Boolean = true,
+                        storageLevel: org.apache.spark.storage.StorageLevel =
+                          org.apache.spark.storage.StorageLevel.DISK_ONLY): DataFrame =
     spark.read
       .schema(schema.add("__corrupt", "string"))
       .option("header", header.toString)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "__corrupt")
       .csv(path)
-      .cache()
+      .persist(storageLevel)
 
   /** Incremental slice: rows strictly after the watermark. The predicate is
     * a plain column comparison — pushed to the scan, prunable by partition.
@@ -163,8 +167,11 @@ object Sources {
     // '_' and '%') before joining with '_', so ("run_1","end") and
     // ("run","1_end") map to different names — a sanitize-then-join that
     // flattened separators would silently alias such pairs.
+    // '.' is NOT in the allowed set: a runId starting with '.' would yield a
+    // dot-file that Hadoop's default path filter hides, so readRunEvents
+    // would silently drop an event logRunEvent reported as written.
     def enc(s: String): String = s.flatMap {
-      case c if c.isLetterOrDigit || c == '-' || c == '.' => c.toString
+      case c if c.isLetterOrDigit || c == '-' => c.toString
       case c => f"%%${c.toInt}%02X"
     }
     val name = s"${enc(runId)}_${enc(eventKey)}.json"
@@ -214,10 +221,15 @@ object Sources {
     */
   def appendDeduped(df: DataFrame, path: String, key: String): Unit = {
     val spark = df.sparkSession
+    // A target that exists but holds no parquet files (aborted first write,
+    // leftover _temporary, object-store dir marker) throws
+    // UNABLE_TO_INFER_SCHEMA rather than PATH_NOT_FOUND — both mean "no
+    // existing data", so both fall through to the fresh-target branch.
     val existing =
       try Some(spark.read.parquet(path))
       catch { case e: org.apache.spark.sql.AnalysisException
-        if e.getCondition == "PATH_NOT_FOUND" => None }
+        if e.getCondition == "PATH_NOT_FOUND" ||
+           e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None }
     val fresh = existing match {
       case Some(ex) => dedupAgainst(df, ex, key)
       case None => df.dropDuplicates(key)

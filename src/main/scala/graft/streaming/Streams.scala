@@ -225,6 +225,13 @@ object Streams {
     * explicit: a user returning after eviction starts a fresh session
     * count — correct session semantics (the gap had passed anyway), reset
     * lifetime totals. Requires a watermark on `ts` upstream.
+    *
+    * Second divergence from plain `sessionize`: with EventTimeTimeout,
+    * Spark filters watermark-late rows BEFORE the group function runs, so
+    * an event older than the watermark is silently uncounted here, while
+    * the plain variant's never-rewind fold would still count it. Pick the
+    * watermark delay with that in mind — it is the late-data-loss bound,
+    * not just a state-size knob.
     */
   def sessionizeEvicting(events: Dataset[SessionEvent], gapSeconds: Long,
                          watermark: String): Dataset[SessionUpdate] = {
