@@ -520,6 +520,31 @@ object SparkEntry {
         .select(col("event_id").as("message_id"), col("user_id").as("participant_uuid"),
           col("ts").as("timestamp"), col("value").as("message_value"), col("signup_n"))
     }),
+    // the composed end-to-end analysis run (engagement_db_to_analysis.py:56-130):
+    // every stage above, chained in the reference's order, with per-stage
+    // (stage x dataset) accounting — order-sensitive where unit parity isn't
+    "engagement_pipeline" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val testDeny = ev.filter(col("event_type") === "error" && col("value") > 320.0)
+        .select(col("user_id"))
+      val withdrawn = ev.filter(col("event_type") === "error" && col("value") > 250.0)
+        .select(col("user_id"))
+      graft.analysis.EngagementPipeline.funnel(ev, "user_id", col("event_type"),
+        col("ts"), "2024-01-08 00:00:00", "2024-01-21 00:00:00",
+        testDeny, withdrawn, propsInt >= 50, "ws_", propsInt)
+    }),
+    // the same composed flow's terminal message export — row-level parity
+    "engagement_export" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val testDeny = ev.filter(col("event_type") === "error" && col("value") > 320.0)
+        .select(col("user_id"))
+      val withdrawn = ev.filter(col("event_type") === "error" && col("value") > 250.0)
+        .select(col("user_id"))
+      graft.analysis.EngagementPipeline.messagesExport(ev, "user_id", col("event_type"),
+        col("ts"), "2024-01-08 00:00:00", "2024-01-21 00:00:00",
+        testDeny, withdrawn, propsInt >= 50, "ws_", propsInt,
+        col("event_id"), col("value"), "TRUE_MISSING")
+    }),
     "langid" -> ((s, dir) => {
       val d = table(s, dir, "documents")
       d.select((col("doc_id") +: graft.text.TextFeatures.langIdColumns(col("text"))): _*)
@@ -725,6 +750,30 @@ object SparkEntry {
         table(s, dir, "orders").select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
         Seq(col("o_orderpriority")), col("o_totalprice"), col("o_orderkey"), 3))
   )
+
+  /** Shared composed-flow CTE prologue for the engagement pipeline oracle
+    * pair: per-row stage flags (time window, test-participant, consent) plus
+    * the WS-corrected dataset and the imputable code, all in one scan —
+    * mirrors EngagementPipeline.flagged so funnel and export share one
+    * definition of the flow on BOTH engines.
+    */
+  private val engagementFlowCtes: String =
+    """WITH f AS (
+      |  SELECT event_id, user_id, ts, value, event_type AS ds0,
+      |    CAST(NULLIF(regexp_extract(props, '[0-9]+', 0), '') AS INT) AS k,
+      |    (ts >= TIMESTAMP '2024-01-08 00:00:00'
+      |       AND ts < TIMESTAMP '2024-01-21 00:00:00') AS f_time,
+      |    NOT EXISTS (SELECT 1 FROM events x
+      |                WHERE x.event_type = 'error' AND x.value > 320
+      |                  AND x.user_id = events.user_id) AS f_test,
+      |    NOT EXISTS (SELECT 1 FROM events x
+      |                WHERE x.event_type = 'error' AND x.value > 250
+      |                  AND x.user_id = events.user_id) AS f_consent
+      |  FROM events),
+      |g AS (
+      |  SELECT *, CASE WHEN k >= 50 THEN 'ws_' || ds0 ELSE ds0 END AS ds_ws,
+      |    CASE WHEN k IS NULL THEN 1 ELSE 0 END AS imputed
+      |  FROM f)""".stripMargin
 
   /** Shared minhash CTE prologue (shingles -> base hashes -> signatures ->
     * bands) used by both minhash oracle queries; constants come from Dedup
@@ -1681,6 +1730,29 @@ asofOracle,
         |LEFT JOIN (SELECT user_id, COUNT(*) AS signup_n FROM kept
         |           WHERE event_type = 'signup' GROUP BY user_id) d
         |  ON l.user_id = d.user_id""".stripMargin,
+    "engagement_pipeline" ->
+      s"""$engagementFlowCtes,
+         |stages AS (
+         |  SELECT 0 AS stage, 'fetched' AS stage_name, ds0 AS dataset, user_id, 0 AS imputed FROM g
+         |  UNION ALL SELECT 1, 'time_range', ds0, user_id, 0 FROM g WHERE f_time
+         |  UNION ALL SELECT 2, 'test_participants_removed', ds0, user_id, 0
+         |    FROM g WHERE f_time AND f_test
+         |  UNION ALL SELECT 3, 'consent_withdrawn_removed', ds0, user_id, 0
+         |    FROM g WHERE f_time AND f_test AND f_consent
+         |  UNION ALL SELECT 4, 'ws_corrected', ds_ws, user_id, 0
+         |    FROM g WHERE f_time AND f_test AND f_consent
+         |  UNION ALL SELECT 5, 'codes_imputed', ds_ws, user_id, imputed
+         |    FROM g WHERE f_time AND f_test AND f_consent)
+         |SELECT stage, stage_name, dataset, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_participants,
+         |  CAST(SUM(imputed) AS BIGINT) AS n_imputed
+         |FROM stages GROUP BY 1, 2, 3""".stripMargin,
+    "engagement_export" ->
+      s"""$engagementFlowCtes
+         |SELECT event_id AS message_id, user_id AS participant_uuid, ds_ws AS dataset,
+         |  ts AS "timestamp", value AS message_value,
+         |  COALESCE(CAST(k AS VARCHAR), 'TRUE_MISSING') AS code
+         |FROM g WHERE f_time AND f_test AND f_consent""".stripMargin,
     "langid" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS s_en,

@@ -1,0 +1,108 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The composed end-to-end analysis run: the reference's primary artifact is
+  * ONE flow that chains fetch -> message filters -> WS correction ->
+  * imputation -> column views -> exports in a fixed order
+  * (reference: src/engagement_db_to_analysis/engagement_db_to_analysis.py:56-130,
+  * filter order in traced_data_filters.py:100, imputation order in
+  * code_imputation_functions.py). Every stage exists in graft individually;
+  * this operator runs them COMPOSED, in the reference's order, with
+  * per-stage accounting — the engagement twin of `Curation.curationFunnel`.
+  * Stage-composition bugs (filtering before vs after relabelling, imputing
+  * before vs after the consent gate) are exactly what per-stage unit parity
+  * cannot catch; the stage x dataset matrix this emits makes the order
+  * observable: WS correction moves rows BETWEEN datasets at constant total,
+  * imputation changes only `n_imputed`, filters change row counts.
+  *
+  * Scale: ONE scan of the fact table. The two deny-lists (test
+  * participants, consent-withdrawn) are tiny by construction and broadcast
+  * as flag joins — no per-user window, no second fact shuffle. All stage
+  * flags are computed row-locally in that single pass, then a 6-way explode
+  * feeds ONE final aggregation keyed (stage, dataset) — low cardinality, so
+  * the shuffle after partial aggregation is a few hundred rows per
+  * partition regardless of input size. The 6x row amplification from the
+  * explode trades against 6 separate scans and dies at the map-side
+  * partial agg; countDistinct is Spark's standard two-phase expand.
+  */
+object EngagementPipeline {
+
+  /** All per-row stage state in one pass; shared by funnel and export so the
+    * two can never disagree about the flow's semantics. */
+  private def flagged(events: DataFrame, user: String, dataset: Column,
+                      ts: Column, from: String, until: String,
+                      testDeny: DataFrame, withdrawn: DataFrame,
+                      wsMove: Column, wsPrefix: String,
+                      codeValue: Column): DataFrame = {
+    val denyT = broadcast(testDeny.select(col(user).as("__deny_t")).distinct())
+    val denyC = broadcast(withdrawn.select(col(user).as("__deny_c")).distinct())
+    events
+      .withColumn("__ds0", dataset)
+      .withColumn("__f_time",
+        ts >= lit(from).cast("timestamp") && ts < lit(until).cast("timestamp"))
+      .join(denyT, col(user) === col("__deny_t"), "left")
+      .withColumn("__f_test", col("__deny_t").isNull)
+      .join(denyC, col(user) === col("__deny_c"), "left")
+      .withColumn("__f_consent", col("__deny_c").isNull)
+      .withColumn("__ds_ws",
+        when(wsMove, concat(lit(wsPrefix), col("__ds0"))).otherwise(col("__ds0")))
+      .withColumn("__code", codeValue.cast("string"))
+      .withColumn("__imputed",
+        (col("__code").isNull || col("__code") === lit("")).cast("int"))
+  }
+
+  /** Per-stage accounting of the composed run: one row per
+    * (stage, dataset) with surviving rows, distinct participants, and the
+    * number of rows whose code the imputation stage filled in. Stages, in
+    * the reference's execution order:
+    *   0 fetched, 1 time_range, 2 test_participants_removed,
+    *   3 consent_withdrawn_removed, 4 ws_corrected (rows conserved, moved
+    *   between datasets), 5 codes_imputed (rows conserved, n_imputed set).
+    */
+  def funnel(events: DataFrame, user: String, dataset: Column, ts: Column,
+             from: String, until: String,
+             testDeny: DataFrame, withdrawn: DataFrame,
+             wsMove: Column, wsPrefix: String, codeValue: Column): DataFrame = {
+    val f = flagged(events, user, dataset, ts, from, until,
+      testDeny, withdrawn, wsMove, wsPrefix, codeValue)
+    def stage(n: Int, name: String, pass: Column, ds: Column, imput: Column) =
+      struct(lit(n).as("stage"), lit(name).as("stage_name"), pass.as("pass"),
+        ds.as("dataset"), col(user).as("u"), imput.as("imputed"))
+    val s1 = col("__f_time")
+    val s2 = s1 && col("__f_test")
+    val s3 = s2 && col("__f_consent")
+    f.select(explode(array(
+        stage(0, "fetched", lit(true), col("__ds0"), lit(0)),
+        stage(1, "time_range", s1, col("__ds0"), lit(0)),
+        stage(2, "test_participants_removed", s2, col("__ds0"), lit(0)),
+        stage(3, "consent_withdrawn_removed", s3, col("__ds0"), lit(0)),
+        stage(4, "ws_corrected", s3, col("__ds_ws"), lit(0)),
+        stage(5, "codes_imputed", s3, col("__ds_ws"), col("__imputed")))).as("s"))
+      .filter(col("s.pass"))
+      .groupBy(col("s.stage").as("stage"), col("s.stage_name").as("stage_name"),
+        col("s.dataset").as("dataset"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("s.u")).as("n_participants"),
+        sum(col("s.imputed")).as("n_imputed"))
+  }
+
+  /** The flow's terminal message export: rows that survive every filter
+    * stage, carrying the WS-corrected dataset and the imputed code — the
+    * row-level twin of `funnel` for end-to-end parity (composition order
+    * affects WHICH rows and labels come out, not just the counts). */
+  def messagesExport(events: DataFrame, user: String, dataset: Column,
+                     ts: Column, from: String, until: String,
+                     testDeny: DataFrame, withdrawn: DataFrame,
+                     wsMove: Column, wsPrefix: String, codeValue: Column,
+                     idCol: Column, valueCol: Column,
+                     missingCode: String): DataFrame =
+    flagged(events, user, dataset, ts, from, until,
+      testDeny, withdrawn, wsMove, wsPrefix, codeValue)
+      .filter(col("__f_time") && col("__f_test") && col("__f_consent"))
+      .select(idCol.as("message_id"), col(user).as("participant_uuid"),
+        col("__ds_ws").as("dataset"), ts.as("timestamp"),
+        valueCol.as("message_value"),
+        coalesce(col("__code"), lit(missingCode)).as("code"))
+}

@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.analysis.EngagementPipeline
+
+/** The composed end-to-end analysis run. The oracle gate covers the
+  * events-table binding; these specs pin the ORDER semantics on a
+  * constructed fixture where each stage removes or moves a known row — the
+  * stage-composition contracts (filters before imputation, WS correction
+  * conserving totals while moving rows between datasets) that per-stage
+  * unit parity can't observe.
+  */
+class EngagementPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+
+  // fixture: u1 in-window clean; u2 is a test participant; u3 withdrew
+  // consent; u4 in-window with a WS-move row and a missing-code row;
+  // u1 also has one out-of-window row.
+  private val msgs = Seq(
+    (1L, 10L, "rqa_s01", ts(9), "code=10"),   // keeps
+    (2L, 10L, "rqa_s01", ts(25), "code=10"),  // out of window
+    (3L, 20L, "rqa_s01", ts(9), "code=10"),   // test participant
+    (4L, 30L, "rqa_s01", ts(9), "code=10"),   // consent withdrawn
+    (5L, 40L, "rqa_s01", ts(10), "code=90"),  // ws-moves to ws_rqa_s01
+    (6L, 40L, "demog_age", ts(10), "")        // missing code -> imputed
+  ).toDF("event_id", "user_id", "event_type", "ts", "props")
+
+  private val testDeny = Seq(20L).toDF("user_id")
+  private val withdrawn = Seq(30L).toDF("user_id")
+  private def kCol = nullif(regexp_extract(col("props"), "[0-9]+", 0), lit("")).cast("int")
+
+  private def runFunnel() = EngagementPipeline.funnel(
+    msgs, "user_id", col("event_type"), col("ts"),
+    "2024-01-01 00:00:00", "2024-01-21 00:00:00",
+    testDeny, withdrawn, kCol >= 50, "ws_", kCol)
+
+  test("stage totals shrink only at filter stages; WS and imputation conserve rows") {
+    val byStage = runFunnel().groupBy("stage")
+      .agg(sum("n_rows").as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byStage(0) == 6L) // fetched
+    assert(byStage(1) == 5L) // time_range drops event 2
+    assert(byStage(2) == 4L) // test participant u2 dropped
+    assert(byStage(3) == 3L) // withdrawn u3 dropped
+    assert(byStage(4) == 3L) // WS correction conserves the total
+    assert(byStage(5) == 3L) // imputation conserves the total
+  }
+
+  test("WS correction moves the row between datasets without changing totals") {
+    val stage4 = runFunnel().filter(col("stage") === 4)
+      .collect().map(r => r.getString(2) -> r.getLong(3)).toMap
+    assert(stage4 == Map("rqa_s01" -> 1L, "ws_rqa_s01" -> 1L, "demog_age" -> 1L))
+    // pre-WS stage still has the row under its original dataset
+    val stage3 = runFunnel().filter(col("stage") === 3)
+      .collect().map(r => r.getString(2) -> r.getLong(3)).toMap
+    assert(stage3 == Map("rqa_s01" -> 2L, "demog_age" -> 1L))
+  }
+
+  test("imputation counts only surviving rows with a missing code") {
+    val imputed = runFunnel().filter(col("stage") === 5)
+      .collect().map(r => r.getString(2) -> r.getLong(5)).toMap
+    assert(imputed == Map("rqa_s01" -> 0L, "ws_rqa_s01" -> 0L, "demog_age" -> 1L))
+  }
+
+  test("export emits exactly the surviving rows with corrected dataset and imputed code") {
+    val out = EngagementPipeline.messagesExport(
+      msgs, "user_id", col("event_type"), col("ts"),
+      "2024-01-01 00:00:00", "2024-01-21 00:00:00",
+      testDeny, withdrawn, kCol >= 50, "ws_", kCol,
+      col("event_id"), col("props"), "TRUE_MISSING")
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getString(5))).toSet
+    assert(out == Set(
+      (1L, "rqa_s01", "10"),
+      (5L, "ws_rqa_s01", "90"),
+      (6L, "demog_age", "TRUE_MISSING")))
+  }
+
+  test("the composed plan scans the fact table once per branch with broadcast deny-lists") {
+    val plan = runFunnel().queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+}
