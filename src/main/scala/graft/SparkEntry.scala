@@ -740,6 +740,8 @@ object SparkEntry {
     "q9_product_profit" -> ((s, dir) => Relational.q9ProductProfit(s, dir)),
     "q11_important_value" -> ((s, dir) => Relational.q11ImportantValue(s, dir)),
     "q16_supplier_diversity" -> ((s, dir) => Relational.q16SupplierDiversity(s, dir)),
+    "q2_min_cost_supplier" -> ((s, dir) => Relational.q2MinCostSupplier(s, dir)),
+    "q20_potential_promotion" -> ((s, dir) => Relational.q20PotentialPromotion(s, dir)),
     "q12_late_shipments" -> ((s, dir) => Relational.q12LateShipments(s, dir)),
     "q13_customer_distribution" -> ((s, dir) => Relational.q13CustomerDistribution(s, dir)),
     "q19_disjunctive_revenue" -> ((s, dir) => Relational.q19DisjunctiveRevenue(s, dir)),
@@ -2143,6 +2145,39 @@ asofOracle,
         |  AND p_size IN (1, 5, 9, 15, 23, 31, 40, 49)
         |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         |GROUP BY 1, 2, 3""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH eligible AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+        |ps AS (
+        |  SELECT l_partkey, l_suppkey, MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size IN (5, 15, 25, 35, 45) AND p_type = 'STANDARD'
+        |    AND l_suppkey IN (SELECT s_suppkey FROM eligible)
+        |  GROUP BY 1, 2),
+        |rs AS (
+        |  SELECT ps.*, e.s_name, e.s_acctbal, e.n_name
+        |  FROM ps JOIN eligible e ON ps.l_suppkey = e.s_suppkey),
+        |w AS (SELECT *, MIN(cost) OVER (PARTITION BY l_partkey) AS min_cost FROM rs)
+        |SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey,
+        |  CAST(cost AS DOUBLE) AS cost
+        |FROM w WHERE cost = min_cost""".stripMargin,
+    "q20_potential_promotion" ->
+      """WITH ps AS (
+        |  SELECT l_suppkey, l_partkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS avail,
+        |    SUM(CASE WHEN year(l_shipdate) = 1997 THEN CAST(l_quantity AS DECIMAL(18,2))
+        |             ELSE CAST(0 AS DECIMAL(18,2)) END) AS qy
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'blue%' GROUP BY 1, 2),
+        |q AS (SELECT DISTINCT l_suppkey FROM ps WHERE qy > 0 AND avail > qy * 2)
+        |SELECT s_suppkey, s_name, n_name, s_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM q)""".stripMargin,
     "q12_late_shipments" ->
       """SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) > 365 THEN 'LATE'
         |            WHEN datediff('day', o_orderdate, l_shipdate) > 90 THEN 'SLOW'

