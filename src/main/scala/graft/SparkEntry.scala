@@ -545,6 +545,29 @@ object SparkEntry {
         testDeny, withdrawn, propsInt >= 50, "ws_", propsInt,
         col("event_id"), col("value"), "TRUE_MISSING")
     }),
+    // the typed-config layer driving the same flow: dataset grouping, RQA-only
+    // time window, and the pivot columns all come from a PipelineConfig
+    // (configuration.py's shapes), not hand-bound code
+    "configured_pipeline_view" -> ((s, dir) => {
+      import graft.config._
+      val cfg = PipelineConfig(
+        datasets = Seq(
+          AnalysisDatasetConfig(Seq("purchase", "view"),
+            DatasetType.ResearchQuestionAnswer, "activity_raw"),
+          AnalysisDatasetConfig(Seq("click"),
+            DatasetType.ResearchQuestionAnswer, "click_raw"),
+          AnalysisDatasetConfig(Seq("signup"), DatasetType.Demographic, "age_raw",
+            Seq(CodingConfig("age_category", Some(AgeCategoryConfig("age_raw",
+              Seq((0, 17, "child"), (18, 35, "youth"),
+                (36, 64, "adult"), (65, 120, "elder")))))))),
+        projectStart = Some("2024-01-08 00:00:00"),
+        projectEnd = Some("2024-01-21 00:00:00"))
+      val testP = events(s, dir)
+        .filter(col("event_type") === "error" && col("value") > 320.0)
+        .select(col("user_id"))
+      ConfiguredPipeline.run(events(s, dir), cfg, "user_id", col("event_type"),
+        col("ts"), col("event_id"), col("props"), propsInt, testP)
+    }),
     "langid" -> ((s, dir) => {
       val d = table(s, dir, "documents")
       d.select((col("doc_id") +: graft.text.TextFeatures.langIdColumns(col("text"))): _*)
@@ -1755,6 +1778,37 @@ asofOracle,
          |  ts AS "timestamp", value AS message_value,
          |  COALESCE(CAST(k AS VARCHAR), 'TRUE_MISSING') AS code
          |FROM g WHERE f_time AND f_test AND f_consent""".stripMargin,
+    "configured_pipeline_view" ->
+      """WITH scoped AS (
+        |  SELECT * FROM events
+        |  WHERE event_type IN ('purchase', 'view', 'click', 'signup')
+        |    AND (event_type NOT IN ('purchase', 'view', 'click')
+        |         OR (ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |             AND ts <= TIMESTAMP '2024-01-21 00:00:00'))
+        |    AND user_id NOT IN (SELECT user_id FROM events
+        |                        WHERE event_type = 'error' AND value > 320))
+        |SELECT user_id,
+        |  COALESCE(string_agg(CASE WHEN event_type IN ('purchase', 'view') THEN props END,
+        |    ';' ORDER BY ts, event_id), '') AS activity_raw,
+        |  COALESCE(string_agg(CASE WHEN event_type = 'click' THEN props END,
+        |    ';' ORDER BY ts, event_id), '') AS click_raw,
+        |  COALESCE(string_agg(CASE WHEN event_type = 'signup' THEN props END,
+        |    ';' ORDER BY ts, event_id), '') AS age_raw,
+        |  CASE
+        |    WHEN MAX(CASE WHEN event_type = 'signup'
+        |             THEN CAST(NULLIF(regexp_extract(props, '[0-9]+', 0), '') AS INT) END)
+        |         BETWEEN 65 AND 120 THEN 'elder'
+        |    WHEN MAX(CASE WHEN event_type = 'signup'
+        |             THEN CAST(NULLIF(regexp_extract(props, '[0-9]+', 0), '') AS INT) END)
+        |         BETWEEN 36 AND 64 THEN 'adult'
+        |    WHEN MAX(CASE WHEN event_type = 'signup'
+        |             THEN CAST(NULLIF(regexp_extract(props, '[0-9]+', 0), '') AS INT) END)
+        |         BETWEEN 18 AND 35 THEN 'youth'
+        |    WHEN MAX(CASE WHEN event_type = 'signup'
+        |             THEN CAST(NULLIF(regexp_extract(props, '[0-9]+', 0), '') AS INT) END)
+        |         BETWEEN 0 AND 17 THEN 'child'
+        |  END AS age_category
+        |FROM scoped GROUP BY user_id""".stripMargin,
     "langid" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS s_en,

@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.config._
+
+/** Typed-config layer: the contracts that make a configured run faithful to
+  * the reference's configuration semantics — the RQA-only time window,
+  * config-driven pivot columns, age categorisation bounds — plus the plan
+  * contract that one config = one aggregation pass.
+  */
+class ConfigSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+
+  private val cfg = PipelineConfig(
+    datasets = Seq(
+      AnalysisDatasetConfig(Seq("rqa_s01", "rqa_s02"),
+        DatasetType.ResearchQuestionAnswer, "rqa_raw"),
+      AnalysisDatasetConfig(Seq("demog_age"), DatasetType.Demographic, "age_raw",
+        Seq(CodingConfig("age_category", Some(AgeCategoryConfig("age_raw",
+          Seq((0, 17, "child"), (18, 64, "adult"), (65, 120, "elder")))))))),
+    projectStart = Some("2024-01-05 00:00:00"),
+    projectEnd = Some("2024-01-10 23:59:59"))
+
+  private val msgs = Seq(
+    (1L, 10L, "rqa_s01", ts(6), "answer a"),
+    (2L, 10L, "rqa_s02", ts(20), "late answer"),  // RQA outside window -> dropped
+    (3L, 10L, "demog_age", ts(20), "34"),         // demographic outside window -> KEPT
+    (4L, 20L, "rqa_s01", ts(7), "answer b"),
+    (5L, 20L, "demog_age", ts(7), "70")
+  ).toDF("event_id", "user_id", "event_type", "ts", "text")
+
+  private val noTest = Seq.empty[Long].toDF("user_id")
+
+  private def runCfg() = ConfiguredPipeline.run(msgs, cfg, "user_id",
+    col("event_type"), col("ts"), col("event_id"), col("text"),
+    col("text").cast("int"), noTest)
+
+  test("the project window applies only to RQA datasets; demographics pass through") {
+    val rows = runCfg().collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(rows(10L) == (("answer a", "34")))   // late RQA dropped, late demog kept
+    assert(rows(20L) == (("answer b", "70")))
+  }
+
+  test("age categories come from the config's inclusive bounds") {
+    val cats = runCfg().collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(cats(10L) == "adult")
+    assert(cats(20L) == "elder")
+  }
+
+  test("a dataset group with no rows for a user folds to empty, not null") {
+    val solo = Seq((9L, 30L, "demog_age", ts(6), "12"))
+      .toDF("event_id", "user_id", "event_type", "ts", "text")
+    val out = ConfiguredPipeline.run(solo, cfg, "user_id", col("event_type"),
+      col("ts"), col("event_id"), col("text"), col("text").cast("int"), noTest)
+      .collect().head
+    assert(out.getString(1) == "")          // rqa_raw
+    assert(out.getString(2) == "12")        // age_raw
+    assert(out.getString(3) == "child")
+  }
+
+  test("an unconfigured age stays uncategorised (null), as in the reference") {
+    val solo = Seq((9L, 30L, "demog_age", ts(6), "150"))
+      .toDF("event_id", "user_id", "event_type", "ts", "text")
+    val out = ConfiguredPipeline.run(solo, cfg, "user_id", col("event_type"),
+      col("ts"), col("event_id"), col("text"), col("text").cast("int"), noTest)
+      .collect().head
+    assert(out.isNullAt(3))
+  }
+
+  test("one config = one aggregation pass, however many datasets are configured") {
+    val plan = runCfg().queryExecution.executedPlan.toString
+    // a single groupBy: exactly one shuffle exchange feeds one final agg
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+}
