@@ -531,7 +531,7 @@ object SparkEntry {
         .select(col("user_id"))
       graft.analysis.EngagementPipeline.funnel(ev, "user_id", col("event_type"),
         col("ts"), "2024-01-08 00:00:00", "2024-01-21 00:00:00",
-        testDeny, withdrawn, propsInt >= 50, "ws_", propsInt)
+        testDeny, withdrawn, c => c.cast("int") >= 50, "ws_", propsInt)
     }),
     // the same composed flow's terminal message export — row-level parity
     "engagement_export" -> ((s, dir) => {
@@ -542,7 +542,7 @@ object SparkEntry {
         .select(col("user_id"))
       graft.analysis.EngagementPipeline.messagesExport(ev, "user_id", col("event_type"),
         col("ts"), "2024-01-08 00:00:00", "2024-01-21 00:00:00",
-        testDeny, withdrawn, propsInt >= 50, "ws_", propsInt,
+        testDeny, withdrawn, c => c.cast("int") >= 50, "ws_", propsInt,
         col("event_id"), col("value"), "TRUE_MISSING")
     }),
     // the typed-config layer driving the same flow: dataset grouping, RQA-only

@@ -37,7 +37,7 @@ class EngagementPipelineSpec extends SparkSpec {
   private def runFunnel() = EngagementPipeline.funnel(
     msgs, "user_id", col("event_type"), col("ts"),
     "2024-01-01 00:00:00", "2024-01-21 00:00:00",
-    testDeny, withdrawn, kCol >= 50, "ws_", kCol)
+    testDeny, withdrawn, c => c.cast("int") >= 50, "ws_", kCol)
 
   test("stage totals shrink only at filter stages; WS and imputation conserve rows") {
     val byStage = runFunnel().groupBy("stage")
@@ -71,7 +71,7 @@ class EngagementPipelineSpec extends SparkSpec {
     val out = EngagementPipeline.messagesExport(
       msgs, "user_id", col("event_type"), col("ts"),
       "2024-01-01 00:00:00", "2024-01-21 00:00:00",
-      testDeny, withdrawn, kCol >= 50, "ws_", kCol,
+      testDeny, withdrawn, c => c.cast("int") >= 50, "ws_", kCol,
       col("event_id"), col("props"), "TRUE_MISSING")
       .collect().map(r => (r.getLong(0), r.getString(2), r.getString(5))).toSet
     assert(out == Set(

@@ -56,6 +56,36 @@ object ScaleProbe {
         .groupBy(col("new_dataset"), col("sync_event")).count().count()
     }
 
+    // the composed engagement run: one 20M-row scan, 6-way explode into a
+    // low-cardinality agg; deny lists ~10-20k keys (broadcast regime)
+    val evProps = events.withColumn("props",
+      concat(lit("{\"k\": "), pmod(xxhash64(col("event_id") + 13), lit(120)), lit("}")))
+    val kCol = nullif(regexp_extract(col("props"), "[0-9]+", 0), lit("")).cast("int")
+    time("engagement_pipeline_20M") {
+      val testDeny = evProps.filter(col("event_type") === "error" && col("value") > 998.0)
+        .select(col("user_id"))
+      val withdrawn = evProps.filter(col("event_type") === "error" && col("value") > 995.0)
+        .select(col("user_id"))
+      graft.analysis.EngagementPipeline.funnel(evProps, "user_id", col("event_type"),
+        col("ts"), "2024-01-08 00:00:00", "2024-03-01 00:00:00",
+        testDeny, withdrawn, c => c.cast("int") >= 100, "ws_", kCol).count()
+    }
+    time("configured_view_20M") {
+      import graft.config._
+      val cfg = PipelineConfig(
+        datasets = Seq(
+          AnalysisDatasetConfig(Seq("purchase", "view"), DatasetType.ResearchQuestionAnswer, "activity_raw"),
+          AnalysisDatasetConfig(Seq("click"), DatasetType.ResearchQuestionAnswer, "click_raw"),
+          AnalysisDatasetConfig(Seq("signup"), DatasetType.Demographic, "age_raw",
+            Seq(CodingConfig("age_category", Some(AgeCategoryConfig("age_raw",
+              Seq((0, 17, "child"), (18, 64, "adult"), (65, 120, "elder")))))))),
+        projectStart = Some("2024-01-08 00:00:00"), projectEnd = Some("2024-03-01 00:00:00"))
+      val noTest = evProps.filter(col("event_type") === "error" && col("value") > 998.0)
+        .select(col("user_id"))
+      ConfiguredPipeline.run(evProps, cfg, "user_id", col("event_type"), col("ts"),
+        col("event_id"), col("props"), kCol, noTest).count()
+    }
+
     time("range_join_hot_intervals_20M") {
       graft.operators.RangeJoin.hotIntervalStats(events, col("ts"), col("user_id")).count()
     }
