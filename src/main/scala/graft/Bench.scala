@@ -46,14 +46,21 @@ object Bench {
     // JSON to a file, and keep stdout parseable: print the full line when it
     // fits, otherwise a line with the slowest queries plus a file pointer.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_full.json")
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(outFile), (full + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    // only advertise the file if the write actually succeeded — a stale or
+    // missing file behind a "full" pointer is worse than no pointer
+    val wrote =
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(outFile), (full + "\n").getBytes("UTF-8"))
+        true
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"bench: failed to write $outFile: $e"); false }
     val line =
       if (full.length <= 1800) full
       else {
         val slowest = obj(results.sortBy(-_._2).take(25).map(r => r._1 -> r._2))
-        s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"sf":"$sfDir","truncated":true,"full":"$outFile"}"""
+        val fullPtr = if (wrote) s""","full":"$outFile"""" else ""
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"sf":"$sfDir","truncated":true$fullPtr}"""
       }
     println(line)
     spark.stop()

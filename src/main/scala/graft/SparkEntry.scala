@@ -1743,12 +1743,13 @@ asofOracle,
         |FROM tv, (VALUES (1), (2), (3), (4), (5)) AS v(r)
         |WHERE r <= len(top_values)""".stripMargin,
     "production_export" ->
-      """WITH flagged AS (
-        |  SELECT *,
-        |    MAX(CASE WHEN event_type = 'error' AND value > 250 THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY user_id) = 1 AS consent_withdrawn
-        |  FROM events),
-        |kept AS (SELECT * FROM flagged WHERE NOT consent_withdrawn)
+      // NOT EXISTS, not a window flag: matches the Spark side's anti-join
+      // NULL semantics (a NULL-keyed row never matches, so it is kept)
+      """WITH kept AS (
+        |  SELECT * FROM events e
+        |  WHERE NOT EXISTS (SELECT 1 FROM events x
+        |                    WHERE x.event_type = 'error' AND x.value > 250
+        |                      AND x.user_id = e.user_id))
         |SELECT l.event_id AS message_id, l.user_id AS participant_uuid,
         |  l.ts AS "timestamp", l.value AS message_value, COALESCE(d.signup_n, 0) AS signup_n
         |FROM (SELECT event_id, user_id, ts, value FROM kept WHERE event_type = 'purchase') l
@@ -1785,8 +1786,9 @@ asofOracle,
         |    AND (event_type NOT IN ('purchase', 'view', 'click')
         |         OR (ts >= TIMESTAMP '2024-01-08 00:00:00'
         |             AND ts <= TIMESTAMP '2024-01-21 00:00:00'))
-        |    AND user_id NOT IN (SELECT user_id FROM events
-        |                        WHERE event_type = 'error' AND value > 320))
+        |    AND NOT EXISTS (SELECT 1 FROM events x
+        |                    WHERE x.event_type = 'error' AND x.value > 320
+        |                      AND x.user_id = events.user_id))
         |SELECT user_id,
         |  COALESCE(string_agg(CASE WHEN event_type IN ('purchase', 'view') THEN props END,
         |    ';' ORDER BY ts, event_id), '') AS activity_raw,

@@ -29,10 +29,13 @@ object DatasetType {
   * AgeCategoryConfiguration (configuration.py:18). */
 final case class AgeCategoryConfig(ageAnalysisDataset: String,
                                    categories: Seq[(Int, Int, String)]) {
-  /** The imputed category column: first matching band, else null
-    * (the reference leaves out-of-range ages uncategorised). */
+  /** The imputed category column: first matching band in config order
+    * (the reference iterates the categories dict and takes the first
+    * match), else null — the reference leaves out-of-range ages
+    * uncategorised. foldRight so the FIRST band is the outermost branch
+    * of the generated CASE; with overlapping bands the earlier one wins. */
   def categoryColumn(age: Column): Column =
-    categories.foldLeft(lit(null).cast("string")) { case (acc, (lo, hi, label)) =>
+    categories.foldRight(lit(null).cast("string")) { case ((lo, hi, label), acc) =>
       when(age >= lo && age <= hi, lit(label)).otherwise(acc)
     }
 }
@@ -119,7 +122,14 @@ object ConfiguredPipeline {
       coding <- d.codingConfigs
       ageCfg <- coding.ageCategoryConfig.toSeq
     } yield {
-      val member = datasetCol.isin(d.engagementDbDatasets: _*)
+      // the config names the analysis dataset carrying the labelled age
+      // data (configuration.py:18 age_analysis_dataset); resolve it to
+      // that dataset group's membership, falling back to the enclosing
+      // dataset when the name doesn't resolve
+      val srcDatasets = cfg.datasets
+        .find(_.rawDataset == ageCfg.ageAnalysisDataset)
+        .map(_.engagementDbDatasets).getOrElse(d.engagementDbDatasets)
+      val member = datasetCol.isin(srcDatasets: _*)
       val age = max(when(member, ageCol))
       ageCfg.categoryColumn(age).as(coding.analysisDataset)
     }

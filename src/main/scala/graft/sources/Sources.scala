@@ -167,12 +167,18 @@ object Sources {
     // '_' and '%') before joining with '_', so ("run_1","end") and
     // ("run","1_end") map to different names — a sanitize-then-join that
     // flattened separators would silently alias such pairs.
-    // '.' is NOT in the allowed set: a runId starting with '.' would yield a
+    // A LEADING '.' is encoded (a runId starting with '.' would yield a
     // dot-file that Hadoop's default path filter hides, so readRunEvents
-    // would silently drop an event logRunEvent reported as written.
-    def enc(s: String): String = s.flatMap {
-      case c if c.isLetterOrDigit || c == '-' => c.toString
-      case c => f"%%${c.toInt}%02X"
+    // would silently drop an event logRunEvent reported as written);
+    // interior dots pass through unchanged so names written before this
+    // rule keep their identity and a retried logger call still overwrites
+    // its own event instead of duplicating it.
+    def enc(s: String): String = {
+      val e = s.flatMap {
+        case c if c.isLetterOrDigit || c == '-' || c == '.' => c.toString
+        case c => f"%%${c.toInt}%02X"
+      }
+      if (e.startsWith(".")) "%2E" + e.drop(1) else e
     }
     val name = s"${enc(runId)}_${enc(eventKey)}.json"
     val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp")

@@ -74,6 +74,35 @@ class ConfigSpec extends SparkSpec {
     assert(out.isNullAt(3))
   }
 
+  test("overlapping age bands resolve to the FIRST configured band, as in the reference") {
+    val overlapping = AgeCategoryConfig("age_raw",
+      Seq((0, 17, "child"), (15, 20, "teen")))
+    val out = Seq((16, "x")).toDF("age", "pad")
+      .select(overlapping.categoryColumn(col("age")).as("cat")).collect().head
+    assert(out.getString(0) == "child")
+  }
+
+  test("ageAnalysisDataset resolves to the NAMED dataset group's rows") {
+    // the age categorisation lives on a coding config of the RQA dataset but
+    // points at the demographic group — the category must come from
+    // demog_age rows, not the enclosing rqa rows
+    val crossCfg = PipelineConfig(
+      datasets = Seq(
+        AnalysisDatasetConfig(Seq("rqa_s01"), DatasetType.ResearchQuestionAnswer,
+          "rqa_raw", Seq(CodingConfig("age_category",
+            Some(AgeCategoryConfig("age_raw",
+              Seq((0, 17, "child"), (18, 64, "adult"))))))),
+        AnalysisDatasetConfig(Seq("demog_age"), DatasetType.Demographic, "age_raw")))
+    val rows = Seq(
+      (1L, 10L, "rqa_s01", ts(6), "999"),  // enclosing dataset's value: not an age
+      (2L, 10L, "demog_age", ts(6), "40")
+    ).toDF("event_id", "user_id", "event_type", "ts", "text")
+    val out = ConfiguredPipeline.run(rows, crossCfg, "user_id", col("event_type"),
+      col("ts"), col("event_id"), col("text"), col("text").cast("int"), noTest)
+      .collect().head
+    assert(out.getString(out.fieldIndex("age_category")) == "adult")
+  }
+
   test("one config = one aggregation pass, however many datasets are configured") {
     val plan = runCfg().queryExecution.executedPlan.toString
     // a single groupBy: exactly one shuffle exchange feeds one final agg

@@ -195,6 +195,19 @@ class StreamingSourcesSpec extends SparkSpec {
     assert(got == Set(("run_1", "end"), ("run", "1_end")))
   }
 
+  test("a runId starting with '.' cannot produce a hidden (silently dropped) event file") {
+    val dir = Files.createTempDirectory("graft_runlog_dot").toString
+    val t0 = java.time.Instant.parse("2024-02-01T00:00:00Z")
+    graft.sources.Sources.logRunEvent(spark, dir, "p", ".hidden_run", "start", t0)
+    // an interior dot keeps its identity (idempotent retry still overwrites)
+    graft.sources.Sources.logRunEvent(spark, dir, "p", "v1.2", "start", t0)
+    graft.sources.Sources.logRunEvent(spark, dir, "p", "v1.2", "start", t0.plusSeconds(5))
+    val got = graft.sources.Sources.readRunEvents(spark, dir)
+      .select("run_id").collect().map(_.getString(0)).toSeq
+    assert(got.count(_ == ".hidden_run") == 1)
+    assert(got.count(_ == "v1.2") == 1)
+  }
+
   test("offline-trained perplexity cuts apply to a stream and match the batch buckets") {
     val L = graft.text.LangModel
     val d = GraftSession.table(spark, "/root/testdata/sf0.01", "documents")
