@@ -74,11 +74,14 @@ object EngagementPipeline {
     *   3 consent_withdrawn_removed, 4 ws_corrected (rows conserved, moved
     *   between datasets), 5 codes_imputed (rows conserved, n_imputed set).
     */
-  def funnel(events: DataFrame, user: String, dataset: Column, ts: Column,
-             from: String, until: String,
-             testDeny: DataFrame, withdrawn: DataFrame,
-             wsMoveOfCode: Column => Column, wsPrefix: String,
-             codeValue: Column): DataFrame = {
+  /** The exploded per-stage rows shared by the exact funnel and the
+    * incremental state: one row per (pre-aggregated user-slice, surviving
+    * stage), carrying the slice's row weight and imputed count. */
+  private def stageRows(events: DataFrame, user: String, dataset: Column,
+                        ts: Column, from: String, until: String,
+                        testDeny: DataFrame, withdrawn: DataFrame,
+                        wsMoveOfCode: Column => Column,
+                        wsPrefix: String, codeValue: Column): DataFrame = {
     val f = flagged(events, user, dataset, ts, from, until,
       testDeny, withdrawn, wsMoveOfCode, codeValue)
     val pre = f.groupBy(col(user).as("__u"), col("__ds0"), col("__ws"),
@@ -99,12 +102,68 @@ object EngagementPipeline {
         stage(4, "ws_corrected", s3, wsDataset(wsPrefix), lit(0L)),
         stage(5, "codes_imputed", s3, wsDataset(wsPrefix), col("__n_imp")))).as("s"))
       .filter(col("s.pass"))
+  }
+
+  def funnel(events: DataFrame, user: String, dataset: Column, ts: Column,
+             from: String, until: String,
+             testDeny: DataFrame, withdrawn: DataFrame,
+             wsMoveOfCode: Column => Column, wsPrefix: String,
+             codeValue: Column): DataFrame =
+    stageRows(events, user, dataset, ts, from, until,
+      testDeny, withdrawn, wsMoveOfCode, wsPrefix, codeValue)
       .groupBy(col("s.stage").as("stage"), col("s.stage_name").as("stage_name"),
         col("s.dataset").as("dataset"))
       .agg(sum(col("s.n")).as("n_rows"),
         countDistinct(col("s.u")).as("n_participants"),
         sum(col("s.imputed")).as("n_imputed"))
-  }
+
+  /** INCREMENTAL funnel state — the daily-ingest shape at 100 TB: each
+    * sync computes the funnel state of ITS batch only (counts plus one
+    * mergeable HLL participant sketch per stage x dataset cell), appends
+    * it next to the data, and the monitoring read path merges states
+    * without ever rescanning the archive. Union of HLL sketches is
+    * associative and commutative, so any batching of the same events
+    * yields the same merged state; counts add exactly, distinct
+    * participants carry HLL error (rel. stderr ~1.04/sqrt(2^lgK), ~1.6%
+    * at the default lgK=12).
+    *
+    * Scope note, stated honestly: the deny-lists are evaluated AS OF each
+    * batch. A later consent withdrawal does not retroactively remove a
+    * prior batch's contribution from merged state — the reference handles
+    * that by re-running the full pipeline, and so does graft (the exact
+    * `funnel`); the incremental state is the cheap always-on dashboard
+    * between those full runs.
+    */
+  def funnelState(events: DataFrame, user: String, dataset: Column, ts: Column,
+                  from: String, until: String,
+                  testDeny: DataFrame, withdrawn: DataFrame,
+                  wsMoveOfCode: Column => Column, wsPrefix: String,
+                  codeValue: Column, lgK: Int = 12): DataFrame =
+    stageRows(events, user, dataset, ts, from, until,
+      testDeny, withdrawn, wsMoveOfCode, wsPrefix, codeValue)
+      .groupBy(col("s.stage").as("stage"), col("s.stage_name").as("stage_name"),
+        col("s.dataset").as("dataset"))
+      .agg(sum(col("s.n")).as("n_rows"),
+        hll_sketch_agg(col("s.u"), lit(lgK)).as("participants_sketch"),
+        sum(col("s.imputed")).as("n_imputed"))
+
+  /** Merges per-batch funnel states (append-only union of state tables)
+    * into one state per (stage, dataset) — pure sketch/count algebra, no
+    * event data touched. */
+  def mergeFunnelStates(states: DataFrame): DataFrame =
+    states.groupBy(col("stage"), col("stage_name"), col("dataset"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        hll_union_agg(col("participants_sketch"), lit(false))
+          .as("participants_sketch"),
+        sum(col("n_imputed")).as("n_imputed"))
+
+  /** The dashboard read path: estimated distinct participants per cell
+    * from merged state. */
+  def funnelEstimate(state: DataFrame): DataFrame =
+    state.select(col("stage"), col("stage_name"), col("dataset"),
+      col("n_rows"),
+      hll_sketch_estimate(col("participants_sketch")).as("n_participants_est"),
+      col("n_imputed"))
 
   /** The flow's terminal message export: rows that survive every filter
     * stage, carrying the WS-corrected dataset and the imputed code — the

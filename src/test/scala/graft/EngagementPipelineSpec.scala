@@ -80,6 +80,25 @@ class EngagementPipelineSpec extends SparkSpec {
       (6L, "demog_age", "TRUE_MISSING")))
   }
 
+  test("incremental funnel state: merged batch states reproduce the full-run funnel") {
+    val run = (df: org.apache.spark.sql.DataFrame) => EngagementPipeline.funnelState(
+      df, "user_id", col("event_type"), col("ts"),
+      "2024-01-01 00:00:00", "2024-01-21 00:00:00",
+      testDeny, withdrawn, c => c.cast("int") >= 50, "ws_", kCol)
+    // two disjoint batches vs one full run
+    val merged = EngagementPipeline.mergeFunnelStates(
+      run(msgs.filter(col("event_id") <= 3)).unionByName(
+        run(msgs.filter(col("event_id") > 3))))
+    val est = EngagementPipeline.funnelEstimate(merged)
+      .collect().map(r => (r.getInt(0), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val exact = runFunnel()
+      .collect().map(r => (r.getInt(0), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // counts add exactly; at fixture cardinality the HLL estimate is exact
+    assert(est == exact)
+  }
+
   test("the composed plan scans the fact table once per branch with broadcast deny-lists") {
     val plan = runFunnel().queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
