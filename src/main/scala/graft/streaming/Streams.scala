@@ -86,6 +86,48 @@ object Streams {
       .withColumn("redacted", graft.text.Redact.redactPii(col(textCol)))
       .filter(col("decision") === "kept")
 
+  /** Streaming twin of the composed engagement flow: the SAME
+    * `EngagementPipeline.messagesExport` plan applied to an unbounded
+    * frame — stream-static broadcast anti-joins against the deny-lists
+    * plus row-local flags, so the plan is STATELESS (nothing in the state
+    * store, no watermark needed) and the batch and streaming flows cannot
+    * drift. Deny-lists are static tables snapshotted at query start; a
+    * consent withdrawal takes effect on restart, and retroactive cleanup
+    * remains the batch full run (same contract as the incremental state).
+    */
+  def engagementStream(messages: DataFrame, user: String, dataset: org.apache.spark.sql.Column,
+                       ts: org.apache.spark.sql.Column, from: String, until: String,
+                       testDeny: DataFrame, withdrawn: DataFrame,
+                       wsMoveOfCode: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                       wsPrefix: String, codeValue: org.apache.spark.sql.Column,
+                       idCol: org.apache.spark.sql.Column, valueCol: org.apache.spark.sql.Column,
+                       missingCode: String): DataFrame =
+    graft.analysis.EngagementPipeline.messagesExport(messages, user, dataset, ts,
+      from, until, testDeny, withdrawn, wsMoveOfCode, wsPrefix, codeValue,
+      idCol, valueCol, missingCode)
+
+  /** The per-stage accounting for a streaming ingest: call from
+    * `foreachBatch` to append each micro-batch's mergeable funnel state
+    * (counts + HLL participant sketch per stage x dataset) to a state
+    * table; dashboards read `EngagementPipeline.mergeFunnelStates` over
+    * the table. Each batch pays only for its own rows — the archive is
+    * never rescanned — and because sketch union is order-independent,
+    * replayed or re-ordered micro-batches merge to the same totals
+    * (counts, being sums, do require effectively-once batch delivery:
+    * pair with `Sources.appendDeduped`-style idempotence when the source
+    * can redeliver).
+    */
+  def appendFunnelState(batch: DataFrame, statePath: String, user: String,
+                        dataset: org.apache.spark.sql.Column,
+                        ts: org.apache.spark.sql.Column, from: String, until: String,
+                        testDeny: DataFrame, withdrawn: DataFrame,
+                        wsMoveOfCode: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                        wsPrefix: String, codeValue: org.apache.spark.sql.Column,
+                        lgK: Int = 12): Unit =
+    graft.analysis.EngagementPipeline.funnelState(batch, user, dataset, ts,
+      from, until, testDeny, withdrawn, wsMoveOfCode, wsPrefix, codeValue, lgK)
+      .write.mode("append").parquet(statePath)
+
   /** Streaming interval join — the streaming twin of
     * `operators.RangeJoin.pointInInterval`: a point stream joined into an
     * interval stream on `ts ∈ [start, end)`, both sides unbounded.

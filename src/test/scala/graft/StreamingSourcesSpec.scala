@@ -477,6 +477,60 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming engagement flow is stateless and matches the batch export; foreachBatch state merges to the batch funnel") {
+    val ev = GraftSession.table(spark, sfDir, "events")
+    val kCol = nullif(regexp_extract(col("props"), "[0-9]+", 0), lit("")).cast("int")
+    val testDeny = ev.filter(col("event_type") === "error" && col("value") > 320.0)
+      .select(col("user_id"))
+    val withdrawn = ev.filter(col("event_type") === "error" && col("value") > 250.0)
+      .select(col("user_id"))
+    def run(df: org.apache.spark.sql.DataFrame) = graft.streaming.Streams.engagementStream(
+      df, "user_id", col("event_type"), col("ts"),
+      "2024-01-08 00:00:00", "2024-01-21 00:00:00", testDeny, withdrawn,
+      c => c.cast("int") >= 50, "ws_", kCol, col("event_id"), col("value"), "TRUE_MISSING")
+    val dir = Files.createTempDirectory("graft_eng_stream").toString
+    val stateDir = Files.createTempDirectory("graft_eng_state").toString
+    ev.write.mode("overwrite").parquet(dir)
+    // maxFilesPerTrigger forces multiple micro-batches over the parquet dir
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = run(stream).writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("eng_stream_out").start()
+    val qs = stream.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.streaming.Streams.appendFunnelState(batch, stateDir, "user_id",
+          col("event_type"), col("ts"), "2024-01-08 00:00:00", "2024-01-21 00:00:00",
+          testDeny, withdrawn, c => c.cast("int") >= 50, "ws_", kCol)
+      }.start()
+    try {
+      q.processAllAvailable(); qs.processAllAvailable()
+      val streamed = spark.table("eng_stream_out").orderBy("message_id").collect().toSeq
+      val expected = run(ev).orderBy("message_id").collect().toSeq
+      assert(streamed.nonEmpty && streamed == expected)
+      assert(q.lastProgress.stateOperators.isEmpty) // stateless plan
+      // merged per-micro-batch state == the batch funnel
+      val merged = graft.analysis.EngagementPipeline.funnelEstimate(
+        graft.analysis.EngagementPipeline.mergeFunnelStates(
+          spark.read.parquet(stateDir)))
+        .collect().map(r => (r.getInt(0), r.getString(2)) ->
+          ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      val batchFunnel = graft.analysis.EngagementPipeline.funnel(ev, "user_id",
+        col("event_type"), col("ts"), "2024-01-08 00:00:00", "2024-01-21 00:00:00",
+        testDeny, withdrawn, c => c.cast("int") >= 50, "ws_", kCol)
+        .collect().map(r => (r.getInt(0), r.getString(2)) ->
+          ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      assert(merged.keySet == batchFunnel.keySet)
+      // counts and imputed add exactly; distinct participants are HLL
+      // estimates — exact at this cardinality for most cells, so compare
+      // with a 2% tolerance
+      merged.foreach { case (k, (n, p, imp)) =>
+        val (bn, bp, bimp) = batchFunnel(k)
+        assert(n == bn && imp == bimp, s"counts for $k")
+        assert(math.abs(p - bp) <= math.max(1L, (bp * 0.02).toLong), s"participants for $k")
+      }
+    } finally { q.stop(); qs.stop() }
+  }
+
   test("typed Message model adapts events") {
     val ev = GraftSession.table(spark, sfDir, "events")
     val msgs = graft.model.Model.eventsAsMessages(spark, ev)
