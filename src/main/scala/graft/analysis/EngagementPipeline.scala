@@ -66,14 +66,6 @@ object EngagementPipeline {
   private def wsDataset(wsPrefix: String): Column =
     when(col("__ws"), concat(lit(wsPrefix), col("__ds0"))).otherwise(col("__ds0"))
 
-  /** Per-stage accounting of the composed run: one row per
-    * (stage, dataset) with surviving rows, distinct participants, and the
-    * number of rows whose code the imputation stage filled in. Stages, in
-    * the reference's execution order:
-    *   0 fetched, 1 time_range, 2 test_participants_removed,
-    *   3 consent_withdrawn_removed, 4 ws_corrected (rows conserved, moved
-    *   between datasets), 5 codes_imputed (rows conserved, n_imputed set).
-    */
   /** The exploded per-stage rows shared by the exact funnel and the
     * incremental state: one row per (pre-aggregated user-slice, surviving
     * stage), carrying the slice's row weight and imputed count. */
@@ -104,6 +96,14 @@ object EngagementPipeline {
       .filter(col("s.pass"))
   }
 
+  /** Per-stage accounting of the composed run: one row per
+    * (stage, dataset) with surviving rows, distinct participants, and the
+    * number of rows whose code the imputation stage filled in. Stages, in
+    * the reference's execution order:
+    *   0 fetched, 1 time_range, 2 test_participants_removed,
+    *   3 consent_withdrawn_removed, 4 ws_corrected (rows conserved, moved
+    *   between datasets), 5 codes_imputed (rows conserved, n_imputed set).
+    */
   def funnel(events: DataFrame, user: String, dataset: Column, ts: Column,
              from: String, until: String,
              testDeny: DataFrame, withdrawn: DataFrame,
@@ -153,7 +153,10 @@ object EngagementPipeline {
   def mergeFunnelStates(states: DataFrame): DataFrame =
     states.groupBy(col("stage"), col("stage_name"), col("dataset"))
       .agg(sum(col("n_rows")).as("n_rows"),
-        hll_union_agg(col("participants_sketch"), lit(false))
+        // allowDifferentLgConfigK: a long-lived state table may span an
+        // lgK re-tune; union degrades gracefully to the smaller lgK
+        // instead of failing the dashboard until a full archive rebuild
+        hll_union_agg(col("participants_sketch"), lit(true))
           .as("participants_sketch"),
         sum(col("n_imputed")).as("n_imputed"))
 

@@ -111,11 +111,14 @@ object Streams {
     * (counts + HLL participant sketch per stage x dataset) to a state
     * table; dashboards read `EngagementPipeline.mergeFunnelStates` over
     * the table. Each batch pays only for its own rows — the archive is
-    * never rescanned — and because sketch union is order-independent,
-    * replayed or re-ordered micro-batches merge to the same totals
-    * (counts, being sums, do require effectively-once batch delivery:
-    * pair with `Sources.appendDeduped`-style idempotence when the source
-    * can redeliver).
+    * never rescanned. RE-ORDERING is safe (sketch union and sums are both
+    * commutative) but REPLAY is not: only the sketch is replay-idempotent,
+    * while n_rows/n_imputed are sums that double-count a re-delivered
+    * batch, silently inflating rows-per-participant. This helper's plain
+    * parquet append is NOT transactional with the stream checkpoint, so
+    * pair it with effectively-once delivery — e.g. name the state files by
+    * batchId, or `Sources.appendDeduped` on a (batchId, stage, dataset)
+    * key — whenever the source can redeliver.
     */
   def appendFunnelState(batch: DataFrame, statePath: String, user: String,
                         dataset: org.apache.spark.sql.Column,

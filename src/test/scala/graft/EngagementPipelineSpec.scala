@@ -85,10 +85,12 @@ class EngagementPipelineSpec extends SparkSpec {
       df, "user_id", col("event_type"), col("ts"),
       "2024-01-01 00:00:00", "2024-01-21 00:00:00",
       testDeny, withdrawn, c => c.cast("int") >= 50, "ws_", kCol)
-    // two disjoint batches vs one full run
+    // odd/even split: users 10 and 40 appear in BOTH batches, so the merged
+    // participant counts are only right if the sketches actually UNION —
+    // summing per-batch distincts would double-count them
     val merged = EngagementPipeline.mergeFunnelStates(
-      run(msgs.filter(col("event_id") <= 3)).unionByName(
-        run(msgs.filter(col("event_id") > 3))))
+      run(msgs.filter(col("event_id") % 2 === 1)).unionByName(
+        run(msgs.filter(col("event_id") % 2 === 0))))
     val est = EngagementPipeline.funnelEstimate(merged)
       .collect().map(r => (r.getInt(0), r.getString(2)) ->
         ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
