@@ -545,6 +545,20 @@ object SparkEntry {
         testDeny, withdrawn, c => c.cast("int") >= 50, "ws_", propsInt,
         col("event_id"), col("value"), "TRUE_MISSING")
     }),
+    // the composed flow's participants view — folds codes under the
+    // WS-CORRECTED dataset, witnessing that the column view composes after
+    // relabelling
+    "engagement_participants_export" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val testDeny = ev.filter(col("event_type") === "error" && col("value") > 320.0)
+        .select(col("user_id"))
+      val withdrawn = ev.filter(col("event_type") === "error" && col("value") > 250.0)
+        .select(col("user_id"))
+      graft.analysis.EngagementPipeline.participantsExport(ev, "user_id",
+        col("event_type"), col("ts"), "2024-01-08 00:00:00", "2024-01-21 00:00:00",
+        testDeny, withdrawn, c => c.cast("int") >= 50, "ws_", propsInt,
+        col("event_id"), col("value"), "TRUE_MISSING")
+    }),
     // the typed-config layer driving the same flow: dataset grouping, RQA-only
     // time window, and the pivot columns all come from a PipelineConfig
     // (configuration.py's shapes), not hand-bound code
@@ -1779,6 +1793,14 @@ asofOracle,
          |  ts AS "timestamp", value AS message_value,
          |  COALESCE(CAST(k AS VARCHAR), 'TRUE_MISSING') AS code
          |FROM g WHERE f_time AND f_test AND f_consent""".stripMargin,
+    "engagement_participants_export" ->
+      s"""$engagementFlowCtes
+         |SELECT user_id AS participant_uuid, ds_ws AS dataset,
+         |  string_agg(COALESCE(CAST(k AS VARCHAR), 'TRUE_MISSING'), ';'
+         |    ORDER BY ts, event_id) AS codes,
+         |  CAST(COUNT(*) AS BIGINT) AS n_messages
+         |FROM g WHERE f_time AND f_test AND f_consent
+         |GROUP BY 1, 2""".stripMargin,
     "configured_pipeline_view" ->
       """WITH scoped AS (
         |  SELECT * FROM events

@@ -117,6 +117,33 @@ object EngagementPipeline {
         countDistinct(col("s.u")).as("n_participants"),
         sum(col("s.imputed")).as("n_imputed"))
 
+  /** The flow's participants-view terminal (the reference's
+    * participants.csv next to production.csv/messages.csv,
+    * analysis_files.py + column_view_conversion.py:354): one row per
+    * (participant, WS-CORRECTED dataset) with the order-deterministic fold
+    * of that participant's codes. Composes AFTER WS correction — a message
+    * relabelled into ws_X folds under ws_X, not X — which is exactly the
+    * ordering a stand-alone column view can't witness. One additional
+    * groupBy over the surviving rows; the fold is the same
+    * array_sort(collect_list(struct)) idiom as ColumnView.foldConcat. */
+  def participantsExport(events: DataFrame, user: String, dataset: Column,
+                         ts: Column, from: String, until: String,
+                         testDeny: DataFrame, withdrawn: DataFrame,
+                         wsMoveOfCode: Column => Column, wsPrefix: String,
+                         codeValue: Column, idCol: Column, valueCol: Column,
+                         missingCode: String, sep: String = ";"): DataFrame =
+    messagesExport(events, user, dataset, ts, from, until, testDeny, withdrawn,
+      wsMoveOfCode, wsPrefix, codeValue, idCol, valueCol, missingCode)
+      .groupBy(col("participant_uuid"), col("dataset"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("timestamp").as("o1"),
+              col("message_id").as("o2"), col("code").as("t")))),
+            x => x.getField("t")),
+          sep).as("codes"),
+        count(lit(1)).as("n_messages"))
+
   /** INCREMENTAL funnel state — the daily-ingest shape at 100 TB: each
     * sync computes the funnel state of ITS batch only (counts plus one
     * mergeable HLL participant sketch per stage x dataset cell), appends

@@ -80,6 +80,22 @@ class EngagementPipelineSpec extends SparkSpec {
       (6L, "demog_age", "TRUE_MISSING")))
   }
 
+  test("participants export folds codes under the WS-CORRECTED dataset") {
+    val out = EngagementPipeline.participantsExport(
+      msgs, "user_id", col("event_type"), col("ts"),
+      "2024-01-01 00:00:00", "2024-01-21 00:00:00",
+      testDeny, withdrawn, c => c.cast("int") >= 50, "ws_", kCol,
+      col("event_id"), col("props"), "TRUE_MISSING")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    // event 5 (code 90) moved to ws_rqa_s01 — it must fold THERE, and
+    // nothing of user 40 remains under plain rqa_s01
+    assert(out((40L, "ws_rqa_s01")) == (("90", 1L)))
+    assert(!out.contains((40L, "rqa_s01")))
+    assert(out((40L, "demog_age")) == (("TRUE_MISSING", 1L)))
+    assert(out((10L, "rqa_s01")) == (("10", 1L)))
+  }
+
   test("incremental funnel state: merged batch states reproduce the full-run funnel") {
     val run = (df: org.apache.spark.sql.DataFrame) => EngagementPipeline.funnelState(
       df, "user_id", col("event_type"), col("ts"),
