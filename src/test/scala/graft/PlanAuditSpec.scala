@@ -204,6 +204,39 @@ class PlanAuditSpec extends SparkSpec {
       s"distinct must sit below the self-join (join@$joinAt agg@$aggAt)\n$xl")
   }
 
+  test("round-4 composed flows keep their scale shapes") {
+    // the composed funnel: deny-lists broadcast (no sort-merge join
+    // anywhere), and the pre-aggregation sits BELOW the stage explode so
+    // the countDistinct expand runs on the reduced frame
+    val p = plan("engagement_pipeline")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    val genAt = p.lastIndexOf("Generate explode")
+    val preAggAt = p.lastIndexOf("HashAggregate")
+    assert(genAt >= 0 && preAggAt > genAt,
+      s"pre-aggregation must sit below the stage explode (explode@$genAt agg@$preAggAt)\n$p")
+    // the terminal exports stay anti-join + row-local (no window, no extra agg
+    // before the participants fold)
+    val pe = plan("engagement_export")
+    assert(!pe.contains("Window") && !pe.contains("SortMergeJoin"), pe)
+    // the configured view: dataset scoping reaches the scan; exactly two
+    // hash exchanges — the fact groupBy plus the tiny deny-list distinct
+    // inside the broadcast build (ConfigSpec proves the fold itself is a
+    // single pass on a literal deny frame)
+    val pc = plan("configured_pipeline_view")
+    assert(pc.contains("In(event_type"), pc)
+    assert(count(pc, "Exchange hashpartitioning") == 2, pc)
+    // q2: the FACT aggregation (per (part, supp) min over lineitem) appears
+    // exactly once — the correlated min is a window over the derived
+    // relation, not a self-join that re-executes the fact agg. (The tiny
+    // supplier/nation/region dim subtree is consumed twice by design —
+    // re-executing a broadcast dim build is free next to the fact.)
+    val p2 = plan("q2_min_cost_supplier")
+    assert(count(p2, "partial_min(cast(l_extendedprice") == 1,
+      s"q2 re-executes the fact aggregation\n$p2")
+    assert(p2.contains("Window"), p2)
+  }
+
   test("no query plans an unbroadcast cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"), s"$name plans a CartesianProduct")
