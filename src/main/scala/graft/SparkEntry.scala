@@ -662,6 +662,10 @@ object SparkEntry {
     "embedding_neardup" -> ((s, dir) =>
       Knn.nearDupPairs(table(s, dir, "embeddings"), col("vec_id"), col("embedding"),
         col("label"), col("id") % 50 === 0, 0.25)),
+    "embedding_dim_stats" -> ((s, dir) =>
+      // whitening-prep per-dimension stats; exact decimal sums keep the
+      // reduction order-independent (float corpus, deterministic result)
+      Knn.dimStats(table(s, dir, "embeddings"), col("embedding"))),
     "multimodal_decode" -> ((s, dir) =>
       graft.multimodal.Media.decodeDocuments(s, table(s, dir, "documents"))),
     "multimodal_frames" -> ((s, dir) =>
@@ -721,6 +725,22 @@ object SparkEntry {
       graft.curation.Curation.mixtureStats(table(s, dir, "documents"),
         col("doc_id"), col("lang"),
         Map("en" -> 100, "fr" -> 50, "es" -> 25, "de" -> 10, "zh" -> 75))),
+    "dataset_split" -> ((s, dir) =>
+      // 90/5/5 hash split: membership is a pure function of doc_id
+      graft.curation.Curation.datasetSplit(table(s, dir, "documents"),
+        col("doc_id"), 90, 5)),
+    "shuffle_order" -> ((s, dir) =>
+      // epoch-salted deterministic training order over 8 shards
+      graft.curation.Curation.shuffleOrder(table(s, dir, "documents"),
+        col("doc_id"), "epoch0", 8)),
+    "contamination_score" -> ((s, dir) => {
+      // scored decontamination: same eval split and trigram contract as
+      // `decontaminate`, fraction instead of verdict
+      val d = table(s, dir, "documents")
+      graft.curation.Curation.contaminationScore(
+        d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0),
+        col("doc_id"), col("text"), 3)
+    }),
     "corpus_report" -> ((s, dir) =>
       // the dataset card: per-source doc/token counts, quality keep rate,
       // language spread — one pass, one map-side-combinable aggregation
@@ -743,6 +763,26 @@ object SparkEntry {
       val d = table(s, dir, "documents")
       graft.text.Vocab.encode(d, col("doc_id"), col("text"),
         graft.text.Vocab.build(d, col("text"), 24))
+    }),
+    "bpe_pair_counts" -> ((s, dir) =>
+      // first-iteration BPE merge statistics (freq-weighted adjacent char
+      // pairs over the word-type table); topWords never binds on the
+      // word-soup corpus (31 types), so the oracle needs no LIMIT clause
+      graft.text.Bpe.initialPairCounts(
+        graft.text.Bpe.wordFreqs(table(s, dir, "documents"), col("text"), 100000))),
+    "bpe_merges" -> ((s, dir) => {
+      // the trained merge table; the iterative argmax loop has no SQL
+      // form, so this row is rows-only at the driver (BpeSpec carries the
+      // semantic verification against hand-computed merges)
+      val d = table(s, dir, "documents")
+      graft.text.Bpe.mergesDf(s, graft.text.Bpe.train(d, col("text"), 40, 100000))
+    }),
+    "bpe_encode_stats" -> ((s, dir) => {
+      // per-doc subword compression under the trained merges (rows-only at
+      // the driver; BpeSpec proves encode replays train on every word type)
+      val d = table(s, dir, "documents")
+      graft.text.Bpe.encodeStats(d, col("doc_id"), col("text"),
+        graft.text.Bpe.train(d, col("text"), 40, 100000))
     }),
     "chunk_docs" -> ((s, dir) =>
       // 32-word chunks every 24 words: consecutive chunks overlap by 8
@@ -1480,6 +1520,16 @@ asofOracle,
          |  FROM toks, unnest(generate_series(1, len(ts))) AS g(i))
          |SELECT e.doc_id, CAST(e.pos AS INT) AS pos, COALESCE(v.token_id, 0) AS token_id
          |FROM ex e LEFT JOIN v ON e.token = v.token""".stripMargin,
+    "bpe_pair_counts" ->
+      """WITH wf AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word FROM documents)
+        |  GROUP BY word),
+        |pairs AS (
+        |  SELECT substr(word, i, 1) AS left_sym, substr(word, i + 1, 1) AS right_sym, freq
+        |  FROM wf, unnest(generate_series(1, len(word) - 1)) AS t(i))
+        |SELECT left_sym, right_sym, CAST(SUM(freq) AS BIGINT) AS pair_count
+        |FROM pairs GROUP BY left_sym, right_sym""".stripMargin,
     "chunk_docs" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
         |SELECT doc_id, CAST(i AS INT) AS chunk_id,
@@ -2384,6 +2434,26 @@ asofOracle,
         |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3)
         |SELECT cl.id AS vec_id, cl.cluster, d.id IS NULL AS keep
         |FROM cl LEFT JOIN dropped d ON cl.id = d.id""".stripMargin,
+    "embedding_dim_stats" ->
+      // float -> double widening is exact; per-element half-up 6-decimal
+      // quantization then DECIMAL sums keep the reduction order-independent
+      // (the same portable floor arithmetic as the LM scores)
+      """WITH ex AS (
+        |  SELECT CAST(i - 1 AS INT) AS dim,
+        |    floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) / 1e6 AS xr
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+        |a AS (
+        |  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(xr AS DECIMAL(38,6))) AS s,
+        |    SUM(CAST(xr * xr AS DECIMAL(38,12))) AS sq,
+        |    MIN(xr) AS min_x, MAX(xr) AS max_x
+        |  FROM ex GROUP BY dim)
+        |SELECT dim, n,
+        |  floor(CAST(s AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS mean_x,
+        |  floor((CAST(sq AS DOUBLE) / n
+        |         - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) * 1e6 + 0.5) / 1e6 AS var_x,
+        |  min_x, max_x
+        |FROM a""".stripMargin,
     "seq_packing" ->
       s"""WITH t AS (
          |  SELECT doc_id,
@@ -2410,6 +2480,38 @@ asofOracle,
         |FROM (
         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
         |    CAST(SUM(CASE WHEN pct < w THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-        |  FROM t GROUP BY source)""".stripMargin
+        |  FROM t GROUP BY source)""".stripMargin,
+    "dataset_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 4))::BIGINT % 100 AS h
+        |  FROM documents)""".stripMargin,
+    "shuffle_order" ->
+      """SELECT doc_id, shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord ASC, doc_id ASC) AS INT) AS pos
+        |FROM (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 4))::BIGINT % 8 AS shard,
+        |    md5('epoch0' || ':' || CAST(doc_id AS VARCHAR)) AS ord
+        |  FROM documents)""".stripMargin,
+    "contamination_score" ->
+      """WITH shl AS (
+        |  SELECT doc_id, list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                                 for i in generate_series(1, len(w)-2) ]) AS shingles
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |bsh AS (SELECT DISTINCT s FROM shl, unnest(shingles) AS t(s) WHERE doc_id % 50 = 0),
+        |hits AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT doc_id, s FROM shl, unnest(shingles) AS t(s) WHERE doc_id % 50 <> 0) c
+        |  JOIN bsh USING (s) GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.sz AS BIGINT) AS n_shingles,
+        |  COALESCE(h.n, 0) AS n_overlap,
+        |  CASE WHEN d.sz > 0
+        |       THEN round(CAST(COALESCE(h.n, 0) AS DOUBLE) / CAST(d.sz AS DOUBLE), 6)
+        |  END AS contamination
+        |FROM (SELECT doc_id, len(shingles) AS sz FROM shl WHERE doc_id % 50 <> 0) d
+        |LEFT JOIN hits h USING (doc_id)""".stripMargin
   )
 }

@@ -471,4 +471,74 @@ object Curation {
       .groupBy(col("shard"), col("chunk_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
   }
+
+  /** Deterministic train/val/test assignment from the portable hash coin:
+    * a document's split is a pure function of its id, so reruns, resumed
+    * jobs, and downstream consumers all agree, and no document can migrate
+    * between splits when the corpus grows (the leakage mode of
+    * count-based splitting). Row-local — zero shuffle.
+    *
+    * Draws digest window 5, disjoint from the mixture coin (window 1) and
+    * the packing shard (window 3), so split membership is independent of
+    * both decisions.
+    */
+  def datasetSplit(df: DataFrame, id: Column,
+                   trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "need trainPct > 0, valPct >= 0, trainPct + valPct <= 100")
+    val h = hashPct(id, offset = 5)
+    df.select(id.as("doc_id"),
+      when(h < trainPct, lit("train"))
+        .when(h < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")).as("split"))
+  }
+
+  /** Deterministic global training order WITHOUT a global sort: documents
+    * scatter into `numShards` shards by one digest window, and each shard
+    * orders its slice by an independent salted digest. Consuming shards
+    * round-robin reproduces a uniform shuffle of the corpus; changing the
+    * salt reshuffles every epoch, bit-reproducibly.
+    *
+    * Scale shape: one shuffle on the shard key; each row_number window
+    * sorts only its own shard (numShards bounds the largest sort at
+    * corpus/numShards — the global-window single-partition cliff never
+    * appears). This is the query twin of the trainingShards writer.
+    */
+  def shuffleOrder(df: DataFrame, id: Column, salt: String,
+                   numShards: Int): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val byOrd = Window.partitionBy(col("shard"))
+      .orderBy(col("__ord").asc, col("doc_id").asc)
+    df.select(id.as("doc_id"), hashShard(id, numShards).as("shard"),
+        md5(concat_ws(":", lit(salt), id.cast("string"))).as("__ord"))
+      .withColumn("pos", row_number().over(byOrd))
+      .drop("__ord")
+  }
+
+  /** Scored twin of `decontaminate`: instead of a boolean verdict, report
+    * per document WHAT FRACTION of its distinct n-grams appear in the
+    * benchmark — the signal a pipeline thresholds when deciding between
+    * dropping a document and surgically excising spans. Same shape as
+    * decontaminate (benchmark shingles broadcast, one map-side-combinable
+    * count per document); the denominator is row-local.
+    */
+  def contaminationScore(corpus: DataFrame, benchmark: DataFrame,
+                         id: Column, text: Column, n: Int): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(ShingleExpressions.distinctShingles(text, n)).as("__s"))
+      .distinct()
+    val hits = explodedShingles(corpus, id, text, n)
+      .join(broadcast(benchShingles), "__s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    corpus
+      .select(id.as("doc_id"),
+        size(ShingleExpressions.distinctShingles(text, n)).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        when(col("n_shingles") > 0,
+          round(coalesce(col("n_overlap"), lit(0L)).cast("double")
+            / col("n_shingles").cast("double"), 6)).as("contamination"))
+  }
 }

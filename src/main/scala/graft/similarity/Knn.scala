@@ -314,4 +314,38 @@ object Knn {
           col("a.__norm") * col("b.__norm")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
   }
+
+  /** Per-dimension corpus statistics of an embedding column — the
+    * whitening/normalization-prep pass (PCA-whitening, mean-centering, and
+    * quantizer range calibration all start from exactly these numbers).
+    *
+    * Scale shape: one posexplode then ONE map-side-combinable aggregation
+    * keyed on the dimension index (cardinality = embedding width, so the
+    * reduce side is trivially small at any corpus size).
+    *
+    * Numeric determinism (the oracle-parity discipline for float
+    * reductions): each element is widened float→double (exact), half-up
+    * quantized to 6 decimals with the portable floor arithmetic, and summed
+    * as DECIMAL(38,6) — an ORDER-INDEPENDENT exact sum, immune to the
+    * partition-order nondeterminism a double sum would have. Mean and
+    * variance divide the exact sums as doubles and re-quantize.
+    */
+  def dimStats(df: DataFrame, vec: Column): DataFrame = {
+    val r6 = (x: Column) => floor(x * lit(1.0e6) + lit(0.5)) / lit(1.0e6)
+    df.select(posexplode(vec).as(Seq("dim", "x")))
+      .select(col("dim"), r6(col("x").cast("double")).as("xr"))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("xr").cast("decimal(38,6)")).as("__sum"),
+        sum((col("xr") * col("xr")).cast("decimal(38,12)")).as("__sumsq"),
+        min(col("xr")).as("min_x"),
+        max(col("xr")).as("max_x"))
+      .select(col("dim"), col("n"),
+        r6(col("__sum").cast("double") / col("n")).as("mean_x"),
+        r6(col("__sumsq").cast("double") / col("n")
+          - (col("__sum").cast("double") / col("n"))
+            * (col("__sum").cast("double") / col("n"))).as("var_x"),
+        col("min_x"), col("max_x"))
+  }
 }
