@@ -634,6 +634,15 @@ object SparkEntry {
         .select(col("vec_id").as("id"), Knn.toDoubleArray(col("embedding")).as("vec"))
       Knn.lshMultiProbeTopK(e.filter(col("id") < 8), e, 10, 8, 64)
     }),
+    "ann_recall_report" -> ((s, dir) => {
+      // the index-tuning loop: recall@10 of sign-LSH vs the exact top-k,
+      // per query — both sides are the bound ann_topk / ann_lsh_topk runs
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), Knn.toDoubleArray(col("embedding")).as("vec"))
+      Knn.recallAtK(
+        Knn.bruteForceTopK(e.filter(col("id") < 8), e, 10),
+        Knn.lshTopK(e.filter(col("id") < 8), e, 10, 8, 64))
+    }),
     "ann_lsh_topk" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
         .select(col("vec_id").as("id"), Knn.toDoubleArray(col("embedding")).as("vec"))
@@ -2029,6 +2038,35 @@ asofOracle,
          |        c.id ASC) AS rank
          |  FROM q JOIN b c ON q.bucket = c.bucket AND q.id <> c.id)
          |WHERE rank <= 10""".stripMargin
+    },
+    "ann_recall_report" -> {
+      s"""WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |b AS (SELECT id, v, $lshBucketExpr AS bucket FROM e),
+         |q AS (SELECT * FROM b WHERE id < 8),
+         |brute AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT q.id AS query_id, c.id AS vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.id
+         |        ORDER BY round(list_dot_product(q.v, c.v)
+         |          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+         |          c.id ASC) AS rank
+         |    FROM q JOIN e c ON q.id <> c.id)
+         |  WHERE rank <= 10),
+         |appr AS (
+         |  SELECT query_id, vec_id, 1 AS hit FROM (
+         |    SELECT q.id AS query_id, c.id AS vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.id
+         |        ORDER BY round(list_dot_product(q.v, c.v)
+         |          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+         |          c.id ASC) AS rank
+         |    FROM q JOIN b c ON q.bucket = c.bucket AND q.id <> c.id)
+         |  WHERE rank <= 10)
+         |SELECT br.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS n_hit,
+         |  round(CAST(SUM(COALESCE(a.hit, 0)) AS DOUBLE) / COUNT(*), 6) AS recall
+         |FROM brute br LEFT JOIN appr a
+         |  ON br.query_id = a.query_id AND br.vec_id = a.vec_id
+         |GROUP BY br.query_id""".stripMargin
     },
     "ann_lsh_multiprobe" -> {
       s"""WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

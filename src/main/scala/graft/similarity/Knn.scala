@@ -315,6 +315,28 @@ object Knn {
       .filter(col("cos_sim") >= minCos)
   }
 
+  /** Recall@k of an approximate top-k against the exact one — the
+    * evaluation loop that tunes numPlanes/nprobe before committing an
+    * index choice at corpus scale. Inputs are top-k RESULT frames
+    * ((query_id, vec_id) rows, already rank-limited), so both sides are
+    * queries×k-sized — the join is tiny regardless of corpus size and the
+    * per-query aggregation is map-side combinable.
+    *
+    * Returns (query_id, n_exact, n_hit, recall); recall counts the exact
+    * neighbors the approximate index recovered.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.select(col("query_id"), col("vec_id"))
+    val a = approx.select(col("query_id"), col("vec_id"), lit(1L).as("__hit"))
+    e.join(a, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6)
+          .as("recall"))
+  }
+
   /** Per-dimension corpus statistics of an embedding column — the
     * whitening/normalization-prep pass (PCA-whitening, mean-centering, and
     * quantizer range calibration all start from exactly these numbers).

@@ -252,6 +252,20 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Seq(2L, 3L))
   }
 
+  test("recallAtK: exact-vs-exact is 1.0 and LSH recall stays in bounds") {
+    val emb = GraftSession.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id").as("id"), Knn.toDoubleArray(col("embedding")).as("vec"))
+    val q = emb.filter(col("id") < 8)
+    val exact = Knn.bruteForceTopK(q, emb, 10)
+    val self = Knn.recallAtK(exact, exact)
+    assert(self.filter(col("recall") =!= 1.0).count() == 0)
+    val lsh = Knn.recallAtK(exact, Knn.lshTopK(q, emb, 10, 8, 64))
+    val bad = lsh.filter(col("recall") < 0 || col("recall") > 1
+      || col("n_hit") > col("n_exact")).count()
+    assert(bad == 0)
+    assert(lsh.count() == 8) // every query reports, even at zero recall
+  }
+
   test("hard negatives exclude near-dups BEFORE ranking, keeping k usable slots") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f)),     // anchor
