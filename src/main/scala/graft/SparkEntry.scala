@@ -1530,10 +1530,14 @@ asofOracle,
          |SELECT e.doc_id, CAST(e.pos AS INT) AS pos, COALESCE(v.token_id, 0) AS token_id
          |FROM ex e LEFT JOIN v ON e.token = v.token""".stripMargin,
     "bpe_pair_counts" ->
+      // the topWords cap mirrors the Spark side's wordFreqs limit — today's
+      // corpus has 31 word types so it never binds, but the contract must
+      // not silently diverge if the testdata's vocabulary ever grows
       """WITH wf AS (
         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
         |    SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word FROM documents)
-        |  GROUP BY word),
+        |  GROUP BY word
+        |  ORDER BY freq DESC, word ASC LIMIT 100000),
         |pairs AS (
         |  SELECT substr(word, i, 1) AS left_sym, substr(word, i + 1, 1) AS right_sym, freq
         |  FROM wf, unnest(generate_series(1, len(word) - 1)) AS t(i))

@@ -527,18 +527,22 @@ object Curation {
     val benchShingles = benchmark
       .select(explode(ShingleExpressions.distinctShingles(text, n)).as("__s"))
       .distinct()
-    val hits = explodedShingles(corpus, id, text, n)
-      .join(broadcast(benchShingles), "__s")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_overlap"))
+    // ONE corpus scan: shingle once, carry the denominator alongside the
+    // exploded rows (explode_outer keeps shingle-less documents), count
+    // hits and recover the size in the same aggregation — shingling text
+    // twice would double the dominant cost of this operator
     corpus
       .select(id.as("doc_id"),
-        size(ShingleExpressions.distinctShingles(text, n)).cast("long").as("n_shingles"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        ShingleExpressions.distinctShingles(text, n).as("__sh"))
+      .select(col("doc_id"), size(col("__sh")).cast("long").as("n_shingles"),
+        explode_outer(col("__sh")).as("__s"))
+      .join(broadcast(benchShingles.withColumn("__hit", lit(1L))), Seq("__s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_shingles")).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_overlap"))
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
         when(col("n_shingles") > 0,
-          round(coalesce(col("n_overlap"), lit(0L)).cast("double")
+          round(col("n_overlap").cast("double")
             / col("n_shingles").cast("double"), 6)).as("contamination"))
   }
 }

@@ -327,7 +327,9 @@ object Knn {
     */
   def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
     val e = exact.select(col("query_id"), col("vec_id"))
-    val a = approx.select(col("query_id"), col("vec_id"), lit(1L).as("__hit"))
+    // queries×k rows by contract — broadcast unconditionally rather than
+    // waiting for AQE (the static plan would otherwise sort-merge)
+    val a = broadcast(approx.select(col("query_id"), col("vec_id"), lit(1L).as("__hit")))
     e.join(a, Seq("query_id", "vec_id"), "left")
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_exact"),
@@ -353,7 +355,7 @@ object Knn {
     * variance divide the exact sums as doubles and re-quantize.
     */
   def dimStats(df: DataFrame, vec: Column): DataFrame = {
-    val r6 = (x: Column) => floor(x * lit(1.0e6) + lit(0.5)) / lit(1.0e6)
+    val r6 = graft.util.Portable.round6 _
     df.select(posexplode(vec).as(Seq("dim", "x")))
       .select(col("dim"), r6(col("x").cast("double")).as("xr"))
       .groupBy(col("dim"))

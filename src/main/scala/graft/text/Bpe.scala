@@ -79,9 +79,18 @@ object Bpe {
         val k = (syms(i), syms(i + 1))
         counts(k) = counts.getOrElse(k, 0L) + f
       }
-      val best = counts.toSeq
-        .sortBy { case ((l, r), c) => (-c, l, r) }
-        .headOption
+      // linear argmax (count desc, pair asc) — no need to sort all P pairs
+      // per merge when only the head is consumed
+      val best = counts.foldLeft(Option.empty[((String, String), Long)]) {
+        case (acc, kv @ (pair, c)) =>
+          acc match {
+            case Some((bp, bc)) =>
+              if (c > bc || (c == bc && Ordering[(String, String)].lt(pair, bp)))
+                Some(kv)
+              else acc
+            case None => Some(kv)
+          }
+      }
       best match {
         case Some((pair, c)) if c >= 2 =>
           merges += pair
@@ -139,9 +148,19 @@ object Bpe {
       .toDF("rank", "left_sym", "right_sym", "piece")
   }
 
+  /** Per-partition memoized encoder: under the Zipf distribution the same
+    * frequent word types recur constantly, so each task encodes a TYPE once
+    * and serves occurrences from a word→pieces cache (what published BPE
+    * encoders do); the cache is task-local so there is no shared state.
+    */
+  private def cachedEncoder(rank: Map[(String, String), Int]): String => Array[String] = {
+    val cache = scala.collection.mutable.HashMap.empty[String, Array[String]]
+    w => cache.getOrElseUpdate(w, encodeWord(w, rank))
+  }
+
   /** Encode every document: one row per subword piece, positions numbered
     * per document across word boundaries. Merge ranks are broadcast; no
-    * shuffle — the explode happens inside the typed flatMap.
+    * shuffle — the explode happens inside the typed partition iteration.
     */
   def encode(df: DataFrame, id: Column, text: Column,
              merges: Seq[(String, String)]): DataFrame = {
@@ -150,15 +169,19 @@ object Bpe {
     val b = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
     df.select(id.cast("long").as("doc_id"), Vocab.tokens(text).as("toks"))
       .as[(Long, Seq[String])]
-      .flatMap { case (docId, toks) =>
-        val pieces = toks.iterator.flatMap(w => encodeWord(w, b.value).iterator).toArray
-        Iterator.range(0, pieces.length).map(i => (docId, i, pieces(i)))
+      .mapPartitions { it =>
+        val enc = cachedEncoder(b.value)
+        it.flatMap { case (docId, toks) =>
+          val pieces = toks.iterator.flatMap(w => enc(w).iterator).toArray
+          Iterator.range(0, pieces.length).map(i => (docId, i, pieces(i)))
+        }
       }
       .toDF("doc_id", "pos", "piece")
   }
 
   /** Per-document compression accounting: words in, subword pieces out.
-    * Row-local (one output row per input row), merge ranks broadcast.
+    * Row-local (one output row per input row), merge ranks broadcast and
+    * the per-partition type cache shared across documents.
     */
   def encodeStats(df: DataFrame, id: Column, text: Column,
                   merges: Seq[(String, String)]): DataFrame = {
@@ -167,10 +190,13 @@ object Bpe {
     val b = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
     df.select(id.cast("long").as("doc_id"), Vocab.tokens(text).as("toks"))
       .as[(Long, Seq[String])]
-      .map { case (docId, toks) =>
-        var nPieces = 0L
-        toks.foreach(w => nPieces += encodeWord(w, b.value).length)
-        (docId, toks.size.toLong, nPieces)
+      .mapPartitions { it =>
+        val enc = cachedEncoder(b.value)
+        it.map { case (docId, toks) =>
+          var nPieces = 0L
+          toks.foreach(w => nPieces += enc(w).length)
+          (docId, toks.size.toLong, nPieces)
+        }
       }
       .toDF("doc_id", "n_words", "n_pieces")
   }

@@ -157,12 +157,6 @@ object LangModel {
       .when(score <= c2, lit("middle"))
       .otherwise(lit("tail"))
 
-  /** Half-up 6-decimal rounding as explicit IEEE arithmetic (valid for the
-    * non-negative NLL domain). Engine round() implementations disagree on
-    * half-way quotients (HALF_UP over the binary value vs scaled
-    * re-rounding — observed at sf0.1: 3.4140895 → 3.414089 vs 3.414090);
-    * floor(x·1e6 + 0.5)/1e6 is the same double-op sequence in any engine.
-    */
-  private def round6(x: Column): Column =
-    floor(x * lit(1.0e6) + lit(0.5)) / lit(1.0e6)
+  /** The shared portable rounding contract (see graft.util.Portable). */
+  private def round6(x: Column): Column = graft.util.Portable.round6(x)
 }

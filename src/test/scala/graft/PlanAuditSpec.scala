@@ -237,6 +237,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(p2.contains("Window"), p2)
   }
 
+  test("late round-4 training-prep operators keep their scale shapes") {
+    // split assignment is row-local: a shuffle here would mean the hash
+    // coin accidentally became an aggregation
+    assert(count(plan("dataset_split"), "Exchange") == 0)
+    // shuffle_order: exactly one hash exchange (the shard scatter); the
+    // sort is per-shard, never a global range exchange
+    val so = plan("shuffle_order")
+    assert(count(so, "Exchange hashpartitioning") == 1, so)
+    assert(!so.contains("Exchange rangepartitioning"), so)
+    // contamination: benchmark side broadcast, ONE corpus-side shingling
+    // (the single-scan rewrite — a second distinct_shingles means the
+    // denominator pass re-shingled the corpus)
+    val cs = plan("contamination_score")
+    assert(cs.contains("BroadcastHashJoin"), cs)
+    assert(count(cs, "distinctshingles") == 2, // corpus once + bench once
+      s"contamination_score must shingle the corpus exactly once\n$cs")
+    // BPE pair counts: the corpus-scale word count is capped by
+    // TakeOrdered BEFORE the pair explode
+    val bp = plan("bpe_pair_counts")
+    assert(bp.contains("TakeOrderedAndProject"), bp)
+    // dim stats: one partial-agg exchange keyed on the dimension index
+    assert(count(plan("embedding_dim_stats"), "Exchange hashpartitioning") == 1)
+    // recall report: operates on two top-k frames; no corpus-sized
+    // sort-merge join may appear between them
+    assert(!plan("ann_recall_report").contains("SortMergeJoin"))
+  }
+
   test("no query plans an unbroadcast cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"), s"$name plans a CartesianProduct")

@@ -209,6 +209,30 @@ object ScaleProbe {
         docs.filter(col("doc_id") % 10 === 0),
         col("doc_id"), col("text"), 3, 4000000L, 1L << 24).count()
     }
+
+    // late round-4 training-prep batch at 1M docs / 200k vectors
+    time("contamination_score_1M_vs_10k") {
+      C.contaminationScore(docs.filter(col("doc_id") % 100 =!= 0),
+        docs.filter(col("doc_id") % 100 === 0), col("doc_id"), col("text"), 3).count()
+    }
+    time("shuffle_order_1M") {
+      C.shuffleOrder(docs, col("doc_id"), "epoch0", 64).count()
+    }
+    // BPE: train on ~10k word types (the planted uniq words), then the
+    // memoized encode — per-task cache should make encode ~word-type bound
+    val bpeMerges = {
+      val t0 = System.nanoTime()
+      val m = graft.text.Bpe.train(docs, col("text"), 200, 100000)
+      println(f"SCALE bpe_train_1M_200merges ${(System.nanoTime() - t0) / 1e9}%.2f s (${m.size} merges)")
+      m
+    }
+    time("bpe_encode_stats_1M") {
+      graft.text.Bpe.encodeStats(docs, col("doc_id"), col("text"), bpeMerges).count()
+    }
+    time("dim_stats_200k_x_32") {
+      graft.similarity.Knn.dimStats(vecs.select(col("vec").as("embedding")),
+        col("embedding")).count()
+    }
     spark.stop()
   }
 }
