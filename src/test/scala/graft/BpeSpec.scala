@@ -81,6 +81,21 @@ class BpeSpec extends SparkSpec {
     assert(mism == 0)
   }
 
+  test("persisted merge table round-trips and encodes identically (train offline, apply online)") {
+    val docs = GraftSession.table(spark, "/root/testdata/sf0.001", "documents")
+    val merges = Bpe.train(docs, col("text"), 30, 100000)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_merges").toString
+    Bpe.mergesDf(spark, merges).write.mode("overwrite").parquet(dir)
+    // a later job reloads the persisted artifact and must encode bit-identically
+    val reloaded = spark.read.parquet(dir)
+      .orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(reloaded == merges)
+    val a = Bpe.encodeStats(docs, col("doc_id"), col("text"), merges)
+    val b = Bpe.encodeStats(docs, col("doc_id"), col("text"), reloaded)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("datasetSplit is exhaustive, disjoint, and growth-stable") {
     val docs = GraftSession.table(spark, "/root/testdata/sf0.001", "documents")
     val s1 = Curation.datasetSplit(docs, col("doc_id"), 90, 5)
