@@ -472,6 +472,100 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
   }
 
+  /** Per-document stage flags for the COMPOSED training-data pipeline —
+    * the pretraining-curation order a production corpus actually runs:
+    * language filter → quality → exact dedup → benchmark decontamination
+    * → mixture. Each flag conditions on every previous stage:
+    * l (langid agrees with the declared language), q (l ∧ Gopher-kept),
+    * d (q ∧ exact-dup first keeper AMONG q survivors — a quality-dropped
+    * doc must not shadow a kept duplicate), c (d ∧ no benchmark n-gram
+    * overlap), m (c ∧ mixture coin). Stage-ORDER semantics live here;
+    * unit parity on the individual operators cannot catch an ordering
+    * regression, which is why the funnel and the export share this one
+    * flag builder.
+    *
+    * Cost shape: three corpus passes — flags, the digest-keyed
+    * first-keeper aggregation (see curationStages for why a join, not a
+    * window: AQE skew-splits joins), and the contamination shingling.
+    * The shingling runs on QUALITY survivors, not keepers: d ⊆ q and c
+    * only consults the hit set where d holds, so the semantics are
+    * identical while the hits branch stays independent of the
+    * first-keeper join — rebuilding keepers there would re-execute both
+    * the flag scan and the firsts exchange (a fourth and fifth corpus
+    * pass, the multi-consumer re-execution trap). Benchmark shingles are
+    * broadcast.
+    */
+  private def trainingStages(corpus: DataFrame, benchmark: DataFrame,
+                             id: Column, text: Column, source: Column,
+                             declaredLang: Column, weights: Map[String, Int],
+                             defaultWeight: Int, n: Int): DataFrame = {
+    val flagged = corpus
+      .select(id.as("doc_id"), text.as("text"), source.as("source"),
+        declaredLang.as("lang"))
+      .withColumn("n_tok", graft.functions.TokenCount.tokenCount(col("text")))
+      .withColumn("l",
+        graft.text.TextFeatures.langIdColumns(col("text")).last === col("lang"))
+      .withColumn("q", col("l") &&
+        (graft.text.TextFeatures.filterDecision(col("text")) === "kept"))
+      .withColumn("__digest", md5(col("text")))
+    val firsts = flagged.filter(col("q"))
+      .groupBy(col("__digest")).agg(min(col("doc_id")).as("__first"))
+    val keepers = flagged.join(firsts, Seq("__digest"), "left")
+      .withColumn("d", col("q") && col("doc_id") === col("__first"))
+    val benchShingles = benchmark
+      .select(explode(ShingleExpressions.distinctShingles(text, n)).as("__s"))
+      .distinct()
+    val hits = flagged.filter(col("q"))
+      .select(col("doc_id"),
+        explode(ShingleExpressions.distinctShingles(col("text"), n)).as("__s"))
+      .join(broadcast(benchShingles), "__s")
+      .select(col("doc_id")).distinct()
+      .withColumn("__hit", lit(true))
+    keepers.join(hits, Seq("doc_id"), "left")
+      .withColumn("c", col("d") && !coalesce(col("__hit"), lit(false)))
+      .withColumn("m", col("c") &&
+        mixtureKeep(col("doc_id"), col("source"), weights, defaultWeight))
+      .drop("__digest", "__first", "__hit")
+  }
+
+  /** Funnel accounting for the composed training-data pipeline: one row
+    * per stage with surviving doc/token counts. Same single-explode shape
+    * as curationFunnel — the stage flags are computed once, never
+    * re-scanned per stage.
+    */
+  def trainingPipeline(corpus: DataFrame, benchmark: DataFrame,
+                       id: Column, text: Column, source: Column,
+                       declaredLang: Column, weights: Map[String, Int],
+                       defaultWeight: Int = 100, n: Int = 3): DataFrame = {
+    val staged = trainingStages(corpus, benchmark, id, text, source,
+      declaredLang, weights, defaultWeight, n)
+    def stage(i: Int, name: String, pass: Column) = struct(
+      lit(i).as("stage"), lit(name).as("stage_name"),
+      pass.as("pass"), col("n_tok").as("n_tok"))
+    staged
+      .select(explode(array(
+        stage(0, "ingested", lit(true)),
+        stage(1, "langid", col("l")),
+        stage(2, "quality_filter", col("q")),
+        stage(3, "exact_dedup", col("d")),
+        stage(4, "decontaminate", col("c")),
+        stage(5, "mixture", col("m")))).as("s"))
+      .filter(col("s.pass"))
+      .groupBy(col("s.stage").as("stage"), col("s.stage_name").as("stage_name"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("s.n_tok")).as("n_tokens"))
+  }
+
+  /** The composed pipeline's OUTPUT corpus: exactly the rows the funnel's
+    * final stage counts, in export shape. */
+  def trainingSurvivors(corpus: DataFrame, benchmark: DataFrame,
+                        id: Column, text: Column, source: Column,
+                        declaredLang: Column, weights: Map[String, Int],
+                        defaultWeight: Int = 100, n: Int = 3): DataFrame =
+    trainingStages(corpus, benchmark, id, text, source, declaredLang,
+      weights, defaultWeight, n)
+      .filter(col("m"))
+      .select(col("doc_id"), col("source"), col("n_tok"))
+
   /** Deterministic train/val/test assignment from the portable hash coin:
     * a document's split is a pure function of its id, so reruns, resumed
     * jobs, and downstream consumers all agree, and no document can migrate

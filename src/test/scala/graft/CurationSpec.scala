@@ -335,4 +335,44 @@ class CurationSpec extends SparkSpec {
     assert(out(13L) == ((1L, true)) || out(13L) == ((0L, true)))
     assert(out(14L)._2 && out(13L)._1 != out(14L)._1)
   }
+
+  test("trainingPipeline stage counts equal the individual operators composed in order") {
+    val docs = GraftSession.table(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val w = Map("en" -> 100, "fr" -> 50, "es" -> 25, "de" -> 10, "zh" -> 75)
+    val funnel = Curation.trainingPipeline(corpus, bench,
+      col("doc_id"), col("text"), col("lang"), col("lang"), w)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+
+    // recompose the flow from the INDIVIDUAL operators, stage by stage
+    val s1 = corpus.filter(
+      graft.text.TextFeatures.langIdColumns(col("text")).last === col("lang"))
+    val s2 = s1.filter(graft.text.TextFeatures.filterDecision(col("text")) === "kept")
+    // first keeper among s2 survivors (digest identity, min doc_id)
+    val firsts = s2.groupBy(md5(col("text")).as("__dg"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val s3 = s2.join(firsts, Seq("doc_id"), "left_semi")
+    val s4 = s3.join(
+      Curation.decontaminate(s3, bench, col("doc_id"), col("text"), 3)
+        .filter(!col("contaminated")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val s5 = s4.filter(Curation.mixtureKeep(col("doc_id"), col("lang"), w))
+    def docTok(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        sum(graft.functions.TokenCount.tokenCount(col("text")))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(funnel(0) == docTok(corpus))
+    assert(funnel(1) == docTok(s1), "langid stage diverged")
+    assert(funnel(2) == docTok(s2), "quality stage diverged")
+    assert(funnel(3) == docTok(s3), "dedup stage diverged")
+    assert(funnel(4) == docTok(s4), "decontaminate stage diverged")
+    assert(funnel(5) == docTok(s5), "mixture stage diverged")
+    // and the export is exactly the terminal stage
+    val exported = Curation.trainingSurvivors(corpus, bench,
+      col("doc_id"), col("text"), col("lang"), col("lang"), w)
+    assert(exported.count() == funnel(5)._1)
+  }
 }

@@ -262,6 +262,14 @@ class PlanAuditSpec extends SparkSpec {
     // recall report: operates on two top-k frames; no corpus-sized
     // sort-merge join may appear between them
     assert(!plan("ann_recall_report").contains("SortMergeJoin"))
+    // composed training pipeline: every join broadcast (firsts + hits +
+    // bench shingles), and the corpus is scanned exactly three times
+    // (flags, first-keeper agg, contamination shingling) — a fourth scan
+    // means the hits branch regressed into rebuilding the keepers join
+    val tp = plan("training_pipeline")
+    assert(!tp.contains("SortMergeJoin"), tp)
+    assert(count(tp, "Scan parquet") == 4, // 3 corpus + 1 benchmark
+      s"training_pipeline must scan the corpus exactly three times\n$tp")
   }
 
   test("no query plans an unbroadcast cartesian product") {

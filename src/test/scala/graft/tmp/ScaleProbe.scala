@@ -229,6 +229,16 @@ object ScaleProbe {
     time("bpe_encode_stats_1M") {
       graft.text.Bpe.encodeStats(docs, col("doc_id"), col("text"), bpeMerges).count()
     }
+    time("training_pipeline_1M") {
+      // the composed pretraining-curation run end-to-end; source/lang
+      // synthesized row-local so the probe corpus needs no extra columns
+      graft.curation.Curation.trainingPipeline(
+        docs.filter(col("doc_id") % 100 =!= 0)
+          .withColumn("lang", lit("en")),
+        docs.filter(col("doc_id") % 100 === 0),
+        col("doc_id"), col("text"), col("lang"), col("lang"),
+        Map("en" -> 80)).count()
+    }
     time("dim_stats_200k_x_32") {
       graft.similarity.Knn.dimStats(vecs.select(col("vec").as("embedding")),
         col("embedding")).count()
