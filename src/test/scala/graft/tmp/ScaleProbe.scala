@@ -230,12 +230,22 @@ object ScaleProbe {
       graft.text.Bpe.encodeStats(docs, col("doc_id"), col("text"), bpeMerges).count()
     }
     time("training_pipeline_1M") {
-      // the composed pretraining-curation run end-to-end; source/lang
-      // synthesized row-local so the probe corpus needs no extra columns
+      // the composed pretraining-curation run end-to-end. A stopword tail
+      // lets the word-soup corpus PASS the quality stage (otherwise every
+      // doc dies at no_stopwords and the later passes idle); the sparse
+      // benchmark (1 doc per 100 near-dup groups) contaminates ~1% of the
+      // corpus, so dedup/decontamination/mixture all do real work
+      // the unique u<id> token sits in EVERY tail trigram window (incl.
+      // the junction with the original text), so the tail adds stopword
+      // mass without creating a single cross-doc trigram — contamination
+      // then comes only from the planted near-dup groups (~1%)
+      val tailed = docs.withColumn("text",
+        concat(col("text"), lit(" u"), col("doc_id"), lit(" the of u"),
+          col("doc_id"), lit(" and to u"), col("doc_id"), lit(" in is")))
+        .withColumn("lang", lit("en"))
       graft.curation.Curation.trainingPipeline(
-        docs.filter(col("doc_id") % 100 =!= 0)
-          .withColumn("lang", lit("en")),
-        docs.filter(col("doc_id") % 100 === 0),
+        tailed.filter(col("doc_id") % 100 =!= 0),
+        tailed.filter(col("doc_id") % 10000 === 0),
         col("doc_id"), col("text"), col("lang"), col("lang"),
         Map("en" -> 80)).count()
     }
