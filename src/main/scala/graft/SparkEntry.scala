@@ -752,6 +752,19 @@ object SparkEntry {
         col("doc_id"), col("text"), col("lang"), col("lang"),
         Map("en" -> 100, "fr" -> 50, "es" -> 25, "de" -> 10, "zh" -> 75))
     }),
+    "training_incremental" -> ((s, dir) => {
+      // the always-on shape: odd doc_ids play today's batch, the even
+      // non-benchmark texts' digests play the persisted archive index
+      val d = table(s, dir, "documents")
+      val archive = d
+        .filter(col("doc_id") % 2 === 0 && col("doc_id") % 50 =!= 0)
+        .select(md5(col("text")).as("digest"))
+      graft.curation.Curation.trainingIngest(
+        d.filter(col("doc_id") % 2 === 1), archive,
+        d.filter(col("doc_id") % 50 === 0),
+        col("doc_id"), col("text"), col("lang"), col("lang"),
+        Map("en" -> 100, "fr" -> 50, "es" -> 25, "de" -> 10, "zh" -> 75))
+    }),
     "dataset_split" -> ((s, dir) =>
       // 90/5/5 hash split: membership is a pure function of doc_id
       graft.curation.Curation.datasetSplit(table(s, dir, "documents"),
@@ -1044,22 +1057,28 @@ object SparkEntry {
     * survivors, trigram decontamination vs the doc_id%50 eval split,
     * mixture coin. One owner so the funnel and the export cannot drift.
     */
+  /** The langid-agreement prediction CTE body, shared by both composed
+    * training-flow variants (batch and incremental) so the stopword
+    * tables cannot drift between them. */
+  private val langidPredCte: String =
+    """pred AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS s_en,
+      |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','y','que','en','un'))) AS BIGINT) AS s_es,
+      |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('le','la','de','et','que','en','un'))) AS BIGINT) AS s_fr,
+      |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','zu','in','ist'))) AS BIGINT) AS s_de,
+      |    CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+      |         WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+      |         WHEN s_fr >= s_de THEN 'fr'
+      |         ELSE 'de' END AS predicted
+      |  FROM documents)""".stripMargin
+
   private def trainingFlowCtes: String = {
     val inner = s"doc_id, lang, $sqlTokCount AS n_tok,"
     val outer = "doc_id, lang, n_tok, text,"
     s"""dec AS (
        |${gopherDecisionSql(inner, outer)}),
-       |pred AS (
-       |  SELECT doc_id,
-       |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS s_en,
-       |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','y','que','en','un'))) AS BIGINT) AS s_es,
-       |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('le','la','de','et','que','en','un'))) AS BIGINT) AS s_fr,
-       |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','zu','in','ist'))) AS BIGINT) AS s_de,
-       |    CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
-       |         WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
-       |         WHEN s_fr >= s_de THEN 'fr'
-       |         ELSE 'de' END AS predicted
-       |  FROM documents),
+       |$langidPredCte,
        |f AS (
        |  SELECT dec.doc_id, dec.lang AS source, dec.n_tok, dec.text,
        |    (pred.predicted = dec.lang) AS l,
@@ -1071,25 +1090,72 @@ object SparkEntry {
        |  SELECT f.doc_id, f.source, f.n_tok, f.text, f.l, f.q,
        |    (f.q AND f.doc_id = firsts.first_id) AS d
        |  FROM f LEFT JOIN firsts ON f.text = firsts.text),
-       |bsh AS (
-       |  SELECT DISTINCT s FROM (
-       |    SELECT unnest(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-       |                                  for i in generate_series(1, len(w)-2) ])) AS s
-       |    FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 50 = 0))),
-       |hits AS (
-       |  SELECT DISTINCT doc_id FROM (
-       |    SELECT doc_id, unnest(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-       |                                          for i in generate_series(1, len(w)-2) ])) AS s
-       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM fd WHERE d)) x
-       |  JOIN bsh USING (s)),
-       |staged AS (
-       |  SELECT fd.doc_id, fd.source, fd.n_tok, fd.l, fd.q, fd.d,
-       |    (fd.d AND hits.doc_id IS NULL) AS c,
-       |    (fd.d AND hits.doc_id IS NULL AND
-       |     ('0x' || substr(md5(CAST(fd.doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 <
-       |       CASE fd.source WHEN 'en' THEN 100 WHEN 'fr' THEN 50 WHEN 'es' THEN 25
-       |                      WHEN 'de' THEN 10 WHEN 'zh' THEN 75 ELSE 100 END) AS m
-       |  FROM fd LEFT JOIN hits ON fd.doc_id = hits.doc_id)""".stripMargin
+       |$trainingTailCtes""".stripMargin
+  }
+
+  /** The benchmark-shingle / contamination / staged-flag tail shared by
+    * both composed-flow variants — everything downstream of the `fd`
+    * (dedup-flagged) CTE is variant-independent. */
+  private val trainingTailCtes: String =
+    """bsh AS (
+      |  SELECT DISTINCT s FROM (
+      |    SELECT unnest(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                                  for i in generate_series(1, len(w)-2) ])) AS s
+      |    FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 50 = 0))),
+      |hits AS (
+      |  SELECT DISTINCT doc_id FROM (
+      |    SELECT doc_id, unnest(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                                          for i in generate_series(1, len(w)-2) ])) AS s
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM fd WHERE d)) x
+      |  JOIN bsh USING (s)),
+      |staged AS (
+      |  SELECT fd.doc_id, fd.source, fd.n_tok, fd.l, fd.q, fd.d,
+      |    (fd.d AND hits.doc_id IS NULL) AS c,
+      |    (fd.d AND hits.doc_id IS NULL AND
+      |     ('0x' || substr(md5(CAST(fd.doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 <
+      |       CASE fd.source WHEN 'en' THEN 100 WHEN 'fr' THEN 50 WHEN 'es' THEN 25
+      |                      WHEN 'de' THEN 10 WHEN 'zh' THEN 75 ELSE 100 END) AS m
+      |  FROM fd LEFT JOIN hits ON fd.doc_id = hits.doc_id)""".stripMargin
+
+  /** The per-stage funnel aggregation shared by both composed-flow
+    * variants. */
+  private val trainingFunnelSelect: String =
+    """SELECT stage, stage_name,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      |FROM (
+      |  SELECT 0 AS stage, 'ingested' AS stage_name, n_tok FROM staged
+      |  UNION ALL SELECT 1, 'langid', n_tok FROM staged WHERE l
+      |  UNION ALL SELECT 2, 'quality_filter', n_tok FROM staged WHERE q
+      |  UNION ALL SELECT 3, 'exact_dedup', n_tok FROM staged WHERE d
+      |  UNION ALL SELECT 4, 'decontaminate', n_tok FROM staged WHERE c
+      |  UNION ALL SELECT 5, 'mixture', n_tok FROM staged WHERE m)
+      |GROUP BY stage, stage_name""".stripMargin
+
+  /** Incremental (always-on) variant of the composed flow: the batch is
+    * the odd doc_ids, the persisted archive index is every even
+    * non-benchmark text's digest, and exact dedup also consults it. */
+  private def trainingIngestCtes: String = {
+    val inner = s"doc_id, lang, $sqlTokCount AS n_tok,"
+    val outer = "doc_id, lang, n_tok, text,"
+    s"""dec AS (
+       |${gopherDecisionSql(inner, outer)}),
+       |$langidPredCte,
+       |f AS (
+       |  SELECT dec.doc_id, dec.lang AS source, dec.n_tok, dec.text,
+       |    (pred.predicted = dec.lang) AS l,
+       |    (pred.predicted = dec.lang AND dec.decision = 'kept') AS q
+       |  FROM dec JOIN pred USING (doc_id)
+       |  WHERE dec.doc_id % 2 = 1),
+       |arch AS (
+       |  SELECT DISTINCT md5(text) AS digest FROM documents
+       |  WHERE doc_id % 2 = 0 AND doc_id % 50 <> 0),
+       |firsts AS (SELECT text, MIN(doc_id) AS first_id FROM f WHERE q GROUP BY text),
+       |fd AS (
+       |  SELECT f.doc_id, f.source, f.n_tok, f.text, f.l, f.q,
+       |    (f.q AND f.doc_id = firsts.first_id AND arch.digest IS NULL) AS d
+       |  FROM f LEFT JOIN firsts ON f.text = firsts.text
+       |  LEFT JOIN arch ON md5(f.text) = arch.digest),
+       |$trainingTailCtes""".stripMargin
   }
 
   /** The quality_score oracle's building blocks, shared with the
@@ -2598,19 +2664,13 @@ asofOracle,
         |  FROM t GROUP BY source)""".stripMargin,
     "training_pipeline" ->
       s"""WITH $trainingFlowCtes
-         |SELECT stage, stage_name,
-         |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
-         |FROM (
-         |  SELECT 0 AS stage, 'ingested' AS stage_name, n_tok FROM staged
-         |  UNION ALL SELECT 1, 'langid', n_tok FROM staged WHERE l
-         |  UNION ALL SELECT 2, 'quality_filter', n_tok FROM staged WHERE q
-         |  UNION ALL SELECT 3, 'exact_dedup', n_tok FROM staged WHERE d
-         |  UNION ALL SELECT 4, 'decontaminate', n_tok FROM staged WHERE c
-         |  UNION ALL SELECT 5, 'mixture', n_tok FROM staged WHERE m)
-         |GROUP BY stage, stage_name""".stripMargin,
+         |$trainingFunnelSelect""".stripMargin,
     "training_export" ->
       s"""WITH $trainingFlowCtes
          |SELECT doc_id, source, n_tok FROM staged WHERE m""".stripMargin,
+    "training_incremental" ->
+      s"""WITH $trainingIngestCtes
+         |$trainingFunnelSelect""".stripMargin,
     "dataset_split" ->
       """SELECT doc_id,
         |  CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split

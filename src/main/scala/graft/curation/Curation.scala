@@ -566,6 +566,74 @@ object Curation {
       .filter(col("m"))
       .select(col("doc_id"), col("source"), col("n_tok"))
 
+  /** The ALWAYS-ON formulation of the composed pipeline: today's batch
+    * runs the same staged flags, but exact dedup additionally checks the
+    * PERSISTED archive digest index (every text ever ingested), so a doc
+    * that duplicates history dies exactly like a doc that duplicates its
+    * own batch — the daily-ingest shape (same contract as
+    * Dedup.incrementalDedupVerified: the archive pays its cost once, the
+    * join side is batch-sized).
+    *
+    * `archiveDigests` is a one-column frame of md5(text) digests — the
+    * persisted artifact itself, not recomputed corpus text. The anti
+    * lookup is a plain hash join on the fixed-width digest (broadcast
+    * when the index fits, shuffle-on-digest when it doesn't — AQE picks);
+    * everything else is identical to trainingStages, so funnel rows mean
+    * the same thing in both formulations.
+    */
+  def trainingIngest(batch: DataFrame, archiveDigests: DataFrame,
+                     benchmark: DataFrame, id: Column, text: Column,
+                     source: Column, declaredLang: Column,
+                     weights: Map[String, Int], defaultWeight: Int = 100,
+                     n: Int = 3): DataFrame = {
+    val flagged = batch
+      .select(id.as("doc_id"), text.as("text"), source.as("source"),
+        declaredLang.as("lang"))
+      .withColumn("n_tok", graft.functions.TokenCount.tokenCount(col("text")))
+      .withColumn("l",
+        graft.text.TextFeatures.langIdColumns(col("text")).last === col("lang"))
+      .withColumn("q", col("l") &&
+        (graft.text.TextFeatures.filterDecision(col("text")) === "kept"))
+      .withColumn("__digest", md5(col("text")))
+    val firsts = flagged.filter(col("q"))
+      .groupBy(col("__digest")).agg(min(col("doc_id")).as("__first"))
+    val seen = archiveDigests.select(col(archiveDigests.columns.head).as("__digest"))
+      .distinct().withColumn("__seen", lit(true))
+    val keepers = flagged
+      .join(firsts, Seq("__digest"), "left")
+      .join(seen, Seq("__digest"), "left")
+      .withColumn("d", col("q") && col("doc_id") === col("__first") &&
+        !coalesce(col("__seen"), lit(false)))
+    val benchShingles = benchmark
+      .select(explode(ShingleExpressions.distinctShingles(text, n)).as("__s"))
+      .distinct()
+    val hits = flagged.filter(col("q"))
+      .select(col("doc_id"),
+        explode(ShingleExpressions.distinctShingles(col("text"), n)).as("__s"))
+      .join(broadcast(benchShingles), "__s")
+      .select(col("doc_id")).distinct()
+      .withColumn("__hit", lit(true))
+    val staged = keepers.join(hits, Seq("doc_id"), "left")
+      .withColumn("c", col("d") && !coalesce(col("__hit"), lit(false)))
+      .withColumn("m", col("c") &&
+        mixtureKeep(col("doc_id"), col("source"), weights, defaultWeight))
+      .drop("__digest", "__first", "__seen", "__hit")
+    def stage(i: Int, name: String, pass: Column) = struct(
+      lit(i).as("stage"), lit(name).as("stage_name"),
+      pass.as("pass"), col("n_tok").as("n_tok"))
+    staged
+      .select(explode(array(
+        stage(0, "ingested", lit(true)),
+        stage(1, "langid", col("l")),
+        stage(2, "quality_filter", col("q")),
+        stage(3, "exact_dedup", col("d")),
+        stage(4, "decontaminate", col("c")),
+        stage(5, "mixture", col("m")))).as("s"))
+      .filter(col("s.pass"))
+      .groupBy(col("s.stage").as("stage"), col("s.stage_name").as("stage_name"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("s.n_tok")).as("n_tokens"))
+  }
+
   /** Deterministic train/val/test assignment from the portable hash coin:
     * a document's split is a pure function of its id, so reruns, resumed
     * jobs, and downstream consumers all agree, and no document can migrate

@@ -375,4 +375,31 @@ class CurationSpec extends SparkSpec {
       col("doc_id"), col("text"), col("lang"), col("lang"), w)
     assert(exported.count() == funnel(5)._1)
   }
+
+  test("trainingIngest with an empty archive equals trainingPipeline; a seen digest kills its doc") {
+    val docs = GraftSession.table(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val w = Map("en" -> 100, "fr" -> 50, "es" -> 25, "de" -> 10, "zh" -> 75)
+    val emptyArchive = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      new org.apache.spark.sql.types.StructType()
+        .add("digest", org.apache.spark.sql.types.StringType))
+    val inc = Curation.trainingIngest(corpus, emptyArchive, bench,
+      col("doc_id"), col("text"), col("lang"), col("lang"), w)
+    val batch = Curation.trainingPipeline(corpus, bench,
+      col("doc_id"), col("text"), col("lang"), col("lang"), w)
+    assert(inc.exceptAll(batch).isEmpty && batch.exceptAll(inc).isEmpty,
+      "empty archive must reduce the incremental flow to the batch flow")
+    // an archive containing EVERY corpus digest kills every doc at dedup:
+    // stages 0-2 unchanged, stages 3-5 empty (absent from the funnel)
+    val full = Curation.trainingIngest(corpus,
+      corpus.select(md5(col("text")).as("digest")), bench,
+      col("doc_id"), col("text"), col("lang"), col("lang"), w)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val base = batch.collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(full(0) == base(0) && full(1) == base(1) && full(2) == base(2))
+    assert(!full.contains(3) && !full.contains(4) && !full.contains(5),
+      s"fully-seen archive must empty the dedup tail: $full")
+  }
 }
