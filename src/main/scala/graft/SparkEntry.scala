@@ -739,10 +739,12 @@ object SparkEntry {
       // dedup -> decontamination (vs the doc_id%50 eval split) -> mixture,
       // with per-stage doc/token accounting
       val d = table(s, dir, "documents")
+      // no "zh" weight: the langid stage has no zh profile, so zh docs die
+      // at stage 1 and a zh entry would be dead configuration
       graft.curation.Curation.trainingPipeline(
         d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0),
         col("doc_id"), col("text"), col("lang"), col("lang"),
-        Map("en" -> 100, "fr" -> 50, "es" -> 25, "de" -> 10, "zh" -> 75))
+        Map("en" -> 100, "fr" -> 50, "es" -> 25, "de" -> 10))
     }),
     "training_export" -> ((s, dir) => {
       // the corpus the funnel's terminal stage counts, in export shape
@@ -750,7 +752,7 @@ object SparkEntry {
       graft.curation.Curation.trainingSurvivors(
         d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0),
         col("doc_id"), col("text"), col("lang"), col("lang"),
-        Map("en" -> 100, "fr" -> 50, "es" -> 25, "de" -> 10, "zh" -> 75))
+        Map("en" -> 100, "fr" -> 50, "es" -> 25, "de" -> 10))
     }),
     "training_incremental" -> ((s, dir) => {
       // the always-on shape: odd doc_ids play today's batch, the even
@@ -763,7 +765,7 @@ object SparkEntry {
         d.filter(col("doc_id") % 2 === 1), archive,
         d.filter(col("doc_id") % 50 === 0),
         col("doc_id"), col("text"), col("lang"), col("lang"),
-        Map("en" -> 100, "fr" -> 50, "es" -> 25, "de" -> 10, "zh" -> 75))
+        Map("en" -> 100, "fr" -> 50, "es" -> 25, "de" -> 10))
     }),
     "dataset_split" -> ((s, dir) =>
       // 90/5/5 hash split: membership is a pure function of doc_id
@@ -1114,7 +1116,7 @@ object SparkEntry {
       |    (fd.d AND hits.doc_id IS NULL AND
       |     ('0x' || substr(md5(CAST(fd.doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 <
       |       CASE fd.source WHEN 'en' THEN 100 WHEN 'fr' THEN 50 WHEN 'es' THEN 25
-      |                      WHEN 'de' THEN 10 WHEN 'zh' THEN 75 ELSE 100 END) AS m
+      |                      WHEN 'de' THEN 10 ELSE 100 END) AS m
       |  FROM fd LEFT JOIN hits ON fd.doc_id = hits.doc_id)""".stripMargin
 
   /** The per-stage funnel aggregation shared by both composed-flow

@@ -498,7 +498,8 @@ object Curation {
   private def trainingStages(corpus: DataFrame, benchmark: DataFrame,
                              id: Column, text: Column, source: Column,
                              declaredLang: Column, weights: Map[String, Int],
-                             defaultWeight: Int, n: Int): DataFrame = {
+                             defaultWeight: Int, n: Int,
+                             archiveDigests: Option[DataFrame] = None): DataFrame = {
     val flagged = corpus
       .select(id.as("doc_id"), text.as("text"), source.as("source"),
         declaredLang.as("lang"))
@@ -510,8 +511,21 @@ object Curation {
       .withColumn("__digest", md5(col("text")))
     val firsts = flagged.filter(col("q"))
       .groupBy(col("__digest")).agg(min(col("doc_id")).as("__first"))
-    val keepers = flagged.join(firsts, Seq("__digest"), "left")
-      .withColumn("d", col("q") && col("doc_id") === col("__first"))
+    // incremental mode: a doc whose digest is already in the persisted
+    // archive index dies at the dedup stage like an in-batch duplicate
+    val keepers = archiveDigests match {
+      case None =>
+        flagged.join(firsts, Seq("__digest"), "left")
+          .withColumn("d", col("q") && col("doc_id") === col("__first"))
+      case Some(arch) =>
+        val seen = arch.select(col(arch.columns.head).as("__digest"))
+          .distinct().withColumn("__seen", lit(true))
+        flagged.join(firsts, Seq("__digest"), "left")
+          .join(seen, Seq("__digest"), "left")
+          .withColumn("d", col("q") && col("doc_id") === col("__first") &&
+            !coalesce(col("__seen"), lit(false)))
+          .drop("__seen")
+    }
     val benchShingles = benchmark
       .select(explode(ShingleExpressions.distinctShingles(text, n)).as("__s"))
       .distinct()
@@ -528,17 +542,8 @@ object Curation {
       .drop("__digest", "__first", "__hit")
   }
 
-  /** Funnel accounting for the composed training-data pipeline: one row
-    * per stage with surviving doc/token counts. Same single-explode shape
-    * as curationFunnel — the stage flags are computed once, never
-    * re-scanned per stage.
-    */
-  def trainingPipeline(corpus: DataFrame, benchmark: DataFrame,
-                       id: Column, text: Column, source: Column,
-                       declaredLang: Column, weights: Map[String, Int],
-                       defaultWeight: Int = 100, n: Int = 3): DataFrame = {
-    val staged = trainingStages(corpus, benchmark, id, text, source,
-      declaredLang, weights, defaultWeight, n)
+  /** The one owner of the staged-flags → per-stage funnel aggregation. */
+  private def trainingFunnel(staged: DataFrame): DataFrame = {
     def stage(i: Int, name: String, pass: Column) = struct(
       lit(i).as("stage"), lit(name).as("stage_name"),
       pass.as("pass"), col("n_tok").as("n_tok"))
@@ -554,6 +559,18 @@ object Curation {
       .groupBy(col("s.stage").as("stage"), col("s.stage_name").as("stage_name"))
       .agg(count(lit(1)).as("n_docs"), sum(col("s.n_tok")).as("n_tokens"))
   }
+
+  /** Funnel accounting for the composed training-data pipeline: one row
+    * per stage with surviving doc/token counts. Same single-explode shape
+    * as curationFunnel — the stage flags are computed once, never
+    * re-scanned per stage.
+    */
+  def trainingPipeline(corpus: DataFrame, benchmark: DataFrame,
+                       id: Column, text: Column, source: Column,
+                       declaredLang: Column, weights: Map[String, Int],
+                       defaultWeight: Int = 100, n: Int = 3): DataFrame =
+    trainingFunnel(trainingStages(corpus, benchmark, id, text, source,
+      declaredLang, weights, defaultWeight, n))
 
   /** The composed pipeline's OUTPUT corpus: exactly the rows the funnel's
     * final stage counts, in export shape. */
@@ -585,54 +602,9 @@ object Curation {
                      benchmark: DataFrame, id: Column, text: Column,
                      source: Column, declaredLang: Column,
                      weights: Map[String, Int], defaultWeight: Int = 100,
-                     n: Int = 3): DataFrame = {
-    val flagged = batch
-      .select(id.as("doc_id"), text.as("text"), source.as("source"),
-        declaredLang.as("lang"))
-      .withColumn("n_tok", graft.functions.TokenCount.tokenCount(col("text")))
-      .withColumn("l",
-        graft.text.TextFeatures.langIdColumns(col("text")).last === col("lang"))
-      .withColumn("q", col("l") &&
-        (graft.text.TextFeatures.filterDecision(col("text")) === "kept"))
-      .withColumn("__digest", md5(col("text")))
-    val firsts = flagged.filter(col("q"))
-      .groupBy(col("__digest")).agg(min(col("doc_id")).as("__first"))
-    val seen = archiveDigests.select(col(archiveDigests.columns.head).as("__digest"))
-      .distinct().withColumn("__seen", lit(true))
-    val keepers = flagged
-      .join(firsts, Seq("__digest"), "left")
-      .join(seen, Seq("__digest"), "left")
-      .withColumn("d", col("q") && col("doc_id") === col("__first") &&
-        !coalesce(col("__seen"), lit(false)))
-    val benchShingles = benchmark
-      .select(explode(ShingleExpressions.distinctShingles(text, n)).as("__s"))
-      .distinct()
-    val hits = flagged.filter(col("q"))
-      .select(col("doc_id"),
-        explode(ShingleExpressions.distinctShingles(col("text"), n)).as("__s"))
-      .join(broadcast(benchShingles), "__s")
-      .select(col("doc_id")).distinct()
-      .withColumn("__hit", lit(true))
-    val staged = keepers.join(hits, Seq("doc_id"), "left")
-      .withColumn("c", col("d") && !coalesce(col("__hit"), lit(false)))
-      .withColumn("m", col("c") &&
-        mixtureKeep(col("doc_id"), col("source"), weights, defaultWeight))
-      .drop("__digest", "__first", "__seen", "__hit")
-    def stage(i: Int, name: String, pass: Column) = struct(
-      lit(i).as("stage"), lit(name).as("stage_name"),
-      pass.as("pass"), col("n_tok").as("n_tok"))
-    staged
-      .select(explode(array(
-        stage(0, "ingested", lit(true)),
-        stage(1, "langid", col("l")),
-        stage(2, "quality_filter", col("q")),
-        stage(3, "exact_dedup", col("d")),
-        stage(4, "decontaminate", col("c")),
-        stage(5, "mixture", col("m")))).as("s"))
-      .filter(col("s.pass"))
-      .groupBy(col("s.stage").as("stage"), col("s.stage_name").as("stage_name"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("s.n_tok")).as("n_tokens"))
-  }
+                     n: Int = 3): DataFrame =
+    trainingFunnel(trainingStages(batch, benchmark, id, text, source,
+      declaredLang, weights, defaultWeight, n, Some(archiveDigests)))
 
   /** Deterministic train/val/test assignment from the portable hash coin:
     * a document's split is a pure function of its id, so reruns, resumed

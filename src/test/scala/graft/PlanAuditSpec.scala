@@ -263,13 +263,22 @@ class PlanAuditSpec extends SparkSpec {
     // sort-merge join may appear between them
     assert(!plan("ann_recall_report").contains("SortMergeJoin"))
     // composed training pipeline: every join broadcast (firsts + hits +
-    // bench shingles), and the corpus is scanned exactly three times
-    // (flags, first-keeper agg, contamination shingling) — a fourth scan
-    // means the hits branch regressed into rebuilding the keepers join
+    // bench shingles). The scan budget is FOUR total parquet scans —
+    // three corpus (flags, first-keeper agg, contamination shingling)
+    // plus one benchmark; corpus and benchmark read the same table so
+    // the plan text cannot tell them apart, but any regression of the
+    // hits branch into rebuilding the keepers join ADDS scans (5+) and
+    // trips the total
     val tp = plan("training_pipeline")
     assert(!tp.contains("SortMergeJoin"), tp)
-    assert(count(tp, "Scan parquet") == 4, // 3 corpus + 1 benchmark
-      s"training_pipeline must scan the corpus exactly three times\n$tp")
+    assert(count(tp, "Scan parquet") == 4,
+      s"training_pipeline must plan exactly 4 parquet scans (3 corpus + 1 benchmark)\n$tp")
+    // the incremental variant adds exactly ONE scan (the archive digest
+    // side); its digest lookup must stay a hash join, never a sort-merge
+    val ti = plan("training_incremental")
+    assert(!ti.contains("SortMergeJoin"), ti)
+    assert(count(ti, "Scan parquet") == 5,
+      s"training_incremental must plan exactly 5 parquet scans (3 batch + 1 archive + 1 benchmark)\n$ti")
   }
 
   test("no query plans an unbroadcast cartesian product") {
