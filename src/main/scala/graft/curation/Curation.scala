@@ -606,6 +606,21 @@ object Curation {
     trainingFunnel(trainingStages(batch, benchmark, id, text, source,
       declaredLang, weights, defaultWeight, n, Some(archiveDigests)))
 
+  /** The incremental run's OUTPUT rows — what a daily (or foreachBatch
+    * streaming) ingest APPENDS to the training corpus; the caller then
+    * appends the batch's digests to the archive index so the next batch
+    * dedups against this one. Same flag builder as the funnel.
+    */
+  def trainingIngestSurvivors(batch: DataFrame, archiveDigests: DataFrame,
+                              benchmark: DataFrame, id: Column, text: Column,
+                              source: Column, declaredLang: Column,
+                              weights: Map[String, Int], defaultWeight: Int = 100,
+                              n: Int = 3): DataFrame =
+    trainingStages(batch, benchmark, id, text, source, declaredLang,
+      weights, defaultWeight, n, Some(archiveDigests))
+      .filter(col("m"))
+      .select(col("doc_id"), col("source"), col("n_tok"))
+
   /** Deterministic train/val/test assignment from the portable hash coin:
     * a document's split is a pure function of its id, so reruns, resumed
     * jobs, and downstream consumers all agree, and no document can migrate

@@ -611,4 +611,64 @@ class StreamingSourcesSpec extends SparkSpec {
       assert(streamed == expected)
     } finally q.stop()
   }
+
+  test("foreachBatch training ingest dedups across micro-batches via the persisted archive index") {
+    val C = graft.curation.Curation
+    // every trigram window contains the per-doc token, so docs share no
+    // trigrams (same construction as the scale probe); stopword mass and
+    // length make the quality stage pass, 'en' makes langid agree
+    def body(i: Long) =
+      s"w${i}a the of w${i}b and to w${i}c in is w${i}d a of w${i}e"
+    val w = Map("en" -> 100)
+    val bench = Seq((999L, body(999), "en")).toDF("doc_id", "text", "lang")
+    val batchA = Seq(1L, 2L, 3L, 4L, 5L).map(i => (i, body(i), "en"))
+    // doc 11 re-ingests doc 1's exact text — it must die at exact_dedup
+    // in the SECOND batch, via the archive index, not in-batch state
+    val batchB = Seq((11L, body(1), "en")) ++
+      Seq(12L, 13L, 14L, 15L).map(i => (i, body(i), "en"))
+
+    val archDir = Files.createTempDirectory("graft_arch").toString
+    val outDir = Files.createTempDirectory("graft_ingested").toString
+    Seq.empty[String].toDF("digest").write.mode("overwrite").parquet(archDir)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val q = input.toDF.toDF("doc_id", "text", "lang").writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val arch = spark.read.parquet(archDir)
+        C.trainingIngestSurvivors(b, arch, bench,
+          col("doc_id"), col("text"), col("lang"), col("lang"), w)
+          .write.mode("append").parquet(outDir)
+        // the ingest contract: every batch text joins the index, kept or not
+        b.select(md5(col("text")).as("digest")).write.mode("append").parquet(archDir)
+        ()
+      }.start()
+    try {
+      input.addData(batchA); q.processAllAvailable()
+      input.addData(batchB); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L, 4L, 5L, 12L, 13L, 14L, 15L),
+      s"doc 11 must die against the archive index: $got")
+    // the streamed end-state equals the two-step batch formulation
+    val a = batchA.toDF("doc_id", "text", "lang")
+    val b2 = batchB.toDF("doc_id", "text", "lang")
+    val step1 = C.trainingIngestSurvivors(a,
+      Seq.empty[String].toDF("digest"), bench,
+      col("doc_id"), col("text"), col("lang"), col("lang"), w)
+    val step2 = C.trainingIngestSurvivors(b2,
+      a.select(md5(col("text")).as("digest")), bench,
+      col("doc_id"), col("text"), col("lang"), col("lang"), w)
+    val expected = step1.unionAll(step2)
+    val streamed = spark.read.parquet(outDir)
+    assert(streamed.exceptAll(expected).isEmpty && expected.exceptAll(streamed).isEmpty)
+    // and the incremental funnel agrees: batch B loses exactly one doc at dedup
+    val funnelB = C.trainingIngest(b2, a.select(md5(col("text")).as("digest")),
+      bench, col("doc_id"), col("text"), col("lang"), col("lang"), w)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(funnelB(2) == 5 && funnelB(3) == 4,
+      s"batch B: 5 pass quality, 4 survive archive dedup: $funnelB")
+  }
 }
