@@ -177,4 +177,34 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("BPE: encode round-trips any word under any trained merge table") {
+    import graft.text.Bpe
+    val corpus = Gen.listOfN(20,
+      for (w <- word; f <- Gen.choose(1L, 50L)) yield (w, f))
+    for (c <- samples(corpus, 50)) {
+      val merges = Bpe.trainLocal(c, 30)
+      val rank = merges.zipWithIndex.toMap
+      // every trained word AND unseen probe words reassemble exactly
+      for (w <- c.map(_._1) ++ samples(word, 5)) {
+        val pieces = Bpe.encodeWord(w, rank)
+        assert(pieces.mkString == w, s"round-trip broke: '$w' -> ${pieces.toSeq}")
+        assert(pieces.forall(_.nonEmpty))
+      }
+    }
+  }
+
+  test("BPE: merges are deterministic and monotone in numMerges") {
+    import graft.text.Bpe
+    val corpus = Gen.listOfN(15,
+      for (w <- word; f <- Gen.choose(1L, 20L)) yield (w, f))
+    for (c <- samples(corpus, 30)) {
+      val m5 = Bpe.trainLocal(c, 5)
+      val m10 = Bpe.trainLocal(c, 10)
+      // a longer budget extends, never rewrites, the merge prefix
+      assert(m10.take(m5.size) == m5)
+      // input order never matters
+      assert(Bpe.trainLocal(c.reverse, 10) == m10)
+    }
+  }
 }
