@@ -1044,7 +1044,7 @@ object SparkEntry {
        |                                             for i in generate_series(1, len(w)-2) ])) AS DOUBLE)
        |                    / (len(w) - 2)
        |         ELSE 0.0 END AS dup,
-       |    CAST(list_max(list_transform(list_distinct(w), x -> len(list_filter(w, y -> y = x)))) AS DOUBLE)
+       |    CAST(list_max(list_transform(list_distinct(list_filter(w, x -> x <> '')), x -> len(list_filter(w, y -> y = x)))) AS DOUBLE)
        |      / len(w) AS tt
        |  FROM (SELECT $inner text, string_split(text, ' ') AS w FROM documents))""".stripMargin
 
@@ -1758,7 +1758,7 @@ asofOracle,
         |    CAST(greatest(len(w) - 2, 0) AS BIGINT) AS n_total,
         |    CAST(len(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
         |                             for i in generate_series(1, len(w)-2) ])) AS BIGINT) AS n_distinct,
-        |    CAST(list_max(list_transform(list_distinct(w), x -> len(list_filter(w, y -> y = x)))) AS BIGINT) AS top_tok
+        |    CAST(list_max(list_transform(list_distinct(list_filter(w, x -> x <> '')), x -> len(list_filter(w, y -> y = x)))) AS BIGINT) AS top_tok
         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))""".stripMargin,
     "topk_ngrams" ->
       """SELECT s AS ngram, COUNT(*) AS n_docs

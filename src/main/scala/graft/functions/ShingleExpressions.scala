@@ -114,10 +114,6 @@ case class DistinctShingles(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): DistinctShingles = copy(newChild)
 }
 
-/** array<long> minhash signature: for each permutation p,
-  * min over distinct shingles of (md5base32(sh) * a(p) + b(p)) % prime.
-  * Empty array when the document has no shingles.
-  */
 /** Single-pass non-distinct n-gram instance list (see
   * ShingleUtil.wordNgrams) — replaces the interpreted HOF formulation in
   * hot LM-training scans.
@@ -138,11 +134,21 @@ case class WordNgrams(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): WordNgrams = copy(newChild)
 }
 
+/** array<long> minhash signature: for each permutation p,
+  * min over distinct shingles of (md5base32(sh) * a(p) + b(p)) % prime.
+  * Empty array when the document has no shingles.
+  */
 case class MinHashSig(child: Expression, n: Int, a: Seq[Long], b: Seq[Long], prime: Long)
     extends UnaryExpression with ExpectsInputTypes {
+  require(a.length == b.length,
+    s"minhash permutation tables must align: a=${a.length} b=${b.length}")
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   private val numPerms = a.length
+  // hot-loop arrays: the Seq parameters are Lists — indexing them inside
+  // the per-shingle loop would walk cons cells O(numPerms^2) per shingle
+  private val aArr = a.toArray
+  private val bArr = b.toArray
   def compute(input: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
     val sh = ShingleUtil.distinctShingles(input.toString, n)
     if (sh.isEmpty) return new GenericArrayData(Array.empty[Any])
@@ -152,7 +158,7 @@ case class MinHashSig(child: Expression, n: Int, a: Seq[Long], b: Seq[Long], pri
       val h = ShingleUtil.md5Base32(sh(i))
       var p = 0
       while (p < numPerms) {
-        val v = (h * a(p) + b(p)) % prime
+        val v = (h * aArr(p) + bArr(p)) % prime
         if (v < mins(p)) mins(p) = v
         p += 1
       }
@@ -230,74 +236,66 @@ private[functions] object SimHashUtil {
   }
 }
 
-/** 32-bit SimHash as a '0'/'1' string — the fused single-pass form of the
-  * distinct-token md5 bit-vote (oracle formulation: per distinct token, hex
-  * digit of md5 at pos/4, bit (pos%4) extracted by integer division, votes
-  * +-1 summed per position, bit '1' iff sum > 0).
+/** SimHash as a '0'/'1' string at width 32 or 64 — the fused single-pass
+  * form of the distinct-token md5 bit-vote (oracle formulation: per
+  * distinct token, hex digit of md5 at pos/4, bit (pos%4) extracted by
+  * integer division, votes +-1 summed per position, bit '1' iff sum > 0).
+  * Width 64 is the production variant (see Dedup.simhashPairs note: twice
+  * the band discrimination on low-diversity corpora); one class serves
+  * both so the vote semantics cannot drift between widths.
   */
-case class SimHash32(child: Expression)
+case class SimHashExpr(child: Expression, width: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  require(width == 32 || width == 64, s"simhash width must be 32 or 64, got $width")
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = StringType
-  def compute(input: UTF8String): UTF8String = SimHashUtil.simhash(input, 32)
+  def compute(input: UTF8String): UTF8String = SimHashUtil.simhash(input, width)
   override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val self = ctx.addReferenceObj("simhash32", this, classOf[SimHash32].getName)
+    val self = ctx.addReferenceObj("simhash", this, classOf[SimHashExpr].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
   }
-  override protected def withNewChildInternal(newChild: Expression): SimHash32 = copy(newChild)
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr = copy(child = newChild)
 }
 
-/** 64-bit SimHash — the production-width variant (see Dedup.simhashPairs
-  * note): twice the band discrimination of SimHash32 on low-diversity
-  * corpora. Same bit-vote semantics over the first 16 md5 hex digits.
-  */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes {
-  override def inputTypes: Seq[DataType] = Seq(StringType)
-  override def dataType: DataType = StringType
-  def compute(input: UTF8String): UTF8String = SimHashUtil.simhash(input, 64)
-  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val self = ctx.addReferenceObj("simhash64", this, classOf[SimHash64].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
-  }
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(newChild)
-}
-
-/** Hamming distance between two equal-length strings (e.g. simhash bit
-  * strings) — one fused byte scan; the higher-order-function formulation
+/** CHARACTER-level Hamming distance (unequal lengths add the length
+  * difference) — one fused scan; the higher-order-function formulation
   * (split + zip_with + filter) is interpreted and dominates candidate-pair
-  * verification at scale.
+  * verification at scale. ASCII inputs (the simhash bit strings this
+  * serves) take a byte-scan fast path; any non-ASCII input falls back to
+  * a char scan so the SQL-exposed function keeps per-character semantics
+  * instead of silently counting UTF-8 continuation bytes.
   */
 case class HammingDistance(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
   override def dataType: DataType = LongType
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[UTF8String].getBytes
-    val b = r.asInstanceOf[UTF8String].getBytes
-    val n = math.min(a.length, b.length)
-    var d = (a.length - b.length).abs.toLong
-    var i = 0
-    while (i < n) { if (a(i) != b(i)) d += 1; i += 1 }
-    d
+  def compute(lu: UTF8String, ru: UTF8String): Long = {
+    val a = lu.getBytes
+    val b = ru.getBytes
+    if (a.length == lu.numChars() && b.length == ru.numChars()) {
+      // pure-ASCII fast path: bytes ARE the characters
+      val n = math.min(a.length, b.length)
+      var d = (a.length - b.length).abs.toLong
+      var i = 0
+      while (i < n) { if (a(i) != b(i)) d += 1; i += 1 }
+      d
+    } else {
+      val as = lu.toString
+      val bs = ru.toString
+      val n = math.min(as.length, bs.length)
+      var d = (as.length - bs.length).abs.toLong
+      var i = 0
+      while (i < n) { if (as.charAt(i) != bs.charAt(i)) d += 1; i += 1 }
+      d
+    }
   }
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (l, r) => {
-      val a = ctx.freshName("a")
-      val b = ctx.freshName("b")
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      s"""
-         |byte[] $a = $l.getBytes();
-         |byte[] $b = $r.getBytes();
-         |int $n = java.lang.Math.min($a.length, $b.length);
-         |long ${ev.value}_d = java.lang.Math.abs($a.length - $b.length);
-         |for (int $i = 0; $i < $n; $i++) { if ($a[$i] != $b[$i]) ${ev.value}_d++; }
-         |${ev.value} = ${ev.value}_d;
-       """.stripMargin
-    })
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("hamming", this, classOf[HammingDistance].getName)
+    nullSafeCodeGen(ctx, ev, (l, r) => s"${ev.value} = $self.compute($l, $r);")
+  }
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): HammingDistance =
     copy(left = newLeft, right = newRight)
 }
@@ -316,8 +314,14 @@ case class TopTokenCount(child: Expression) extends UnaryExpression with Expects
     var best = 0
     var i = 0
     while (i < words.length) {
-      val c = counts.merge(words(i), 1, (a, b) => a + b)
-      if (c > best) best = c
+      // skip the empty tokens produced by consecutive/leading/trailing
+      // spaces: whitespace runs must not become the "most frequent token"
+      // (a Gopher-style dominant-token rule would otherwise drop
+      // whitespace-irregular but legitimate documents)
+      if (!words(i).isEmpty) {
+        val c = counts.merge(words(i), 1, (a, b) => a + b)
+        if (c > best) best = c
+      }
       i += 1
     }
     best.toLong
@@ -342,9 +346,9 @@ object ShingleExpressions {
   def hammingDistance(a: Column, b: Column): Column =
     Bridge.column(HammingDistance(Bridge.expression(a), Bridge.expression(b)))
   def simhash32(text: Column): Column =
-    Bridge.column(SimHash32(Bridge.expression(text)))
+    Bridge.column(SimHashExpr(Bridge.expression(text), 32))
   def simhash64(text: Column): Column =
-    Bridge.column(SimHash64(Bridge.expression(text)))
+    Bridge.column(SimHashExpr(Bridge.expression(text), 64))
   def topTokenCount(text: Column): Column =
     Bridge.column(TopTokenCount(Bridge.expression(text)))
 }

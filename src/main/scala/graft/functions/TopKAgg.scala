@@ -42,7 +42,10 @@ case class TopKDoubles(
     if (v != null) {
       val d = v.asInstanceOf[Double]
       if (buf.size < k) buf.add(d)
-      else if (buf.peek() < d) { buf.poll(); buf.add(d) }
+      // compareTo, not '<': the heap orders by Double.compareTo (NaN
+      // greatest, -0.0 < 0.0); mixing primitive comparison here would make
+      // NaN admission depend on arrival order and break determinism
+      else if (buf.peek().compareTo(d) < 0) { buf.poll(); buf.add(d) }
     }
     buf
   }
@@ -53,7 +56,7 @@ case class TopKDoubles(
     while (it.hasNext) {
       val d = it.next()
       if (a.size < k) a.add(d)
-      else if (a.peek() < d) { a.poll(); a.add(d) }
+      else if (a.peek().compareTo(d) < 0) { a.poll(); a.add(d) }
     }
     a
   }

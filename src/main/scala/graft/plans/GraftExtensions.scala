@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
 
 import graft.dedup.Dedup
 import graft.functions.{BottomKFingerprintExpr, DistinctShingles, DotProduct, HammingDistance,
-  MinHashSig, SimHash32, SimHash64, TokenCount, TopTokenCount}
+  MinHashSig, SimHashExpr, TokenCount, TopTokenCount}
 
 /** Rewrites comparisons against the nanosecond-normalized timestamp
   * (`timestamp_micros(raw div 1000)`) into raw-long bounds, so the predicate
@@ -111,16 +111,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("simhash32"),
-      new ExpressionInfo("graft.functions.SimHash32", "simhash32"),
+      new ExpressionInfo("graft.functions.SimHashExpr", "simhash32"),
       (args: Seq[Expression]) => args match {
-        case Seq(t) => SimHash32(t)
+        case Seq(t) => SimHashExpr(t, 32)
         case other => bad("simhash32(text)", other)
       }))
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
-      new ExpressionInfo("graft.functions.SimHash64", "simhash64"),
+      new ExpressionInfo("graft.functions.SimHashExpr", "simhash64"),
       (args: Seq[Expression]) => args match {
-        case Seq(t) => SimHash64(t)
+        case Seq(t) => SimHashExpr(t, 64)
         case other => bad("simhash64(text)", other)
       }))
     e.injectFunction((

@@ -63,6 +63,39 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("hamming_distance is character-level: non-ASCII and unequal lengths") {
+    import spark.implicits._
+    val got = spark.sql(
+      """SELECT hamming_distance('é', 'a') AS non_ascii,
+        |  hamming_distance('abc', 'abcd') AS longer,
+        |  hamming_distance('0110', '0011') AS bits""".stripMargin)
+      .as[(Long, Long, Long)].head()
+    // 'é' is 2 UTF-8 bytes but ONE character — a byte scan would say 2
+    assert(got == ((1L, 1L, 2L)), got.toString)
+  }
+
+  test("topK aggregate is NaN-deterministic regardless of arrival order") {
+    import spark.implicits._
+    // NaN sorts greatest under Double.compareTo — it must win the top slot
+    // whether it arrives before or after the finite value, in any partition
+    for (vals <- Seq(Seq(5.0, Double.NaN), Seq(Double.NaN, 5.0))) {
+      val got = vals.toDF("v").repartition(2)
+        .agg(graft.functions.TopKAgg.topK(col("v"), 1).as("t"))
+        .as[Seq[Double]].head()
+      assert(got.length == 1 && got.head.isNaN, s"$vals -> $got")
+    }
+  }
+
+  test("top-token count ignores empty tokens from whitespace runs") {
+    import spark.implicits._
+    val got = Seq("a b  c   d", "x x  y").toDF("t")
+      .select(graft.functions.ShingleExpressions.topTokenCount(col("t")))
+      .as[Long].collect().toSeq
+    // 'a b  c   d' has 3 empty tokens; the top REAL token count is 1.
+    // 'x x  y' keeps x=2 (empties don't inflate past real tokens either).
+    assert(got == Seq(1L, 2L), got.toString)
+  }
+
   test("nano-timestamp pushdown rule fires for events time filters") {
     val plan = GraftSession.table(spark, sfDir, "events")
       .filter(col("ts") > lit("2024-01-15 00:00:00").cast("timestamp"))
