@@ -100,6 +100,7 @@ object ShingleUtil {
   */
 case class DistinctShingles(child: Expression, n: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   def compute(input: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
@@ -120,6 +121,7 @@ case class DistinctShingles(child: Expression, n: Int)
   */
 case class WordNgrams(child: Expression, n: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"ngram width must be >= 1, got $n")
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   def compute(input: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
@@ -179,6 +181,7 @@ case class MinHashSig(child: Expression, n: Int, a: Seq[Long], b: Seq[Long], pri
   */
 case class BottomKFingerprintExpr(child: Expression, n: Int, k: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1 && k >= 1, s"need n >= 1 and k >= 1, got n=$n k=$k")
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def nullable: Boolean = true

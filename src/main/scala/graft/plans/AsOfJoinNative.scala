@@ -188,13 +188,32 @@ case class AsOfJoinExec(
         // projections + generated UnsafeRow ordering; carried key is copied
         // so a sort-spill buffer reuse can never alias it (strings point
         // into sorter memory).
-        val rBuf = rIter.buffered
         val lKeyProj = UnsafeProjection.create(Seq(lKeyAttr: Expression), leftOutput)
         val rKeyProj = UnsafeProjection.create(Seq(rKeyAttr: Expression), rightOutput)
         val keyOrdering = org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
           .create(StructType(Seq(StructField("k", keyType))))
         var carriedKey: UnsafeRow = null
         var hasCarried = false
+        // the primitive path's peekKey/peekTs cache, generalized: project
+        // the peeked row's key/ts ONCE per pull — without this, every left
+        // row stalled on the same peek re-ran the codegen'd projection.
+        // peekKey aliases rKeyProj's reuse buffer, which is only rewritten
+        // inside pullPeek, after the previous peek has been consumed.
+        var peekRow: InternalRow = null
+        var peekKey: UnsafeRow = null
+        var peekTs = 0L
+        def pullPeek(): Unit = {
+          while (peekRow == null && rIter.hasNext) {
+            val r = rIter.next()
+            val rk = rKeyProj(r)
+            if (!rk.isNullAt(0) && !r.isNullAt(rTsOrd)) {
+              peekRow = r
+              peekKey = rk
+              peekTs = r.getLong(rTsOrd)
+            }
+          }
+        }
+        pullPeek()
         lIter.map { lRow =>
           val lk = lKeyProj(lRow)
           if (lk.isNullAt(0) || lRow.isNullAt(lTsOrd)) {
@@ -203,22 +222,17 @@ case class AsOfJoinExec(
             val lt = lRow.getLong(lTsOrd)
             if (hasCarried && keyOrdering.compare(carriedKey, lk) != 0) hasCarried = false
             var advance = true
-            while (advance && rBuf.hasNext) {
-              val peek = rBuf.head
-              val rk = rKeyProj(peek)
-              if (rk.isNullAt(0) || peek.isNullAt(rTsOrd)) {
-                rBuf.next()
+            while (advance && peekRow != null) {
+              val cmp = keyOrdering.compare(peekKey, lk)
+              if (cmp < 0) {
+                peekRow = null; pullPeek()
+              } else if (cmp == 0 && peekTs <= lt) {
+                carried = stashRow(carried, peekRow)
+                carriedKey = stashRow(carriedKey, lk).asInstanceOf[UnsafeRow]
+                hasCarried = true
+                peekRow = null; pullPeek()
               } else {
-                val cmp = keyOrdering.compare(rk, lk)
-                if (cmp < 0) {
-                  rBuf.next()
-                } else if (cmp == 0 && peek.getLong(rTsOrd) <= lt) {
-                  carried = stashRow(carried, rBuf.next())
-                  carriedKey = stashRow(carriedKey, lk).asInstanceOf[UnsafeRow]
-                  hasCarried = true
-                } else {
-                  advance = false
-                }
+                advance = false
               }
             }
             proj(joined(lRow, if (hasCarried) carried else nullRight))
@@ -249,16 +263,29 @@ object AsOfJoinNative {
   def asOf(left: DataFrame, right: DataFrame, key: String, leftTs: String,
            rightTs: String, rightTiebreak: String, payload: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.col
-    // prefix the right side so the joined output has unambiguous names
+    // prefix the right side so the joined output has unambiguous names.
+    // The key gets BOTH forms when it is also a payload column: the bare
+    // name joins, the __r_ alias carries it to asof_<key> — same output
+    // shape the composed AsOfJoin produces for that call.
     val rcols = (Seq(key, rightTs, rightTiebreak) ++ payload).distinct
-    val reserved = rcols.filterNot(_ == key).map(c => s"__r_$c").toSet
-    val clash = (left.columns ++ right.columns).filter(reserved)
+    val reserved = rcols.filterNot(_ == key).map(c => s"__r_$c").toSet ++
+      (rightTs +: payload).map(p => s"asof_$p")
+    val clash = left.columns.filter(reserved) ++
+      right.columns.filter(reserved.filterNot(_.startsWith("asof_")))
     require(clash.isEmpty,
-      s"AsOfJoinNative.asOf: input columns ${clash.mkString(", ")} collide with reserved __r_* names")
-    val r = right.select(rcols.map(c => col(c).as(if (c == key) c else s"__r_$c")): _*)
+      s"AsOfJoinNative.asOf: input columns ${clash.mkString(", ")} collide with reserved __r_*/asof_* names")
+    val rsel = rcols.map(c => col(c).as(if (c == key) c else s"__r_$c")) ++
+      (if (payload.contains(key)) Seq(col(key).as(s"__r_$key")) else Nil)
+    val r = right.select(rsel: _*)
     val lPlan = Bridge.analyzed(left)
     val rPlan = Bridge.analyzed(r)
-    def attr(p: LogicalPlan, name: String): Attribute = p.output.find(_.name == name).get
+    // resolve like Spark does under the default case-insensitive resolver,
+    // and fail with the column and side instead of a bare None.get
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name)
+        .orElse(p.output.find(_.name.equalsIgnoreCase(name)))
+        .getOrElse(throw new IllegalArgumentException(
+          s"AsOfJoinNative.asOf: no column '$name' among [${p.output.map(_.name).mkString(", ")}]"))
     val node = AsOfJoinNode(lPlan, rPlan,
       attr(lPlan, key), attr(rPlan, key), attr(lPlan, leftTs), attr(rPlan, s"__r_$rightTs"),
       attr(rPlan, s"__r_$rightTiebreak"))

@@ -49,13 +49,16 @@ object NanoTimestampFilterRewrite extends Rule[LogicalPlan] {
     case GreaterThanOrEqual(NanoConv(raw), TsLit(v)) => GreaterThanOrEqual(raw, nanos(v))
     case LessThan(NanoConv(raw), TsLit(v)) => LessThan(raw, nanos(v))
     case LessThanOrEqual(NanoConv(raw), TsLit(v)) => LessThanOrEqual(raw, nanosHi(v))
-    case EqualTo(NanoConv(raw), TsLit(v)) =>
+    // EqualTo duplicates `raw` into two comparisons — only safe when a
+    // second evaluation yields the same value (Spark's own rewrites guard
+    // duplication the same way)
+    case EqualTo(NanoConv(raw), TsLit(v)) if raw.deterministic =>
       And(GreaterThanOrEqual(raw, nanos(v)), LessThanOrEqual(raw, nanosHi(v)))
     case GreaterThan(TsLit(v), NanoConv(raw)) => LessThan(raw, nanos(v))
     case GreaterThanOrEqual(TsLit(v), NanoConv(raw)) => LessThanOrEqual(raw, nanosHi(v))
     case LessThan(TsLit(v), NanoConv(raw)) => GreaterThan(raw, nanosHi(v))
     case LessThanOrEqual(TsLit(v), NanoConv(raw)) => GreaterThanOrEqual(raw, nanos(v))
-    case EqualTo(TsLit(v), NanoConv(raw)) =>
+    case EqualTo(TsLit(v), NanoConv(raw)) if raw.deterministic =>
       And(GreaterThanOrEqual(raw, nanos(v)), LessThanOrEqual(raw, nanosHi(v)))
   }
 }
@@ -90,9 +93,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("distinct_shingles"),
       new ExpressionInfo("graft.functions.DistinctShingles", "distinct_shingles"),
       (args: Seq[Expression]) => args match {
-        case Seq(t, Literal(n: Int, _)) => DistinctShingles(t, n)
+        case Seq(t, Literal(n: Int, _)) if n >= 1 => DistinctShingles(t, n)
         case Seq(t) => DistinctShingles(t, 3)
-        case other => bad("distinct_shingles(text[, n])", other)
+        case other => bad("distinct_shingles(text[, n >= 1])", other)
       }))
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
@@ -105,9 +108,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("bottomk_fingerprint"),
       new ExpressionInfo("graft.functions.BottomKFingerprintExpr", "bottomk_fingerprint"),
       (args: Seq[Expression]) => args match {
-        case Seq(t, Literal(n: Int, _), Literal(k: Int, _)) => BottomKFingerprintExpr(t, n, k)
+        case Seq(t, Literal(n: Int, _), Literal(k: Int, _)) if n >= 1 && k >= 1 =>
+          BottomKFingerprintExpr(t, n, k)
         case Seq(t) => BottomKFingerprintExpr(t, 3, 4)
-        case other => bad("bottomk_fingerprint(text[, n, k])", other)
+        // k = 0 would fingerprint every doc to "" and collapse the corpus
+        // into one false dup group; n = 0 would throw per row mid-job
+        case other => bad("bottomk_fingerprint(text[, n >= 1, k >= 1])", other)
       }))
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("simhash32"),

@@ -220,6 +220,42 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(native == composed)
   }
 
+  test("native as-of handles a payload containing the key and rejects asof_* clashes") {
+    val left = Seq((100L, "u1", ts("2024-01-01 10:00:00"), 1.0))
+      .toDF("event_id", "user", "ts", "value")
+    val right = Seq((1L, "u1", ts("2024-01-01 09:00:00"), 9.0))
+      .toDF("event_id", "user", "ts", "value")
+    // payload includes the join key: must emit asof_user like the composed join
+    val got = graft.plans.AsOfJoinNative
+      .asOf(left, right, "user", "ts", "ts", "event_id", Seq("user", "value"))
+      .select(col("event_id"), col("asof_user"), col("asof_value"))
+      .as[(Long, String, Double)].head()
+    assert(got == ((100L, "u1", 9.0)))
+    // a left column named asof_value would silently duplicate — fail fast
+    val clashing = left.withColumn("asof_value", lit(0.0))
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoinNative.asOf(clashing, right, "user", "ts", "ts", "event_id", Seq("value"))
+    }
+    assert(e.getMessage.contains("asof_"), e.getMessage)
+    // a typo'd left-ts names the column and the candidates instead of None.get
+    val e2 = intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoinNative.asOf(left, right, "user", "no_such_ts", "ts", "event_id", Seq("value"))
+    }
+    assert(e2.getMessage.contains("no_such_ts") && e2.getMessage.contains("user"), e2.getMessage)
+  }
+
+  test("SQL size parameters reject non-positive literals at analysis time") {
+    for (sql <- Seq(
+        "SELECT distinct_shingles(text, 0) FROM documents",
+        "SELECT bottomk_fingerprint(text, 3, 0) FROM documents",
+        "SELECT bottomk_fingerprint(text, 0, 4) FROM documents")) {
+      GraftSession.table(spark, "/root/testdata/sf0.001", "documents")
+        .createOrReplaceTempView("documents")
+      val e = intercept[Exception](spark.sql(sql).collect())
+      assert(e.getMessage.contains(">= 1"), s"$sql -> ${e.getMessage}")
+    }
+  }
+
   test("native as-of rejects non-timestamp ts columns at plan time") {
     val left = Seq((1L, "u1", 5, 1.0)).toDF("event_id", "user", "ts", "value") // ts is INT
     val right = Seq((2L, "u1", 3, 2.0)).toDF("event_id", "user", "ts", "value")
