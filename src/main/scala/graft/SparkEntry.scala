@@ -1045,7 +1045,7 @@ object SparkEntry {
        |                    / (len(w) - 2)
        |         ELSE 0.0 END AS dup,
        |    CAST(list_max(list_transform(list_distinct(list_filter(w, x -> x <> '')), x -> len(list_filter(w, y -> y = x)))) AS DOUBLE)
-       |      / len(w) AS tt
+       |      / len(list_filter(w, x -> x <> '')) AS tt
        |  FROM (SELECT $inner text, string_split(text, ' ') AS w FROM documents))""".stripMargin
 
   /** The SQL twin of TokenCount ([a-z0-9]+ runs, as BIGINT) — one
@@ -1173,11 +1173,11 @@ object SparkEntry {
       |  FROM documents""".stripMargin
 
   private def qualityScoreExprSql(alias: String): String =
-    s"""round(1.0
+    s"""floor((1.0
        |    - (CASE WHEN CAST(n_chars_m AS DOUBLE) / CAST(n_words AS DOUBLE) < 3.0
        |              OR CAST(n_chars_m AS DOUBLE) / CAST(n_words AS DOUBLE) > 10.0 THEN 0.3 ELSE 0.0 END)
        |    - (CASE WHEN CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE) < 0.01 THEN 0.2 ELSE 0.0 END)
-       |    - (CASE WHEN n_words < 10 THEN 0.5 ELSE 0.0 END), 6) AS $alias""".stripMargin
+       |    - (CASE WHEN n_words < 10 THEN 0.5 ELSE 0.0 END)) * 1e6 + 0.5) / 1e6 AS $alias""".stripMargin
 
   /** Corpus-trained bigram-LM CTE prologue ending in
     * `lmv(doc_id, n_bigrams, lm_nll)` — shared by the raw score query and
@@ -1479,7 +1479,9 @@ object SparkEntry {
         |FROM (
         |  SELECT user_id,
         |    CASE WHEN a IS NOT NULL AND a >= 10 AND a <= 99 THEN a END AS cleaned
-        |  FROM (SELECT user_id, CAST(NULLIF(regexp_extract(props, '[0-9]+', 0), '') AS INT) AS a
+        |  FROM (SELECT user_id,
+        |    CAST(CASE WHEN length(NULLIF(regexp_extract(props, '[0-9]+', 0), '')) <= 9
+        |              THEN NULLIF(regexp_extract(props, '[0-9]+', 0), '') END AS INT) AS a
         |        FROM events))
         |GROUP BY 1""".stripMargin,
     "membership_tagging" ->
@@ -1738,7 +1740,7 @@ asofOracle,
         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
         |s AS (
         |  SELECT doc_id, token,
-        |    round(CAST(tf AS DOUBLE) * ln(n.n / CAST(df AS DOUBLE)), 6) AS tfidf
+        |    floor(CAST(tf AS DOUBLE) * ln(n.n / CAST(df AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS tfidf
         |  FROM tf JOIN dfreq USING (token) CROSS JOIN n)
         |SELECT doc_id, token, tfidf, rank FROM (
         |  SELECT doc_id, token, tfidf,
@@ -2131,8 +2133,8 @@ asofOracle,
         |FROM base LEFT JOIN scored USING (doc_id)""".stripMargin,
     "quality_score" ->
       s"""SELECT doc_id, n_words, n_chars_m, n_punct, n_stopwords,
-         |  round(CAST(n_chars_m AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS avg_word_len,
-         |  round(CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS stopword_ratio,
+         |  floor(CAST(n_chars_m AS DOUBLE) / CAST(n_words AS DOUBLE) * 1e6 + 0.5) / 1e6 AS avg_word_len,
+         |  floor(CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE) * 1e6 + 0.5) / 1e6 AS stopword_ratio,
          |  ${qualityScoreExprSql("quality_score")}
          |FROM (
          |  $qualityCountsSql)""".stripMargin,
@@ -2589,18 +2591,20 @@ asofOracle,
         |FROM r GROUP BY doc_id""".stripMargin,
     "pii_redact" ->
       """SELECT doc_id,
-        |  CAST(len(regexp_extract_all(t, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
-        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(t, '\+[0-9]{7,15}')) AS BIGINT) AS n_phones,
-        |  regexp_replace(regexp_replace(regexp_replace(t,
-        |    'https?://[^ ]+', '<URL>', 'g'),
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\+[0-9]{7,15}', '<PHONE>', 'g') AS redacted
+        |  CAST(len(regexp_extract_all(t, '[Hh][Tt][Tt][Pp][Ss]?://[^\s]+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(um, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(em, '\+[0-9]{7,}')) AS BIGINT) AS n_phones,
+        |  regexp_replace(em, '\+[0-9]{7,}', '<PHONE>', 'g') AS redacted
         |FROM (
+        |  SELECT doc_id, t,
+        |    regexp_replace(t, '[Hh][Tt][Tt][Pp][Ss]?://[^\s]+', '<URL>', 'g') AS um,
+        |    regexp_replace(regexp_replace(t, '[Hh][Tt][Tt][Pp][Ss]?://[^\s]+', '<URL>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS em
+        |  FROM (
         |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
         |    || '@mail.example see https://ex.ample/d/' || CAST(doc_id AS VARCHAR)
         |    || ' tel +2547' || lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0') AS t
-        |  FROM documents)""".stripMargin,
+        |  FROM documents))""".stripMargin,
     "semdedup" ->
       """WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |cent AS (SELECT id AS cid, v AS cvec FROM e WHERE id < 8),

@@ -167,7 +167,11 @@ object Bpe {
     val spark = df.sparkSession
     import spark.implicits._
     val b = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
-    df.select(id.cast("long").as("doc_id"), Vocab.tokens(text).as("toks"))
+    // null text must not NPE the partition: tokens(null) decodes to a
+    // null Seq, so coalesce to empty (zero pieces) like Vocab.encode's
+    // explode would
+    df.select(id.cast("long").as("doc_id"),
+        coalesce(Vocab.tokens(text), array().cast("array<string>")).as("toks"))
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
         val enc = cachedEncoder(b.value)
@@ -188,7 +192,8 @@ object Bpe {
     val spark = df.sparkSession
     import spark.implicits._
     val b = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
-    df.select(id.cast("long").as("doc_id"), Vocab.tokens(text).as("toks"))
+    df.select(id.cast("long").as("doc_id"),
+        coalesce(Vocab.tokens(text), array().cast("array<string>")).as("toks"))
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
         val enc = cachedEncoder(b.value)

@@ -35,8 +35,13 @@ object Cleaners {
     * bound/band the resulting attribute: referencing the raw extraction from
     * several predicates re-evaluates the regex per reference.
     */
-  def firstInt(c: Column): Column =
-    nullif(regexp_extract(c, "[0-9]+", 0), lit("")).cast("int")
+  def firstInt(c: Column): Column = {
+    // length cap: under ANSI (default on Spark 4) CAST of a >9-digit run
+    // to INT throws mid-job; a run that long is never a plausible age or
+    // survey integer, so it cleans to null like any other non-answer
+    val run = nullif(regexp_extract(c, "[0-9]+", 0), lit(""))
+    when(length(run) <= 9, run).cast("int")
+  }
 
   /** Plausibility bounds over an already-extracted integer column. */
   def boundedAge(n: Column, minAge: Int = 10, maxAge: Int = 99): Column =
@@ -46,19 +51,22 @@ object Cleaners {
     * and Swahili demographic cleaners; these are the public numerals).
     * Tens-words only — composite forms fall back to digit extraction.
     */
-  val somaliTens: Map[String, Int] = Map(
+  val somaliTens: Seq[(String, Int)] = Seq(
     "toban" -> 10, "labaatan" -> 20, "soddon" -> 30, "afartan" -> 40,
     "konton" -> 50, "lixdan" -> 60, "toddobaatan" -> 70, "siddeetan" -> 80,
     "sagaashan" -> 90)
-  val swahiliTens: Map[String, Int] = Map(
+  val swahiliTens: Seq[(String, Int)] = Seq(
     "kumi" -> 10, "ishirini" -> 20, "thelathini" -> 30, "arobaini" -> 40,
     "hamsini" -> 50, "sitini" -> 60, "sabini" -> 70, "themanini" -> 80,
     "tisini" -> 90)
 
-  /** Age cleaning with locale number-word support: digits first, then any
-    * known number word in the normalized text. Bounds apply to both paths.
+  /** Age cleaning with locale number-word support: digits first, then the
+    * FIRST table entry whose word appears in the normalized text — the
+    * table is an ordered Seq precisely so a response containing two number
+    * words resolves deterministically (a Map's iteration order would make
+    * the winner depend on hashing). Bounds apply to both paths.
     */
-  def cleanAgeLocalized(c: Column, words: Map[String, Int],
+  def cleanAgeLocalized(c: Column, words: Seq[(String, Int)],
                         minAge: Int = 10, maxAge: Int = 99): Column = {
     val fromDigits = cleanAge(c, minAge, maxAge)
     val toks = split(normalizeText(c), " ")

@@ -53,16 +53,20 @@ object TextFeatures {
     val stops = stopwordHits(text, enStopwords)
     val avgWordLen = nChars.cast("double") / nWords.cast("double")
     val stopRatio = stops.cast("double") / nWords.cast("double")
-    val score = round(
+    // Portable.round6, not engine round(): these rounded doubles are
+    // oracle-hashed, and engine round() disagrees across dialects on
+    // half-way quotients (the LM-score lesson, applied family-wide)
+    val r6 = graft.util.Portable.round6 _
+    val score = r6(
       lit(1.0)
         - when(avgWordLen < 3.0 || avgWordLen > 10.0, 0.3).otherwise(0.0)
         - when(stopRatio < 0.01, 0.2).otherwise(0.0)
-        - when(nWords < 10, 0.5).otherwise(0.0), 6)
+        - when(nWords < 10, 0.5).otherwise(0.0))
     Seq(
       nWords.as("n_words"), nChars.as("n_chars_m"), punct.as("n_punct"),
       stops.as("n_stopwords"),
-      round(avgWordLen, 6).as("avg_word_len"),
-      round(stopRatio, 6).as("stopword_ratio"),
+      r6(avgWordLen).as("avg_word_len"),
+      r6(stopRatio).as("stopword_ratio"),
       score.as("quality_score"))
   }
 
@@ -83,7 +87,12 @@ object TextFeatures {
     val nDistinct = size(ShingleExpressions.distinctShingles(text, 3)).cast("long")
     val dupFrac = when(nTotal > 0,
       lit(1.0) - nDistinct.cast("double") / nTotal.cast("double")).otherwise(lit(0.0))
-    val topFrac = ShingleExpressions.topTokenCount(text).cast("double") / nWords.cast("double")
+    // denominator matches the numerator's token definition (TopTokenCount
+    // skips the empty tokens whitespace runs produce): irregular spacing
+    // must neither trigger nor dilute the dominant-token rule
+    val nRealWords = size(filter(words(text), w => length(w) > 0)).cast("long")
+    val topFrac =
+      ShingleExpressions.topTokenCount(text).cast("double") / nRealWords.cast("double")
     when(nWords < 10, "too_short")
       .when(avgWordLen < 3.0 || avgWordLen > 10.0, "word_length")
       .when(stopRatio < 0.01, "no_stopwords")

@@ -59,7 +59,8 @@ object Vocab {
       .join(dfreq, Seq("token"))
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"),
-        round(col("tf").cast("double") * log(col("n") / col("df").cast("double")), 6).as("tfidf"))
+        graft.util.Portable.round6(
+          col("tf").cast("double") * log(col("n") / col("df").cast("double"))).as("tfidf"))
     val byScore = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token").asc)
     scored.withColumn("rank", row_number().over(byScore)).filter(col("rank") <= k)
   }
