@@ -57,10 +57,12 @@ object EngagementPipeline {
       .withColumn("__f_test", col("__deny_t").isNull)
       .join(denyC, col(user) === col("__deny_c"), "left")
       .withColumn("__f_consent", col("__deny_c").isNull)
-      .withColumn("__code", codeValue.cast("string"))
+      // empty-string codes normalize to null HERE, so "missing" has one
+      // definition: the imputed flag, the ws predicate, and the export's
+      // coalesce(missingCode) can never disagree on a ""-code row
+      .withColumn("__code", nullif(codeValue.cast("string"), lit("")))
       .withColumn("__ws", coalesce(wsMoveOfCode(col("__code")), lit(false)))
-      .withColumn("__imputed",
-        (col("__code").isNull || col("__code") === lit("")).cast("int"))
+      .withColumn("__imputed", col("__code").isNull.cast("int"))
   }
 
   private def wsDataset(wsPrefix: String): Column =

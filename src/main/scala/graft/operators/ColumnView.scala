@@ -13,10 +13,11 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   * folded by ordered concatenation (FoldStrategies.concatenate) and label
   * sets folded deterministically.
   *
-  * Spark realization: groupBy(entity).pivot(dataset, knownValues) — a single
-  * shuffle on the entity key with map-side partial aggregation. The pivot
-  * value list is supplied explicitly so no extra distinct-scan job runs and
-  * the output schema is stable. Ordered folds go through
+  * Spark realization: conditional aggregation over an explicit dataset
+  * list (NOT `.pivot`, which plans two aggregate phases — see
+  * participantView's doc) — a single shuffle on the entity key with
+  * map-side partial aggregation and a stable output schema. Ordered folds
+  * go through
   * array_sort(collect_list(struct(orderKeys..., payload))) which is
   * deterministic under any row arrival order (total order via unique keys).
   */
@@ -32,6 +33,7 @@ object ColumnView {
     * (count 0, sum NULL).
     */
   def participantView(df: DataFrame, key: String, typeCol: String, types: Seq[String], valueCol: String): DataFrame = {
+    require(types.nonEmpty, "participantView needs at least one type/dataset")
     val aggs = types.flatMap { t =>
       Seq(
         sum(when(col(typeCol) === t, 1).otherwise(0)).as(s"${t}_n"),
@@ -43,13 +45,17 @@ object ColumnView {
 
   /** Ordered text fold: per `key`, concatenate `textCol` with `sep` in
     * (orderCol1, orderCol2) order. The order keys must form a total order.
+    * Null texts fold as empty entries (array_join would silently DROP a
+    * null element, making folded_text disagree with `n` — the reference
+    * renders every message).
     */
   def foldConcat(df: DataFrame, key: String, orderCol1: Column, orderCol2: Column, textCol: Column, sep: String): DataFrame =
     df.groupBy(col(key))
       .agg(
         array_join(
           transform(
-            array_sort(collect_list(struct(orderCol1.as("o1"), orderCol2.as("o2"), textCol.as("t")))),
+            array_sort(collect_list(struct(orderCol1.as("o1"), orderCol2.as("o2"),
+              coalesce(textCol, lit("")).as("t")))),
             x => x.getField("t")),
           sep).as("folded_text"),
         count(lit(1)).cast(LongType).as("n"))

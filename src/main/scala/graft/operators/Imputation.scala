@@ -25,6 +25,10 @@ object Imputation {
     */
   def band(c: Column, thresholds: Seq[Double], labels: Seq[String]): Column = {
     require(labels.length == thresholds.length + 1)
+    // unsorted thresholds would silently misband every row (the fold's
+    // first-match order only means "band" when the bounds ascend)
+    require(thresholds == thresholds.sorted,
+      s"thresholds must ascend, got ${thresholds.mkString(", ")}")
     val base: Column = lit(labels.last)
     val banded = thresholds.zip(labels).reverse.foldLeft(base) {
       case (acc, (t, l)) => when(c < lit(t), lit(l)).otherwise(acc)

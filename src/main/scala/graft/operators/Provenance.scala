@@ -28,9 +28,11 @@ object Provenance {
       df.withColumn(HistoryCol, entry)
   }
 
-  /** The ordered step names of a row's history. */
+  /** The ordered step names of a row's history — resolved against `df`,
+    * so a frame without provenance fails HERE, not at some distant
+    * downstream use of an unresolved column. */
   def historySteps(df: DataFrame): Column =
-    transform(col(HistoryCol), e => e.getField("step"))
+    transform(df(HistoryCol), e => e.getField("step"))
 
   /** Export projection: history dropped. */
   def withoutProvenance(df: DataFrame): DataFrame = df.drop(HistoryCol)

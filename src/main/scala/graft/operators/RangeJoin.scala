@@ -69,6 +69,8 @@ object RangeJoin {
   def pointInInterval(points: DataFrame, ts: Column,
                       intervals: DataFrame, start: Column, end: Column,
                       bucketSeconds: Long, maxCellsPerInterval: Int = 100000): DataFrame = {
+    graft.util.TempCols.assertFree(points, "__cell")
+    graft.util.TempCols.assertFree(intervals, "__cell")
     val p = points.withColumn("__cell", cellOf(ts, bucketSeconds))
     val iv = intervals.withColumn("__cell",
       coveredCells(start, end, bucketSeconds, maxCellsPerInterval))

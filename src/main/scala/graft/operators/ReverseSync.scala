@@ -30,7 +30,12 @@ object ReverseSync {
   def contactFields(messages: DataFrame, user: Column, dataset: Column, text: Column,
                     ts: Column, id: Column, datasets: Seq[String], consentPred: Column,
                     allowClearing: Boolean = true): DataFrame = {
-    val rendered = concat(lit("\""), text, lit("\" - engagement_db."), dataset)
+    // null text renders as an empty quoted entry instead of nulling the
+    // whole rendered string (concat is null-propagating): the reference
+    // renders EVERY message, and an all-null-text dataset must not be
+    // mistaken for "no messages" and cleared
+    val rendered = concat(lit("\""), coalesce(text, lit("")),
+      lit("\" - engagement_db."), dataset)
     val empty = if (allowClearing) lit("") else lit(null: String)
     val fieldAggs = datasets.map { ds =>
       val folded = array_join(
@@ -45,7 +50,9 @@ object ReverseSync {
     }
     val consent = when(max(when(consentPred, 1).otherwise(0)) === 1, "yes")
       .otherwise(empty).as("consent_withdrawn")
+    // consent leads so an empty `datasets` list degrades to a
+    // consent-only view instead of fieldAggs.head throwing
     messages.groupBy(user.as("participant"))
-      .agg(fieldAggs.head, (fieldAggs.tail :+ consent): _*)
+      .agg(consent, fieldAggs: _*)
   }
 }

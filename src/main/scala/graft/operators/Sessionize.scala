@@ -26,6 +26,7 @@ object Sessionize {
     val isNew = when(prev.isNull, 0)
       .when(unix_micros(ts) - unix_micros(prev) > gapSeconds * 1000000L, 1)
       .otherwise(0)
+    graft.util.TempCols.assertFree(df, "session_id")
     df.withColumn("session_id",
       sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }

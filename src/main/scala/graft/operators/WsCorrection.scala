@@ -74,7 +74,16 @@ object WsCorrection {
   def correctToFixpoint(messages: DataFrame, dataset: String, previous: String,
                         corrections: DataFrame, maxRounds: Int = 8,
                         countMoves: Boolean = true): DataFrame = {
-    graft.util.TempCols.assertFree(messages, "ws_frozen", "ws_rounds", "last_event", "from_ds", "to_ds")
+    graft.util.TempCols.assertFree(messages, "ws_frozen", "ws_rounds", "last_event", "from_ds", "to_ds", "__prop")
+    // a duplicated from_ds key would MULTIPLY every matching message per
+    // round (the join emits one row per map entry), compounding each
+    // round — fail fast. The probe is one tiny job on the config frame
+    // (broadcast-sized by contract), paid once per operator call.
+    val dupKeys = corrections.groupBy(col("from_ds")).count()
+      .filter(col("count") > 1).select("from_ds")
+      .collect().map(_.getString(0))
+    require(dupKeys.isEmpty,
+      s"duplicate from_ds keys in corrections: ${dupKeys.mkString(", ")}")
     var cur = messages
       .withColumn("ws_frozen", lit(false))
       .withColumn("ws_rounds", lit(0))
