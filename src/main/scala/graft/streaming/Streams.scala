@@ -57,8 +57,10 @@ object Streams {
     * streaming twin of `Dedup.incrementalCandidates`: each incoming
     * document's minhash band keys (row-local fused expression, stateless)
     * join the static band-key index of the already-ingested corpus
-    * (stream-static join, re-planned per micro-batch so a republished
-    * index is picked up for free). Emits (new_doc, index_doc) candidate
+    * (stream-static join; the static side's FILE LISTING is snapshotted
+    * when the DataFrame is created, so a republished index needs a query
+    * restart to be seen — same contract as engagementStream's deny
+    * lists). Emits (new_doc, index_doc) candidate
     * rows; a doc pair sharing several bands emits once per band — dedup
     * per micro-batch at the sink (`foreachBatch` + distinct), where it is
     * a plain batch operation, instead of holding pair state on the stream.
@@ -116,9 +118,10 @@ object Streams {
     * while n_rows/n_imputed are sums that double-count a re-delivered
     * batch, silently inflating rows-per-participant. This helper's plain
     * parquet append is NOT transactional with the stream checkpoint, so
-    * pair it with effectively-once delivery — e.g. name the state files by
-    * batchId, or `Sources.appendDeduped` on a (batchId, stage, dataset)
-    * key — whenever the source can redeliver.
+    * pair it with effectively-once delivery whenever the source can
+    * redeliver: write each batch under a batchId-derived statePath (the
+    * caller has the epoch id inside foreachBatch) so a replayed batch
+    * OVERWRITES its own files instead of appending twice.
     */
   def appendFunnelState(batch: DataFrame, statePath: String, user: String,
                         dataset: org.apache.spark.sql.Column,
@@ -155,6 +158,8 @@ object Streams {
                          bucketSeconds: Long, maxSpan: String, watermark: String,
                          maxCellsPerInterval: Int = 100000): DataFrame = {
     import graft.operators.RangeJoin
+    graft.util.TempCols.assertFree(points, "__pcell")
+    graft.util.TempCols.assertFree(intervals, "__icell")
     val spanBound = col(startCol) + expr(s"INTERVAL $maxSpan")
     val p = points.withWatermark(tsCol, watermark)
       .withColumn("__pcell", RangeJoin.cellOf(col(tsCol), bucketSeconds))
@@ -191,12 +196,19 @@ object Streams {
   case class CarryState(ts: java.sql.Timestamp, eventId: Long, value: Double)
 
   private def micros(t: java.sql.Timestamp): Long =
-    (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    // floorDiv, not '/': getTime/1000 truncates toward zero while getNanos
+    // is always positive, so a pre-epoch fractional second would land one
+    // whole second HIGH (silently diverging from batch unix_micros)
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   /** Streaming as-of enrichment — the streaming twin of the as-of join:
     * per key, every left row is enriched with the latest right row at or
-    * before its event time. State is ONE carried right row per key
-    * (constant-size, like the batch exec's carry). Within a micro-batch
+    * before its event time. State is ONE carried right row per key —
+    * constant PER KEY, so TOTAL state grows with ever-seen key
+    * cardinality (NoTimeout: a key's carry must survive idle periods to
+    * stay correct). On an unbounded key space, bound the keys upstream or
+    * accept the sessionizeEvicting trade by adding a timeout — the same
+    * caveat documented on the evicting sessionizer. Within a micro-batch
     * rows are processed in event-time order with right-before-left ties and
     * the right tiebreak on event_id, matching the batch operator exactly.
     *
@@ -209,23 +221,29 @@ object Streams {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[CarryState, EnrichOut](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        // Append: every emitted row is final (never revised), so the query
+        // can feed append-mode sinks (parquet/files); Update would forbid them
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[EnrichEvent], state: GroupState[CarryState]) =>
           // right rows (is_left=false) sort before left at equal ts, so a
           // same-timestamp click is visible to the purchase, as in SQL ASOF
-          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.is_left, e.event_id))
+          // precompute the sort key once per row: sortBy evaluates its key
+          // function per COMPARISON, and the carried state's micros is hot
+          val keyed = rows.map(e => (micros(e.ts), e)).toSeq
+            .sortBy { case (m, e) => (m, e.is_left, e.event_id) }
           var st = state.getOption.orNull
+          var stMicros = if (st == null) 0L else micros(st.ts)
           val out = scala.collection.mutable.ArrayBuffer[EnrichOut]()
-          sorted.foreach { e =>
-            val m = micros(e.ts)
+          keyed.foreach { case (m, e) =>
             if (!e.is_left) {
               // carry the latest right row; ties on ts keep the highest id
-              if (st == null || m > micros(st.ts) ||
-                  (m == micros(st.ts) && e.event_id > st.eventId)) {
+              if (st == null || m > stMicros ||
+                  (m == stMicros && e.event_id > st.eventId)) {
                 st = CarryState(e.ts, e.event_id, e.value)
+                stMicros = m
               }
             } else {
-              if (st != null && micros(st.ts) <= m)
+              if (st != null && stMicros <= m)
                 out += EnrichOut(e.event_id, user, e.ts, e.value, Some(st.ts), Some(st.value))
               else
                 out += EnrichOut(e.event_id, user, e.ts, e.value, None, None)

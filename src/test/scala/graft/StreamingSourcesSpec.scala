@@ -65,7 +65,9 @@ class StreamingSourcesSpec extends SparkSpec {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[EnrichEvent]
     val q = Streams.asOfEnrich(input.toDS())
-      .writeStream.outputMode(OutputMode.Update)
+      // Append: the operator declares append semantics (rows are final),
+      // which is what lets it feed file sinks in production
+      .writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName("asof_out").start()
     try {
       val ev = GraftSession.table(spark, sfDir, "events")
@@ -90,6 +92,28 @@ class StreamingSourcesSpec extends SparkSpec {
           Option(r.getTimestamp(1)).map(_.getTime),
           if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
       assert(streamed == expected)
+    } finally q.stop()
+  }
+
+  test("as-of enrichment orders pre-epoch fractional seconds correctly") {
+    import graft.streaming.Streams.{EnrichEvent, EnrichOut}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 1969-12-31T23:59:59.500 is BEFORE epoch: truncating division would
+    // compute its micros one second high (+0.5s) and refuse the match
+    val preEpoch = new java.sql.Timestamp(-500L)
+    val epoch = new java.sql.Timestamp(0L)
+    val input = MemoryStream[EnrichEvent]
+    val q = Streams.asOfEnrich(input.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("asof_pre_epoch").start()
+    try {
+      input.addData(Seq(
+        EnrichEvent(1L, preEpoch, 1L, is_left = false, 9.0),  // right, t=-0.5s
+        EnrichEvent(1L, epoch, 2L, is_left = true, 1.0)))     // left,  t=0
+      q.processAllAvailable()
+      val got = spark.table("asof_pre_epoch").as[EnrichOut].collect()
+      assert(got.length == 1 && got.head.asof_value == Some(9.0),
+        s"pre-epoch right row must match the epoch left row: ${got.toSeq}")
     } finally q.stop()
   }
 
