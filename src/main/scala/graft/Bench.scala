@@ -45,7 +45,9 @@ object Bench {
     // timings the one-line JSON can exceed that window. Persist the full
     // JSON to a file, and keep stdout parseable: print the full line when it
     // fits, otherwise a line with the slowest queries plus a file pointer.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_full.json")
+    // relative to the working directory so the fallback also lands on
+    // checkouts that aren't /root/repo; SPARK_GRAFT_BENCH_OUT overrides
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
     // only advertise the file if the write actually succeeded — a stale or
     // missing file behind a "full" pointer is worse than no pointer
     val wrote =

@@ -23,11 +23,13 @@ object SparkEntry {
 
   private def events(s: SparkSession, dir: String): DataFrame = table(s, dir, "events")
 
-  /** Numeric answer extracted from the props payload; oracle twin is
-    * CAST(NULLIF(regexp_extract(props,'[0-9]+',0),'') AS INT). The nullif
-    * guard matters under ANSI mode: regexp_extract returns "" on no match
-    * and CAST('' AS INT) throws rather than yielding null. */
-  private def propsInt = nullif(regexp_extract(col("props"), "[0-9]+", 0), lit("")).cast("int")
+  /** Numeric answer extracted from the props payload — delegates to the ONE
+    * owner of the "first integer" contract (Cleaners.firstInt: nullif guard
+    * for ANSI CAST('' AS INT), <=9-digit length cap so a long digit run
+    * cleans to null instead of throwing mid-job). Oracle twin everywhere:
+    * CAST(CASE WHEN length(NULLIF(regexp_extract(props,'[0-9]+',0),'')) <= 9
+    *      THEN NULLIF(regexp_extract(props,'[0-9]+',0),'') END AS INT). */
+  private def propsInt = graft.text.Cleaners.firstInt(col("props"))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -881,7 +883,7 @@ object SparkEntry {
   private val engagementFlowCtes: String =
     """WITH f AS (
       |  SELECT event_id, user_id, ts, value, event_type AS ds0,
-      |    CAST(NULLIF(regexp_extract(props, '[0-9]+', 0), '') AS INT) AS k,
+      |    CAST(CASE WHEN length(NULLIF(regexp_extract(props, '[0-9]+', 0), '')) <= 9 THEN NULLIF(regexp_extract(props, '[0-9]+', 0), '') END AS INT) AS k,
       |    (ts >= TIMESTAMP '2024-01-08 00:00:00'
       |       AND ts < TIMESTAMP '2024-01-21 00:00:00') AS f_time,
       |    NOT EXISTS (SELECT 1 FROM events x
@@ -936,7 +938,7 @@ object SparkEntry {
       |         WHEN k % 3 = 2 THEN ['view', 'error']
       |         ELSE [] END AS previous
       |  FROM (SELECT event_id, event_type,
-      |          CAST(NULLIF(regexp_extract(props, '[0-9]+', 0), '') AS INT) AS k
+      |          CAST(CASE WHEN length(NULLIF(regexp_extract(props, '[0-9]+', 0), '')) <= 9 THEN NULLIF(regexp_extract(props, '[0-9]+', 0), '') END AS INT) AS k
       |        FROM events)),
       |ws_events AS (
       |  SELECT *,
@@ -1347,7 +1349,7 @@ object SparkEntry {
       """SELECT user_id, string_agg(props, ';' ORDER BY ts, event_id) AS folded_text, COUNT(*) AS n
         |FROM events WHERE event_type = 'purchase' GROUP BY user_id""".stripMargin,
     "relabel_move_datasets" ->
-      """SELECT CASE WHEN CAST(NULLIF(regexp_extract(props, '[0-9]+', 0), '') AS INT) >= 50
+      """SELECT CASE WHEN CAST(CASE WHEN length(NULLIF(regexp_extract(props, '[0-9]+', 0), '')) <= 9 THEN NULLIF(regexp_extract(props, '[0-9]+', 0), '') END AS INT) >= 50
         |            THEN 'ws_' || event_type ELSE event_type END AS event_type,
         |  COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
@@ -1355,7 +1357,7 @@ object SparkEntry {
       """SELECT code, COUNT(*) AS n_users FROM (
         |  SELECT COALESCE(CAST(d.demog_k AS VARCHAR), 'TRUE_MISSING') AS code
         |  FROM (SELECT DISTINCT user_id FROM events) u
-        |  LEFT JOIN (SELECT user_id, MAX(CAST(NULLIF(regexp_extract(props, '[0-9]+', 0), '') AS INT)) AS demog_k
+        |  LEFT JOIN (SELECT user_id, MAX(CAST(CASE WHEN length(NULLIF(regexp_extract(props, '[0-9]+', 0), '')) <= 9 THEN NULLIF(regexp_extract(props, '[0-9]+', 0), '') END AS INT)) AS demog_k
         |             FROM events WHERE event_type = 'signup' GROUP BY user_id) d
         |    ON u.user_id = d.user_id)
         |GROUP BY code""".stripMargin,
@@ -1508,10 +1510,10 @@ asofOracle,
         |    CAST(SUM(xd) AS DOUBLE) AS sx, CAST(SUM(yd) AS DOUBLE) AS sy,
         |    CAST(SUM(xd * xd) AS DOUBLE) AS sxx, CAST(SUM(xd * yd) AS DOUBLE) AS sxy
         |  FROM (SELECT event_type,
-        |          CAST(CAST(NULLIF(regexp_extract(props, '[0-9]+', 0), '') AS INT) AS DECIMAL(18,2)) AS xd,
+        |          CAST(CAST(CASE WHEN length(NULLIF(regexp_extract(props, '[0-9]+', 0), '')) <= 9 THEN NULLIF(regexp_extract(props, '[0-9]+', 0), '') END AS INT) AS DECIMAL(18,2)) AS xd,
         |          CAST(value AS DECIMAL(18,2)) AS yd
         |        FROM events
-        |        WHERE NULLIF(regexp_extract(props, '[0-9]+', 0), '') IS NOT NULL AND value IS NOT NULL)
+        |        WHERE CAST(CASE WHEN length(NULLIF(regexp_extract(props, '[0-9]+', 0), '')) <= 9 THEN NULLIF(regexp_extract(props, '[0-9]+', 0), '') END AS INT) IS NOT NULL AND value IS NOT NULL)
         |  GROUP BY event_type)""".stripMargin,
     "regression_ols2" ->
       """SELECT event_type, n,
@@ -1541,11 +1543,11 @@ asofOracle,
         |        CAST(SUM(x2d * yd) AS DOUBLE) AS sx2y
         |      FROM (
         |        SELECT event_type,
-        |          CAST(CAST(NULLIF(regexp_extract(props, '[0-9]+', 0), '') AS INT) AS DECIMAL(18,2)) AS x1d,
+        |          CAST(CAST(CASE WHEN length(NULLIF(regexp_extract(props, '[0-9]+', 0), '')) <= 9 THEN NULLIF(regexp_extract(props, '[0-9]+', 0), '') END AS INT) AS DECIMAL(18,2)) AS x1d,
         |          CAST(EXTRACT(HOUR FROM ts) AS DECIMAL(18,2)) AS x2d,
         |          CAST(value AS DECIMAL(18,2)) AS yd
         |        FROM events
-        |        WHERE NULLIF(regexp_extract(props, '[0-9]+', 0), '') IS NOT NULL AND value IS NOT NULL)
+        |        WHERE CAST(CASE WHEN length(NULLIF(regexp_extract(props, '[0-9]+', 0), '')) <= 9 THEN NULLIF(regexp_extract(props, '[0-9]+', 0), '') END AS INT) IS NOT NULL AND value IS NOT NULL)
         |      GROUP BY event_type)))""".stripMargin,
     // mirrors olsImputedByGroup's closed-form imputed moments with the
     // SAME IEEE expression tree (m, then sx+nmiss*m etc.) for bit parity
@@ -1576,7 +1578,7 @@ asofOracle,
         |        SELECT event_type,
         |          CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 20
         |               THEN NULL
-        |               ELSE CAST(CAST(NULLIF(regexp_extract(props, '[0-9]+', 0), '') AS INT) AS DECIMAL(18,2)) END AS xd,
+        |               ELSE CAST(CAST(CASE WHEN length(NULLIF(regexp_extract(props, '[0-9]+', 0), '')) <= 9 THEN NULLIF(regexp_extract(props, '[0-9]+', 0), '') END AS INT) AS DECIMAL(18,2)) END AS xd,
         |          CAST(value AS DECIMAL(18,2)) AS yd
         |        FROM events WHERE value IS NOT NULL)
         |      GROUP BY event_type)))""".stripMargin,
@@ -1597,7 +1599,7 @@ asofOracle,
         |      SELECT user_id, ts, event_id, value,
         |        'sch' || CAST(k % 5 AS VARCHAR) || (CASE WHEN k % 7 = 0 THEN '-1' ELSE '' END) AS scheme
         |      FROM (SELECT user_id, ts, event_id, value,
-        |              CAST(NULLIF(regexp_extract(props, '[0-9]+', 0), '') AS INT) AS k
+        |              CAST(CASE WHEN length(NULLIF(regexp_extract(props, '[0-9]+', 0), '')) <= 9 THEN NULLIF(regexp_extract(props, '[0-9]+', 0), '') END AS INT) AS k
         |            FROM events))))
         |WHERE rn = 1 GROUP BY base_scheme""".stripMargin,
     "latest_label_per_scheme" ->
@@ -1620,7 +1622,7 @@ asofOracle,
         |  COUNT(*) FILTER (WHERE nd <= 1) AS n_consistent
         |FROM (
         |  SELECT user_id, event_type,
-        |    COUNT(DISTINCT CAST(NULLIF(regexp_extract(props, '[0-9]+', 0), '') AS INT)) AS nd
+        |    COUNT(DISTINCT CAST(CASE WHEN length(NULLIF(regexp_extract(props, '[0-9]+', 0), '')) <= 9 THEN NULLIF(regexp_extract(props, '[0-9]+', 0), '') END AS INT)) AS nd
         |  FROM events GROUP BY user_id, event_type)
         |GROUP BY event_type""".stripMargin,
     "repeat_participations" ->
@@ -2026,16 +2028,16 @@ asofOracle,
         |    ';' ORDER BY ts, event_id), '') AS age_raw,
         |  CASE
         |    WHEN MAX(CASE WHEN event_type = 'signup'
-        |             THEN CAST(NULLIF(regexp_extract(props, '[0-9]+', 0), '') AS INT) END)
+        |             THEN CAST(CASE WHEN length(NULLIF(regexp_extract(props, '[0-9]+', 0), '')) <= 9 THEN NULLIF(regexp_extract(props, '[0-9]+', 0), '') END AS INT) END)
         |         BETWEEN 65 AND 120 THEN 'elder'
         |    WHEN MAX(CASE WHEN event_type = 'signup'
-        |             THEN CAST(NULLIF(regexp_extract(props, '[0-9]+', 0), '') AS INT) END)
+        |             THEN CAST(CASE WHEN length(NULLIF(regexp_extract(props, '[0-9]+', 0), '')) <= 9 THEN NULLIF(regexp_extract(props, '[0-9]+', 0), '') END AS INT) END)
         |         BETWEEN 36 AND 64 THEN 'adult'
         |    WHEN MAX(CASE WHEN event_type = 'signup'
-        |             THEN CAST(NULLIF(regexp_extract(props, '[0-9]+', 0), '') AS INT) END)
+        |             THEN CAST(CASE WHEN length(NULLIF(regexp_extract(props, '[0-9]+', 0), '')) <= 9 THEN NULLIF(regexp_extract(props, '[0-9]+', 0), '') END AS INT) END)
         |         BETWEEN 18 AND 35 THEN 'youth'
         |    WHEN MAX(CASE WHEN event_type = 'signup'
-        |             THEN CAST(NULLIF(regexp_extract(props, '[0-9]+', 0), '') AS INT) END)
+        |             THEN CAST(CASE WHEN length(NULLIF(regexp_extract(props, '[0-9]+', 0), '')) <= 9 THEN NULLIF(regexp_extract(props, '[0-9]+', 0), '') END AS INT) END)
         |         BETWEEN 0 AND 17 THEN 'child'
         |  END AS age_category
         |FROM scoped GROUP BY user_id""".stripMargin,

@@ -164,7 +164,12 @@ object Relational {
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
       .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("total_revenue"))
-    rev.withColumn("max_revenue", max(col("total_revenue")).over(Window.partitionBy()))
+    // scalar max + broadcast, NOT a global window: suppliers scale linearly
+    // with the corpus, so a single-partition WindowExec over the revenue
+    // aggregate would serialize ~1e9 rows at 100 TB; the one-row broadcast
+    // keeps the comparison fully parallel
+    val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.crossJoin(broadcast(mx))
       .filter(col("total_revenue") === col("max_revenue"))
       .join(broadcast(table(spark, sfDir, "supplier")), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))

