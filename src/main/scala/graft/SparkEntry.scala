@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession.table
@@ -30,6 +30,48 @@ object SparkEntry {
     * CAST(CASE WHEN length(NULLIF(regexp_extract(props,'[0-9]+',0),'')) <= 9
     *      THEN NULLIF(regexp_extract(props,'[0-9]+',0),'') END AS INT). */
   private def propsInt = graft.text.Cleaners.firstInt(col("props"))
+
+  /** Binary outcome for the logistic family (answered-high). Null value
+    * stays null (NOT false) so the GLM's complete-case filter sees the
+    * same rows as the oracle's — a bare `CASE WHEN value > 50` would send
+    * nulls to the ELSE branch on both engines. */
+  private def logitY: Column =
+    when(col("value").isNull, lit(null).cast("double"))
+      .when(col("value") > 50, lit(1.0)).otherwise(lit(0.0))
+
+  /** Four one-hot demographic dummies derived deterministically from the
+    * props integer — the reference's predictor shape (gender /
+    * age_category / disability / recently_displaced,
+    * complete_case_regression_analysis.py:60). Null k propagates null so
+    * complete-case semantics match the oracle. */
+  private def demogDummies: Seq[Column] = {
+    val k = propsInt
+    def dummy(cond: Column) =
+      when(k.isNull, lit(null).cast("double")).when(cond, lit(1.0)).otherwise(lit(0.0))
+    Seq(dummy(k % 2 === 1), dummy(k % 7 === 0), dummy(k % 3 === 1), dummy(k % 3 === 2))
+  }
+
+  /** DuckDB twin of [[propsInt]] (Cleaners.firstInt) for generated oracle
+    * row-prep — same text as the hand-written oracle CTEs elsewhere. */
+  private val propsIntSql =
+    "CAST(CASE WHEN length(NULLIF(regexp_extract(props, '[0-9]+', 0), '')) <= 9 " +
+      "THEN NULLIF(regexp_extract(props, '[0-9]+', 0), '') END AS INT)"
+
+  /** DuckDB twin of [[logitY]]. */
+  private val logitYSql =
+    "CASE WHEN value IS NULL THEN NULL WHEN value > 50 THEN 1.0 ELSE 0.0 END"
+
+  /** DuckDB twin of [[demogDummies]]; `extraX` appends further predictor
+    * expressions after the four dummies (__x5, ...). */
+  private def demogRowsSql(extraX: Seq[String], yExpr: String): String = {
+    def dummy(cond: String) =
+      s"CASE WHEN __k IS NULL THEN NULL WHEN $cond THEN 1.0 ELSE 0.0 END"
+    val xs = Seq(dummy("__k % 2 = 1"), dummy("__k % 7 = 0"),
+      dummy("__k % 3 = 1"), dummy("__k % 3 = 2")) ++ extraX
+    s"SELECT event_type, " +
+      xs.zipWithIndex.map { case (x, i) => s"$x AS __x${i + 1}" }.mkString(", ") +
+      s", $yExpr AS __y FROM (SELECT event_type, value, ts, $propsIntSql AS __k FROM events)"
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -252,6 +294,36 @@ object SparkEntry {
       val xMiss = when(coin < 20, lit(null).cast("int")).otherwise(propsInt)
       graft.analysis.Regression.olsImputedByGroup(
         events(s, dir), Seq(col("event_type")), xMiss, col("value"))
+    }),
+    "regression_ols_multi" -> ((s, dir) =>
+      // the reference's formula shape — 4 one-hot demographic dummies plus
+      // a numeric regressor (complete_case_regression_analysis.py:60) —
+      // via ONE Gram-moment aggregation and an unrolled p×p solve
+      graft.analysis.Glm.olsMultiByGroup(events(s, dir), "event_type",
+        demogDummies :+ hour(col("ts")).cast("double"), col("value"),
+        Seq("b0", "b_gender", "b_disability", "b_age1", "b_age2", "b_hour"))),
+    "regression_logit" -> ((s, dir) =>
+      // binomial-logit GLM (the reference's GLM_FAMILY,
+      // complete_case_regression_analysis.py:10): fixed-iteration IRLS,
+      // one aggregation pass per iteration
+      graft.analysis.Glm.logitByGroup(events(s, dir), "event_type",
+        Seq(hour(col("ts")).cast("double")), logitY,
+        Seq("b0", "b_hour"))),
+    "regression_logit_multi" -> ((s, dir) =>
+      // all-categorical predictor set like the reference's
+      // gender/age_category/disability/recently_displaced one-hots
+      graft.analysis.Glm.logitByGroup(events(s, dir), "event_type",
+        demogDummies, logitY,
+        Seq("b0", "b_gender", "b_disability", "b_age1", "b_age2"))),
+    "regression_mi_pooled" -> ((s, dir) => {
+      // mice(m)+pool analogue (multiple_imputation_regression_analysis
+      // .py:61,74): same 20% missingness coin as regression_ols_imputed
+      // (digest window 1), 5 hash-seeded draws in windows 2-6, Rubin's
+      // rules pooling
+      val coin = graft.curation.Curation.hashPct(col("event_id"), 1)
+      val xMiss = when(coin < 20, lit(null).cast("int")).otherwise(propsInt % 97)
+      graft.analysis.Glm.miPooledByGroup(events(s, dir), "event_type",
+        col("event_id"), xMiss, col("value"), draws = 5, firstOffset = 2)
     }),
     "value_quantiles" -> ((s, dir) =>
       // scalar columns (not an array) so the driver's pandas sort-hash can
@@ -1582,6 +1654,32 @@ asofOracle,
         |          CAST(value AS DECIMAL(18,2)) AS yd
         |        FROM events WHERE value IS NOT NULL)
         |      GROUP BY event_type)))""".stripMargin,
+    // generated twins: the SAME step program that builds the Spark plans is
+    // rendered to DuckDB CTEs (Glm.*OracleSql), so the two engines execute
+    // identical expression trees — only the row-prep dialect differs
+    "regression_ols_multi" ->
+      graft.analysis.Glm.olsMultiOracleSql(
+        demogRowsSql(Seq("CAST(EXTRACT(HOUR FROM ts) AS DOUBLE)"), "value"),
+        "event_type", 6,
+        Seq("b0", "b_gender", "b_disability", "b_age1", "b_age2", "b_hour")),
+    "regression_logit" ->
+      graft.analysis.Glm.logitOracleSql(
+        "SELECT event_type, CAST(EXTRACT(HOUR FROM ts) AS DOUBLE) AS __x1, " +
+          s"$logitYSql AS __y FROM events",
+        "event_type", 2, Seq("b0", "b_hour")),
+    "regression_logit_multi" ->
+      graft.analysis.Glm.logitOracleSql(
+        demogRowsSql(Seq.empty, logitYSql),
+        "event_type", 5,
+        Seq("b0", "b_gender", "b_disability", "b_age1", "b_age2")),
+    "regression_mi_pooled" ->
+      graft.analysis.Glm.miPooledOracleSql(
+        s"SELECT event_type, event_id AS __id, " +
+          s"CASE WHEN ${graft.analysis.Glm.duckPctSql("event_id", 1)} < 20 THEN NULL " +
+          s"ELSE CAST(__k % 97 AS DECIMAL(18,2)) END AS __xd, " +
+          s"CAST(value AS DECIMAL(18,2)) AS __yd " +
+          s"FROM (SELECT event_type, event_id, value, $propsIntSql AS __k FROM events)",
+        "event_type", draws = 5, firstOffset = 2),
     "value_quantiles" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
         |  round(quantile_cont(value, 0.9), 6) AS p90

@@ -252,6 +252,8 @@ object Glm {
         y.cast("double").as("__y"): _*)
       .filter(expr(completeCase(p)))
     runSteps(prepared, group, olsMultiSteps(p, group, ridge))
+      .select(col(group) +: col("__n").as("n") +:
+        (0 until p).map(i => col(s"__b_$i").as(outNames(i))): _*)
   }
 
   private def olsMultiSteps(p: Int, group: String, ridge: Double): Seq[Step] = {
