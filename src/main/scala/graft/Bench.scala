@@ -15,11 +15,13 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     // deterministic (sorted) execution order so per-query times are
     // comparable across rounds — Map iteration order is arbitrary
-    // SPARK_GRAFT_WARM=1: run each query twice and ALSO report the second
-    // (steady-state) time — separates per-query codegen/JIT warm-up from
-    // real plan cost, so machine-noise vs regression is mechanical. The
-    // driver leaves this unset; the output stays one JSON line either way.
-    val warm = sys.env.get("SPARK_GRAFT_WARM").contains("1")
+    // Warm-vs-cold: each query runs twice — the first (cold) time carries
+    // per-query codegen/JIT warm-up, the second (warm) is steady state — and
+    // a fingerprint of the optimized logical plan is recorded, so a
+    // slower-than-floor flag with an UNCHANGED fingerprint is mechanically
+    // dismissible as machine noise while a changed fingerprint marks a real
+    // plan regression. SPARK_GRAFT_WARM=0 skips the second run (dev loops).
+    val warm = !sys.env.get("SPARK_GRAFT_WARM").contains("0")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -28,8 +30,15 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      // canonicalized pre-AQE plan: stable across runs (normalized expr
+      // ids), changes exactly when the declared plan shape changes
+      val planHash =
+        try {
+          val s = fn(spark, sfDir).queryExecution.optimizedPlan.canonicalized.toString
+          f"${scala.util.hashing.MurmurHash3.stringHash(s)}%08x"
+        } catch { case _: Throwable => "err" }
       val cold = once()
-      (name, cold, if (warm) Some(once()) else None)
+      (name, cold, if (warm) Some(once()) else None, planHash)
     }
     def r3(v: Double) = math.round(v * 1000) / 1000.0
     def obj(xs: Seq[(String, Double)]) =
@@ -39,8 +48,9 @@ object Bench {
     val warmPart =
       if (warm) s""","warm_queries":${obj(results.map(r => r._1 -> r._3.get))}"""
       else ""
+    val hashes = results.map(r => s"\"${r._1}\":\"${r._4}\"").mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$warmPart,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$warmPart,"plan_hashes":$hashes,"sf":"$sfDir"}"""
     // The driver captures only the tail of stdout; with 120+ per-query
     // timings the one-line JSON can exceed that window. Persist the full
     // JSON to a file, and keep stdout parseable: print the full line when it

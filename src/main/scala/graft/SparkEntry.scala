@@ -39,15 +39,18 @@ object SparkEntry {
     when(col("value").isNull, lit(null).cast("double"))
       .when(col("value") > 50, lit(1.0)).otherwise(lit(0.0))
 
-  /** Four one-hot demographic dummies derived deterministically from the
-    * props integer — the reference's predictor shape (gender /
-    * age_category / disability / recently_displaced,
-    * complete_case_regression_analysis.py:60). Null k propagates null so
-    * complete-case semantics match the oracle. */
+  /** Four one-hot demographic dummies derived from user_id arithmetic —
+    * the reference's predictor shape (gender / age_category / disability /
+    * recently_displaced, complete_case_regression_analysis.py:60).
+    * Deliberately CHEAP per-row: dummy expressions are referenced many
+    * times (each GLM moment term, plus the complete-case filter after
+    * predicate pushdown substitutes the aliases), so deriving them from
+    * the props regexp re-inlined ~10 regexp evals per row into the pushed
+    * filter (~3 s/scan at sf0.1); int ops make every reference free.
+    * Missing-data paths are exercised by logitY and the MI queries. */
   private def demogDummies: Seq[Column] = {
-    val k = propsInt
-    def dummy(cond: Column) =
-      when(k.isNull, lit(null).cast("double")).when(cond, lit(1.0)).otherwise(lit(0.0))
+    val k = col("user_id")
+    def dummy(cond: Column) = when(cond, lit(1.0)).otherwise(lit(0.0))
     Seq(dummy(k % 2 === 1), dummy(k % 7 === 0), dummy(k % 3 === 1), dummy(k % 3 === 2))
   }
 
@@ -64,13 +67,12 @@ object SparkEntry {
   /** DuckDB twin of [[demogDummies]]; `extraX` appends further predictor
     * expressions after the four dummies (__x5, ...). */
   private def demogRowsSql(extraX: Seq[String], yExpr: String): String = {
-    def dummy(cond: String) =
-      s"CASE WHEN __k IS NULL THEN NULL WHEN $cond THEN 1.0 ELSE 0.0 END"
-    val xs = Seq(dummy("__k % 2 = 1"), dummy("__k % 7 = 0"),
-      dummy("__k % 3 = 1"), dummy("__k % 3 = 2")) ++ extraX
+    def dummy(cond: String) = s"CASE WHEN $cond THEN 1.0 ELSE 0.0 END"
+    val xs = Seq(dummy("user_id % 2 = 1"), dummy("user_id % 7 = 0"),
+      dummy("user_id % 3 = 1"), dummy("user_id % 3 = 2")) ++ extraX
     s"SELECT event_type, " +
       xs.zipWithIndex.map { case (x, i) => s"$x AS __x${i + 1}" }.mkString(", ") +
-      s", $yExpr AS __y FROM (SELECT event_type, value, ts, $propsIntSql AS __k FROM events)"
+      s", $yExpr AS __y FROM events"
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -324,6 +326,15 @@ object SparkEntry {
       val xMiss = when(coin < 20, lit(null).cast("int")).otherwise(propsInt % 97)
       graft.analysis.Glm.miPooledByGroup(events(s, dir), "event_type",
         col("event_id"), xMiss, col("value"), draws = 5, firstOffset = 2)
+    }),
+    "regression_mi_logit" -> ((s, dir) => {
+      // the reference's ACTUAL MI model — bayesglm (logit) per imputed
+      // dataset then pool (multiple_imputation_regression_analysis.py:74)
+      // — m IRLS chains folded into one aggregation pass per iteration
+      val coin = graft.curation.Curation.hashPct(col("event_id"), 1)
+      val xMiss = when(coin < 20, lit(null).cast("int")).otherwise(propsInt % 97)
+      graft.analysis.Glm.miLogitPooledByGroup(events(s, dir), "event_type",
+        col("event_id"), xMiss, logitY, draws = 3, firstOffset = 2)
     }),
     "value_quantiles" -> ((s, dir) =>
       // scalar columns (not an array) so the driver's pandas sort-hash can
@@ -1680,6 +1691,14 @@ asofOracle,
           s"CAST(value AS DECIMAL(18,2)) AS __yd " +
           s"FROM (SELECT event_type, event_id, value, $propsIntSql AS __k FROM events)",
         "event_type", draws = 5, firstOffset = 2),
+    "regression_mi_logit" ->
+      graft.analysis.Glm.miLogitPooledOracleSql(
+        s"SELECT event_type, event_id AS __id, " +
+          s"CASE WHEN ${graft.analysis.Glm.duckPctSql("event_id", 1)} < 20 THEN NULL " +
+          s"ELSE CAST(__k % 97 AS DECIMAL(18,2)) END AS __xd, " +
+          s"$logitYSql AS __y " +
+          s"FROM (SELECT event_type, event_id, value, $propsIntSql AS __k FROM events)",
+        "event_type", draws = 3, firstOffset = 2),
     "value_quantiles" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
         |  round(quantile_cont(value, 0.9), 6) AS p90

@@ -59,6 +59,10 @@ object Glm {
   /** 9-decimal portable rounding, used to quench EXP ulp drift in μ. */
   private def r9s(e: String) = s"FLOOR(($e) * 1.0e9 + 0.5) / 1.0e9"
 
+  /** 12-decimal portable rounding — for variance outputs whose magnitude
+    * (Fisher (X'WX)⁻¹ at n≈10⁴⁺ is ~1e-7) vanishes on the 6dp grid. */
+  private def r12s(e: String) = s"FLOOR(($e) * 1.0e12 + 0.5) / 1.0e12"
+
   /** Order-independent sum of a bounded double term: quantize to a 1e-12
     * grid (exact integers < 2^53 for |term| ≤ ~9000), accumulate as exact
     * DECIMAL(38,0), convert once. */
@@ -147,10 +151,9 @@ object Glm {
       if (i == j) (aN(i, j), s"(${aN(i, j)} + $ridge)") else (aN(i, j), aN(i, j))
     } ++ (0 until p).map(i => (s"__r_$i", s"__r_$i")))
 
-  /** One IRLS iteration over a frame carrying group, __x0..__x{p-1}, __y
-    * and the previous betas __b_0..__b_{p-1}. */
-  private def irlsIterationSteps(p: Int, group: String, ridge: Double): Seq[Step] = {
-    val keep = Seq(group, "__n")
+  /** The distributed half of one IRLS iteration: per-row working weights
+    * and ONE aggregation to the per-group Gram/gradient moments. */
+  private def logitMomentSteps(p: Int): Seq[Step] = {
     val eta = (0 until p).map(i => s"(__b_$i * __x$i)").reduce((a, b) => s"($a + $b)")
     Seq(
       Extend("__eta", eta),
@@ -159,11 +162,63 @@ object Glm {
       Extend("__u", "((__w * __eta) + (__y - __mu))"),
       Aggregate(("__n", "COUNT(*)") +:
         (entries(p).map { case (i, j) => (aN(i, j), qsum(s"((__x$i * __x$j) * __w)")) } ++
-          (0 until p).map(i => (s"__r_$i", qsum(s"(__x$i * __u)"))))),
-      ridgeStep(p, ridge, keep)) ++
-      solveStages(p, keep) :+
+          (0 until p).map(i => (s"__r_$i", qsum(s"(__x$i * __u)"))))))
+  }
+
+  /** One full IRLS iteration (moments + in-plan solve) — the ORACLE
+    * rendering; the DataFrame side runs [[logitMomentSteps]] and solves on
+    * the driver via [[solveRidged]], which mirrors these expressions. */
+  private def irlsIterationSteps(p: Int, group: String, ridge: Double): Seq[Step] = {
+    val keep = Seq(group, "__n")
+    logitMomentSteps(p) ++ (ridgeStep(p, ridge, keep) +: solveStages(p, keep)) :+
       Project(Seq((group, group), ("__n", "__n")) ++
         (0 until p).map(i => (s"__b_$i", r6s(s"__b_$i"))))
+  }
+
+  /** Portable half-up 6dp rounding — scalar twin of [[r6s]]. */
+  private def r6(v: Double): Double = math.floor(v * 1.0e6 + 0.5) / 1.0e6
+
+  /** Driver-side p×p solve — the SCALAR twin of [[ridgeStep]] +
+    * [[solveStages]]: the identical IEEE-754 operations in the identical
+    * order (stage snapshots, multiply-before-divide updates, left-
+    * associated back-substitution sums), so a collected-moments solve is
+    * bit-identical to the DuckDB CTE solve the oracle executes. `upper` is
+    * the Gram upper triangle in [[entries]] order.
+    *
+    * Why driver-side at all: the solve is inherently serial over p×p
+    * values per group. Expressed as Catalyst projections it costs a
+    * per-iteration whole-stage-codegen compile (~3 s of single-task CPU
+    * for p=5) on a 1-row-per-group frame; on the driver it is
+    * microseconds. The distributed work — the corpus-wide moment
+    * aggregation — stays in the plan; driver state is groups × p² doubles.
+    */
+  private[analysis] def solveRidged(p: Int, ridge: Double, upper: Seq[Double],
+                                    grad: Seq[Double]): Array[Double] = {
+    val es = entries(p)
+    var cur: Map[(Int, Int), Double] = es.zipWithIndex.map { case ((i, j), k) =>
+      (i, j) -> (if (i == j) upper(k) + ridge else upper(k))
+    }.toMap
+    def a(m: Map[(Int, Int), Double], i: Int, j: Int): Double =
+      if (i <= j) m((i, j)) else m((j, i))
+    var r: Vector[Double] = grad.toVector
+    for (k <- 0 until p - 1) {
+      // one SQL stage = one snapshot: every update reads stage-k values
+      val (ck, rk) = (cur, r)
+      cur = es.map { case (i, j) =>
+        (i, j) -> (if (i > k) ck((i, j)) - ((a(ck, k, i) * a(ck, k, j)) / ck((k, k)))
+                   else ck((i, j)))
+      }.toMap
+      r = Vector.tabulate(p)(i =>
+        if (i > k) rk(i) - ((a(ck, k, i) * rk(k)) / ck((k, k))) else rk(i))
+    }
+    val b = Array.fill(p)(0.0)
+    for (i <- p - 1 to 0 by -1) {
+      val num =
+        if (i == p - 1) r(i)
+        else r(i) - (i + 1 until p).map(j => a(cur, i, j) * b(j)).reduce(_ + _)
+      b(i) = num / cur((i, i))
+    }
+    b
   }
 
   /** Complete-case filter shared by both renderings: drop rows with any
@@ -178,13 +233,19 @@ object Glm {
     * internally. Output: group, n, b_intercept-first coefficient columns
     * named `outNames` (rounded to 6 decimals).
     *
-    * One aggregation pass per iteration; the corpus is scanned `iters`
-    * times (cache `rows0` upstream when it is expensive to recompute).
-    * Betas travel as a broadcast one-row-per-group frame — no driver-side
-    * state, no collect.
+    * MLlib-style iteration shape: each of the `iters` rounds runs ONE
+    * map-side-combinable aggregation over the corpus (working weights →
+    * per-group Gram/gradient moments), the driver solves the p×p system
+    * per group ([[solveRidged]] — bit-matching the oracle's in-SQL solve),
+    * and the new betas rejoin as a broadcast literal frame. Driver state
+    * is groups × p² doubles — model state, never data. The corpus is
+    * scanned `iters` times (cache `rows0` upstream when it is expensive
+    * to recompute). Note the returned frame is computed eagerly.
     */
   def logitByGroup(rows0: DataFrame, group: String, xs: Seq[Column], y: Column,
                    outNames: Seq[String], iters: Int = 6, ridge: Double = 1e-6): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
     val p = xs.size + 1
     require(outNames.size == p, s"outNames must have ${p} entries (intercept first)")
     require(iters >= 1, "need at least one IRLS iteration")
@@ -193,16 +254,35 @@ object Glm {
         xs.zipWithIndex.map { case (c, i) => c.cast("double").as(s"__x${i + 1}") } :+
         y.cast("double").as("__y"): _*)
       .filter(expr(completeCase(p)))
-    var beta = prepared.select(col(group)).distinct()
-      .select(col(group) +: (0 until p).map(i => lit(0.0).as(s"__b_$i")): _*)
+    val spark = rows0.sparkSession
+    val groupField = prepared.schema(group)
+    val betaSchema = StructType(groupField +:
+      (0 until p).map(i => StructField(s"__b_$i", DoubleType, nullable = false)))
+    var beta: Seq[(Any, Array[Double])] =
+      prepared.select(col(group)).distinct().collect().toSeq
+        .map(r => r.get(0) -> Array.fill(p)(0.0))
+    var nByGroup: Map[Any, Long] = Map.empty
+    val es = entries(p)
     for (_ <- 1 to iters) {
-      val joined = prepared.join(
-        broadcast(beta.select(col(group) +: (0 until p).map(i => col(s"__b_$i")): _*)),
-        Seq(group))
-      beta = runSteps(joined, group, irlsIterationSteps(p, group, ridge))
+      val betaDf = spark.createDataFrame(
+        java.util.Arrays.asList(beta.map { case (g, b) => Row.fromSeq(g +: b.toSeq) }: _*),
+        betaSchema)
+      val joined = prepared.join(broadcast(betaDf), Seq(group))
+      val moments = runSteps(joined, group, logitMomentSteps(p)).collect()
+      beta = moments.toSeq.map { row =>
+        val upper = es.map { case (i, j) => row.getDouble(row.fieldIndex(aN(i, j))) }
+        val grad = (0 until p).map(i => row.getDouble(row.fieldIndex(s"__r_$i")))
+        row.get(0) -> solveRidged(p, ridge, upper, grad).map(r6)
+      }
+      nByGroup = moments.map(row => row.get(0) -> row.getLong(row.fieldIndex("__n"))).toMap
     }
-    beta.select(col(group) +: col("__n").as("n") +:
-      (0 until p).map(i => col(s"__b_$i").as(outNames(i))): _*)
+    val outSchema = StructType(groupField +: StructField("n", LongType, nullable = false) +:
+      outNames.map(StructField(_, DoubleType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(beta.map { case (g, b) =>
+        Row.fromSeq(g +: nByGroup(g) +: b.toSeq)
+      }: _*),
+      outSchema)
   }
 
   /** DuckDB twin of [[logitByGroup]] — the SAME iteration fragments
@@ -244,6 +324,8 @@ object Glm {
     */
   def olsMultiByGroup(rows0: DataFrame, group: String, xs: Seq[Column], y: Column,
                       outNames: Seq[String], ridge: Double = 1e-6): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
     val p = xs.size + 1
     require(outNames.size == p, s"outNames must have ${p} entries (intercept first)")
     val prepared = rows0.select(
@@ -251,22 +333,40 @@ object Glm {
         xs.zipWithIndex.map { case (c, i) => c.cast("double").as(s"__x${i + 1}") } :+
         y.cast("double").as("__y"): _*)
       .filter(expr(completeCase(p)))
-    runSteps(prepared, group, olsMultiSteps(p, group, ridge))
-      .select(col(group) +: col("__n").as("n") +:
-        (0 until p).map(i => col(s"__b_$i").as(outNames(i))): _*)
+    // distributed Gram pass, driver p×p solve (see solveRidged's scaladoc
+    // for why the serial solve does not belong in the plan)
+    val moments = runSteps(prepared, group, Seq(olsMomentStep(p))).collect()
+    val es = entries(p)
+    val spark = rows0.sparkSession
+    val outSchema = StructType(prepared.schema(group) +:
+      StructField("n", LongType, nullable = false) +:
+      outNames.map(StructField(_, DoubleType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(moments.toSeq.map { row =>
+        val upper = es.map { case (i, j) => row.getDouble(row.fieldIndex(aN(i, j))) }
+        val grad = (0 until p).map(i => row.getDouble(row.fieldIndex(s"__r_$i")))
+        val b = solveRidged(p, ridge, upper, grad).map(r6)
+        Row.fromSeq(row.get(0) +: row.getLong(row.fieldIndex("__n")) +: b.toSeq)
+      }: _*),
+      outSchema)
   }
 
+  /** The distributed half of the OLS fit: one exact-decimal Gram/gradient
+    * aggregation. */
+  private def olsMomentStep(p: Int): Step = {
+    def d(e: String) = s"CAST($e AS DECIMAL(18,2))"
+    Aggregate(("__n", "COUNT(*)") +:
+      (entries(p).map { case (i, j) =>
+        (aN(i, j), s"CAST(SUM(${d(s"__x$i")} * ${d(s"__x$j")}) AS DOUBLE)")
+      } ++ (0 until p).map(i =>
+        (s"__r_$i", s"CAST(SUM(${d(s"__x$i")} * ${d("__y")}) AS DOUBLE)"))))
+  }
+
+  /** Full in-SQL OLS pipeline — the ORACLE rendering of
+    * [[olsMultiByGroup]]'s moment pass + solve. */
   private def olsMultiSteps(p: Int, group: String, ridge: Double): Seq[Step] = {
     val keep = Seq(group, "__n")
-    def d(e: String) = s"CAST($e AS DECIMAL(18,2))"
-    Seq(
-      Aggregate(("__n", "COUNT(*)") +:
-        (entries(p).map { case (i, j) =>
-          (aN(i, j), s"CAST(SUM(${d(s"__x$i")} * ${d(s"__x$j")}) AS DOUBLE)")
-        } ++ (0 until p).map(i =>
-          (s"__r_$i", s"CAST(SUM(${d(s"__x$i")} * ${d("__y")}) AS DOUBLE)")))),
-      ridgeStep(p, ridge, keep)) ++
-      solveStages(p, keep) :+
+    (olsMomentStep(p) +: ridgeStep(p, ridge, keep) +: solveStages(p, keep)) :+
       Project(Seq((group, group), ("__n", "__n")) ++
         (0 until p).map(i => (s"__b_$i", r6s(s"__b_$i"))))
   }
@@ -392,6 +492,213 @@ object Glm {
     val withQ = (0 until draws).foldLeft(joined)((d, i) =>
       d.withColumn(s"__xq_$i", expr(xqS(sparkPctSql("__id", firstOffset + i), spread))))
     runSteps(withQ, group, miAggStep(draws) +: miTailSteps(draws, group))
+  }
+
+  // ---- multiple-imputation pooled LOGIT (the reference's actual MI model:
+  // bayesglm per imputed dataset, pooled — multiple_imputation_regression_
+  // analysis.py:74 `with(multiple_imputed_data_frame, bayesglm(...))` then
+  // `pool(...)`) ----
+
+  /** The distributed half of one all-draws IRLS iteration: per-row working
+    * weights per draw and ONE aggregation to m sets of 2×2 Gram/gradient
+    * moments — m chains, one corpus pass. */
+  private def miLogitMomentSteps(draws: Int): Seq[Step] = {
+    val perRow = (0 until draws).flatMap { d =>
+      Seq(
+        Extend(s"__xf_$d", s"CAST(__xq_$d AS DOUBLE)"),
+        Extend(s"__eta_$d", s"(__b0_$d + (__b1_$d * __xf_$d))"),
+        Extend(s"__mu_$d", r9s(s"1.0 / (1.0 + EXP(-(__eta_$d)))")),
+        Extend(s"__w_$d", s"(__mu_$d * (1.0 - __mu_$d))"),
+        Extend(s"__u_$d", s"((__w_$d * __eta_$d) + (__y - __mu_$d))"))
+    }
+    perRow :+ Aggregate(Seq(("__n", "COUNT(*)"), ("__n_obs", "COUNT(__xd)")) ++
+      (0 until draws).flatMap(d => Seq(
+        (s"__a00_$d", qsum(s"__w_$d")),
+        (s"__a01_$d", qsum(s"(__xf_$d * __w_$d)")),
+        (s"__a11_$d", qsum(s"((__xf_$d * __xf_$d) * __w_$d)")),
+        (s"__r0_$d", qsum(s"__u_$d")),
+        (s"__r1_$d", qsum(s"(__xf_$d * __u_$d)")))))
+  }
+
+  /** Scalar twin of the in-SQL closed-form 2×2 solve in
+    * [[miLogitIterSteps]] — same IEEE ops, same order (see
+    * [[solveRidged]]'s rationale). Returns (b0, b1) 6dp-rounded. */
+  private def solve2Ridged(ridge: Double, a00: Double, a01: Double, a11: Double,
+                           rg0: Double, rg1: Double): (Double, Double) = {
+    val det = ((a00 + ridge) * (a11 + ridge)) - (a01 * a01)
+    val b1n = (((a00 + ridge) * rg1) - (a01 * rg0)) / det
+    val b0n = (rg0 - (a01 * b1n)) / (a00 + ridge)
+    (r6(b0n), r6(b1n))
+  }
+
+  /** One full all-draws IRLS iteration (moments + in-plan solve) — the
+    * ORACLE rendering; the DataFrame side runs [[miLogitMomentSteps]] and
+    * solves per draw on the driver via [[solve2Ridged]]. */
+  private def miLogitIterSteps(draws: Int, group: String, ridge: Double): Seq[Step] = {
+    val solve = (0 until draws).flatMap { d =>
+      Seq(
+        Extend(s"__det_$d",
+          s"(((__a00_$d + $ridge) * (__a11_$d + $ridge)) - (__a01_$d * __a01_$d))"),
+        Extend(s"__b1n_$d",
+          s"((((__a00_$d + $ridge) * __r1_$d) - (__a01_$d * __r0_$d)) / __det_$d)"),
+        Extend(s"__b0n_$d",
+          s"((__r0_$d - (__a01_$d * __b1n_$d)) / (__a00_$d + $ridge))"))
+    }
+    val out = Project(Seq((group, group), ("__n", "__n"), ("__n_obs", "__n_obs")) ++
+      (0 until draws).flatMap(d => Seq(
+        (s"__b0_$d", r6s(s"__b0n_$d")), (s"__b1_$d", r6s(s"__b1n_$d")))))
+    miLogitMomentSteps(draws) ++ solve :+ out
+  }
+
+  /** Final pass: Gram re-evaluated AT the converged betas gives each
+    * draw's Fisher slope variance (X'WX)⁻¹₁₁ = a00/det; then Rubin's rules
+    * over the m (slope, variance) pairs. */
+  private def miLogitPoolSteps(draws: Int, group: String, ridge: Double): Seq[Step] = {
+    val perRow = (0 until draws).flatMap { d =>
+      Seq(
+        Extend(s"__xf_$d", s"CAST(__xq_$d AS DOUBLE)"),
+        Extend(s"__eta_$d", s"(__b0_$d + (__b1_$d * __xf_$d))"),
+        Extend(s"__mu_$d", r9s(s"1.0 / (1.0 + EXP(-(__eta_$d)))")),
+        Extend(s"__w_$d", s"(__mu_$d * (1.0 - __mu_$d))"))
+    }
+    val agg = Aggregate(Seq(("__n", "COUNT(*)"), ("__n_obs", "COUNT(__xd)")) ++
+      (0 until draws).flatMap(d => Seq(
+        // betas are constant per group after the join; MIN is their
+        // order-insensitive carrier through the aggregate
+        (s"__b0_$d", s"MIN(__b0_$d)"), (s"__b1_$d", s"MIN(__b1_$d)"),
+        (s"__a00_$d", qsum(s"__w_$d")),
+        (s"__a01_$d", qsum(s"(__xf_$d * __w_$d)")),
+        (s"__a11_$d", qsum(s"((__xf_$d * __xf_$d) * __w_$d)")))))
+    val vs = (0 until draws).flatMap { d =>
+      Seq(
+        Extend(s"__det_$d",
+          s"(((__a00_$d + $ridge) * (__a11_$d + $ridge)) - (__a01_$d * __a01_$d))"),
+        Extend(s"__vs_$d", s"((__a00_$d + $ridge) / __det_$d)"))
+    }
+    val m = s"$draws.0"
+    def mean(f: Int => String) =
+      s"((${(0 until draws).map(f).reduce((a, b) => s"($a + $b)")}) / $m)"
+    val bvar =
+      if (draws == 1) "0.0"
+      else s"((${(0 until draws).map(d => s"((__b1_$d - __qbar) * (__b1_$d - __qbar))")
+        .reduce((a, b) => s"($a + $b)")}) / ${draws - 1}.0)"
+    perRow ++ (agg +: vs) ++ Seq(
+      Extend("__qbar", mean(d => s"__b1_$d")),
+      Extend("__b0bar", mean(d => s"__b0_$d")),
+      Extend("__wbar", mean(d => s"__vs_$d")),
+      Extend("__bvar", bvar),
+      Extend("__ttot", s"(__wbar + ((1.0 + (1.0 / $m)) * __bvar))"),
+      Project(Seq(
+        (group, group), ("n", "__n"), ("n_obs", "__n_obs"),
+        ("m_draws", s"CAST($draws AS INT)"),
+        ("intercept_pooled", r6s("__b0bar")),
+        ("slope_pooled", r6s("__qbar")),
+        ("var_within", r12s("__wbar")),
+        ("var_between", r12s("__bvar")),
+        ("se_total", r6s("SQRT(__ttot)")))))
+  }
+
+  /** Multiple-imputation pooled LOGISTIC regression of binary y on x per
+    * group — the faithful analogue of the reference's MI step (mice m
+    * draws, bayesglm per draw, pool): m hash-seeded imputation draws, one
+    * independent fixed-K IRLS chain per draw, Rubin's-rules pooling with
+    * per-draw Fisher variances. All m chains fold into ONE aggregation
+    * pass per iteration (the Gram columns are draw-suffixed), so the
+    * corpus is scanned K+2 times regardless of m — never m×K.
+    */
+  def miLogitPooledByGroup(df: DataFrame, group: String, id: Column, x: Column, y: Column,
+                           draws: Int, firstOffset: Int = 2, spread: Double = 1.0,
+                           iters: Int = 6, ridge: Double = 1e-6): DataFrame = {
+    require(draws >= 1 && firstOffset >= 1 && firstOffset + draws - 1 <= 8,
+      "draws must fit in the md5 digest windows (8 of 4 hex chars)")
+    require(iters >= 1, "need at least one IRLS iteration")
+    val rows = df.filter(y.isNotNull).select(col(group), id.as("__id"),
+      x.cast(DecimalType(18, 2)).as("__xd"), y.cast("double").as("__y"))
+    val stats = rows.groupBy(col(group)).agg(
+      expr("COUNT(__xd)").as("__n_obs"),
+      expr("CAST(SUM(__xd) AS DOUBLE)").as("__ssx"),
+      expr("CAST(SUM(__xd * __xd) AS DOUBLE)").as("__ssxx"))
+      .withColumn("__mean", expr(meanS))
+      .withColumn("__sd", expr(sdS))
+    val joined = rows.join(
+      broadcast(stats.select(col(group), col("__mean"), col("__sd"))), Seq(group))
+    val withQ = (0 until draws).foldLeft(joined)((d, i) =>
+      d.withColumn(s"__xq_$i", expr(xqS(sparkPctSql("__id", firstOffset + i), spread))))
+    // driver-held model state (groups × 2m doubles), MLlib-style: one
+    // distributed moment pass per iteration, per-draw 2×2 solves on the
+    // driver (solve2Ridged bit-matches the oracle's CTE solve), betas
+    // rejoin as broadcast literal frames; the pooling pass stays in-plan
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val spark = df.sparkSession
+    val groupField = withQ.schema(group)
+    val betaSchema = StructType(groupField +: (0 until draws).flatMap(d =>
+      Seq(StructField(s"__b0_$d", DoubleType, nullable = false),
+        StructField(s"__b1_$d", DoubleType, nullable = false))))
+    var beta: Seq[(Any, Array[Double])] =
+      withQ.select(col(group)).distinct().collect().toSeq
+        .map(r => r.get(0) -> Array.fill(2 * draws)(0.0))
+    def betaDf(): DataFrame = spark.createDataFrame(
+      java.util.Arrays.asList(beta.map { case (g, b) => Row.fromSeq(g +: b.toSeq) }: _*),
+      betaSchema)
+    for (_ <- 1 to iters) {
+      val it = withQ.join(broadcast(betaDf()), Seq(group))
+      val moments = runSteps(it, group, miLogitMomentSteps(draws)).collect()
+      beta = moments.toSeq.map { row =>
+        def f(n: String) = row.getDouble(row.fieldIndex(n))
+        row.get(0) -> (0 until draws).flatMap { d =>
+          val (b0, b1) = solve2Ridged(ridge,
+            f(s"__a00_$d"), f(s"__a01_$d"), f(s"__a11_$d"), f(s"__r0_$d"), f(s"__r1_$d"))
+          Seq(b0, b1)
+        }.toArray
+      }
+    }
+    val fin = withQ.join(broadcast(betaDf()), Seq(group))
+    runSteps(fin, group, miLogitPoolSteps(draws, group, ridge))
+  }
+
+  /** DuckDB twin of [[miLogitPooledByGroup]]. `rowsSql` must produce the
+    * group column plus __id, __xd (DECIMAL(18,2), null = missing) and __y
+    * (binary double, null dropped here). */
+  def miLogitPooledOracleSql(rowsSql: String, group: String, draws: Int,
+                             firstOffset: Int = 2, spread: Double = 1.0,
+                             iters: Int = 6, ridge: Double = 1e-6): String = {
+    require(draws >= 1 && firstOffset >= 1 && firstOffset + draws - 1 <= 8)
+    val statsSql =
+      s"SELECT $group, COUNT(__xd) AS __n_obs, CAST(SUM(__xd) AS DOUBLE) AS __ssx, " +
+        s"CAST(SUM(__xd * __xd) AS DOUBLE) AS __ssxx FROM __rows GROUP BY $group"
+    val qCols = (0 until draws)
+      .map(d => s"${xqS(duckPctSql("__id", firstOffset + d), spread)} AS __xq_$d")
+      .mkString(", ")
+    val b = new StringBuilder(s"WITH __rows0 AS (\n$rowsSql),\n")
+    b.append("__rows AS (SELECT * FROM __rows0 WHERE __y IS NOT NULL),\n")
+    b.append(s"__stats0 AS ($statsSql),\n")
+    b.append(s"__stats AS (SELECT *, $meanS AS __mean FROM __stats0),\n")
+    b.append(s"__statsd AS (SELECT *, $sdS AS __sd FROM __stats),\n")
+    b.append(s"__joined AS (SELECT r.*, s.__mean, s.__sd FROM __rows r " +
+      s"JOIN __statsd s USING ($group)),\n")
+    b.append(s"__q AS (SELECT *, $qCols FROM __joined),\n")
+    b.append(s"__beta_0 AS (SELECT DISTINCT $group, " +
+      (0 until draws).flatMap(d => Seq(s"0.0 AS __b0_$d", s"0.0 AS __b1_$d"))
+        .mkString(", ") + " FROM __q),\n")
+    var prevBeta = "__beta_0"
+    (1 to iters).foreach { k =>
+      val join = s"__jt_$k AS (SELECT q.*, " +
+        (0 until draws).flatMap(d => Seq(s"b.__b0_$d", s"b.__b1_$d")).mkString(", ") +
+        s" FROM __q q JOIN $prevBeta b USING ($group))"
+      val (ctes, last) = renderSql(s"__jt_$k", s"__mit${k}", group,
+        miLogitIterSteps(draws, group, ridge))
+      b.append((join +: ctes).mkString(",\n")).append(",\n")
+      prevBeta = last
+    }
+    val finJoin = s"__jfin AS (SELECT q.*, " +
+      (0 until draws).flatMap(d => Seq(s"b.__b0_$d", s"b.__b1_$d")).mkString(", ") +
+      s" FROM __q q JOIN $prevBeta b USING ($group))"
+    val (ctes, last) = renderSql("__jfin", "__pool", group,
+      miLogitPoolSteps(draws, group, ridge))
+    b.append((finJoin +: ctes).mkString(",\n"))
+    b.append(s"\nSELECT * FROM $last")
+    b.toString
   }
 
   /** DuckDB twin of [[miPooledByGroup]]. `rowsSql` must produce the group

@@ -169,6 +169,43 @@ class GlmSpec extends SparkSpec {
     assert(math.abs(got._4 - math.sqrt(t)) < 3e-5, s"$got")
   }
 
+  test("miLogitPooledByGroup with no missing data degenerates to the plain logit fit") {
+    // all x observed → every imputation chain sees identical data → the m
+    // chains equal the single complete-data IRLS chain and B must be 0
+    val rows =
+      Seq.fill(30)((0.0, 1.0)) ++ Seq.fill(70)((0.0, 0.0)) ++
+        Seq.fill(60)((1.0, 1.0)) ++ Seq.fill(40)((1.0, 0.0))
+    val df = rows.zipWithIndex.map { case ((x, y), i) => ("g", i.toLong, x, y) }
+      .toDF("g", "id", "x", "y")
+    val mi = Glm.miLogitPooledByGroup(df, "g", col("id"), col("x"), col("y"), draws = 3)
+      .select("intercept_pooled", "slope_pooled", "var_between")
+      .as[(Double, Double, Double)].collect().head
+    val single = Glm.logitByGroup(df, "g", Seq(col("x")), col("y"), Seq("b0", "b1"))
+      .select("b0", "b1").as[(Double, Double)].collect().head
+    // the generic-elimination and closed-form 2×2 solves are algebraically
+    // equal; per-iteration 6dp re-rounding keeps them on the same grid
+    assert(math.abs(mi._1 - single._1) < 2e-6, s"$mi vs $single")
+    assert(math.abs(mi._2 - single._2) < 2e-6, s"$mi vs $single")
+    assert(mi._3 == 0.0)
+  }
+
+  test("miLogitPooledByGroup pools independent chains over real missingness") {
+    val df = (1 to 300).map { i =>
+      val x = if (i % 4 == 0) None else Some((i % 13).toDouble)
+      val y = if ((i * 2654435761L) % 100 < 30 + 4 * (i % 13)) 1.0 else 0.0
+      ("g", i.toLong, x, y)
+    }.toDF("g", "id", "x", "y")
+    val got = Glm.miLogitPooledByGroup(df, "g", col("id"), col("x"), col("y"), draws = 4)
+      .select("n", "n_obs", "m_draws", "slope_pooled", "var_within", "var_between", "se_total")
+      .as[(Long, Long, Int, Double, Double, Double, Double)].collect().head
+    assert(got._1 == 300 && got._2 == 225 && got._3 == 4)
+    assert(got._4 > 0.0) // positive x→y signal by construction
+    assert(got._5 > 0.0) // Fisher variance at the converged fit
+    assert(got._6 > 0.0) // draws disagree → between-imputation variance
+    val t = got._5 + (1.0 + 1.0 / 4.0) * got._6
+    assert(math.abs(got._7 - math.sqrt(t)) < 3e-5, s"$got")
+  }
+
   test("miPooledByGroup perturbation draws differ across imputations") {
     // with spread=1 and real missingness, draws disagree → B > 0
     val df = (1 to 100).map { i =>
