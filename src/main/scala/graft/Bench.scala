@@ -22,13 +22,18 @@ object Bench {
     // dismissible as machine noise while a changed fingerprint marks a real
     // plan regression. SPARK_GRAFT_WARM=0 skips the second run (dev loops).
     val warm = !sys.env.get("SPARK_GRAFT_WARM").contains("0")
+    // A query that throws is recorded as an ERROR (name -> message), not as
+    // a fast time: a broken query must never look like the fastest query in
+    // the suite. Errored queries are excluded from per-query timings and the
+    // total.
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      def once(): Double = {
+      def once(): Either[String, Double] = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+        catch { case scala.util.control.NonFatal(e) =>
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(300)) }
       }
       // canonicalized pre-AQE plan: stable across runs (normalized expr
       // ids), changes exactly when the declared plan shape changes
@@ -38,19 +43,27 @@ object Bench {
           f"${scala.util.hashing.MurmurHash3.stringHash(s)}%08x"
         } catch { case _: Throwable => "err" }
       val cold = once()
-      (name, cold, if (warm) Some(once()) else None, planHash)
+      (name, cold, if (warm && cold.isRight) Some(once()) else None, planHash)
     }
     def r3(v: Double) = math.round(v * 1000) / 1000.0
     def obj(xs: Seq[(String, Double)]) =
       xs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val qs = obj(results.map(r => r._1 -> r._2))
-    val total = results.map(_._2).sum
+    def jstr(s: String) =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val ok = results.collect { case (n, Right(t), w, h) => (n, t, w, h) }
+    val errs = results.collect { case (n, Left(m), _, _) => (n, m) }
+    val qs = obj(ok.map(r => r._1 -> r._2))
+    val total = ok.map(_._2).sum
     val warmPart =
-      if (warm) s""","warm_queries":${obj(results.map(r => r._1 -> r._3.get))}"""
+      if (warm) s""","warm_queries":${obj(ok.flatMap(r => r._3.flatMap(_.toOption).map(r._1 -> _)))}"""
       else ""
     val hashes = results.map(r => s"\"${r._1}\":\"${r._4}\"").mkString("{", ",", "}")
+    val errPart = errs.map { case (n, m) => s"${jstr(n)}:${jstr(m)}" }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$warmPart,"plan_hashes":$hashes,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$warmPart,"plan_hashes":$hashes,"errors":$errPart,"sf":"$sfDir"}"""
     // The driver captures only the tail of stdout; with 120+ per-query
     // timings the one-line JSON can exceed that window. Persist the full
     // JSON to a file, and keep stdout parseable: print the full line when it
@@ -70,9 +83,9 @@ object Bench {
     val line =
       if (full.length <= 1800) full
       else {
-        val slowest = obj(results.sortBy(-_._2).take(25).map(r => r._1 -> r._2))
+        val slowest = obj(ok.sortBy(-_._2).take(25).map(r => r._1 -> r._2))
         val fullPtr = if (wrote) s""","full":"$outFile"""" else ""
-        s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"sf":"$sfDir","truncated":true$fullPtr}"""
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"errors":$errPart,"sf":"$sfDir","truncated":true$fullPtr}"""
       }
     println(line)
     spark.stop()

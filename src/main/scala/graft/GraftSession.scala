@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Session factory with the engine's standard tuning.
   *
@@ -49,16 +49,26 @@ object GraftSession {
 
   /** Loads one of the standard test tables from an sf directory.
     *
-    * Nanosecond timestamp columns (read as raw longs via nanosAsLong) are
-    * normalized to microsecond timestamps by integer floor-division — the
-    * same truncation a microsecond-native engine (e.g. DuckDB) applies when
-    * reading NANOS parquet, so values stay oracle-comparable.
+    * The `ts` column is normalized to session-zoned TIMESTAMP regardless of
+    * how the writing engine encoded it — a 100 TB feed spans parquet writers
+    * and an engine must tolerate all the common timestamp physical types:
+    *   - TIMESTAMP(NANOS) (read as raw longs via nanosAsLong): floor-divided
+    *     to micros — the same truncation a microsecond-native engine (e.g.
+    *     DuckDB) applies when reading NANOS parquet, so values stay
+    *     oracle-comparable.
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false) → Spark TIMESTAMP_NTZ:
+    *     cast to TIMESTAMP. Under the session's UTC timezone this is an
+    *     identity on the wall clock, so downstream results are unchanged.
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=true) → already TIMESTAMP: as-is.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
+    if (!df.schema.fieldNames.contains("ts")) df
+    else df.schema("ts").dataType match {
       // integer div, not `/`: nanos exceed 2^53 so double division loses µs
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
 }

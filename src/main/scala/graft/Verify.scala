@@ -19,6 +19,15 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // Write a one-row error marker so the driver records a FAILED
+          // correctness row (schema/hash mismatch) instead of silently
+          // omitting the query — an omission the gate can miss.
+          try {
+            import spark.implicits._
+            Seq(Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
+              .toDF("graft_query_error")
+              .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+          } catch { case _: Throwable => () }
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -238,9 +238,12 @@ object Glm {
     * per-group Gram/gradient moments), the driver solves the p×p system
     * per group ([[solveRidged]] — bit-matching the oracle's in-SQL solve),
     * and the new betas rejoin as a broadcast literal frame. Driver state
-    * is groups × p² doubles — model state, never data. The corpus is
-    * scanned `iters` times (cache `rows0` upstream when it is expensive
-    * to recompute). Note the returned frame is computed eagerly.
+    * is groups × p² doubles — model state, never data. The projected
+    * complete-case working set is persisted (MEMORY_AND_DISK) for the
+    * duration of the loop so the K iterations read a narrow cached
+    * projection instead of re-scanning the raw fact K times, and
+    * unpersisted before return. Note the returned frame is computed
+    * eagerly, so the unpersist cannot trigger recomputation.
     */
   def logitByGroup(rows0: DataFrame, group: String, xs: Seq[Column], y: Column,
                    outNames: Seq[String], iters: Int = 6, ridge: Double = 1e-6): DataFrame = {
@@ -254,6 +257,7 @@ object Glm {
         xs.zipWithIndex.map { case (c, i) => c.cast("double").as(s"__x${i + 1}") } :+
         y.cast("double").as("__y"): _*)
       .filter(expr(completeCase(p)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spark = rows0.sparkSession
     val groupField = prepared.schema(group)
     val betaSchema = StructType(groupField +:
@@ -276,6 +280,7 @@ object Glm {
       }
       nByGroup = moments.map(row => row.get(0) -> row.getLong(row.fieldIndex("__n"))).toMap
     }
+    prepared.unpersist(blocking = false)
     val outSchema = StructType(groupField +: StructField("n", LongType, nullable = false) +:
       outNames.map(StructField(_, DoubleType, nullable = false)))
     spark.createDataFrame(
@@ -624,6 +629,10 @@ object Glm {
       broadcast(stats.select(col(group), col("__mean"), col("__sd"))), Seq(group))
     val withQ = (0 until draws).foldLeft(joined)((d, i) =>
       d.withColumn(s"__xq_$i", expr(xqS(sparkPctSql("__id", firstOffset + i), spread))))
+      // persisted for the K+2 passes (group discovery, K IRLS moment
+      // aggregations, final pooling) — without it every pass re-scans the
+      // raw fact; unpersisted after the pooled result is materialized
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // driver-held model state (groups × 2m doubles), MLlib-style: one
     // distributed moment pass per iteration, per-draw 2×2 solves on the
     // driver (solve2Ridged bit-matches the oracle's CTE solve), betas
@@ -654,7 +663,13 @@ object Glm {
       }
     }
     val fin = withQ.join(broadcast(betaDf()), Seq(group))
-    runSteps(fin, group, miLogitPoolSteps(draws, group, ridge))
+    val pooled = runSteps(fin, group, miLogitPoolSteps(draws, group, ridge))
+    // materialize eagerly (groups-sized — model output, never data) so the
+    // working-set unpersist below cannot force a recompute at caller action
+    val out = spark.createDataFrame(
+      java.util.Arrays.asList(pooled.collect(): _*), pooled.schema)
+    withQ.unpersist(blocking = false)
+    out
   }
 
   /** DuckDB twin of [[miLogitPooledByGroup]]. `rowsSql` must produce the

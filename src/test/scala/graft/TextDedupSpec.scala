@@ -207,13 +207,16 @@ class TextDedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
   }
 
-  test("pointer jumping converges a 200-link chain within the default round cap") {
-    // diameter 200: plain min-label propagation needs ~200 rounds and would
-    // throw at maxIters=20; the label shortcut doubles reach per round
-    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(chain, "doc_a", "doc_b")
+  test("pointer jumping converges a 1000-link chain in O(log diameter) rounds") {
+    // diameter 1000: plain min-label propagation needs ~1000 rounds and
+    // would throw at any sane cap; the label shortcut doubles reach per
+    // round, so log2(1000) ≈ 10 rounds must suffice. maxIters=12 pins the
+    // complexity class — an accidental regression to linear propagation
+    // fails here instead of silently slowing 100× at corpus scale.
+    val chain = (0L until 1000L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(chain, "doc_a", "doc_b", maxIters = 12)
       .as[(Long, Long)].collect()
-    assert(got.length == 201)
+    assert(got.length == 1001)
     assert(got.forall(_._2 == 0L), "every chain node must reach the global min label")
   }
 
