@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Adjudicate a BENCH_full.json run against the per-query floors and a
+reference round's plan hashes.
+
+Usage: bench_adjudicate.py BENCH_full.json BASELINE_local.json BENCH_rREF.json
+
+Methodology (SURVEY §5 / round-5 bench note): a query slower than 2x its
+floor with an UNCHANGED plan fingerprint is machine noise; a changed
+fingerprint marks a real plan regression that needs a plan diff.
+"""
+import json
+import sys
+
+
+def main() -> None:
+    cur_f, base_f, ref_f = sys.argv[1], sys.argv[2], sys.argv[3]
+    cur = json.load(open(cur_f))
+    floors = json.load(open(base_f))
+    if "queries" in floors:
+        floors = floors["queries"]
+    ref = json.load(open(ref_f))
+    ref_hashes = ref.get("plan_hashes", {})
+
+    cold = cur["queries"]
+    warm = cur.get("warm_queries", cold)
+    hashes = cur.get("plan_hashes", {})
+    errors = cur.get("errors", {})
+
+    floor_sum = sum(v for k, v in floors.items() if k in cold)
+    print(f"total cold {cur['value']:.1f}s  vs floor-sum {floor_sum:.1f}s "
+          f"=> {cur['value'] / floor_sum:.2f}x")
+    warm_sum = sum(warm.values())
+    print(f"total warm {warm_sum:.1f}s => {warm_sum / floor_sum:.2f}x")
+    if errors:
+        print(f"ERRORS ({len(errors)}):")
+        for k, v in errors.items():
+            print(f"  {k}: {v[:120]}")
+
+    changed = sorted(k for k, h in hashes.items()
+                     if k in ref_hashes and ref_hashes[k] != h)
+    print(f"\nplan hashes changed vs {ref_f}: {len(changed)}")
+    for k in changed:
+        print(f"  {k}: {ref_hashes[k]} -> {hashes[k]}")
+
+    print("\nqueries >2x floor (warm):")
+    flagged = []
+    for k in sorted(cold):
+        fl = floors.get(k)
+        if fl is None:
+            continue
+        w = warm.get(k, cold[k])
+        if w > 2 * fl and w > 0.25:  # ignore sub-quarter-second jitter
+            same = "same-plan" if hashes.get(k) == ref_hashes.get(k) else "PLAN-CHANGED"
+            flagged.append(k)
+            print(f"  {k}: warm {w:.2f}s vs floor {fl:.2f}s "
+                  f"({w / fl:.1f}x) [{same}] cold {cold[k]:.2f}s")
+    if not flagged:
+        print("  none")
+
+
+if __name__ == "__main__":
+    main()
