@@ -262,25 +262,26 @@ object Glm {
     val groupField = prepared.schema(group)
     val betaSchema = StructType(groupField +:
       (0 until p).map(i => StructField(s"__b_$i", DoubleType, nullable = false)))
-    var beta: Seq[(Any, Array[Double])] =
-      prepared.select(col(group)).distinct().collect().toSeq
-        .map(r => r.get(0) -> Array.fill(p)(0.0))
+    var beta: Seq[(Any, Array[Double])] = Seq.empty
     var nByGroup: Map[Any, Long] = Map.empty
-    val es = entries(p)
-    for (_ <- 1 to iters) {
-      val betaDf = spark.createDataFrame(
-        java.util.Arrays.asList(beta.map { case (g, b) => Row.fromSeq(g +: b.toSeq) }: _*),
-        betaSchema)
-      val joined = prepared.join(broadcast(betaDf), Seq(group))
-      val moments = runSteps(joined, group, logitMomentSteps(p)).collect()
-      beta = moments.toSeq.map { row =>
-        val upper = es.map { case (i, j) => row.getDouble(row.fieldIndex(aN(i, j))) }
-        val grad = (0 until p).map(i => row.getDouble(row.fieldIndex(s"__r_$i")))
-        row.get(0) -> solveRidged(p, ridge, upper, grad).map(r6)
+    try {
+      beta = prepared.select(col(group)).distinct().collect().toSeq
+        .map(r => r.get(0) -> Array.fill(p)(0.0))
+      val es = entries(p)
+      for (_ <- 1 to iters) {
+        val betaDf = spark.createDataFrame(
+          java.util.Arrays.asList(beta.map { case (g, b) => Row.fromSeq(g +: b.toSeq) }: _*),
+          betaSchema)
+        val joined = prepared.join(broadcast(betaDf), Seq(group))
+        val moments = runSteps(joined, group, logitMomentSteps(p)).collect()
+        beta = moments.toSeq.map { row =>
+          val upper = es.map { case (i, j) => row.getDouble(row.fieldIndex(aN(i, j))) }
+          val grad = (0 until p).map(i => row.getDouble(row.fieldIndex(s"__r_$i")))
+          row.get(0) -> solveRidged(p, ridge, upper, grad).map(r6)
+        }
+        nByGroup = moments.map(row => row.get(0) -> row.getLong(row.fieldIndex("__n"))).toMap
       }
-      nByGroup = moments.map(row => row.get(0) -> row.getLong(row.fieldIndex("__n"))).toMap
-    }
-    prepared.unpersist(blocking = false)
+    } finally prepared.unpersist(blocking = false)
     val outSchema = StructType(groupField +: StructField("n", LongType, nullable = false) +:
       outNames.map(StructField(_, DoubleType, nullable = false)))
     spark.createDataFrame(
@@ -644,32 +645,33 @@ object Glm {
     val betaSchema = StructType(groupField +: (0 until draws).flatMap(d =>
       Seq(StructField(s"__b0_$d", DoubleType, nullable = false),
         StructField(s"__b1_$d", DoubleType, nullable = false))))
-    var beta: Seq[(Any, Array[Double])] =
-      withQ.select(col(group)).distinct().collect().toSeq
-        .map(r => r.get(0) -> Array.fill(2 * draws)(0.0))
+    var beta: Seq[(Any, Array[Double])] = Seq.empty
     def betaDf(): DataFrame = spark.createDataFrame(
       java.util.Arrays.asList(beta.map { case (g, b) => Row.fromSeq(g +: b.toSeq) }: _*),
       betaSchema)
-    for (_ <- 1 to iters) {
-      val it = withQ.join(broadcast(betaDf()), Seq(group))
-      val moments = runSteps(it, group, miLogitMomentSteps(draws)).collect()
-      beta = moments.toSeq.map { row =>
-        def f(n: String) = row.getDouble(row.fieldIndex(n))
-        row.get(0) -> (0 until draws).flatMap { d =>
-          val (b0, b1) = solve2Ridged(ridge,
-            f(s"__a00_$d"), f(s"__a01_$d"), f(s"__a11_$d"), f(s"__r0_$d"), f(s"__r1_$d"))
-          Seq(b0, b1)
-        }.toArray
+    try {
+      beta = withQ.select(col(group)).distinct().collect().toSeq
+        .map(r => r.get(0) -> Array.fill(2 * draws)(0.0))
+      for (_ <- 1 to iters) {
+        val it = withQ.join(broadcast(betaDf()), Seq(group))
+        val moments = runSteps(it, group, miLogitMomentSteps(draws)).collect()
+        beta = moments.toSeq.map { row =>
+          def f(n: String) = row.getDouble(row.fieldIndex(n))
+          row.get(0) -> (0 until draws).flatMap { d =>
+            val (b0, b1) = solve2Ridged(ridge,
+              f(s"__a00_$d"), f(s"__a01_$d"), f(s"__a11_$d"), f(s"__r0_$d"), f(s"__r1_$d"))
+            Seq(b0, b1)
+          }.toArray
+        }
       }
-    }
-    val fin = withQ.join(broadcast(betaDf()), Seq(group))
-    val pooled = runSteps(fin, group, miLogitPoolSteps(draws, group, ridge))
-    // materialize eagerly (groups-sized — model output, never data) so the
-    // working-set unpersist below cannot force a recompute at caller action
-    val out = spark.createDataFrame(
-      java.util.Arrays.asList(pooled.collect(): _*), pooled.schema)
-    withQ.unpersist(blocking = false)
-    out
+      val fin = withQ.join(broadcast(betaDf()), Seq(group))
+      val pooled = runSteps(fin, group, miLogitPoolSteps(draws, group, ridge))
+      // materialize eagerly (groups-sized — model output, never data) so the
+      // working-set unpersist in the finally cannot force a recompute at
+      // caller action
+      spark.createDataFrame(
+        java.util.Arrays.asList(pooled.collect(): _*), pooled.schema)
+    } finally withQ.unpersist(blocking = false)
   }
 
   /** DuckDB twin of [[miLogitPooledByGroup]]. `rowsSql` must produce the
