@@ -265,14 +265,21 @@ object Glm {
     var beta: Seq[(Any, Array[Double])] = Seq.empty
     var nByGroup: Map[Any, Long] = Map.empty
     try {
-      beta = prepared.select(col(group)).distinct().collect().toSeq
-        .map(r => r.get(0) -> Array.fill(p)(0.0))
       val es = entries(p)
-      for (_ <- 1 to iters) {
-        val betaDf = spark.createDataFrame(
-          java.util.Arrays.asList(beta.map { case (g, b) => Row.fromSeq(g +: b.toSeq) }: _*),
-          betaSchema)
-        val joined = prepared.join(broadcast(betaDf), Seq(group))
+      for (it <- 1 to iters) {
+        // iteration 1 seeds every group at beta = 0, which the join would
+        // only replicate as constant columns — inline the zeros as
+        // literals instead and let the first moment pass double as group
+        // discovery, saving a dedicated distinct+collect scan per call
+        // (the arithmetic is identical: joined zeros vs literal zeros)
+        val joined =
+          if (it == 1) (0 until p).foldLeft(prepared)((d, i) => d.withColumn(s"__b_$i", lit(0.0)))
+          else {
+            val betaDf = spark.createDataFrame(
+              java.util.Arrays.asList(beta.map { case (g, b) => Row.fromSeq(g +: b.toSeq) }: _*),
+              betaSchema)
+            prepared.join(broadcast(betaDf), Seq(group))
+          }
         val moments = runSteps(joined, group, logitMomentSteps(p)).collect()
         beta = moments.toSeq.map { row =>
           val upper = es.map { case (i, j) => row.getDouble(row.fieldIndex(aN(i, j))) }
@@ -610,7 +617,9 @@ object Glm {
     * independent fixed-K IRLS chain per draw, Rubin's-rules pooling with
     * per-draw Fisher variances. All m chains fold into ONE aggregation
     * pass per iteration (the Gram columns are draw-suffixed), so the
-    * corpus is scanned K+2 times regardless of m — never m×K.
+    * corpus is scanned K+1 times regardless of m (K moment passes, the
+    * first doubling as group discovery, plus the pooling pass) — never
+    * m×K.
     */
   def miLogitPooledByGroup(df: DataFrame, group: String, id: Column, x: Column, y: Column,
                            draws: Int, firstOffset: Int = 2, spread: Double = 1.0,
@@ -630,7 +639,7 @@ object Glm {
       broadcast(stats.select(col(group), col("__mean"), col("__sd"))), Seq(group))
     val withQ = (0 until draws).foldLeft(joined)((d, i) =>
       d.withColumn(s"__xq_$i", expr(xqS(sparkPctSql("__id", firstOffset + i), spread))))
-      // persisted for the K+2 passes (group discovery, K IRLS moment
+      // persisted for the K+1 passes (K IRLS moment
       // aggregations, final pooling) — without it every pass re-scans the
       // raw fact; unpersisted after the pooled result is materialized
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -643,24 +652,41 @@ object Glm {
     val spark = df.sparkSession
     val groupField = withQ.schema(group)
     val betaSchema = StructType(groupField +: (0 until draws).flatMap(d =>
-      Seq(StructField(s"__b0_$d", DoubleType, nullable = false),
-        StructField(s"__b1_$d", DoubleType, nullable = false))))
-    var beta: Seq[(Any, Array[Double])] = Seq.empty
+      Seq(StructField(s"__b0_$d", DoubleType, nullable = true),
+        StructField(s"__b1_$d", DoubleType, nullable = true))))
+    // betas are boxed nullable doubles: a group whose __xd is entirely
+    // missing has undefined imputation moments (NULL mean/sd → NULL Gram
+    // sums), and the oracle's in-SQL chain propagates that NULL through
+    // the solve to its outputs. The driver solve must do the same —
+    // NULL-moment groups get NULL betas (never NaN, which SQL would
+    // carry as a value), so the in-plan pooling pass reproduces the
+    // oracle's NULL result columns while healthy groups are untouched.
+    var beta: Seq[(Any, Array[java.lang.Double])] = Seq.empty
     def betaDf(): DataFrame = spark.createDataFrame(
       java.util.Arrays.asList(beta.map { case (g, b) => Row.fromSeq(g +: b.toSeq) }: _*),
       betaSchema)
     try {
-      beta = withQ.select(col(group)).distinct().collect().toSeq
-        .map(r => r.get(0) -> Array.fill(2 * draws)(0.0))
-      for (_ <- 1 to iters) {
-        val it = withQ.join(broadcast(betaDf()), Seq(group))
+      for (k <- 1 to iters) {
+        // iteration 1: literal zero betas instead of a join against a
+        // distinct-collected zero frame — the first moment pass doubles as
+        // group discovery (see logitByGroup)
+        val it =
+          if (k == 1) (0 until draws).foldLeft(withQ)((d, i) =>
+            d.withColumn(s"__b0_$i", lit(0.0)).withColumn(s"__b1_$i", lit(0.0)))
+          else withQ.join(broadcast(betaDf()), Seq(group))
         val moments = runSteps(it, group, miLogitMomentSteps(draws)).collect()
         beta = moments.toSeq.map { row =>
-          def f(n: String) = row.getDouble(row.fieldIndex(n))
+          def f(n: String): java.lang.Double = {
+            val i = row.fieldIndex(n)
+            if (row.isNullAt(i)) null else row.getDouble(i)
+          }
           row.get(0) -> (0 until draws).flatMap { d =>
-            val (b0, b1) = solve2Ridged(ridge,
-              f(s"__a00_$d"), f(s"__a01_$d"), f(s"__a11_$d"), f(s"__r0_$d"), f(s"__r1_$d"))
-            Seq(b0, b1)
+            val ms = Seq(s"__a00_$d", s"__a01_$d", s"__a11_$d", s"__r0_$d", s"__r1_$d").map(f)
+            if (ms.contains(null)) Seq[java.lang.Double](null, null)
+            else {
+              val (b0, b1) = solve2Ridged(ridge, ms(0), ms(1), ms(2), ms(3), ms(4))
+              Seq[java.lang.Double](b0, b1)
+            }
           }.toArray
         }
       }

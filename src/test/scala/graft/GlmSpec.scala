@@ -206,6 +206,35 @@ class GlmSpec extends SparkSpec {
     assert(math.abs(got._7 - math.sqrt(t)) < 3e-5, s"$got")
   }
 
+  test("miLogitPooledByGroup degrades to NULL outputs for an all-missing group") {
+    // group "b" has NO observed x at all: the imputation moments (mean/sd)
+    // are undefined, the oracle's SQL chain yields NULL result columns, and
+    // the driver-side solve must survive the NULL Gram sums instead of
+    // throwing (regression: NullPointerException in iteration 1). Group "a"
+    // must be completely unaffected by b's presence.
+    val good = (1 to 200).map { i =>
+      val x = if (i % 4 == 0) None else Some((i % 13).toDouble)
+      val y = if ((i * 2654435761L) % 100 < 30 + 4 * (i % 13)) 1.0 else 0.0
+      ("a", i.toLong, x, y)
+    }
+    val bad = (1 to 50).map(i => ("b", (1000 + i).toLong, Option.empty[Double], (i % 2).toDouble))
+    val df = (good ++ bad).toDF("g", "id", "x", "y")
+    val rows = Glm.miLogitPooledByGroup(df, "g", col("id"), col("x"), col("y"), draws = 3)
+      .collect().map(r => r.getString(r.fieldIndex("g")) -> r).toMap
+    assert(rows.keySet == Set("a", "b"))
+    val b = rows("b")
+    assert(b.getLong(b.fieldIndex("n_obs")) == 0L)
+    assert(b.isNullAt(b.fieldIndex("slope_pooled")), "all-missing group must pool to NULL")
+    val a = rows("a")
+    val slope = a.getDouble(a.fieldIndex("slope_pooled"))
+    assert(!slope.isNaN && slope > 0.0, s"group a must still fit: $slope")
+    // the healthy group's fit is identical with and without the degenerate
+    // group in the frame
+    val alone = Glm.miLogitPooledByGroup(good.toDF("g", "id", "x", "y"),
+      "g", col("id"), col("x"), col("y"), draws = 3).collect().head
+    assert(alone.getDouble(alone.fieldIndex("slope_pooled")) == slope)
+  }
+
   test("miPooledByGroup perturbation draws differ across imputations") {
     // with spread=1 and real missingness, draws disagree → B > 0
     val df = (1 to 100).map { i =>
