@@ -1088,19 +1088,19 @@ object SparkEntry {
        |assign AS (
        |  SELECT e.id, e.v, cent.cid,
        |    ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY
-       |      round(list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, cent.cvec)
-       |            + list_dot_product(cent.cvec, cent.cvec), 6) ASC, cent.cid ASC) AS rn
+       |      floor((list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, cent.cvec)
+       |            + list_dot_product(cent.cvec, cent.cvec)) * 1000000.0 + 0.5) / 1000000.0 ASC, cent.cid ASC) AS rn
        |  FROM e CROSS JOIN cent),
        |corpus_b AS (SELECT id, v, cid AS bucket FROM assign WHERE rn = 1),
        |queries_b AS (SELECT id, v, cid AS bucket FROM assign
        |              WHERE rn <= $nprobe AND id >= 8 AND id < 16)
        |SELECT query_id, vec_id, cos_sim, rank FROM (
        |  SELECT q.id AS query_id, c.id AS vec_id,
-       |    round(list_dot_product(q.v, c.v)
-       |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim,
+       |    floor((list_dot_product(q.v, c.v)
+       |      / NULLIF(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)), 0)) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim,
        |    ROW_NUMBER() OVER (PARTITION BY q.id
-       |      ORDER BY round(list_dot_product(q.v, c.v)
-       |        / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+       |      ORDER BY floor((list_dot_product(q.v, c.v)
+       |        / NULLIF(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)), 0)) * 1000000.0 + 0.5) / 1000000.0 DESC,
        |        c.id ASC) AS rank
        |  FROM queries_b q JOIN corpus_b c ON q.bucket = c.bucket AND q.id <> c.id)
        |WHERE rank <= 5""".stripMargin
@@ -2267,11 +2267,11 @@ asofOracle,
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
         |SELECT query_id, vec_id, cos_sim, rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-        |    round(list_dot_product(q.v, c.v)
-        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim,
+        |    floor((list_dot_product(q.v, c.v)
+        |      / NULLIF(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)), 0)) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim,
         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-        |      ORDER BY round(list_dot_product(q.v, c.v)
-        |        / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+        |      ORDER BY floor((list_dot_product(q.v, c.v)
+        |        / NULLIF(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)), 0)) * 1000000.0 + 0.5) / 1000000.0 DESC,
         |        c.vec_id ASC) AS rank
         |  FROM e q JOIN e c ON q.vec_id < 8 AND q.vec_id <> c.vec_id)
         |WHERE rank <= 10""".stripMargin,
@@ -2283,8 +2283,8 @@ asofOracle,
         |      ORDER BY cos_sim DESC, vec_id ASC) AS rank
         |  FROM (
         |    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-        |      round(list_dot_product(q.v, c.v)
-        |        / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+        |      floor((list_dot_product(q.v, c.v)
+        |        / NULLIF(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)), 0)) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
         |    FROM e q JOIN e c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id)
         |  WHERE cos_sim < 0.25)
         |WHERE rank <= 5""".stripMargin,
@@ -2296,11 +2296,11 @@ asofOracle,
          |q AS (SELECT * FROM b WHERE id < 8)
          |SELECT query_id, vec_id, cos_sim, rank FROM (
          |  SELECT q.id AS query_id, c.id AS vec_id,
-         |    round(list_dot_product(q.v, c.v)
-         |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim,
+         |    floor((list_dot_product(q.v, c.v)
+         |      / NULLIF(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)), 0)) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim,
          |    ROW_NUMBER() OVER (PARTITION BY q.id
-         |      ORDER BY round(list_dot_product(q.v, c.v)
-         |        / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+         |      ORDER BY floor((list_dot_product(q.v, c.v)
+         |        / NULLIF(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)), 0)) * 1000000.0 + 0.5) / 1000000.0 DESC,
          |        c.id ASC) AS rank
          |  FROM q JOIN b c ON q.bucket = c.bucket AND q.id <> c.id)
          |WHERE rank <= 10""".stripMargin
@@ -2313,8 +2313,8 @@ asofOracle,
          |  SELECT query_id, vec_id FROM (
          |    SELECT q.id AS query_id, c.id AS vec_id,
          |      ROW_NUMBER() OVER (PARTITION BY q.id
-         |        ORDER BY round(list_dot_product(q.v, c.v)
-         |          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+         |        ORDER BY floor((list_dot_product(q.v, c.v)
+         |          / NULLIF(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)), 0)) * 1000000.0 + 0.5) / 1000000.0 DESC,
          |          c.id ASC) AS rank
          |    FROM q JOIN e c ON q.id <> c.id)
          |  WHERE rank <= 10),
@@ -2322,14 +2322,14 @@ asofOracle,
          |  SELECT query_id, vec_id, 1 AS hit FROM (
          |    SELECT q.id AS query_id, c.id AS vec_id,
          |      ROW_NUMBER() OVER (PARTITION BY q.id
-         |        ORDER BY round(list_dot_product(q.v, c.v)
-         |          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+         |        ORDER BY floor((list_dot_product(q.v, c.v)
+         |          / NULLIF(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)), 0)) * 1000000.0 + 0.5) / 1000000.0 DESC,
          |          c.id ASC) AS rank
          |    FROM q JOIN b c ON q.bucket = c.bucket AND q.id <> c.id)
          |  WHERE rank <= 10)
          |SELECT br.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
          |  CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS n_hit,
-         |  round(CAST(SUM(COALESCE(a.hit, 0)) AS DOUBLE) / COUNT(*), 6) AS recall
+         |  floor((CAST(SUM(COALESCE(a.hit, 0)) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS recall
          |FROM brute br LEFT JOIN appr a
          |  ON br.query_id = a.query_id AND br.vec_id = a.vec_id
          |GROUP BY br.query_id""".stripMargin
@@ -2348,8 +2348,8 @@ asofOracle,
          |  FROM q0, (VALUES (1), (2), (3), (4), (5), (6), (7), (8)) AS f(i)),
          |cand AS (
          |  SELECT DISTINCT q.id AS query_id, c.id AS vec_id,
-         |    round(list_dot_product(q.v, c.v)
-         |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+         |    floor((list_dot_product(q.v, c.v)
+         |      / NULLIF(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)), 0)) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
          |  FROM probes q JOIN b c ON q.probe = c.bucket AND q.id <> c.id)
          |SELECT query_id, vec_id, cos_sim, rank FROM (
          |  SELECT query_id, vec_id, cos_sim,
@@ -2361,8 +2361,8 @@ asofOracle,
       """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
         |SELECT vec_a, vec_b, cos_sim FROM (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    round(list_dot_product(a.v, b.v)
-        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+        |    floor((list_dot_product(a.v, b.v)
+        |      / NULLIF(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0)) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
         |    AND (a.vec_id < b.vec_id OR b.vec_id % 50 <> 0)
         |  WHERE a.vec_id % 50 = 0)
@@ -2730,14 +2730,14 @@ asofOracle,
         |assign AS (
         |  SELECT e.id, e.v, cent.cid,
         |    ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY
-        |      round(list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, cent.cvec)
-        |            + list_dot_product(cent.cvec, cent.cvec), 6) ASC, cent.cid ASC) AS rn
+        |      floor((list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, cent.cvec)
+        |            + list_dot_product(cent.cvec, cent.cvec)) * 1000000.0 + 0.5) / 1000000.0 ASC, cent.cid ASC) AS rn
         |  FROM e CROSS JOIN cent),
         |cl AS (SELECT id, v, cid AS cluster FROM assign WHERE rn = 1),
         |dropped AS (
         |  SELECT DISTINCT a.id FROM cl a JOIN cl b ON a.cluster = b.cluster AND b.id < a.id
-        |  WHERE round(list_dot_product(a.v, b.v)
-        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3)
+        |  WHERE floor((list_dot_product(a.v, b.v)
+        |    / NULLIF(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0)) * 1000000.0 + 0.5) / 1000000.0 >= 0.3)
         |SELECT cl.id AS vec_id, cl.cluster, d.id IS NULL AS keep
         |FROM cl LEFT JOIN dropped d ON cl.id = d.id""".stripMargin,
     "embedding_dim_stats" ->

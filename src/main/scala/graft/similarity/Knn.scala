@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object Knn {
 
+  // all oracle-compared 6-decimal rounding goes through the portable floor
+  // arithmetic (see Portable.round6) — engine round() implementations
+  // disagree on half-way quotients, and a cosine landing on one would flip
+  // a top-k ordering or bucket assignment against the oracle
+  private val r6 = graft.util.Portable.round6 _
+
   /** Element sum of products over double arrays, folded left-to-right (the
     * same order a sequential engine uses, keeping the oracle comparable).
     * Fused single-loop expression — the HOF formulation
@@ -29,8 +35,10 @@ object Knn {
   def toDoubleArray(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** NULL for zero-magnitude vectors (ANSI mode would otherwise throw
-    * DIVIDE_BY_ZERO and kill the job on one bad embedding; NULL also matches
-    * SQL engines' float x/0 behavior).
+    * DIVIDE_BY_ZERO and kill the job on one bad embedding). The oracle SQL
+    * twins guard their denominators with NULLIF(..., 0) to land on the
+    * same NULL — an IEEE engine would otherwise produce NaN for 0/0,
+    * which sorts at the opposite rank extreme.
     */
   def cosine(a: Column, b: Column): Column =
     cosinePrenormed(a, b, sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -60,13 +68,18 @@ object Knn {
   /** The one exact scoring pipeline (broadcast queries, prenormed cosine,
     * 6-decimal round): bruteForceTopK and hardNegativeTopK both build on
     * it so the scoring contract cannot drift between the two.
+    *
+    * Contract: query ids share the corpus id space (queries are drawn from
+    * the corpus) — the `q.id =!= c.id` self-match exclusion assumes equal
+    * ids mean the same vector. An external query set with coincidentally
+    * overlapping ids must be re-keyed first.
     */
   private def scoredPairs(queries: DataFrame, corpus: DataFrame): DataFrame =
     withNorm(corpus).as("c")
       .join(broadcast(withNorm(queries).as("q")), col("q.id") =!= col("c.id"))
       .select(col("q.id").as("query_id"), col("c.id").as("vec_id"),
-        round(cosinePrenormed(col("q.vec"), col("c.vec"),
-          col("q.__norm") * col("c.__norm")), 6).as("cos_sim"))
+        r6(cosinePrenormed(col("q.vec"), col("c.vec"),
+          col("q.__norm") * col("c.__norm"))).as("cos_sim"))
 
   /** Exact brute-force cosine top-k. `queries`/`corpus` need (id, vec)
     * columns; vec must already be double[]. Rounded to 6 decimals before
@@ -156,8 +169,8 @@ object Knn {
     val w = Window.partitionBy(col("id")).orderBy(col("__dist").asc, col("cid").asc)
     df.withColumn("__v2", dot(col("vec"), col("vec")))
       .crossJoin(broadcast(cent.withColumn("__c2", dot(col("cvec"), col("cvec")))))
-      .withColumn("__dist", round(
-        col("__v2") - lit(2.0) * dot(col("vec"), col("cvec")) + col("__c2"), 6))
+      .withColumn("__dist", r6(
+        col("__v2") - lit(2.0) * dot(col("vec"), col("cvec")) + col("__c2")))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= topN)
       .select(col("id"), col("vec"), col("cid"), col("__dist"))
@@ -173,8 +186,8 @@ object Knn {
       .join(broadcast(queriesB.as("q")),
         col("q.bucket") === col("c.bucket") && col("q.id") =!= col("c.id"))
       .select(col("q.id").as("query_id"), col("c.id").as("vec_id"),
-        round(cosinePrenormed(col("q.vec"), col("c.vec"),
-          col("q.__norm") * col("c.__norm")), 6).as("cos_sim"))
+        r6(cosinePrenormed(col("q.vec"), col("c.vec"),
+          col("q.__norm") * col("c.__norm"))).as("cos_sim"))
     rankTopK(scored, k)
   }
 
@@ -196,13 +209,17 @@ object Knn {
         substring(col("bucket"), i + 2, numPlanes - i - 1))
     }
     val probed = qb.withColumn("probe", explode(array((col("bucket") +: flips): _*)))
+    // no dedup needed: a corpus vector lives in exactly one bucket and a
+    // query's probe strings (own bucket + one flip per position) are
+    // pairwise distinct, so each (query, candidate) pair matches at most
+    // one probe — a distinct() here would shuffle the widest frame in the
+    // job for zero semantic effect
     val scored = cb.as("c")
       .join(broadcast(probed.as("q")),
         col("q.probe") === col("c.bucket") && col("q.id") =!= col("c.id"))
       .select(col("q.id").as("query_id"), col("c.id").as("vec_id"),
-        round(cosinePrenormed(col("q.vec"), col("c.vec"),
-          col("q.__norm") * col("c.__norm")), 6).as("cos_sim"))
-      .distinct()
+        r6(cosinePrenormed(col("q.vec"), col("c.vec"),
+          col("q.__norm") * col("c.__norm"))).as("cos_sim"))
     rankTopK(scored, k)
   }
 
@@ -240,6 +257,12 @@ object Knn {
     * cluster mean rounded to 6 decimals so run-to-run float-order noise
     * cannot move a centroid). Only the k centroid vectors ever reach the
     * driver — the training data never does.
+    *
+    * Standard Lloyd caveat: a seed centroid that captures zero vectors in
+    * some step disappears (the update aggregates only over assigned
+    * vectors), so the result can carry FEWER than k centroids — callers
+    * sizing nprobe against k should read the actual count from the
+    * returned frame.
     */
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
     var cent = corpus.orderBy(col("id").asc).limit(k)
@@ -249,7 +272,7 @@ object Knn {
       cent = assigned
         .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
-        .agg(round(avg(col("x")), 6).as("m"))
+        .agg(r6(avg(col("x"))).as("m"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("cvec"))
@@ -285,8 +308,8 @@ object Knn {
       assignNearest(corpus, cent).select(col("id"), col("vec"), col("cid").as("cluster")))
     val dropped = clustered.as("a")
       .join(clustered.as("b"), col("a.cluster") === col("b.cluster") && col("b.id") < col("a.id"))
-      .filter(round(cosinePrenormed(col("a.vec"), col("b.vec"),
-        col("a.__norm") * col("b.__norm")), 6) >= minCos)
+      .filter(r6(cosinePrenormed(col("a.vec"), col("b.vec"),
+        col("a.__norm") * col("b.__norm"))) >= minCos)
       .select(col("a.id").as("vec_id")).distinct()
       .withColumn("__dup", lit(true))
     clustered.select(col("id").as("vec_id"), col("cluster"))
@@ -310,8 +333,8 @@ object Knn {
       .join(base.as("b"), col("a.blk") === col("b.blk") && col("a.id") =!= col("b.id") &&
         (col("a.id") < col("b.id") || !col("b.__q")))
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
-        round(cosinePrenormed(col("a.vec"), col("b.vec"),
-          col("a.__norm") * col("b.__norm")), 6).as("cos_sim"))
+        r6(cosinePrenormed(col("a.vec"), col("b.vec"),
+          col("a.__norm") * col("b.__norm"))).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
   }
 
@@ -335,7 +358,7 @@ object Knn {
       .agg(count(lit(1)).as("n_exact"),
         sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
       .select(col("query_id"), col("n_exact"), col("n_hit"),
-        round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6)
+        r6(col("n_hit").cast("double") / col("n_exact").cast("double"))
           .as("recall"))
   }
 

@@ -19,4 +19,9 @@ object Portable {
     */
   def round6(x: Column): Column =
     floor(x * lit(1.0e6) + lit(0.5)) / lit(1.0e6)
+
+  /** The same floor arithmetic rendered as SQL for the DuckDB oracle
+    * twins — one owner for both sides of the rounding contract. */
+  def round6Sql(x: String): String =
+    s"floor(($x) * 1000000.0 + 0.5) / 1000000.0"
 }
