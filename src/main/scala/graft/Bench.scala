@@ -40,7 +40,12 @@ object Bench {
       val planHash =
         try {
           val s = fn(spark, sfDir).queryExecution.optimizedPlan.canonicalized.toString
-          f"${scala.util.hashing.MurmurHash3.stringHash(s)}%08x"
+          // typed mapPartitions plans print the closure's JVM identity
+          // (Lambda$NNN/0xADDR@HASH), which varies per JVM — strip it so
+          // the fingerprint is stable across runs yet still moves when
+          // the actual plan shape changes
+          val stable = s.replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+@[0-9a-fA-F]+", "Lambda")
+          f"${scala.util.hashing.MurmurHash3.stringHash(stable)}%08x"
         } catch { case _: Throwable => "err" }
       val cold = once()
       (name, cold, if (warm && cold.isRight) Some(once()) else None, planHash)
@@ -69,8 +74,11 @@ object Bench {
     // JSON to a file, and keep stdout parseable: print the full line when it
     // fits, otherwise a line with the slowest queries plus a file pointer.
     // relative to the working directory so the fallback also lands on
-    // checkouts that aren't /root/repo; SPARK_GRAFT_BENCH_OUT overrides
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    // checkouts that aren't /root/repo; SPARK_GRAFT_BENCH_OUT overrides.
+    // A filtered dev run (SPARK_GRAFT_ONLY) must never clobber the
+    // canonical full-suite record — it lands in a scratch file instead.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "BENCH_partial.json" else "BENCH_full.json")
     // only advertise the file if the write actually succeeded — a stale or
     // missing file behind a "full" pointer is worse than no pointer
     val wrote =

@@ -36,11 +36,17 @@ def main() -> None:
         for k, v in errors.items():
             print(f"  {k}: {v[:120]}")
 
-    changed = sorted(k for k, h in hashes.items()
-                     if k in ref_hashes and ref_hashes[k] != h)
-    print(f"\nplan hashes changed vs {ref_f}: {len(changed)}")
-    for k in changed:
-        print(f"  {k}: {ref_hashes[k]} -> {hashes[k]}")
+    if not ref_hashes:
+        print(f"\n{ref_f} has NO plan_hashes — hash comparison did not run "
+              "(use a committed BENCH_full.json as the reference)")
+    else:
+        changed = sorted(k for k, h in hashes.items()
+                         if k in ref_hashes and ref_hashes[k] != h)
+        missing = sorted(k for k in hashes if k not in ref_hashes)
+        print(f"\nplan hashes changed vs {ref_f}: {len(changed)}"
+              + (f" ({len(missing)} not in reference)" if missing else ""))
+        for k in changed:
+            print(f"  {k}: {ref_hashes[k]} -> {hashes[k]}")
 
     print("\nqueries >2x floor (warm):")
     flagged = []
