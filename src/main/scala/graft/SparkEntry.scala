@@ -19,6 +19,11 @@ import graft.similarity.Knn
   */
 object SparkEntry {
 
+  // oracle-compared 6-decimal rounding uses the portable floor arithmetic
+  // (Portable.round6); the oracle SQL twins inline the identical
+  // floor((x) * 1000000.0 + 0.5) / 1000000.0 expression
+  private val r6 = graft.util.Portable.round6 _
+
   private val eventTypes = Seq("click", "view", "purchase", "signup", "error")
 
   private def events(s: SparkSession, dir: String): DataFrame = table(s, dir, "events")
@@ -342,8 +347,8 @@ object SparkEntry {
       events(s, dir).groupBy(col("event_type"))
         .agg(expr("percentile(value, array(0.5D, 0.9D))").as("__q"))
         .select(col("event_type"),
-          round(element_at(col("__q"), 1), 6).as("p50"),
-          round(element_at(col("__q"), 2), 6).as("p90"))),
+          r6(element_at(col("__q"), 1)).as("p50"),
+          r6(element_at(col("__q"), 2)).as("p90"))),
     "normalize_scheme_versions" -> ((s, dir) => {
       // duplicate code schemes carry a numeric suffix; normalize to the base
       // scheme id, then keep the latest label per (participant, base scheme)
@@ -399,7 +404,7 @@ object SparkEntry {
           (sum(when(!col("__old"), col("__q"))).cast("double") /
             sum(when(!col("__old"), 1L).otherwise(0L)).cast("double")).as("mean_q_new"))
         .select(col("source"), col("mean_q_old"), col("mean_q_new"),
-          round(col("mean_q_new") - col("mean_q_old"), 6).as("drift"))
+          r6(col("mean_q_new") - col("mean_q_old")).as("drift"))
     }),
     "length_histogram" -> ((s, dir) =>
       // per-source document-length distribution in log2 token buckets —
@@ -538,7 +543,7 @@ object SparkEntry {
         .join(dupped, Seq("doc_id"), "left")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), hit.as("n_neardup"),
-          round(hit.cast("double") / count(lit(1)).cast("double"), 6).as("neardup_rate"))
+          r6(hit.cast("double") / count(lit(1)).cast("double")).as("neardup_rate"))
     }),
     "quality_filter" -> ((s, dir) =>
       // the curation DECISION: per-document keep/drop verdict with the first
@@ -563,9 +568,9 @@ object SparkEntry {
           col("n_shingles_distinct"), col("__top"))
         .select(col("doc_id"), col("n_words"), col("n_shingles_total"), col("n_shingles_distinct"),
           when(col("n_shingles_total") > 0,
-            round(lit(1.0) - col("n_shingles_distinct").cast("double")
-              / col("n_shingles_total").cast("double"), 6)).as("dup_shingle_frac"),
-          round(col("__top").cast("double") / col("n_words").cast("double"), 6).as("top_token_frac"))
+            r6(lit(1.0) - col("n_shingles_distinct").cast("double")
+              / col("n_shingles_total").cast("double"))).as("dup_shingle_frac"),
+          r6(col("__top").cast("double") / col("n_words").cast("double")).as("top_token_frac"))
     }),
     "topk_ngrams" -> ((s, dir) =>
       // corpus-wide n-gram document frequency, top-k: map-side partial agg on
@@ -882,7 +887,7 @@ object SparkEntry {
           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
           countDistinct(col("lang")).as("n_langs"))
         .withColumn("keep_rate",
-          round(col("n_kept").cast("double") / col("n_docs").cast("double"), 6))),
+          r6(col("n_kept").cast("double") / col("n_docs").cast("double")))),
     "vocab_build" -> ((s, dir) =>
       // 24 < the corpus's 31 distinct tokens, so OOV is a real case here
       graft.text.Vocab.build(table(s, dir, "documents"), col("text"), 24)),
@@ -1494,7 +1499,7 @@ object SparkEntry {
         |GROUP BY week""".stripMargin,
     "funnel_conversion" ->
       """SELECT n_entered, n_converted,
-        |  round(CAST(n_converted AS DOUBLE) / CAST(n_entered AS DOUBLE), 6) AS conv_rate
+        |  floor((CAST(n_converted AS DOUBLE) / CAST(n_entered AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS conv_rate
         |FROM (
         |  SELECT COUNT(*) AS n_entered,
         |    CAST(SUM(CASE WHEN t_to IS NOT NULL AND t_to > t_from THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
@@ -1585,9 +1590,9 @@ asofOracle,
     "regression_ols" ->
       """SELECT event_type, n,
         |  CASE WHEN abs(n * sxx - sx * sx) > 1e-9 * greatest(abs(n * sxx), abs(sx * sx))
-        |       THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END AS slope,
+        |       THEN floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1000000.0 + 0.5) / 1000000.0 END AS slope,
         |  CASE WHEN abs(n * sxx - sx * sx) > 1e-9 * greatest(abs(n * sxx), abs(sx * sx))
-        |       THEN round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) END AS intercept
+        |       THEN floor(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n) * 1000000.0 + 0.5) / 1000000.0 END AS intercept
         |FROM (
         |  SELECT event_type, COUNT(*) AS n,
         |    CAST(SUM(xd) AS DOUBLE) AS sx, CAST(SUM(yd) AS DOUBLE) AS sy,
@@ -1601,12 +1606,12 @@ asofOracle,
     "regression_ols2" ->
       """SELECT event_type, n,
         |  CASE WHEN abs(det) > 1e-9 * greatest(abs(s11 * s22), abs(s12 * s12))
-        |       THEN round((s22 * s1y - s12 * s2y) / det, 6) END AS b1,
+        |       THEN floor(((s22 * s1y - s12 * s2y) / det) * 1000000.0 + 0.5) / 1000000.0 END AS b1,
         |  CASE WHEN abs(det) > 1e-9 * greatest(abs(s11 * s22), abs(s12 * s12))
-        |       THEN round((s11 * s2y - s12 * s1y) / det, 6) END AS b2,
+        |       THEN floor(((s11 * s2y - s12 * s1y) / det) * 1000000.0 + 0.5) / 1000000.0 END AS b2,
         |  CASE WHEN abs(det) > 1e-9 * greatest(abs(s11 * s22), abs(s12 * s12))
-        |       THEN round((sy - ((s22 * s1y - s12 * s2y) / det) * sx1
-        |                      - ((s11 * s2y - s12 * s1y) / det) * sx2) / n, 6) END AS b0
+        |       THEN floor(((sy - ((s22 * s1y - s12 * s2y) / det) * sx1
+        |                      - ((s11 * s2y - s12 * s1y) / det) * sx2) / n) * 1000000.0 + 0.5) / 1000000.0 END AS b0
         |FROM (
         |  SELECT *, s11 * s22 - s12 * s12 AS det FROM (
         |    SELECT *,
@@ -1638,10 +1643,10 @@ asofOracle,
       """SELECT event_type, n, n_obs,
         |  CASE WHEN n_obs > 0 AND abs(n * sxxall - sxall * sxall)
         |            > 1e-9 * greatest(abs(n * sxxall), abs(sxall * sxall))
-        |       THEN round((n * sxyall - sxall * sy) / (n * sxxall - sxall * sxall), 6) END AS slope,
+        |       THEN floor(((n * sxyall - sxall * sy) / (n * sxxall - sxall * sxall)) * 1000000.0 + 0.5) / 1000000.0 END AS slope,
         |  CASE WHEN n_obs > 0 AND abs(n * sxxall - sxall * sxall)
         |            > 1e-9 * greatest(abs(n * sxxall), abs(sxall * sxall))
-        |       THEN round((sy - ((n * sxyall - sxall * sy) / (n * sxxall - sxall * sxall)) * sxall) / n, 6) END AS intercept
+        |       THEN floor(((sy - ((n * sxyall - sxall * sy) / (n * sxxall - sxall * sxall)) * sxall) / n) * 1000000.0 + 0.5) / 1000000.0 END AS intercept
         |FROM (
         |  SELECT event_type, n, n_obs, sy,
         |    sx + nmiss * m AS sxall,
@@ -1700,8 +1705,8 @@ asofOracle,
           s"FROM (SELECT event_type, event_id, value, $propsIntSql AS __k FROM events)",
         "event_type", draws = 3, firstOffset = 2),
     "value_quantiles" ->
-      """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
-        |  round(quantile_cont(value, 0.9), 6) AS p90
+      """SELECT event_type, floor((quantile_cont(value, 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS p50,
+        |  floor((quantile_cont(value, 0.9)) * 1000000.0 + 0.5) / 1000000.0 AS p90
         |FROM events GROUP BY event_type""".stripMargin,
     "normalize_scheme_versions" ->
       """SELECT base_scheme, COUNT(*) AS n_latest,
@@ -1770,7 +1775,7 @@ asofOracle,
       val inner = s"source, lang, $sqlTokCount AS n_tok,"
       val outer = "source, lang, n_tok,"
       s"""SELECT source, n_docs, n_tokens, n_kept, n_langs,
-         |  round(CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS keep_rate
+         |  floor((CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS keep_rate
          |FROM (
          |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
@@ -1849,7 +1854,7 @@ asofOracle,
         |  FROM spans JOIN fr USING (chunk) GROUP BY doc_id)
         |SELECT d.doc_id, COALESCE(st.n_spans, 0) AS n_spans, COALESCE(st.n_shared, 0) AS n_shared,
         |  CASE WHEN COALESCE(st.n_spans, 0) > 0
-        |       THEN round(CAST(st.n_shared AS DOUBLE) / CAST(st.n_spans AS DOUBLE), 6) END AS shared_frac
+        |       THEN floor((CAST(st.n_shared AS DOUBLE) / CAST(st.n_spans AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 END AS shared_frac
         |FROM (SELECT doc_id FROM documents) d LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin,
     "tfidf_topterms" ->
       """WITH toks AS (
@@ -1870,9 +1875,9 @@ asofOracle,
       """SELECT doc_id, n_words,
         |  n_total AS n_shingles_total, n_distinct AS n_shingles_distinct,
         |  CASE WHEN n_total > 0
-        |       THEN round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+        |       THEN floor((1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_total AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
         |  END AS dup_shingle_frac,
-        |  round(CAST(top_tok AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS top_token_frac
+        |  floor((CAST(top_tok AS DOUBLE) / CAST(n_words AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS top_token_frac
         |FROM (
         |  SELECT doc_id,
         |    CAST(len(w) AS BIGINT) AS n_words,
@@ -1910,10 +1915,10 @@ asofOracle,
          |    / CAST(SUM(CASE WHEN old_cohort THEN 1 ELSE 0 END) AS DOUBLE) AS mean_q_old,
          |  CAST(SUM(CASE WHEN NOT old_cohort THEN qd END) AS DOUBLE)
          |    / CAST(SUM(CASE WHEN NOT old_cohort THEN 1 ELSE 0 END) AS DOUBLE) AS mean_q_new,
-         |  round(CAST(SUM(CASE WHEN NOT old_cohort THEN qd END) AS DOUBLE)
+         |  floor((CAST(SUM(CASE WHEN NOT old_cohort THEN qd END) AS DOUBLE)
          |      / CAST(SUM(CASE WHEN NOT old_cohort THEN 1 ELSE 0 END) AS DOUBLE)
          |    - CAST(SUM(CASE WHEN old_cohort THEN qd END) AS DOUBLE)
-         |      / CAST(SUM(CASE WHEN old_cohort THEN 1 ELSE 0 END) AS DOUBLE), 6) AS drift
+         |      / CAST(SUM(CASE WHEN old_cohort THEN 1 ELSE 0 END) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS drift
          |FROM t GROUP BY source""".stripMargin
     },
     "length_histogram" ->
@@ -2000,7 +2005,7 @@ asofOracle,
     "dedup_simhash64_pairs" -> simhashPairsOracleSql(64),
     "ngram_jaccard" ->
       s"""$pairOverlapCtes
-         |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM (
+         |SELECT doc_a, doc_b, floor((j) * 1000000.0 + 0.5) / 1000000.0 AS jaccard FROM (
          |  SELECT doc_a, doc_b,
          |    CAST(i AS DOUBLE) / CAST(sz_a + sz_b - i AS DOUBLE) AS j
          |  FROM inter)
@@ -2008,7 +2013,7 @@ asofOracle,
     "dedup_minhash_verified" ->
       s"""$minhashCtes,
          |$verifiedPairsCte
-         |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM vpairs""".stripMargin,
+         |SELECT doc_a, doc_b, floor((j) * 1000000.0 + 0.5) / 1000000.0 AS jaccard FROM vpairs""".stripMargin,
     "neardup_rate_report" ->
       s"""$minhashCtes,
          |$verifiedPairsCte,
@@ -2016,15 +2021,15 @@ asofOracle,
          |  SELECT doc_a AS doc_id FROM vpairs UNION ALL SELECT doc_b FROM vpairs))
          |SELECT source, COUNT(*) AS n_docs,
          |  CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
-         |  round(CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / CAST(COUNT(*) AS DOUBLE), 6) AS neardup_rate
+         |  floor((CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS neardup_rate
          |FROM documents LEFT JOIN dup USING (doc_id)
          |GROUP BY source""".stripMargin,
     "dedup_fuzzy_edit" ->
       s"""$minhashCtes,
          |pairs AS (
          |  $candidatePairsSql)
-         |SELECT doc_a, doc_b, round(raw_sim, 6) AS edit_sim FROM (
+         |SELECT doc_a, doc_b, floor((raw_sim) * 1000000.0 + 0.5) / 1000000.0 AS edit_sim FROM (
          |  SELECT doc_a, doc_b,
          |    1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
          |      / CAST(greatest(len(ta.text), len(tb.text)) AS DOUBLE) AS raw_sim
@@ -2033,7 +2038,7 @@ asofOracle,
          |WHERE raw_sim >= 0.4""".stripMargin,
     "dedup_containment" ->
       s"""$pairOverlapCtes
-         |SELECT doc_a, doc_b, round(c, 6) AS containment FROM (
+         |SELECT doc_a, doc_b, floor((c) * 1000000.0 + 0.5) / 1000000.0 AS containment FROM (
          |  SELECT doc_a, doc_b,
          |    CAST(i AS DOUBLE) / CAST(least(sz_a, sz_b) AS DOUBLE) AS c
          |  FROM inter)
@@ -2045,7 +2050,7 @@ asofOracle,
          |  FROM banded n JOIN banded i
          |    ON n.band = i.band AND n.bk = i.bk
          |  WHERE n.doc_id % 7 = 0 AND i.doc_id % 7 <> 0)
-         |SELECT new_doc, index_doc, round(j, 6) AS jaccard FROM (
+         |SELECT new_doc, index_doc, floor((j) * 1000000.0 + 0.5) / 1000000.0 AS jaccard FROM (
          |  SELECT new_doc, index_doc,
          |    ${jaccardSql("sa", "sb")} AS j
          |  FROM pairs JOIN shl sa ON pairs.new_doc = sa.doc_id
@@ -2058,7 +2063,7 @@ asofOracle,
          |pairs AS (
          |  $candidatePairsSql)
          |SELECT doc_a, doc_b,
-         |  round(CAST($matchTerms AS DOUBLE) / CAST(16 AS DOUBLE), 6) AS est_jaccard
+         |  floor((CAST($matchTerms AS DOUBLE) / CAST(16 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS est_jaccard
          |FROM pairs JOIN sig sa ON pairs.doc_a = sa.doc_id
          |           JOIN sig sb ON pairs.doc_b = sb.doc_id""".stripMargin
     },
@@ -2449,7 +2454,7 @@ asofOracle,
         |  AND l_quantity < 24""".stripMargin,
     "q8_market_share" ->
       """SELECT o_year, total_revenue, nation_revenue,
-        |  CASE WHEN total_revenue <> 0 THEN round(nation_revenue / total_revenue, 6) END AS mkt_share
+        |  CASE WHEN total_revenue <> 0 THEN floor((nation_revenue / total_revenue) * 1000000.0 + 0.5) / 1000000.0 END AS mkt_share
         |FROM (
         |  SELECT year(o_orderdate) AS o_year,
         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
@@ -2467,7 +2472,7 @@ asofOracle,
         |  GROUP BY o_year)""".stripMargin,
     "q14_promo_effect" ->
       """SELECT total_revenue, promo_revenue,
-        |  CASE WHEN total_revenue <> 0 THEN round(100.0 * promo_revenue / total_revenue, 6) END AS promo_share
+        |  CASE WHEN total_revenue <> 0 THEN floor((100.0 * promo_revenue / total_revenue) * 1000000.0 + 0.5) / 1000000.0 END AS promo_share
         |FROM (
         |  SELECT
         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
@@ -2782,7 +2787,7 @@ asofOracle,
         |              WHEN 'de' THEN 10 WHEN 'zh' THEN 75 ELSE 100 END AS w
         |  FROM documents)
         |SELECT source, n_total, n_kept,
-        |  round(CAST(n_kept AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS rate
+        |  floor((CAST(n_kept AS DOUBLE) / CAST(n_total AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS rate
         |FROM (
         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
         |    CAST(SUM(CASE WHEN pct < w THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
@@ -2824,7 +2829,7 @@ asofOracle,
         |SELECT d.doc_id, CAST(d.sz AS BIGINT) AS n_shingles,
         |  COALESCE(h.n, 0) AS n_overlap,
         |  CASE WHEN d.sz > 0
-        |       THEN round(CAST(COALESCE(h.n, 0) AS DOUBLE) / CAST(d.sz AS DOUBLE), 6)
+        |       THEN floor((CAST(COALESCE(h.n, 0) AS DOUBLE) / CAST(d.sz AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
         |  END AS contamination
         |FROM (SELECT doc_id, len(shingles) AS sz FROM shl WHERE doc_id % 50 <> 0) d
         |LEFT JOIN hits h USING (doc_id)""".stripMargin

@@ -18,6 +18,12 @@ import graft.analysis.Relational.exactSum
   * approx_count_distinct offered for ungated 100 TB dashboards.
   */
 object Engagement {
+  // oracle-compared 6-decimal rounding uses the portable floor arithmetic
+  // (Portable.round6): engine round() implementations disagree on
+  // knife-edge quotients, and both sides of the oracle contract must run
+  // the identical IEEE op sequence
+  private val r6 = graft.util.Portable.round6 _
+
 
   /** Per-dataset engagement stats: rows, distinct participants, exact value
     * sum. Reference: engagement counts + SyncStats (src/common/sync_stats.py).
@@ -142,7 +148,7 @@ object Engagement {
         sum(when(col("t_to").isNotNull && col("t_to") > col("t_from"), 1).otherwise(0)).as("n_converted"))
       .withColumn("conv_rate",
         when(col("n_entered") =!= 0,
-          round(col("n_converted").cast("double") / col("n_entered").cast("double"), 6)))
+          r6(col("n_converted").cast("double") / col("n_entered").cast("double"))))
   }
 
   /** Retention cohorts: entities grouped by first active week, counted per

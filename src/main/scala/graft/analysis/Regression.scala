@@ -20,6 +20,12 @@ import org.apache.spark.sql.types.DecimalType
   * in a fixed IEEE order — bit-reproducible against the SQL oracle.
   */
 object Regression {
+  // oracle-compared 6-decimal rounding uses the portable floor arithmetic
+  // (Portable.round6): engine round() implementations disagree on
+  // knife-edge quotients, and both sides of the oracle contract must run
+  // the identical IEEE op sequence
+  private val r6 = graft.util.Portable.round6 _
+
 
   /** Per-group simple OLS of y on x: slope, intercept, n.
     * Complete-case: rows with null x or y are dropped first (the reference's
@@ -43,9 +49,9 @@ object Regression {
     val ok = abs(denom) > lit(1e-9) * greatest(abs(col("n") * col("sxx")), abs(col("sx") * col("sx")))
     val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / denom
     agg
-      .withColumn("slope", when(ok, round(slope, 6)))
+      .withColumn("slope", when(ok, r6(slope)))
       .withColumn("intercept",
-        when(ok, round((col("sy") - slope * col("sx")) / col("n"), 6)))
+        when(ok, r6((col("sy") - slope * col("sx")) / col("n"))))
       .drop("sx", "sy", "sxx", "sxy")
   }
 
@@ -90,8 +96,8 @@ object Regression {
       abs(denom) > lit(1e-9) * greatest(abs(col("n") * sxxAll), abs(sxAll * sxAll))
     val slope = (col("n") * sxyAll - sxAll * col("sy")) / denom
     agg
-      .withColumn("slope", when(ok, round(slope, 6)))
-      .withColumn("intercept", when(ok, round((col("sy") - slope * sxAll) / col("n"), 6)))
+      .withColumn("slope", when(ok, r6(slope)))
+      .withColumn("intercept", when(ok, r6((col("sy") - slope * sxAll) / col("n"))))
       .drop("sx", "sxx", "sxy", "sy", "sy_miss")
   }
 
@@ -124,10 +130,10 @@ object Regression {
     val b1 = (s22 * s1y - s12 * s2y) / det
     val b2 = (s11 * s2y - s12 * s1y) / det
     agg
-      .withColumn("b1", when(ok, round(b1, 6)))
-      .withColumn("b2", when(ok, round(b2, 6)))
+      .withColumn("b1", when(ok, r6(b1)))
+      .withColumn("b2", when(ok, r6(b2)))
       .withColumn("b0", when(ok,
-        round((col("sy") - b1 * col("sx1") - b2 * col("sx2")) / n, 6)))
+        r6((col("sy") - b1 * col("sx1") - b2 * col("sx2")) / n)))
       .drop("sx1", "sx2", "sy", "sx1x1", "sx2x2", "sx1x2", "sx1y", "sx2y")
   }
 }

@@ -17,6 +17,12 @@ import graft.GraftSession.table
   * double(exact sum)/double(count) — one IEEE division, order independent.
   */
 object Relational {
+  // oracle-compared 6-decimal rounding uses the portable floor arithmetic
+  // (Portable.round6): engine round() implementations disagree on
+  // knife-edge quotients, and both sides of the oracle contract must run
+  // the identical IEEE op sequence
+  private val r6 = graft.util.Portable.round6 _
+
 
   /** Cast-to-exact helper: doubles in the test tables carry 2-decimal values. */
   def dec(c: Column): Column = c.cast(DecimalType(18, 2))
@@ -193,7 +199,7 @@ object Relational {
           .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double").as("promo_revenue"))
       .withColumn("promo_share",
         when(col("total_revenue") =!= 0.0,
-          round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6)))
+          r6(lit(100.0) * col("promo_revenue") / col("total_revenue"))))
   }
 
   /** TPC-H Q8-shaped national market share: a target nation's share of a
@@ -233,7 +239,7 @@ object Relational {
           .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double").as("nation_revenue"))
       .withColumn("mkt_share",
         when(col("total_revenue") =!= 0.0,
-          round(col("nation_revenue") / col("total_revenue"), 6)))
+          r6(col("nation_revenue") / col("total_revenue"))))
   }
 
   /** TPC-H Q4-shaped order-priority checking: orders in a window that had at

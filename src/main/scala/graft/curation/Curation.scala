@@ -13,6 +13,12 @@ import graft.functions.ShingleExpressions
   * the sf0.01 oracle fixtures to a 100 TB corpus.
   */
 object Curation {
+  // oracle-compared 6-decimal rounding uses the portable floor arithmetic
+  // (Portable.round6): engine round() implementations disagree on
+  // knife-edge quotients, and both sides of the oracle contract must run
+  // the identical IEEE op sequence
+  private val r6 = graft.util.Portable.round6 _
+
 
   /** Benchmark decontamination: flag corpus documents that share at least
     * one n-gram with an evaluation/benchmark set (the standard guard against
@@ -164,7 +170,7 @@ object Curation {
         count(lit(1)).as("n_total"),
         sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"))
       .withColumn("rate",
-        round(col("n_kept").cast("double") / col("n_total").cast("double"), 6))
+        r6(col("n_kept").cast("double") / col("n_total").cast("double")))
   }
 
   /** The row-level mixture decision (for building the filtered corpus
@@ -387,7 +393,7 @@ object Curation {
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         when(coalesce(col("n_spans"), lit(0L)) > 0,
-          round(col("n_shared").cast("double") / col("n_spans").cast("double"), 6))
+          r6(col("n_shared").cast("double") / col("n_spans").cast("double")))
           .as("shared_frac"))
   }
 
@@ -691,7 +697,7 @@ object Curation {
         sum(coalesce(col("__hit"), lit(0L))).as("n_overlap"))
       .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
         when(col("n_shingles") > 0,
-          round(col("n_overlap").cast("double")
-            / col("n_shingles").cast("double"), 6)).as("contamination"))
+          r6(col("n_overlap").cast("double")
+            / col("n_shingles").cast("double"))).as("contamination"))
   }
 }

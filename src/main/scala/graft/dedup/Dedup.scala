@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   * numPerms md5s).
   */
 object Dedup {
+  // oracle-compared 6-decimal rounding uses the portable floor arithmetic
+  // (Portable.round6): engine round() implementations disagree on
+  // knife-edge quotients, and both sides of the oracle contract must run
+  // the identical IEEE op sequence
+  private val r6 = graft.util.Portable.round6 _
+
 
   /** Exact dedup: group by full-content hash; emit group size and the id to
     * keep (minimum). The output IS the dedup decision table. Single hash
@@ -150,7 +156,7 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
-      .select(col("new_doc"), col("index_doc"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("new_doc"), col("index_doc"), r6(col("jaccard")).as("jaccard"))
   }
 
   /** 32-bit SimHash as a bit-string: each distinct token votes its md5 bits
@@ -250,7 +256,7 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), r6(col("jaccard")).as("jaccard"))
   }
 
   /** Fuzzy dedup by edit distance: MinHash-LSH candidate pairs verified with
@@ -275,7 +281,7 @@ object Dedup {
         levenshtein(col("__ta"), col("__tb")).cast("double") /
           greatest(length(col("__ta")), length(col("__tb"))).cast("double"))
       .filter(col("__raw_sim") >= minSim)
-      .select(col("doc_a"), col("doc_b"), round(col("__raw_sim"), 6).as("edit_sim"))
+      .select(col("doc_a"), col("doc_b"), r6(col("__raw_sim")).as("edit_sim"))
   }
 
   /** Estimated Jaccard from signature agreement: the fraction of minhash
@@ -302,7 +308,7 @@ object Dedup {
       .join(renamed("a"), "doc_a")
       .join(renamed("b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(matches.cast("double") / lit(numPerms.toDouble), 6).as("est_jaccard"))
+        r6(matches.cast("double") / lit(numPerms.toDouble)).as("est_jaccard"))
   }
 
   /** Containment-scored pairs — the subset-duplication verifier Jaccard
@@ -325,7 +331,7 @@ object Dedup {
       .withColumn("containment",
         col("inter").cast("double") / least(col("sz_a"), col("sz_b")).cast("double"))
       .filter(col("containment") >= minContainment)
-      .select(col("doc_a"), col("doc_b"), round(col("containment"), 6).as("containment"))
+      .select(col("doc_a"), col("doc_b"), r6(col("containment")).as("containment"))
 
   /** Connected components over a near-dup pair table — the step that turns
     * pairwise similarity into a dedup DECISION (every document in a
@@ -448,7 +454,7 @@ object Dedup {
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), r6(col("jaccard")).as("jaccard"))
 
   /** Shared-shingle pair overlaps — the one owner of the explode/cap/pair
     * machinery (ngramJaccard and ngramContainment score the same
