@@ -588,6 +588,22 @@ object SparkEntry {
         .agg(graft.functions.TopKAgg.topK(col("value"), 5).as("__tv"))
         .select(col("event_type"), posexplode(col("__tv")).as(Seq("__pos", "value")))
         .select(col("event_type"), (col("__pos") + 1).as("rank"), col("value"))),
+    "topk_values_sketch" -> ((s, dir) =>
+      // bounded-state twin of topk_values_agg for unbounded value domains:
+      // a Misra-Gries summary (capacity counters per partial buffer) makes
+      // reduce state and shuffle volume capacity-bound instead of
+      // distinct-value-bound. capacity 1024 >> the testdata vocabulary, so
+      // the sketch is in its exact deterministic regime here and the
+      // oracle is plain counting; the approximation regime is bounded in
+      // HeavyHittersSpec
+      table(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ", -1)).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("source"))
+        .agg(graft.functions.HeavyHittersAgg.heavyHitters(col("tok"), 1024, 5).as("__hh"))
+        .select(col("source"), posexplode(col("__hh")).as(Seq("__pos", "__e")))
+        .select(col("source"), (col("__pos") + 1).cast("int").as("rank"),
+          col("__e.value").as("token"), col("__e.cnt").as("cnt"))),
     "production_export" -> ((s, dir) => {
       // consent filter -> message column view -> stable export projection.
       // The withdrawn-user set is tiny (error events over a high threshold),
@@ -2086,6 +2102,19 @@ asofOracle,
         |SELECT event_type, r AS rank, top_values[r] AS value
         |FROM tv, (VALUES (1), (2), (3), (4), (5)) AS v(r)
         |WHERE r <= len(top_values)""".stripMargin,
+    "topk_values_sketch" ->
+      // the sketch runs in its exact regime at test scale (capacity >>
+      // vocabulary), so plain counting with the same (cnt desc, token asc)
+      // tie-break reproduces it
+      """SELECT source, CAST(rank AS INT) AS rank, token, cnt FROM (
+        |  SELECT source, tok AS token, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, tok ASC) AS rank
+        |  FROM (
+        |    SELECT source, tok, COUNT(*) AS cnt
+        |    FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |    WHERE tok <> ''
+        |    GROUP BY source, tok))
+        |WHERE rank <= 5""".stripMargin,
     "production_export" ->
       // NOT EXISTS, not a window flag: matches the Spark side's anti-join
       // NULL semantics (a NULL-keyed row never matches, so it is kept)
