@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -44,6 +44,23 @@ object Streams {
       .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
+  /** Streaming trending values: per tumbling window, the Misra-Gries
+    * top-k of a string column — the always-on twin of the batch
+    * `topk_values_sketch` row (trending tokens/urls/agents in an ingest
+    * feed). Per-window state is capacity-bounded regardless of the value
+    * domain, which is what makes an unbounded-domain top-k safe as
+    * streaming state; the watermark bounds how many windows are live.
+    */
+  def heavyHittersStream(rows: DataFrame, value: Column, tsCol: String,
+                         windowLen: String = "1 hour", watermark: String = "2 hours",
+                         capacity: Int = 1024, k: Int = 5): DataFrame =
+    rows.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(graft.functions.HeavyHittersAgg.heavyHitters(value, capacity, k).as("__hh"))
+      .select(col("window.start").as("win_start"), posexplode(col("__hh")).as(Seq("__pos", "__e")))
+      .select(col("win_start"), (col("__pos") + 1).cast("int").as("rank"),
+        col("__e.value").as("value"), col("__e.cnt").as("cnt"))
 
   /** Streaming ingest dedup: the streaming twin of snapshot dedup — drop
     * repeated keys, with the watermark bounding how long a key is

@@ -34,6 +34,28 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters equals the batch sketch per window") {
+    val batch = GraftSession.table(spark, sfDir, "events")
+    val dir = Files.createTempDirectory("graft_hh_stream").toString
+    // several files + maxFilesPerTrigger=1 => several micro-batches, so the
+    // sketch buffer genuinely round-trips the state store between batches
+    batch.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = Streams.heavyHittersStream(stream, col("event_type"), "ts")
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("hh_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hh_out")
+        .orderBy("win_start", "rank").collect().toSeq
+      // withWatermark is a no-op in batch, so the same code is the oracle
+      val expected = Streams.heavyHittersStream(batch, col("event_type"), "ts")
+        .orderBy("win_start", "rank").collect().toSeq
+      assert(streamed.nonEmpty && streamed == expected)
+    } finally q.stop()
+  }
+
   test("stateful sessionization matches the batch sessionizer") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[SessionEvent]
