@@ -57,6 +57,16 @@ object Sources {
       .csv(path)
       .persist(storageLevel)
 
+  /** Minimal JSON string escaping shared by the run-event log and the
+    * shard manifest — one definition so the two records can never drift in
+    * what counts as valid JSON. */
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => "\\u%04x".format(c.toInt)
+    case c => c.toString
+  }
+
   /** Incremental slice: rows strictly after the watermark. The predicate is
     * a plain column comparison — pushed to the scan, prunable by partition.
     */
@@ -115,8 +125,13 @@ object Sources {
   def syncIncremental(spark: SparkSession, df: DataFrame, tsCol: Column,
                       cacheDir: String, name: String)
                      (process: DataFrame => Unit): Option[java.sql.Timestamp] = {
+    // NULL-timestamp rows can never be ordered by a watermark, so they ride
+    // along in EVERY slice rather than being silently dropped (a 100 TB
+    // feed with a few null updated-at records must not lose them):
+    // at-least-once delivery, the same trade the bound-first ordering below
+    // already makes — pair with dedupAgainst for effectively-once storage.
     val base = readWatermark(spark, cacheDir, name) match {
-      case Some(wm) => readIncremental(df, tsCol, wm)
+      case Some(wm) => df.filter(tsCol > lit(wm) || tsCol.isNull)
       case None => df
     }
     // Fix the watermark bound FIRST, then process only rows at or below it:
@@ -130,8 +145,8 @@ object Sources {
     // streams through at any size.
     val next = nextWatermark(base, tsCol)
     val slice = next match {
-      case Some(hi) => base.filter(tsCol <= lit(hi))
-      case None => base // empty slice; process still observes it
+      case Some(hi) => base.filter(tsCol <= lit(hi) || tsCol.isNull)
+      case None => base // nothing orderable; any null-ts rows still flow
     }
     process(slice)
     next.foreach(writeWatermark(spark, cacheDir, name, _))
@@ -155,18 +170,16 @@ object Sources {
     val dir = new org.apache.hadoop.fs.Path(logDir)
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
-    def jsonEscape(s: String): String = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => "\\u%04x".format(c.toInt)
-      case c => c.toString
-    }
     // event identity in the file name: a retried logger call overwrites its
     // own event instead of duplicating it (idempotent), while distinct
     // events never collide. Each component is percent-encoded (including
     // '_' and '%') before joining with '_', so ("run_1","end") and
     // ("run","1_end") map to different names — a sanitize-then-join that
     // flattened separators would silently alias such pairs.
+    // Encoding is per UTF-8 BYTE (always exactly %XX, two hex digits):
+    // a per-CHAR encoding with no fixed width would alias distinct ids —
+    // em dash U+2014 would encode to "%2014", identical to the encoding
+    // of the three ASCII chars " 14".
     // A LEADING '.' is encoded (a runId starting with '.' would yield a
     // dot-file that Hadoop's default path filter hides, so readRunEvents
     // would silently drop an event logRunEvent reported as written);
@@ -174,10 +187,14 @@ object Sources {
     // rule keep their identity and a retried logger call still overwrites
     // its own event instead of duplicating it.
     def enc(s: String): String = {
-      val e = s.flatMap {
-        case c if c.isLetterOrDigit || c == '-' || c == '.' => c.toString
-        case c => f"%%${c.toInt}%02X"
+      val sb = new StringBuilder
+      s.getBytes("UTF-8").foreach { b =>
+        val i = b & 0xFF
+        val passthrough = (i >= 'a' && i <= 'z') || (i >= 'A' && i <= 'Z') ||
+          (i >= '0' && i <= '9') || i == '-' || i == '.'
+        if (passthrough) sb.append(i.toChar) else sb.append(f"%%$i%02X")
       }
+      val e = sb.toString
       if (e.startsWith(".")) "%2E" + e.drop(1) else e
     }
     val name = s"${enc(runId)}_${enc(eventKey)}.json"
@@ -198,7 +215,15 @@ object Sources {
   def readRunEvents(spark: SparkSession, logDir: String): DataFrame = {
     val schema = StructType.fromDDL(
       "pipeline STRING, run_id STRING, event STRING, at TIMESTAMP")
-    spark.read.schema(schema).json(logDir + "/*.json")
+    // a dashboard querying before the first run has logged anything must
+    // see an empty frame, not a PATH_NOT_FOUND from a zero-match glob
+    val dir = new org.apache.hadoop.fs.Path(logDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasEvents = fs.exists(dir) &&
+      fs.listStatus(dir).exists(_.getPath.getName.endsWith(".json"))
+    if (!hasEvents)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    else spark.read.schema(schema).json(logDir + "/*.json")
   }
 
   /** Origin-id dedup before insert: drop rows whose origin key already
@@ -209,6 +234,7 @@ object Sources {
     * every redelivery (`=== null` never matches, `<=>` does).
     */
   def dedupAgainst(incoming: DataFrame, existing: DataFrame, key: String): DataFrame = {
+    graft.util.TempCols.assertFree(incoming, "__existing_key")
     val ex = existing.select(col(key).as("__existing_key"))
     incoming.dropDuplicates(key) // a batch can carry its own repeats (page overlap)
       .join(ex, col(key) <=> col("__existing_key"), "left_anti")
@@ -249,12 +275,13 @@ object Sources {
     * re-keyed pipelines at 100 TB.
     */
   def writeBucketed(df: DataFrame, tableName: String, path: String,
-                    bucketCol: String, numBuckets: Int, sortCols: Seq[String]): Unit =
-    df.write.mode("overwrite")
-      .bucketBy(numBuckets, bucketCol)
-      .sortBy(sortCols.head, sortCols.tail: _*)
-      .option("path", path)
-      .saveAsTable(tableName)
+                    bucketCol: String, numBuckets: Int, sortCols: Seq[String]): Unit = {
+    // bucketBy without sortBy is a valid layout — only sort when asked,
+    // instead of throwing a bare NoSuchElementException on an empty list
+    val w = df.write.mode("overwrite").bucketBy(numBuckets, bucketCol)
+    val ws = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    ws.option("path", path).saveAsTable(tableName)
+  }
 
   /** Range-clustered layout: rows range-partitioned AND sorted on `rangeCol`
     * (typically event time), so file- and row-group-level min/max stats are
@@ -388,22 +415,22 @@ object Sources {
           lit(Long.MaxValue)).cast("long").as("content_hash"))
       .orderBy(col("shard"))
       .collect() // shard-count rows only — never the data
-    def jsonEscape(s: String): String =
-      s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => "\\u%04x".format(c.toInt)
-        case c => c.toString
-      }
     val conf = spark.sparkContext.hadoopConfiguration
     val dst = new org.apache.hadoop.fs.Path(path, "_manifest.jsonl")
+    // temp + rename like every other writer here: a crash mid-write must
+    // not leave a torn-but-readable manifest that silently under-lists
+    // shards to the trainer verifying an epoch
+    val tmp = new org.apache.hadoop.fs.Path(path, "._manifest.jsonl.tmp")
     val fs = dst.getFileSystem(conf)
-    val out = fs.create(dst, true)
+    val out = fs.create(tmp, true)
     try rows.foreach { r =>
       // a null shard lands in Hive's default partition dir; name it as laid out
       val shard = Option(r.getString(0)).getOrElse("__HIVE_DEFAULT_PARTITION__")
       out.write((s"""{"shard":"${jsonEscape(shard)}","n_rows":${r.getLong(1)},""" +
         s""""content_hash":${r.getLong(2)}}""" + "\n").getBytes("UTF-8"))
     } finally out.close()
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"failed to move shard manifest into place at $dst")
   }
 }

@@ -196,11 +196,16 @@ object Streams {
           .cast("timestamp")))
       .withColumn("__icell",
         RangeJoin.coveredCells(col(startCol), col(endCol), bucketSeconds, maxCellsPerInterval))
+    // bind every join-condition column to its source frame: with bare
+    // col() a column name present on BOTH sides (e.g. intervals derived
+    // from the same feed and still carrying the points' ts column) would
+    // fail analysis with AMBIGUOUS_REFERENCE — the batch twin
+    // (RangeJoin.pointInInterval) avoids this the same way
     p.join(iv,
-        col("__pcell") === col("__icell") &&
-          col(tsCol) >= col(startCol) &&
-          col(tsCol) < col(endCol) &&
-          col(tsCol) < spanBound)
+        p("__pcell") === iv("__icell") &&
+          p(tsCol) >= iv(startCol) &&
+          p(tsCol) < iv(endCol) &&
+          p(tsCol) < iv(startCol) + expr(s"INTERVAL $maxSpan"))
       .drop("__pcell", "__icell")
   }
 

@@ -241,6 +241,25 @@ class StreamingSourcesSpec extends SparkSpec {
     assert(got == Set(("run_1", "end"), ("run", "1_end")))
   }
 
+  test("run-event file names encode per UTF-8 byte so wide chars cannot alias ASCII") {
+    val dir = Files.createTempDirectory("graft_runlog_utf").toString
+    val t0 = java.time.Instant.parse("2024-02-01T00:00:00Z")
+    // a per-CHAR %-encoding with no fixed width maps em dash U+2014 and the
+    // three ASCII chars " 14" to the same "%2014" — per-byte %XX cannot
+    graft.sources.Sources.logRunEvent(spark, dir, "p", "—", "end", t0)
+    graft.sources.Sources.logRunEvent(spark, dir, "p", " 14", "end", t0.plusSeconds(5))
+    val got = graft.sources.Sources.readRunEvents(spark, dir)
+      .select("run_id").collect().map(_.getString(0)).toSet
+    assert(got == Set("—", " 14"))
+  }
+
+  test("readRunEvents returns an empty frame before any event is logged") {
+    val missing = Files.createTempDirectory("graft_runlog_missing").toString + "/never_created"
+    assert(graft.sources.Sources.readRunEvents(spark, missing).count() == 0)
+    val empty = Files.createTempDirectory("graft_runlog_empty").toString
+    assert(graft.sources.Sources.readRunEvents(spark, empty).count() == 0)
+  }
+
   test("a runId starting with '.' cannot produce a hidden (silently dropped) event file") {
     val dir = Files.createTempDirectory("graft_runlog_dot").toString
     val t0 = java.time.Instant.parse("2024-02-01T00:00:00Z")

@@ -83,6 +83,27 @@ class SyncOpsSpec extends SparkSpec {
     assert(!Provenance.withoutProvenance(relabeled).columns.contains(Provenance.HistoryCol))
   }
 
+  test("null-timestamp rows ride along in every incremental slice instead of vanishing") {
+    import graft.sources.Sources
+    val dir = java.nio.file.Files.createTempDirectory("graft_wm_null").toString
+    val df = Seq((1L, Some(ts("2024-01-01 10:00:00"))), (2L, Option.empty[java.sql.Timestamp]))
+      .toDF("id", "ts")
+    var seen: Seq[Long] = Nil
+    // first run: full table including the null-ts row
+    Sources.syncIncremental(spark, df, col("ts"), dir, "events") { s =>
+      seen = s.select("id").as[Long].collect().toSeq.sorted
+    }
+    assert(seen == Seq(1L, 2L), "null-ts row must be delivered on first run")
+    // second run: nothing new is orderable, but the null-ts row cannot be
+    // proven already-synced by any watermark — it is redelivered
+    // (at-least-once; dedupAgainst makes storage effectively-once)
+    Sources.syncIncremental(spark, df, col("ts"), dir, "events") { s =>
+      seen = s.select("id").as[Long].collect().toSeq.sorted
+    }
+    assert(seen == Seq(2L), "null-ts row must not silently vanish after the first run")
+    assert(Sources.readWatermark(spark, dir, "events") == Some(ts("2024-01-01 10:00:00")))
+  }
+
   test("watermark cache round-trips and drives incremental sync") {
     import graft.sources.Sources
     val dir = java.nio.file.Files.createTempDirectory("graft_wm").toString
