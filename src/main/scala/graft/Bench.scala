@@ -39,12 +39,18 @@ object Bench {
       // ids), changes exactly when the declared plan shape changes
       val planHash =
         try {
-          val s = fn(spark, sfDir).queryExecution.optimizedPlan.canonicalized.toString
-          // typed mapPartitions plans print the closure's JVM identity
-          // (Lambda$NNN/0xADDR@HASH), which varies per JVM — strip it so
-          // the fingerprint is stable across runs yet still moves when
-          // the actual plan shape changes
-          val stable = s.replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+@[0-9a-fA-F]+", "Lambda")
+          // The NON-canonicalized optimized plan: canonicalization sorts
+          // commutative operands by hashCode, and MultiCommutativeOp embeds
+          // a java.lang.Class whose hashCode is per-JVM identity — so any
+          // query with a re-associated a+b+c chain had a per-JVM
+          // fingerprint. The raw optimized plan is deterministic; only
+          // expression ids (#123) and typed-closure identities
+          // (Lambda$NNN/0xADDR@HASH) vary per run, so those are normalized
+          // away before hashing.
+          val s = fn(spark, sfDir).queryExecution.optimizedPlan.toString
+          val stable = s
+            .replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+@[0-9a-fA-F]+", "Lambda")
+            .replaceAll("#\\d+", "#x")
           f"${scala.util.hashing.MurmurHash3.stringHash(stable)}%08x"
         } catch { case _: Throwable => "err" }
       val cold = once()

@@ -9,8 +9,9 @@ object PlanHashProbe {
     val sfDir = "/root/testdata/sf0.01"
     args.foreach { q =>
       val s = graft.SparkEntry.queries(q)(spark, sfDir)
-        .queryExecution.optimizedPlan.canonicalized.toString
+        .queryExecution.optimizedPlan.toString
         .replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+@[0-9a-fA-F]+", "Lambda")
+        .replaceAll("#\\d+", "#x")
       println(s"=== $q hash=${f"${scala.util.hashing.MurmurHash3.stringHash(s)}%08x"}")
       println(s.linesIterator.take(12).mkString("\n"))
     }
