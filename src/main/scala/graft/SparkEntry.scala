@@ -989,7 +989,7 @@ object SparkEntry {
       |  SELECT event_id, user_id, ts, value, event_type AS ds0,
       |    CAST(CASE WHEN length(NULLIF(regexp_extract(props, '[0-9]+', 0), '')) <= 9 THEN NULLIF(regexp_extract(props, '[0-9]+', 0), '') END AS INT) AS k,
       |    (ts >= TIMESTAMP '2024-01-08 00:00:00'
-      |       AND ts < TIMESTAMP '2024-01-21 00:00:00') AS f_time,
+      |       AND ts <= TIMESTAMP '2024-01-21 00:00:00') AS f_time,
       |    NOT EXISTS (SELECT 1 FROM events x
       |                WHERE x.event_type = 'error' AND x.value > 320
       |                  AND x.user_id = events.user_id) AS f_test,
@@ -1450,7 +1450,7 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'error') AS DOUBLE) AS error_val
         |FROM events GROUP BY user_id""".stripMargin,
     "fold_concat_texts" ->
-      """SELECT user_id, string_agg(props, ';' ORDER BY ts, event_id) AS folded_text, COUNT(*) AS n
+      """SELECT user_id, string_agg(COALESCE(props, ''), ';' ORDER BY ts, event_id) AS folded_text, COUNT(*) AS n
         |FROM events WHERE event_type = 'purchase' GROUP BY user_id""".stripMargin,
     "relabel_move_datasets" ->
       """SELECT CASE WHEN CAST(CASE WHEN length(NULLIF(regexp_extract(props, '[0-9]+', 0), '')) <= 9 THEN NULLIF(regexp_extract(props, '[0-9]+', 0), '') END AS INT) >= 50
@@ -2171,11 +2171,11 @@ asofOracle,
         |                    WHERE x.event_type = 'error' AND x.value > 320
         |                      AND x.user_id = events.user_id))
         |SELECT user_id,
-        |  COALESCE(string_agg(CASE WHEN event_type IN ('purchase', 'view') THEN props END,
+        |  COALESCE(string_agg(CASE WHEN event_type IN ('purchase', 'view') THEN COALESCE(props, '') END,
         |    ';' ORDER BY ts, event_id), '') AS activity_raw,
-        |  COALESCE(string_agg(CASE WHEN event_type = 'click' THEN props END,
+        |  COALESCE(string_agg(CASE WHEN event_type = 'click' THEN COALESCE(props, '') END,
         |    ';' ORDER BY ts, event_id), '') AS click_raw,
-        |  COALESCE(string_agg(CASE WHEN event_type = 'signup' THEN props END,
+        |  COALESCE(string_agg(CASE WHEN event_type = 'signup' THEN COALESCE(props, '') END,
         |    ';' ORDER BY ts, event_id), '') AS age_raw,
         |  CASE
         |    WHEN MAX(CASE WHEN event_type = 'signup'
@@ -2403,10 +2403,10 @@ asofOracle,
         |WHERE cos_sim >= 0.25""".stripMargin,
     "multimodal_decode" ->
       """SELECT doc_id AS media_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(ascii(substr(text, 1, 1)) AS INT) AS first_cp,
-        |  CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
-        |  CAST((ascii(substr(text, 1, 1)) * 7) % 480 AS INT) AS fake_height
+        |  CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n_bytes,
+        |  CAST(ascii(substr(COALESCE(text, ''), 1, 1)) AS INT) AS first_cp,
+        |  CAST(octet_length(encode(COALESCE(text, ''))) % 640 AS INT) AS fake_width,
+        |  CAST((ascii(substr(COALESCE(text, ''), 1, 1)) * 7) % 480 AS INT) AS fake_height
         |FROM documents""".stripMargin,
     "multimodal_frames" ->
       """SELECT doc_id AS media_id,
@@ -2414,8 +2414,8 @@ asofOracle,
         |  CAST((nc + 2) // 3 AS BIGINT) AS n_frames_sampled,
         |  CAST((nc + 2) // 3 * 32
         |       - (CASE WHEN nc > 0 AND (nc - 1) % 3 = 0 THEN nc * 32 - L ELSE 0 END) AS BIGINT) AS sampled_bytes
-        |FROM (SELECT doc_id, octet_length(encode(text)) AS L,
-        |             (octet_length(encode(text)) + 31) // 32 AS nc
+        |FROM (SELECT doc_id, octet_length(encode(COALESCE(text, ''))) AS L,
+        |             (octet_length(encode(COALESCE(text, ''))) + 31) // 32 AS nc
         |      FROM documents)""".stripMargin,
     "multimodal_resize" ->
       """SELECT media_id, w AS src_width, h AS src_height,
@@ -2430,15 +2430,15 @@ asofOracle,
         |         WHEN w * 64 <= h * 64 THEN 64
         |         ELSE h * 64 // w END AS dh
         |  FROM (SELECT doc_id AS media_id,
-        |          CAST(octet_length(encode(text)) % 640 AS INT) AS w,
-        |          CAST((ascii(substr(text, 1, 1)) * 7) % 480 AS INT) AS h
+        |          CAST(octet_length(encode(COALESCE(text, ''))) % 640 AS INT) AS w,
+        |          CAST((ascii(substr(COALESCE(text, ''), 1, 1)) * 7) % 480 AS INT) AS h
         |        FROM documents))""".stripMargin,
     "multimodal_features" ->
-      """SELECT doc_id AS media_id, 8 AS feat_dim,
-        |  CAST(ascii(substr(text,1,1)) + ascii(substr(text,2,1)) + ascii(substr(text,3,1))
-        |     + ascii(substr(text,4,1)) + ascii(substr(text,5,1)) + ascii(substr(text,6,1))
-        |     + ascii(substr(text,7,1)) + ascii(substr(text,8,1)) AS BIGINT) AS feat_sum
-        |FROM documents""".stripMargin,
+      """SELECT media_id, 8 AS feat_dim,
+        |  CAST(ascii(substr(t,1,1)) + ascii(substr(t,2,1)) + ascii(substr(t,3,1))
+        |     + ascii(substr(t,4,1)) + ascii(substr(t,5,1)) + ascii(substr(t,6,1))
+        |     + ascii(substr(t,7,1)) + ascii(substr(t,8,1)) AS BIGINT) AS feat_sum
+        |FROM (SELECT doc_id AS media_id, COALESCE(text, '') AS t FROM documents)""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -46,13 +46,27 @@ object EngagementPipeline {
                       ts: Column, from: String, until: String,
                       testDeny: DataFrame, withdrawn: DataFrame,
                       wsMoveOfCode: Column => Column,
-                      codeValue: Column): DataFrame = {
+                      codeValue: Column,
+                      rqaDatasets: Option[Seq[String]]): DataFrame = {
     val denyT = broadcast(testDeny.select(col(user).as("__deny_t")).distinct())
     val denyC = broadcast(withdrawn.select(col(user).as("__deny_c")).distinct())
+    // INCLUSIVE bounds on both ends — the reference drops messages
+    // "modified on or before"/"on or after" the project dates
+    // (traced_data_filters.py:14), and the stand-alone Filters.timeRange
+    // and the config layer's rqaTimeRangeFilter already agree; an
+    // exclusive upper bound here would make the composed flow the one
+    // twin that drops a boundary-timestamp row.
+    // With `rqaDatasets` given, only those datasets are windowed —
+    // demographics are routinely collected before/after the RQA window
+    // and the reference exempts them; None = window everything (the
+    // single-kind flows the gate queries model).
+    val inWindow = ts >= lit(from).cast("timestamp") && ts <= lit(until).cast("timestamp")
     events
       .withColumn("__ds0", dataset)
-      .withColumn("__f_time",
-        ts >= lit(from).cast("timestamp") && ts < lit(until).cast("timestamp"))
+      .withColumn("__f_time", rqaDatasets match {
+        case Some(rqa) => !col("__ds0").isin(rqa: _*) || inWindow
+        case None => inWindow
+      })
       .join(denyT, col(user) === col("__deny_t"), "left")
       .withColumn("__f_test", col("__deny_t").isNull)
       .join(denyC, col(user) === col("__deny_c"), "left")
@@ -75,9 +89,10 @@ object EngagementPipeline {
                         ts: Column, from: String, until: String,
                         testDeny: DataFrame, withdrawn: DataFrame,
                         wsMoveOfCode: Column => Column,
-                        wsPrefix: String, codeValue: Column): DataFrame = {
+                        wsPrefix: String, codeValue: Column,
+                        rqaDatasets: Option[Seq[String]]): DataFrame = {
     val f = flagged(events, user, dataset, ts, from, until,
-      testDeny, withdrawn, wsMoveOfCode, codeValue)
+      testDeny, withdrawn, wsMoveOfCode, codeValue, rqaDatasets)
     val pre = f.groupBy(col(user).as("__u"), col("__ds0"), col("__ws"),
         col("__f_time"), col("__f_test"), col("__f_consent"))
       .agg(count(lit(1)).as("__n"), sum(col("__imputed")).as("__n_imp"))
@@ -110,9 +125,10 @@ object EngagementPipeline {
              from: String, until: String,
              testDeny: DataFrame, withdrawn: DataFrame,
              wsMoveOfCode: Column => Column, wsPrefix: String,
-             codeValue: Column): DataFrame =
+             codeValue: Column,
+             rqaDatasets: Option[Seq[String]] = None): DataFrame =
     stageRows(events, user, dataset, ts, from, until,
-      testDeny, withdrawn, wsMoveOfCode, wsPrefix, codeValue)
+      testDeny, withdrawn, wsMoveOfCode, wsPrefix, codeValue, rqaDatasets)
       .groupBy(col("s.stage").as("stage"), col("s.stage_name").as("stage_name"),
         col("s.dataset").as("dataset"))
       .agg(sum(col("s.n")).as("n_rows"),
@@ -133,9 +149,10 @@ object EngagementPipeline {
                          testDeny: DataFrame, withdrawn: DataFrame,
                          wsMoveOfCode: Column => Column, wsPrefix: String,
                          codeValue: Column, idCol: Column, valueCol: Column,
-                         missingCode: String, sep: String = ";"): DataFrame =
+                         missingCode: String, sep: String = ";",
+                         rqaDatasets: Option[Seq[String]] = None): DataFrame =
     messagesExport(events, user, dataset, ts, from, until, testDeny, withdrawn,
-      wsMoveOfCode, wsPrefix, codeValue, idCol, valueCol, missingCode)
+      wsMoveOfCode, wsPrefix, codeValue, idCol, valueCol, missingCode, rqaDatasets)
       .groupBy(col("participant_uuid"), col("dataset"))
       .agg(
         array_join(
@@ -167,9 +184,10 @@ object EngagementPipeline {
                   from: String, until: String,
                   testDeny: DataFrame, withdrawn: DataFrame,
                   wsMoveOfCode: Column => Column, wsPrefix: String,
-                  codeValue: Column, lgK: Int = 12): DataFrame =
+                  codeValue: Column, lgK: Int = 12,
+                  rqaDatasets: Option[Seq[String]] = None): DataFrame =
     stageRows(events, user, dataset, ts, from, until,
-      testDeny, withdrawn, wsMoveOfCode, wsPrefix, codeValue)
+      testDeny, withdrawn, wsMoveOfCode, wsPrefix, codeValue, rqaDatasets)
       .groupBy(col("s.stage").as("stage"), col("s.stage_name").as("stage_name"),
         col("s.dataset").as("dataset"))
       .agg(sum(col("s.n")).as("n_rows"),
@@ -206,9 +224,10 @@ object EngagementPipeline {
                      testDeny: DataFrame, withdrawn: DataFrame,
                      wsMoveOfCode: Column => Column, wsPrefix: String,
                      codeValue: Column, idCol: Column, valueCol: Column,
-                     missingCode: String): DataFrame =
+                     missingCode: String,
+                     rqaDatasets: Option[Seq[String]] = None): DataFrame =
     flagged(events, user, dataset, ts, from, until,
-      testDeny, withdrawn, wsMoveOfCode, codeValue)
+      testDeny, withdrawn, wsMoveOfCode, codeValue, rqaDatasets)
       .filter(col("__f_time") && col("__f_test") && col("__f_consent"))
       .select(idCol.as("message_id"), col(user).as("participant_uuid"),
         wsDataset(wsPrefix).as("dataset"), ts.as("timestamp"),

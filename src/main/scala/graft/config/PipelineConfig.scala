@@ -115,8 +115,13 @@ object ConfiguredPipeline {
       val member = datasetCol.isin(d.engagementDbDatasets: _*)
       array_join(
         transform(
+          // coalesce BEFORE the fold: array_join silently drops null
+          // elements, so a null-text message would vanish from the folded
+          // column and positions would stop aligning with message count —
+          // the invariant ColumnView.foldConcat documents ("the reference
+          // renders every message")
           array_sort(collect_list(when(member,
-            struct(ts1.as("o1"), ts2.as("o2"), textCol.as("t"))))),
+            struct(ts1.as("o1"), ts2.as("o2"), coalesce(textCol, lit("")).as("t"))))),
           x => x.getField("t")),
         sep).as(d.rawDataset)
     }
@@ -127,11 +132,15 @@ object ConfiguredPipeline {
     } yield {
       // the config names the analysis dataset carrying the labelled age
       // data (configuration.py:18 age_analysis_dataset); resolve it to
-      // that dataset group's membership, falling back to the enclosing
-      // dataset when the name doesn't resolve
+      // that dataset group's membership. A name that resolves to nothing
+      // is a config typo — fail fast with the offending name instead of
+      // silently computing ages from the enclosing dataset's rows
       val srcDatasets = cfg.datasets
         .find(_.rawDataset == ageCfg.ageAnalysisDataset)
-        .map(_.engagementDbDatasets).getOrElse(d.engagementDbDatasets)
+        .map(_.engagementDbDatasets)
+        .getOrElse(throw new IllegalArgumentException(
+          s"ageAnalysisDataset '${ageCfg.ageAnalysisDataset}' does not name any " +
+            s"configured rawDataset (have: ${cfg.datasets.map(_.rawDataset).mkString(", ")})"))
       val member = datasetCol.isin(srcDatasets: _*)
       val age = max(when(member, ageCol))
       ageCfg.categoryColumn(age).as(coding.analysisDataset)

@@ -30,7 +30,12 @@ object Media {
     * A real implementation would hand `raw.bytes` to an image library here.
     */
   def fakeDecode(raw: MediaRaw): MediaMeta = {
-    val s = new String(raw.bytes, "UTF-8")
+    // only the first code point is needed: decode a bounded prefix (a
+    // UTF-8 code point is at most 4 bytes; 8 guarantees the first decodes
+    // intact) instead of materializing a String of the whole payload —
+    // O(1) per row instead of O(payload)
+    val n = math.min(raw.bytes.length, 8)
+    val s = new String(raw.bytes, 0, n, "UTF-8")
     val cp = if (s.isEmpty) 0 else s.codePointAt(0)
     MediaMeta(raw.media_id, raw.bytes.length.toLong, cp,
       (raw.bytes.length % 640).toInt, (cp * 7) % 480)
@@ -52,7 +57,12 @@ object Media {
   private def asMediaRaw(docs: DataFrame, mime: String)
                         (implicit spark: SparkSession): Dataset[MediaRaw] = {
     import spark.implicits._
-    docs.select(col("doc_id").as("media_id"), col("text").cast("binary").as("bytes"),
+    // null text maps to an EMPTY payload at the source, in one place: a
+    // 100 TB feed from external writers carries nullable text, and a null
+    // byte array would NPE inside every processor on the executor. The
+    // oracle twins coalesce identically (empty-payload metadata, not NULL).
+    docs.select(col("doc_id").as("media_id"),
+      coalesce(col("text"), lit("")).cast("binary").as("bytes"),
       lit(mime).as("mime")).as[MediaRaw]
   }
 
@@ -73,10 +83,18 @@ object Media {
     */
   def frameSample(raw: MediaRaw, frameSize: Int, stride: Int): MediaFrameStats = {
     require(frameSize >= 1 && stride >= 1, s"frameSize/stride must be >= 1, got $frameSize/$stride")
-    val frames = raw.bytes.grouped(frameSize).toArray
-    val sampled = frames.indices.collect { case i if i % stride == 0 => frames(i) }
-    MediaFrameStats(raw.media_id, frames.length.toLong, sampled.length.toLong,
-      sampled.map(_.length.toLong).sum)
+    // every output is arithmetic on the payload LENGTH — computing them
+    // without materializing per-frame byte arrays keeps per-row memory
+    // O(1) (the previous grouped(..).toArray copied the payload twice).
+    // Every frame is frameSize bytes except a short last frame; it is
+    // sampled iff its index is a stride multiple.
+    val len = raw.bytes.length.toLong
+    val nFrames = (len + frameSize - 1) / frameSize
+    val nSampled = if (nFrames == 0) 0L else (nFrames + stride - 1) / stride
+    val shortLast = nFrames > 0 && (nFrames - 1) % stride == 0
+    val lastDeficit = if (shortLast) nFrames * frameSize - len else 0L
+    MediaFrameStats(raw.media_id, nFrames, nSampled,
+      nSampled * frameSize - lastDeficit)
   }
 
   /** STUB feature extractor: a fake fixed-dim embedding from the payload
@@ -84,8 +102,17 @@ object Media {
   case class MediaFeature(media_id: Long, feat_dim: Int, feat_sum: Long)
 
   def featureExtract(raw: MediaRaw, dim: Int): MediaFeature = {
-    // code-point semantics (see MediaMeta.first_cp): stable for multi-byte text
-    val s = new String(raw.bytes, "UTF-8")
+    // fail fast at entry like the sibling stubs — a bad dim would
+    // otherwise throw per-row inside the executor with no parameter context
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    // code-point semantics (see MediaMeta.first_cp): stable for multi-byte
+    // text. Only the first `dim` code points are needed; 4*dim+4 bytes
+    // guarantee at least dim complete code points (or payload end), so the
+    // decode is bounded instead of O(payload). feat_dim reports the
+    // CONFIGURED width (the stub contract) even when the payload is
+    // shorter — the fake embedding is zero-padded, not truncated.
+    val n = math.min(raw.bytes.length, 4 * dim + 4)
+    val s = new String(raw.bytes, 0, n, "UTF-8")
     val head = s.codePoints().limit(dim).toArray
     MediaFeature(raw.media_id, dim, head.map(_.toLong).sum)
   }
@@ -95,6 +122,11 @@ object Media {
     * (rational scale via cross-multiplication, floor division) so the plan
     * is bit-reproducible by any engine — a real resampler would consume
     * these dims; the byte estimate assumes 3 bytes/pixel.
+    *
+    * A source so narrow that the scaled dimension floors to 0 yields a
+    * 0-width (or 0-height) plan with out_bytes = 0 — consumers treat such
+    * plans as degenerate-skip rows, the same contract as the w/h <= 0
+    * case.
     */
   case class MediaResized(media_id: Long, src_width: Int, src_height: Int,
                           dst_width: Int, dst_height: Int, out_bytes: Long)

@@ -54,6 +54,35 @@ class ConfigSpec extends SparkSpec {
     assert(cats(20L) == "elder")
   }
 
+  test("a null-text message folds as an empty slot, not silently dropped") {
+    // array_join drops null elements; the view must coalesce first so
+    // positions keep aligning with message count (ColumnView.foldConcat's
+    // documented invariant)
+    val rows = Seq(
+      (1L, 10L, "rqa_s01", ts(6), Some("a")),
+      (2L, 10L, "rqa_s01", ts(7), Option.empty[String]),
+      (3L, 10L, "rqa_s01", ts(8), Some("b"))
+    ).toDF("event_id", "user_id", "event_type", "ts", "text")
+    val out = ConfiguredPipeline.run(rows, cfg, "user_id", col("event_type"),
+      col("ts"), col("event_id"), col("text"), col("text").cast("int"), noTest)
+    assert(out.collect().head.getString(1) == "a;;b")
+  }
+
+  test("a typo'd ageAnalysisDataset fails fast with the offending name") {
+    val bad = cfg.copy(datasets = cfg.datasets.map {
+      case d if d.codingConfigs.nonEmpty =>
+        d.copy(codingConfigs = Seq(CodingConfig("age_category",
+          Some(AgeCategoryConfig("age_rawx", // typo
+            Seq((0, 17, "child"), (18, 64, "adult"), (65, 120, "elder")))))))
+      case d => d
+    })
+    val e = intercept[IllegalArgumentException] {
+      ConfiguredPipeline.run(msgs, bad, "user_id", col("event_type"),
+        col("ts"), col("event_id"), col("text"), col("text").cast("int"), noTest)
+    }
+    assert(e.getMessage.contains("age_rawx"), e.getMessage)
+  }
+
   test("a dataset group with no rows for a user folds to empty, not null") {
     val solo = Seq((9L, 30L, "demog_age", ts(6), "12"))
       .toDF("event_id", "user_id", "event_type", "ts", "text")

@@ -117,6 +117,46 @@ class EngagementPipelineSpec extends SparkSpec {
     assert(est == exact)
   }
 
+  test("the project window is inclusive on both ends (reference: on-or-before)") {
+    // a row timestamped exactly at the project end must survive stage 1 —
+    // the stand-alone Filters.timeRange and the config layer are inclusive,
+    // and the composed flow must agree with them (and the reference)
+    val boundary = Seq((7L, 50L, "rqa_s01",
+      Timestamp.valueOf("2024-01-21 00:00:00"), "code=10"))
+      .toDF("event_id", "user_id", "event_type", "ts", "props")
+    val out = EngagementPipeline.messagesExport(
+      boundary, "user_id", col("event_type"), col("ts"),
+      "2024-01-01 00:00:00", "2024-01-21 00:00:00",
+      testDeny, withdrawn, c => c.cast("int") >= 50, "ws_", kCol,
+      col("event_id"), col("props"), "TRUE_MISSING")
+    assert(out.count() == 1, "boundary-timestamp row must be kept (inclusive end)")
+  }
+
+  test("rqaDatasets exempts demographic datasets from the project window") {
+    // a demographic row collected after the window must survive when the
+    // window is scoped to the RQA datasets (traced_data_filters.py:14
+    // applies the range only to RESEARCH_QUESTION_ANSWER datasets)
+    val rows = Seq(
+      (1L, 10L, "rqa_s01", ts(9), "code=10"),   // rqa, in window: keeps
+      (2L, 10L, "rqa_s01", ts(25), "code=10"),  // rqa, late: dropped
+      (3L, 10L, "demog_age", ts(25), "code=10") // demographic, late: keeps
+    ).toDF("event_id", "user_id", "event_type", "ts", "props")
+    val out = EngagementPipeline.messagesExport(
+      rows, "user_id", col("event_type"), col("ts"),
+      "2024-01-01 00:00:00", "2024-01-21 00:00:00",
+      testDeny, withdrawn, c => c.cast("int") >= 50, "ws_", kCol,
+      col("event_id"), col("props"), "TRUE_MISSING",
+      rqaDatasets = Some(Seq("rqa_s01")))
+    assert(out.select("message_id").as[Long].collect().toSet == Set(1L, 3L))
+    // without the scoping, the window applies to everything (gate behavior)
+    val all = EngagementPipeline.messagesExport(
+      rows, "user_id", col("event_type"), col("ts"),
+      "2024-01-01 00:00:00", "2024-01-21 00:00:00",
+      testDeny, withdrawn, c => c.cast("int") >= 50, "ws_", kCol,
+      col("event_id"), col("props"), "TRUE_MISSING")
+    assert(all.select("message_id").as[Long].collect().toSet == Set(1L))
+  }
+
   test("the composed plan scans the fact table once per branch with broadcast deny-lists") {
     val plan = runFunnel().queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))

@@ -295,6 +295,40 @@ class TextDedupSpec extends SparkSpec {
     assert(a.forall(r => r.getLong(1) > 0))
   }
 
+  test("null-text documents decode as empty payloads instead of killing the job") {
+    import spark.implicits._
+    val docs = Seq((1L, Some("hello")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val meta = graft.multimodal.Media.decodeDocuments(spark, docs)
+      .orderBy("media_id").collect()
+    assert(meta(1).getLong(1) == 0L && meta(1).getInt(2) == 0) // empty payload metadata
+    assert(meta(0).getLong(1) == 5L)
+    // the other three processors survive the same row
+    assert(graft.multimodal.Media.frameStatsDocuments(spark, docs, 32, 3).count() == 2)
+    assert(graft.multimodal.Media.featuresDocuments(spark, docs, 8).count() == 2)
+    assert(graft.multimodal.Media.resizeDocuments(spark, docs, 64, 64).count() == 2)
+  }
+
+  test("arithmetic frame stats equal the materialized chunking on edge shapes") {
+    import graft.multimodal.Media
+    def ref(len: Int, frameSize: Int, stride: Int): (Long, Long, Long) = {
+      val frames = Array.fill(len)(1.toByte).grouped(frameSize).toArray
+      val sampled = frames.indices.collect { case i if i % stride == 0 => frames(i) }
+      (frames.length.toLong, sampled.length.toLong, sampled.map(_.length.toLong).sum)
+    }
+    for {
+      len <- Seq(0, 1, 31, 32, 33, 63, 64, 65, 96, 97, 100, 320)
+      frameSize <- Seq(1, 3, 32)
+      stride <- Seq(1, 2, 3, 7)
+    } {
+      val got = Media.frameSample(
+        Media.MediaRaw(1L, Array.fill(len)(1.toByte), "video/fake"), frameSize, stride)
+      val want = ref(len, frameSize, stride)
+      assert((got.n_frames_total, got.n_frames_sampled, got.sampled_bytes) == want,
+        s"len=$len frameSize=$frameSize stride=$stride")
+    }
+  }
+
   test("resize plan preserves aspect ratio and survives zero source dims") {
     import graft.multimodal.Media
     def plan(bytes: Array[Byte]) = Media.resizePlan(Media.MediaRaw(1L, bytes, "image/fake"), 64, 64)
