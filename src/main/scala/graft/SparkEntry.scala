@@ -349,6 +349,25 @@ object SparkEntry {
         .select(col("event_type"),
           r6(element_at(col("__q"), 1)).as("p50"),
           r6(element_at(col("__q"), 2)).as("p90"))),
+    "value_quantiles_sketch" -> ((s, dir) =>
+      // bounded-state twin of value_quantiles for groups too large to
+      // sort: a streaming-histogram summary (capacity centroids per
+      // partial buffer) makes reduce state capacity-bound instead of
+      // group-size-bound. capacity 1024 >> the distinct token-count
+      // values here, so the sketch is in its exact deterministic regime
+      // and the oracle is the plain nearest-rank quantile (integer
+      // per-mille rank arithmetic on both sides); the approximation
+      // regime is bounded in QuantileSketchSpec
+      table(s, dir, "documents")
+        .select(col("source"), size(split(col("text"), " ")).cast("double").as("__v"))
+        .groupBy(col("source"))
+        .agg(graft.functions.QuantileSketchAgg.quantiles(
+          col("__v"), 1024, Seq(250, 500, 750, 950)).as("__q"))
+        .select(col("source"),
+          element_at(col("__q"), 1).as("p25"),
+          element_at(col("__q"), 2).as("p50"),
+          element_at(col("__q"), 3).as("p75"),
+          element_at(col("__q"), 4).as("p95"))),
     "normalize_scheme_versions" -> ((s, dir) => {
       // duplicate code schemes carry a numeric suffix; normalize to the base
       // scheme id, then keep the latest label per (participant, base scheme)
@@ -1724,6 +1743,25 @@ asofOracle,
       """SELECT event_type, floor((quantile_cont(value, 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS p50,
         |  floor((quantile_cont(value, 0.9)) * 1000000.0 + 0.5) / 1000000.0 AS p90
         |FROM events GROUP BY event_type""".stripMargin,
+    "value_quantiles_sketch" ->
+      // the sketch runs in its exact regime at test scale (capacity >>
+      // distinct token counts), so the nearest-rank (lower) quantile with
+      // the IDENTICAL integer rank formula — max(1, (q‰*n+999) div 1000)
+      // — reproduces it; no IEEE 0.95*n knife edges on either side
+      """WITH t AS (
+        |  SELECT source, CAST(len(string_split(text, ' ')) AS DOUBLE) AS v
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (
+        |  SELECT source, v,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY v) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM t)
+        |SELECT source,
+        |  MAX(CASE WHEN rn = GREATEST(1, (250 * n + 999) // 1000) THEN v END) AS p25,
+        |  MAX(CASE WHEN rn = GREATEST(1, (500 * n + 999) // 1000) THEN v END) AS p50,
+        |  MAX(CASE WHEN rn = GREATEST(1, (750 * n + 999) // 1000) THEN v END) AS p75,
+        |  MAX(CASE WHEN rn = GREATEST(1, (950 * n + 999) // 1000) THEN v END) AS p95
+        |FROM r GROUP BY source""".stripMargin,
     "normalize_scheme_versions" ->
       """SELECT base_scheme, COUNT(*) AS n_latest,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum

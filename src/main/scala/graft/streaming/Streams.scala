@@ -62,6 +62,27 @@ object Streams {
       .select(col("win_start"), (col("__pos") + 1).cast("int").as("rank"),
         col("__e.value").as("value"), col("__e.cnt").as("cnt"))
 
+  /** Streaming distribution monitoring: per tumbling window, quantiles of
+    * a numeric column from the bounded-state streaming-histogram sketch —
+    * the always-on twin of the batch `value_quantiles_sketch` row (latency
+    * / message-length / quality-score percentiles over an ingest feed).
+    * Per-window state is capacity centroids regardless of how many rows
+    * or distinct values the window sees; the watermark bounds how many
+    * windows are live. The sketch buffer round-trips the state store
+    * between micro-batches exactly like the heavy-hitters twin.
+    */
+  def quantilesStream(rows: DataFrame, value: Column, tsCol: String,
+                      windowLen: String = "1 hour", watermark: String = "2 hours",
+                      capacity: Int = 1024,
+                      qsPerMille: Seq[Int] = Seq(500, 950)): DataFrame =
+    rows.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(graft.functions.QuantileSketchAgg.quantiles(value, capacity, qsPerMille).as("__q"))
+      .select(col("window.start").as("win_start"), posexplode(col("__q")).as(Seq("__pos", "q_value")))
+      .select(col("win_start"),
+        element_at(typedLit(qsPerMille.map(_ / 1000.0)), col("__pos") + 1).as("q"),
+        col("q_value"))
+
   /** Streaming ingest dedup: the streaming twin of snapshot dedup — drop
     * repeated keys, with the watermark bounding how long a key is
     * remembered (the reference dedups on origin_id at ingest;
