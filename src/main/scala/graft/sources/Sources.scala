@@ -297,6 +297,71 @@ object Sources {
       .sortWithinPartitions(rangeCol)
       .write.mode("overwrite").parquet(path)
 
+  /** Interleave the low `bits` bits of two bucket ids into a Morton
+    * (Z-order) value: bit i of `bx` lands at position 2i, bit i of `by`
+    * at 2i+1, so nearby (bx, by) cells get nearby z-values and a
+    * contiguous z-range covers a compact 2-D block. Pure bit arithmetic
+    * (the classic spread-shift sequence), fully codegen'd.
+    */
+  def mortonInterleave(bx: Column, by: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 16, s"interleave supports 1..16 bits, got $bits")
+    def spread(c: Column): Column = {
+      // spread a 16-bit value so its bits occupy the even positions
+      val m = c.cast("long").bitwiseAND(lit((1L << bits) - 1L))
+      val s8 = m.bitwiseOR(shiftleft(m, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val s4 = s8.bitwiseOR(shiftleft(s8, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val s2 = s4.bitwiseOR(shiftleft(s4, 2)).bitwiseAND(lit(0x33333333L))
+      s2.bitwiseOR(shiftleft(s2, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    spread(bx).bitwiseOR(shiftleft(spread(by), 1))
+  }
+
+  /** Linear [lo, hi] -> [0, 2^bits) bucket id for z-ordering. Degenerate
+    * ranges (hi <= lo) and NULLs bucket to 0 — layout code must place
+    * every row somewhere, never crash the write. Rank-based bucketing
+    * (percentile boundaries) is the skew-robust upgrade; linear keeps the
+    * bucket a pure row-local expression.
+    */
+  def linearBucket(c: Column, lo: Column, hi: Column, bits: Int = 16): Column = {
+    val n = (1L << bits) - 1L
+    val scaled = floor((c.cast("double") - lo) / (hi - lo) * n)
+    coalesce(
+      when(hi > lo, least(greatest(scaled, lit(0L)), lit(n))).otherwise(lit(0L)),
+      lit(0L)).cast("long")
+  }
+
+  /** Z-order-clustered layout over TWO columns: rows are range-partitioned
+    * and sorted by the Morton interleave of the columns' bucket ids, so
+    * each output file covers a compact rectangle in (xCol, yCol) space and
+    * its parquet min/max stats are tight on BOTH columns — a scan bounded
+    * in either (or both) dimensions prunes to the few intersecting files.
+    * `writeRangeLayout` serves one-dimension slices; this is the layout
+    * investment when two predicates share the table (time x key, geo x
+    * time), the same trade Delta's OPTIMIZE ZORDER makes. Cost: one tiny
+    * min/max aggregation (driver-held bounds baked into the plan) + one
+    * range shuffle with local sorts — never a global sort.
+    */
+  def writeZOrderLayout(df: DataFrame, path: String, xCol: String, yCol: String,
+                        numFiles: Int, bits: Int = 16): Unit = {
+    graft.util.TempCols.assertFree(df, "__z")
+    val b = df.agg(
+      min(col(xCol).cast("double")), max(col(xCol).cast("double")),
+      min(col(yCol).cast("double")), max(col(yCol).cast("double"))).head
+    // an empty frame has no bounds; write the empty layout as-is
+    if (b.isNullAt(0) || b.isNullAt(2)) {
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
+    val z = mortonInterleave(
+      linearBucket(col(xCol), lit(b.getDouble(0)), lit(b.getDouble(1)), bits),
+      linearBucket(col(yCol), lit(b.getDouble(2)), lit(b.getDouble(3)), bits), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)

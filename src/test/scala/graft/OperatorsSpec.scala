@@ -60,12 +60,15 @@ class OperatorsSpec extends SparkSpec {
     val df = Seq(
       ("u1", base, 1L), ("u1", base + 60L * 1000000, 2L),            // same session
       ("u1", base + 4000L * 1000000, 3L),                            // gap > 1800s -> new
-      ("u2", base, 4L)
+      ("u2", base, 4L),
+      // gap of EXACTLY 1800s continues the session (split is strictly >)
+      ("u3", base, 5L), ("u3", base + 1800L * 1000000, 6L),
+      ("u3", base + 3601L * 1000000, 8L)                             // 1801s gap -> new
     ).map { case (u, t, id) => (u, new java.sql.Timestamp(t / 1000), id) }
       .toDF("user", "ts", "id")
     val got = Sessionize.sessionCounts(df, "user", col("ts"), col("id"), 1800L)
       .select("user", "n_sessions").as[(String, Long)].collect().toMap
-    assert(got == Map("u1" -> 2L, "u2" -> 1L))
+    assert(got == Map("u1" -> 2L, "u2" -> 1L, "u3" -> 2L))
   }
 
   test("RangeJoin.pointInInterval matches the naive inequality join, closed-open") {
