@@ -109,6 +109,40 @@ object Engagement {
       .withColumn("n_distinct_est", hll_sketch_estimate(col("sketch")))
       .drop("sketch")
 
+  /** Persisted theta sketches per slice — like `distinctSketches` (HLL)
+    * but supporting SET OPERATIONS on the persisted bytes: intersection
+    * and difference, which HLL structurally cannot provide. This is the
+    * artifact behind overlap/retention/churn dashboards that never rescan
+    * the corpus (see `overlapMatrix`). Exact below `nominalEntries`
+    * distinct keys per slice; ~1/sqrt(nominalEntries) relative error
+    * beyond.
+    */
+  def thetaSketches(df: DataFrame, slice: Seq[Column], key: Column,
+                    nominalEntries: Int = 4096): DataFrame =
+    df.groupBy(slice: _*)
+      .agg(graft.functions.ThetaSketchAgg.thetaSketch(key, nominalEntries).as("sketch"))
+
+  /** Pairwise audience-overlap matrix from PERSISTED theta sketches: for
+    * every slice pair (a < b), the distinct-key estimates |A|, |B|,
+    * |A∩B|, |A\B| and the Jaccard overlap — all computed from sketch
+    * bytes, no rescan. The self-join is slice-cardinality (dashboard
+    * dimensions), never data-sized; sketches ride the rows.
+    */
+  def overlapMatrix(sketches: DataFrame, sliceCol: String): DataFrame = {
+    import graft.functions.ThetaSketchAgg._
+    val a = sketches.select(col(sliceCol).as("slice_a"), col("sketch").as("__sa"))
+    val b = sketches.select(col(sliceCol).as("slice_b"), col("sketch").as("__sb"))
+    a.join(b, col("slice_a") < col("slice_b"))
+      .select(col("slice_a"), col("slice_b"),
+        thetaEstimate(col("__sa")).as("n_a"),
+        thetaEstimate(col("__sb")).as("n_b"),
+        thetaIntersect(col("__sa"), col("__sb")).as("n_both"),
+        thetaDifference(col("__sa"), col("__sb")).as("n_only_a"))
+      .withColumn("jaccard",
+        when(col("n_a") + col("n_b") - col("n_both") > 0,
+          r6(col("n_both") / (col("n_a") + col("n_b") - col("n_both")))))
+  }
+
   /** Approximate per-group quantiles — the ungated 100 TB variant of
     * value_quantiles: exact `percentile` materializes every group's values
     * at the merger, while percentile_approx keeps a bounded KLL-style

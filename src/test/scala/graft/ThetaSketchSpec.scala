@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Engagement
+import graft.functions.ThetaSketchAgg._
+
+/** Pins the theta-sketch family: exact-regime equality with true distinct
+  * counts and true set operations (partitioning-independent), parquet
+  * round-trip + union rollup without rescan, and bounded error in the
+  * estimation regime — including the intersection HLL cannot provide.
+  */
+class ThetaSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact regime: estimates equal true distinct counts under any partitioning") {
+    val rows = (1 to 5000).map(i => (s"d${i % 3}", (i % (400 + i % 3)).toLong))
+    for (parts <- Seq(1, 13)) {
+      val df = rows.toDF("dataset", "user").repartition(parts)
+      val got = Engagement.thetaSketches(df, Seq(col("dataset")), col("user"))
+        .select(col("dataset"), thetaEstimate(col("sketch")).as("est"))
+        .as[(String, Double)].collect().toMap
+      val want = rows.groupBy(_._1).map { case (d, rs) => d -> rs.map(_._2).distinct.size.toDouble }
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
+  test("overlap matrix matches exact intersections, differences and jaccard") {
+    // d0: users 0..599; d1: 300..899; d2: 600..1199 — known overlaps
+    val rows = Seq(("d0", 0, 600), ("d1", 300, 900), ("d2", 600, 1200))
+      .flatMap { case (d, lo, hi) => (lo until hi).map(u => (d, u.toLong)) }
+    val sk = Engagement.thetaSketches(rows.toDF("dataset", "user").repartition(7),
+      Seq(col("dataset")), col("user"))
+    val got = Engagement.overlapMatrix(sk, "dataset")
+      .orderBy("slice_a", "slice_b")
+      .select("slice_a", "slice_b", "n_a", "n_b", "n_both", "n_only_a", "jaccard")
+      .as[(String, String, Double, Double, Double, Double, Double)].collect().toSeq
+    val r6 = (x: Double) => math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got == Seq(
+      ("d0", "d1", 600.0, 600.0, 300.0, 300.0, r6(300.0 / 900.0)),
+      ("d0", "d2", 600.0, 600.0, 0.0, 600.0, 0.0),
+      ("d1", "d2", 600.0, 600.0, 300.0, 300.0, r6(300.0 / 900.0))))
+  }
+
+  test("persisted sketches roll up by union without rescan and match direct sketches") {
+    val rows = (1 to 4000).map(i => (s"d${i % 2}", s"w${i % 5}", (i % 700).toLong))
+    val df = rows.toDF("dataset", "week", "user").repartition(9)
+    val dir = Files.createTempDirectory("graft_theta").toString
+    // persist per-(dataset, week) sketches; roll up to dataset from BYTES
+    Engagement.thetaSketches(df, Seq(col("dataset"), col("week")), col("user"))
+      .write.mode("overwrite").parquet(dir)
+    val rolled = spark.read.parquet(dir)
+      .groupBy(col("dataset"))
+      .agg(thetaUnion(col("sketch")).as("sketch"))
+      .select(col("dataset"), thetaEstimate(col("sketch")).as("est"))
+      .as[(String, Double)].collect().toMap
+    val want = rows.groupBy(_._1).map { case (d, rs) => d -> rs.map(_._3).distinct.size.toDouble }
+    assert(rolled == want)
+  }
+
+  test("estimation regime: single-sketch and intersection error stay bounded") {
+    val n = 200000
+    // two overlapping key ranges: A = [0, n), B = [n/2, 3n/2)
+    val a = spark.range(n).select(lit("a").as("s"), col("id").as("user"))
+    val b = spark.range(n / 2, n / 2 + n).select(lit("b").as("s"), col("id").as("user"))
+    val sk = Engagement.thetaSketches(a.union(b).repartition(16), Seq(col("s")), col("user"))
+    val m = Engagement.overlapMatrix(sk, "s").head
+    val (nA, nB, nBoth) = (m.getDouble(2), m.getDouble(3), m.getDouble(4))
+    // rse ~ 1/sqrt(4096) = 1.6% per sketch; allow 5% single, 10% compound
+    assert(math.abs(nA - n) / n < 0.05, s"nA=$nA")
+    assert(math.abs(nB - n) / n < 0.05, s"nB=$nB")
+    assert(math.abs(nBoth - n / 2.0) / (n / 2.0) < 0.10, s"nBoth=$nBoth")
+  }
+}
