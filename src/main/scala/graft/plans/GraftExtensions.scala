@@ -150,5 +150,67 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => DotProduct(a, b)
         case other => bad("dot_product(a, b)", other)
       }))
+    // sketch aggregates: the analyzer wraps a returned AggregateFunction in
+    // its AggregateExpression, so SQL GROUP BY gets the same bounded-state
+    // surface as the Column API
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo("graft.functions.HeavyHittersMG", "heavy_hitters"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, Literal(cap: Int, _), Literal(k: Int, _)) if cap >= 1 && k >= 1 && k <= cap =>
+          graft.functions.HeavyHittersMG(v, cap, k)
+        case other => bad("heavy_hitters(value, capacity >= 1, 1 <= k <= capacity)", other)
+      }))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("quantile_sketch"),
+      new ExpressionInfo("graft.functions.QuantileSketchBHT", "quantile_sketch"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, Literal(cap: Int, _), qs @ _*)
+            if cap >= 2 && qs.nonEmpty &&
+              qs.forall { case Literal(q: Int, _) => q >= 0 && q <= 1000; case _ => false } =>
+          graft.functions.QuantileSketchBHT(v, cap,
+            qs.map { case Literal(q: Int, _) => q })
+        case other =>
+          bad("quantile_sketch(value, capacity >= 2, q_permille...in [0,1000])", other)
+      }))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("theta_sketch"),
+      new ExpressionInfo("graft.functions.ThetaSketchBuild", "theta_sketch"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v) => graft.functions.ThetaSketchBuild(v, 4096)
+        case Seq(v, Literal(n: Int, _)) if n >= 16 && (n & (n - 1)) == 0 =>
+          graft.functions.ThetaSketchBuild(v, n)
+        case other => bad("theta_sketch(value[, nominalEntries power-of-2 >= 16])", other)
+      }))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("theta_union"),
+      new ExpressionInfo("graft.functions.ThetaSketchUnionAgg", "theta_union"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => graft.functions.ThetaSketchUnionAgg(s, 4096)
+        case Seq(s, Literal(n: Int, _)) if n >= 16 && (n & (n - 1)) == 0 =>
+          graft.functions.ThetaSketchUnionAgg(s, n)
+        case other => bad("theta_union(sketch[, nominalEntries power-of-2 >= 16])", other)
+      }))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("theta_estimate"),
+      new ExpressionInfo("graft.functions.ThetaEstimate", "theta_estimate"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => graft.functions.ThetaEstimate(s)
+        case other => bad("theta_estimate(sketch)", other)
+      }))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("theta_intersect"),
+      new ExpressionInfo("graft.functions.ThetaIntersectEstimate", "theta_intersect"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => graft.functions.ThetaIntersectEstimate(a, b)
+        case other => bad("theta_intersect(sketch_a, sketch_b)", other)
+      }))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("theta_difference"),
+      new ExpressionInfo("graft.functions.ThetaDifferenceEstimate", "theta_difference"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => graft.functions.ThetaDifferenceEstimate(a, b)
+        case other => bad("theta_difference(sketch_a, sketch_b)", other)
+      }))
   }
 }

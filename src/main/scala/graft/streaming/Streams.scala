@@ -83,6 +83,22 @@ object Streams {
         element_at(typedLit(qsPerMille.map(_ / 1000.0)), col("__pos") + 1).as("q"),
         col("q_value"))
 
+  /** Streaming audience sketches: per tumbling window, the theta sketch of
+    * a key column — the always-on producer for the overlap/retention/churn
+    * dashboards (`Engagement.overlapMatrix` reads the persisted bytes; a
+    * foreachBatch sink appends each window's sketch row). Per-window state
+    * is <= ~8·nominalEntries bytes regardless of key cardinality; in the
+    * exact regime the emitted bytes are identical to the batch sketch of
+    * the same rows.
+    */
+  def thetaSketchStream(rows: DataFrame, key: Column, tsCol: String,
+                        windowLen: String = "1 hour", watermark: String = "2 hours",
+                        nominalEntries: Int = 4096): DataFrame =
+    rows.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(graft.functions.ThetaSketchAgg.thetaSketch(key, nominalEntries).as("sketch"))
+      .select(col("window.start").as("win_start"), col("sketch"))
+
   /** Streaming ingest dedup: the streaming twin of snapshot dedup — drop
     * repeated keys, with the watermark bounding how long a key is
     * remembered (the reference dedups on origin_id at ingest;
