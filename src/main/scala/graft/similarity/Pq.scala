@@ -1,0 +1,169 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions
+
+/** Product quantization (PQ) — the canonical billion-vector ANN compression
+  * (Jegou et al., "Product Quantization for Nearest Neighbor Search",
+  * TPAMI 2011; the IVF-PQ pairing is what FAISS ships at scale).
+  *
+  * The d-dimensional space is split into `m` subspaces of d/m dimensions;
+  * each subspace gets its own ksub-centroid codebook, and a vector is
+  * stored as m small centroid ids — at ksub <= 256 that is m BYTES per
+  * vector instead of 8d (a 64-dim double embedding compresses 64x at m=8).
+  * Search uses asymmetric distance computation (ADC): per query, ONE
+  * m x ksub table of query-subvector-to-centroid distances is precomputed,
+  * and every candidate costs m table lookups + adds instead of a
+  * d-dimensional arithmetic pass.
+  *
+  * Why this matters at 100 TB: int8 quantization (Knn.quantizeInt8) buys
+  * 4x; PQ buys 32-64x, which is the difference between an index that fits
+  * in cluster memory and one that doesn't. The scan stays embarrassingly
+  * parallel — codes are a plain column, the query tables broadcast, and
+  * the ADC kernel is a codegen'd expression (AdcLookupSum) — so the plan
+  * shape is identical to the brute-force scan, just over m bytes/row.
+  *
+  * Determinism contract (same discipline as Knn): seeded by lowest-id
+  * vectors, per-step means and distances rounded via Portable.round6,
+  * ties broken on centroid id — training, encoding, and search are
+  * bit-reproducible across runs and partitionings.
+  */
+object Pq {
+
+  private val r6 = graft.util.Portable.round6 _
+  private def dot(a: Column, b: Column): Column = VectorExpressions.dot(a, b)
+
+  /** Explode (id, vec) rows into (id, sub, svec) subvector rows.
+    * `dim` must be divisible by `m`; subspace s covers components
+    * [s*d/m, (s+1)*d/m). */
+  private def subvectors(df: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    val dsub = dim / m
+    val subs = (0 until m).map { s =>
+      struct(lit(s).as("sub"), slice(col("vec"), s * dsub + 1, dsub).as("svec"))
+    }
+    df.select(col("id"), explode(array(subs: _*)).as("e"))
+      .select(col("id"), col("e.sub").as("sub"), col("e.svec").as("svec"))
+  }
+
+  /** Nearest-codebook-centroid assignment per (vector, subspace): the PQ
+    * sibling of Knn's coarse assignNearest — same squared-L2 expansion with
+    * precomputed self-dots, same r6 + centroid-id tie-break, but keyed on
+    * the subspace so all m codebooks assign in ONE broadcast join. */
+  private def assignSub(subvecs: DataFrame, codebook: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("id"), col("sub"))
+      .orderBy(col("__dist").asc, col("cid").asc)
+    subvecs.withColumn("__s2", dot(col("svec"), col("svec")))
+      .join(broadcast(codebook.withColumn("__c2", dot(col("cvec"), col("cvec")))), Seq("sub"))
+      .withColumn("__dist", r6(
+        col("__s2") - lit(2.0) * dot(col("svec"), col("cvec")) + col("__c2")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("sub"), col("cid"), col("svec"), col("__dist"))
+  }
+
+  /** Train the m per-subspace codebooks with Lloyd steps run JOINTLY across
+    * all subspaces (one corpus pass per iteration, keyed on (sub, cid) —
+    * never m separate jobs). Seeds are the ksub lowest-id vectors'
+    * subvectors, mirroring Knn.kmeansCentroids.
+    *
+    * Returns (sub, cid, cvec) with cids re-numbered DENSE per subspace
+    * (0..count-1): Lloyd can drop a centroid that captures zero vectors,
+    * and the ADC table is positional — a hole in the id space would
+    * silently misalign every lookup after it (pinned in PqSpec).
+    */
+  def train(corpus: DataFrame, m: Int, dim: Int, ksub: Int, iters: Int): DataFrame = {
+    require(ksub >= 1 && iters >= 0, s"need ksub >= 1, iters >= 0")
+    var cb = subvectors(corpus.orderBy(col("id").asc).limit(ksub), m, dim)
+      .withColumn("cid", row_number().over(
+        Window.partitionBy(col("sub")).orderBy(col("id").asc)) - 1)
+      .select(col("sub"), col("cid"), col("svec").as("cvec"))
+    for (_ <- 0 until iters) {
+      val assigned = assignSub(subvectors(corpus, m, dim), cb)
+      cb = assigned
+        .select(col("sub"), col("cid"), posexplode(col("svec")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(r6(avg(col("x"))).as("mu"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("pm"))
+        .select(col("sub"), col("cid"), transform(col("pm"), p => p.getField("mu")).as("cvec"))
+        // truncate lineage: each Lloyd step otherwise embeds every prior one
+        .localCheckpoint(true)
+    }
+    // dense re-number per subspace so table index == cid everywhere
+    cb.withColumn("cid", row_number().over(
+        Window.partitionBy(col("sub")).orderBy(col("cid").asc)) - 1)
+      .select(col("sub"), col("cid"), col("cvec"))
+  }
+
+  /** Encode every corpus vector as its m nearest-centroid ids:
+    * (id, codes array<int> ordered by subspace). This is the stored index —
+    * m small ints per vector; the raw vectors are only needed again for
+    * exact re-ranking of a shortlist. */
+  def encode(corpus: DataFrame, codebook: DataFrame, m: Int, dim: Int): DataFrame =
+    assignSub(subvectors(corpus, m, dim), codebook)
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("cid")))).as("sc"))
+      .select(col("id"), transform(col("sc"), x => x.getField("cid").cast("int")).as("codes"))
+
+  /** Per-query ADC distance tables: (id, table array<array<double>>), where
+    * table[sub][cid] = squared-L2 from the query's subvector to that
+    * codebook centroid. queries x m x ksub rows while building — tiny for a
+    * broadcastable query set — collapsed to one row per query. */
+  private def queryTables(queries: DataFrame, codebook: DataFrame, m: Int, dim: Int): DataFrame =
+    subvectors(queries, m, dim)
+      .withColumn("__s2", dot(col("svec"), col("svec")))
+      .join(broadcast(codebook.withColumn("__c2", dot(col("cvec"), col("cvec")))), Seq("sub"))
+      .withColumn("d", r6(
+        col("__s2") - lit(2.0) * dot(col("svec"), col("cvec")) + col("__c2")))
+      .groupBy(col("id"), col("sub"))
+      // cids are dense per subspace (train() contract), so the cid-sorted
+      // list is positionally exact: element cid+1 belongs to centroid cid
+      .agg(array_sort(collect_list(struct(col("cid"), col("d")))).as("cd"))
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("sub"),
+        transform(col("cd"), x => x.getField("d")).as("dv")))).as("sd"))
+      .select(col("id"), transform(col("sd"), x => x.getField("dv")).as("table"))
+
+  /** PQ-approximate top-k by ADC: broadcast the per-query tables against
+    * the code column, rank ascending approximate distance (vec_id
+    * tie-break). Returns (query_id, vec_id, adc_dist, rank). Same
+    * shared-id-space contract as Knn (queries drawn from the corpus;
+    * self-matches excluded by id). */
+  def adcTopK(queries: DataFrame, codes: DataFrame, codebook: DataFrame,
+              k: Int, m: Int, dim: Int): DataFrame = {
+    val qt = queryTables(queries, codebook, m, dim)
+    val scored = codes.as("c")
+      .join(broadcast(qt.as("q")), col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("vec_id"),
+        r6(VectorExpressions.adcLookupSum(col("c.codes"), col("q.table"))).as("adc_dist"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc_dist").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Two-stage PQ search, the production shape: ADC shortlists `shortlist`
+    * candidates per query over the compressed codes, then ONLY those rows'
+    * raw vectors are fetched and exactly re-ranked by cosine under Knn's
+    * ranking contract (r6, desc, vec_id tie-break). Returns
+    * (query_id, vec_id, cos_sim, rank) — schema-compatible with
+    * Knn.bruteForceTopK, and provably identical to it when `shortlist`
+    * covers the corpus (pinned in PqSpec). */
+  def refinedTopK(queries: DataFrame, corpus: DataFrame, codes: DataFrame,
+                  codebook: DataFrame, k: Int, shortlist: Int, m: Int, dim: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val cand = adcTopK(queries, codes, codebook, shortlist, m, dim)
+      .select(col("query_id"), col("vec_id"))
+    val withVecs = cand
+      .join(corpus.select(col("id").as("vec_id"), col("vec").as("cvec")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("id").as("query_id"), col("vec").as("qvec"))),
+        Seq("query_id"))
+    val denom = sqrt(dot(col("qvec"), col("qvec"))) * sqrt(dot(col("cvec"), col("cvec")))
+    val scored = withVecs.select(col("query_id"), col("vec_id"),
+      r6(when(denom =!= 0.0, dot(col("qvec"), col("cvec")) / denom)).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions
+import graft.similarity.{Knn, Pq}
+
+/** Proves the product-quantization ANN path: the ADC kernel's lookup-sum
+  * and null semantics, dense codebook ids, m-byte code words, recall on
+  * clustered data, and the keystone invariant — two-stage refined search
+  * with a corpus-wide shortlist is EXACTLY brute force.
+  */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 16
+  private val m = 4
+  private val nClusters = 8
+  private val perCluster = 50
+
+  /** Deterministic clustered corpus: 8 well-separated centers in 16-d,
+    * 50 points each with moderate noise, L2-normalized. Ids are assigned
+    * ROUND-ROBIN across clusters (id = i*nClusters + c) so the lowest-id
+    * Lloyd seeds span every cluster instead of the first two. */
+  private lazy val corpus: DataFrame = {
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(nClusters, dim)(rnd.nextGaussian())
+    val rows = for {
+      c <- 0 until nClusters
+      i <- 0 until perCluster
+    } yield {
+      val v = centers(c).map(_ + 0.3 * rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong * nClusters + c, v.map(_ / n).toSeq)
+    }
+    rows.toDF("id", "vec").select(col("id"), Knn.toDoubleArray(col("vec")).as("vec"))
+  }
+
+  private lazy val queries: DataFrame = corpus.where(col("id") % 25 === 3)
+  private lazy val codebook: DataFrame = Pq.train(corpus, m, dim, ksub = 32, iters = 3)
+  private lazy val codes: DataFrame = Pq.encode(corpus, codebook, m, dim)
+
+  test("adcLookupSum sums the looked-up table entries; null on bad input") {
+    val df = Seq(
+      (Seq(0, 2, 1), Seq(Seq(1.0, 2.0, 3.0), Seq(10.0, 20.0, 30.0), Seq(0.5, 0.25, 0.125))),
+      (Seq(1, 1, 1), Seq(Seq(1.0, 2.0, 3.0), Seq(10.0, 20.0, 30.0), Seq(0.5, 0.25, 0.125)))
+    ).toDF("codes", "table")
+    val got = df.select(VectorExpressions.adcLookupSum(col("codes"), col("table"))).as[Double].collect()
+    assert(got.toSeq == Seq(1.0 + 30.0 + 0.25, 2.0 + 20.0 + 0.25))
+    // out-of-range code and subspace-count mismatch -> null, not a crash
+    val bad = Seq(
+      (Seq(5, 0), Seq(Seq(1.0), Seq(2.0))), // code 5 out of range
+      (Seq(0), Seq(Seq(1.0), Seq(2.0)))     // 1 code vs 2 subspaces
+    ).toDF("codes", "table")
+    val nulls = bad.select(VectorExpressions.adcLookupSum(col("codes"), col("table"))).collect()
+    assert(nulls.forall(_.isNullAt(0)))
+  }
+
+  test("codebook has dense per-subspace centroid ids and d/m-wide centroids") {
+    val bySubs = codebook.groupBy("sub")
+      .agg(count(lit(1)).as("n"), min("cid").as("lo"), max("cid").as("hi"),
+        min(size(col("cvec"))).as("w"), max(size(col("cvec"))).as("w2"))
+      .collect()
+    assert(bySubs.length == m)
+    bySubs.foreach { r =>
+      val (n, lo, hi) = (r.getLong(1), r.getInt(2), r.getInt(3))
+      assert(lo == 0 && hi == n - 1, s"cids not dense: $r") // table index == cid
+      assert(r.getInt(4) == dim / m && r.getInt(5) == dim / m)
+    }
+  }
+
+  test("codes are one small int per subspace — the 8d/m compression") {
+    val c = codes.select(size(col("codes")).as("w"),
+      array_min(col("codes")).as("lo"), array_max(col("codes")).as("hi")).collect()
+    assert(c.length == nClusters * perCluster)
+    assert(c.forall(r => r.getInt(0) == m))
+    assert(c.forall(r => r.getInt(1) >= 0 && r.getInt(2) < 32))
+    // m bytes/vector vs 8*dim raw: 32x at these shapes
+    assert(8 * dim / m == 32)
+  }
+
+  test("raw ADC top-k recall is useful (codes discriminate between AND within clusters)") {
+    val k = 10
+    val exact = Knn.bruteForceTopK(queries, corpus, k)
+    val approx = Pq.adcTopK(queries, codes, codebook, k, m, dim)
+    val rec = Knn.recallAtK(exact, approx)
+      .agg(avg(col("recall"))).head.getDouble(0)
+    // deterministic (seeded data, r6 everywhere): observed ~0.49 at
+    // m=4/ksub=32 — the textbook raw-ADC regime (quantization error is
+    // comparable to within-cluster neighbor gaps; that is WHY production
+    // PQ always pairs ADC with a refined shortlist, the next test). A
+    // recall collapse below this floor means the codes stopped carrying
+    // locality at all.
+    assert(rec >= 0.4, s"mean recall@$k = $rec")
+  }
+
+  test("refined search with a corpus-wide shortlist IS brute force") {
+    val k = 5
+    val n = corpus.count().toInt
+    val exact = Knn.bruteForceTopK(queries, corpus, k)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+    val refined = Pq.refinedTopK(queries, corpus, codes, codebook, k,
+      shortlist = n, m = m, dim = dim)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+    assert(refined.exceptAll(exact).isEmpty && exact.exceptAll(refined).isEmpty)
+  }
+
+  test("refined search beats raw ADC recall with a modest shortlist") {
+    val k = 10
+    val exact = Knn.bruteForceTopK(queries, corpus, k)
+    val adc = Pq.adcTopK(queries, codes, codebook, k, m, dim)
+    val refined = Pq.refinedTopK(queries, corpus, codes, codebook, k,
+      shortlist = 3 * k, m = m, dim = dim)
+    def rec(a: DataFrame): Double =
+      Knn.recallAtK(exact, a.select("query_id", "vec_id")).agg(avg(col("recall"))).head.getDouble(0)
+    val (ra, rr) = (rec(adc), rec(refined))
+    assert(rr >= ra, s"refined $rr < adc $ra")
+    assert(rr >= 0.85, s"refined recall@$k = $rr")
+  }
+}
