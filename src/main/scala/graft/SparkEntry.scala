@@ -752,6 +752,20 @@ object SparkEntry {
         .select(col("vec_id").as("id"), Knn.toDoubleArray(col("embedding")).as("vec"))
       Knn.bruteForceTopK(e.filter(col("id") < 8), e, 10)
     }),
+    "ann_pq_refined" -> ((s, dir) => {
+      // product-quantization two-stage search in its exact regime: the ADC
+      // shortlist covers the whole corpus, so the refined re-rank provably
+      // equals brute force (PqSpec pins the invariant; the approximate
+      // shortlist/IVF-PQ regimes are property-tested there). Exercises the
+      // full train -> encode -> ADC-table -> fused-kernel -> re-rank path
+      // against the same oracle as ann_topk.
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), Knn.toDoubleArray(col("embedding")).as("vec"))
+      val cb = graft.similarity.Pq.train(e, m = 8, dim = 64, ksub = 16, iters = 2)
+      val codes = graft.similarity.Pq.encode(e, cb, m = 8, dim = 64)
+      graft.similarity.Pq.refinedTopK(e.filter(col("id") < 8), e, codes, cb,
+        k = 10, shortlist = 499, m = 8, dim = 64)
+    }),
     "ann_lsh_multiprobe" -> ((s, dir) => {
       // own bucket + every one-bit flip probed: the recall fix for
       // sign-LSH's hard bucket boundaries
@@ -2336,6 +2350,20 @@ asofOracle,
          |  $sqlTokCount AS n_re
          |FROM documents""".stripMargin,
     "ann_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+        |SELECT query_id, vec_id, cos_sim, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    floor((list_dot_product(q.v, c.v)
+        |      / NULLIF(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)), 0)) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY floor((list_dot_product(q.v, c.v)
+        |        / NULLIF(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)), 0)) * 1000000.0 + 0.5) / 1000000.0 DESC,
+        |        c.vec_id ASC) AS rank
+        |  FROM e q JOIN e c ON q.vec_id < 8 AND q.vec_id <> c.vec_id)
+        |WHERE rank <= 10""".stripMargin,
+    // PQ refined search with a corpus-wide shortlist is exactly brute
+    // force (PqSpec invariant), so it shares ann_topk's oracle
+    "ann_pq_refined" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
         |SELECT query_id, vec_id, cos_sim, rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,

@@ -36,17 +36,18 @@ object Pq {
   private val r6 = graft.util.Portable.round6 _
   private def dot(a: Column, b: Column): Column = VectorExpressions.dot(a, b)
 
-  /** Explode (id, vec) rows into (id, sub, svec) subvector rows.
-    * `dim` must be divisible by `m`; subspace s covers components
-    * [s*d/m, (s+1)*d/m). */
+  /** Explode rows with a `vec` column into subvector rows: every other
+    * column rides along, `vec` is replaced by (sub, svec). `dim` must be
+    * divisible by `m`; subspace s covers components [s*d/m, (s+1)*d/m). */
   private def subvectors(df: DataFrame, m: Int, dim: Int): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must be divisible by m=$m")
     val dsub = dim / m
     val subs = (0 until m).map { s =>
       struct(lit(s).as("sub"), slice(col("vec"), s * dsub + 1, dsub).as("svec"))
     }
-    df.select(col("id"), explode(array(subs: _*)).as("e"))
-      .select(col("id"), col("e.sub").as("sub"), col("e.svec").as("svec"))
+    val keep = df.columns.filter(_ != "vec").map(col).toSeq
+    df.select(keep :+ explode(array(subs: _*)).as("e"): _*)
+      .select(keep ++ Seq(col("e.sub").as("sub"), col("e.svec").as("svec")): _*)
   }
 
   /** Nearest-codebook-centroid assignment per (vector, subspace): the PQ
@@ -109,24 +110,27 @@ object Pq {
       .agg(array_sort(collect_list(struct(col("sub"), col("cid")))).as("sc"))
       .select(col("id"), transform(col("sc"), x => x.getField("cid").cast("int")).as("codes"))
 
-  /** Per-query ADC distance tables: (id, table array<array<double>>), where
-    * table[sub][cid] = squared-L2 from the query's subvector to that
-    * codebook centroid. queries x m x ksub rows while building — tiny for a
-    * broadcastable query set — collapsed to one row per query. */
+  /** Per-(query, probe-bucket) ADC distance tables:
+    * (id, bucket, table array<array<double>>), where table[sub][cid] =
+    * squared-L2 from the query row's (residual) vector subspace to that
+    * codebook centroid. queries x probes x m x ksub rows while building —
+    * tiny for a broadcastable query set — collapsed to one row per
+    * (query, bucket). The plain-PQ path passes a single constant bucket. */
   private def queryTables(queries: DataFrame, codebook: DataFrame, m: Int, dim: Int): DataFrame =
-    subvectors(queries, m, dim)
+    subvectors(queries.select(col("id"), col("bucket"), col("vec")), m, dim)
       .withColumn("__s2", dot(col("svec"), col("svec")))
       .join(broadcast(codebook.withColumn("__c2", dot(col("cvec"), col("cvec")))), Seq("sub"))
       .withColumn("d", r6(
         col("__s2") - lit(2.0) * dot(col("svec"), col("cvec")) + col("__c2")))
-      .groupBy(col("id"), col("sub"))
+      .groupBy(col("id"), col("bucket"), col("sub"))
       // cids are dense per subspace (train() contract), so the cid-sorted
       // list is positionally exact: element cid+1 belongs to centroid cid
       .agg(array_sort(collect_list(struct(col("cid"), col("d")))).as("cd"))
-      .groupBy(col("id"))
+      .groupBy(col("id"), col("bucket"))
       .agg(array_sort(collect_list(struct(col("sub"),
         transform(col("cd"), x => x.getField("d")).as("dv")))).as("sd"))
-      .select(col("id"), transform(col("sd"), x => x.getField("dv")).as("table"))
+      .select(col("id"), col("bucket"),
+        transform(col("sd"), x => x.getField("dv")).as("table"))
 
   /** PQ-approximate top-k by ADC: broadcast the per-query tables against
     * the code column, rank ascending approximate distance (vec_id
@@ -135,7 +139,8 @@ object Pq {
     * self-matches excluded by id). */
   def adcTopK(queries: DataFrame, codes: DataFrame, codebook: DataFrame,
               k: Int, m: Int, dim: Int): DataFrame = {
-    val qt = queryTables(queries, codebook, m, dim)
+    val qt = queryTables(queries.select(col("id"), lit(0L).as("bucket"), col("vec")),
+      codebook, m, dim)
     val scored = codes.as("c")
       .join(broadcast(qt.as("q")), col("q.id") =!= col("c.id"))
       .select(col("q.id").as("query_id"), col("c.id").as("vec_id"),
@@ -164,6 +169,74 @@ object Pq {
     val scored = withVecs.select(col("query_id"), col("vec_id"),
       r6(when(denom =!= 0.0, dot(col("qvec"), col("cvec")) / denom)).as("cos_sim"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  // ---------------------------------------------------------------------
+  // IVF-PQ: coarse inverted file + PQ over RESIDUALS — the FAISS billion-
+  // scale pairing. The coarse quantizer confines each query's scan to
+  // nprobe buckets (the IVF trade Knn.ivfTopKProbes makes), and the PQ
+  // codebook encodes v - centroid(v): residual magnitudes are much smaller
+  // than raw vectors, so the same ksub centroids quantize far finer.
+  // ---------------------------------------------------------------------
+
+  /** Nearest coarse centroids per vector, keeping the residual:
+    * (id, bucket, vec = v - centroid). With topN > 1, one row per probed
+    * bucket — each with its OWN residual, which is why every downstream
+    * stage keys on (id, bucket), never id alone. Same determinism contract
+    * as Knn's assignment (r6 distances, centroid-id tie-break). */
+  def residuals(df: DataFrame, centroids: DataFrame, topN: Int = 1): DataFrame = {
+    val cent = centroids.select(col("id").as("cid"), col("vec").as("cvec"))
+    val w = Window.partitionBy(col("id")).orderBy(col("__dist").asc, col("cid").asc)
+    df.withColumn("__v2", dot(col("vec"), col("vec")))
+      .crossJoin(broadcast(cent.withColumn("__c2", dot(col("cvec"), col("cvec")))))
+      .withColumn("__dist", r6(
+        col("__v2") - lit(2.0) * dot(col("vec"), col("cvec")) + col("__c2")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topN)
+      .select(col("id"), col("cid").as("bucket"),
+        zip_with(col("vec"), col("cvec"), (a, b) => a - b).as("vec"))
+  }
+
+  /** Train the PQ codebook on coarse-quantizer residuals. `centroids` is
+    * the coarse quantizer ((id, vec), e.g. from Knn.kmeansCentroids). */
+  def ivfPqTrain(corpus: DataFrame, centroids: DataFrame,
+                 m: Int, dim: Int, ksub: Int, iters: Int): DataFrame =
+    train(residuals(corpus, centroids).select(col("id"), col("vec")), m, dim, ksub, iters)
+
+  /** Encode the corpus as (id, bucket, codes): each vector's coarse bucket
+    * plus the PQ code of its residual. This pair of small columns IS the
+    * index — bucket for pruning, codes for in-bucket ADC ranking. */
+  def ivfPqEncode(corpus: DataFrame, centroids: DataFrame, codebook: DataFrame,
+                  m: Int, dim: Int): DataFrame = {
+    val res = residuals(corpus, centroids)
+    encode(res.select(col("id"), col("vec")), codebook, m, dim)
+      // a corpus vector lives in exactly one bucket, so the id-keyed join
+      // back is unambiguous (queries, which probe many buckets, never come
+      // through here)
+      .join(res.select(col("id"), col("bucket")), Seq("id"))
+      .select(col("id"), col("bucket"), col("codes"))
+  }
+
+  /** IVF-PQ approximate top-k: each query probes its `nprobe` nearest
+    * coarse buckets, builds ONE residual ADC table per probed bucket, and
+    * ranks only that bucket's codes — candidates are confined to
+    * ~nprobe/K of the corpus AND scored over m-byte codes. The join is a
+    * bucket equi-join against broadcast query tables (never a corpus
+    * cross-product); a corpus vector lives in exactly one bucket and a
+    * query's probed buckets are distinct, so no candidate can duplicate.
+    * Returns (query_id, vec_id, adc_dist, rank). */
+  def ivfPqTopK(queries: DataFrame, encoded: DataFrame, centroids: DataFrame,
+                codebook: DataFrame, k: Int, nprobe: Int, m: Int, dim: Int): DataFrame = {
+    val qres = residuals(queries, centroids, topN = nprobe)
+    val qt = queryTables(qres, codebook, m, dim)
+    val scored = encoded.as("c")
+      .join(broadcast(qt.as("q")),
+        col("q.bucket") === col("c.bucket") && col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("vec_id"),
+        r6(graft.functions.VectorExpressions.adcLookupSum(col("c.codes"), col("q.table")))
+          .as("adc_dist"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc_dist").asc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 }
