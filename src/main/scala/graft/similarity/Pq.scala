@@ -53,18 +53,23 @@ object Pq {
   /** Nearest-codebook-centroid assignment per (vector, subspace): the PQ
     * sibling of Knn's coarse assignNearest — same squared-L2 expansion with
     * precomputed self-dots, same r6 + centroid-id tie-break, but keyed on
-    * the subspace so all m codebooks assign in ONE broadcast join. */
-  private def assignSub(subvecs: DataFrame, codebook: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("id"), col("sub"))
-      .orderBy(col("__dist").asc, col("cid").asc)
+    * the subspace so all m codebooks assign in ONE broadcast join.
+    *
+    * The argmin is a lexicographic min(struct(dist, cid, svec)) aggregation
+    * rather than a sort-window: identical semantics (cid is unique per
+    * group, so the comparison never reaches svec), but the hash aggregate
+    * combines map-side — the shuffle carries one row per (vector,
+    * subspace) instead of ksub rows, the difference between encode being
+    * join-bound and shuffle-bound over a dense corpus. */
+  private def assignSub(subvecs: DataFrame, codebook: DataFrame): DataFrame =
     subvecs.withColumn("__s2", dot(col("svec"), col("svec")))
       .join(broadcast(codebook.withColumn("__c2", dot(col("cvec"), col("cvec")))), Seq("sub"))
       .withColumn("__dist", r6(
         col("__s2") - lit(2.0) * dot(col("svec"), col("cvec")) + col("__c2")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("id"), col("sub"), col("cid"), col("svec"), col("__dist"))
-  }
+      .groupBy(col("id"), col("sub"))
+      .agg(min(struct(col("__dist"), col("cid"), col("svec"))).as("m"))
+      .select(col("id"), col("sub"), col("m.cid").as("cid"),
+        col("m.svec").as("svec"), col("m.__dist").as("__dist"))
 
   /** Train the m per-subspace codebooks with Lloyd steps run JOINTLY across
     * all subspaces (one corpus pass per iteration, keyed on (sub, cid) —
@@ -100,11 +105,47 @@ object Pq {
       .select(col("sub"), col("cid"), col("cvec"))
   }
 
+  /** Collect the (sub, cid, cvec) codebook frame to nested driver arrays,
+    * validating the dense-cid contract. Bounded by m x ksub rows — the
+    * same driver-side metadata carve-out as the GLM moment solve. */
+  def collectCodebook(codebook: DataFrame): Array[Array[Array[Double]]] = {
+    val rows = codebook.select(col("sub"), col("cid"), col("cvec"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .sortBy(t => (t._1, t._2))
+    val bySub = rows.groupBy(_._1)
+    val m = bySub.size
+    require((0 until m).forall(bySub.contains), s"subspaces not dense: ${bySub.keys}")
+    (0 until m).toArray.map { s =>
+      val cs = bySub(s).sortBy(_._2)
+      require(cs.zipWithIndex.forall { case (c, i) => c._2 == i },
+        s"centroid ids not dense in subspace $s")
+      cs.map(_._3)
+    }
+  }
+
   /** Encode every corpus vector as its m nearest-centroid ids:
     * (id, codes array<int> ordered by subspace). This is the stored index —
     * m small ints per vector; the raw vectors are only needed again for
-    * exact re-ranking of a shortlist. */
-  def encode(corpus: DataFrame, codebook: DataFrame, m: Int, dim: Int): DataFrame =
+    * exact re-ranking of a shortlist.
+    *
+    * Runs as ONE row-local projection with the fused PqEncodeCodes kernel
+    * (codebook attached to the plan): zero shuffle, zero row fan-out —
+    * the shape that survives a billion-vector corpus. `encodeByJoin` is
+    * the same assignment via the broadcast join + argmin aggregation
+    * (bit-identical by contract, pinned in PqSpec); it exists as the
+    * parity witness and the path for codebooks too large to hold on the
+    * driver. */
+  def encode(corpus: DataFrame, codebook: DataFrame, m: Int, dim: Int): DataFrame = {
+    val cb = collectCodebook(codebook)
+    require(cb.length == m && cb(0)(0).length * m == dim,
+      s"codebook shape ${cb.length}x?x${cb(0)(0).length} does not match m=$m dim=$dim")
+    corpus.select(col("id"),
+      graft.functions.VectorExpressions.pqEncodeCodes(col("vec"), cb).as("codes"))
+  }
+
+  /** Join-based encode twin (see `encode`). */
+  def encodeByJoin(corpus: DataFrame, codebook: DataFrame, m: Int, dim: Int): DataFrame =
     assignSub(subvectors(corpus, m, dim), codebook)
       .groupBy(col("id"))
       .agg(array_sort(collect_list(struct(col("sub"), col("cid")))).as("sc"))
@@ -187,15 +228,27 @@ object Pq {
     * as Knn's assignment (r6 distances, centroid-id tie-break). */
   def residuals(df: DataFrame, centroids: DataFrame, topN: Int = 1): DataFrame = {
     val cent = centroids.select(col("id").as("cid"), col("vec").as("cvec"))
-    val w = Window.partitionBy(col("id")).orderBy(col("__dist").asc, col("cid").asc)
-    df.withColumn("__v2", dot(col("vec"), col("vec")))
+    val scored = df.withColumn("__v2", dot(col("vec"), col("vec")))
       .crossJoin(broadcast(cent.withColumn("__c2", dot(col("cvec"), col("cvec")))))
       .withColumn("__dist", r6(
         col("__v2") - lit(2.0) * dot(col("vec"), col("cvec")) + col("__c2")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= topN)
-      .select(col("id"), col("cid").as("bucket"),
-        zip_with(col("vec"), col("cvec"), (a, b) => a - b).as("vec"))
+    val assigned = if (topN == 1) {
+      // dense-corpus path: map-side-combinable argmin (same lexicographic
+      // (dist, cid) contract as the window; vec/cvec never compared — cid
+      // is unique per group)
+      scored.groupBy(col("id"))
+        .agg(min(struct(col("__dist"), col("cid"), col("cvec"), col("vec"))).as("m"))
+        .select(col("id"), col("m.cid").as("cid"),
+          col("m.vec").as("vec"), col("m.cvec").as("cvec"))
+    } else {
+      // multi-probe (query-side, tiny): windowed top-N
+      val w = Window.partitionBy(col("id")).orderBy(col("__dist").asc, col("cid").asc)
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= topN)
+        .select(col("id"), col("cid"), col("vec"), col("cvec"))
+    }
+    assigned.select(col("id"), col("cid").as("bucket"),
+      zip_with(col("vec"), col("cvec"), (a, b) => a - b).as("vec"))
   }
 
   /** Train the PQ codebook on coarse-quantizer residuals. `centroids` is

@@ -60,12 +60,17 @@ object StatsManifest {
     * range column, and `bloom_<c>` (array<long> words) for each Bloom
     * column. One distributed pass over the data, grouped on
     * `input_file_name()` — the shuffle carries one bounded row per file.
-    * `bloomBits` is the per-file bitset width (default 2^17 bits = 16 KiB
-    * per file per column; at ~1M rows/file that is ~7.6 bits/row, ~1%
-    * false positives with 5 hashes). */
+    *
+    * Sizing `bloomBits` (per-file bitset width): aim for ~14 bits per
+    * DISTINCT key per file (~0.1% false positives at 5 hashes); a
+    * saturated bloom (most bits set) never rules anything out and the
+    * column silently stops pruning. The default 2^20 bits = 128 KiB per
+    * file per column serves up to ~75k distinct keys/file; each manifest
+    * row records `bloom_fill_<c>` (fraction of bits set — measured, so a
+    * mis-sized index is visible: fill above ~0.5 means size up). */
   def build(spark: SparkSession, path: String,
             rangeCols: Seq[String], bloomCols: Seq[String] = Nil,
-            bloomBits: Int = 1 << 17, bloomHashes: Int = 5): Unit = {
+            bloomBits: Int = 1 << 20, bloomHashes: Int = 5): Unit = {
     val df = spark.read.parquet(path)
     val rangeAggs = rangeCols.flatMap { c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
@@ -75,8 +80,15 @@ object StatsManifest {
         .as(s"bloom_$c")
     }
     val aggs = (count(lit(1)).as("n_rows") +: (rangeAggs ++ bloomAggs))
-    df.groupBy(input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*)
+    val fills = bloomCols.map { c =>
+      (df: DataFrame) => df.withColumn(s"bloom_fill_$c",
+        aggregate(col(s"bloom_$c"), lit(0L), (acc, w) => acc + bit_count(w).cast("long"))
+          .cast("double") / lit(bloomBits.toDouble))
+    }
+    val withFills = fills.foldLeft(
+      df.groupBy(input_file_name().as("file")).agg(aggs.head, aggs.tail: _*)
+    )((d, f) => f(d))
+    withFills
       .withColumn("bloom_bits", lit(bloomBits))
       .withColumn("bloom_hashes", lit(bloomHashes))
       .repartition(1) // metadata output: one row per data file

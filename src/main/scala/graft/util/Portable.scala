@@ -24,4 +24,10 @@ object Portable {
     * twins — one owner for both sides of the rounding contract. */
   def round6Sql(x: String): String =
     s"floor(($x) * 1000000.0 + 0.5) / 1000000.0"
+
+  /** The same floor arithmetic as a JVM double op, for custom expressions
+    * that must agree bit-for-bit with the Column form (identical IEEE op
+    * sequence; |x·1e6| < 2^53 in every rounded domain here). */
+  def round6d(x: Double): Double =
+    math.floor(x * 1.0e6 + 0.5) / 1.0e6
 }

@@ -106,6 +106,18 @@ class PqSpec extends SparkSpec {
     assert(refined.exceptAll(exact).isEmpty && exact.exceptAll(refined).isEmpty)
   }
 
+  test("fused row-local encode is bit-identical to the join-based encode") {
+    val fused = Pq.encode(corpus, codebook, m, dim)
+    val joined = Pq.encodeByJoin(corpus, codebook, m, dim)
+    assert(fused.exceptAll(joined).isEmpty && joined.exceptAll(fused).isEmpty)
+    // NULL contract: wrong-length and null vecs encode to NULL, not a crash
+    val bad = Seq((1L, Some(Seq(0.1, 0.2))), (2L, None))
+      .toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<double>").as("vec"))
+    val got = Pq.encode(bad, codebook, m, dim).select("codes").collect()
+    assert(got.forall(_.isNullAt(0)))
+  }
+
   test("IVF-PQ: residual codes + probed buckets keep recall at a fraction of the scan") {
     val k = 10
     // 8 coarse centroids seeded round-robin across the true clusters

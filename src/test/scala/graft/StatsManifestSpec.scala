@@ -82,6 +82,11 @@ class StatsManifestSpec extends SparkSpec {
     assert(got.sameElements(want) && got.length == 16)
     assert(files.length <= 16)
 
+    // the manifest records the measured bloom fill; tiny fixture -> low fill
+    val fills = spark.read.parquet(StatsManifest.statsDir(path))
+      .select(col("bloom_fill_user_id")).collect().map(_.getDouble(0))
+    assert(fills.nonEmpty && fills.forall(f => f > 0.0 && f < 0.5), fills.mkString(","))
+
     // an absent value must prune to zero files (no false "must scan"):
     // with 4096 bits / ~256 rows per file the FP chance per file is tiny;
     // tolerate <=1 false positive file to keep the test robust
