@@ -70,8 +70,14 @@ object StatsManifest {
     * mis-sized index is visible: fill above ~0.5 means size up). */
   def build(spark: SparkSession, path: String,
             rangeCols: Seq[String], bloomCols: Seq[String] = Nil,
-            bloomBits: Int = 1 << 20, bloomHashes: Int = 5): Unit = {
-    val df = spark.read.parquet(path)
+            bloomBits: Int = 1 << 20, bloomHashes: Int = 5): Unit =
+    statsRows(spark.read.parquet(path), rangeCols, bloomCols, bloomBits, bloomHashes)
+      .repartition(1) // metadata output: one row per data file
+      .write.mode("overwrite").parquet(statsDir(path))
+
+  /** The one per-file stats aggregation (build and update share it). */
+  private def statsRows(df: DataFrame, rangeCols: Seq[String], bloomCols: Seq[String],
+                        bloomBits: Int, bloomHashes: Int): DataFrame = {
     val rangeAggs = rangeCols.flatMap { c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
     }
@@ -81,18 +87,57 @@ object StatsManifest {
     }
     val aggs = (count(lit(1)).as("n_rows") +: (rangeAggs ++ bloomAggs))
     val fills = bloomCols.map { c =>
-      (df: DataFrame) => df.withColumn(s"bloom_fill_$c",
+      (d: DataFrame) => d.withColumn(s"bloom_fill_$c",
         aggregate(col(s"bloom_$c"), lit(0L), (acc, w) => acc + bit_count(w).cast("long"))
           .cast("double") / lit(bloomBits.toDouble))
     }
-    val withFills = fills.foldLeft(
+    fills.foldLeft(
       df.groupBy(input_file_name().as("file")).agg(aggs.head, aggs.tail: _*)
     )((d, f) => f(d))
-    withFills
       .withColumn("bloom_bits", lit(bloomBits))
       .withColumn("bloom_hashes", lit(bloomHashes))
-      .repartition(1) // metadata output: one row per data file
-      .write.mode("overwrite").parquet(statsDir(path))
+  }
+
+  /** Incrementally extend the manifest: aggregate ONLY data files that
+    * have no manifest row yet (the batch appended since the last build)
+    * and union them in, dropping rows for files that no longer exist
+    * (compacted/vacuumed away). The always-on shape: update cost is bound
+    * by the new batch, never the archive — a full `build` pays the whole
+    * table again. Bloom parameters are taken from the existing manifest so
+    * old and new rows stay probe-compatible; with no existing manifest
+    * this IS `build`. Stats columns are inferred from the existing
+    * manifest's schema (`min_<c>`/`bloom_<c>` columns), so callers cannot
+    * accidentally extend with a different column set. */
+  def update(spark: SparkSession, path: String): Unit = {
+    val sd = new Path(statsDir(path))
+    val fs = sd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(sd),
+      s"no manifest at ${statsDir(path)} — run build() first (update() infers its config from it)")
+    val m = spark.read.parquet(statsDir(path)).localCheckpoint() // pre-read: we overwrite below
+    val rangeCols = m.columns.filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSeq
+    val bloomCols = m.columns.filter(_.startsWith("bloom_"))
+      .filterNot(c => c == "bloom_bits" || c == "bloom_hashes" || c.startsWith("bloom_fill_"))
+      .map(_.stripPrefix("bloom_")).toSeq
+    val headRows = m.select("bloom_bits", "bloom_hashes").head(1)
+    val (bits, hashes) =
+      if (headRows.isEmpty) (1 << 20, 5) else (headRows(0).getInt(0), headRows(0).getInt(1))
+
+    val actual = listDataFiles(spark, path)
+    val actualNorm = actual.map(normalize).toSet
+    val manifestFiles = m.select("file").collect().map(_.getString(0))
+    val knownNorm = manifestFiles.map(normalize).toSet
+    val newFiles = actual.filterNot(f => knownNorm.contains(normalize(f)))
+    // keep only rows whose file still exists (rows are keyed by the
+    // input_file_name rendering; compare scheme-normalized, driver-side —
+    // both lists are file-count-bounded metadata)
+    val surviving = manifestFiles.filter(f => actualNorm.contains(normalize(f))).toSeq
+    val survivors =
+      if (surviving.isEmpty) m.where(lit(false)) else m.where(col("file").isin(surviving: _*))
+    val merged =
+      if (newFiles.isEmpty) survivors
+      else survivors.unionByName(
+        statsRows(spark.read.parquet(newFiles: _*), rangeCols, bloomCols, bits, hashes))
+    merged.repartition(1).write.mode("overwrite").parquet(statsDir(path))
   }
 
   /** Strip the URI scheme so `input_file_name()` URIs and Hadoop listing

@@ -142,6 +142,20 @@ object Streams {
       .withColumn("redacted", graft.text.Redact.redactPii(col(textCol)))
       .filter(col("decision") === "kept")
 
+  /** Streaming twin of Pq.encode — encode-on-ingest for an always-on
+    * embedding feed. The fused row-local kernel makes this a STATELESS
+    * streaming plan (pure projection: no watermark, no state store), so
+    * each arriving vector becomes its m-int PQ code immediately and the
+    * index hot tail is built at ingest time — the archive never needs an
+    * encode backfill pass. The codebook is driver-held and attached to
+    * the plan; retraining means restarting the query with the new
+    * codebook (the same snapshot-at-start contract as engagementStream's
+    * deny-lists).
+    */
+  def pqEncodeStream(vecs: DataFrame, codebook: Array[Array[Array[Double]]]): DataFrame =
+    vecs.select(col("id"),
+      graft.functions.VectorExpressions.pqEncodeCodes(col("vec"), codebook).as("codes"))
+
   /** Streaming twin of the composed engagement flow: the SAME
     * `EngagementPipeline.messagesExport` plan applied to an unbounded
     * frame — stream-static broadcast anti-joins against the deny-lists

@@ -132,6 +132,43 @@ class StatsManifestSpec extends SparkSpec {
     assert(orig.sameElements(want))
   }
 
+  test("incremental update: batch-bound extension, stale rows dropped, probes compatible") {
+    val (path, df) = writeFixture()
+    val before = spark.read.parquet(StatsManifest.statsDir(path))
+    val nBefore = before.count()
+
+    // a late batch lands, then the manifest is UPDATED (not rebuilt)
+    spark.range(4096, 4196).select(
+      (col("id") * 60).cast("timestamp").as("ts"),
+      lit("late_user").as("user_id"),
+      col("id").as("payload"))
+      .repartition(2).write.mode("append").parquet(path)
+    StatsManifest.update(spark, path)
+
+    val after = spark.read.parquet(StatsManifest.statsDir(path))
+    assert(after.count() == nBefore + 2) // exactly the new files were aggregated
+    // the new rows are probe-compatible with the old: a bloom lookup for a
+    // late-batch-only key now PRUNES to the new files instead of falling
+    // back to "unknown, read everything"
+    val files = StatsManifest.prunedFiles(spark, path, Nil, Seq(("user_id", lit("late_user"))))
+    assert(files.length <= 3, s"expected the 2 new files (+<=1 FP), got ${files.length}")
+    val got = StatsManifest.readPruned(spark, path, Nil, Seq(("user_id", lit("late_user"))))
+      .agg(count(lit(1)), min(col("payload"))).head
+    assert(got.getLong(0) == 100 && got.getLong(1) == 4096)
+    // and old keys still resolve over the union
+    val v7 = StatsManifest.readPruned(spark, path, Nil, Seq(("user_id", lit("user_7")))).count()
+    assert(v7 == df.where(col("user_id") === "user_7").count())
+
+    // a data file disappears (compaction/vacuum): update drops its row
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val victim = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath).filter(p => p.getName.endsWith(".parquet")).head
+    fs.delete(victim, false)
+    StatsManifest.update(spark, path)
+    assert(spark.read.parquet(StatsManifest.statsDir(path)).count() == nBefore + 1)
+  }
+
   test("no manifest at all degrades to a full unpruned read") {
     val base = Files.createTempDirectory("graft_stats_none").toString
     val path = s"$base/t"

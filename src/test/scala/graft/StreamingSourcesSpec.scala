@@ -542,6 +542,30 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PQ encode is stateless and matches the batch encode on the same vectors") {
+    val corpus = GraftSession.table(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"),
+        graft.similarity.Knn.toDoubleArray(col("embedding")).as("vec"))
+    val codebookDf = graft.similarity.Pq.train(corpus, m = 8, dim = 64, ksub = 8, iters = 1)
+    val cb = graft.similarity.Pq.collectCodebook(codebookDf)
+
+    val dir = Files.createTempDirectory("graft_pq_stream").toString
+    corpus.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(corpus.schema).parquet(dir)
+    val q = graft.streaming.Streams.pqEncodeStream(stream, cb)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("pq_encode_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("pq_encode_out").orderBy("id").collect().toSeq
+      val expected = graft.similarity.Pq.encode(corpus, codebookDf, m = 8, dim = 64)
+        .orderBy("id").collect().toSeq
+      assert(streamed.nonEmpty && streamed == expected)
+      // stateless plan: nothing in the state store
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming engagement flow is stateless and matches the batch export; foreachBatch state merges to the batch funnel") {
     val ev = GraftSession.table(spark, sfDir, "events")
     val kCol = nullif(regexp_extract(col("props"), "[0-9]+", 0), lit("")).cast("int")
