@@ -205,6 +205,14 @@ case class PqEncodeCodes(child: Expression, codebook: Array[Array[Array[Double]]
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
 
+  // a raw Java array renders as its JVM identity ([[[D@hex) in plan
+  // strings, which would churn the plan fingerprint on identical code —
+  // render shape + a content hash instead (deepHashCode is value-based,
+  // stable across JVMs)
+  override def stringArgs: Iterator[Any] = Iterator(child,
+    s"codebook(m=$m, dsub=$dsub, sizes=${codebook.map(_.length).mkString("/")}, " +
+      s"h=${java.util.Arrays.deepHashCode(codebook.asInstanceOf[Array[AnyRef]]).toHexString})")
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case ArrayType(DoubleType, _) =>

@@ -202,8 +202,10 @@ object Pq {
     require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
     val cand = adcTopK(queries, codes, codebook, shortlist, m, dim)
       .select(col("query_id"), col("vec_id"))
-    val withVecs = cand
-      .join(corpus.select(col("id").as("vec_id"), col("vec").as("cvec")), Seq("vec_id"))
+    // the shortlist (queries x shortlist rows) broadcasts against the
+    // corpus scan — the corpus is never shuffled to fetch the raw vectors
+    val withVecs = corpus.select(col("id").as("vec_id"), col("vec").as("cvec"))
+      .join(broadcast(cand), Seq("vec_id"))
       .join(broadcast(queries.select(col("id").as("query_id"), col("vec").as("qvec"))),
         Seq("query_id"))
     val denom = sqrt(dot(col("qvec"), col("qvec"))) * sqrt(dot(col("cvec"), col("cvec")))

@@ -136,7 +136,11 @@ object StatsManifest {
     val merged =
       if (newFiles.isEmpty) survivors
       else survivors.unionByName(
-        statsRows(spark.read.parquet(newFiles: _*), rangeCols, bloomCols, bits, hashes))
+        // basePath: partition columns must be visible to the stats
+        // aggregation for hive-partitioned layouts (else their min/max
+        // would record NULL and range pruning could wrongly drop files)
+        statsRows(spark.read.option("basePath", path).parquet(newFiles: _*),
+          rangeCols, bloomCols, bits, hashes))
     merged.repartition(1).write.mode("overwrite").parquet(statsDir(path))
   }
 
@@ -236,7 +240,11 @@ object StatsManifest {
     ).foldLeft(lit(true))(_ && _)
     val files = prunedFiles(spark, path, ranges, equalities)
     if (files.isEmpty) spark.read.parquet(path).where(lit(false))
-    else spark.read.schema(spark.read.parquet(path).schema)
+    // basePath keeps hive-partitioned layouts correct: partition columns
+    // are derived from the leaf-file paths even though only an explicit
+    // file list is read (without it they'd silently read as NULL)
+    else spark.read.option("basePath", path)
+      .schema(spark.read.parquet(path).schema)
       .parquet(files: _*).where(rowPred)
   }
 }

@@ -110,6 +110,16 @@ class PqSpec extends SparkSpec {
     val fused = Pq.encode(corpus, codebook, m, dim)
     val joined = Pq.encodeByJoin(corpus, codebook, m, dim)
     assert(fused.exceptAll(joined).isEmpty && joined.exceptAll(fused).isEmpty)
+    // the codebook renders content-hashed in plan strings, never as a JVM
+    // array identity ([[[D@hex) — a run-varying rendering would churn the
+    // bench plan fingerprint on identical code (a non-local source frame,
+    // or the optimizer folds the whole projection away)
+    val planStr = Pq.encode(
+      spark.range(4).select(col("id"),
+        transform(sequence(lit(0), lit(dim - 1)), i => i.cast("double")).as("vec")),
+      codebook, m, dim).queryExecution.optimizedPlan.toString
+    assert(planStr.contains("codebook(m="), planStr)
+    assert(!planStr.matches("(?s).*\\[\\[\\[D@[0-9a-f]+.*"), planStr)
     // NULL contract: wrong-length and null vecs encode to NULL, not a crash
     val bad = Seq((1L, Some(Seq(0.1, 0.2))), (2L, None))
       .toDF("id", "vec")

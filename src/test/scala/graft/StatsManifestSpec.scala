@@ -169,6 +169,36 @@ class StatsManifestSpec extends SparkSpec {
     assert(spark.read.parquet(StatsManifest.statsDir(path)).count() == nBefore + 1)
   }
 
+  test("hive-partitioned layout: partition columns survive the pruned read and update") {
+    val base = Files.createTempDirectory("graft_stats_part").toString
+    val path = s"$base/t"
+    val df = spark.range(1000).select(
+      col("id"),
+      (col("id") % 4).cast("string").as("k"),   // partition column
+      (col("id") % 100).as("v"))
+    df.write.partitionBy("k").parquet(path)
+    StatsManifest.build(spark, path, rangeCols = Seq("v", "k"))
+
+    // range predicate on the PARTITION column: stats must have captured it
+    // (not NULL), and the pruned read must materialize it from the paths
+    val got = StatsManifest.readPruned(spark, path, Seq(("k", lit("2"), lit("2"))))
+      .select("id").as[Long].collect().sorted
+    val want = df.where(col("k") === "2").select("id").as[Long].collect().sorted
+    assert(got.sameElements(want) && got.nonEmpty)
+    // and it actually pruned: only k=2's files survive the manifest filter
+    val files = StatsManifest.prunedFiles(spark, path, Seq(("k", lit("2"), lit("2"))))
+    assert(files.nonEmpty && files.forall(_.contains("k=2")), files.mkString(","))
+
+    // update() after a late batch must also see partition columns
+    spark.range(1000, 1100).select(col("id"), lit("9").as("k"), lit(7L).as("v"))
+      .write.mode("append").partitionBy("k").parquet(path)
+    StatsManifest.update(spark, path)
+    val late = StatsManifest.readPruned(spark, path, Seq(("k", lit("9"), lit("9"))))
+    assert(late.count() == 100)
+    val lateFiles = StatsManifest.prunedFiles(spark, path, Seq(("k", lit("9"), lit("9"))))
+    assert(lateFiles.nonEmpty && lateFiles.forall(_.contains("k=9")))
+  }
+
   test("no manifest at all degrades to a full unpruned read") {
     val base = Files.createTempDirectory("graft_stats_none").toString
     val path = s"$base/t"
