@@ -51,6 +51,12 @@ object Bench {
           val stable = s
             .replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+@[0-9a-fA-F]+", "Lambda")
             .replaceAll("#\\d+", "#x")
+            // HOF lambda variable names carry a GLOBAL session counter
+            // (lambda x_739#x): the suffix shifts with how many lambda-
+            // bearing plans were built earlier in the session, so adding
+            // or reordering ANY query would churn every later lambda
+            // query's fingerprint on identical code
+            .replaceAll("lambda ([A-Za-z]+)_\\d+#x", "lambda $1#x")
           f"${scala.util.hashing.MurmurHash3.stringHash(stable)}%08x"
         } catch { case _: Throwable => "err" }
       val cold = once()

@@ -12,6 +12,7 @@ object PlanHashProbe {
         .queryExecution.optimizedPlan.toString
         .replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+@[0-9a-fA-F]+", "Lambda")
         .replaceAll("#\\d+", "#x")
+        .replaceAll("lambda ([A-Za-z]+)_\\d+#x", "lambda $1#x")
       println(s"=== $q hash=${f"${scala.util.hashing.MurmurHash3.stringHash(s)}%08x"}")
       println(s.linesIterator.take(12).mkString("\n"))
     }

@@ -1,0 +1,47 @@
+#!/usr/bin/env python3
+"""Determinism audit: compare two Verify output directories query by query.
+
+Usage: python3 tools/determinism.py OUT_A OUT_B
+
+For every query parquet in OUT_A, asserts the matching output in OUT_B is
+content-AND-order identical (pyarrow table equality after aligning column
+order by name). Exits non-zero on any mismatch or missing query.
+Dev tooling (pyarrow is driver-side only, like parity.py).
+"""
+import sys
+import os
+import pyarrow.parquet as pq
+
+
+def main():
+    a_dir, b_dir = sys.argv[1], sys.argv[2]
+    names = sorted(
+        d for d in os.listdir(a_dir)
+        if d.endswith(".parquet") and os.path.isdir(os.path.join(a_dir, d))
+    )
+    bad = 0
+    for name in names:
+        pa = os.path.join(a_dir, name)
+        pb = os.path.join(b_dir, name)
+        if not os.path.isdir(pb):
+            print(f"[MISS] {name}: absent in {b_dir}")
+            bad += 1
+            continue
+        ta = pq.read_table(pa)
+        tb = pq.read_table(pb)
+        cols = sorted(ta.column_names)
+        if sorted(tb.column_names) != cols:
+            print(f"[SCHEMA] {name}: {ta.column_names} vs {tb.column_names}")
+            bad += 1
+            continue
+        if not ta.select(cols).equals(tb.select(cols)):
+            print(f"[DIFF] {name}: content or order differs")
+            bad += 1
+            continue
+        print(f"[ OK ] {name}: {ta.num_rows} rows identical")
+    print(f"\n{len(names) - bad} identical, {bad} mismatched")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
