@@ -873,6 +873,12 @@ object SparkEntry {
       graft.curation.Curation.mixtureStats(table(s, dir, "documents"),
         col("doc_id"), col("lang"),
         Map("en" -> 100, "fr" -> 50, "es" -> 25, "de" -> 10, "zh" -> 75))),
+    "mixture_temperature" -> ((s, dir) =>
+      // temperature-sampled mixing at alpha=0.5: rates DERIVED from the
+      // corpus's own language shares (heads downsampled toward the
+      // flattened mixture), decided by the same portable md5 coin
+      graft.curation.Curation.temperatureMixtureStats(table(s, dir, "documents"),
+        col("doc_id"), col("lang"), 0.5)),
     "training_pipeline" -> ((s, dir) => {
       // the COMPOSED pretraining-curation run: langid -> quality -> exact
       // dedup -> decontamination (vs the doc_id%50 eval split) -> mixture,
@@ -972,6 +978,12 @@ object SparkEntry {
     "tfidf_topterms" -> ((s, dir) =>
       graft.text.Vocab.tfidfTopTerms(table(s, dir, "documents"),
         col("doc_id"), col("text"), 3)),
+    "bm25_topk" -> ((s, dir) =>
+      // lexical retrieval against the corpus's 8 highest-df terms (the
+      // deterministic probe query): tf saturation + length normalization,
+      // broadcast query terms, decimal-summed rounded parts
+      graft.text.Bm25.topDocs(table(s, dir, "documents"),
+        col("doc_id"), col("text"), 8, 20)),
     "dup_span_stats" -> ((s, dir) =>
       // 16-token spans every 8: the exact-substring duplication signal
       graft.curation.Curation.dupSpanStats(table(s, dir, "documents"),
@@ -1924,6 +1936,35 @@ asofOracle,
         |  CASE WHEN COALESCE(st.n_spans, 0) > 0
         |       THEN floor((CAST(st.n_shared AS DOUBLE) / CAST(st.n_spans AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 END AS shared_frac
         |FROM (SELECT doc_id FROM documents) d LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin,
+    "bm25_topk" ->
+      """WITH t AS (
+        |  SELECT doc_id, term FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE term <> ''),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM t GROUP BY 1),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        |dft AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM t GROUP BY 1),
+        |q AS (SELECT term, df FROM dft ORDER BY df DESC, term ASC LIMIT 8),
+        |tf AS (SELECT t.doc_id, t.term, q.df, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM t JOIN q ON t.term = q.term GROUP BY 1, 2, 3),
+        |parts AS (
+        |  SELECT tf.doc_id,
+        |    CAST(floor((
+        |      (floor(ln((((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)
+        |                  / (CAST(df AS DOUBLE) + 0.5) + 1.0)) * 1000000.0 + 0.5) / 1000000.0)
+        |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + (0.75 * CAST(dl AS DOUBLE)) / avgdl))
+        |    ) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS part
+        |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+        |scored AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+        |    floor(CAST(SUM(part) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS bm25
+        |  FROM parts GROUP BY 1)
+        |SELECT doc_id, n_terms_hit, bm25, rank FROM (
+        |  SELECT doc_id, n_terms_hit, bm25,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 20""".stripMargin,
     "tfidf_topterms" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token FROM documents),
@@ -2887,6 +2928,23 @@ asofOracle,
         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
         |    CAST(SUM(CASE WHEN pct < w THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |  FROM t GROUP BY source)""".stripMargin,
+    "mixture_temperature" ->
+      """WITH c AS (SELECT lang AS source, CAST(COUNT(*) AS BIGINT) AS n_total
+        |           FROM documents GROUP BY 1),
+        |tot AS (SELECT SUM(n_total) AS n_all FROM c),
+        |w AS (SELECT source, n_total,
+        |        pow(CAST(n_total AS DOUBLE) / CAST(n_all AS DOUBLE), (0.5 - 1.0)) AS w
+        |      FROM c CROSS JOIN tot),
+        |r AS (SELECT source, n_total,
+        |        floor((w / (SELECT MAX(w) FROM w)) * 1000000.0 + 0.5) / 1000000.0 AS rate
+        |      FROM w),
+        |h AS (SELECT lang AS source,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS hh
+        |      FROM documents)
+        |SELECT r.source, n_total, rate,
+        |  CAST(SUM(CASE WHEN CAST(hh AS DOUBLE) < rate * 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM h JOIN r ON h.source = r.source
+        |GROUP BY 1, 2, 3""".stripMargin,
     "training_pipeline" ->
       s"""WITH $trainingFlowCtes
          |$trainingFunnelSelect""".stripMargin,

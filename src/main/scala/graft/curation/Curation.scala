@@ -183,6 +183,43 @@ object Curation {
     hashPct(id) < w
   }
 
+  /** Temperature-sampled mixing (the multilingual-pretraining rule:
+    * sample source i with probability ∝ p_i^alpha, p_i its natural
+    * share): per-source keep RATE ∝ p_i^(alpha-1), scaled so the
+    * smallest source keeps everything — alpha < 1 flattens the mixture
+    * toward low-resource sources by downsampling the heads, alpha = 1 is
+    * the natural distribution (all rates 1). Unlike `mixtureStats` the
+    * weights are DERIVED from the corpus itself, so one job both
+    * calibrates and applies the mixture.
+    *
+    * The decision stays row-local after one tiny per-source aggregation
+    * (source-count rows, broadcast back): keep iff hashPct(id) <
+    * rate*100, the same portable md5 coin as data_mixture — reruns and
+    * the oracle agree on exactly which documents survive. Rates are
+    * rounded (portable floor) before the comparison so a pow() ulp
+    * cannot flip a keep decision across engines.
+    *
+    * Returns per-source accounting: (source, n_total, rate, n_kept).
+    */
+  def temperatureMixtureStats(df: DataFrame, id: Column, source: Column,
+                              alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"need 0 < alpha <= 1, got $alpha")
+    val counts = df.groupBy(source.as("source")).agg(count(lit(1)).as("n_total"))
+    val wFrame = counts
+      .crossJoin(broadcast(counts.agg(sum(col("n_total")).as("n_all"))))
+      .withColumn("w", pow(col("n_total").cast("double") / col("n_all").cast("double"),
+        lit(alpha - 1.0)))
+    val rates = wFrame
+      .crossJoin(broadcast(wFrame.agg(max(col("w")).as("w_max"))))
+      .select(col("source"), col("n_total"), r6(col("w") / col("w_max")).as("rate"))
+    df.select(source.as("source"), hashPct(id).as("__h"))
+      .join(broadcast(rates), Seq("source"))
+      .groupBy(col("source"), col("n_total"), col("rate"))
+      .agg(sum(when(col("__h").cast("double") < col("rate") * lit(100.0), 1L)
+        .otherwise(0L)).as("n_kept"))
+      .select(col("source"), col("n_total"), col("rate"), col("n_kept"))
+  }
+
   /** Overlapping token-window chunking (retrieval / long-document prep):
     * each document is cut into `window`-word chunks starting every `stride`
     * words, so consecutive chunks overlap by `window - stride`. Entirely

@@ -1,0 +1,82 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** BM25 document ranking (Robertson/Spärck Jones probabilistic retrieval —
+  * the default lexical ranker in Lucene/Elasticsearch) — the retrieval
+  * sibling of `tfidf_topterms`: tf-idf summarizes a document's own terms,
+  * BM25 ranks documents against a QUERY with document-length
+  * normalization and tf saturation. In a training-data pipeline this is
+  * the lexical half of retrieval-based curation: finding the documents
+  * most relevant to a probe query (contamination hunting, targeted
+  * corpus slicing, retrieval-augmented eval set construction).
+  *
+  * Scale shape: one tokenize pass feeds document lengths, document
+  * frequencies, and term frequencies; the query term set is broadcast (a
+  * query is a handful of terms); corpus-level scalars (N, avgdl) ride a
+  * broadcast cross join. The only shuffles are the two token
+  * aggregations, both map-side combinable on bounded keys. Scoring and
+  * ranking touch only documents containing at least one query term.
+  *
+  * Numeric determinism (the lm_bigram_score discipline): the idf and each
+  * per-term score part are rounded with the portable floor arithmetic,
+  * parts are summed as DECIMAL(18,6) (order-independent exact sum), ranks
+  * break ties on doc_id. All float constants are written as the same
+  * literal arithmetic on both engine and oracle so constant folding
+  * cannot produce a different double.
+  */
+object Bm25 {
+
+  private val r6 = graft.util.Portable.round6 _
+
+  /** Rank documents by BM25 against the corpus's `numTerms`
+    * highest-document-frequency terms (a deterministic, data-derived
+    * probe query; in production the query terms arrive as a parameter).
+    * Returns the top `k` docs: (doc_id, n_terms_hit, bm25, rank).
+    */
+  def topDocs(docs: DataFrame, id: Column, text: Column,
+              numTerms: Int, k: Int,
+              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val base = docs.select(id.as("doc_id"), text.as("text"))
+    val toks = base
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("term"))
+      .filter(col("term") =!= "")
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // corpus scalars: one tiny agg row, broadcast with the cross join
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val dft = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qterms = dft.orderBy(col("df").desc, col("term").asc).limit(numTerms)
+
+    val tf = toks.join(broadcast(qterms), Seq("term"))
+      .groupBy(col("doc_id"), col("term"), col("df"))
+      .agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      // idf = ln((N - df + 0.5)/(df + 0.5) + 1) — the +1 variant is
+      // never negative (Lucene's choice); rounded before use
+      .withColumn("idf", r6(log(
+        ((col("n_docs").cast("double") - col("df").cast("double")) + lit(0.5))
+          / (col("df").cast("double") + lit(0.5)) + lit(1.0))))
+      // per-term part; constants written as the same arithmetic the
+      // oracle SQL uses so both engines fold to identical doubles
+      .withColumn("part", r6(
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0))
+          / (col("tf").cast("double")
+            + lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl").cast("double")) / col("avgdl"))))
+        .cast(DecimalType(18, 6)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("part")).as("score_sum"))
+      .select(col("doc_id"), col("n_terms_hit"),
+        r6(col("score_sum").cast("double")).as("bm25"))
+    val w = Window.orderBy(col("bm25").desc, col("doc_id").asc)
+    // global top-k: the rank window is a single partition, but its input
+    // is only docs hitting >= 1 query term and WindowGroupLimit bounds
+    // per-task state to k before the final merge
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -17,7 +17,7 @@ def main():
     a_dir, b_dir = sys.argv[1], sys.argv[2]
     names = sorted(
         d for d in os.listdir(a_dir)
-        if d.endswith(".parquet") and os.path.isdir(os.path.join(a_dir, d))
+        if os.path.isdir(os.path.join(a_dir, d))
     )
     bad = 0
     for name in names:
