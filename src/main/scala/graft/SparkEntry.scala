@@ -763,8 +763,10 @@ object SparkEntry {
         .select(col("vec_id").as("id"), Knn.toDoubleArray(col("embedding")).as("vec"))
       val cb = graft.similarity.Pq.train(e, m = 8, dim = 64, ksub = 16, iters = 2)
       val codes = graft.similarity.Pq.encode(e, cb, m = 8, dim = 64)
+      // shortlist must cover the corpus at ANY scale factor for the
+      // exact-regime contract (sf0.1 has 10x the embeddings of sf0.01)
       graft.similarity.Pq.refinedTopK(e.filter(col("id") < 8), e, codes, cb,
-        k = 10, shortlist = 499, m = 8, dim = 64)
+        k = 10, shortlist = e.count().toInt - 1, m = 8, dim = 64)
     }),
     "ann_lsh_multiprobe" -> ((s, dir) => {
       // own bucket + every one-bit flip probed: the recall fix for

@@ -281,6 +281,29 @@ class PlanAuditSpec extends SparkSpec {
       s"training_incremental must plan exactly 5 parquet scans (3 batch + 1 archive + 1 benchmark)\n$ti")
   }
 
+  test("bm25 broadcasts the query terms; token aggregations are partial") {
+    val p = plan("bm25_topk")
+    // tf join against the 8 query terms must be a broadcast, and the
+    // corpus-scalar cross join must ride a broadcast exchange too
+    assert(count(p, "BroadcastHashJoin") >= 1, p)
+    assert(count(p, "BroadcastExchange") >= 2, p)
+    // dl/df/tf counts combine map-side before their exchanges
+    assert(count(p, "partial_count") >= 2, p)
+  }
+
+  test("pq refined search fetches shortlist vectors via broadcast joins") {
+    val p = plan("ann_pq_refined")
+    // the refine stage joins corpus(vec) <- broadcast(cand) <- broadcast(queries)
+    assert(count(p, "BroadcastHashJoin") >= 2, p)
+    assert(!p.contains("SortMergeJoin"), "refine stage must not shuffle the corpus\n" + p)
+  }
+
+  test("temperature mixture's keep decision is row-local against broadcast rates") {
+    val p = plan("mixture_temperature")
+    assert(count(p, "BroadcastHashJoin") >= 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("no query plans an unbroadcast cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"), s"$name plans a CartesianProduct")
