@@ -284,6 +284,31 @@ object SparkEntry {
         .withColumnRenamed("asof_ts", "click_ts")
         .withColumnRenamed("asof_value", "click_value")
     }),
+    "asof_tolerance" -> ((s, dir) => {
+      // bounded-lookback as-of: a click older than 10 minutes no longer
+      // explains the purchase (merge_asof tolerance semantics)
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+      graft.operators.AsOfJoin.asOf(purchases, clicks, "user_id", "ts", "ts",
+          "event_id", Seq("value"), toleranceSeconds = Some(600L))
+        .withColumnRenamed("asof_ts", "click_ts")
+        .withColumnRenamed("asof_value", "click_value")
+    }),
+    "event_paths" -> ((s, dir) =>
+      // the funnel's exploratory sibling: which 3-step orders actually occur
+      graft.analysis.Eval.topPaths(events(s, dir), col("user_id"),
+        col("ts"), col("event_id"), col("event_type"), 20)),
+    "coder_agreement" -> ((s, dir) => {
+      // two deterministic "coders" labeling the same messages (the Coda
+      // double-coding scenario): coder B breaks from A on high-value rows
+      val k = propsInt
+      val coderA = when(k.isNotNull, concat(lit("c"), k % 4))
+      val coderB = when(k.isNotNull,
+        concat(lit("c"), when(col("value") > 75.0, (k + 1) % 4).otherwise(k % 4)))
+      graft.analysis.Eval.cohenKappa(events(s, dir), coderA, coderB)
+    }),
     "regression_ols" -> ((s, dir) =>
       graft.analysis.Regression.olsByGroup(
         events(s, dir), Seq(col("event_type")),
@@ -716,6 +741,14 @@ object SparkEntry {
       d.select((col("doc_id") +: graft.text.TextFeatures.langIdProfiled(
         col("text"), graft.text.TextFeatures.defaultProfiles)): _*)
     }),
+    "classifier_eval" -> ((s, dir) => {
+      // close the langid loop: per-class precision/recall/F1 against the
+      // corpus's gold lang column (classes = gold ∪ predicted)
+      val d = table(s, dir, "documents")
+      val pred = d.select(col("lang"),
+        graft.text.TextFeatures.langIdColumns(col("text")).last.as("predicted_lang"))
+      graft.analysis.Eval.classifierReport(pred, col("lang"), col("predicted_lang"))
+    }),
     "quality_score" -> ((s, dir) => {
       val d = table(s, dir, "documents")
       d.select((col("doc_id") +: graft.text.TextFeatures.qualityColumns(col("text"))): _*)
@@ -816,6 +849,11 @@ object SparkEntry {
       // whitening-prep per-dimension stats; exact decimal sums keep the
       // reduction order-independent (float corpus, deterministic result)
       Knn.dimStats(table(s, dir, "embeddings"), col("embedding"))),
+    "embedding_covariance" -> ((s, dir) =>
+      // full second-moment table in ONE pass at bounded state (no d²
+      // fan-out, no self-join) — the PCA/whitening input
+      graft.analysis.Pca.covariance(table(s, dir, "embeddings"),
+        col("embedding"), 64)),
     "multimodal_decode" -> ((s, dir) =>
       graft.multimodal.Media.decodeDocuments(s, table(s, dir, "documents"))),
     "multimodal_frames" -> ((s, dir) =>
@@ -922,6 +960,13 @@ object SparkEntry {
       // epoch-salted deterministic training order over 8 shards
       graft.curation.Curation.shuffleOrder(table(s, dir, "documents"),
         col("doc_id"), "epoch0", 8)),
+    "sample_stratified" -> ((s, dir) =>
+      // exactly-10-per-source deterministic sample (bounded bottom-k by
+      // salted digest — the eval-set / human-review picker)
+      graft.curation.Curation.stratifiedSample(table(s, dir, "documents"),
+        col("source"), col("doc_id"), 10, "sample")
+        .withColumnRenamed("stratum", "source")
+        .withColumnRenamed("id", "doc_id")),
     "contamination_score" -> ((s, dir) => {
       // scored decontamination: same eval split and trigram contract as
       // `decontaminate`, fraction instead of verdict
@@ -945,6 +990,18 @@ object SparkEntry {
           countDistinct(col("lang")).as("n_langs"))
         .withColumn("keep_rate",
           r6(col("n_kept").cast("double") / col("n_docs").cast("double")))),
+    "corpus_report_cube" -> ((s, dir) =>
+      // the dataset card's multi-dimensional rollup: every (source, lang)
+      // slice plus both 1-D margins and the grand total in ONE pass —
+      // Spark's Expand feeds 4 grouping sets into a single partial agg,
+      // so the cube costs one corpus scan, not four report jobs
+      table(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          graft.functions.TokenCount.tokenCount(col("text")).as("n_tok"))
+        .cube(col("source"), col("lang"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .select(col("source"), col("lang"), col("gid"), col("n_docs"), col("n_tokens"))),
     "vocab_build" -> ((s, dir) =>
       // 24 < the corpus's 31 distinct tokens, so OOV is a real case here
       graft.text.Vocab.build(table(s, dir, "documents"), col("text"), 24)),
@@ -1442,6 +1499,20 @@ object SparkEntry {
       |  SELECT token, freq, CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS INT) AS token_id
       |  FROM (SELECT token, freq FROM f ORDER BY freq DESC, token ASC LIMIT 24))""".stripMargin
 
+  /** Stopword-score language ID — shared verbatim by the langid row and the
+    * classifier_eval prediction CTE. */
+  private val langidOracle: String =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS s_en,
+      |  CAST(len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','y','que','en','un'))) AS BIGINT) AS s_es,
+      |  CAST(len(list_filter(string_split(text,' '), w -> w IN ('le','la','de','et','que','en','un'))) AS BIGINT) AS s_fr,
+      |  CAST(len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','zu','in','ist'))) AS BIGINT) AS s_de,
+      |  CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+      |       WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+      |       WHEN s_fr >= s_de THEN 'fr'
+      |       ELSE 'de' END AS predicted_lang
+      |FROM documents""".stripMargin
+
   /** Shared by asof_join and asof_join_native: both implementations are
     * gated against the identical oracle. */
   private val asofOracle: String =
@@ -1650,6 +1721,51 @@ object SparkEntry {
 asofOracle,
     "asof_join" ->
 asofOracle,
+    // same carried-match shape; DuckDB lacks ASOF tolerance, so the oracle
+    // nulls out over-age matches over the plain as-of result — exactly the
+    // engine's emission gate
+    "asof_tolerance" ->
+      s"""SELECT event_id, user_id, ts, value,
+         |  CASE WHEN click_ts >= ts - INTERVAL 600 SECOND THEN click_ts END AS click_ts,
+         |  CASE WHEN click_ts >= ts - INTERVAL 600 SECOND THEN click_value END AS click_value
+         |FROM ($asofOracle)""".stripMargin,
+    "event_paths" ->
+      """WITH seq AS (
+        |  SELECT event_type AS step1,
+        |    lead(event_type, 1) OVER w AS step2,
+        |    lead(event_type, 2) OVER w AS step3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT step1, step2, step3, CAST(COUNT(*) AS BIGINT) AS n_paths
+        |FROM seq WHERE step3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n_paths DESC, step1, step2, step3 LIMIT 20""".stripMargin,
+    "coder_agreement" ->
+      s"""WITH j AS (
+         |  SELECT 'c' || CAST($propsIntSql % 4 AS VARCHAR) AS a,
+         |    'c' || CAST(CASE WHEN value > 75 THEN ($propsIntSql + 1) % 4
+         |                     ELSE $propsIntSql % 4 END AS VARCHAR) AS b
+         |  FROM events
+         |  WHERE $propsIntSql IS NOT NULL
+         |    AND (CASE WHEN value > 75 THEN ($propsIntSql + 1) % 4
+         |              ELSE $propsIntSql % 4 END) IS NOT NULL),
+         |cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM j GROUP BY 1, 2),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_items,
+         |          CAST(SUM(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT) AS agree
+         |        FROM cells),
+         |ma AS (SELECT a AS cat, CAST(SUM(n) AS BIGINT) AS na FROM cells GROUP BY 1),
+         |mb AS (SELECT b AS cat, CAST(SUM(n) AS BIGINT) AS nb FROM cells GROUP BY 1),
+         |cr AS (SELECT CAST(SUM(ma.na * mb.nb) AS BIGINT) AS crs
+         |       FROM ma JOIN mb ON ma.cat = mb.cat)
+         |SELECT n_items,
+         |  floor((CAST(agree AS DOUBLE) / CAST(n_items AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS po,
+         |  floor((CAST(crs AS DOUBLE) / CAST(n_items * n_items AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS pe,
+         |  CASE WHEN CAST(crs AS DOUBLE) / CAST(n_items * n_items AS DOUBLE) < 1.0 THEN
+         |    floor(((CAST(agree AS DOUBLE) / CAST(n_items AS DOUBLE)
+         |            - CAST(crs AS DOUBLE) / CAST(n_items * n_items AS DOUBLE))
+         |           / (1.0 - CAST(crs AS DOUBLE) / CAST(n_items * n_items AS DOUBLE)))
+         |          * 1000000.0 + 0.5) / 1000000.0 END AS kappa
+         |FROM tot, cr""".stripMargin,
     "regression_ols" ->
       """SELECT event_type, n,
         |  CASE WHEN abs(n * sxx - sx * sx) > 1e-9 * greatest(abs(n * sxx), abs(sx * sx))
@@ -2287,17 +2403,37 @@ asofOracle,
         |         BETWEEN 0 AND 17 THEN 'child'
         |  END AS age_category
         |FROM scoped GROUP BY user_id""".stripMargin,
-    "langid" ->
-      """SELECT doc_id,
-        |  CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS s_en,
-        |  CAST(len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','y','que','en','un'))) AS BIGINT) AS s_es,
-        |  CAST(len(list_filter(string_split(text,' '), w -> w IN ('le','la','de','et','que','en','un'))) AS BIGINT) AS s_fr,
-        |  CAST(len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','zu','in','ist'))) AS BIGINT) AS s_de,
-        |  CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
-        |       WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
-        |       WHEN s_fr >= s_de THEN 'fr'
-        |       ELSE 'de' END AS predicted_lang
-        |FROM documents""".stripMargin,
+    "langid" -> langidOracle,
+    // classes = gold ∪ predicted; precision/recall NULL on an empty
+    // denominator, f1 in its 2·tp/(n_gold+n_pred) form (the prediction CTE
+    // is the SHARED langid oracle, so the two rows cannot drift apart)
+    "classifier_eval" ->
+      s"""WITH pred AS (
+         |$langidOracle),
+         |j AS (SELECT d.lang AS gold, p.predicted_lang AS pred
+         |      FROM documents d JOIN pred p USING (doc_id)
+         |      WHERE d.lang IS NOT NULL AND p.predicted_lang IS NOT NULL),
+         |g AS (SELECT gold AS lang, CAST(COUNT(*) AS BIGINT) AS n_gold,
+         |        CAST(SUM(CASE WHEN gold = pred THEN 1 ELSE 0 END) AS BIGINT) AS tp
+         |      FROM j GROUP BY 1),
+         |p AS (SELECT pred AS lang, CAST(COUNT(*) AS BIGINT) AS n_pred FROM j GROUP BY 1)
+         |SELECT COALESCE(g.lang, p.lang) AS lang,
+         |  COALESCE(n_gold, 0) AS n_gold, COALESCE(n_pred, 0) AS n_pred,
+         |  COALESCE(tp, 0) AS tp,
+         |  CASE WHEN COALESCE(n_pred, 0) > 0 THEN
+         |    floor((CAST(COALESCE(tp, 0) AS DOUBLE) / CAST(n_pred AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+         |  END AS "precision",
+         |  CASE WHEN COALESCE(n_gold, 0) > 0 THEN
+         |    floor((CAST(COALESCE(tp, 0) AS DOUBLE) / CAST(n_gold AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+         |  END AS recall,
+         |  floor((2.0 * CAST(COALESCE(tp, 0) AS DOUBLE)
+         |         / CAST(COALESCE(n_gold, 0) + COALESCE(n_pred, 0) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS f1
+         |FROM g FULL OUTER JOIN p ON g.lang = p.lang""".stripMargin,
+    "corpus_report_cube" ->
+      s"""SELECT source, lang, CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |FROM (SELECT source, lang, $sqlTokCount AS n_tok FROM documents)
+         |GROUP BY CUBE(source, lang)""".stripMargin,
     // Generated from the SAME profile table as the Spark side, so adding a
     // language can never drift the two formulations apart. DuckDB list_max
     // over structs is field-order lexicographic, matching Spark array_max.
@@ -2903,6 +3039,27 @@ asofOracle,
         |         - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) * 1e6 + 0.5) / 1e6 AS var_x,
         |  min_x, max_x
         |FROM a""".stripMargin,
+    // the engine folds these moments in ONE bounded-buffer pass; the oracle
+    // replays them with the self-join formulation — identical integer sums
+    // (6-decimal quantized products), identical IEEE division sequence
+    "embedding_covariance" ->
+      """WITH x AS (
+        |  SELECT vec_id, CAST(i - 1 AS INT) AS i, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)),
+        |m AS (
+        |  SELECT i, CAST(SUM(CAST(floor(v * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sv,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM x GROUP BY 1),
+        |p AS (
+        |  SELECT a.i AS i, b.i AS j,
+        |    CAST(SUM(CAST(floor(a.v * b.v * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sp
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY 1, 2)
+        |SELECT p.i, p.j,
+        |  floor((CAST(sp AS DOUBLE) / 1000000.0 / CAST(mi.n AS DOUBLE)
+        |    - (CAST(mi.sv AS DOUBLE) / 1000000.0 / CAST(mi.n AS DOUBLE))
+        |      * (CAST(mj.sv AS DOUBLE) / 1000000.0 / CAST(mj.n AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS cov
+        |FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j""".stripMargin,
     "seq_packing" ->
       s"""WITH t AS (
          |  SELECT doc_id,
@@ -2971,6 +3128,13 @@ asofOracle,
         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 4))::BIGINT % 8 AS shard,
         |    md5('epoch0' || ':' || CAST(doc_id AS VARCHAR)) AS ord
         |  FROM documents)""".stripMargin,
+    "sample_stratified" ->
+      """SELECT source, CAST(rn AS INT) AS "rank", doc_id FROM (
+        |  SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5('sample:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10""".stripMargin,
     "contamination_score" ->
       """WITH shl AS (
         |  SELECT doc_id, list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]

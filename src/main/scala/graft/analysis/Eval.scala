@@ -1,0 +1,112 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier / coder evaluation over labeled rows.
+  *
+  * The reference is a human-labeling pipeline (Coda code schemes applied to
+  * messages — engagement_db_coda_sync/lib.py:119's label merge is where two
+  * opinions about the same message meet), and the engine ships an automatic
+  * classifier (langid). Both need the same closing loop: score predictions
+  * against gold labels, and measure how much two labelers agree. Everything
+  * here aggregates to class-cardinality frames immediately — the only
+  * corpus-sized pass is the first groupBy (map-side combinable), so 100 TB
+  * of predictions costs one shuffle of |classes|² partial rows.
+  */
+object Eval {
+
+  private val r6 = graft.util.Portable.round6 _
+
+  /** Per-class precision / recall / F1 of a prediction column against a
+    * gold column. Rows with a null on either side are excluded (a null
+    * prediction is an abstention, not a class). Classes are the union of
+    * gold and predicted labels, so a class the model never predicts (or
+    * invents) still gets a row.
+    *
+    * One corpus pass builds the |gold|×|pred| confusion frame; the
+    * per-class marginals and the full-outer class join run on frames of
+    * class cardinality, which AQE broadcasts.
+    *
+    * Output: lang, n_gold, n_pred, tp, precision, recall, f1 — precision
+    * and recall are NULL when their denominator is empty; f1 uses the
+    * 2·tp/(n_gold+n_pred) form, defined whenever the class exists at all.
+    */
+  def classifierReport(df: DataFrame, gold: Column, pred: Column): DataFrame = {
+    val conf = df.select(gold.as("__gold"), pred.as("__pred"))
+      .filter(col("__gold").isNotNull && col("__pred").isNotNull)
+      .groupBy(col("__gold"), col("__pred")).agg(count(lit(1)).as("__n"))
+    val byGold = conf.groupBy(col("__gold").as("lang")).agg(
+      sum(col("__n")).as("n_gold"),
+      sum(when(col("__pred") === col("__gold"), col("__n")).otherwise(0L)).as("tp"))
+    val byPred = conf.groupBy(col("__pred").as("lang")).agg(sum(col("__n")).as("n_pred"))
+    byGold.join(byPred, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        coalesce(col("n_gold"), lit(0L)).as("n_gold"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision",
+        when(col("n_pred") > 0, r6(col("tp").cast("double") / col("n_pred").cast("double"))))
+      .withColumn("recall",
+        when(col("n_gold") > 0, r6(col("tp").cast("double") / col("n_gold").cast("double"))))
+      .withColumn("f1",
+        r6(lit(2.0) * col("tp").cast("double")
+          / (col("n_gold") + col("n_pred")).cast("double")))
+  }
+
+  /** Cohen's kappa between two label columns over the same items — the
+    * standard inter-annotator agreement statistic for a double-coded
+    * message sample. Items where either coder abstained (null) are
+    * excluded, as in the published formulation.
+    *
+    * One corpus pass → |A|×|B| cell frame; marginal products and the
+    * final scalars are class-cardinality work. po and pe are single IEEE
+    * divisions of exact longs, so both engines compute bit-identical
+    * inputs to the rounding. kappa is NULL when pe = 1 (both coders
+    * constant — agreement is undefined, not 0).
+    *
+    * Output (one row): n_items, po, pe, kappa (all ratios r6-rounded).
+    */
+  def cohenKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.select(a.as("__a"), b.as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__n"))
+    val totals = cells.agg(
+      sum(col("__n")).as("n_items"),
+      sum(when(col("__a") === col("__b"), col("__n")).otherwise(0L)).as("__agree"))
+    val margA = cells.groupBy(col("__a").as("__cat")).agg(sum(col("__n")).as("__na"))
+    val margB = cells.groupBy(col("__b").as("__cat")).agg(sum(col("__n")).as("__nb"))
+    val cross = margA.join(margB, Seq("__cat"), "inner")
+      .agg(sum(col("__na") * col("__nb")).as("__cross"))
+    val po = col("__agree").cast("double") / col("n_items").cast("double")
+    val pe = col("__cross").cast("double") /
+      (col("n_items") * col("n_items")).cast("double")
+    totals.crossJoin(cross)
+      .select(col("n_items"), r6(po).as("po"), r6(pe).as("pe"),
+        when(pe < 1.0, r6((po - pe) / (lit(1.0) - pe))).as("kappa"))
+  }
+
+  /** Top-k length-3 step sequences (paths) across per-user event streams,
+    * ordered by (ts, tiebreak) within each user. The funnel's exploratory
+    * sibling: instead of checking one hypothesised order, surface the
+    * orders that actually happen.
+    *
+    * One shuffle on the user key feeds a single Window node evaluating
+    * both leads; the trigram count is map-side combinable and the top-k is
+    * TakeOrderedAndProject — no global sort at any width.
+    */
+  def topPaths(df: DataFrame, user: Column, ts: Column, tiebreak: Column,
+               step: Column, k: Int): DataFrame = {
+    require(k >= 1, s"topPaths needs k >= 1, got $k")
+    val w = Window.partitionBy(col("__u")).orderBy(col("__ts"), col("__tie"))
+    df.select(user.as("__u"), ts.as("__ts"), tiebreak.as("__tie"), step.as("step1"))
+      .withColumn("step2", lead(col("step1"), 1).over(w))
+      .withColumn("step3", lead(col("step1"), 2).over(w))
+      .filter(col("step3").isNotNull)
+      .groupBy(col("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("step1"), col("step2"), col("step3"))
+      .limit(k)
+  }
+}

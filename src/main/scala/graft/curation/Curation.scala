@@ -153,6 +153,35 @@ object Curation {
   def hashShard(key: Column, numShards: Int): Column =
     conv(substring(md5(key.cast("string")), 9, 4), 16, 10).cast("long") % numShards
 
+  /** Deterministic exactly-k-per-stratum sample (eval sets, human-review
+    * batches, per-source probes) — the fixed-size sibling of data_mixture's
+    * Bernoulli coin. Each stratum keeps its k smallest salted digests:
+    * uniform without replacement over the digest randomness, reproducible
+    * across runs/engines, and growth-stable in expectation (a new row only
+    * displaces the current worst pick).
+    *
+    * The bottom-k runs as a capacity-bounded TypedImperativeAggregate
+    * ([[graft.functions.BottomKAgg]]): partial buffers hold k pairs, merge
+    * map-side, and ship k rows per partition — a hot stratum never
+    * serializes one task the way a window row_number would. The digest
+    * salt is its own namespace, independent of the mixture coin and the
+    * packing shard windows (full-digest order vs 16-bit windows).
+    *
+    * Output: stratum, rank (1-based within the stratum's digest order), id.
+    */
+  def stratifiedSample(df: DataFrame, stratum: Column, id: Column, k: Int,
+                       salt: String): DataFrame = {
+    require(k >= 1, s"stratifiedSample needs k >= 1, got $k")
+    df.select(stratum.as("__stratum"), id.as("__id"))
+      .withColumn("__dig", md5(concat(lit(salt + ":"), col("__id").cast("string"))))
+      .groupBy(col("__stratum"))
+      .agg(graft.functions.BottomKAgg.bottomKByKey(col("__dig"), col("__id"), k).as("__picks"))
+      .select(col("__stratum"), posexplode(col("__picks")).as(Seq("__pos", "__pick")))
+      .select(col("__stratum").as("stratum"),
+        (col("__pos") + 1).cast("int").as("rank"),
+        col("__pick.id").as("id"))
+  }
+
   /** Weighted source mixing: each document is kept with probability
     * weight(source)/100, decided by a deterministic per-document hash coin —
     * reruns, resumes, and the oracle all agree on exactly which documents

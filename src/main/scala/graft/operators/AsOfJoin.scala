@@ -25,9 +25,15 @@ object AsOfJoin {
     * @param rightTs   right event-time column name
     * @param rightTiebreak right column name making (key, ts) ordering total
     * @param payload   right columns to carry (emitted as asof_<name>)
+    * @param toleranceSeconds optional max lookback: a carried match older
+    *                  than this many seconds is nulled out (the pandas
+    *                  merge_asof `tolerance` contract). The carry itself is
+    *                  unchanged — only the emission is gated — so one window
+    *                  pass still serves any tolerance.
     */
   def asOf(left: DataFrame, right: DataFrame, key: String, leftTs: String,
-           rightTs: String, rightTiebreak: String, payload: Seq[String]): DataFrame = {
+           rightTs: String, rightTiebreak: String, payload: Seq[String],
+           toleranceSeconds: Option[Long] = None): DataFrame = {
     graft.util.TempCols.assertFree(left, "__ts", "__pay", "__tag", "__carry")
     graft.util.TempCols.assertFree(right, "__ts", "__pay", "__tag", "__carry")
     // null-keyed/ts right rows can never match (SQL join semantics — the
@@ -49,7 +55,17 @@ object AsOfJoin {
       .orderBy(col("__ts").asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("__carry", last(col("__pay"), ignoreNulls = true).over(w))
-    val out = carried.filter(col("__tag") === 1)
+    val gated = toleranceSeconds match {
+      case Some(tol) =>
+        require(tol >= 0, s"asOf tolerance must be >= 0 seconds, got $tol")
+        // INTERVAL comparison (not epoch casts): exact at microsecond
+        // resolution and the same expression an oracle dialect writes
+        carried.withColumn("__carry",
+          when(col(s"__carry.$rightTs") >= col("__ts") - expr(s"INTERVAL $tol SECOND"),
+            col("__carry")))
+      case None => carried
+    }
+    val out = gated.filter(col("__tag") === 1)
     val payloadCols = (rightTs +: payload).map(p => col(s"__carry.$p").as(s"asof_$p"))
     out.select(leftCols.map(col) ++ payloadCols: _*)
   }

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the round-8 evaluation + sampling additions: classifier report
+  * arithmetic, Cohen's kappa on the textbook example, path trigram counts,
+  * bounded bottom-k sampling (window equivalence + merge independence),
+  * and the as-of tolerance gate.
+  */
+class EvalSamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("classifierReport: confusion marginals, nulls excluded, union classes") {
+    // gold: a a a b b c(null pred) ; pred: a a b b b d
+    val df = Seq(
+      ("a", "a"), ("a", "a"), ("a", "b"),
+      ("b", "b"), ("b", "b"),
+      ("c", null), (null, "d"), ("c", "d")
+    ).toDF("gold", "pred")
+    val out = graft.analysis.Eval.classifierReport(df, col("gold"), col("pred"))
+      .orderBy("lang")
+      .select("lang", "n_gold", "n_pred", "tp", "precision", "recall", "f1")
+      .collect()
+    // kept rows: (a,a) (a,a) (a,b) (b,b) (b,b) (c,d)
+    val byLang = out.map(r => r.getString(0) -> r).toMap
+    assert(byLang.keySet === Set("a", "b", "c", "d"))
+    val a = byLang("a")
+    assert(a.getLong(1) === 3 && a.getLong(2) === 2 && a.getLong(3) === 2)
+    assert(a.getDouble(4) === 1.0) // precision 2/2
+    assert(a.getDouble(5) === 0.666667) // recall 2/3 r6
+    val c = byLang("c")
+    assert(c.getLong(1) === 1 && c.getLong(2) === 0 && c.getLong(3) === 0)
+    assert(c.isNullAt(4)) // precision undefined: never predicted
+    assert(c.getDouble(5) === 0.0)
+    val d = byLang("d")
+    assert(d.getLong(1) === 0 && d.isNullAt(5)) // recall undefined: no gold
+    assert(d.getDouble(4) === 0.0)
+  }
+
+  test("cohenKappa: textbook 2x2 example and degenerate all-agree case") {
+    // classic example: 20 yes/yes, 5 yes/no, 10 no/yes, 15 no/no
+    val rows =
+      Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no")) ++
+        Seq.fill(10)(("no", "yes")) ++ Seq.fill(15)(("no", "no"))
+    val out = graft.analysis.Eval.cohenKappa(rows.toDF("a", "b").repartition(7),
+      col("a"), col("b")).collect().head
+    assert(out.getLong(0) === 50)
+    assert(out.getDouble(1) === 0.7) // po = 35/50
+    assert(out.getDouble(2) === 0.5) // pe = (25*30 + 25*20)/2500
+    assert(out.getDouble(3) === 0.4) // (0.7-0.5)/0.5
+    // both coders constant and identical -> pe = 1, kappa undefined (null)
+    val degen = graft.analysis.Eval.cohenKappa(
+      Seq.fill(10)(("x", "x")).toDF("a", "b"), col("a"), col("b")).collect().head
+    assert(degen.getDouble(1) === 1.0 && degen.isNullAt(3))
+  }
+
+  test("topPaths: counts ordered trigrams per user, no cross-user bleed") {
+    val df = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "d"),
+      (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "c"),
+      (3L, 1L, "x"), (3L, 2L, "y") // too short for a trigram
+    ).toDF("u", "t", "e")
+    val out = graft.analysis.Eval.topPaths(df, col("u"), col("t"), col("t"),
+      col("e"), 10)
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(out === Seq(("a", "b", "c", 2L), ("b", "c", "d", 1L)))
+  }
+
+  test("bottom-k sample: equals the window row_number formulation") {
+    val docs = (1L to 500L).map(i => (i, "s" + (i % 3))).toDF("id", "src")
+      .repartition(13)
+    val viaAgg = graft.curation.Curation
+      .stratifiedSample(docs, col("src"), col("id"), 7, "seed1")
+      .orderBy("stratum", "rank")
+      .as[(String, Int, Long)].collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"))
+      .orderBy(md5(concat(lit("seed1:"), col("id").cast("string"))), col("id"))
+    val viaWindow = docs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 7)
+      .select(col("src"), col("rank"), col("id"))
+      .orderBy("src", "rank")
+      .as[(String, Int, Long)].collect().toSeq
+    assert(viaAgg === viaWindow)
+    assert(viaAgg.size === 21)
+  }
+
+  test("bottom-k sample: partitioning-independent and exhaustive when k >= group") {
+    val docs = (1L to 100L).map(i => (i, "only")).toDF("id", "src")
+    val a = graft.curation.Curation
+      .stratifiedSample(docs.repartition(1), col("src"), col("id"), 10, "s")
+      .as[(String, Int, Long)].collect().toSeq.sorted
+    val b = graft.curation.Curation
+      .stratifiedSample(docs.repartition(17), col("src"), col("id"), 10, "s")
+      .as[(String, Int, Long)].collect().toSeq.sorted
+    assert(a === b)
+    // k >= group size -> every member present exactly once
+    val all = graft.curation.Curation
+      .stratifiedSample(docs.repartition(5), col("src"), col("id"), 200, "s")
+      .as[(String, Int, Long)].collect().toSeq
+    assert(all.map(_._3).sorted === (1L to 100L))
+    assert(all.map(_._2).sorted === (1 to 100))
+  }
+
+  test("asOf tolerance: over-age matches nulled, boundary gap kept") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "L")).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:50:00"), 1.0), // exactly 600s back — kept
+      (2L, ts("2024-01-01 09:00:00"), 2.0)
+    ).toDF("k", "ts", "v")
+    val kept = graft.operators.AsOfJoin.asOf(left, right, "k", "ts", "ts", "v",
+      Seq("v"), toleranceSeconds = Some(600L)).collect().head
+    assert(!kept.isNullAt(kept.fieldIndex("asof_v")))
+    val farRight = Seq((1L, ts("2024-01-01 09:49:59"), 1.0)).toDF("k", "ts", "v")
+    val nulled = graft.operators.AsOfJoin.asOf(left, farRight, "k", "ts", "ts", "v",
+      Seq("v"), toleranceSeconds = Some(600L)).collect().head
+    assert(nulled.isNullAt(nulled.fieldIndex("asof_v")))
+    // same rows without tolerance: the match survives
+    val noTol = graft.operators.AsOfJoin.asOf(left, farRight, "k", "ts", "ts", "v",
+      Seq("v")).collect().head
+    assert(!noTol.isNullAt(noTol.fieldIndex("asof_v")))
+  }
+
+  private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+}
