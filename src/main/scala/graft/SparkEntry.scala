@@ -1047,6 +1047,11 @@ object SparkEntry {
       // 16-token spans every 8: the exact-substring duplication signal
       graft.curation.Curation.dupSpanStats(table(s, dir, "documents"),
         col("doc_id"), col("text"), 16, 8)),
+    "dedup_span_rewrite" -> ((s, dir) =>
+      // the remove step: every 16-token chunk survives only at its first
+      // corpus-wide occurrence, documents reassembled from the survivors
+      graft.curation.Curation.spanDedupRewrite(table(s, dir, "documents"),
+        col("doc_id"), col("text"), 16)),
     "curation_funnel" -> ((s, dir) =>
       // the composed pipeline decision: quality -> exact dedup -> mixture
       graft.curation.Curation.curationFunnel(table(s, dir, "documents"),
@@ -2054,6 +2059,22 @@ asofOracle,
         |  CASE WHEN COALESCE(st.n_spans, 0) > 0
         |       THEN floor((CAST(st.n_shared AS DOUBLE) / CAST(st.n_spans AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 END AS shared_frac
         |FROM (SELECT doc_id FROM documents) d LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin,
+    // same chunker convention as dup_span_stats (window 16, stride 16);
+    // partial trailing chunks are always kept, full chunks keep only their
+    // first (doc_id, pos) occurrence
+    "dedup_span_rewrite" ->
+      """WITH lw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ch AS (
+        |  SELECT doc_id, i AS pos, array_to_string(w[i*16+1:i*16+16], ' ') AS chunk,
+        |    len(w[i*16+1:i*16+16]) AS n
+        |  FROM lw, unnest(generate_series(0, (greatest(0, len(w) - 16) + 15) // 16)) AS g(i)),
+        |r AS (SELECT doc_id, pos, chunk,
+        |        (n <> 16) OR (ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id ASC, pos ASC) = 1) AS keep
+        |      FROM ch)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+        |  COALESCE(string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY pos ASC), '') AS text_kept
+        |FROM r GROUP BY doc_id""".stripMargin,
     "bm25_topk" ->
       """WITH t AS (
         |  SELECT doc_id, term FROM (

@@ -99,12 +99,12 @@ object Curation {
     * with it, so the two line-level operators can never reassemble
     * documents differently.
     */
-  private def reassembledText(keep: Column): Column =
+  private def reassembledText(keep: Column, sep: String = "\n"): Column =
     array_join(
       transform(
         array_sort(collect_list(when(keep, struct(col("pos"), col("line"))))),
         x => x.getField("line")),
-      "\n")
+      sep)
 
   /** Surgical decontamination: excise the individual lines whose content
     * appears in the benchmark and keep the rest of the document in order —
@@ -130,6 +130,45 @@ object Curation {
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("__hit"), 1L).otherwise(0L)).as("n_removed"),
         reassembledText(col("__hit").isNull).as("text_clean"))
+  }
+
+  /** Exact-substring dedup REWRITE at chunk granularity (the ExactSubstr
+    * remove step of Lee et al.'s "Deduplicating Training Data Makes
+    * Language Models Better", chunk-aligned): split each document into
+    * non-overlapping `window`-token chunks, keep every chunk only at its
+    * first (doc_id, chunk_id) occurrence corpus-wide, and reassemble the
+    * survivors in order. dup_span_stats MEASURES span duplication; this
+    * removes it — boilerplate paragraphs die everywhere but their first
+    * home while the rest of each document survives (vs dropping whole
+    * near-dup docs).
+    *
+    * Scale shape is lineDedup's: one explode, first occurrence as a
+    * map-side-combinable min(struct) agg (no per-chunk window ⇒ no
+    * hot-boilerplate skew cliff), doc-keyed ordered reassembly. The
+    * first-keeper key is md5(chunk), not the raw 16-token string — the
+    * agg/join sides stay fixed-width and a million-fold hot chunk is an
+    * AQE-splittable 32-char key (the curationStages digest convention).
+    * Trailing partial chunks (< window tokens) are always kept: they
+    * cannot be attested verbatim repeats at this granularity.
+    *
+    * Output: doc_id, n_chunks, n_removed, text_kept (space-rejoined).
+    */
+  def spanDedupRewrite(df: DataFrame, id: Column, text: Column, window: Int): DataFrame = {
+    val chunks = chunkDocs(df, id, text, window, window)
+      .select(col("doc_id"), col("chunk_id").as("pos"), col("n_tokens"),
+        col("chunk").as("line"))
+      .withColumn("__digest", md5(col("line")))
+    val firsts = chunks.filter(col("n_tokens") === window)
+      .groupBy(col("__digest"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__first"))
+    chunks.join(firsts, Seq("__digest"), "left")
+      .withColumn("__keep",
+        col("n_tokens") =!= window || struct(col("doc_id"), col("pos")) === col("__first"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_removed"),
+        reassembledText(col("__keep"), " ").as("text_kept"))
   }
 
   /** Deterministic, dialect-portable [0, 100) hash percentile of a key —

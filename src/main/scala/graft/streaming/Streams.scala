@@ -62,6 +62,25 @@ object Streams {
       .select(col("win_start"), (col("__pos") + 1).cast("int").as("rank"),
         col("__e.value").as("value"), col("__e.cnt").as("cnt"))
 
+  /** Streaming audit sampling: per tumbling window, a deterministic
+    * exactly-k sample of ids from the bounded bottom-k-by-digest aggregate
+    * — the always-on twin of the batch `sample_stratified` row (pull k
+    * rows per hour for human review without ever buffering the window).
+    * Per-window state is k (digest, id) pairs regardless of traffic; the
+    * same salted-digest order means a batch replay picks the identical
+    * rows. */
+  def sampleStream(rows: DataFrame, id: Column, tsCol: String,
+                   windowLen: String = "1 hour", watermark: String = "2 hours",
+                   k: Int = 10, salt: String = "sample"): DataFrame =
+    rows.withWatermark(tsCol, watermark)
+      .withColumn("__id", id)
+      .withColumn("__dig", md5(concat(lit(salt + ":"), col("__id").cast("string"))))
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(graft.functions.BottomKAgg.bottomKByKey(col("__dig"), col("__id"), k).as("__picks"))
+      .select(col("window.start").as("win_start"), posexplode(col("__picks")).as(Seq("__pos", "__pick")))
+      .select(col("win_start"), (col("__pos") + 1).cast("int").as("rank"),
+        col("__pick.id").as("id"))
+
   /** Streaming distribution monitoring: per tumbling window, quantiles of
     * a numeric column from the bounded-state streaming-histogram sketch —
     * the always-on twin of the batch `value_quantiles_sketch` row (latency

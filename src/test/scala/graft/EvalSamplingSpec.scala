@@ -103,6 +103,25 @@ class EvalSamplingSpec extends SparkSpec {
     assert(all.map(_._2).sorted === (1 to 100))
   }
 
+  test("spanDedupRewrite: first occurrence survives, partials always kept") {
+    val block = (1 to 16).map(i => s"w$i").mkString(" ") // one full chunk
+    val other = (1 to 16).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$block $other tail words"),    // both chunks first here
+      (2L, s"$block fresh unique content"), // repeats block -> removed
+      (3L, "short doc"),                    // single partial chunk, kept
+      (4L, s"$other $other")                // both repeat doc 1's chunk -> gone
+    ).toDF("doc_id", "text")
+    val out = graft.curation.Curation
+      .spanDedupRewrite(docs, col("doc_id"), col("text"), 16)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out(0) === ((1L, 3L, 0L, s"$block $other tail words")))
+    assert(out(1) === ((2L, 2L, 1L, "fresh unique content")))
+    assert(out(2) === ((3L, 1L, 0L, "short doc")))
+    assert(out(3) === ((4L, 2L, 2L, "")))
+  }
+
   test("asOf tolerance: over-age matches nulled, boundary gap kept") {
     val left = Seq((1L, ts("2024-01-01 10:00:00"), "L")).toDF("k", "ts", "tag")
     val right = Seq(

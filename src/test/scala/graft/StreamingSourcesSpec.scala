@@ -56,6 +56,27 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming window sample equals the batch bottom-k per window") {
+    val batch = GraftSession.table(spark, sfDir, "events")
+    val dir = Files.createTempDirectory("graft_sample_stream").toString
+    // several files + maxFilesPerTrigger=1 => the k-pair buffer round-trips
+    // the state store between micro-batches
+    batch.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = Streams.sampleStream(stream, col("event_id"), "ts", k = 5)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("sample_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sample_out")
+        .orderBy("win_start", "rank").collect().toSeq
+      val expected = Streams.sampleStream(batch, col("event_id"), "ts", k = 5)
+        .orderBy("win_start", "rank").collect().toSeq
+      assert(streamed.nonEmpty && streamed == expected)
+    } finally q.stop()
+  }
+
   test("stateful sessionization matches the batch sessionizer") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[SessionEvent]
