@@ -123,4 +123,40 @@ object Pca {
     components.zipWithIndex.map { case (c, i) =>
       VectorExpressions.dot(vec.cast("array<double>"), typedLit(c.toSeq)).as(s"pc$i")
     }
+
+  /** Two-stage ANN with a PCA-reduced shortlist: score every pair in the
+    * r-dimensional projected space (r/d of the brute-force arithmetic —
+    * at r=8 over d=64, an 8× cheaper scan), then exactly re-rank only the
+    * per-query shortlist at full dimension. The PQ `refinedTopK` trade
+    * with a rotation instead of a codebook: no training beyond one
+    * covariance pass, and the shortlist scan stays a plain dot-product
+    * kernel. Shortlist ids broadcast against the corpus scan for the
+    * re-rank — the corpus is never shuffled.
+    *
+    * Inputs follow Knn's (id, vec: array<double>) contract; output is
+    * schema-compatible with Knn.bruteForceTopK and provably identical to
+    * it when `shortlist` covers the corpus (spec-pinned); recall in the
+    * approximate regime is governed by how much variance the components
+    * capture (recall-tested on a planted low-rank corpus).
+    */
+  def pcaRefinedTopK(queries: DataFrame, corpus: DataFrame,
+                     components: Seq[Array[Double]], k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    def reduce(df: DataFrame): DataFrame =
+      df.select(col("id"), array(projectColumns(col("vec"), components): _*).as("vec"))
+    val cand = graft.similarity.Knn
+      .bruteForceTopK(reduce(queries), reduce(corpus), shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val dot = VectorExpressions.dot _
+    val withVecs = corpus.select(col("id").as("vec_id"), col("vec").as("cvec"))
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(queries.select(col("id").as("query_id"), col("vec").as("qvec"))),
+        Seq("query_id"))
+    val denom = sqrt(dot(col("qvec"), col("qvec"))) * sqrt(dot(col("cvec"), col("cvec")))
+    val scored = withVecs.select(col("query_id"), col("vec_id"),
+      r6(when(denom =!= 0.0, dot(col("qvec"), col("cvec")) / denom)).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

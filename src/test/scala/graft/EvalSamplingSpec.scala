@@ -66,38 +66,46 @@ class EvalSamplingSpec extends SparkSpec {
     assert(out === Seq(("a", "b", "c", 2L), ("b", "c", "d", 1L)))
   }
 
-  test("bottom-k sample: equals the window row_number formulation") {
+  /** The streaming engine's formulation: bottom-k via the typed aggregate
+    * (batch `stratifiedSample` itself uses the WindowGroupLimit window). */
+  private def viaBottomKAgg(docs: org.apache.spark.sql.DataFrame, k: Int,
+                            salt: String) =
+    docs.withColumn("__dig", md5(concat(lit(salt + ":"), col("id").cast("string"))))
+      .groupBy(col("src"))
+      .agg(graft.functions.BottomKAgg.bottomKByKey(col("__dig"), col("id"), k).as("p"))
+      .select(col("src"), posexplode(col("p")).as(Seq("pos", "pick")))
+      .select(col("src").as("stratum"), (col("pos") + 1).cast("int").as("rank"),
+        col("pick.id").as("id"))
+
+  test("bottom-k aggregate equals the window sample; plan gets WindowGroupLimit") {
     val docs = (1L to 500L).map(i => (i, "s" + (i % 3))).toDF("id", "src")
       .repartition(13)
-    val viaAgg = graft.curation.Curation
+    val sample = graft.curation.Curation
       .stratifiedSample(docs, col("src"), col("id"), 7, "seed1")
-      .orderBy("stratum", "rank")
+    val viaWindow = sample.orderBy("stratum", "rank")
       .as[(String, Int, Long)].collect().toSeq
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src"))
-      .orderBy(md5(concat(lit("seed1:"), col("id").cast("string"))), col("id"))
-    val viaWindow = docs
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 7)
-      .select(col("src"), col("rank"), col("id"))
-      .orderBy("src", "rank")
+    val viaAgg = viaBottomKAgg(docs, 7, "seed1").orderBy("stratum", "rank")
       .as[(String, Int, Long)].collect().toSeq
     assert(viaAgg === viaWindow)
     assert(viaAgg.size === 21)
+    // the rank filter must reach WindowGroupLimit (partial top-k on both
+    // shuffle sides) — the property that makes a hot stratum survivable
+    val plan = sample.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$plan")
   }
 
   test("bottom-k sample: partitioning-independent and exhaustive when k >= group") {
     val docs = (1L to 100L).map(i => (i, "only")).toDF("id", "src")
-    val a = graft.curation.Curation
-      .stratifiedSample(docs.repartition(1), col("src"), col("id"), 10, "s")
+    val a = viaBottomKAgg(docs.repartition(1), 10, "s")
       .as[(String, Int, Long)].collect().toSeq.sorted
-    val b = graft.curation.Curation
-      .stratifiedSample(docs.repartition(17), col("src"), col("id"), 10, "s")
+    val b = viaBottomKAgg(docs.repartition(17), 10, "s")
       .as[(String, Int, Long)].collect().toSeq.sorted
     assert(a === b)
+    assert(a === graft.curation.Curation
+      .stratifiedSample(docs, col("src"), col("id"), 10, "s")
+      .as[(String, Int, Long)].collect().toSeq.sorted)
     // k >= group size -> every member present exactly once
-    val all = graft.curation.Curation
-      .stratifiedSample(docs.repartition(5), col("src"), col("id"), 200, "s")
+    val all = viaBottomKAgg(docs.repartition(5), 200, "s")
       .as[(String, Int, Long)].collect().toSeq
     assert(all.map(_._3).sorted === (1L to 100L))
     assert(all.map(_._2).sorted === (1 to 100))

@@ -86,6 +86,40 @@ class PcaSpec extends SparkSpec {
       la == lb && va.sameElements(vb) })
   }
 
+  test("pcaRefinedTopK: corpus-wide shortlist = brute force; reduced shortlist keeps recall") {
+    // planted low-rank corpus: x = U z + small noise, U 16x4 — PCA's regime
+    val rnd = new scala.util.Random(5)
+    val d = 16
+    val r = 4
+    val u = Array.fill(r)(Array.fill(d)(rnd.nextGaussian()))
+    val vecs = Seq.fill(200) {
+      val z = Array.fill(r)(rnd.nextGaussian() * 3.0)
+      Array.tabulate(d) { i =>
+        (z.indices.map(s => z(s) * u(s)(i)).sum + rnd.nextGaussian() * 0.05).toFloat
+      }
+    }
+    val df = vecsDf(vecs, 6)
+      .select(col("id"), graft.similarity.Knn.toDoubleArray(col("vec")).as("vec"))
+    val queries = df.filter(col("id") < 10)
+    val cov = graft.analysis.Pca.covMatrix(df, col("vec"), d)
+    val comps = graft.analysis.Pca.topComponents(cov, r).map(_._2)
+    // exact regime: shortlist covers the corpus -> identical to brute force
+    val exact = graft.similarity.Knn.bruteForceTopK(queries, df, 10)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val refinedAll = graft.analysis.Pca
+      .pcaRefinedTopK(queries, df, comps, 10, vecs.size)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(refinedAll === exact)
+    // approximate regime: 40/200 shortlist in 4/16 dims keeps recall high
+    val approx = graft.analysis.Pca.pcaRefinedTopK(queries, df, comps, 10, 40)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val exactPairs = exact.map(t => (t._1, t._2))
+    val recall = approx.intersect(exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
   test("end-to-end: projection onto the dominant axis separates the planted direction") {
     // points along [3,4]/5 plus small orthogonal noise: PC0 must recover it
     val rnd = new scala.util.Random(3)
