@@ -1052,6 +1052,20 @@ object SparkEntry {
       // corpus-wide occurrence, documents reassembled from the survivors
       graft.curation.Curation.spanDedupRewrite(table(s, dir, "documents"),
         col("doc_id"), col("text"), 16)),
+    "dedup_prefix_filter" -> ((s, dir) =>
+      // exact J >= 0.4 pairs, zero false negatives: prefix-filter candidate
+      // generation (rarest-first), candidate-confined verification; the
+      // brute-force oracle equality IS the completeness proof
+      graft.dedup.Dedup.prefixFilterJoin(table(s, dir, "documents"),
+        col("doc_id"), col("text"), 3, 0.4)),
+    "token_entropy" -> ((s, dir) =>
+      // information-theoretic repetition signal (nats per token draw)
+      graft.text.Vocab.tokenEntropy(table(s, dir, "documents"),
+        col("doc_id"), col("text"))),
+    "key_skew_report" -> ((s, dir) =>
+      // the pre-flight shuffle-key diagnosis: cardinality, hottest key,
+      // Herfindahl concentration of the candidate partitioning key
+      graft.analysis.Eval.keySkewReport(events(s, dir), col("user_id"))),
     "curation_funnel" -> ((s, dir) =>
       // the composed pipeline decision: quality -> exact dedup -> mixture
       graft.curation.Curation.curationFunnel(table(s, dir, "documents"),
@@ -2059,6 +2073,55 @@ asofOracle,
         |  CASE WHEN COALESCE(st.n_spans, 0) > 0
         |       THEN floor((CAST(st.n_shared AS DOUBLE) / CAST(st.n_spans AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 END AS shared_frac
         |FROM (SELECT doc_id FROM documents) d LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin,
+    // brute-force shared-shingle formulation over ALL pairs (a < b): the
+    // engine's prefix-filtered candidates must reproduce it exactly —
+    // equality here is the prefix rule's zero-false-negative proof
+    "dedup_prefix_filter" ->
+      """WITH shl AS (
+        |  SELECT doc_id, list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                                 for i in generate_series(1, len(w)-2) ]) AS shingles
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |sets AS (SELECT doc_id, len(shingles) AS sz, s FROM shl, unnest(shingles) AS t(s)),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    MAX(a.sz) AS sz_a, MAX(b.sz) AS sz_b, CAST(COUNT(*) AS BIGINT) AS i
+        |  FROM sets a JOIN sets b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, floor((j) * 1000000.0 + 0.5) / 1000000.0 AS jaccard FROM (
+        |  SELECT doc_a, doc_b,
+        |    CAST(i AS DOUBLE) / CAST(sz_a + sz_b - i AS DOUBLE) AS j
+        |  FROM inter)
+        |WHERE j >= 0.4""".stripMargin,
+    "token_entropy" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |wn AS (SELECT doc_id, c, SUM(c) OVER (PARTITION BY doc_id) AS n FROM tf),
+        |parts AS (
+        |  SELECT doc_id, n,
+        |    CAST(floor((-((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |                   * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))) * 1000000.0 + 0.5) / 1000000.0
+        |      AS DECIMAL(18,6)) AS part
+        |  FROM wn),
+        |st AS (SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+        |         CAST(SUM(part) AS DOUBLE) AS entropy
+        |       FROM parts GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(st.n_tokens, 0) AS n_tokens, st.entropy
+        |FROM (SELECT doc_id FROM documents) d LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin,
+    "key_skew_report" ->
+      """WITH c AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS c
+        |           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |a AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |        SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS s2
+        |      FROM c),
+        |t AS (SELECT CAST(k AS VARCHAR) AS top_key, c AS top_cnt
+        |      FROM c ORDER BY c DESC, k ASC LIMIT 1)
+        |SELECT n_rows, n_keys, top_key, top_cnt,
+        |  floor((CAST(top_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS top_share,
+        |  floor((CAST(s2 AS DOUBLE) / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS hhi
+        |FROM a, t""".stripMargin,
     // same chunker convention as dup_span_stats (window 16, stride 16);
     // partial trailing chunks are always kept, full chunks keep only their
     // first (doc_id, pos) occurrence

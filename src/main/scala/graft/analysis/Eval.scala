@@ -87,6 +87,35 @@ object Eval {
         when(pe < 1.0, r6((po - pe) / (lit(1.0) - pe))).as("kappa"))
   }
 
+  /** Shuffle-key skew diagnosis — the report to run BEFORE picking join /
+    * state-sharding keys at scale: row count, key cardinality, the hottest
+    * key with its share, and the Herfindahl concentration index
+    * (Σ share², = 1/n_keys when uniform, → 1 as one key dominates; > a few
+    * × uniform means salting or AQE skew-join territory).
+    *
+    * One corpus pass to per-key counts (map-side combinable); the scalars
+    * and the top-1 pick (TakeOrderedAndProject) run on the key-cardinality
+    * frame. Σc² accumulates in DECIMAL so a billion-row hot key cannot
+    * overflow the long sum.
+    *
+    * Output (one row): n_rows, n_keys, top_key, top_cnt, top_share, hhi.
+    */
+  def keySkewReport(df: DataFrame, key: Column): DataFrame = {
+    val counts = df.select(key.as("__k")).filter(col("__k").isNotNull)
+      .groupBy(col("__k")).agg(count(lit(1)).as("__c"))
+    val aggs = counts.agg(
+      sum(col("__c")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      sum(col("__c").cast("decimal(19,0)") * col("__c").cast("decimal(19,0)")).as("__s2"))
+    val top = counts.orderBy(col("__c").desc, col("__k").asc).limit(1)
+      .select(col("__k").cast("string").as("top_key"), col("__c").as("top_cnt"))
+    aggs.crossJoin(top).select(
+      col("n_rows"), col("n_keys"), col("top_key"), col("top_cnt"),
+      r6(col("top_cnt").cast("double") / col("n_rows").cast("double")).as("top_share"),
+      r6(col("__s2").cast("double")
+        / (col("n_rows").cast("double") * col("n_rows").cast("double"))).as("hhi"))
+  }
+
   /** Top-k length-3 step sequences (paths) across per-user event streams,
     * ordered by (ts, tiebreak) within each user. The funnel's exploratory
     * sibling: instead of checking one hypothesised order, surface the

@@ -41,6 +41,62 @@ object Dedup {
   private def distinctShingles(text: Column, n: Int): Column =
     graft.functions.ShingleExpressions.distinctShingles(text, n)
 
+  /** EXACT all-pairs Jaccard-threshold self-join via prefix filtering
+    * (Chaudhuri et al.'s SSJoin / Xiao et al.'s PPJoin candidate rule) —
+    * the zero-false-negative sibling of the MinHash-LSH family: LSH trades
+    * recall for speed probabilistically; prefix filtering is lossless.
+    *
+    * Rule: order every document's shingles by ONE global total order
+    * (corpus df ascending, shingle ascending — rarest first) and keep only
+    * the first sz − ⌈τ·sz⌉ + 1 as its "prefix". Two sets with
+    * J ≥ τ MUST share a prefix element (if they shared none, each set
+    * would have more than ⌈τ·sz⌉ elements outside the other, capping the
+    * overlap below the threshold) — so joining on prefix shingles alone
+    * generates a complete candidate set. Rarest-first ordering makes those
+    * join keys the LEAST frequent shingles in the corpus: candidate volume
+    * shrinks both because prefixes are short (factor ~1−τ) and because hot
+    * boilerplate shingles sort LAST, out of every prefix — at 100 TB the
+    * stop-shingle that would pair everything with everything never becomes
+    * a join key.
+    *
+    * Verification is candidate-confined: shingle ARRAYS ride a join onto
+    * the (a<b, distinct) candidate pairs and intersect row-locally — no
+    * second explode, never corpus-quadratic. Oracle equality against the
+    * brute-force shared-shingle formulation IS the completeness proof.
+    *
+    * Output: (doc_a, doc_b, jaccard r6) for all pairs with J ≥ tau.
+    */
+  def prefixFilterJoin(df: DataFrame, id: Column, text: Column, n: Int,
+                       tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"prefixFilterJoin needs 0 < tau <= 1, got $tau")
+    val docs = df.select(id.as("doc_id"), distinctShingles(text, n).as("shingles"))
+      .withColumn("sz", size(col("shingles")))
+      .filter(col("sz") > 0)
+    val ex = docs.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
+    val freq = ex.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+    val ranked = ex.join(freq, Seq("sh"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("__df"), col("sh"))))
+      .filter(col("__rn") <= (col("sz") - ceil(lit(tau) * col("sz")) + 1).cast("int"))
+      .select(col("doc_id"), col("sh"))
+    val cand = ranked.as("a")
+      .join(ranked.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val verified = cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("__sa"),
+        col("sz").as("__za")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("__sb"),
+        col("sz").as("__zb")), Seq("doc_b"))
+      .withColumn("__i", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("__j", col("__i").cast("double")
+        / (col("__za") + col("__zb") - col("__i")).cast("double"))
+    // threshold on the UNROUNDED quotient (one IEEE division of exact ints
+    // on either engine), r6 only at emission — the ngramJaccard discipline
+    verified.filter(col("__j") >= tau)
+      .select(col("doc_a"), col("doc_b"), r6(col("__j")).as("jaccard"))
+  }
+
   /** Bottom-k sketch fingerprint over word n-gram shingles (winnowing-style):
     * the k lexicographically-smallest shingle hashes, joined. Documents with
     * equal fingerprints are near-dup candidates. Pure map — no shuffle,

@@ -48,6 +48,33 @@ object Vocab {
     * vocabulary-sized and broadcast into the join; the per-doc top-k window
     * caps state per partition (WindowGroupLimit).
     */
+  /** Per-document Shannon entropy of the token distribution (nats) — the
+    * information-theoretic repetition signal the Gopher-style ratio rules
+    * approximate: spam that repeats one phrase scores near zero however
+    * long it is, while natural prose scores near ln(distinct tokens).
+    *
+    * One shuffle on (doc, token) for tf; the doc-total window and the
+    * final per-doc sum both reuse that exchange's doc_id partitioning.
+    * Per-term parts are r6-rounded then DECIMAL-summed, so the reduction
+    * is order-independent and any engine replays it (the lm_bigram ln
+    * discipline). Token-less documents report n_tokens = 0, entropy NULL.
+    */
+  def tokenEntropy(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val r6 = graft.util.Portable.round6 _
+    val tf = df.select(id.as("doc_id"), explode(tokens(text)).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col("doc_id"))
+    val parts = tf.withColumn("__n", sum(col("__c")).over(w))
+      .withColumn("__p", col("__c").cast("double") / col("__n").cast("double"))
+      .withColumn("__part", r6(-(col("__p") * log(col("__p")))))
+    val stats = parts.groupBy(col("doc_id")).agg(
+      max(col("__n")).as("n_tokens"),
+      sum(col("__part").cast("decimal(18,6)")).cast("double").as("entropy"))
+    df.select(id.as("doc_id")).join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("entropy"))
+  }
+
   def tfidfTopTerms(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
     val toks = df.select(id.as("doc_id"), explode(tokens(text)).as("token"))
     val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))

@@ -111,6 +111,63 @@ class EvalSamplingSpec extends SparkSpec {
     assert(all.map(_._2).sorted === (1 to 100))
   }
 
+  test("prefixFilterJoin: threshold boundary exact, hot shingles stay out of prefixes") {
+    // docs 1/2: identical 5 trigrams -> J = 1. docs 1/3: 2 shared of
+    // (5 + 5 - 2) = 8 -> J = 0.25. docs 4/5: 3 shared of 5 -> 0.6.
+    val docs = Seq(
+      (1L, "a b c d e f g"),            // shingles abc bcd cde def efg (5)
+      (2L, "a b c d e f g"),            // identical
+      (3L, "a b c d x y z"),            // shares abc bcd
+      (4L, "p q r s t u"),              // pqr qrs rst stu (4)
+      (5L, "p q r s t v")               // pqr qrs rst stv (4): 3 shared / 5 union = 0.6
+    ).toDF("doc_id", "text")
+    def pairs(tau: Double) = graft.dedup.Dedup
+      .prefixFilterJoin(docs, col("doc_id"), col("text"), 3, tau)
+      .orderBy("doc_a", "doc_b")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs(0.6) === Seq((1L, 2L, 1.0), (4L, 5L, 0.6))) // 0.6 boundary INCLUDED
+    assert(pairs(0.61) === Seq((1L, 2L, 1.0)))
+    assert(pairs(0.25) === Seq((1L, 2L, 1.0), (1L, 3L, 0.25),
+      (2L, 3L, 0.25), (4L, 5L, 0.6)))
+    // prefix shrinkage: with a boilerplate shingle shared by EVERY doc,
+    // rarest-first prefixes must not join everything with everything
+    val boiler = Seq(
+      (1L, "z z z a b c"), (2L, "z z z d e f"), (3L, "z z z g h i"),
+      (4L, "z z z j k l"), (5L, "z z z a b c")
+    ).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup
+      .prefixFilterJoin(boiler, col("doc_id"), col("text"), 3, 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out === Seq((1L, 5L, 1.0))) // only the true duplicate survives
+  }
+
+  test("tokenEntropy: uniform = ln k, constant = 0, tokenless doc is NULL") {
+    val docs = Seq(
+      (1L, "a b c d"),       // 4 uniform tokens -> ln 4
+      (2L, "a a a a a"),     // single type -> 0
+      (3L, "!!! ???")        // no [a-z0-9]+ tokens
+    ).toDF("doc_id", "text")
+    val out = graft.text.Vocab.tokenEntropy(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) === 4L)
+    assert(math.abs(out(0).getDouble(2) - math.log(4.0)) < 1e-5)
+    assert(out(1).getLong(1) === 5L && out(1).getDouble(2) === 0.0)
+    assert(out(2).getLong(1) === 0L && out(2).isNullAt(2))
+  }
+
+  test("keySkewReport: counts, hottest key, and Herfindahl index") {
+    // key 7 x6, key 1 x2, keys 2,3 x1 -> n=10, hhi = (36+4+1+1)/100
+    val rows = (Seq.fill(6)(7L) ++ Seq.fill(2)(1L) ++ Seq(2L, 3L, -999L))
+      .map(k => Tuple1(if (k == -999L) null.asInstanceOf[java.lang.Long] else java.lang.Long.valueOf(k)))
+      .toDF("k")
+    val out = graft.analysis.Eval.keySkewReport(rows, col("k")).collect().head
+    assert(out.getLong(0) === 10L) // null key excluded
+    assert(out.getLong(1) === 4L)
+    assert(out.getString(2) === "7" && out.getLong(3) === 6L)
+    assert(out.getDouble(4) === 0.6)
+    assert(out.getDouble(5) === 0.42)
+  }
+
   test("spanDedupRewrite: first occurrence survives, partials always kept") {
     val block = (1 to 16).map(i => s"w$i").mkString(" ") // one full chunk
     val other = (1 to 16).map(i => s"x$i").mkString(" ")
