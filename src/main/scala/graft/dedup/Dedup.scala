@@ -74,10 +74,16 @@ object Dedup {
       .filter(col("sz") > 0)
     val ex = docs.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
     val freq = ex.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+    // prefix length sz − ⌈τ·sz⌉ + 1. The ceiling must never overshoot the
+    // TRUE ⌈τ·sz⌉: if fl(τ·sz) lands an ulp above an integral product the
+    // prefix comes out one SHORTER and boundary pairs get lost. Nudging
+    // down by 1e-9 before ceil can only lengthen the prefix (more
+    // candidates, still complete) — the knife-edge goes the safe way.
     val ranked = ex.join(freq, Seq("sh"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("__df"), col("sh"))))
-      .filter(col("__rn") <= (col("sz") - ceil(lit(tau) * col("sz")) + 1).cast("int"))
+      .filter(col("__rn") <=
+        (col("sz") - ceil(lit(tau) * col("sz") - lit(1e-9)) + 1).cast("int"))
       .select(col("doc_id"), col("sh"))
     val cand = ranked.as("a")
       .join(ranked.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))

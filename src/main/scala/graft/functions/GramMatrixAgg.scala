@@ -72,7 +72,13 @@ case class GramMoments(
         s"gramMoments(d=$d) got a vector of length ${arr.numElements()}")
       val x = new Array[Double](d)
       var i = 0
-      while (i < d) { x(i) = arr.getFloat(i).toDouble; i += 1 }
+      while (i < d) {
+        // a null ELEMENT would read as garbage through getFloat and
+        // silently poison every moment — fail loudly like a ragged vector
+        require(!arr.isNullAt(i), s"gramMoments: null element at index $i")
+        x(i) = arr.getFloat(i).toDouble
+        i += 1
+      }
       buf(0) += 1L
       var k = 1 + d
       i = 0

@@ -53,8 +53,9 @@ object Vocab {
     * approximate: spam that repeats one phrase scores near zero however
     * long it is, while natural prose scores near ln(distinct tokens).
     *
-    * One shuffle on (doc, token) for tf; the doc-total window and the
-    * final per-doc sum both reuse that exchange's doc_id partitioning.
+    * Two shuffles: (doc, token) for tf, then doc for the total window —
+    * a (doc, token) hash layout cannot serve a doc-partitioned window;
+    * the final per-doc sum DOES reuse the window's doc exchange.
     * Per-term parts are r6-rounded then DECIMAL-summed, so the reduction
     * is order-independent and any engine replays it (the lm_bigram ln
     * discipline). Token-less documents report n_tokens = 0, entropy NULL.
