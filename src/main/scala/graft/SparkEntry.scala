@@ -2110,6 +2110,8 @@ asofOracle,
         |       FROM parts GROUP BY 1)
         |SELECT d.doc_id, COALESCE(st.n_tokens, 0) AS n_tokens, st.entropy
         |FROM (SELECT doc_id FROM documents) d LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin,
+    // tiebreak on the key's STRING form — the engine's single-pass argmax
+    // (min of (-count, key-string) struct) defines the contract
     "key_skew_report" ->
       """WITH c AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS c
         |           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
@@ -2117,11 +2119,11 @@ asofOracle,
         |        SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS s2
         |      FROM c),
         |t AS (SELECT CAST(k AS VARCHAR) AS top_key, c AS top_cnt
-        |      FROM c ORDER BY c DESC, k ASC LIMIT 1)
+        |      FROM c ORDER BY c DESC, CAST(k AS VARCHAR) ASC LIMIT 1)
         |SELECT n_rows, n_keys, top_key, top_cnt,
         |  floor((CAST(top_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS top_share,
         |  floor((CAST(s2 AS DOUBLE) / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS hhi
-        |FROM a, t""".stripMargin,
+        |FROM a LEFT JOIN t ON TRUE""".stripMargin,
     // same chunker convention as dup_span_stats (window 16, stride 16);
     // partial trailing chunks are always kept, full chunks keep only their
     // first (doc_id, pos) occurrence

@@ -25,27 +25,31 @@ object Eval {
     * gold and predicted labels, so a class the model never predicts (or
     * invents) still gets a row.
     *
-    * One corpus pass builds the |gold|×|pred| confusion frame; the
-    * per-class marginals and the full-outer class join run on frames of
-    * class cardinality, which AQE broadcasts.
+    * ONE corpus pass: each row explodes into its gold-role and pred-role
+    * views and a single groupBy(class) folds n_gold / n_pred / tp as
+    * conditional sums — no confusion intermediate for Catalyst to
+    * re-execute per marginal branch, no class join at all (an earlier
+    * two-branch formulation scanned the corpus twice; plan-audited).
     *
     * Output: lang, n_gold, n_pred, tp, precision, recall, f1 — precision
     * and recall are NULL when their denominator is empty; f1 uses the
     * 2·tp/(n_gold+n_pred) form, defined whenever the class exists at all.
     */
   def classifierReport(df: DataFrame, gold: Column, pred: Column): DataFrame = {
-    val conf = df.select(gold.as("__gold"), pred.as("__pred"))
+    df.select(gold.as("__gold"), pred.as("__pred"))
       .filter(col("__gold").isNotNull && col("__pred").isNotNull)
-      .groupBy(col("__gold"), col("__pred")).agg(count(lit(1)).as("__n"))
-    val byGold = conf.groupBy(col("__gold").as("lang")).agg(
-      sum(col("__n")).as("n_gold"),
-      sum(when(col("__pred") === col("__gold"), col("__n")).otherwise(0L)).as("tp"))
-    val byPred = conf.groupBy(col("__pred").as("lang")).agg(sum(col("__n")).as("n_pred"))
-    byGold.join(byPred, Seq("lang"), "full_outer")
-      .select(col("lang"),
-        coalesce(col("n_gold"), lit(0L)).as("n_gold"),
-        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
-        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(
+        explode(array(
+          struct(col("__gold").as("lang"), lit("g").as("role"),
+            (col("__gold") === col("__pred")).as("m")),
+          struct(col("__pred").as("lang"), lit("p").as("role"),
+            (col("__gold") === col("__pred")).as("m")))).as("__e"))
+      .select(col("__e.lang"), col("__e.role"), col("__e.m"))
+      .groupBy(col("lang"))
+      .agg(
+        sum(when(col("role") === "g", 1L).otherwise(0L)).as("n_gold"),
+        sum(when(col("role") === "p", 1L).otherwise(0L)).as("n_pred"),
+        sum(when(col("role") === "g" && col("m"), 1L).otherwise(0L)).as("tp"))
       .withColumn("precision",
         when(col("n_pred") > 0, r6(col("tp").cast("double") / col("n_pred").cast("double"))))
       .withColumn("recall",
@@ -60,8 +64,11 @@ object Eval {
     * message sample. Items where either coder abstained (null) are
     * excluded, as in the published formulation.
     *
-    * One corpus pass → |A|×|B| cell frame; marginal products and the
-    * final scalars are class-cardinality work. po and pe are single IEEE
+    * ONE corpus pass: rows explode into their two coder-role views, a
+    * groupBy(category) folds both marginals plus the agreement count, and
+    * one class-cardinality aggregation finishes (Σna, Σ agree-part,
+    * Σ na·nb) — an earlier cells/marginals formulation re-executed the
+    * corpus scan per branch (plan-audited). po and pe are single IEEE
     * divisions of exact longs, so both engines compute bit-identical
     * inputs to the rounding. kappa is NULL when pe = 1 (both coders
     * constant — agreement is undefined, not 0).
@@ -69,22 +76,28 @@ object Eval {
     * Output (one row): n_items, po, pe, kappa (all ratios r6-rounded).
     */
   def cohenKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
-    val cells = df.select(a.as("__a"), b.as("__b"))
+    val marg = df.select(a.as("__a"), b.as("__b"))
       .filter(col("__a").isNotNull && col("__b").isNotNull)
-      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__n"))
-    val totals = cells.agg(
-      sum(col("__n")).as("n_items"),
-      sum(when(col("__a") === col("__b"), col("__n")).otherwise(0L)).as("__agree"))
-    val margA = cells.groupBy(col("__a").as("__cat")).agg(sum(col("__n")).as("__na"))
-    val margB = cells.groupBy(col("__b").as("__cat")).agg(sum(col("__n")).as("__nb"))
-    val cross = margA.join(margB, Seq("__cat"), "inner")
-      .agg(sum(col("__na") * col("__nb")).as("__cross"))
+      .select(explode(array(
+        struct(col("__a").as("cat"), lit("a").as("role"),
+          (col("__a") === col("__b")).as("m")),
+        struct(col("__b").as("cat"), lit("b").as("role"),
+          (col("__a") === col("__b")).as("m")))).as("__e"))
+      .select(col("__e.cat"), col("__e.role"), col("__e.m"))
+      .groupBy(col("cat"))
+      .agg(
+        sum(when(col("role") === "a", 1L).otherwise(0L)).as("__na"),
+        sum(when(col("role") === "b", 1L).otherwise(0L)).as("__nb"),
+        sum(when(col("role") === "a" && col("m"), 1L).otherwise(0L)).as("__agree"))
+    val totals = marg.agg(
+      sum(col("__na")).as("n_items"),
+      sum(col("__agree")).as("__agree"),
+      sum(col("__na") * col("__nb")).as("__cross"))
     val po = col("__agree").cast("double") / col("n_items").cast("double")
     val pe = col("__cross").cast("double") /
       (col("n_items") * col("n_items")).cast("double")
-    totals.crossJoin(cross)
-      .select(col("n_items"), r6(po).as("po"), r6(pe).as("pe"),
-        when(pe < 1.0, r6((po - pe) / (lit(1.0) - pe))).as("kappa"))
+    totals.select(col("n_items"), r6(po).as("po"), r6(pe).as("pe"),
+      when(pe < 1.0, r6((po - pe) / (lit(1.0) - pe))).as("kappa"))
   }
 
   /** Shuffle-key skew diagnosis — the report to run BEFORE picking join /
@@ -93,27 +106,31 @@ object Eval {
     * (Σ share², = 1/n_keys when uniform, → 1 as one key dominates; > a few
     * × uniform means salting or AQE skew-join territory).
     *
-    * One corpus pass to per-key counts (map-side combinable); the scalars
-    * and the top-1 pick (TakeOrderedAndProject) run on the key-cardinality
-    * frame. Σc² accumulates in DECIMAL so a billion-row hot key cannot
-    * overflow the long sum.
+    * One corpus pass to per-key counts (map-side combinable); scalars AND
+    * the top-1 pick fold into a single aggregation over the
+    * key-cardinality frame — the argmax is a min-of-struct
+    * ((−count, key-as-string) lexicographic), not a sort branch, so the
+    * corpus is scanned once, not once per output column. Ties break on
+    * the key's STRING form (the cross-engine-total order; documented
+    * contract). Σc² accumulates in DECIMAL so a billion-row hot key
+    * cannot overflow the long sum.
     *
     * Output (one row): n_rows, n_keys, top_key, top_cnt, top_share, hhi.
     */
   def keySkewReport(df: DataFrame, key: Column): DataFrame = {
     val counts = df.select(key.as("__k")).filter(col("__k").isNotNull)
       .groupBy(col("__k")).agg(count(lit(1)).as("__c"))
-    val aggs = counts.agg(
+    counts.agg(
       sum(col("__c")).as("n_rows"),
       count(lit(1)).as("n_keys"),
-      sum(col("__c").cast("decimal(19,0)") * col("__c").cast("decimal(19,0)")).as("__s2"))
-    val top = counts.orderBy(col("__c").desc, col("__k").asc).limit(1)
-      .select(col("__k").cast("string").as("top_key"), col("__c").as("top_cnt"))
-    aggs.crossJoin(top).select(
-      col("n_rows"), col("n_keys"), col("top_key"), col("top_cnt"),
-      r6(col("top_cnt").cast("double") / col("n_rows").cast("double")).as("top_share"),
-      r6(col("__s2").cast("double")
-        / (col("n_rows").cast("double") * col("n_rows").cast("double"))).as("hhi"))
+      sum(col("__c").cast("decimal(19,0)") * col("__c").cast("decimal(19,0)")).as("__s2"),
+      min(struct((-col("__c")).as("nc"), col("__k").cast("string").as("k"))).as("__top"))
+      .select(
+        col("n_rows"), col("n_keys"),
+        col("__top.k").as("top_key"), (-col("__top.nc")).as("top_cnt"),
+        r6((-col("__top.nc")).cast("double") / col("n_rows").cast("double")).as("top_share"),
+        r6(col("__s2").cast("double")
+          / (col("n_rows").cast("double") * col("n_rows").cast("double"))).as("hhi"))
   }
 
   /** Top-k length-3 step sequences (paths) across per-user event streams,
