@@ -64,6 +64,13 @@ object Dedup {
     * second explode, never corpus-quadratic. Oracle equality against the
     * brute-force shared-shingle formulation IS the completeness proof.
     *
+    * Scan accounting (honest): the shingled-docs subtree is referenced by
+    * the df pass, the prefix ranking, and both verification sides, so the
+    * text column is read and re-shingled ~4×. At corpus scale persist the
+    * shingled frame (or pre-materialize shingles next to the text) before
+    * calling — the candidate REDUCTION is where this operator wins, not
+    * scan count (PrefixProbe, SURVEY §5).
+    *
     * Output: (doc_a, doc_b, jaccard r6) for all pairs with J ≥ tau.
     */
   def prefixFilterJoin(df: DataFrame, id: Column, text: Column, n: Int,
