@@ -57,6 +57,13 @@ object Bench {
             // or reordering ANY query would churn every later lambda
             // query's fingerprint on identical code
             .replaceAll("lambda ([A-Za-z]+)_\\d+#x", "lambda $1#x")
+            // With/CommonExpressionRef ids (_common_expr_16) come from the
+            // SAME kind of session-global counter: any query planned
+            // earlier in the session shifts every later query's
+            // subexpression ids on identical code (third instability
+            // class, found round 8 — regression_ols hashed differently
+            // solo vs mid-suite)
+            .replaceAll("_common_expr_\\d+", "_common_expr_")
           f"${scala.util.hashing.MurmurHash3.stringHash(stable)}%08x"
         } catch { case _: Throwable => "err" }
       val cold = once()

@@ -13,6 +13,7 @@ object PlanHashProbe {
         .replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+@[0-9a-fA-F]+", "Lambda")
         .replaceAll("#\\d+", "#x")
         .replaceAll("lambda ([A-Za-z]+)_\\d+#x", "lambda $1#x")
+      .replaceAll("_common_expr_\\d+", "_common_expr_")
       println(s"=== $q hash=${f"${scala.util.hashing.MurmurHash3.stringHash(s)}%08x"}")
       println(s.linesIterator.take(12).mkString("\n"))
     }
