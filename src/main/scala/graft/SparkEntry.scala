@@ -296,6 +296,49 @@ object SparkEntry {
         .withColumnRenamed("asof_ts", "click_ts")
         .withColumnRenamed("asof_value", "click_value")
     }),
+    "asof_forward" -> ((s, dir) => {
+      // merge_asof direction='forward': the NEXT click at-or-after each
+      // purchase (reaction lookup instead of attribution lookup)
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+      graft.operators.AsOfJoin.asOf(purchases, clicks, "user_id", "ts", "ts",
+          "event_id", Seq("value"), direction = "forward")
+        .withColumnRenamed("asof_ts", "click_ts")
+        .withColumnRenamed("asof_value", "click_value")
+    }),
+    "session_window_agg" -> ((s, dir) =>
+      // Spark-native session windows (the built-in gap-merge operator);
+      // boundary convention spec-pinned: an event at EXACTLY prev+gap
+      // still merges (touching windows coalesce) — the same inclusive
+      // boundary as the lag-based sessionize operator
+      events(s, dir).filter(col("ts").isNotNull)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("win_start"),
+          col("sw.end").as("win_end"), col("n_events"))),
+    "funnel_within" -> ((s, dir) =>
+      // attribution-window funnel: view -> purchase within 2 days
+      Engagement.funnelWithin(events(s, dir), col("user_id"), col("event_type"),
+        col("ts"), "view", "purchase", 2)),
+    "sketch_distinct_users" -> ((s, dir) =>
+      // theta sketch in its EXACT regime (distinct users per type << nominal
+      // entries): the estimate must equal COUNT(DISTINCT) to the last bit
+      events(s, dir).groupBy(col("event_type"))
+        .agg(graft.functions.ThetaSketchAgg.thetaSketch(col("user_id"), 4096).as("__sk"))
+        .select(col("event_type"),
+          graft.functions.ThetaSketchAgg.thetaEstimate(col("__sk")).as("n_users"))),
+    "value_ntiles" -> ((s, dir) => {
+      // exact per-dataset deciles (distribution table); the total order is
+      // the semantic here — the sketch row is the bounded-state sibling
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      events(s, dir).filter(col("value").isNotNull)
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy(col("event_type"), col("decile"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("lo"), max(col("value")).as("hi"))
+    }),
     "event_paths" -> ((s, dir) =>
       // the funnel's exploratory sibling: which 3-step orders actually occur
       graft.analysis.Eval.topPaths(events(s, dir), col("user_id"),
@@ -740,6 +783,15 @@ object SparkEntry {
       val d = table(s, dir, "documents")
       d.select((col("doc_id") +: graft.text.TextFeatures.langIdProfiled(
         col("text"), graft.text.TextFeatures.defaultProfiles)): _*)
+    }),
+    "quality_unpivot" -> ((s, dir) => {
+      // long-form quality metrics (dashboard/melt shape) via the native
+      // unpivot operator — one scan, Expand-style row fan-out, no joins
+      val d = table(s, dir, "documents")
+      val q = d.select((col("doc_id") +: graft.text.TextFeatures.qualityColumns(col("text"))): _*)
+      val metrics = q.columns.filterNot(_ == "doc_id")
+      q.select(col("doc_id") +: metrics.map(m => col(m).cast("double").as(m)): _*)
+        .unpivot(Array(col("doc_id")), metrics.map(col), "metric", "value")
     }),
     "classifier_eval" -> ((s, dir) => {
       // close the langid loop: per-class precision/recall/F1 against the
@@ -1518,6 +1570,16 @@ object SparkEntry {
       |  SELECT token, freq, CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS INT) AS token_id
       |  FROM (SELECT token, freq FROM f ORDER BY freq DESC, token ASC LIMIT 24))""".stripMargin
 
+  /** Quality-score oracle — shared verbatim by the quality_score row and
+    * the quality_unpivot melt. */
+  private lazy val qualityScoreOracle: String =
+    s"""SELECT doc_id, n_words, n_chars_m, n_punct, n_stopwords,
+       |  floor(CAST(n_chars_m AS DOUBLE) / CAST(n_words AS DOUBLE) * 1e6 + 0.5) / 1e6 AS avg_word_len,
+       |  floor(CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE) * 1e6 + 0.5) / 1e6 AS stopword_ratio,
+       |  ${qualityScoreExprSql("quality_score")}
+       |FROM (
+       |  $qualityCountsSql)""".stripMargin
+
   /** Stopword-score language ID — shared verbatim by the langid row and the
     * classifier_eval prediction CTE. */
   private val langidOracle: String =
@@ -1748,6 +1810,64 @@ asofOracle,
          |  CASE WHEN click_ts >= ts - INTERVAL 600 SECOND THEN click_ts END AS click_ts,
          |  CASE WHEN click_ts >= ts - INTERVAL 600 SECOND THEN click_value END AS click_value
          |FROM ($asofOracle)""".stripMargin,
+    // DuckDB ASOF accepts the flipped inequality natively; right side
+    // deduped to latest-per-(key, ts) exactly like the backward oracle
+    "asof_forward" ->
+      """SELECT l.event_id, l.user_id, l.ts, l.value,
+        |  r.ts AS click_ts, r.value AS click_value
+        |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT user_id, ts, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'click')
+        |  WHERE rn = 1) r
+        |  ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
+    // split convention pinned (spec'd): Spark session_window merges a
+    // touching window too — an event at EXACTLY prev+gap continues the
+    // session, one past it splits (same inclusive boundary as sessionize)
+    "session_window_agg" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events WHERE ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, MIN(ts) AS win_start, MAX(ts) + INTERVAL 30 MINUTE AS win_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "funnel_within" ->
+      """WITH f AS (SELECT user_id, MIN(ts) AS t0 FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT f.user_id,
+        |        EXISTS (SELECT 1 FROM events e WHERE e.event_type = 'purchase'
+        |                AND e.user_id = f.user_id AND e.ts > f.t0
+        |                AND e.ts <= f.t0 + INTERVAL 2 DAY) AS conv
+        |      FROM f)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_entered,
+        |  CAST(SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+        |  CASE WHEN COUNT(*) <> 0 THEN
+        |    floor((CAST(SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS DOUBLE)
+        |           / CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS conv_rate
+        |FROM c""".stripMargin,
+    // theta sketch exact regime: the estimate IS the distinct count
+    "sketch_distinct_users" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
+    "value_ntiles" ->
+      """SELECT event_type, CAST(decile AS INT) AS decile,
+        |  CAST(COUNT(*) AS BIGINT) AS n, MIN(value) AS lo, MAX(value) AS hi
+        |FROM (
+        |  SELECT event_type, value, event_id,
+        |    NTILE(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
+        |  FROM events WHERE value IS NOT NULL)
+        |GROUP BY 1, 2""".stripMargin,
     "event_paths" ->
       """WITH seq AS (
         |  SELECT event_type AS step1,
@@ -2601,13 +2721,21 @@ asofOracle,
         |    (CASE WHEN n_ngrams > 0 THEN CAST(n_ngrams AS DOUBLE) END)
         |    * 1000000.0 + 0.5) / 1000000.0 AS lm_nll
         |FROM base LEFT JOIN scored USING (doc_id)""".stripMargin,
-    "quality_score" ->
-      s"""SELECT doc_id, n_words, n_chars_m, n_punct, n_stopwords,
-         |  floor(CAST(n_chars_m AS DOUBLE) / CAST(n_words AS DOUBLE) * 1e6 + 0.5) / 1e6 AS avg_word_len,
-         |  floor(CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE) * 1e6 + 0.5) / 1e6 AS stopword_ratio,
-         |  ${qualityScoreExprSql("quality_score")}
-         |FROM (
-         |  $qualityCountsSql)""".stripMargin,
+    "quality_score" -> qualityScoreOracle,
+    // long form of the SAME oracle (shared val — the wide and melted rows
+    // cannot drift apart); every value cast to double like the engine's
+    // unpivot value column
+    "quality_unpivot" ->
+      s"""WITH q AS (
+         |$qualityScoreOracle)
+         |SELECT doc_id, metric, value FROM (
+         |  SELECT doc_id, 'n_words' AS metric, CAST(n_words AS DOUBLE) AS value FROM q
+         |  UNION ALL SELECT doc_id, 'n_chars_m', CAST(n_chars_m AS DOUBLE) FROM q
+         |  UNION ALL SELECT doc_id, 'n_punct', CAST(n_punct AS DOUBLE) FROM q
+         |  UNION ALL SELECT doc_id, 'n_stopwords', CAST(n_stopwords AS DOUBLE) FROM q
+         |  UNION ALL SELECT doc_id, 'avg_word_len', avg_word_len FROM q
+         |  UNION ALL SELECT doc_id, 'stopword_ratio', stopword_ratio FROM q
+         |  UNION ALL SELECT doc_id, 'quality_score', quality_score FROM q)""".stripMargin,
     "token_count" ->
       s"""SELECT doc_id,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,

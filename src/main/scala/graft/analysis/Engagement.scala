@@ -185,6 +185,37 @@ object Engagement {
           r6(col("n_converted").cast("double") / col("n_entered").cast("double"))))
   }
 
+  /** Time-bounded funnel conversion: converted = a to-stage event STRICTLY
+    * after the user's first from-stage event AND within `windowDays` of it
+    * — the SLA variant of [[funnel]] (an unbounded funnel calls any
+    * eventual purchase a conversion; campaign analysis cares whether it
+    * happened inside the attribution window).
+    *
+    * Two stage-filtered passes (both event-type predicates reach the scan):
+    * the entry frame is first-from-ts per user, the to-events fan onto it
+    * by user key and fold back to one flag per user — the window bound
+    * depends on the per-user aggregate, so a single-pass conditional agg
+    * cannot express it. Output (one row): n_entered, n_converted,
+    * conv_rate.
+    */
+  def funnelWithin(df: DataFrame, key: Column, stageCol: Column, ts: Column,
+                   fromStage: String, toStage: String, windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"funnelWithin needs windowDays >= 1, got $windowDays")
+    val entered = df.filter(stageCol === fromStage)
+      .groupBy(key.as("k")).agg(min(ts).as("t_from"))
+    val tos = df.filter(stageCol === toStage).select(key.as("k"), ts.as("__tt"))
+    entered.join(tos, Seq("k"), "left")
+      .groupBy(col("k"), col("t_from"))
+      .agg(max(col("__tt") > col("t_from") &&
+        col("__tt") <= col("t_from") + expr(s"INTERVAL $windowDays DAY")).as("__conv"))
+      .agg(
+        count(lit(1)).as("n_entered"),
+        sum(when(col("__conv"), 1L).otherwise(0L)).as("n_converted"))
+      .withColumn("conv_rate",
+        when(col("n_entered") =!= 0,
+          r6(col("n_converted").cast("double") / col("n_entered").cast("double"))))
+  }
+
   /** Retention cohorts: entities grouped by first active week, counted per
     * subsequent week offset. Two shuffles: the (entity, week) distinct and
     * the cohort rollup; the window min reuses the first shuffle's

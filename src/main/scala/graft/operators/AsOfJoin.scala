@@ -30,10 +30,20 @@ object AsOfJoin {
     *                  merge_asof `tolerance` contract). The carry itself is
     *                  unchanged — only the emission is gated — so one window
     *                  pass still serves any tolerance.
+    * @param direction "backward" (most recent right with r.ts <= l.ts, the
+    *                  default) or "forward" (earliest right with
+    *                  r.ts >= l.ts — merge_asof direction='forward'). The
+    *                  forward pass is the SAME one-window plan with the
+    *                  event-time order reversed; at equal timestamps the
+    *                  right row still sorts first, so the boundary match is
+    *                  inclusive in both directions.
     */
   def asOf(left: DataFrame, right: DataFrame, key: String, leftTs: String,
            rightTs: String, rightTiebreak: String, payload: Seq[String],
-           toleranceSeconds: Option[Long] = None): DataFrame = {
+           toleranceSeconds: Option[Long] = None,
+           direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asOf direction must be backward|forward, got $direction")
     graft.util.TempCols.assertFree(left, "__ts", "__pay", "__tag", "__carry")
     graft.util.TempCols.assertFree(right, "__ts", "__pay", "__tag", "__carry")
     // null-keyed/ts right rows can never match (SQL join semantics — the
@@ -51,8 +61,9 @@ object AsOfJoin {
       .select((Seq(key, "__ts", "__pay", "__tag") ++ leftCols.filterNot(_ == key)).map(col): _*)
     val unioned = r.select(col(key), col("__ts"), col("__pay"), col("__tag"))
       .unionByName(l, allowMissingColumns = true)
+    val tsOrder = if (direction == "backward") col("__ts").asc else col("__ts").desc
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__ts").asc, col("__tag").asc)
+      .orderBy(tsOrder, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("__carry", last(col("__pay"), ignoreNulls = true).over(w))
     val gated = toleranceSeconds match {
@@ -60,9 +71,12 @@ object AsOfJoin {
         require(tol >= 0, s"asOf tolerance must be >= 0 seconds, got $tol")
         // INTERVAL comparison (not epoch casts): exact at microsecond
         // resolution and the same expression an oracle dialect writes
-        carried.withColumn("__carry",
-          when(col(s"__carry.$rightTs") >= col("__ts") - expr(s"INTERVAL $tol SECOND"),
-            col("__carry")))
+        val inWindow =
+          if (direction == "backward")
+            col(s"__carry.$rightTs") >= col("__ts") - expr(s"INTERVAL $tol SECOND")
+          else
+            col(s"__carry.$rightTs") <= col("__ts") + expr(s"INTERVAL $tol SECOND")
+        carried.withColumn("__carry", when(inWindow, col("__carry")))
       case None => carried
     }
     val out = gated.filter(col("__tag") === 1)

@@ -206,5 +206,59 @@ class EvalSamplingSpec extends SparkSpec {
     assert(!noTol.isNullAt(noTol.fieldIndex("asof_v")))
   }
 
+  test("asOf forward: earliest at-or-after match, tolerance bounds ahead") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "L")).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:59:00"), 0.5), // in the past — not forward-eligible
+      (1L, ts("2024-01-01 10:00:00"), 1.0), // equal ts — inclusive match
+      (1L, ts("2024-01-01 10:05:00"), 2.0)
+    ).toDF("k", "ts", "v")
+    val got = graft.operators.AsOfJoin.asOf(left, right, "k", "ts", "ts", "v",
+      Seq("v"), direction = "forward").collect().head
+    assert(got.getDouble(got.fieldIndex("asof_v")) === 1.0)
+    // without the equal-ts row, the next later row matches
+    val later = graft.operators.AsOfJoin.asOf(left,
+      right.filter(col("v") =!= 1.0), "k", "ts", "ts", "v",
+      Seq("v"), direction = "forward").collect().head
+    assert(later.getDouble(later.fieldIndex("asof_v")) === 2.0)
+    // tolerance: 2 minutes ahead excludes the 10:05 match
+    val tol = graft.operators.AsOfJoin.asOf(left,
+      right.filter(col("v") =!= 1.0), "k", "ts", "ts", "v",
+      Seq("v"), toleranceSeconds = Some(120L), direction = "forward").collect().head
+    assert(tol.isNullAt(tol.fieldIndex("asof_v")))
+  }
+
+  test("session_window boundary: exactly-the-gap merges, one second past splits") {
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:30:00"), 2L), // exactly 30 min later — merges
+      (1L, ts("2024-01-01 11:00:01"), 3L)  // 30 min + 1 s — new session
+    ).toDF("user_id", "ts", "event_id")
+    val sw = rows.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n")).select(col("n")).as[Long].collect().sorted
+    assert(sw === Seq(1L, 2L))
+    // the lag-based sessionizer shares the inclusive-gap boundary
+    val nSessions = graft.operators.Sessionize.sessionCounts(
+      rows, "user_id", col("ts"), col("event_id"), 1800L)
+      .select(max(col("n_sessions"))).as[Long].collect().head
+    assert(nSessions === 2L)
+  }
+
+  test("funnelWithin: strictly-after inside the window converts; outside does not") {
+    val rows = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),     // converts: purchase next day
+      (1L, "purchase", ts("2024-01-02 09:00:00")),
+      (2L, "view", ts("2024-01-01 10:00:00")),     // too late: 3 days after
+      (2L, "purchase", ts("2024-01-04 10:00:01")),
+      (3L, "view", ts("2024-01-01 10:00:00")),     // purchase BEFORE the view
+      (3L, "purchase", ts("2024-01-01 09:00:00")),
+      (4L, "view", ts("2024-01-01 10:00:00"))      // never purchases
+    ).toDF("user_id", "event_type", "ts")
+    val out = graft.analysis.Engagement.funnelWithin(rows, col("user_id"),
+      col("event_type"), col("ts"), "view", "purchase", 2).collect().head
+    assert(out.getLong(0) === 4L && out.getLong(1) === 1L)
+    assert(out.getDouble(2) === 0.25)
+  }
+
   private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
 }
