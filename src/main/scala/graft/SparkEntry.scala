@@ -343,6 +343,16 @@ object SparkEntry {
       // the funnel's exploratory sibling: which 3-step orders actually occur
       graft.analysis.Eval.topPaths(events(s, dir), col("user_id"),
         col("ts"), col("event_id"), col("event_type"), 20)),
+    "pagerank" -> ((s, dir) => {
+      // influence ranking over the derived interaction graph (user ->
+      // answered-target); d = 0.75 — binary-exact, so the damping literal
+      // parses identically as SQL DECIMAL and JVM double
+      val k = propsInt
+      val edges = events(s, dir)
+        .filter(k.isNotNull && col("user_id").isNotNull)
+        .select(col("user_id").as("src"), (k % 150).cast("long").as("dst"))
+      graft.analysis.Graph.pageRank(edges, col("src"), col("dst"), 5, 0.75)
+    }),
     "coder_agreement" -> ((s, dir) => {
       // two deterministic "coders" labeling the same messages (the Coda
       // double-coding scenario): coder B breaks from A on high-value rows
@@ -1868,6 +1878,32 @@ asofOracle,
         |    NTILE(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
         |  FROM events WHERE value IS NOT NULL)
         |GROUP BY 1, 2""".stripMargin,
+    // 5 unrolled iterations of the SAME quantized fixpoint the engine runs:
+    // r6 contributions, DECIMAL sums, r6 re-round per iteration — every
+    // literal (0.75, 0.25, 1e6) binary-exact so DECIMAL-vs-double literal
+    // parsing cannot diverge
+    "pagerank" -> {
+      val prelude =
+        s"""WITH e AS (
+           |  SELECT DISTINCT user_id AS src, CAST($propsIntSql % 150 AS BIGINT) AS dst
+           |  FROM events WHERE $propsIntSql IS NOT NULL AND user_id IS NOT NULL),
+           |odeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS o FROM e GROUP BY 1),
+           |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+           |p0 AS (SELECT node, floor((1.0 / n) * 1000000.0 + 0.5) / 1000000.0 AS rank
+           |       FROM nodes CROSS JOIN nn)""".stripMargin
+      val iterCtes = (1 to 5).map { i =>
+        s"""p$i AS (
+           |  SELECT nodes.node,
+           |    floor(((1.0 - 0.75) / n + 0.75 * COALESCE(CAST(s.sm AS DOUBLE), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS rank
+           |  FROM nodes CROSS JOIN nn LEFT JOIN (
+           |    SELECT e.dst AS node,
+           |      SUM(CAST(floor((p.rank / CAST(o.o AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6))) AS sm
+           |    FROM p${i - 1} p JOIN odeg o ON p.node = o.src JOIN e ON e.src = o.src
+           |    GROUP BY 1) s ON s.node = nodes.node)""".stripMargin
+      }
+      prelude + ",\n" + iterCtes.mkString(",\n") + "\nSELECT node, rank FROM p5"
+    },
     "event_paths" ->
       """WITH seq AS (
         |  SELECT event_type AS step1,

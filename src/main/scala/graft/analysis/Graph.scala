@@ -1,0 +1,78 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge frames — the corpus-graph tools a
+  * web-scale curation pipeline runs between dedup and mixing (domain
+  * authority for crawl prioritisation, influence ranking over interaction
+  * graphs). Spark-native like [[graft.dedup.Dedup.connectedComponents]]:
+  * label/rank state lives in DataFrames, every iteration is one join + one
+  * map-side-combinable aggregation, and `localCheckpoint` truncates the
+  * lineage so round N never replans rounds 1..N-1.
+  */
+object Graph {
+
+  private val r6 = graft.util.Portable.round6 _
+
+  /** Fixed-iteration PageRank (d = damping, classic 0.85).
+    *
+    * Conventions (documented, oracle-mirrored):
+    *   - simple graph: parallel edges collapse (`distinct`), self-loops
+    *     count like any edge;
+    *   - dangling mass LEAKS (no uniform redistribution) — each iteration
+    *     is p(v) = (1−d)/N + d·Σ_{u→v} p(u)/out(u), the formulation whose
+    *     per-iteration cost is exactly one join + one aggregation; the
+    *     redistribution variant adds a global scalar pass per iteration
+    *     and changes no ranking on graphs without sinks;
+    *   - fixed `iters`, not convergence-tested: deterministic cost AND a
+    *     deterministic result any engine can replay.
+    *
+    * Numerics: contributions are r6-quantized and summed as DECIMAL, and
+    * the rank is re-rounded to 6 decimals each iteration — the IRLS
+    * re-round discipline, making the fixpoint path bit-identical across
+    * engines and partitionings (a raw double Σ would be merge-order
+    * dependent).
+    *
+    * Scale shape: edges + out-degrees materialize ONCE (localCheckpoint —
+    * the connectedComponents lineage discipline); each iteration shuffles
+    * rank rows on the join key and aggregates map-side. K iterations = K
+    * bounded rounds over node-cardinality state, never a growing plan.
+    *
+    * Output: (node, rank r6) for every node with an in- or out-edge.
+    */
+  def pageRank(edgesIn: DataFrame, src: Column, dst: Column,
+               iters: Int, d: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"pageRank needs iters >= 1, got $iters")
+    require(d > 0.0 && d < 1.0, s"pageRank needs 0 < d < 1, got $d")
+    val edges = edgesIn.select(src.as("src"), dst.as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("__out"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count().toDouble
+    val base = (1.0 - d) / n
+    var ranks = nodes.select(col("node"), r6(lit(1.0 / n)).as("rank"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val contribs = ranks
+        .join(outdeg, col("node") === col("src"))
+        .join(edges, Seq("src"))
+        .select(col("dst").as("node"),
+          r6(col("rank") / col("__out").cast("double")).as("__c"))
+        .groupBy(col("node"))
+        .agg(sum(col("__c").cast("decimal(18,6)")).as("__sum"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          r6(lit(base) + lit(d) * coalesce(col("__sum").cast("double"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+}

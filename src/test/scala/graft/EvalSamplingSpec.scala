@@ -260,5 +260,34 @@ class EvalSamplingSpec extends SparkSpec {
     assert(out.getDouble(2) === 0.25)
   }
 
+  test("pageRank: hand-computed fixpoints, dangling leak, partition independence") {
+    // 2-cycle: 0.5/0.5 is stationary under the quantized update
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("s", "d")
+    val pCyc = graft.analysis.Graph.pageRank(cyc, col("s"), col("d"), 5, 0.75)
+      .as[(Long, Double)].collect().toMap
+    assert(pCyc === Map(1L -> 0.5, 2L -> 0.5))
+    // chain 1 -> 2 with 2 dangling: p1 = 0.125 after one step; p2 after
+    // two = r6(0.125 + 0.75 * r6(0.125)) = 0.21875; total mass leaks
+    val chain = Seq((1L, 2L)).toDF("s", "d")
+    val pChain = graft.analysis.Graph.pageRank(chain, col("s"), col("d"), 2, 0.75)
+      .as[(Long, Double)].collect().toMap
+    assert(pChain === Map(1L -> 0.125, 2L -> 0.21875))
+    assert(pChain.values.sum < 1.0)
+    // deterministic across partitionings (decimal-summed contributions)
+    val rnd = new scala.util.Random(17)
+    val edges = Seq.fill(500)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .toDF("s", "d")
+    val a = graft.analysis.Graph.pageRank(edges.repartition(1), col("s"), col("d"), 4, 0.75)
+      .as[(Long, Double)].collect().toMap
+    val b = graft.analysis.Graph.pageRank(edges.repartition(13), col("s"), col("d"), 4, 0.75)
+      .as[(Long, Double)].collect().toMap
+    assert(a === b)
+    // a node every edge points at outranks everyone (sanity)
+    val star = (1L to 9L).map(i => (i, 0L)).toDF("s", "d")
+    val pStar = graft.analysis.Graph.pageRank(star, col("s"), col("d"), 3, 0.75)
+      .as[(Long, Double)].collect().toMap
+    assert(pStar(0L) > pStar(1L))
+  }
+
   private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
 }
