@@ -343,6 +343,22 @@ object SparkEntry {
       // the funnel's exploratory sibling: which 3-step orders actually occur
       graft.analysis.Eval.topPaths(events(s, dir), col("user_id"),
         col("ts"), col("event_id"), col("event_type"), 20)),
+    "triangle_count" -> ((s, dir) => {
+      // cohesion of the interaction graph: exact triangles via
+      // degree-ordered orientation (no hub blow-up)
+      val k = propsInt
+      val edges = events(s, dir)
+        .filter(k.isNotNull && col("user_id").isNotNull)
+        .select(col("user_id").as("src"), (k % 150).cast("long").as("dst"))
+      graft.analysis.Graph.triangleCount(edges, col("src"), col("dst"))
+    }),
+    "k_anonymity" -> ((s, dir) => {
+      // pre-export privacy audit: (dataset, week, derived age band) as the
+      // quasi-identifier triple, k = 5
+      val qis = Seq(col("event_type"), date_trunc("week", col("ts")),
+        (col("user_id") % 7).cast("int"))
+      graft.analysis.Eval.kAnonymityReport(events(s, dir), qis, 5)
+    }),
     "pagerank" -> ((s, dir) => {
       // influence ranking over the derived interaction graph (user ->
       // answered-target); d = 0.75 — binary-exact, so the damping literal
@@ -1878,6 +1894,31 @@ asofOracle,
         |    NTILE(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
         |  FROM events WHERE value IS NOT NULL)
         |GROUP BY 1, 2""".stripMargin,
+    // the oracle counts triangles with the simple id-ordered 3-way join —
+    // orientation scheme changes the WORK, never the count
+    "triangle_count" ->
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT LEAST(user_id, CAST($propsIntSql % 150 AS BIGINT)) AS a,
+         |    GREATEST(user_id, CAST($propsIntSql % 150 AS BIGINT)) AS b
+         |  FROM events
+         |  WHERE $propsIntSql IS NOT NULL AND user_id IS NOT NULL
+         |    AND user_id <> CAST($propsIntSql % 150 AS BIGINT)),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM
+         |        (SELECT a AS v FROM e0 UNION SELECT b FROM e0)),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e0),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+         |      FROM e0 x JOIN e0 y ON x.b = y.a JOIN e0 z ON z.a = x.a AND z.b = y.b)
+         |SELECT n_nodes, n_edges, n_triangles FROM n, m, t""".stripMargin,
+    "k_anonymity" ->
+      """WITH g AS (
+        |  SELECT event_type, date_trunc('week', ts) AS wk,
+        |    CAST(user_id % 7 AS INT) AS band, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+        |  MIN(n) AS min_group_size
+        |FROM g""".stripMargin,
     // 5 unrolled iterations of the SAME quantized fixpoint the engine runs:
     // r6 contributions, DECIMAL sums, r6 re-round per iteration — every
     // literal (0.75, 0.25, 1e6) binary-exact so DECIMAL-vs-double literal

@@ -133,6 +133,28 @@ object Eval {
           / (col("n_rows").cast("double") * col("n_rows").cast("double"))).as("hhi"))
   }
 
+  /** k-anonymity audit over a set of quasi-identifier columns — the
+    * pre-export privacy gate for a pipeline handling real participants:
+    * any QI combination shared by fewer than k rows re-identifies people,
+    * so the export must generalize or suppress those groups first.
+    *
+    * One corpus pass to QI-combination counts (map-side combinable), one
+    * tiny rollup. Output (one row): n_groups, n_violating (< k),
+    * n_rows_at_risk, min_group_size.
+    */
+  def kAnonymityReport(df: DataFrame, qis: Seq[Column], k: Int): DataFrame = {
+    require(qis.nonEmpty, "kAnonymityReport needs at least one quasi-identifier")
+    require(k >= 2, s"kAnonymityReport needs k >= 2, got $k")
+    df.select(qis.zipWithIndex.map { case (c, i) => c.as(s"__qi$i") }: _*)
+      .groupBy(qis.indices.map(i => col(s"__qi$i")): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("__n") < k, 1L).otherwise(0L)).as("n_violating"),
+        sum(when(col("__n") < k, col("__n")).otherwise(0L)).as("n_rows_at_risk"),
+        min(col("__n")).as("min_group_size"))
+  }
+
   /** Top-k length-3 step sequences (paths) across per-user event streams,
     * ordered by (ts, tiebreak) within each user. The funnel's exploratory
     * sibling: instead of checking one hypothesised order, surface the

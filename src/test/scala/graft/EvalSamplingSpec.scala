@@ -289,5 +289,31 @@ class EvalSamplingSpec extends SparkSpec {
     assert(pStar(0L) > pStar(1L))
   }
 
+  test("triangleCount: known graphs, duplicate/self/reversed edges collapse") {
+    def count(edges: Seq[(Long, Long)]): (Long, Long, Long) =
+      graft.analysis.Graph.triangleCount(edges.toDF("s", "d"), col("s"), col("d"))
+        .as[(Long, Long, Long)].collect().head
+    // K4: 4 triangles
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(count(k4) === ((4L, 6L, 4L)))
+    // star (no closing edges): 0 triangles
+    assert(count((2L to 6L).map(i => (1L, i))) === ((6L, 5L, 0L)))
+    // triangle + pendant, with noise: duplicates, reversals, a self-loop
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 3L), (3L, 4L), (1L, 2L))
+    assert(count(messy) === ((4L, 4L, 1L)))
+    // hub-heavy graph: the low-ID hub is every edge's endpoint — the
+    // degree orientation must still count the two planted triangles
+    val hub = (2L to 30L).map(i => (1L, i)) ++ Seq((2L, 3L), (4L, 5L))
+    assert(count(hub)._3 === 2L)
+  }
+
+  test("kAnonymityReport: violating groups and rows-at-risk arithmetic") {
+    // groups: (a x6), (b x2), (c x1) with k = 5
+    val rows = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c")).toDF("qi")
+    val out = graft.analysis.Eval.kAnonymityReport(rows, Seq(col("qi")), 5)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(out === ((3L, 2L, 3L, 1L)))
+  }
+
   private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
 }
