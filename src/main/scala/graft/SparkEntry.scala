@@ -359,6 +359,43 @@ object SparkEntry {
         (col("user_id") % 7).cast("int"))
       graft.analysis.Eval.kAnonymityReport(events(s, dir), qis, 5)
     }),
+    "l_diversity" -> ((s, dir) => {
+      // k-anonymity's sharper sibling: same QI triple, sensitive attribute
+      // = coarse value band, diversity floor l = 3
+      val qis = Seq(col("event_type"), date_trunc("week", col("ts")),
+        (col("user_id") % 7).cast("int"))
+      graft.analysis.Eval.lDiversityReport(events(s, dir), qis,
+        floor(col("value") / 25).cast("int"), 3)
+    }),
+    "winsorize_stats" -> ((s, dir) =>
+      // outlier-robust cleaning audit: clamp at each dataset's own
+      // [p05, p95] and report how far the tails moved the mean
+      graft.analysis.Eval.winsorizeStats(events(s, dir), col("event_type"),
+        col("value"), 0.05, 0.95)),
+    "rolling_mean" -> ((s, dir) => {
+      // 3-event trailing mean per user (time-series smoothing); DECIMAL
+      // frame sums so the windowed reduction is exact on both engines
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, 0)
+      events(s, dir).select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("roll_avg",
+          r6(sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
+            / count(col("value")).over(w).cast("double")))
+    }),
+    "resample_hourly" -> ((s, dir) => {
+      // gap-filled hourly series per event type: empty hours appear as
+      // zero rows (the time-series shape a forecaster consumes)
+      val ev = events(s, dir).filter(col("ts").isNotNull)
+      val range = ev.agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      val hours = range.select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+      val types = ev.select(col("event_type")).distinct()
+      val counts = ev.groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("__n"))
+      hours.crossJoin(types).join(counts, Seq("hour", "event_type"), "left")
+        .select(col("hour"), col("event_type"), coalesce(col("__n"), lit(0L)).as("n"))
+    }),
     "pagerank" -> ((s, dir) => {
       // influence ranking over the derived interaction graph (user ->
       // answered-target); d = 0.75 — binary-exact, so the damping literal
@@ -1909,6 +1946,53 @@ asofOracle,
          |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
          |      FROM e0 x JOIN e0 y ON x.b = y.a JOIN e0 z ON z.a = x.a AND z.b = y.b)
          |SELECT n_nodes, n_edges, n_triangles FROM n, m, t""".stripMargin,
+    "l_diversity" ->
+      """WITH g AS (
+        |  SELECT event_type, date_trunc('week', ts) AS wk, CAST(user_id % 7 AS INT) AS band,
+        |    CAST(COUNT(DISTINCT CAST(floor(value / 25) AS INT)) AS BIGINT) AS l,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+        |  CAST(SUM(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+        |  MIN(l) AS min_l
+        |FROM g""".stripMargin,
+    // Spark percentile ≡ DuckDB quantile_cont (the value_quantiles
+    // mapping); means via the explicit 6-decimal floor quantization —
+    // interpolated cutpoints have arbitrary decimals, so a bare
+    // decimal cast would round per-dialect
+    "winsorize_stats" ->
+      """WITH rows_ AS (SELECT event_type AS g, value AS v FROM events WHERE value IS NOT NULL),
+        |cuts AS (SELECT g, quantile_cont(v, 0.05) AS lo, quantile_cont(v, 0.95) AS hi
+        |         FROM rows_ GROUP BY 1),
+        |j AS (SELECT r.g, r.v, LEAST(GREATEST(r.v, c.lo), c.hi) AS w, c.lo, c.hi
+        |      FROM rows_ r JOIN cuts c ON r.g = c.g)
+        |SELECT g AS group_key, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+        |  CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
+        |  floor((CAST(SUM(CAST(floor(v * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mean_raw,
+        |  floor((CAST(SUM(CAST(floor(w * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mean_winsorized
+        |FROM j GROUP BY 1""".stripMargin,
+    "rolling_mean" ->
+      """SELECT user_id, ts, event_id, value,
+        |  floor((CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |         / CAST(COUNT(value) OVER w AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS roll_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "resample_hourly" ->
+      """WITH ev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+        |r AS (SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM ev),
+        |hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM r),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |c AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+        |        CAST(COUNT(*) AS BIGINT) AS n_raw
+        |      FROM ev GROUP BY 1, 2)
+        |SELECT h.hour, t.event_type, COALESCE(c.n_raw, 0) AS n
+        |FROM hours h CROSS JOIN types t
+        |LEFT JOIN c ON c.hour = h.hour AND c.event_type = t.event_type""".stripMargin,
     "k_anonymity" ->
       """WITH g AS (
         |  SELECT event_type, date_trunc('week', ts) AS wk,

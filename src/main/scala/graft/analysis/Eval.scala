@@ -19,6 +19,11 @@ object Eval {
 
   private val r6 = graft.util.Portable.round6 _
 
+  /** Half-up 6-decimal quantization (the portable floor arithmetic) —
+    * applied per value BEFORE a decimal sum so the reduction is exact and
+    * dialect-replayable. */
+  private def q6(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+
   /** Per-class precision / recall / F1 of a prediction column against a
     * gold column. Rows with a null on either side are excluded (a null
     * prediction is an abstention, not a class). Classes are the union of
@@ -153,6 +158,65 @@ object Eval {
         sum(when(col("__n") < k, 1L).otherwise(0L)).as("n_violating"),
         sum(when(col("__n") < k, col("__n")).otherwise(0L)).as("n_rows_at_risk"),
         min(col("__n")).as("min_group_size"))
+  }
+
+  /** l-diversity audit — k-anonymity's sharper sibling: a QI group can be
+    * large yet still leak if everyone in it shares the same SENSITIVE
+    * value. Reports groups whose sensitive-attribute diversity is below l.
+    *
+    * One corpus pass to (QI combo → distinct-sensitive, rows) — the
+    * distinct is per group key, shuffling (QI, sensitive) once — then a
+    * one-row rollup: n_groups, n_below, n_rows_at_risk, min_l.
+    */
+  def lDiversityReport(df: DataFrame, qis: Seq[Column], sensitive: Column,
+                       l: Int): DataFrame = {
+    require(qis.nonEmpty, "lDiversityReport needs at least one quasi-identifier")
+    require(l >= 2, s"lDiversityReport needs l >= 2, got $l")
+    df.select(qis.zipWithIndex.map { case (c, i) => c.as(s"__qi$i") } :+
+        sensitive.as("__s"): _*)
+      .groupBy(qis.indices.map(i => col(s"__qi$i")): _*)
+      .agg(countDistinct(col("__s")).as("__l"), count(lit(1)).as("__n"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("__l") < l, 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("__l") < l, col("__n")).otherwise(0L)).as("n_rows_at_risk"),
+        min(col("__l")).as("min_l"))
+  }
+
+  /** Winsorization report: per group, clamp the value column at its own
+    * exact [pLo, pHi] percentiles and report how much the tails moved the
+    * mean — the outlier-robust cleaning decision (clamp vs drop) made
+    * auditable before it ships.
+    *
+    * The ccnet-buckets shape: cutpoints are ONE exact-percentile
+    * aggregation (group-cardinality rows, broadcast back), the clamped
+    * re-aggregation is map-side combinable; two corpus passes by
+    * necessity (the clamp depends on the group's own distribution).
+    * Means: 6-decimal-quantized values summed as DECIMAL then divided
+    * once and r6-rounded — an interpolated cutpoint has arbitrary
+    * decimals, so a bare decimal(18,2) cast would round it differently
+    * per dialect; the explicit floor quantization is the portable path.
+    */
+  def winsorizeStats(df: DataFrame, group: Column, value: Column,
+                     pLo: Double, pHi: Double): DataFrame = {
+    require(pLo > 0.0 && pHi < 1.0 && pLo < pHi,
+      s"winsorizeStats needs 0 < pLo < pHi < 1, got $pLo/$pHi")
+    val rows = df.select(group.as("__g"), value.as("__v")).filter(col("__v").isNotNull)
+    val cuts = rows.groupBy(col("__g")).agg(
+      expr(s"percentile(__v, ${pLo}D)").as("__lo"),
+      expr(s"percentile(__v, ${pHi}D)").as("__hi"))
+    rows.join(broadcast(cuts), Seq("__g"))
+      .withColumn("__w", least(greatest(col("__v"), col("__lo")), col("__hi")))
+      .groupBy(col("__g"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__v") < col("__lo"), 1L).otherwise(0L)).as("n_clamped_lo"),
+        sum(when(col("__v") > col("__hi"), 1L).otherwise(0L)).as("n_clamped_hi"),
+        r6(sum(q6(col("__v")).cast("decimal(28,6)")).cast("double")
+          / count(lit(1)).cast("double")).as("mean_raw"),
+        r6(sum(q6(col("__w")).cast("decimal(28,6)")).cast("double")
+          / count(lit(1)).cast("double")).as("mean_winsorized"))
+      .withColumnRenamed("__g", "group_key")
   }
 
   /** Top-k length-3 step sequences (paths) across per-user event streams,

@@ -315,5 +315,27 @@ class EvalSamplingSpec extends SparkSpec {
     assert(out === ((3L, 2L, 3L, 1L)))
   }
 
+  test("lDiversityReport: a large group with one sensitive value is flagged") {
+    // group a: 10 rows, all sensitive=1 (k-anonymous, NOT diverse)
+    // group b: 4 rows, sensitive 1..4
+    val rows = (Seq.fill(10)(("a", 1)) ++ (1 to 4).map(v => ("b", v)))
+      .toDF("qi", "s")
+    val out = graft.analysis.Eval.lDiversityReport(rows, Seq(col("qi")), col("s"), 3)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(out === ((2L, 1L, 10L, 1L)))
+  }
+
+  test("winsorizeStats: clamp counts and mean shift on a planted outlier") {
+    // nine 10.0s and one 1000.0 outlier: p95 (interpolated) < 1000, so
+    // exactly one row clamps high and the winsorized mean drops
+    val rows = (Seq.fill(9)(10.0) :+ 1000.0).map(("g", _)).toDF("grp", "v")
+    val out = graft.analysis.Eval.winsorizeStats(rows, col("grp"), col("v"), 0.05, 0.95)
+      .collect().head
+    assert(out.getLong(1) === 10L)
+    assert(out.getLong(3) === 1L) // one high clamp
+    assert(out.getDouble(4) === 109.0) // raw mean
+    assert(out.getDouble(5) < 109.0 && out.getDouble(5) >= 10.0)
+  }
+
   private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
 }
