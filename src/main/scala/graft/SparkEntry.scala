@@ -343,6 +343,26 @@ object SparkEntry {
       // the funnel's exploratory sibling: which 3-step orders actually occur
       graft.analysis.Eval.topPaths(events(s, dir), col("user_id"),
         col("ts"), col("event_id"), col("event_type"), 20)),
+    "asof_nearest" -> ((s, dir) => {
+      // merge_asof direction='nearest': whichever click is closer in time,
+      // ties to the backward match
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+      graft.operators.AsOfJoin.asOf(purchases, clicks, "user_id", "ts", "ts",
+          "event_id", Seq("value"), direction = "nearest")
+        .withColumnRenamed("asof_ts", "click_ts")
+        .withColumnRenamed("asof_value", "click_value")
+    }),
+    "clustering_coeff" -> ((s, dir) => {
+      // per-node neighborhood cohesion over the interaction graph
+      val k = propsInt
+      val edges = events(s, dir)
+        .filter(k.isNotNull && col("user_id").isNotNull)
+        .select(col("user_id").as("src"), (k % 150).cast("long").as("dst"))
+      graft.analysis.Graph.clusteringCoefficient(edges, col("src"), col("dst"))
+    }),
     "triangle_count" -> ((s, dir) => {
       // cohesion of the interaction graph: exact triangles via
       // degree-ordered orientation (no hub blow-up)
@@ -1931,6 +1951,52 @@ asofOracle,
         |    NTILE(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
         |  FROM events WHERE value IS NOT NULL)
         |GROUP BY 1, 2""".stripMargin,
+    // nearest = the closer of the backward and forward oracles, ties to
+    // backward — both sides are the SAME shared/flipped ASOF oracles
+    "asof_nearest" ->
+      s"""WITH b AS ($asofOracle),
+         |f AS (
+         |SELECT l.event_id, l.user_id, l.ts, l.value,
+         |  r.ts AS click_ts, r.value AS click_value
+         |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') l
+         |ASOF LEFT JOIN (
+         |  SELECT user_id, ts, value FROM (
+         |    SELECT user_id, ts, value,
+         |      ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+         |    FROM events WHERE event_type = 'click')
+         |  WHERE rn = 1) r
+         |  ON l.user_id = r.user_id AND l.ts <= r.ts)
+         |SELECT b.event_id, b.user_id, b.ts, b.value,
+         |  CASE WHEN f.click_ts IS NULL THEN b.click_ts
+         |       WHEN b.click_ts IS NULL THEN f.click_ts
+         |       WHEN b.ts - b.click_ts <= f.click_ts - f.ts THEN b.click_ts
+         |       ELSE f.click_ts END AS click_ts,
+         |  CASE WHEN f.click_ts IS NULL THEN b.click_value
+         |       WHEN b.click_ts IS NULL THEN f.click_value
+         |       WHEN b.ts - b.click_ts <= f.click_ts - f.ts THEN b.click_value
+         |       ELSE f.click_value END AS click_value
+         |FROM b JOIN f ON b.event_id = f.event_id""".stripMargin,
+    // per-node triangle attribution: each id-ordered triangle unnests to
+    // its three corners; coefficient NULL below degree 2
+    "clustering_coeff" ->
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT LEAST(user_id, CAST($propsIntSql % 150 AS BIGINT)) AS a,
+         |    GREATEST(user_id, CAST($propsIntSql % 150 AS BIGINT)) AS b
+         |  FROM events
+         |  WHERE $propsIntSql IS NOT NULL AND user_id IS NOT NULL
+         |    AND user_id <> CAST($propsIntSql % 150 AS BIGINT)),
+         |tri AS (SELECT x.a AS a, x.b AS b, y.b AS c
+         |        FROM e0 x JOIN e0 y ON y.a = x.b JOIN e0 z ON z.a = x.a AND z.b = y.b),
+         |pern AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+         |         FROM (SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY 1),
+         |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+         |        FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1)
+         |SELECT deg.node, deg.deg, COALESCE(pern.n_tri, 0) AS n_tri,
+         |  CASE WHEN deg.deg >= 2 THEN
+         |    floor((2.0 * CAST(COALESCE(pern.n_tri, 0) AS DOUBLE)
+         |           / CAST(deg.deg * (deg.deg - 1) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+         |  END AS coeff
+         |FROM deg LEFT JOIN pern ON deg.node = pern.node""".stripMargin,
     // the oracle counts triangles with the simple id-ordered 3-way join —
     // orientation scheme changes the WORK, never the count
     "triangle_count" ->

@@ -93,6 +93,38 @@ object Graph {
     * n_nodes, n_edges, n_triangles.
     */
   def triangleCount(edgesIn: DataFrame, src: Column, dst: Column): DataFrame = {
+    val (und, deg, closed) = closedTriangles(edgesIn, src, dst)
+    val counts = closed.agg(count(lit(1)).as("n_triangles"))
+    und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+      .crossJoin(counts)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
+  /** Local clustering coefficient per node: 2·tri(v) / (deg(v)·(deg(v)−1))
+    * — how much of each node's neighborhood is itself connected (the
+    * per-node refinement of triangleCount; NULL for degree-< 2 nodes,
+    * where the coefficient is undefined).
+    *
+    * Same degree-ordered wedge machinery; each closed triangle explodes to
+    * its three corners for the per-node count (map-side combinable).
+    */
+  def clusteringCoefficient(edgesIn: DataFrame, src: Column, dst: Column): DataFrame = {
+    val (_, deg, closed) = closedTriangles(edgesIn, src, dst)
+    val perNode = closed
+      .select(explode(array(col("wa"), col("wb"), col("wc"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("__t"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("__t"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2, r6(lit(2.0) * coalesce(col("__t"), lit(0L)).cast("double")
+          / (col("deg") * (col("deg") - 1)).cast("double"))).as("coeff"))
+  }
+
+  /** Shared core: canonical undirected edges, node degrees, and the closed
+    * triangles (wa, wb, wc) found by degree-ordered wedge generation. */
+  private def closedTriangles(edgesIn: DataFrame, src: Column, dst: Column)
+      : (DataFrame, DataFrame, DataFrame) = {
     val und = edgesIn.select(src.as("a"), dst.as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
@@ -117,13 +149,12 @@ object Graph {
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.src") === col("e2.src") &&
           (struct(col("e1.ddst"), col("e1.dst")) < struct(col("e2.ddst"), col("e2.dst"))))
-      .select(col("e1.dst").as("wb"), col("e2.dst").as("wc"))
+      .select(col("e1.src").as("wa"), col("e1.dst").as("wb"), col("e2.dst").as("wc"))
+    // oriented edges are unique per (src, dst), so the inner join keeps
+    // each closed wedge exactly once while preserving all three corners
     val closed = wedges.join(oriented.select(col("src").as("wb"), col("dst").as("wc")),
-      Seq("wb", "wc"), "left_semi")
-    val counts = closed.agg(count(lit(1)).as("n_triangles"))
-    und.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
-      .crossJoin(counts)
-      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+      Seq("wb", "wc"))
+      .select(col("wa"), col("wb"), col("wc"))
+    (und, deg, closed)
   }
 }

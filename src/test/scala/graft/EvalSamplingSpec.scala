@@ -337,5 +337,43 @@ class EvalSamplingSpec extends SparkSpec {
     assert(out.getDouble(5) < 109.0 && out.getDouble(5) >= 10.0)
   }
 
+  test("asOf nearest: closer side wins, exact tie prefers backward") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "L")).toDF("k", "ts", "tag")
+    def pick(right: Seq[(Long, java.sql.Timestamp, Double)]): Any = {
+      val r = graft.operators.AsOfJoin.asOf(left, right.toDF("k", "ts", "v"),
+        "k", "ts", "ts", "v", Seq("v"), direction = "nearest").collect().head
+      if (r.isNullAt(r.fieldIndex("asof_v"))) null else r.getDouble(r.fieldIndex("asof_v"))
+    }
+    // forward closer (1 min ahead vs 5 min back)
+    assert(pick(Seq((1L, ts("2024-01-01 09:55:00"), 1.0),
+      (1L, ts("2024-01-01 10:01:00"), 2.0))) === 2.0)
+    // backward closer
+    assert(pick(Seq((1L, ts("2024-01-01 09:59:00"), 1.0),
+      (1L, ts("2024-01-01 10:05:00"), 2.0))) === 1.0)
+    // exact tie (3 min each way) -> backward
+    assert(pick(Seq((1L, ts("2024-01-01 09:57:00"), 1.0),
+      (1L, ts("2024-01-01 10:03:00"), 2.0))) === 1.0)
+    // only one side exists -> that side
+    assert(pick(Seq((1L, ts("2024-01-01 11:00:00"), 9.0))) === 9.0)
+  }
+
+  test("clusteringCoefficient: K4 fully cohesive, pendant undefined") {
+    // triangle 1-2-3 plus pendant 4 on node 3
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("s", "d")
+    val out = graft.analysis.Graph.clusteringCoefficient(g, col("s"), col("d"))
+      .orderBy("node").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(out(0).getDouble(3) === 1.0) // deg 2, 1 triangle
+    assert(out(1).getDouble(3) === 1.0)
+    assert(out(2).getLong(1) === 3L && out(2).getLong(2) === 1L)
+    assert(out(2).getDouble(3) === 0.333333) // 2*1/(3*2), r6
+    assert(out(3).isNullAt(3)) // degree-1 node: undefined
+    // K4: every node coeff 1.0
+    val k4 = (for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)).toDF("s", "d")
+    val ck4 = graft.analysis.Graph.clusteringCoefficient(k4, col("s"), col("d"))
+      .select("coeff").as[Double].collect().toSeq
+    assert(ck4 === Seq.fill(4)(1.0))
+  }
+
   private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
 }
