@@ -62,6 +62,32 @@ object Streams {
       .select(col("win_start"), (col("__pos") + 1).cast("int").as("rank"),
         col("__e.value").as("value"), col("__e.cnt").as("cnt"))
 
+  /** Native session windows on a stream — the built-in-operator twin of
+    * the flatMapGroupsWithState sessionizer: Spark's gap-merge
+    * (MergingSessionsExec) maintains per-(user, open-session) state,
+    * merges touching windows across micro-batches, and EMITS a session
+    * only once the watermark passes its end (append mode) — at-most-one
+    * final row per session, the contract a downstream sink wants.
+    * State is one row per OPEN session per user (closed sessions leave the
+    * store at watermark passage), so idle users cost nothing.
+    * Same inclusive gap boundary as the batch `session_window_agg` row.
+    *
+    * The watermark delay is the lateness budget: any row arriving more
+    * than `watermark` behind the max seen event time is DROPPED by the
+    * operator — size it to the feed's real disorder (the spec drives an
+    * out-of-order replay with a span-sized watermark to prove batch
+    * equality without loss).
+    */
+  def sessionWindowStream(rows: DataFrame, tsCol: String,
+                          gap: String = "30 minutes",
+                          watermark: String = "0 seconds"): DataFrame =
+    rows.filter(col(tsCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(col("user_id"), session_window(col(tsCol), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("win_start"),
+        col("sw.end").as("win_end"), col("n_events"))
+
   /** Streaming audit sampling: per tumbling window, a deterministic
     * exactly-k sample of ids from the bounded bottom-k-by-digest aggregate
     * — the always-on twin of the batch `sample_stratified` row (pull k

@@ -77,6 +77,37 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session windows on a stream equal the batch sessions once closed") {
+    val batch = GraftSession.table(spark, sfDir, "events")
+    val dir = Files.createTempDirectory("graft_sw_stream").toString
+    batch.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    // watermark longer than the data's whole span: unordered file delivery
+    // can then never late-drop a row; every session closes only when the
+    // far-future sentinel advances the watermark past it
+    val q = graft.streaming.Streams.sessionWindowStream(stream, "ts",
+        watermark = "45 days")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sw_out").start()
+    try {
+      q.processAllAvailable()
+      // append mode only emits sessions the watermark has CLOSED, and the
+      // watermark advances at the END of a batch — push a far-future
+      // sentinel row (user -1) so a final trigger flushes every real session
+      val sentinel = batch.limit(1)
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts", lit(java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))
+      sentinel.write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val streamed = spark.table("sw_out").filter(col("user_id") =!= -1L)
+        .orderBy("user_id", "win_start").collect().toSeq
+      val expected = SparkEntry.queries("session_window_agg")(spark, sfDir)
+        .orderBy("user_id", "win_start").collect().toSeq
+      assert(streamed.nonEmpty && streamed == expected)
+    } finally q.stop()
+  }
+
   test("stateful sessionization matches the batch sessionizer") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[SessionEvent]
