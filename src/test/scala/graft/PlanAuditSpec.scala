@@ -310,6 +310,39 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("round-8 reports stay single-scan, single-pass") {
+    // one corpus scan each — the review pass replaced per-branch
+    // re-execution with role-explodes / min-of-struct argmax
+    Seq("classifier_eval", "coder_agreement", "key_skew_report", "l_diversity",
+        "k_anonymity", "corpus_report_cube", "embedding_covariance")
+      .foreach { q =>
+        assert(count(plan(q), "Scan parquet") == 1, s"$q must scan once")
+      }
+    // the cube is ONE Expand feeding one partial agg, not four report jobs
+    val cube = plan("corpus_report_cube")
+    assert(count(cube, "Expand") == 1 && count(cube, "Exchange") == 1, cube)
+    // covariance: bounded-buffer aggregate, no explode, no join
+    val cov = plan("embedding_covariance")
+    assert(!cov.contains("Join"), "covariance must not self-join")
+    assert(count(cov, "Exchange") == 1, cov)
+  }
+
+  test("round-8 sampling and windows keep their bounded shapes") {
+    // stratified sampling: the rank filter must reach WindowGroupLimit on
+    // both shuffle sides (partial top-k per input partition)
+    assert(count(plan("sample_stratified"), "WindowGroupLimit") >= 2,
+      plan("sample_stratified"))
+    // native session windows: one shuffle on the user key
+    assert(count(plan("session_window_agg"), "Exchange") == 1,
+      plan("session_window_agg"))
+    // both as-of variants keep the one-exchange carry plan (nearest pays
+    // an extra SORT, never an extra shuffle)
+    Seq("asof_tolerance", "asof_forward", "asof_nearest").foreach { q =>
+      val p = plan(q)
+      assert(count(p, "Exchange") <= 2, s"$q gained a shuffle:\n$p")
+    }
+  }
+
   test("pushdown rewrite preserves filter semantics on events") {
     // same rows with and without the rewrite (rewrite only changes the scan bound)
     val ev = GraftSession.table(spark, sfDir, "events")
