@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, TimestampNTZType, TimestampType}
 
 /** Session factory with the engine's standard tuning.
   *
@@ -63,12 +63,25 @@ object GraftSession {
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (!df.schema.fieldNames.contains("ts")) df
-    else df.schema("ts").dataType match {
-      // integer div, not `/`: nanos exceed 2^53 so double division loses µs
-      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-      case _                => df
+    val tsNorm =
+      if (!df.schema.fieldNames.contains("ts")) df
+      else df.schema("ts").dataType match {
+        // integer div, not `/`: nanos exceed 2^53 so double division loses µs
+        case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case _                => df
+      }
+    // embedding vectors: the corpus contract is array<float>; a writer that
+    // produced list<double> (pandas/pyarrow default for float lists) would
+    // otherwise reach the float-typed kernels with 8-byte elements — the
+    // same writer-drift class as the ts flip, normalized at the same
+    // boundary. Float-representable values round-trip exactly, so every
+    // downstream result (and oracle hash) is unchanged.
+    if (!tsNorm.schema.fieldNames.contains("embedding")) tsNorm
+    else tsNorm.schema("embedding").dataType match {
+      case ArrayType(DoubleType, _) =>
+        tsNorm.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+      case _ => tsNorm
     }
   }
 }

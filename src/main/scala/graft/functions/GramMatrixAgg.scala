@@ -50,6 +50,19 @@ case class GramMoments(
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
+
+  // loud at ANALYSIS time on a non-float vector (a list<double> column
+  // would otherwise read garbage through getFloat at runtime); the ingest
+  // boundary normalizes the standard tables, this guards direct callers
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"gramMoments expects array<float>, got $other")
+    }
+
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("i", IntegerType, nullable = false),
