@@ -51,17 +51,22 @@ case class GramMoments(
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
 
-  // loud at ANALYSIS time on a non-float vector (a list<double> column
-  // would otherwise read garbage through getFloat at runtime); the ingest
-  // boundary normalizes the standard tables, this guards direct callers
+  // element type resolved at ANALYSIS time: float and double vectors both
+  // read through their own accessor; anything else fails loudly (reading a
+  // double array through getFloat would silently return garbage)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(FloatType, _) =>
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"gramMoments expects array<float>, got $other")
+          s"gramMoments expects array<float> or array<double>, got $other")
     }
+
+  private lazy val elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(
@@ -86,10 +91,11 @@ case class GramMoments(
       val x = new Array[Double](d)
       var i = 0
       while (i < d) {
-        // a null ELEMENT would read as garbage through getFloat and
-        // silently poison every moment — fail loudly like a ragged vector
+        // a null ELEMENT would read as garbage through the typed accessor
+        // and silently poison every moment — fail loudly like a ragged
+        // vector
         require(!arr.isNullAt(i), s"gramMoments: null element at index $i")
-        x(i) = arr.getFloat(i).toDouble
+        x(i) = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
         i += 1
       }
       buf(0) += 1L

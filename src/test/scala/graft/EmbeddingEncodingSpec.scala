@@ -37,12 +37,22 @@ class EmbeddingEncodingSpec extends SparkSpec {
     }
   }
 
-  test("gramMoments rejects a non-float vector at analysis time") {
+  test("gramMoments reads double vectors via the typed accessor; rejects other types") {
     import spark.implicits._
-    val doubles = Seq((1L, Seq(1.0, 2.0))).toDF("id", "vec")
+    // float and double encodings of the same values must produce identical
+    // moments (the double path reads 8-byte elements, never reinterprets)
+    val doubles = Seq((1L, Seq(0.25, -1.5)), (2L, Seq(2.0, 0.125))).toDF("id", "vec")
+    val floats = doubles.select(col("id"),
+      col("vec").cast("array<float>").as("vec"))
+    def moments(df: org.apache.spark.sql.DataFrame) =
+      df.agg(graft.functions.GramMatrixAgg.gramMoments(col("vec"), 2).as("g"))
+        .select(explode(col("g"))).collect().map(_.toString).toSeq
+    assert(moments(doubles) === moments(floats))
+    // a non-numeric-array input fails at analysis, not with garbage
+    val strings = Seq((1L, Seq("a", "b"))).toDF("id", "vec")
     val ex = intercept[org.apache.spark.sql.AnalysisException] {
-      doubles.agg(graft.functions.GramMatrixAgg.gramMoments(col("vec"), 2)).collect()
+      strings.agg(graft.functions.GramMatrixAgg.gramMoments(col("vec"), 2)).collect()
     }
-    assert(ex.getMessage.contains("array<float>"))
+    assert(ex.getMessage.contains("array<float> or array<double>"))
   }
 }
