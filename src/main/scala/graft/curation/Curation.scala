@@ -225,6 +225,38 @@ object Curation {
       .select(col("__stratum").as("stratum"), col("rank"), col("__id").as("id"))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement, exactly k per
+    * stratum (Efraimidis–Spirakis A-Res): each row draws u ∈ (0,1) from
+    * the salted portable digest and ranks by key = −ln(u)/w — the k
+    * smallest keys are a weighted sample where selection probability is
+    * proportional to weight. The importance-sampling sibling of
+    * [[stratifiedSample]] (uniform) and mixtureKeep (Bernoulli): "give me
+    * exactly 1000 docs per source, high-quality ones more often".
+    *
+    * Same WindowGroupLimit plan as stratifiedSample (rank filter bounds
+    * both shuffle sides). u is the first 13 hex digits of the digest
+    * (52 bits — full double mantissa), never exactly 0, so ln is finite.
+    * Reproducible run-to-run; NOT oracle-bound: the ORDER of −ln(u)/w
+    * keys sits on pow/ln ulps that different engines may flip, so the
+    * contract is pinned by property tests (determinism, exhaustiveness,
+    * and the ~w selection-frequency law) instead of SQL equality.
+    *
+    * Output: stratum, rank, id (ascending key order within stratum).
+    */
+  def weightedSample(df: DataFrame, stratum: Column, id: Column,
+                     weight: Column, k: Int, salt: String): DataFrame = {
+    require(k >= 1, s"weightedSample needs k >= 1, got $k")
+    val u = (conv(substring(md5(concat(lit(salt + ":"), col("__id").cast("string"))),
+      1, 13), 16, 10).cast("double") + lit(1.0)) / lit(4.503599627370496e15) // 16^13
+    val w = Window.partitionBy(col("__stratum")).orderBy(col("__key"), col("__id"))
+    df.select(stratum.as("__stratum"), id.as("__id"), weight.as("__w"))
+      .filter(col("__w") > 0.0)
+      .withColumn("__key", -log(u) / col("__w"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__stratum").as("stratum"), col("rank"), col("__id").as("id"))
+  }
+
   /** Weighted source mixing: each document is kept with probability
     * weight(source)/100, decided by a deterministic per-document hash coin —
     * reruns, resumes, and the oracle all agree on exactly which documents

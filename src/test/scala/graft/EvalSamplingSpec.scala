@@ -375,5 +375,31 @@ class EvalSamplingSpec extends SparkSpec {
     assert(ck4 === Seq.fill(4)(1.0))
   }
 
+  test("weightedSample: deterministic, exhaustive at k >= group, ~w selection law") {
+    // weight derived from id/4 so BOTH weights appear inside every mod-4
+    // stratum (i % 2 would make each stratum weight-homogeneous)
+    val rows = (1L to 4000L).map { i =>
+      (i, "s" + (i % 4), if ((i / 4) % 2 == 0) 9.0 else 1.0)
+    }.toDF("id", "src", "w")
+    def sample(df: org.apache.spark.sql.DataFrame, k: Int) =
+      graft.curation.Curation.weightedSample(df, col("src"), col("id"), col("w"), k, "ws")
+    // partitioning-independent determinism
+    val a = sample(rows.repartition(1), 50).as[(String, Int, Long)].collect().toSeq.sorted
+    val b = sample(rows.repartition(17), 50).as[(String, Int, Long)].collect().toSeq.sorted
+    assert(a === b && a.size === 200)
+    // k >= group size -> everything with positive weight appears
+    val all = sample(rows, 5000).as[(String, Int, Long)].collect()
+    assert(all.length === 4000)
+    // zero/negative weights can never be drawn
+    val wz = rows.withColumn("w", when(col("id") <= 2000L, 0.0).otherwise(col("w")))
+    assert(sample(wz, 5000).as[(String, Int, Long)].collect()
+      .forall(_._3 > 2000L))
+    // selection frequency tracks weight: among 50x4 picks from a 9:1
+    // weighted corpus, heavy items should take a clear supermajority
+    // (expected share ~0.9; allow wide noise margin)
+    val heavyShare = a.count(t => (t._3 / 4) % 2 == 0).toDouble / a.size
+    assert(heavyShare > 0.75 && heavyShare < 1.0, s"heavy share $heavyShare")
+  }
+
   private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
 }
