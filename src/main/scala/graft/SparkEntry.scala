@@ -1206,6 +1206,17 @@ object SparkEntry {
       graft.curation.Curation.curationFunnel(table(s, dir, "documents"),
         col("doc_id"), col("text"), col("lang"),
         Map("en" -> 100, "fr" -> 50, "es" -> 25, "de" -> 10, "zh" -> 75))),
+    "curation_funnel_fuzzy" -> ((s, dir) => {
+      // the NEAR-DUP composed decision: quality -> component keep-best ->
+      // mixture (real corpora hold near-copies, and the production policy
+      // keeps the best one, not the first verbatim)
+      val d = table(s, dir, "documents")
+      val pairs = Dedup.minhashDedupVerified(d, col("doc_id"), col("text"), 3, 16, 4, 0.5)
+      graft.curation.Curation.fuzzyCurationFunnel(d, col("doc_id"), col("text"),
+        col("lang"), pairs,
+        graft.text.TextFeatures.qualityColumns(col("text")).last,
+        Map("en" -> 100, "fr" -> 50, "es" -> 25, "de" -> 10, "zh" -> 75))
+    }),
 
     // ---- B. relational surface ----
     "q1_pricing_summary" -> ((s, dir) => Relational.q1PricingSummary(s, dir)),
@@ -2401,6 +2412,45 @@ asofOracle,
          |  SELECT 0 AS stage, 'ingested' AS stage_name, n_tok FROM staged
          |  UNION ALL SELECT 1, 'quality_filter', n_tok FROM staged WHERE q
          |  UNION ALL SELECT 2, 'exact_dedup', n_tok FROM staged WHERE d
+         |  UNION ALL SELECT 3, 'mixture', n_tok FROM staged WHERE m)
+         |GROUP BY stage, stage_name""".stripMargin
+    },
+    // composes the SHARED recursive-component prologue, the Gopher
+    // decision, the keep-best struct-max rule, and the mixture coin —
+    // every piece verbatim from its standalone oracle, so the composed
+    // report cannot drift from the operators it composes
+    "curation_funnel_fuzzy" -> {
+      val inner = s"doc_id, lang AS source, $sqlTokCount AS n_tok,"
+      val outer = "doc_id, source, n_tok,"
+      s"""$componentCtes,
+         |dec AS (
+         |${gopherDecisionSql(inner, outer)}),
+         |qual AS (
+         |  SELECT doc_id, ${qualityScoreExprSql("qscore")}
+         |  FROM (
+         |    $qualityCountsSql)),
+         |st AS (
+         |  SELECT dec.doc_id, dec.source, dec.n_tok, (dec.decision = 'kept') AS q,
+         |    COALESCE(c.component, dec.doc_id) AS comp, qual.qscore
+         |  FROM dec LEFT JOIN comps c ON c.doc_id = dec.doc_id
+         |  JOIN qual ON qual.doc_id = dec.doc_id),
+         |keep AS (
+         |  SELECT comp, CAST(-((max({'q': qscore, 'nid': -doc_id})).nid) AS BIGINT) AS keeper
+         |  FROM st WHERE q GROUP BY comp),
+         |staged AS (
+         |  SELECT st.doc_id, st.source, st.n_tok, st.q,
+         |    (st.q AND st.doc_id = k.keeper) AS d,
+         |    (st.q AND st.doc_id = k.keeper AND
+         |     ('0x' || substr(md5(CAST(st.doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 <
+         |       CASE st.source WHEN 'en' THEN 100 WHEN 'fr' THEN 50 WHEN 'es' THEN 25
+         |                     WHEN 'de' THEN 10 WHEN 'zh' THEN 75 ELSE 100 END) AS m
+         |  FROM st LEFT JOIN keep k ON st.comp = k.comp)
+         |SELECT stage, stage_name,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |FROM (
+         |  SELECT 0 AS stage, 'ingested' AS stage_name, n_tok FROM staged
+         |  UNION ALL SELECT 1, 'quality_filter', n_tok FROM staged WHERE q
+         |  UNION ALL SELECT 2, 'neardup_dedup', n_tok FROM staged WHERE d
          |  UNION ALL SELECT 3, 'mixture', n_tok FROM staged WHERE m)
          |GROUP BY stage, stage_name""".stripMargin
     },

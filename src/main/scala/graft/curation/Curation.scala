@@ -448,6 +448,58 @@ object Curation {
     * sized storage at scale; callers that already have the corpus cached
     * pay the scan only once).
     */
+  /** The NEAR-DUP variant of [[curationFunnel]]: quality → connected-
+    * component near-dup dedup keeping each component's BEST-quality
+    * member → mixture, with the same per-stage doc/token accounting. The
+    * exact funnel kills only verbatim copies; real corpora mostly contain
+    * near-copies, and the production decision keeps the best one — this
+    * composes the verified-pair table, pointer-jumping components, and
+    * the quality-keeper rule into the one report that shows what that
+    * policy costs per stage.
+    *
+    * Semantics: components form over the WHOLE corpus, the keeper is the
+    * best-quality member among the component's QUALITY-KEPT members
+    * (max (qscore, −doc_id)) — a component whose best member failed
+    * quality still keeps its best surviving member; docs outside any
+    * component are their own singleton. One corpus flag pass + the pair
+    * machinery the caller already paid for; the stage explode/agg is the
+    * shared funnel shape.
+    *
+    * @param pairs verified near-dup pairs (doc_a, doc_b) — from
+    *              `Dedup.minhashDedupVerified` or any pair producer
+    */
+  def fuzzyCurationFunnel(df: DataFrame, id: Column, text: Column, source: Column,
+                          pairs: DataFrame, qscore: Column,
+                          weights: Map[String, Int], defaultWeight: Int = 100): DataFrame = {
+    val flagged = df.select(id.as("doc_id"), source.as("source"),
+      graft.functions.TokenCount.tokenCount(text).as("n_tok"),
+      (graft.text.TextFeatures.filterDecision(text) === "kept").as("q"),
+      qscore.as("__qs"))
+    val comps = graft.dedup.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("node", "doc_id")
+    val st = flagged.join(comps, Seq("doc_id"), "left")
+      .withColumn("__comp", coalesce(col("component"), col("doc_id")))
+    val keepers = st.filter(col("q"))
+      .groupBy(col("__comp"))
+      .agg(max(struct(col("__qs").as("q"), (-col("doc_id")).as("nid"))).as("__best"))
+      .select(col("__comp"), (-col("__best").getField("nid")).as("__keeper"))
+    val staged = st.join(keepers, Seq("__comp"), "left")
+      .withColumn("d", col("q") && col("doc_id") === col("__keeper"))
+      .withColumn("m", col("d") && mixtureKeep(col("doc_id"), col("source"), weights, defaultWeight))
+    def stage(n: Int, name: String, pass: Column) = struct(
+      lit(n).as("stage"), lit(name).as("stage_name"),
+      pass.as("pass"), col("n_tok").as("n_tok"))
+    staged
+      .select(explode(array(
+        stage(0, "ingested", lit(true)),
+        stage(1, "quality_filter", col("q")),
+        stage(2, "neardup_dedup", col("d")),
+        stage(3, "mixture", col("m")))).as("s"))
+      .filter(col("s.pass"))
+      .groupBy(col("s.stage").as("stage"), col("s.stage_name").as("stage_name"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("s.n_tok")).as("n_tokens"))
+  }
+
   def curationFunnel(df: DataFrame, id: Column, text: Column, source: Column,
                      weights: Map[String, Int], defaultWeight: Int = 100): DataFrame = {
     val staged = curationStages(df, id, text, source, weights, defaultWeight)

@@ -401,5 +401,33 @@ class EvalSamplingSpec extends SparkSpec {
     assert(heavyShare > 0.75 && heavyShare < 1.0, s"heavy share $heavyShare")
   }
 
+  test("fuzzyCurationFunnel: component keeps its best QUALITY-KEPT member") {
+    val good = "the quick brown fox jumps over a lazy dog in warm sunshine"
+    val docs = Seq(
+      (1L, good + " one", "en"),
+      (2L, "short text", "en"),          // near-dup of 1/3 but FAILS quality
+      (3L, good + " two", "en"),
+      (4L, good + " solo", "en")         // singleton
+    ).toDF("doc_id", "text", "lang")
+    // precondition: the quality rule sees it the way the scenario needs
+    val dec = docs.select(col("doc_id"),
+      graft.text.TextFeatures.filterDecision(col("text")).as("d")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dec(1L) === "kept" && dec(3L) === "kept" && dec(4L) === "kept")
+    assert(dec(2L) !== "kept")
+    // component {1,2,3} via a hand-made verified-pair table
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val funnel = graft.curation.Curation.fuzzyCurationFunnel(docs, col("doc_id"),
+      col("text"), col("lang"), pairs,
+      graft.text.TextFeatures.qualityColumns(col("text")).last,
+      Map("en" -> 100))
+      .orderBy("stage")
+      .select("stage_name", "n_docs").as[(String, Long)].collect().toSeq
+    // keeper of {1,2,3} = best kept member (1 and 3 tie on qscore -> min
+    // id 1); doc 4 survives as its own singleton
+    assert(funnel === Seq(("ingested", 4L), ("quality_filter", 3L),
+      ("neardup_dedup", 2L), ("mixture", 2L)))
+  }
+
   private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
 }
