@@ -1178,6 +1178,16 @@ object SparkEntry {
       // broadcast query terms, decimal-summed rounded parts
       graft.text.Bm25.topDocs(table(s, dir, "documents"),
         col("doc_id"), col("text"), 8, 20)),
+    "curation_export_fuzzy" -> ((s, dir) => {
+      // the dataset the fuzzy funnel's terminal stage counts (shared stage
+      // builder — report and export cannot disagree)
+      val d = table(s, dir, "documents")
+      val pairs = Dedup.minhashDedupVerified(d, col("doc_id"), col("text"), 3, 16, 4, 0.5)
+      graft.curation.Curation.fuzzyCurationExport(d, col("doc_id"), col("text"),
+        col("lang"), pairs,
+        graft.text.TextFeatures.qualityColumns(col("text")).last,
+        Map("en" -> 100, "fr" -> 50, "es" -> 25, "de" -> 10, "zh" -> 75))
+    }),
     "dup_span_stats" -> ((s, dir) =>
       // 16-token spans every 8: the exact-substring duplication signal
       graft.curation.Curation.dupSpanStats(table(s, dir, "documents"),
@@ -1663,6 +1673,37 @@ object SparkEntry {
       |v AS (
       |  SELECT token, freq, CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS INT) AS token_id
       |  FROM (SELECT token, freq FROM f ORDER BY freq DESC, token ASC LIMIT 24))""".stripMargin
+
+  /** Fuzzy-curation prologue ending in `staged(doc_id, source, n_tok, q,
+    * d, m)` — shared by the fuzzy funnel and its export so report and
+    * dataset cannot drift. */
+  private def fuzzyCurationCtes: String = {
+    val inner = s"doc_id, lang AS source, $sqlTokCount AS n_tok,"
+    val outer = "doc_id, source, n_tok,"
+    s"""$componentCtes,
+       |dec AS (
+       |${gopherDecisionSql(inner, outer)}),
+       |qual AS (
+       |  SELECT doc_id, ${qualityScoreExprSql("qscore")}
+       |  FROM (
+       |    $qualityCountsSql)),
+       |st AS (
+       |  SELECT dec.doc_id, dec.source, dec.n_tok, (dec.decision = 'kept') AS q,
+       |    COALESCE(c.component, dec.doc_id) AS comp, qual.qscore
+       |  FROM dec LEFT JOIN comps c ON c.doc_id = dec.doc_id
+       |  JOIN qual ON qual.doc_id = dec.doc_id),
+       |keep AS (
+       |  SELECT comp, CAST(-((max({'q': qscore, 'nid': -doc_id})).nid) AS BIGINT) AS keeper
+       |  FROM st WHERE q GROUP BY comp),
+       |staged AS (
+       |  SELECT st.doc_id, st.source, st.n_tok, st.q,
+       |    (st.q AND st.doc_id = k.keeper) AS d,
+       |    (st.q AND st.doc_id = k.keeper AND
+       |     ('0x' || substr(md5(CAST(st.doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 <
+       |       CASE st.source WHEN 'en' THEN 100 WHEN 'fr' THEN 50 WHEN 'es' THEN 25
+       |                     WHEN 'de' THEN 10 WHEN 'zh' THEN 75 ELSE 100 END) AS m
+       |  FROM st LEFT JOIN keep k ON st.comp = k.comp)""".stripMargin
+  }
 
   /** Quality-score oracle — shared verbatim by the quality_score row and
     * the quality_unpivot melt. */
@@ -2419,32 +2460,8 @@ asofOracle,
     // decision, the keep-best struct-max rule, and the mixture coin —
     // every piece verbatim from its standalone oracle, so the composed
     // report cannot drift from the operators it composes
-    "curation_funnel_fuzzy" -> {
-      val inner = s"doc_id, lang AS source, $sqlTokCount AS n_tok,"
-      val outer = "doc_id, source, n_tok,"
-      s"""$componentCtes,
-         |dec AS (
-         |${gopherDecisionSql(inner, outer)}),
-         |qual AS (
-         |  SELECT doc_id, ${qualityScoreExprSql("qscore")}
-         |  FROM (
-         |    $qualityCountsSql)),
-         |st AS (
-         |  SELECT dec.doc_id, dec.source, dec.n_tok, (dec.decision = 'kept') AS q,
-         |    COALESCE(c.component, dec.doc_id) AS comp, qual.qscore
-         |  FROM dec LEFT JOIN comps c ON c.doc_id = dec.doc_id
-         |  JOIN qual ON qual.doc_id = dec.doc_id),
-         |keep AS (
-         |  SELECT comp, CAST(-((max({'q': qscore, 'nid': -doc_id})).nid) AS BIGINT) AS keeper
-         |  FROM st WHERE q GROUP BY comp),
-         |staged AS (
-         |  SELECT st.doc_id, st.source, st.n_tok, st.q,
-         |    (st.q AND st.doc_id = k.keeper) AS d,
-         |    (st.q AND st.doc_id = k.keeper AND
-         |     ('0x' || substr(md5(CAST(st.doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 <
-         |       CASE st.source WHEN 'en' THEN 100 WHEN 'fr' THEN 50 WHEN 'es' THEN 25
-         |                     WHEN 'de' THEN 10 WHEN 'zh' THEN 75 ELSE 100 END) AS m
-         |  FROM st LEFT JOIN keep k ON st.comp = k.comp)
+    "curation_funnel_fuzzy" ->
+      s"""$fuzzyCurationCtes
          |SELECT stage, stage_name,
          |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
          |FROM (
@@ -2452,8 +2469,10 @@ asofOracle,
          |  UNION ALL SELECT 1, 'quality_filter', n_tok FROM staged WHERE q
          |  UNION ALL SELECT 2, 'neardup_dedup', n_tok FROM staged WHERE d
          |  UNION ALL SELECT 3, 'mixture', n_tok FROM staged WHERE m)
-         |GROUP BY stage, stage_name""".stripMargin
-    },
+         |GROUP BY stage, stage_name""".stripMargin,
+    "curation_export_fuzzy" ->
+      s"""$fuzzyCurationCtes
+         |SELECT doc_id, source, n_tok FROM staged WHERE m""".stripMargin,
     "dup_span_stats" ->
       """WITH lw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |ch AS (

@@ -471,21 +471,8 @@ object Curation {
   def fuzzyCurationFunnel(df: DataFrame, id: Column, text: Column, source: Column,
                           pairs: DataFrame, qscore: Column,
                           weights: Map[String, Int], defaultWeight: Int = 100): DataFrame = {
-    val flagged = df.select(id.as("doc_id"), source.as("source"),
-      graft.functions.TokenCount.tokenCount(text).as("n_tok"),
-      (graft.text.TextFeatures.filterDecision(text) === "kept").as("q"),
-      qscore.as("__qs"))
-    val comps = graft.dedup.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
-      .withColumnRenamed("node", "doc_id")
-    val st = flagged.join(comps, Seq("doc_id"), "left")
-      .withColumn("__comp", coalesce(col("component"), col("doc_id")))
-    val keepers = st.filter(col("q"))
-      .groupBy(col("__comp"))
-      .agg(max(struct(col("__qs").as("q"), (-col("doc_id")).as("nid"))).as("__best"))
-      .select(col("__comp"), (-col("__best").getField("nid")).as("__keeper"))
-    val staged = st.join(keepers, Seq("__comp"), "left")
-      .withColumn("d", col("q") && col("doc_id") === col("__keeper"))
-      .withColumn("m", col("d") && mixtureKeep(col("doc_id"), col("source"), weights, defaultWeight))
+    val staged = fuzzyCurationStages(df, id, text, source, pairs, qscore,
+      weights, defaultWeight)
     def stage(n: Int, name: String, pass: Column) = struct(
       lit(n).as("stage"), lit(name).as("stage_name"),
       pass.as("pass"), col("n_tok").as("n_tok"))
@@ -498,6 +485,41 @@ object Curation {
       .filter(col("s.pass"))
       .groupBy(col("s.stage").as("stage"), col("s.stage_name").as("stage_name"))
       .agg(count(lit(1)).as("n_docs"), sum(col("s.n_tok")).as("n_tokens"))
+  }
+
+  /** The corpus the fuzzy funnel's terminal stage counts, in export shape
+    * (doc_id, source, n_tok of mixture survivors) — shares the stage
+    * builder with [[fuzzyCurationFunnel]], so report and dataset cannot
+    * disagree (the training_pipeline/training_export contract, applied to
+    * the near-dup flow). */
+  def fuzzyCurationExport(df: DataFrame, id: Column, text: Column, source: Column,
+                          pairs: DataFrame, qscore: Column,
+                          weights: Map[String, Int], defaultWeight: Int = 100): DataFrame =
+    fuzzyCurationStages(df, id, text, source, pairs, qscore, weights, defaultWeight)
+      .filter(col("m"))
+      .select(col("doc_id"), col("source"), col("n_tok"))
+
+  /** Shared stage-flag builder for the fuzzy flow: q (quality kept),
+    * d (also the component's best-quality kept member), m (also survives
+    * the mixture coin). */
+  private def fuzzyCurationStages(df: DataFrame, id: Column, text: Column,
+                                  source: Column, pairs: DataFrame, qscore: Column,
+                                  weights: Map[String, Int], defaultWeight: Int): DataFrame = {
+    val flagged = df.select(id.as("doc_id"), source.as("source"),
+      graft.functions.TokenCount.tokenCount(text).as("n_tok"),
+      (graft.text.TextFeatures.filterDecision(text) === "kept").as("q"),
+      qscore.as("__qs"))
+    val comps = graft.dedup.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("node", "doc_id")
+    val st = flagged.join(comps, Seq("doc_id"), "left")
+      .withColumn("__comp", coalesce(col("component"), col("doc_id")))
+    val keepers = st.filter(col("q"))
+      .groupBy(col("__comp"))
+      .agg(max(struct(col("__qs").as("q"), (-col("doc_id")).as("nid"))).as("__best"))
+      .select(col("__comp"), (-col("__best").getField("nid")).as("__keeper"))
+    st.join(keepers, Seq("__comp"), "left")
+      .withColumn("d", col("q") && col("doc_id") === col("__keeper"))
+      .withColumn("m", col("d") && mixtureKeep(col("doc_id"), col("source"), weights, defaultWeight))
   }
 
   def curationFunnel(df: DataFrame, id: Column, text: Column, source: Column,
