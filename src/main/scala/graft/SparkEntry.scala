@@ -1211,6 +1211,45 @@ object SparkEntry {
       // the pre-flight shuffle-key diagnosis: cardinality, hottest key,
       // Herfindahl concentration of the candidate partitioning key
       graft.analysis.Eval.keySkewReport(events(s, dir), col("user_id"))),
+    "chi2_independence" -> ((s, dir) =>
+      // is corpus language independent of source? the crosstab dependence
+      // test behind every demographic-by-theme table in the reference
+      graft.analysis.Stats.chiSquareIndependence(table(s, dir, "documents"),
+        col("lang"), col("source"))),
+    "mutual_information" -> ((s, dir) =>
+      // the same dependence measured in nats, with marginal entropies and
+      // the sqrt-normalized coefficient
+      graft.analysis.Stats.mutualInformation(table(s, dir, "documents"),
+        col("lang"), col("source"))),
+    "zscore_outliers" -> ((s, dir) =>
+      // per-event-type anomaly sweep: rows >= 3 sample stddevs from their
+      // group mean, with exact DECIMAL moments
+      graft.analysis.Stats.zscoreOutliers(events(s, dir), col("event_type"),
+        col("event_id"), col("value"), 3.0)),
+    "gini_concentration" -> ((s, dir) =>
+      // per-source inequality of document length: is a source's token mass
+      // a few giant documents or an even spread?
+      graft.analysis.Stats.giniConcentration(table(s, dir, "documents"),
+        col("source"), col("doc_id"), col("n_chars").cast("double"))),
+    "rfm_segments" -> ((s, dir) =>
+      // recency/frequency/monetary quintile segmentation of the user base
+      // (monetary = purchase events), rolled up per segment cell
+      graft.analysis.Stats.rfmSegments(events(s, dir), col("user_id"),
+        col("ts"), col("value"), col("event_type") === "purchase")),
+    "scd2_intervals" -> ((s, dir) =>
+      // type-2 dimension build from the event change feed: per-user state
+      // validity intervals with consecutive-duplicate collapse
+      Snapshots.scd2(events(s, dir), col("user_id"), col("ts"),
+        col("event_type"), col("event_id"))),
+    "bigram_pmi" -> ((s, dir) =>
+      // collocation mining: top adjacent-token pairs by pointwise mutual
+      // information (phrase-promotion signal for a tokenizer step)
+      graft.text.Vocab.bigramPmi(table(s, dir, "documents"), col("text"), 5L, 50)),
+    "record_linkage_jw" -> ((s, dir) =>
+      // fuzzy entity matching: 16-char blocking join, native Jaro-Winkler
+      // verify over the 64-char probe, rounded-then-thresholded at 0.9
+      Dedup.jaroWinklerLinkage(table(s, dir, "documents"),
+        col("doc_id"), col("text"), 16, 64, 0.9)),
     "curation_funnel" -> ((s, dir) =>
       // the composed pipeline decision: quality -> exact dedup -> mixture
       graft.curation.Curation.curationFunnel(table(s, dir, "documents"),
@@ -2540,6 +2579,183 @@ asofOracle,
         |  floor((CAST(top_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS top_share,
         |  floor((CAST(s2 AS DOUBLE) / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS hhi
         |FROM a LEFT JOIN t ON TRUE""".stripMargin,
+    // per-cell (O-E)^2/E terms r6-quantized then DECIMAL-summed (the
+    // token-entropy discipline); E's cast-then-multiply shape matches the
+    // engine's IEEE expression exactly
+    "chi2_independence" ->
+      """WITH cells AS (
+        |  SELECT lang AS a, source AS b, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+        |t AS (
+        |  SELECT a, b, c,
+        |    CAST(c AS DOUBLE) AS o,
+        |    (CAST(SUM(c) OVER wa AS DOUBLE) * CAST(SUM(c) OVER wb AS DOUBLE))
+        |      / CAST(SUM(c) OVER () AS DOUBLE) AS e,
+        |    CAST(SUM(c) OVER () AS BIGINT) AS nl
+        |  FROM cells WINDOW wa AS (PARTITION BY a), wb AS (PARTITION BY b)),
+        |g AS (
+        |  SELECT MAX(nl) AS n,
+        |    CAST(COUNT(DISTINCT a) AS BIGINT) AS n_a, CAST(COUNT(DISTINCT b) AS BIGINT) AS n_b,
+        |    SUM(CAST(floor(((o - e) * (o - e) / e) * 1000000.0 + 0.5) / 1000000.0
+        |        AS DECIMAL(28,6))) AS chi2d
+        |  FROM t)
+        |SELECT n, n_a, n_b, (n_a - 1) * (n_b - 1) AS dof,
+        |  CAST(chi2d AS DOUBLE) AS chi2,
+        |  CASE WHEN (n_a - 1) * (n_b - 1) > 0 THEN
+        |    floor(sqrt(CAST(chi2d AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(least(n_a - 1, n_b - 1) AS DOUBLE)))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS cramers_v
+        |FROM g""".stripMargin,
+    // marginal entropy terms count once per CLASS via the row_number gate,
+    // mirroring the engine's single-window fold over the cells frame
+    "mutual_information" ->
+      """WITH cells AS (
+        |  SELECT lang AS a, source AS b, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+        |t AS (
+        |  SELECT a, b, c,
+        |    CAST(c AS DOUBLE) AS cd,
+        |    CAST(SUM(c) OVER wa AS DOUBLE) AS ra,
+        |    CAST(SUM(c) OVER wb AS DOUBLE) AS cb,
+        |    CAST(SUM(c) OVER () AS DOUBLE) AS nd,
+        |    CAST(SUM(c) OVER () AS BIGINT) AS nl,
+        |    ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) AS rna,
+        |    ROW_NUMBER() OVER (PARTITION BY b ORDER BY a) AS rnb
+        |  FROM cells WINDOW wa AS (PARTITION BY a), wb AS (PARTITION BY b)),
+        |g AS (
+        |  SELECT MAX(nl) AS n,
+        |    CAST(COUNT(DISTINCT a) AS BIGINT) AS n_a, CAST(COUNT(DISTINCT b) AS BIGINT) AS n_b,
+        |    CAST(SUM(CAST(floor(((cd / nd) * ln((cd * nd) / (ra * cb))) * 1000000.0 + 0.5)
+        |        / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE) AS mi,
+        |    CAST(SUM(CAST(CASE WHEN rna = 1 THEN
+        |        floor((-((ra / nd) * ln(ra / nd))) * 1000000.0 + 0.5) / 1000000.0
+        |      ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) AS h_a,
+        |    CAST(SUM(CAST(CASE WHEN rnb = 1 THEN
+        |        floor((-((cb / nd) * ln(cb / nd))) * 1000000.0 + 0.5) / 1000000.0
+        |      ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) AS h_b
+        |  FROM t)
+        |SELECT n, n_a, n_b, mi, h_a, h_b,
+        |  CASE WHEN h_a > 0 AND h_b > 0 THEN
+        |    floor((mi / sqrt(h_a * h_b)) * 1000000.0 + 0.5) / 1000000.0 END AS nmi
+        |FROM g""".stripMargin,
+    // moments are DECIMAL sums of 6dp-quantized values, so mean/std are
+    // single IEEE expressions over identical inputs on both engines
+    "zscore_outliers" ->
+      """WITH r AS (
+        |  SELECT event_type AS group_key, event_id AS row_id, value AS v,
+        |    CAST(floor(value * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS q
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (
+        |  SELECT group_key, CAST(COUNT(*) AS BIGINT) AS n, SUM(q) AS s1, SUM(q * q) AS s2
+        |  FROM r GROUP BY 1),
+        |z AS (
+        |  SELECT r.group_key, r.row_id, r.v, r.q,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    sqrt((CAST(s2 AS DOUBLE)
+        |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |         / CAST(n - 1 AS DOUBLE)) AS std
+        |  FROM r JOIN m USING (group_key) WHERE n >= 2),
+        |f AS (
+        |  SELECT group_key, row_id, v, mean,
+        |    floor(((CAST(q AS DOUBLE) - mean) / std) * 1000000.0 + 0.5) / 1000000.0 AS z
+        |  FROM z WHERE std > 0)
+        |SELECT group_key, row_id, v AS value,
+        |  floor(mean * 1000000.0 + 0.5) / 1000000.0 AS group_mean, z
+        |FROM f WHERE abs(z) >= 3.0""".stripMargin,
+    // numerator is a DECIMAL sum of rank-weighted values; one IEEE
+    // division at the end
+    "gini_concentration" ->
+      """WITH r AS (
+        |  SELECT source AS group_key, doc_id AS id,
+        |    CAST(floor(CAST(n_chars AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |      AS DECIMAL(18,6)) AS q
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |w AS (
+        |  SELECT group_key, q,
+        |    ROW_NUMBER() OVER (PARTITION BY group_key ORDER BY q, id) AS i,
+        |    CAST(COUNT(*) OVER (PARTITION BY group_key) AS BIGINT) AS n
+        |  FROM r),
+        |g AS (
+        |  SELECT group_key, MAX(n) AS n, SUM(q) AS sx,
+        |    SUM(CAST(2 * i - n - 1 AS DECIMAL(19,0)) * q) AS num
+        |  FROM w GROUP BY 1)
+        |SELECT group_key, n, CAST(sx AS DOUBLE) AS total,
+        |  CASE WHEN sx > 0 THEN
+        |    floor((CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS gini
+        |FROM g""".stripMargin,
+    // money sums are DECIMAL of 6dp-quantized values; DuckDB's null order
+    // is pinned NULLS FIRST on the money tile to match Spark's asc default
+    "rfm_segments" ->
+      """WITH pu AS (
+        |  SELECT user_id, MAX(ts) AS last_ts,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS freq,
+        |    SUM(CAST(CASE WHEN event_type = 'purchase'
+        |          THEN floor(value * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END
+        |        AS DECIMAL(28,6))) AS money
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT user_id, freq, money,
+        |    date_diff('day', CAST(last_ts AS DATE), CAST(MAX(last_ts) OVER () AS DATE)) AS rdays
+        |  FROM pu),
+        |tiles AS (
+        |  SELECT money,
+        |    CAST(NTILE(5) OVER (ORDER BY rdays DESC, user_id) AS INT) AS r_tile,
+        |    CAST(NTILE(5) OVER (ORDER BY freq ASC, user_id) AS INT) AS f_tile,
+        |    CAST(NTILE(5) OVER (ORDER BY money ASC NULLS FIRST, user_id) AS INT) AS m_tile
+        |  FROM r)
+        |SELECT r_tile, f_tile, m_tile, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  floor((CAST(SUM(money) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS avg_monetary
+        |FROM tiles GROUP BY 1, 2, 3""".stripMargin,
+    // lag-collapse then lead over the same (entity, ts, tie) total order
+    "scd2_intervals" ->
+      """WITH s AS (
+        |  SELECT user_id AS entity_id, ts AS valid_from, event_type AS state, event_id AS tie,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |k AS (SELECT entity_id, valid_from, state, tie FROM s
+        |      WHERE prev IS NULL OR prev <> state)
+        |SELECT entity_id, state, valid_from,
+        |  LEAD(valid_from) OVER w AS valid_to,
+        |  CAST(ROW_NUMBER() OVER w AS INT) AS version,
+        |  (LEAD(valid_from) OVER w IS NULL) AS is_current
+        |FROM k WINDOW w AS (PARTITION BY entity_id ORDER BY valid_from, tie)""".stripMargin,
+    // 1-based list indexing pairs t[i] with t[i+1] — same adjacent pairs
+    // as the engine's 0-based transform; ln runs once per surviving pair
+    "bigram_pmi" ->
+      """WITH toks AS (SELECT regexp_extract_all(text, '[a-z0-9]+') AS t FROM documents),
+        |uni AS (
+        |  SELECT u AS token, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(t) AS u FROM toks) GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+        |pr AS (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2
+        |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+        |  WHERE len(t) >= 2),
+        |pairs AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair FROM pr GROUP BY 1, 2),
+        |bt AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS b FROM pairs)
+        |SELECT w1, w2, n_pair,
+        |  floor(ln((CAST(n_pair AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |           / (CAST(b AS DOUBLE) * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS pmi
+        |FROM pairs JOIN uni u1 ON u1.token = pairs.w1
+        |           JOIN uni u2 ON u2.token = pairs.w2, nt, bt
+        |WHERE n_pair >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
+    // DuckDB's jaro_winkler_similarity IS the reference convention the
+    // native expression pins (RapidFuzz: boost only when jaro > 0.7,
+    // prefix cap 4); both sides r6-round BEFORE the 0.9 threshold
+    "record_linkage_jw" ->
+      """WITH b AS (
+        |  SELECT doc_id, substr(text, 1, 16) AS blk, substr(text, 1, 64) AS probe
+        |  FROM documents)
+        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |  floor(jaro_winkler_similarity(x.probe, y.probe) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS jw
+        |FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id
+        |WHERE floor(jaro_winkler_similarity(x.probe, y.probe) * 1000000.0 + 0.5)
+        |    / 1000000.0 >= 0.9""".stripMargin,
     // same chunker convention as dup_span_stats (window 16, stride 16);
     // partial trailing chunks are always kept, full chunks keep only their
     // first (doc_id, pos) occurrence

@@ -1,0 +1,229 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cross-tab dependence, outlier, and concentration statistics — the
+  * numeric audits an analyst runs before trusting a demographic crosstab
+  * or a mixture weight table.
+  *
+  * The reference computes crosstabs and per-group distributions for its
+  * automated analysis (engagement_db_to_analysis/automated_analysis.py:46's
+  * theme/demographic tables); these operators close the loop with the
+  * dependence tests (chi-square, mutual information) and the
+  * robustness/inequality audits (z-score outliers, Gini) those tables feed
+  * into downstream notebooks.
+  *
+  * Scale shape shared by the dependence tests: ONE corpus pass to the
+  * (a, b) contingency cells (map-side combinable groupBy), then every
+  * marginal / expectation / entropy term is window arithmetic on the
+  * class-cardinality cells frame — no second corpus scan, no join back.
+  * Per-cell floating terms are 6-decimal-quantized and summed as DECIMAL
+  * (the token-entropy discipline) so the reduction is exact and
+  * dialect-replayable at any partition count.
+  */
+object Stats {
+
+  private val r6 = graft.util.Portable.round6 _
+
+  /** Half-up 6-decimal quantization applied per term BEFORE a decimal sum. */
+  private def q6(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns, plus Cramér's V effect size. Null categories are excluded
+    * (a missing label is an abstention, not a class).
+    *
+    * E = row·col/N and (O−E)²/E are computed in IEEE doubles with a fixed
+    * expression shape (cast-long-then-multiply), so both engines produce
+    * bit-identical per-cell terms; the terms are q6-quantized and summed
+    * as DECIMAL. Output (one row): n, n_a, n_b, dof, chi2, cramers_v
+    * (NULL when dof = 0 — a constant column has no association to test).
+    */
+  def chiSquareIndependence(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.select(a.as("__a"), b.as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__c"))
+    val wa = Window.partitionBy(col("__a"))
+    val wb = Window.partitionBy(col("__b"))
+    val wAll = Window.partitionBy(lit(1))
+    val o = col("__c").cast("double")
+    val e = (sum(col("__c")).over(wa).cast("double") *
+      sum(col("__c")).over(wb).cast("double")) /
+      sum(col("__c")).over(wAll).cast("double")
+    cells
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .withColumn("__term", q6((o - e) * (o - e) / e).cast("decimal(28,6)"))
+      .agg(
+        max(col("__n")).as("n"),
+        countDistinct(col("__a")).as("n_a"),
+        countDistinct(col("__b")).as("n_b"),
+        sum(col("__term")).as("__chi2"))
+      .select(
+        col("n"), col("n_a"), col("n_b"),
+        ((col("n_a") - 1) * (col("n_b") - 1)).as("dof"),
+        col("__chi2").cast("double").as("chi2"),
+        when((col("n_a") - 1) * (col("n_b") - 1) > 0,
+          r6(sqrt(col("__chi2").cast("double") /
+            (col("n").cast("double") *
+              least(col("n_a") - 1, col("n_b") - 1).cast("double")))))
+          .as("cramers_v"))
+  }
+
+  /** Mutual information (nats) between two categorical columns, with the
+    * marginal entropies and the sqrt-normalized MI. Cells with c > 0 only
+    * (0·ln0 = 0 by convention, and a zero cell never materializes from a
+    * groupBy). Each marginal's entropy term must count once per CLASS, not
+    * once per cell — gated on row_number() = 1 within the class partition
+    * rather than re-aggregated, so the cells frame is consumed by a single
+    * window + fold and the corpus is scanned exactly once.
+    *
+    * Output (one row): n, n_a, n_b, mi, h_a, h_b, nmi
+    * (nmi NULL when either marginal entropy is 0 — a constant column).
+    */
+  def mutualInformation(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.select(a.as("__a"), b.as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__c"))
+    val wa = Window.partitionBy(col("__a"))
+    val wb = Window.partitionBy(col("__b"))
+    val wAll = Window.partitionBy(lit(1))
+    val n = sum(col("__c")).over(wAll).cast("double")
+    val cD = col("__c").cast("double")
+    val ra = sum(col("__c")).over(wa).cast("double")
+    val cb = sum(col("__c")).over(wb).cast("double")
+    val miTerm = (cD / n) * log((cD * n) / (ra * cb))
+    def entTerm(m: Column) = -((m / n) * log(m / n))
+    val firstA = row_number().over(wa.orderBy(col("__b"))) === 1
+    val firstB = row_number().over(wb.orderBy(col("__a"))) === 1
+    cells
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .withColumn("__mi", q6(miTerm).cast("decimal(28,6)"))
+      .withColumn("__ha",
+        when(firstA, q6(entTerm(ra))).otherwise(lit(0.0)).cast("decimal(28,6)"))
+      .withColumn("__hb",
+        when(firstB, q6(entTerm(cb))).otherwise(lit(0.0)).cast("decimal(28,6)"))
+      .agg(
+        max(col("__n")).as("n"),
+        countDistinct(col("__a")).as("n_a"),
+        countDistinct(col("__b")).as("n_b"),
+        sum(col("__mi")).cast("double").as("mi"),
+        sum(col("__ha")).cast("double").as("h_a"),
+        sum(col("__hb")).cast("double").as("h_b"))
+      .withColumn("nmi",
+        when(col("h_a") > 0 && col("h_b") > 0,
+          r6(col("mi") / sqrt(col("h_a") * col("h_b")))))
+  }
+
+  /** Per-group z-score outliers: rows whose value sits ≥ `zMin` sample
+    * standard deviations from their group's mean. The anomaly sweep run
+    * over a metric before it feeds a report.
+    *
+    * Moments are exact: values are 6-decimal-quantized, Σv and Σv² are
+    * DECIMAL sums (v² of a 6dp value is exactly 12dp), so mean/std are
+    * single IEEE expressions over identical inputs on any engine and any
+    * partitioning. Two corpus passes by necessity (the flag depends on the
+    * group's own distribution); the moments frame is group-cardinality and
+    * broadcast back. Groups with n < 2 or zero variance emit nothing.
+    */
+  def zscoreOutliers(df: DataFrame, group: Column, id: Column, value: Column,
+                     zMin: Double): DataFrame = {
+    require(zMin > 0.0, s"zscoreOutliers needs zMin > 0, got $zMin")
+    val rows = df.select(group.as("group_key"), id.as("row_id"), value.as("__v"))
+      .filter(col("__v").isNotNull)
+      .withColumn("__q", q6(col("__v")).cast("decimal(18,6)"))
+    val moments = rows.groupBy(col("group_key")).agg(
+      count(lit(1)).as("__n"),
+      sum(col("__q")).as("__s1"),
+      sum(col("__q") * col("__q")).as("__s2"))
+    val mean = col("__s1").cast("double") / col("__n").cast("double")
+    val variance = (col("__s2").cast("double") -
+      col("__s1").cast("double") * col("__s1").cast("double") / col("__n").cast("double")) /
+      (col("__n") - 1).cast("double")
+    rows.join(broadcast(moments), Seq("group_key"))
+      .filter(col("__n") >= 2)
+      .withColumn("__mean", mean)
+      .withColumn("__std", sqrt(variance))
+      .filter(col("__std") > 0.0)
+      .withColumn("z", r6((col("__q").cast("double") - col("__mean")) / col("__std")))
+      .filter(abs(col("z")) >= zMin)
+      .select(col("group_key"), col("row_id"),
+        col("__v").as("value"), r6(col("__mean")).as("group_mean"), col("z"))
+  }
+
+  /** Per-group Gini concentration of a non-negative measure — how unequal
+    * the distribution of `value` is inside each group (0 = uniform,
+    * → 1 as one row holds everything). The corpus-composition audit: a
+    * source whose token mass is one giant document behaves nothing like
+    * its document count suggests.
+    *
+    * G = Σᵢ (2i − n − 1)·xᵢ / (n·Σx) over xᵢ sorted ascending with a
+    * unique tie-break, so ntile-free and exact: the numerator is a DECIMAL
+    * sum of long-weighted values, one IEEE division at the end. One
+    * shuffle on the group key feeds both the window rank and the final
+    * fold. Groups with Σx = 0 report NULL.
+    */
+  def giniConcentration(df: DataFrame, group: Column, id: Column,
+                        value: Column): DataFrame = {
+    val rows = df.select(group.as("group_key"), id.as("__id"), value.as("__v"))
+      .filter(col("__v").isNotNull)
+      .withColumn("__q", q6(col("__v")).cast("decimal(18,6)"))
+    val w = Window.partitionBy(col("group_key")).orderBy(col("__q"), col("__id"))
+    val wg = Window.partitionBy(col("group_key"))
+    rows
+      .withColumn("__i", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wg))
+      .withColumn("__wt",
+        (lit(2L) * col("__i") - col("__n") - lit(1L)).cast("decimal(19,0)"))
+      .groupBy(col("group_key"))
+      .agg(
+        max(col("__n")).as("n"),
+        sum(col("__q")).as("__sx"),
+        sum(col("__wt") * col("__q")).as("__num"))
+      .select(
+        col("group_key"), col("n"),
+        col("__sx").cast("double").as("total"),
+        when(col("__sx") > 0,
+          r6(col("__num").cast("double") /
+            (col("n").cast("double") * col("__sx").cast("double")))).as("gini"))
+  }
+
+  /** RFM behavioral segmentation: per user, recency (days since their last
+    * event, against the corpus's max timestamp), frequency (number of
+    * `monetaryFilter` events), monetary (exact DECIMAL sum of their value),
+    * each scored into quintiles with a user-id tie-break, then rolled up
+    * per segment. The engagement-prioritization table a targeting step
+    * consumes.
+    *
+    * One corpus pass to the per-user frame (map-side combinable); the
+    * ntile windows run on the user-cardinality frame — the distribution
+    * table IS the semantic, same carve-out as value_ntiles. Output per
+    * (r_tile, f_tile, m_tile): n_users, avg_monetary (r6 of DECIMAL sums).
+    */
+  def rfmSegments(df: DataFrame, user: Column, ts: Column, value: Column,
+                  monetaryFilter: Column): DataFrame = {
+    val base = df.select(user.as("user_id"), ts.as("__ts"), value.as("__v"),
+      monetaryFilter.as("__m"))
+    val perUser = base.groupBy(col("user_id")).agg(
+      max(col("__ts")).as("__last"),
+      sum(when(col("__m"), 1L).otherwise(0L)).as("__freq"),
+      sum(when(col("__m"), q6(col("__v"))).otherwise(lit(0.0))
+        .cast("decimal(28,6)")).as("__money"))
+      .withColumn("__corpus_max", max(col("__last")).over(Window.partitionBy(lit(1))))
+      .withColumn("__rdays",
+        datediff(col("__corpus_max").cast("date"), col("__last").cast("date")))
+    val rT = ntile(5).over(Window.partitionBy(lit(1))
+      .orderBy(col("__rdays").desc, col("user_id")))
+    val fT = ntile(5).over(Window.partitionBy(lit(1))
+      .orderBy(col("__freq"), col("user_id")))
+    val mT = ntile(5).over(Window.partitionBy(lit(1))
+      .orderBy(col("__money"), col("user_id")))
+    perUser
+      .withColumn("r_tile", rT).withColumn("f_tile", fT).withColumn("m_tile", mT)
+      .groupBy(col("r_tile"), col("f_tile"), col("m_tile"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        r6(sum(col("__money")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_monetary"))
+  }
+}

@@ -551,4 +551,36 @@ object Dedup {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(max(col("a.sz")).as("sz_a"), max(col("b.sz")).as("sz_b"), count(lit(1)).as("inter"))
   }
+
+  /** Blocked Jaro-Winkler record linkage: candidate pairs share a
+    * `blockLen`-char key prefix (the blocking join — an EQUI-join, never a
+    * cross product), then the native [[graft.functions.JaroWinkler]]
+    * expression verifies the first `probeLen` chars and keeps pairs whose
+    * r6-rounded similarity reaches `threshold`. Rounding BEFORE the
+    * threshold compare is the contract: jw's last ulp may differ across
+    * engines, the 6-decimal quantization may not.
+    *
+    * The fuzzy-entity-match sibling of prefixFilterJoin (token-set J) and
+    * fuzzyEditDedup (Levenshtein): JW weights prefix agreement, the right
+    * verifier for names/titles. Scale: candidates are confined to equal
+    * prefix blocks; a boilerplate-heavy corpus concentrates pairs in hot
+    * blocks — AQE skew-join splits them (same caveat as the LSH band
+    * joins). Output: (doc_a, doc_b, jw) with doc_a < doc_b.
+    */
+  def jaroWinklerLinkage(df: DataFrame, id: Column, key: Column,
+                         blockLen: Int, probeLen: Int, threshold: Double): DataFrame = {
+    require(blockLen >= 1 && probeLen >= blockLen,
+      s"jaroWinklerLinkage needs 1 <= blockLen <= probeLen, got $blockLen/$probeLen")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaroWinklerLinkage needs threshold in (0, 1], got $threshold")
+    val r6 = graft.util.Portable.round6 _
+    val b = df.select(id.as("__id"), substring(key, 1, blockLen).as("__blk"),
+      substring(key, 1, probeLen).as("__probe"))
+    b.as("x").join(b.as("y"),
+        col("x.__blk") === col("y.__blk") && col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("doc_a"), col("y.__id").as("doc_b"),
+        r6(graft.functions.JaroWinkler.jaroWinkler(col("x.__probe"), col("y.__probe")))
+          .as("jw"))
+      .filter(col("jw") >= threshold)
+  }
 }

@@ -28,4 +28,36 @@ object Snapshots {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Build a type-2 slowly-changing-dimension history from a change feed:
+    * per entity, collapse consecutive identical states, then emit one
+    * validity interval per surviving change — valid_from = the change's
+    * timestamp, valid_to = the next change's (null on the open, current
+    * interval), version = 1-based change ordinal, is_current flag.
+    *
+    * The reference keeps every message/label snapshot and lets readers
+    * re-derive "state at time T" by filtering (get_messages_in_datasets
+    * .py:10 keeps latest; cache.py:36 replays history) — SCD2 is that
+    * replay precomputed into the dimension shape a warehouse joins
+    * against (`WHERE t >= valid_from AND (valid_to IS NULL OR t < valid_to)`).
+    *
+    * ONE hash shuffle on the entity key feeds all three window passes
+    * (lag-compare, re-rank, lead) — same partitioning, consecutive Window
+    * nodes, no re-exchange. The ordering must be total: `tiebreak` breaks
+    * timestamp ties (same-instant changes keep the higher tiebreak as the
+    * later state).
+    */
+  def scd2(df: DataFrame, key: Column, ts: Column, state: Column,
+           tiebreak: Column): DataFrame = {
+    graft.util.TempCols.assertFree(df, "__prev")
+    val byKey = Window.partitionBy(col("entity_id")).orderBy(col("valid_from"), col("__tie"))
+    df.select(key.as("entity_id"), ts.as("valid_from"), state.as("state"),
+        tiebreak.as("__tie"))
+      .withColumn("__prev", lag(col("state"), 1).over(byKey))
+      .filter(col("__prev").isNull || col("__prev") =!= col("state"))
+      .withColumn("version", row_number().over(byKey))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byKey))
+      .select(col("entity_id"), col("state"), col("valid_from"), col("valid_to"),
+        col("version"), col("valid_to").isNull.as("is_current"))
+  }
 }

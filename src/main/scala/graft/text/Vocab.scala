@@ -107,4 +107,52 @@ object Vocab {
     df.select(id.as("doc_id"), posexplode(tokens(text)).as(Seq("pos", "token")))
       .join(broadcast(vocab.select(col("token"), col("token_id"))), Seq("token"), "left")
       .select(col("doc_id"), col("pos"), coalesce(col("token_id"), lit(oovId)).as("token_id"))
+
+  /** Top-k adjacent-token collocations by pointwise mutual information —
+    * the phrase-mining signal (which word pairs co-occur far above chance)
+    * a vocabulary/tokenizer step uses to promote multi-word units.
+    * pmi(x,y) = ln( (c_xy/B) / ((c_x/N)(c_y/N)) ) with B = total bigram
+    * occurrences, N = total token occurrences; pairs below `minCount`
+    * are noise and excluded before any join.
+    *
+    * Two corpus passes over the text column by design: unigram counts are
+    * a flat explode+agg (map-side combinable), bigram counts explode the
+    * in-row adjacent pairs (transform over the token array — no
+    * corpus-sized window shuffle to line tokens up, the array already has
+    * them in order). Both count frames are vocabulary-sized; the pair
+    * frame joins the unigram frame twice with no forced broadcast (same
+    * AQE reasoning as tfidf's dfreq). The ln runs once per SURVIVING pair
+    * on identical IEEE inputs, r6-rounded before the total-order top-k
+    * (TakeOrderedAndProject — no global sort).
+    */
+  def bigramPmi(df: DataFrame, text: Column, minCount: Long, k: Int): DataFrame = {
+    require(minCount >= 1, s"bigramPmi needs minCount >= 1, got $minCount")
+    require(k >= 1, s"bigramPmi needs k >= 1, got $k")
+    val r6 = graft.util.Portable.round6 _
+    val uni = df.select(explode(tokens(text)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("__c"))
+    val totals = broadcast(uni.agg(sum(col("__c")).as("__n")))
+    val pairs = df.select(tokens(text).as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(__t) - 2), i -> struct(__t[i] AS w1, __t[i + 1] AS w2))"))
+        .as("__p"))
+      .select(col("__p.w1"), col("__p.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+    // B counts ALL bigram occurrences (the formula's denominator), so the
+    // total folds before the minCount noise cut; the shared agg exchange
+    // is reused by both consumers
+    val totalPairs = broadcast(pairs.agg(sum(col("n_pair")).as("__b")))
+    def d(c: Column) = c.cast("double")
+    pairs
+      .filter(col("n_pair") >= minCount)
+      .join(uni.select(col("token").as("w1"), col("__c").as("__cx")), Seq("w1"))
+      .join(uni.select(col("token").as("w2"), col("__c").as("__cy")), Seq("w2"))
+      .crossJoin(totals).crossJoin(totalPairs)
+      .select(col("w1"), col("w2"), col("n_pair"),
+        r6(log((d(col("n_pair")) * d(col("__n")) * d(col("__n"))) /
+          (d(col("__b")) * d(col("__cx")) * d(col("__cy"))))).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

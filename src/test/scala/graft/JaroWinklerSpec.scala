@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the native Jaro-Winkler expression to the DuckDB/RapidFuzz
+  * convention via a generated fixture (129 pairs: random, mutated
+  * near-dups, and the textbook/edge cases — src/test/resources/
+  * jaro_winkler_fixture.tsv, values from DuckDB 1.0.0's
+  * jaro_winkler_similarity), plus the blocked-linkage operator shape.
+  */
+class JaroWinklerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  private lazy val fixture: Seq[(String, String, Double)] =
+    scala.io.Source.fromFile("src/test/resources/jaro_winkler_fixture.tsv")
+      .getLines().map { line =>
+        val parts = line.split("\t", -1)
+        (parts(0), parts(1), parts(2).toDouble)
+      }.toSeq
+
+  test("similarity matches the DuckDB fixture at 6 decimals (and ~1e-9 raw)") {
+    assert(fixture.length >= 100)
+    fixture.foreach { case (a, b, expected) =>
+      val got = graft.functions.JaroWinkler.similarity(a, b)
+      assert(math.abs(got - expected) < 1e-9,
+        s"raw mismatch on ($a, $b): got $got expected $expected")
+      assert(q6(got) === q6(expected), s"r6 mismatch on ($a, $b)")
+    }
+  }
+
+  test("expression path (codegen + interpreted) agrees with the static helper") {
+    val df = fixture.toDF("a", "b", "expected")
+    val rows = df.select(col("expected"),
+      graft.functions.JaroWinkler.jaroWinkler(col("a"), col("b")).as("jw"))
+      .collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+    // null propagation
+    val n = Seq((Option("x"), Option.empty[String])).toDF("a", "b")
+      .select(graft.functions.JaroWinkler.jaroWinkler(col("a"), col("b"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  test("jaroWinklerLinkage: blocking confines pairs, threshold on rounded jw") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // same block, near-dup
+      (3L, "the quick brown sheep sleeps all day"),        // same block, far
+      (4L, "a completely different text altogether"))      // different block
+      .toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.jaroWinklerLinkage(docs, col("doc_id"), col("text"),
+      16, 64, 0.9).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // never left its block
+    assert(out.forall(_.getDouble(2) >= 0.9))
+    // the far pair shares the block but fails the verify
+    assert(!pairs.contains((1L, 3L)) || {
+      graft.functions.JaroWinkler.similarity(
+        "the quick brown fox jumps over the lazy dog".take(64),
+        "the quick brown sheep sleeps all day".take(64)) >= 0.9
+    })
+  }
+}

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the crosstab-dependence / outlier / concentration statistics and
+  * the SCD2 dimension build: chi-square and MI on the textbook 2×2 table
+  * (expected values derived from the closed formulas in plain Scala — a
+  * separate code path from the Catalyst expressions), z-score exclusion
+  * rules, Gini extremes, RFM tiling exhaustiveness, change-feed collapse,
+  * and bigram PMI counts.
+  */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  // the kappa suite's 2×2: cells yes/yes=20, yes/no=5, no/yes=10, no/no=15
+  private def crosstab =
+    (Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no")) ++
+      Seq.fill(10)(("no", "yes")) ++ Seq.fill(15)(("no", "no")))
+      .toDF("a", "b").repartition(7)
+
+  test("chiSquareIndependence: textbook 2x2, dof and Cramer's V") {
+    val out = graft.analysis.Stats.chiSquareIndependence(crosstab, col("a"), col("b"))
+      .collect().head
+    assert(out.getLong(0) === 50 && out.getLong(1) === 2 && out.getLong(2) === 2)
+    assert(out.getLong(3) === 1) // dof
+    // terms from the closed formula, each q6-rounded before the sum
+    val expected = Seq((20.0, 15.0), (5.0, 10.0), (10.0, 15.0), (15.0, 10.0))
+      .map { case (o, e) => q6((o - e) * (o - e) / e) }.sum
+    assert(math.abs(out.getDouble(4) - expected) < 1e-9)
+    assert(out.getDouble(5) === q6(math.sqrt(expected / 50.0)))
+  }
+
+  test("chiSquareIndependence: constant column has dof 0, null cramers_v") {
+    val df = Seq(("x", "p"), ("x", "q"), ("x", "p")).toDF("a", "b")
+    val out = graft.analysis.Stats.chiSquareIndependence(df, col("a"), col("b"))
+      .collect().head
+    assert(out.getLong(3) === 0 && out.isNullAt(5))
+  }
+
+  test("mutualInformation: textbook 2x2 against the closed formulas") {
+    val out = graft.analysis.Stats.mutualInformation(crosstab, col("a"), col("b"))
+      .collect().head
+    val n = 50.0
+    val cells = Seq((20.0, 25.0, 30.0), (5.0, 25.0, 20.0),
+      (10.0, 25.0, 30.0), (15.0, 25.0, 20.0))
+    val mi = cells.map { case (c, ra, cb) => q6((c / n) * math.log((c * n) / (ra * cb))) }.sum
+    def h(ms: Seq[Double]) = ms.map(m => q6(-((m / n) * math.log(m / n)))).sum
+    assert(math.abs(out.getDouble(3) - mi) < 1e-9)
+    assert(math.abs(out.getDouble(4) - h(Seq(25.0, 25.0))) < 1e-9)
+    assert(math.abs(out.getDouble(5) - h(Seq(30.0, 20.0))) < 1e-9)
+    assert(out.getDouble(6) === q6(out.getDouble(3) /
+      math.sqrt(out.getDouble(4) * out.getDouble(5))))
+    // independent columns: every cell matches expectation, mi = 0
+    val ind = (for (x <- Seq("a", "b"); y <- Seq("p", "q", "r")) yield (x, y))
+      .toDF("a", "b")
+    val zero = graft.analysis.Stats.mutualInformation(ind, col("a"), col("b"))
+      .collect().head
+    assert(zero.getDouble(3) === 0.0)
+  }
+
+  test("zscoreOutliers: flags the far point, skips n<2 and zero-variance groups") {
+    val df = (Seq.tabulate(20)(i => ("g", i.toLong, 10.0 + (i % 3))) ++
+      Seq(("g", 99L, 1000.0)) ++      // the outlier
+      Seq(("solo", 1L, 5.0)) ++       // n = 1: excluded
+      Seq.fill(5)(("flat", 7L, 3.0))) // zero variance: excluded
+      .toDF("g", "id", "v")
+    val out = graft.analysis.Stats.zscoreOutliers(df, col("g"), col("id"), col("v"), 3.0)
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getString(0) === "g" && out.head.getLong(1) === 99L)
+    assert(out.head.getDouble(4) > 3.0)
+  }
+
+  test("giniConcentration: uniform -> 0, single-holder extreme, zero total -> null") {
+    val df = (Seq.tabulate(4)(i => ("even", i.toLong, 5.0)) ++
+      Seq(("top", 1L, 0.0), ("top", 2L, 0.0), ("top", 3L, 0.0), ("top", 4L, 10.0)) ++
+      Seq(("zero", 1L, 0.0), ("zero", 2L, 0.0)))
+      .toDF("g", "id", "v")
+    val out = graft.analysis.Stats.giniConcentration(df, col("g"), col("id"), col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("even").getDouble(3) === 0.0)
+    assert(out("top").getDouble(3) === 0.75) // (2*4-5)*10 / (4*10)
+    assert(out("zero").isNullAt(3))
+  }
+
+  test("rfmSegments: tiles are exhaustive and user counts conserve") {
+    val now = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    val rows = for {
+      u <- 1L to 25L
+      e <- 1 to 3
+    } yield (u, new java.sql.Timestamp(now.getTime - u * 86400000L * e % 7),
+      (u * 7 % 13).toDouble, if ((u + e) % 2 == 0) "purchase" else "view")
+    val df = rows.toDF("user_id", "ts", "value", "event_type")
+    val out = graft.analysis.Stats.rfmSegments(df, col("user_id"), col("ts"),
+      col("value"), col("event_type") === "purchase").collect()
+    assert(out.map(_.getLong(3)).sum === 25)
+    assert(out.forall { r =>
+      (1 to 3).forall(i => r.getInt(i - 1) >= 1 && r.getInt(i - 1) <= 5)
+    })
+  }
+
+  test("scd2: collapses consecutive duplicates, intervals chain, one current per entity") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", "a", 1L),
+      (1L, "2024-01-02 00:00:00", "a", 2L), // duplicate state: collapsed
+      (1L, "2024-01-03 00:00:00", "b", 3L),
+      (1L, "2024-01-04 00:00:00", "a", 4L), // back to a: NEW interval
+      (2L, "2024-01-01 00:00:00", "x", 5L))
+      .toDF("k", "ts", "st", "tie")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = graft.operators.Snapshots.scd2(df, col("k"), col("ts"), col("st"), col("tie"))
+      .orderBy("entity_id", "version").collect()
+    val e1 = out.filter(_.getLong(0) == 1L)
+    assert(e1.map(_.getString(1)).toSeq === Seq("a", "b", "a"))
+    assert(e1.map(_.getInt(4)).toSeq === Seq(1, 2, 3))
+    // intervals chain: each valid_to equals the next valid_from
+    assert(e1.init.zip(e1.tail).forall { case (cur, nxt) =>
+      cur.getTimestamp(3) == nxt.getTimestamp(2) })
+    assert(out.count(_.getBoolean(5)) === 2) // one open interval per entity
+    assert(e1.last.isNullAt(3) && e1.last.getBoolean(5))
+  }
+
+  test("bigramPmi: adjacent pairs only, minCount cut, collocation ranks first") {
+    // "new york" always adjacent; "data" and "york" never adjacent
+    val docs = (Seq.fill(6)("new york is big") ++ Seq.fill(6)("data is big") ++
+      Seq.fill(3)("big new data")).toDF("text")
+    val out = graft.text.Vocab.bigramPmi(docs, col("text"), 5L, 10).collect()
+    val pairs = out.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.contains(("new", "york")))
+    assert(!pairs.contains(("data", "york")))
+    assert(out.forall(_.getLong(2) >= 5L))
+    // the perfect collocation outranks the generic "is big" pair
+    val byPair = out.map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(byPair(("new", "york")) > byPair(("is", "big")))
+  }
+}
