@@ -1250,6 +1250,22 @@ object SparkEntry {
       // verify over the 64-char probe, rounded-then-thresholded at 0.9
       Dedup.jaroWinklerLinkage(table(s, dir, "documents"),
         col("doc_id"), col("text"), 16, 64, 0.9)),
+    "markov_transitions" -> ((s, dir) =>
+      // per-user next-step transition matrix (row-normalized) — the
+      // model-ready sibling of event_paths
+      graft.analysis.Stats.markovTransitions(events(s, dir), col("user_id"),
+        col("ts"), col("event_id"), col("event_type"))),
+    "kaplan_meier" -> ((s, dir) =>
+      // retention curve: per-user lifetime days, churn = >1d silent
+      // before the corpus horizon (the feed spans one month), log-space
+      // survival accumulation
+      graft.analysis.Stats.kaplanMeier(events(s, dir), col("user_id"),
+        col("ts"), 1)),
+    "ab_test_zscore" -> ((s, dir) =>
+      // experiment read-out: user_id parity as the arm, any-purchase as
+      // the conversion, pooled two-proportion z
+      graft.analysis.Stats.abTestZscore(events(s, dir), col("user_id"),
+        col("user_id") % 2 === 0, col("event_type") === "purchase")),
     "curation_funnel" -> ((s, dir) =>
       // the composed pipeline decision: quality -> exact dedup -> mixture
       graft.curation.Curation.curationFunnel(table(s, dir, "documents"),
@@ -2756,6 +2772,85 @@ asofOracle,
         |FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id
         |WHERE floor(jaro_winkler_similarity(x.probe, y.probe) * 1000000.0 + 0.5)
         |    / 1000000.0 >= 0.9""".stripMargin,
+    "markov_transitions" ->
+      """WITH s AS (
+        |  SELECT event_type AS from_state,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+        |  FROM events),
+        |c AS (
+        |  SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM s WHERE to_state IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_state, to_state, n,
+        |  floor((CAST(n AS DOUBLE)
+        |         / CAST(SUM(n) OVER (PARTITION BY from_state) AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS p
+        |FROM c""".stripMargin,
+    // survival accumulates in log space: r6'd ln(1 - d/n) terms summed as
+    // DECIMAL over the ordered bounded time axis; exp only at output
+    "kaplan_meier" ->
+      """WITH pu AS (
+        |  SELECT user_id, MIN(ts) AS f, MAX(ts) AS l FROM events
+        |  WHERE ts IS NOT NULL GROUP BY 1),
+        |lt AS (
+        |  SELECT date_diff('day', CAST(f AS DATE), CAST(l AS DATE)) AS t_days,
+        |    (l < MAX(l) OVER () - INTERVAL 1 DAY) AS ev
+        |  FROM pu),
+        |bt AS (
+        |  SELECT t_days,
+        |    CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+        |    CAST(SUM(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS n_censored
+        |  FROM lt GROUP BY 1),
+        |rk AS (
+        |  SELECT *,
+        |    CAST(SUM(n_events + n_censored) OVER () AS BIGINT)
+        |      - CAST(COALESCE(SUM(n_events + n_censored) OVER
+        |          (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS BIGINT) AS n_risk
+        |  FROM bt),
+        |ac AS (
+        |  SELECT *,
+        |    MAX(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END) OVER
+        |      (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead,
+        |    SUM(CAST(CASE WHEN n_events < n_risk THEN
+        |          floor(ln(1.0 - CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |            * 1000000.0 + 0.5) / 1000000.0
+        |        ELSE 0.0 END AS DECIMAL(28,6))) OVER
+        |      (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS logs
+        |  FROM rk)
+        |SELECT t_days, n_risk, n_events, n_censored,
+        |  CASE WHEN dead = 0 THEN CAST(logs AS DOUBLE) END AS log_survival,
+        |  CASE WHEN dead = 0 THEN
+        |    floor(exp(CAST(logs AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+        |  ELSE 0.0 END AS survival
+        |FROM ac WHERE n_events > 0""".stripMargin,
+    "ab_test_zscore" ->
+      """WITH pu AS (
+        |  SELECT user_id, MAX(user_id % 2 = 0) AS va,
+        |    MAX(event_type = 'purchase') AS conv
+        |  FROM events GROUP BY 1),
+        |f AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN va THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN va AND conv THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(SUM(CASE WHEN NOT va THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN (NOT va) AND conv THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM pu)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  CASE WHEN n_a > 0 THEN
+        |    floor((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)) * 1000000.0 + 0.5)
+        |      / 1000000.0 END AS rate_a,
+        |  CASE WHEN n_b > 0 THEN
+        |    floor((CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)) * 1000000.0 + 0.5)
+        |      / 1000000.0 END AS rate_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0
+        |        AND conv_a + conv_b < n_a + n_b THEN
+        |    floor(((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |            - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |           / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |                  * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |                  * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS z
+        |FROM f""".stripMargin,
     // same chunker convention as dup_span_stats (window 16, stride 16);
     // partial trailing chunks are always kept, full chunks keep only their
     // first (doc_id, pos) occurrence

@@ -226,4 +226,119 @@ object Stats {
         r6(sum(col("__money")).cast("double") / count(lit(1)).cast("double"))
           .as("avg_monetary"))
   }
+
+  /** First-order Markov transition matrix over per-entity step sequences:
+    * for each observed (from_state, to_state) adjacency, the count and the
+    * row-normalized transition probability. event_paths' model-ready
+    * sibling — the input to next-step prediction and to detecting broken
+    * flows (a transition probability that collapses week-over-week).
+    *
+    * One hash shuffle on the entity key feeds the lead window; the pair
+    * count is map-side combinable; row totals are a window over the
+    * state²-cardinality count frame. p = c/rowTotal is a single IEEE
+    * division of exact longs, r6-rounded.
+    */
+  def markovTransitions(df: DataFrame, entity: Column, ts: Column,
+                        tiebreak: Column, state: Column): DataFrame = {
+    val w = Window.partitionBy(col("__e")).orderBy(col("__ts"), col("__tie"))
+    df.select(entity.as("__e"), ts.as("__ts"), tiebreak.as("__tie"),
+        state.as("from_state"))
+      .withColumn("to_state", lead(col("from_state"), 1).over(w))
+      .filter(col("to_state").isNotNull)
+      .groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", r6(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_state"))).cast("double")))
+  }
+
+  /** Kaplan-Meier survival estimate over per-entity lifetimes derived from
+    * the event feed: lifetime = days between an entity's first and last
+    * event; an entity is an observed churn (event) when its last activity
+    * predates the corpus horizon by more than `churnGapDays`, otherwise
+    * censored (still alive at the horizon). The retention curve behind
+    * every "how long do participants stay" question.
+    *
+    * S(t) accumulates in LOG space: per event-time terms ln(1 − d/n) are
+    * r6-quantized and DECIMAL-summed over the ordered time axis, so the
+    * running product is exact and order-stable; `survival` is the exp of
+    * that sum (r6-rounded — the only transcendental at output). Once
+    * d = n_at_risk (everyone left), survival pins to exactly 0 and
+    * log_survival to NULL. The time axis is distinct lifetime days —
+    * a bounded frame, so the global-order window is the distribution-table
+    * carve-out (value_ntiles), never corpus-sized. Output rows are event
+    * times only: t_days, n_risk, n_events, n_censored, log_survival,
+    * survival.
+    */
+  def kaplanMeier(df: DataFrame, entity: Column, ts: Column,
+                  churnGapDays: Int): DataFrame = {
+    require(churnGapDays >= 1, s"kaplanMeier needs churnGapDays >= 1, got $churnGapDays")
+    val perUser = df.select(entity.as("__e"), ts.as("__ts"))
+      .filter(col("__ts").isNotNull)
+      .groupBy(col("__e"))
+      .agg(min(col("__ts")).as("__first"), max(col("__ts")).as("__last"))
+      .withColumn("__cmax", max(col("__last")).over(Window.partitionBy(lit(1))))
+      .withColumn("t_days",
+        datediff(col("__last").cast("date"), col("__first").cast("date")))
+      .withColumn("__event",
+        col("__last") < col("__cmax") - expr(s"INTERVAL $churnGapDays DAYS"))
+    val byT = perUser.groupBy(col("t_days")).agg(
+      sum(when(col("__event"), 1L).otherwise(0L)).as("n_events"),
+      sum(when(col("__event"), 0L).otherwise(1L)).as("n_censored"))
+    val ord = Window.partitionBy(lit(1)).orderBy(col("t_days"))
+    val prior = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val total = Window.partitionBy(lit(1))
+    byT
+      .withColumn("n_risk",
+        sum(col("n_events") + col("n_censored")).over(total) -
+          coalesce(sum(col("n_events") + col("n_censored")).over(prior), lit(0L)))
+      .withColumn("__dead", max(when(col("n_events") === col("n_risk"), 1)
+        .otherwise(0)).over(upTo))
+      .withColumn("__term",
+        when(col("n_events") < col("n_risk"),
+          q6(log(lit(1.0) - col("n_events").cast("double") / col("n_risk").cast("double"))))
+          .otherwise(lit(0.0)).cast("decimal(28,6)"))
+      .withColumn("__logs", sum(col("__term")).over(upTo))
+      .filter(col("n_events") > 0)
+      .select(col("t_days"), col("n_risk"), col("n_events"), col("n_censored"),
+        when(col("__dead") === 0, col("__logs").cast("double")).as("log_survival"),
+        when(col("__dead") === 0, r6(exp(col("__logs").cast("double"))))
+          .otherwise(lit(0.0)).as("survival"))
+  }
+
+  /** Two-proportion z-test between an A and a B cohort on a binary
+    * per-entity outcome — the experiment read-out (did the B-arm flow
+    * convert better, and is the difference more than noise?).
+    *
+    * One corpus pass to per-entity (variant, converted), one tiny
+    * conditional fold to a single row; every ratio is a fixed-shape IEEE
+    * expression over exact longs, r6 at output only. z is NULL when a
+    * pooled-variance factor degenerates (empty arm or 0%/100% pooled
+    * rate).
+    */
+  def abTestZscore(df: DataFrame, entity: Column, variantA: Column,
+                   outcome: Column): DataFrame = {
+    val perUser = df.select(entity.as("__e"), variantA.as("__a"), outcome.as("__y"))
+      .groupBy(col("__e"))
+      .agg(max(col("__a")).as("__va"), max(col("__y")).as("__conv"))
+    val folded = perUser.agg(
+      sum(when(col("__va"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__va") && col("__conv"), 1L).otherwise(0L)).as("conv_a"),
+      sum(when(!col("__va"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(!col("__va") && col("__conv"), 1L).otherwise(0L)).as("conv_b"))
+    def d(c: Column) = c.cast("double")
+    val pa = d(col("conv_a")) / d(col("n_a"))
+    val pb = d(col("conv_b")) / d(col("n_b"))
+    val pooled = d(col("conv_a") + col("conv_b")) / d(col("n_a") + col("n_b"))
+    val se = sqrt(pooled * (lit(1.0) - pooled) *
+      (lit(1.0) / d(col("n_a")) + lit(1.0) / d(col("n_b"))))
+    folded.select(
+      col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      when(col("n_a") > 0, r6(pa)).as("rate_a"),
+      when(col("n_b") > 0, r6(pb)).as("rate_b"),
+      when(col("n_a") > 0 && col("n_b") > 0 &&
+        col("conv_a") + col("conv_b") > 0 &&
+        col("conv_a") + col("conv_b") < col("n_a") + col("n_b"),
+        r6((pa - pb) / se)).as("z"))
+  }
 }

@@ -122,6 +122,73 @@ class StatsSpec extends SparkSpec {
     assert(e1.last.isNullAt(3) && e1.last.getBoolean(5))
   }
 
+  test("markovTransitions: adjacency counts per entity, rows normalize to 1") {
+    val df = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "c"))
+      .toDF("u", "t", "s")
+    val out = graft.analysis.Stats.markovTransitions(df, col("u"), col("t"),
+      col("t"), col("s")).collect()
+    val m = out.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m(("a", "b")) === 3L && m(("b", "a")) === 1L && m(("b", "c")) === 1L)
+    assert(m.get(("b", "a")).isDefined && !m.contains(("a", "c"))) // no cross-user bleed
+    // rows normalize
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-5)
+    }
+  }
+
+  test("kaplanMeier: textbook curve, censoring consumes risk, d=n pins 0") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00")
+    val df = Seq(
+      (1L, ts(0)), (1L, ts(2)),   // lifetime 2, churned
+      (2L, ts(0)), (2L, ts(2)),   // lifetime 2, churned
+      (3L, ts(1)), (3L, ts(5)),   // lifetime 4, churned
+      (4L, ts(0)), (4L, ts(29)))  // lifetime 29, alive at horizon (censored)
+      .toDF("u", "ts")
+    val out = graft.analysis.Stats.kaplanMeier(df, col("u"), col("ts"), 5)
+      .orderBy("t_days").collect()
+    assert(out.map(_.getInt(0)).toSeq === Seq(2, 4))
+    val s2 = out(0); val s4 = out(1)
+    assert(s2.getLong(1) === 4 && s2.getLong(2) === 2) // risk 4, events 2
+    assert(s4.getLong(1) === 2 && s4.getLong(2) === 1) // risk 2 (censored still at risk)
+    assert(s2.getDouble(5) === 0.5)   // S(2) = 1 - 2/4
+    assert(s4.getDouble(5) === 0.25)  // S(4) = 0.5 * (1 - 1/2)
+    // the longest lifetime belongs to a churner (the horizon user lives a
+    // SHORT lifetime late in the window): d = n at the last event time,
+    // survival pins to exactly 0
+    val all = Seq(
+      (1L, ts(0)), (1L, ts(2)),    // lifetime 2, churned
+      (2L, ts(0)), (2L, ts(20)),   // lifetime 20, churned (20 < 29-5)
+      (3L, ts(25)), (3L, ts(29)))  // lifetime 4, censored horizon user
+      .toDF("u", "ts")
+    val z = graft.analysis.Stats.kaplanMeier(all, col("u"), col("ts"), 5)
+      .orderBy("t_days").collect()
+    assert(z.map(_.getInt(0)).toSeq === Seq(2, 20))
+    val last = z.last
+    assert(last.getLong(1) === 1 && last.getLong(2) === 1) // risk 1, events 1
+    assert(last.getDouble(5) === 0.0 && last.isNullAt(4))
+  }
+
+  test("abTestZscore: pooled two-proportion arithmetic, degenerate guard") {
+    val rows =
+      (1L to 10L).map(u => (u * 2, u <= 4)) ++     // arm A (even ids): 4/10
+        (1L to 10L).map(u => (u * 2 + 1, u <= 2))  // arm B (odd ids): 2/10
+    val df = rows.toDF("u", "conv")
+    val out = graft.analysis.Stats.abTestZscore(df, col("u"),
+      col("u") % 2 === 0, col("conv")).collect().head
+    assert(out.getLong(0) === 10 && out.getLong(1) === 4)
+    assert(out.getLong(2) === 10 && out.getLong(3) === 2)
+    assert(out.getDouble(4) === 0.4 && out.getDouble(5) === 0.2)
+    val se = math.sqrt(0.3 * 0.7 * (0.1 + 0.1))
+    assert(out.getDouble(6) === q6((0.4 - 0.2) / se))
+    // all-convert pool degenerates: z is null
+    val degen = graft.analysis.Stats.abTestZscore(
+      Seq((2L, true), (3L, true)).toDF("u", "conv"),
+      col("u"), col("u") % 2 === 0, col("conv")).collect().head
+    assert(degen.isNullAt(6))
+  }
+
   test("bigramPmi: adjacent pairs only, minCount cut, collocation ranks first") {
     // "new york" always adjacent; "data" and "york" never adjacent
     val docs = (Seq.fill(6)("new york is big") ++ Seq.fill(6)("data is big") ++
