@@ -115,43 +115,51 @@ object Vocab {
     * occurrences, N = total token occurrences; pairs below `minCount`
     * are noise and excluded before any join.
     *
-    * Two corpus passes over the text column by design: unigram counts are
-    * a flat explode+agg (map-side combinable), bigram counts explode the
-    * in-row adjacent pairs (transform over the token array — no
-    * corpus-sized window shuffle to line tokens up, the array already has
-    * them in order). Both count frames are vocabulary-sized; the pair
-    * frame joins the unigram frame twice with no forced broadcast (same
-    * AQE reasoning as tfidf's dfreq). The ln runs once per SURVIVING pair
-    * on identical IEEE inputs, r6-rounded before the total-order top-k
-    * (TakeOrderedAndProject — no global sort).
+    * ONE corpus pass, STRUCTURALLY: each document explodes to a
+    * boundary-padded adjacency stream — (null, t[0]), (t[i], t[i+1])...,
+    * (t[last], null) — and a single map-side-combinable groupBy(w1, w2)
+    * folds it. On that one frame, BOTH unigram marginals are window sums
+    * (Σc over w1 = occurrences of w1, the final-boundary row supplying its
+    * doc-final use; Σc over w2 symmetric via the initial boundary). N and
+    * B are a one-row conditional fold of the same frame, broadcast back —
+    * NOT global windows, which would funnel the distinct-bigram frame
+    * through a SinglePartition exchange (the cliff this shape exists to
+    * avoid); the fold's subtree is byte-identical to the main path up to
+    * the shared groupBy exchange, so AQE reuses it (plan-probed — unlike
+    * two earlier formulations where renamed-join subtrees and isNotNull
+    * pushdown split the exchange and re-scanned the corpus). The window
+    * shuffles act on the distinct-bigram frame, never the corpus. The ln
+    * runs once per SURVIVING pair on identical IEEE inputs, r6-rounded
+    * before the total-order top-k (TakeOrderedAndProject — no global
+    * sort).
     */
   def bigramPmi(df: DataFrame, text: Column, minCount: Long, k: Int): DataFrame = {
     require(minCount >= 1, s"bigramPmi needs minCount >= 1, got $minCount")
     require(k >= 1, s"bigramPmi needs k >= 1, got $k")
     val r6 = graft.util.Portable.round6 _
-    val uni = df.select(explode(tokens(text)).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("__c"))
-    val totals = broadcast(uni.agg(sum(col("__c")).as("__n")))
-    val pairs = df.select(tokens(text).as("__t"))
-      .filter(size(col("__t")) >= 2)
+    val g = df.select(tokens(text).as("__t"))
+      // guard BEFORE sequence(): on an empty array sequence(0, -1) would
+      // generate a DESCENDING [0, -1] and emit phantom rows
+      .filter(size(col("__t")) >= 1)
       .select(explode(expr(
-        "transform(sequence(0, size(__t) - 2), i -> struct(__t[i] AS w1, __t[i + 1] AS w2))"))
-        .as("__p"))
-      .select(col("__p.w1"), col("__p.w2"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
-    // B counts ALL bigram occurrences (the formula's denominator), so the
-    // total folds before the minCount noise cut; the shared agg exchange
-    // is reused by both consumers
-    val totalPairs = broadcast(pairs.agg(sum(col("n_pair")).as("__b")))
+        "transform(sequence(0, size(__t)), i -> struct(" +
+          "CASE WHEN i > 0 THEN __t[i - 1] END AS w1, " +
+          "CASE WHEN i < size(__t) THEN __t[i] END AS w2))")).as("__e"))
+      .select(col("__e.w1"), col("__e.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c"))
+    val totals = broadcast(g.agg(
+      sum(when(col("w2").isNotNull, col("__c"))).as("__n"),
+      sum(when(col("w1").isNotNull && col("w2").isNotNull, col("__c"))).as("__b")))
     def d(c: Column) = c.cast("double")
-    pairs
-      .filter(col("n_pair") >= minCount)
-      .join(uni.select(col("token").as("w1"), col("__c").as("__cx")), Seq("w1"))
-      .join(uni.select(col("token").as("w2"), col("__c").as("__cy")), Seq("w2"))
-      .crossJoin(totals).crossJoin(totalPairs)
-      .select(col("w1"), col("w2"), col("n_pair"),
-        r6(log((d(col("n_pair")) * d(col("__n")) * d(col("__n"))) /
-          (d(col("__b")) * d(col("__cx")) * d(col("__cy"))))).as("pmi"))
+    g
+      .withColumn("__cx", sum(col("__c")).over(Window.partitionBy(col("w1"))))
+      .withColumn("__cy", sum(col("__c")).over(Window.partitionBy(col("w2"))))
+      .crossJoin(totals)
+      .filter(col("w1").isNotNull && col("w2").isNotNull && col("__c") >= minCount)
+      .select(col("w1"), col("w2"), col("__c").as("n_pair"),
+        r6(log((d(col("__c")) * d(col("__n")) * d(col("__n"))) /
+          (d(col("__b")) * d(col("__cx")) * d(col("__cy")))))
+        .as("pmi"))
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(k)
   }

@@ -343,6 +343,45 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("round-9 stats/linkage operators keep their scale shapes") {
+    // dependence tests: ONE corpus scan; marginals are windows on the
+    // class-cardinality cells frame, never a re-aggregation of the corpus
+    Seq("chi2_independence", "mutual_information", "gini_concentration",
+        "scd2_intervals", "markov_transitions", "kaplan_meier", "ab_test_zscore")
+      .foreach { q =>
+        assert(count(plan(q), "Scan parquet") == 1, s"$q must scan once")
+      }
+    // scd2: all three window passes ride ONE entity-key exchange
+    assert(count(plan("scd2_intervals"), "Exchange") == 1, plan("scd2_intervals"))
+    // gini: rank window and fold share the single group-key exchange
+    assert(count(plan("gini_concentration"), "Exchange") == 1,
+      plan("gini_concentration"))
+    // z-score: two passes by necessity, the moments side joins back as a
+    // broadcast (group-cardinality), not a shuffle join
+    val zs = plan("zscore_outliers")
+    assert(count(zs, "Scan parquet") == 2 && zs.contains("BroadcastHashJoin"), zs)
+    // linkage: blocking is an equi-join (hash or broadcast), no cartesian,
+    // and the JW verify sits ABOVE the join as a projected expression
+    val rl = plan("record_linkage_jw")
+    assert(!rl.contains("CartesianProduct") && rl.contains("jarowinkler"), rl)
+  }
+
+  test("bigram_pmi runs ONE corpus scan at runtime (reused totals exchange)") {
+    // the totals fold must reuse the groupBy exchange, not re-scan: the
+    // assertion runs on the FINAL adaptive plan (reuse materializes at
+    // runtime; two earlier formulations re-scanned 5x / 2x — see
+    // Vocab.bigramPmi scaladoc)
+    val df = SparkEntry.queries("bigram_pmi")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalPlan = p.substring(0, p.indexOf("+- == Initial Plan ==") match {
+      case -1 => p.length
+      case i  => i
+    })
+    assert(count(finalPlan, "Scan parquet") == 1, finalPlan)
+    assert(finalPlan.contains("ReusedExchange"), finalPlan)
+  }
+
   test("pushdown rewrite preserves filter semantics on events") {
     // same rows with and without the rewrite (rewrite only changes the scan bound)
     val ev = GraftSession.table(spark, sfDir, "events")
