@@ -129,13 +129,36 @@ object Stats {
   def zscoreOutliers(df: DataFrame, group: Column, id: Column, value: Column,
                      zMin: Double): DataFrame = {
     require(zMin > 0.0, s"zscoreOutliers needs zMin > 0, got $zMin")
+    scoreAgainstMoments(df, group, id, value,
+      groupMoments(df, group, value), zMin)
+  }
+
+  /** Exact per-group moment table (n, Σq, Σq²) over the 6dp-quantized
+    * value — the trained side of the anomaly sweep, reusable across
+    * scoring runs (and the batch-trained input to the STREAMING scorer
+    * twin, `Streams.anomalyScoreStream`). Group-cardinality output.
+    */
+  def groupMoments(df: DataFrame, group: Column, value: Column): DataFrame =
+    df.select(group.as("group_key"), value.as("__v"))
+      .filter(col("__v").isNotNull)
+      .withColumn("__q", q6(col("__v")).cast("decimal(18,6)"))
+      .groupBy(col("group_key")).agg(
+        count(lit(1)).as("__n"),
+        sum(col("__q")).as("__s1"),
+        sum(col("__q") * col("__q")).as("__s2"))
+
+  /** Score rows against a (possibly pre-trained) moments table: identical
+    * quantization and IEEE shapes to the inline path, so batch-train /
+    * later-score equals train-and-score on the same rows. The moments
+    * side broadcasts (group-cardinality) — on an unbounded `rows` frame
+    * this is a stateless stream-static join.
+    */
+  def scoreAgainstMoments(df: DataFrame, group: Column, id: Column, value: Column,
+                          moments: DataFrame, zMin: Double): DataFrame = {
+    require(zMin > 0.0, s"scoreAgainstMoments needs zMin > 0, got $zMin")
     val rows = df.select(group.as("group_key"), id.as("row_id"), value.as("__v"))
       .filter(col("__v").isNotNull)
       .withColumn("__q", q6(col("__v")).cast("decimal(18,6)"))
-    val moments = rows.groupBy(col("group_key")).agg(
-      count(lit(1)).as("__n"),
-      sum(col("__q")).as("__s1"),
-      sum(col("__q") * col("__q")).as("__s2"))
     val mean = col("__s1").cast("double") / col("__n").cast("double")
     val variance = (col("__s2").cast("double") -
       col("__s1").cast("double") * col("__s1").cast("double") / col("__n").cast("double")) /

@@ -13,7 +13,8 @@ import org.apache.spark.sql.types.StructType
   * src/common/get_messages_in_datasets.py:55-75), dedup on origin_id before
   * insert (src/rapid_pro_to_engagement_db/rapid_pro_to_engagement_db.py:175).
   *
-  * Spark-first: file-backed tables (parquet/csv/jsonl) with explicit schema,
+  * Spark-first: file-backed tables (parquet/orc/csv/jsonl) with explicit
+  * schema,
   * plus a watermark helper that turns any timestamped table into an
   * incremental feed — a pure pushed-down predicate, so each sync reads only
   * new partitions/row-groups.
@@ -21,6 +22,13 @@ import org.apache.spark.sql.types.StructType
 object Sources {
 
   def parquet(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  /** ORC ingest — the other columnar format a mixed-writer lake contains.
+    * Spark's native ORC reader supports the same predicate pushdown and
+    * column pruning as parquet (OrcSourcesSpec pins both), so an engine
+    * fed by a Hive-era ORC archive scans it as cheaply as its own
+    * parquet output. */
+  def orc(spark: SparkSession, path: String): DataFrame = spark.read.orc(path)
 
   def csv(spark: SparkSession, path: String, schema: StructType, header: Boolean = true): DataFrame =
     spark.read.schema(schema).option("header", header.toString).csv(path)
@@ -431,6 +439,11 @@ object Sources {
 
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** ORC export (zlib, the ORC ecosystem default) for consumers pinned to
+    * a Hive/Trino ORC lake. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 
   /** JSONL export — the interchange format most training stacks ingest. */
   def writeJsonl(df: DataFrame, path: String): Unit =

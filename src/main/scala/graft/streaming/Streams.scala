@@ -187,6 +187,22 @@ object Streams {
       .withColumn("redacted", graft.text.Redact.redactPii(col(textCol)))
       .filter(col("decision") === "kept")
 
+  /** Streaming anomaly scoring — the always-on twin of the batch
+    * `zscore_outliers` sweep: moments are TRAINED on the batch archive
+    * (`Stats.groupMoments`, group-cardinality, attached to the plan as a
+    * broadcast stream-static join), each arriving row scores STATELESSLY
+    * (no watermark, no state store) and only the ≥ zMin outliers emit.
+    * Quantization and IEEE shapes are shared with the batch path
+    * (`Stats.scoreAgainstMoments`), so stream-scored rows are
+    * bit-identical to batch-scored rows; retraining the moments means
+    * restarting the query (the pqEncodeStream snapshot-at-start
+    * contract).
+    */
+  def anomalyScoreStream(rows: DataFrame, group: org.apache.spark.sql.Column,
+                         id: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column,
+                         moments: DataFrame, zMin: Double): DataFrame =
+    graft.analysis.Stats.scoreAgainstMoments(rows, group, id, value, moments, zMin)
+
   /** Streaming twin of Pq.encode — encode-on-ingest for an always-on
     * embedding feed. The fused row-local kernel makes this a STATELESS
     * streaming plan (pure projection: no watermark, no state store), so

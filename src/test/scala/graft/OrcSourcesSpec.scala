@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Pins the ORC ingest/export path: round-trip identity against the
+  * parquet-born events table, timestamp/decimal fidelity, and — the
+  * reason ORC is first-class — predicate pushdown and column pruning
+  * reaching the ORC scan exactly like parquet.
+  */
+class OrcSourcesSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("ORC round-trips the events table byte-identically") {
+    val events = GraftSession.table(spark, sfDir, "events")
+    val dir = Files.createTempDirectory("graft_orc").toString
+    graft.sources.Sources.writeOrc(events, dir)
+    val back = graft.sources.Sources.orc(spark, dir)
+    assert(back.schema === events.schema)
+    val a = events.orderBy("event_id").collect().toSeq
+    val b = back.orderBy("event_id").collect().toSeq
+    assert(a === b)
+  }
+
+  test("filters and column pruning reach the ORC scan") {
+    val events = GraftSession.table(spark, sfDir, "events")
+    val dir = Files.createTempDirectory("graft_orc_push").toString
+    graft.sources.Sources.writeOrc(events, dir)
+    val q = graft.sources.Sources.orc(spark, dir)
+      .filter(col("value") > 100.0 && col("event_type") === "purchase")
+      .select("event_id", "value")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(value), IsNotNull(event_type), " +
+      "GreaterThan(value,100.0), EqualTo(event_type,purchase)"), p)
+    assert(p.contains("ReadSchema: struct<event_id:bigint,event_type:string,value:double>"), p)
+    assert(!p.contains("user_id"), "pruned column must not be read")
+    // and the result matches the parquet-side computation
+    val expected = events.filter(col("value") > 100.0 && col("event_type") === "purchase")
+      .select("event_id", "value").orderBy("event_id").collect().toSeq
+    assert(q.orderBy("event_id").collect().toSeq === expected)
+  }
+}

@@ -594,6 +594,31 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming anomaly scorer matches the batch z-score sweep on the same rows") {
+    val batch = GraftSession.table(spark, sfDir, "events")
+      .select("event_id", "event_type", "value")
+    val moments = graft.analysis.Stats.groupMoments(batch,
+      col("event_type"), col("value"))
+    val dir = Files.createTempDirectory("graft_anomaly_stream").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val q = graft.streaming.Streams.anomalyScoreStream(stream, col("event_type"),
+        col("event_id"), col("value"), moments, 2.0)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("anomaly_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("anomaly_out").orderBy("group_key", "row_id")
+        .collect().toSeq
+      val expected = graft.analysis.Stats.zscoreOutliers(batch, col("event_type"),
+        col("event_id"), col("value"), 2.0).orderBy("group_key", "row_id")
+        .collect().toSeq
+      assert(streamed.nonEmpty && streamed == expected)
+      // stateless plan: broadcast stream-static join, nothing in the state store
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming PQ encode is stateless and matches the batch encode on the same vectors") {
     val corpus = GraftSession.table(spark, sfDir, "embeddings")
       .select(col("vec_id").as("id"),
