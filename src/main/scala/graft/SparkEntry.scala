@@ -1266,6 +1266,10 @@ object SparkEntry {
       // the conversion, pooled two-proportion z
       graft.analysis.Stats.abTestZscore(events(s, dir), col("user_id"),
         col("user_id") % 2 === 0, col("event_type") === "purchase")),
+    "benford_digits" -> ((s, dir) =>
+      // data-quality tripwire: leading-digit distribution of the value
+      // feed vs Benford's law, with the chi-square distance
+      graft.analysis.Stats.benfordTest(events(s, dir), col("value"))),
     "curation_funnel" -> ((s, dir) =>
       // the composed pipeline decision: quality -> exact dedup -> mixture
       graft.curation.Curation.curationFunnel(table(s, dir, "documents"),
@@ -2851,6 +2855,39 @@ asofOracle,
         |                  * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))))
         |      * 1000000.0 + 0.5) / 1000000.0 END AS z
         |FROM f""".stripMargin,
+    // digit spine 1-9 left-joins the counts so absent digits still
+    // contribute their (0 - E)^2/E term; string-based digit extraction
+    // (log10/floor mis-digits on FP knife edges)
+    "benford_digits" ->
+      """WITH c AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events
+        |  WHERE value > 0.0 AND CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) >= 1
+        |  GROUP BY 1),
+        |sp AS (SELECT unnest(generate_series(1, 9)) AS digit),
+        |j AS (
+        |  SELECT sp.digit, COALESCE(c.cnt, 0) AS n_obs FROM sp LEFT JOIN c USING (digit)),
+        |t AS (
+        |  SELECT digit, n_obs,
+        |    CAST(SUM(n_obs) OVER () AS BIGINT) AS n,
+        |    ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) AS pexp
+        |  FROM j),
+        |u AS (
+        |  SELECT *,
+        |    CAST(n AS DOUBLE) * pexp AS e
+        |  FROM t),
+        |v AS (
+        |  SELECT *,
+        |    CAST(SUM(CAST(floor(((CAST(n_obs AS DOUBLE) - e) * (CAST(n_obs AS DOUBLE) - e) / e)
+        |          * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) OVER () AS DOUBLE) AS chi2
+        |  FROM u)
+        |SELECT digit, n_obs,
+        |  floor((CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS p_obs,
+        |  floor(pexp * 1000000.0 + 0.5) / 1000000.0 AS p_expected,
+        |  chi2
+        |FROM v""".stripMargin,
     // same chunker convention as dup_span_stats (window 16, stride 16);
     // partial trailing chunks are always kept, full chunks keep only their
     // first (doc_id, pos) occurrence

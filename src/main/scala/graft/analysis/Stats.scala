@@ -329,6 +329,48 @@ object Stats {
           .otherwise(lit(0.0)).as("survival"))
   }
 
+  /** Benford first-digit audit: the observed distribution of leading
+    * significant digits against Benford's law p(d) = log10(1 + 1/d), with
+    * the chi-square distance. Fabricated or unit-mangled numeric feeds
+    * snap away from Benford long before a human eyeballs them — the
+    * pre-ingest data-quality tripwire.
+    *
+    * Digit extraction is STRING-based on the 6dp-quantized integer (first
+    * char of floor(v·10⁶ + 0.5) as text) — a log10/floor formulation
+    * mis-digits on FP knife edges (log10(1000) < 3 in doubles); the
+    * string path is exact on both engines. One map-side-combinable pass
+    * to 9 digit counts; the digit spine left-joins so an absent digit
+    * still contributes its (O=0 − E)²/E term. Output per digit 1-9:
+    * digit, n_obs, p_obs, p_expected, chi2 (the corpus-level statistic,
+    * repeated — the frame is the report).
+    */
+  def benfordTest(df: DataFrame, value: Column): DataFrame = {
+    val counts = df.select(value.as("__v"))
+      .filter(col("__v") > 0.0)
+      .withColumn("__s", floor(col("__v") * lit(1000000.0) + lit(0.5)).cast("bigint"))
+      .filter(col("__s") >= 1)
+      .withColumn("digit", substring(col("__s").cast("string"), 1, 1).cast("int"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("__c"))
+    val spine = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    val wAll = Window.partitionBy(lit(1))
+    def d(c: Column) = c.cast("double")
+    spine.join(counts, Seq("digit"), "left")
+      .withColumn("n_obs", coalesce(col("__c"), lit(0L)))
+      .withColumn("__n", sum(col("n_obs")).over(wAll))
+      .withColumn("__pexp",
+        log(lit(1.0) + lit(1.0) / d(col("digit"))) / log(lit(10.0)))
+      .withColumn("__e", d(col("__n")) * col("__pexp"))
+      .withColumn("__term",
+        q6((d(col("n_obs")) - col("__e")) * (d(col("n_obs")) - col("__e")) / col("__e"))
+          .cast("decimal(28,6)"))
+      .withColumn("chi2", sum(col("__term")).over(wAll).cast("double"))
+      .select(col("digit"), col("n_obs"),
+        r6(d(col("n_obs")) / d(col("__n"))).as("p_obs"),
+        r6(col("__pexp")).as("p_expected"),
+        col("chi2"))
+  }
+
   /** Two-proportion z-test between an A and a B cohort on a binary
     * per-entity outcome — the experiment read-out (did the B-arm flow
     * convert better, and is the difference more than noise?).

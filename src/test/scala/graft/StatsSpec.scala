@@ -189,6 +189,27 @@ class StatsSpec extends SparkSpec {
     assert(degen.isNullAt(6))
   }
 
+  test("benfordTest: string-exact digits, absent digits still charge chi2") {
+    // all values lead with digit 1 (including a sub-1 value whose 6dp
+    // scaling is what defines its leading digit) and one digit-9 value
+    val df = (Seq.fill(8)(10.0) ++ Seq(12.3, 0.00015, 199.0, 9.5)).toDF("v")
+    val out = graft.analysis.Stats.benfordTest(df, col("v"))
+      .orderBy("digit").collect()
+    assert(out.map(_.getInt(0)).toSeq === (1 to 9))
+    val n1 = out.head
+    assert(n1.getLong(1) === 11L) // 8x10.0, 12.3, 150 (scaled), 199.0
+    assert(out(8).getLong(1) === 1L && out(1).getLong(1) === 0L)
+    // chi2 from the closed formula, absent digits charging n*p(d)
+    val n = 12.0
+    def p(d: Int) = math.log(1.0 + 1.0 / d) / math.log(10.0)
+    val expected = (1 to 9).map { d =>
+      val o = if (d == 1) 11.0 else if (d == 9) 1.0 else 0.0
+      val e = n * p(d)
+      q6((o - e) * (o - e) / e)
+    }.sum
+    assert(math.abs(n1.getDouble(4) - expected) < 1e-9)
+  }
+
   test("bigramPmi: adjacent pairs only, minCount cut, collocation ranks first") {
     // "new york" always adjacent; "data" and "york" never adjacent
     val docs = (Seq.fill(6)("new york is big") ++ Seq.fill(6)("data is big") ++
