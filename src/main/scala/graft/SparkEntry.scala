@@ -1270,6 +1270,11 @@ object SparkEntry {
       // data-quality tripwire: leading-digit distribution of the value
       // feed vs Benford's law, with the chi-square distance
       graft.analysis.Stats.benfordTest(events(s, dir), col("value"))),
+    "ewma_smooth" -> ((s, dir) =>
+      // recursive exponential smoother per user (alpha = 0.25,
+      // binary-exact); typed secondary-sort fold, recursive-CTE oracle
+      graft.operators.Ewma.smooth(events(s, dir), col("user_id"), col("ts"),
+        col("event_id"), col("value"), 0.25)),
     "curation_funnel" -> ((s, dir) =>
       // the composed pipeline decision: quality -> exact dedup -> mixture
       graft.curation.Curation.curationFunnel(table(s, dir, "documents"),
@@ -2888,6 +2893,21 @@ asofOracle,
         |  floor(pexp * 1000000.0 + 0.5) / 1000000.0 AS p_expected,
         |  chi2
         |FROM v""".stripMargin,
+    // the SAME recursion the engine folds (alpha/1-alpha binary-exact at
+    // 0.25/0.75, so both engines replay identical IEEE steps)
+    "ewma_smooth" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT user_id, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |r AS (
+        |  SELECT user_id, event_id, value, rn, value AS s FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.user_id, b.event_id, b.value, b.rn, 0.25 * b.value + 0.75 * r.s
+        |  FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+        |SELECT user_id, event_id, value,
+        |  floor(s * 1000000.0 + 0.5) / 1000000.0 AS ewma
+        |FROM r""".stripMargin,
     // same chunker convention as dup_span_stats (window 16, stride 16);
     // partial trailing chunks are always kept, full chunks keep only their
     // first (doc_id, pos) occurrence

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exponentially-weighted moving average per entity — the recursive
+  * time-series smoother (sᵢ = α·xᵢ + (1−α)·sᵢ₋₁, seeded s₁ = x₁) that a
+  * rolling mean approximates with a hard window.
+  *
+  * The recursion cannot be expressed as a window function (a closed-form
+  * (1−α)^(i−j) rewrite overflows doubles past a few hundred rows), so this
+  * is the documented typed carve-out (the Bpe-encode shape): ONE hash
+  * repartition on the entity key, a partition-local secondary sort on
+  * (entity, ts, tie), and a streaming fold over the partition iterator —
+  * state is ONE double per open entity, rows never materialize as a group,
+  * so a million-event entity costs the same memory as a ten-event one.
+  *
+  * Determinism contract: α must be binary-exact (0.25, 0.5, …) so
+  * α·x + (1−α)·s replays identically on any engine — the DuckDB oracle
+  * runs the same recursion as a recursive CTE and hash-matches at 6dp
+  * (`ewma_smooth`). The (ts, tie) order must be total.
+  */
+object Ewma {
+
+  /** events-shaped input: (entity: long, ts: timestamp, tie: long,
+    * value: double) → (user_id, event_id, value, ewma r6). Null values are
+    * excluded before the fold (they would poison the running state).
+    */
+  def smooth(df: DataFrame, entity: Column, ts: Column, tiebreak: Column,
+             value: Column, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"ewma needs alpha in (0, 1], got $alpha")
+    require(alpha * 4 == math.rint(alpha * 4),
+      s"ewma needs a binary-exact alpha (quarters: 0.25, 0.5, 0.75, 1.0) " +
+        s"for cross-engine determinism, got $alpha")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val beta = 1.0 - alpha
+    val prepared = df
+      .select(entity.cast("long").as("__e"), ts.as("__ts"),
+        tiebreak.cast("long").as("__tie"), value.cast("double").as("__v"))
+      .filter(col("__v").isNotNull && col("__ts").isNotNull)
+      .repartition(col("__e"))
+      .sortWithinPartitions(col("__e"), col("__ts"), col("__tie"))
+      .select(col("__e"), col("__tie"), col("__v"))
+      .as[(Long, Long, Double)]
+    prepared.mapPartitions { iter =>
+      var cur = Long.MinValue
+      var open = false
+      var s = 0.0
+      iter.map { case (e, tie, v) =>
+        if (!open || e != cur) { cur = e; open = true; s = v }
+        else s = alpha * v + beta * s
+        (e, tie, v, math.floor(s * 1e6 + 0.5) / 1e6)
+      }
+    }.toDF("user_id", "event_id", "value", "ewma")
+  }
+}

@@ -210,6 +210,21 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(n1.getDouble(4) - expected) < 1e-9)
   }
 
+  test("ewma: folds the recursion in order, resets per entity, rejects inexact alpha") {
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:0$i%01d:00")
+    val df = Seq(
+      (1L, ts(1), 1L, 8.0), (1L, ts(2), 2L, 4.0), (1L, ts(3), 3L, 4.0),
+      (2L, ts(1), 4L, 100.0)) // second entity must seed fresh, not inherit
+      .toDF("u", "ts", "id", "v")
+    val out = graft.operators.Ewma.smooth(df.repartition(5), col("u"), col("ts"),
+      col("id"), col("v"), 0.25).orderBy("user_id", "event_id").collect()
+    // s1=8; s2=.25*4+.75*8=7; s3=.25*4+.75*7=6.25
+    assert(out.map(_.getDouble(3)).toSeq === Seq(8.0, 7.0, 6.25, 100.0))
+    intercept[IllegalArgumentException] {
+      graft.operators.Ewma.smooth(df, col("u"), col("ts"), col("id"), col("v"), 0.3)
+    }
+  }
+
   test("bigramPmi: adjacent pairs only, minCount cut, collocation ranks first") {
     // "new york" always adjacent; "data" and "york" never adjacent
     val docs = (Seq.fill(6)("new york is big") ++ Seq.fill(6)("data is big") ++
