@@ -1275,6 +1275,11 @@ object SparkEntry {
       // binary-exact); typed secondary-sort fold, recursive-CTE oracle
       graft.operators.Ewma.smooth(events(s, dir), col("user_id"), col("ts"),
         col("event_id"), col("value"), 0.25)),
+    "cusum_drift" -> ((s, dir) =>
+      // Page's sequential change-point test per user: fires on a
+      // SUSTAINED value shift (k = 150 reference, h = 500 decision)
+      graft.operators.Ewma.cusum(events(s, dir), col("user_id"), col("ts"),
+        col("event_id"), col("value"), 150.0, 500.0)),
     "curation_funnel" -> ((s, dir) =>
       // the composed pipeline decision: quality -> exact dedup -> mixture
       graft.curation.Curation.curationFunnel(table(s, dir, "documents"),
@@ -2907,6 +2912,25 @@ asofOracle,
         |  FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1)
         |SELECT user_id, event_id, value,
         |  floor(s * 1000000.0 + 0.5) / 1000000.0 AS ewma
+        |FROM r""".stripMargin,
+    // the alarm compares the RAW statistic (rounding only at output),
+    // exactly like the engine's fold
+    "cusum_drift" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT user_id, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |r AS (
+        |  SELECT user_id, event_id, value, rn,
+        |    greatest(0.0, 0.0 + value - 150.0) AS s
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.user_id, b.event_id, b.value, b.rn,
+        |    greatest(0.0, r.s + b.value - 150.0)
+        |  FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+        |SELECT user_id, event_id, value,
+        |  floor(s * 1000000.0 + 0.5) / 1000000.0 AS cusum,
+        |  s >= 500.0 AS alarm
         |FROM r""".stripMargin,
     // same chunker convention as dup_span_stats (window 16, stride 16);
     // partial trailing chunks are always kept, full chunks keep only their

@@ -54,4 +54,42 @@ object Ewma {
       }
     }.toDF("user_id", "event_id", "value", "ewma")
   }
+
+  /** One-sided CUSUM drift detector per entity: sᵢ = max(0, sᵢ₋₁ + xᵢ − k)
+    * with alarm when sᵢ ≥ h — the sequential change-point test that fires
+    * on a SUSTAINED upward shift long before a per-point z-score does
+    * (Page's test). Emits every step with its cumulative statistic and
+    * alarm flag; the caller keeps the alarms.
+    *
+    * Same execution shape and determinism contract as [[smooth]]: one
+    * entity-key repartition + streaming fold (one double of state), k and
+    * h restricted to binary-exact quarters so the recursion replays
+    * identically against the DuckDB recursive-CTE oracle (`cusum_drift`).
+    */
+  def cusum(df: DataFrame, entity: Column, ts: Column, tiebreak: Column,
+            value: Column, k: Double, h: Double): DataFrame = {
+    require(h > 0.0, s"cusum needs h > 0, got $h")
+    require(k * 4 == math.rint(k * 4) && h * 4 == math.rint(h * 4),
+      s"cusum needs binary-exact quarter k/h for cross-engine determinism, got $k/$h")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prepared = df
+      .select(entity.cast("long").as("__e"), ts.as("__ts"),
+        tiebreak.cast("long").as("__tie"), value.cast("double").as("__v"))
+      .filter(col("__v").isNotNull && col("__ts").isNotNull)
+      .repartition(col("__e"))
+      .sortWithinPartitions(col("__e"), col("__ts"), col("__tie"))
+      .select(col("__e"), col("__tie"), col("__v"))
+      .as[(Long, Long, Double)]
+    prepared.mapPartitions { iter =>
+      var cur = Long.MinValue
+      var open = false
+      var s = 0.0
+      iter.map { case (e, tie, v) =>
+        if (!open || e != cur) { cur = e; open = true; s = 0.0 }
+        s = math.max(0.0, s + v - k)
+        (e, tie, v, math.floor(s * 1e6 + 0.5) / 1e6, s >= h)
+      }
+    }.toDF("user_id", "event_id", "value", "cusum", "alarm")
+  }
 }

@@ -90,6 +90,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => bad("token_count(text)", other)
       }))
     e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo("graft.functions.JaroWinkler", "jaro_winkler"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => graft.functions.JaroWinkler(a, b)
+        case other => bad("jaro_winkler(a, b)", other)
+      }))
+    e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("distinct_shingles"),
       new ExpressionInfo("graft.functions.DistinctShingles", "distinct_shingles"),
       (args: Seq[Expression]) => args match {

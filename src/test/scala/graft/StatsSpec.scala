@@ -225,6 +225,25 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("cusum: accumulates sustained shift, clamps at zero, alarms on raw stat") {
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:0$i%01d:00")
+    // k=10, h=5: values 12,12,8,20 -> s = 2, 4, max(0,2)=2, 12 (alarm)
+    val df = Seq(
+      (1L, ts(1), 1L, 12.0), (1L, ts(2), 2L, 12.0),
+      (1L, ts(3), 3L, 8.0), (1L, ts(4), 4L, 20.0),
+      (2L, ts(1), 5L, 9.0)) // below target: stays clamped at 0, no alarm
+      .toDF("u", "ts", "id", "v")
+    val out = graft.operators.Ewma.cusum(df.repartition(3), col("u"), col("ts"),
+      col("id"), col("v"), 10.0, 5.0).orderBy("user_id", "event_id").collect()
+    assert(out.map(_.getDouble(3)).toSeq === Seq(2.0, 4.0, 2.0, 12.0, 0.0))
+    assert(out.map(_.getBoolean(4)).toSeq === Seq(false, false, false, true, false))
+  }
+
+  test("jaro_winkler is callable from SQL (extension-registered)") {
+    val r = spark.sql("SELECT jaro_winkler('martha', 'marhta') AS jw").collect().head
+    assert(math.abs(r.getDouble(0) - 0.9611111111111111) < 1e-12)
+  }
+
   test("bigramPmi: adjacent pairs only, minCount cut, collocation ranks first") {
     // "new york" always adjacent; "data" and "york" never adjacent
     val docs = (Seq.fill(6)("new york is big") ++ Seq.fill(6)("data is big") ++
