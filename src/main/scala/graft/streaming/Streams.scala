@@ -390,6 +390,45 @@ object Streams {
       }
   }
 
+  case class DriftEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+                        value: Double)
+  case class DriftOut(user_id: Long, event_id: Long, value: Double,
+                      cusum: Double, alarm: Boolean)
+  case class DriftState(s: Double)
+
+  /** Streaming CUSUM drift detection — the stateful twin of the batch
+    * `cusum_drift` fold: per entity, sᵢ = max(0, sᵢ₋₁ + xᵢ − k) carried
+    * across micro-batches as ONE double of state, alarm when the RAW
+    * statistic reaches h. Within a micro-batch rows fold in event-time
+    * order (event_id tie-break); across micro-batches the same
+    * per-key-ordered-arrival contract as `sessionize`/`asOfEnrich`
+    * applies. Same binary-exact k/h discipline as the batch operator, so
+    * in-order stream == batch on identical rows (spec-proven across a
+    * two-batch split). NoTimeout: drift state must survive idle periods;
+    * on an unbounded key space take the sessionizeEvicting trade.
+    */
+  def cusumStream(events: Dataset[DriftEvent], k: Double, h: Double): Dataset[DriftOut] = {
+    require(h > 0.0, s"cusumStream needs h > 0, got $h")
+    require(k * 4 == math.rint(k * 4) && h * 4 == math.rint(h * 4),
+      s"cusumStream needs binary-exact quarter k/h, got $k/$h")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[DriftState, DriftOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[DriftEvent], state: GroupState[DriftState]) =>
+          val sorted = rows.map(e => (micros(e.ts), e)).toSeq
+            .sortBy { case (m, e) => (m, e.event_id) }
+          var s = state.getOption.map(_.s).getOrElse(0.0)
+          val out = sorted.map { case (_, e) =>
+            s = math.max(0.0, s + e.value - k)
+            DriftOut(user, e.event_id, e.value,
+              math.floor(s * 1e6 + 0.5) / 1e6, s >= h)
+          }
+          state.update(DriftState(s))
+          out.iterator
+      }
+  }
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
   case class SessionState(sessionCount: Long, lastTsMicros: Long)
   case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)

@@ -134,6 +134,32 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CUSUM carries drift state across micro-batches, equals batch") {
+    import graft.streaming.Streams.{DriftEvent, DriftOut}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[DriftEvent]
+    val q = graft.streaming.Streams.cusumStream(input.toDS(), 150.0, 500.0)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("cusum_out").start()
+    try {
+      val events = GraftSession.table(spark, sfDir, "events")
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .as[DriftEvent].collect().sortBy(e => (e.ts.getTime, e.event_id))
+      // two micro-batches to prove the drift statistic round-trips state
+      val (first, second) = events.splitAt(events.length / 2)
+      input.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(second.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("cusum_out").as[DriftOut].collect()
+        .map(o => (o.user_id, o.event_id, o.value, o.cusum, o.alarm)).toSet
+      val expected = SparkEntry.queries("cusum_drift")(spark, sfDir)
+        .as[(Long, Long, Double, Double, Boolean)].collect().toSet
+      assert(streamed.nonEmpty && streamed == expected)
+    } finally q.stop()
+  }
+
   test("streaming as-of enrichment matches the batch as-of join") {
     import graft.streaming.Streams.{EnrichEvent, EnrichOut}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
