@@ -1280,6 +1280,11 @@ object SparkEntry {
       // SUSTAINED value shift (k = 150 reference, h = 500 decision)
       graft.operators.Ewma.cusum(events(s, dir), col("user_id"), col("ts"),
         col("event_id"), col("value"), 150.0, 500.0)),
+    "mad_outliers" -> ((s, dir) =>
+      // robust outlier sweep: median/MAD scoring at 3.5 MADs (the
+      // heavy-tail-safe sibling of zscore_outliers)
+      graft.analysis.Stats.madOutliers(events(s, dir), col("event_type"),
+        col("event_id"), col("value"), 3.5)),
     "curation_funnel" -> ((s, dir) =>
       // the composed pipeline decision: quality -> exact dedup -> mixture
       graft.curation.Curation.curationFunnel(table(s, dir, "documents"),
@@ -2932,6 +2937,21 @@ asofOracle,
         |  floor(s * 1000000.0 + 0.5) / 1000000.0 AS cusum,
         |  s >= 500.0 AS alarm
         |FROM r""".stripMargin,
+    "mad_outliers" ->
+      """WITH rows_ AS (
+        |  SELECT event_type AS group_key, event_id AS row_id, value AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |med AS (SELECT group_key, quantile_cont(v, 0.5) AS m FROM rows_ GROUP BY 1),
+        |dev AS (SELECT r.group_key, r.row_id, r.v, med.m, abs(r.v - med.m) AS d
+        |        FROM rows_ r JOIN med USING (group_key)),
+        |mad AS (SELECT group_key, quantile_cont(d, 0.5) AS md FROM dev GROUP BY 1),
+        |sc AS (
+        |  SELECT dev.group_key, dev.row_id, dev.v, dev.m,
+        |    floor(((dev.v - dev.m) / (1.4826 * mad.md)) * 1000000.0 + 0.5) / 1000000.0 AS score
+        |  FROM dev JOIN mad USING (group_key) WHERE mad.md > 0.0)
+        |SELECT group_key, row_id, v AS value,
+        |  floor(m * 1000000.0 + 0.5) / 1000000.0 AS group_median, score
+        |FROM sc WHERE abs(score) >= 3.5""".stripMargin,
     // same chunker convention as dup_span_stats (window 16, stride 16);
     // partial trailing chunks are always kept, full chunks keep only their
     // first (doc_id, pos) occurrence

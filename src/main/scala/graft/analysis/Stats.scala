@@ -329,6 +329,40 @@ object Stats {
           .otherwise(lit(0.0)).as("survival"))
   }
 
+  /** Median-absolute-deviation outliers — the robust sibling of
+    * [[zscoreOutliers]]: a z-score's mean/std are themselves dragged by
+    * the outliers they hunt, so a heavy-tailed feed flags almost nothing;
+    * the median/MAD pair is breakdown-point-0.5 robust. Score =
+    * (v − median) / (1.4826·MAD) (the Gaussian consistency constant),
+    * flagged at |score| ≥ `nMads` on the ROUNDED score (the linkage
+    * rounding-before-threshold contract).
+    *
+    * Three corpus passes by arithmetic necessity (median, then MAD of
+    * deviations from it, then scoring); both statistic frames are
+    * group-cardinality and broadcast back. Groups with MAD = 0 (a
+    * majority-constant value) emit nothing — by construction every
+    * deviation from a zero-MAD median would be infinite.
+    */
+  def madOutliers(df: DataFrame, group: Column, id: Column, value: Column,
+                  nMads: Double): DataFrame = {
+    require(nMads > 0.0, s"madOutliers needs nMads > 0, got $nMads")
+    val rows = df.select(group.as("group_key"), id.as("row_id"), value.as("__v"))
+      .filter(col("__v").isNotNull)
+    val med = rows.groupBy(col("group_key"))
+      .agg(expr("percentile(__v, 0.5D)").as("__med"))
+    val dev = rows.join(broadcast(med), Seq("group_key"))
+      .withColumn("__d", abs(col("__v") - col("__med")))
+    val mad = dev.groupBy(col("group_key"))
+      .agg(expr("percentile(__d, 0.5D)").as("__mad"))
+    dev.join(broadcast(mad), Seq("group_key"))
+      .filter(col("__mad") > 0.0)
+      .withColumn("score",
+        r6((col("__v") - col("__med")) / (lit(1.4826) * col("__mad"))))
+      .filter(abs(col("score")) >= nMads)
+      .select(col("group_key"), col("row_id"), col("__v").as("value"),
+        r6(col("__med")).as("group_median"), col("score"))
+  }
+
   /** Benford first-digit audit: the observed distribution of leading
     * significant digits against Benford's law p(d) = log10(1 + 1/d), with
     * the chi-square distance. Fabricated or unit-mangled numeric feeds

@@ -239,6 +239,19 @@ class StatsSpec extends SparkSpec {
     assert(out.map(_.getBoolean(4)).toSeq === Seq(false, false, false, true, false))
   }
 
+  test("madOutliers: robust to the outlier it hunts, zero-MAD groups emit nothing") {
+    // mean/std would be dragged by the 1000.0; the median isn't
+    val df = (Seq.tabulate(20)(i => ("g", i.toLong, 10.0 + (i % 3))) ++
+      Seq(("g", 99L, 1000.0)) ++
+      Seq.fill(6)(("flat", 7L, 3.0)))   // MAD = 0: excluded
+      .toDF("g", "id", "v")
+    val out = graft.analysis.Stats.madOutliers(df, col("g"), col("id"), col("v"), 3.5)
+      .collect()
+    assert(out.length === 1 && out.head.getLong(1) === 99L)
+    assert(out.head.getDouble(3) === 11.0) // group median
+    assert(out.head.getDouble(4) > 3.5)
+  }
+
   test("jaro_winkler is callable from SQL (extension-registered)") {
     val r = spark.sql("SELECT jaro_winkler('martha', 'marhta') AS jw").collect().head
     assert(math.abs(r.getDouble(0) - 0.9611111111111111) < 1e-12)
