@@ -1285,6 +1285,22 @@ object SparkEntry {
       // heavy-tail-safe sibling of zscore_outliers)
       graft.analysis.Stats.madOutliers(events(s, dir), col("event_type"),
         col("event_id"), col("value"), 3.5)),
+    "conversion_lag" -> ((s, dir) =>
+      // funnel latency: first-signup -> first-purchase lag in hour
+      // buckets, capped at one week
+      graft.analysis.Stats.conversionLag(events(s, dir), col("user_id"),
+        col("ts"), col("event_type") === "signup",
+        col("event_type") === "purchase", 168)),
+    "traffic_anomalies" -> ((s, dir) =>
+      // silent-pipeline tripwire: gap-filled hourly series per type,
+      // z-scored on exact integer moments (zero hours ARE observations)
+      graft.analysis.Stats.trafficAnomalies(events(s, dir), col("ts"),
+        col("event_type"), 3.0)),
+    "ab_test_power" -> ((s, dir) =>
+      // how long must the experiment run: required per-arm n to detect
+      // the observed effect at alpha 0.05 / 80% power
+      graft.analysis.Stats.abTestPower(events(s, dir), col("user_id"),
+        col("user_id") % 2 === 0, col("event_type") === "purchase")),
     "curation_funnel" -> ((s, dir) =>
       // the composed pipeline decision: quality -> exact dedup -> mixture
       graft.curation.Curation.curationFunnel(table(s, dir, "documents"),
@@ -2952,6 +2968,81 @@ asofOracle,
         |SELECT group_key, row_id, v AS value,
         |  floor(m * 1000000.0 + 0.5) / 1000000.0 AS group_median, score
         |FROM sc WHERE abs(score) >= 3.5""".stripMargin,
+    "conversion_lag" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS f,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1)
+        |SELECT LEAST(date_diff('microsecond', f, t) // 3600000000, 168) AS lag_hours,
+        |  CAST(COUNT(*) AS BIGINT) AS n_conversions
+        |FROM pu WHERE f IS NOT NULL AND t IS NOT NULL AND t >= f
+        |GROUP BY 1""".stripMargin,
+    // integer moments: counts' sums never touch a double until mean/std
+    "traffic_anomalies" ->
+      """WITH ev AS (SELECT ts, event_type FROM events WHERE ts IS NOT NULL),
+        |r AS (SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM ev),
+        |hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM r),
+        |types AS (SELECT DISTINCT event_type AS stream FROM ev),
+        |c AS (SELECT date_trunc('hour', ts) AS hour, event_type AS stream,
+        |        CAST(COUNT(*) AS BIGINT) AS nr
+        |      FROM ev GROUP BY 1, 2),
+        |series AS (
+        |  SELECT t.stream, h.hour, COALESCE(c.nr, 0) AS n
+        |  FROM hours h CROSS JOIN types t
+        |  LEFT JOIN c ON c.hour = h.hour AND c.stream = t.stream),
+        |m AS (
+        |  SELECT stream, CAST(COUNT(*) AS BIGINT) AS hcount,
+        |    SUM(CAST(n AS DECIMAL(28,0))) AS s1,
+        |    SUM(CAST(n * n AS DECIMAL(38,0))) AS s2
+        |  FROM series GROUP BY 1),
+        |z AS (
+        |  SELECT s.stream, s.hour, s.n,
+        |    CAST(s1 AS DOUBLE) / CAST(hcount AS DOUBLE) AS mean,
+        |    sqrt((CAST(s2 AS DOUBLE)
+        |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(hcount AS DOUBLE))
+        |         / CAST(hcount - 1 AS DOUBLE)) AS std
+        |  FROM series s JOIN m USING (stream) WHERE hcount >= 2),
+        |f AS (
+        |  SELECT stream, hour, n, mean,
+        |    floor(((CAST(n AS DOUBLE) - mean) / std) * 1000000.0 + 0.5) / 1000000.0 AS z
+        |  FROM z WHERE std > 0)
+        |SELECT stream, hour, n,
+        |  floor(mean * 1000000.0 + 0.5) / 1000000.0 AS hourly_mean, z
+        |FROM f WHERE abs(z) >= 3.0""".stripMargin,
+    // integer cross-multiplication detects the zero-effect case exactly
+    "ab_test_power" ->
+      """WITH pu AS (
+        |  SELECT user_id, MAX(user_id % 2 = 0) AS va,
+        |    MAX(event_type = 'purchase') AS conv
+        |  FROM events GROUP BY 1),
+        |f AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN va THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN va AND conv THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(SUM(CASE WHEN NOT va THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN (NOT va) AND conv THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM pu),
+        |p AS (
+        |  SELECT *,
+        |    CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p1,
+        |    CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p2,
+        |    CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pbar
+        |  FROM f),
+        |q AS (
+        |  SELECT *,
+        |    1.959964 * sqrt(2.0 * pbar * (1.0 - pbar))
+        |      + 0.841621 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)) AS num
+        |  FROM p)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a > 0 THEN floor(p1 * 1000000.0 + 0.5) / 1000000.0 END AS rate_a,
+        |  CASE WHEN n_b > 0 THEN floor(p2 * 1000000.0 + 0.5) / 1000000.0 END AS rate_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    floor((p1 - p2) * 1000000.0 + 0.5) / 1000000.0 END AS effect,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND conv_a * n_b <> conv_b * n_a THEN
+        |    CAST(ceil((num * num) / ((p1 - p2) * (p1 - p2))) AS BIGINT)
+        |  END AS n_required_per_arm
+        |FROM q""".stripMargin,
     // same chunker convention as dup_span_stats (window 16, stride 16);
     // partial trailing chunks are always kept, full chunks keep only their
     // first (doc_id, pos) occurrence

@@ -405,6 +405,113 @@ object Stats {
         col("chi2"))
   }
 
+  /** Conversion-lag histogram: for entities that performed `from` then
+    * later `to`, the distribution of first-from → first-to latency in
+    * hour buckets (capped at `maxHours` into an overflow bucket). The
+    * funnel's latency dimension — funnel_within says IF users convert
+    * inside a window, this says HOW FAST the converters moved.
+    *
+    * One corpus pass to per-entity conditional first-times (map-side
+    * combinable), a row-local lag in exact MICROSECONDS (whole-second
+    * datediffs truncate differently per dialect — the micros integer
+    * division is the portable path), one bucket count. Output: lag_hours,
+    * n_conversions.
+    */
+  def conversionLag(df: DataFrame, entity: Column, ts: Column,
+                    from: Column, to: Column, maxHours: Int): DataFrame = {
+    require(maxHours >= 1, s"conversionLag needs maxHours >= 1, got $maxHours")
+    df.select(entity.as("__e"), ts.as("__ts"), from.as("__f"), to.as("__t"))
+      .filter(col("__ts").isNotNull)
+      .groupBy(col("__e"))
+      .agg(min(when(col("__f"), col("__ts"))).as("__first_from"),
+        min(when(col("__t"), col("__ts"))).as("__first_to"))
+      .filter(col("__first_from").isNotNull && col("__first_to").isNotNull &&
+        col("__first_to") >= col("__first_from"))
+      .withColumn("lag_hours",
+        least(expr("(unix_micros(__first_to) - unix_micros(__first_from)) DIV 3600000000"),
+          lit(maxHours.toLong)))
+      .groupBy(col("lag_hours")).agg(count(lit(1)).as("n_conversions"))
+  }
+
+  /** Hourly traffic anomalies: the gap-filled hourly series per stream
+    * (zero hours are observations — a silent tracking pipeline IS the
+    * anomaly this exists to catch), z-scored against each stream's own
+    * hourly distribution with exact INTEGER moments (Σn, Σn² of counts
+    * never touch a double until the final mean/std expressions). The
+    * composition of resample_hourly and the z-score sweep as one
+    * operator. Output: anomalous (hour, stream) rows with their z.
+    */
+  def trafficAnomalies(df: DataFrame, ts: Column, stream: Column,
+                       zMin: Double): DataFrame = {
+    require(zMin > 0.0, s"trafficAnomalies needs zMin > 0, got $zMin")
+    val ev = df.select(ts.as("__ts"), stream.as("__s")).filter(col("__ts").isNotNull)
+    val range = ev.agg(date_trunc("hour", min(col("__ts"))).as("lo"),
+      date_trunc("hour", max(col("__ts"))).as("hi"))
+    val hours = range.select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+    val streams = ev.select(col("__s")).distinct()
+    val counts = ev.groupBy(date_trunc("hour", col("__ts")).as("hour"), col("__s"))
+      .agg(count(lit(1)).as("__n"))
+    val series = hours.crossJoin(streams)
+      .join(counts, Seq("hour", "__s"), "left")
+      .select(col("hour"), col("__s").as("stream"),
+        coalesce(col("__n"), lit(0L)).as("n"))
+    val moments = series.groupBy(col("stream")).agg(
+      count(lit(1)).as("__h"),
+      sum(col("n").cast("decimal(28,0)")).as("__s1"),
+      sum((col("n") * col("n")).cast("decimal(38,0)")).as("__s2"))
+    val mean = col("__s1").cast("double") / col("__h").cast("double")
+    val variance = (col("__s2").cast("double") -
+      col("__s1").cast("double") * col("__s1").cast("double") / col("__h").cast("double")) /
+      (col("__h") - 1).cast("double")
+    series.join(broadcast(moments), Seq("stream"))
+      .filter(col("__h") >= 2)
+      .withColumn("__mean", mean)
+      .withColumn("__std", sqrt(variance))
+      .filter(col("__std") > 0.0)
+      .withColumn("z", r6((col("n").cast("double") - col("__mean")) / col("__std")))
+      .filter(abs(col("z")) >= zMin)
+      .select(col("stream"), col("hour"), col("n"), r6(col("__mean")).as("hourly_mean"),
+        col("z"))
+  }
+
+  /** Two-proportion power analysis from the observed arms: the required
+    * per-arm sample size to detect the OBSERVED effect at α = 0.05
+    * (two-sided) with 80% power — the "how long must this experiment
+    * run" companion to [[abTestZscore]]. n = (z_α·√(2p̄(1−p̄)) +
+    * z_β·√(p₁(1−p₁)+p₂(1−p₂)))² / (p₁−p₂)², normal-quantile constants
+    * as fixed literals (1.959964 / 0.841621). NULL when an arm is empty
+    * or the observed effect is zero (no detectable difference to power
+    * for). One row; all ratios fixed-shape IEEE over exact longs.
+    */
+  def abTestPower(df: DataFrame, entity: Column, variantA: Column,
+                  outcome: Column): DataFrame = {
+    val perUser = df.select(entity.as("__e"), variantA.as("__a"), outcome.as("__y"))
+      .groupBy(col("__e"))
+      .agg(max(col("__a")).as("__va"), max(col("__y")).as("__conv"))
+    val folded = perUser.agg(
+      sum(when(col("__va"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__va") && col("__conv"), 1L).otherwise(0L)).as("conv_a"),
+      sum(when(!col("__va"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(!col("__va") && col("__conv"), 1L).otherwise(0L)).as("conv_b"))
+    def d(c: Column) = c.cast("double")
+    val p1 = d(col("conv_a")) / d(col("n_a"))
+    val p2 = d(col("conv_b")) / d(col("n_b"))
+    val pbar = d(col("conv_a") + col("conv_b")) / d(col("n_a") + col("n_b"))
+    val za = lit(1.959964)
+    val zb = lit(0.841621)
+    val num = za * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar)) +
+      zb * sqrt(p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2))
+    val nReq = (num * num) / ((p1 - p2) * (p1 - p2))
+    folded.select(
+      col("n_a"), col("n_b"),
+      when(col("n_a") > 0, r6(p1)).as("rate_a"),
+      when(col("n_b") > 0, r6(p2)).as("rate_b"),
+      when(col("n_a") > 0 && col("n_b") > 0, r6(p1 - p2)).as("effect"),
+      when(col("n_a") > 0 && col("n_b") > 0 &&
+        col("conv_a") * col("n_b") =!= col("conv_b") * col("n_a"),
+        ceil(nReq).cast("bigint")).as("n_required_per_arm"))
+  }
+
   /** Two-proportion z-test between an A and a B cohort on a binary
     * per-entity outcome — the experiment read-out (did the B-arm flow
     * convert better, and is the difference more than noise?).

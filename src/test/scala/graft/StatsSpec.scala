@@ -252,6 +252,50 @@ class StatsSpec extends SparkSpec {
     assert(out.head.getDouble(4) > 3.5)
   }
 
+  test("conversionLag: hour buckets, cap, non-/reverse-converters excluded") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "signup"),
+      (1L, ts("2024-01-01 11:30:00"), "purchase"), // 1.5h -> bucket 1
+      (2L, ts("2024-01-01 10:00:00"), "signup"),
+      (2L, ts("2024-01-20 10:00:00"), "purchase"), // 456h -> capped at 168
+      (3L, ts("2024-01-01 10:00:00"), "signup"),   // never converts
+      (4L, ts("2024-01-01 10:00:00"), "purchase"), // purchase BEFORE signup
+      (4L, ts("2024-01-02 10:00:00"), "signup"))
+      .toDF("u", "ts", "et")
+    val out = graft.analysis.Stats.conversionLag(df, col("u"), col("ts"),
+      col("et") === "signup", col("et") === "purchase", 168)
+      .orderBy("lag_hours").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 1L), (168L, 1L)))
+  }
+
+  test("trafficAnomalies: spike hour flagged, constant stream excluded") {
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val steady = for (h <- 0 until 12; m <- Seq(5, 25)) yield (ts(h, m), "a")
+    val spike = (1 to 40).map(i => (ts(6, i), "a"))      // hour 6 explodes
+    val flat = for (h <- 0 until 12) yield (ts(h, 10), "b") // constant: std 0
+    val df = (steady ++ spike ++ flat).toDF("ts", "s")
+    val out = graft.analysis.Stats.trafficAnomalies(df, col("ts"), col("s"), 3.0)
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getString(0) === "a" && out.head.getLong(2) === 42L)
+  }
+
+  test("abTestPower: closed-formula n, zero observed effect yields null") {
+    val rows =
+      (1L to 10L).map(u => (u * 2, u <= 4)) ++ (1L to 10L).map(u => (u * 2 + 1, u <= 2))
+    val out = graft.analysis.Stats.abTestPower(rows.toDF("u", "conv"), col("u"),
+      col("u") % 2 === 0, col("conv")).collect().head
+    val (p1, p2, pbar) = (0.4, 0.2, 0.3)
+    val num = 1.959964 * math.sqrt(2.0 * pbar * (1.0 - pbar)) +
+      0.841621 * math.sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))
+    assert(out.getLong(5) === math.ceil((num * num) / ((p1 - p2) * (p1 - p2))).toLong)
+    val same = graft.analysis.Stats.abTestPower(
+      Seq((2L, true), (3L, true), (4L, false), (5L, false)).toDF("u", "conv"),
+      col("u"), col("u") % 2 === 0, col("conv")).collect().head
+    assert(same.isNullAt(5)) // identical rates: nothing to power for
+  }
+
   test("jaro_winkler is callable from SQL (extension-registered)") {
     val r = spark.sql("SELECT jaro_winkler('martha', 'marhta') AS jw").collect().head
     assert(math.abs(r.getDouble(0) - 0.9611111111111111) < 1e-12)
