@@ -1301,6 +1301,26 @@ object SparkEntry {
       // the observed effect at alpha 0.05 / 80% power
       graft.analysis.Stats.abTestPower(events(s, dir), col("user_id"),
         col("user_id") % 2 === 0, col("event_type") === "purchase")),
+    "wilson_rates" -> ((s, dir) =>
+      // rate reporting done right: per-type high-value share with a
+      // Wilson score interval (a 3/7 and a 300/700 rate differ)
+      graft.analysis.Stats.wilsonInterval(events(s, dir), col("event_type"),
+        col("value") > 300.0)),
+    "topk_movers" -> ((s, dir) =>
+      // what changed this week: streams whose traffic share moved most
+      // between the window's two halves
+      graft.analysis.Stats.topMovers(events(s, dir), col("ts"),
+        col("event_type"), 5)),
+    "linkage_entities" -> ((s, dir) => {
+      // entity resolution end-to-end: blocked JW linkage pairs ->
+      // pointer-jumping connected components -> canonical entity table
+      val pairs = Dedup.jaroWinklerLinkage(table(s, dir, "documents"),
+        col("doc_id"), col("text"), 16, 64, 0.9)
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .groupBy(col("component").as("entity_id"))
+        .agg(count(lit(1)).as("n_members"), min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+    }),
     "curation_funnel" -> ((s, dir) =>
       // the composed pipeline decision: quality -> exact dedup -> mixture
       graft.curation.Curation.curationFunnel(table(s, dir, "documents"),
@@ -3043,6 +3063,70 @@ asofOracle,
         |    CAST(ceil((num * num) / ((p1 - p2) * (p1 - p2))) AS BIGINT)
         |  END AS n_required_per_arm
         |FROM q""".stripMargin,
+    "wilson_rates" ->
+      """WITH f AS (
+        |  SELECT event_type AS group_key, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN value > 300.0 THEN 1 ELSE 0 END) AS BIGINT) AS successes
+        |  FROM events WHERE (value > 300.0) IS NOT NULL GROUP BY 1),
+        |p AS (
+        |  SELECT *,
+        |    CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) AS ph,
+        |    1.959964 * 1.959964 / CAST(n AS DOUBLE) AS z2n
+        |  FROM f),
+        |q AS (
+        |  SELECT *,
+        |    (ph + z2n / 2.0) / (1.0 + z2n) AS center,
+        |    (1.959964 * sqrt(ph * (1.0 - ph) / CAST(n AS DOUBLE)
+        |       + 1.959964 * 1.959964
+        |         / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) / (1.0 + z2n) AS half
+        |  FROM p)
+        |SELECT group_key, n, successes,
+        |  floor(ph * 1000000.0 + 0.5) / 1000000.0 AS rate,
+        |  floor((center - half) * 1000000.0 + 0.5) / 1000000.0 AS ci_lo,
+        |  floor((center + half) * 1000000.0 + 0.5) / 1000000.0 AS ci_hi
+        |FROM q""".stripMargin,
+    "topk_movers" ->
+      """WITH ev AS (SELECT ts, event_type AS stream FROM events WHERE ts IS NOT NULL),
+        |mid AS (
+        |  SELECT (CAST(date_diff('microsecond', TIMESTAMP '1970-01-01', MIN(ts)) AS BIGINT)
+        |        + CAST(date_diff('microsecond', TIMESTAMP '1970-01-01', MAX(ts)) AS BIGINT)) / 2 AS m
+        |  FROM ev),
+        |c AS (
+        |  SELECT stream,
+        |    CAST(SUM(CASE WHEN CAST(date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS BIGINT) >= m THEN 0 ELSE 1 END) AS BIGINT) AS n_first,
+        |    CAST(SUM(CASE WHEN CAST(date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS BIGINT) >= m THEN 1 ELSE 0 END) AS BIGINT) AS n_second
+        |  FROM ev, mid GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_first) AS BIGINT) AS t1, CAST(SUM(n_second) AS BIGINT) AS t2 FROM c)
+        |SELECT stream, n_first, n_second,
+        |  floor((CAST(n_first AS DOUBLE) / CAST(t1 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS share_first,
+        |  floor((CAST(n_second AS DOUBLE) / CAST(t2 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS share_second,
+        |  floor((CAST(n_second AS DOUBLE) / CAST(t2 AS DOUBLE)
+        |         - CAST(n_first AS DOUBLE) / CAST(t1 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS delta
+        |FROM c, t
+        |ORDER BY abs(floor((CAST(n_second AS DOUBLE) / CAST(t2 AS DOUBLE)
+        |         - CAST(n_first AS DOUBLE) / CAST(t1 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) DESC, stream
+        |LIMIT 5""".stripMargin,
+    "linkage_entities" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT doc_id, substr(text, 1, 16) AS blk, substr(text, 1, 64) AS probe
+        |  FROM documents),
+        |p AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id
+        |  WHERE floor(jaro_winkler_similarity(x.probe, y.probe) * 1000000.0 + 0.5)
+        |      / 1000000.0 >= 0.9),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
+        |reach(src, node) AS (
+        |  SELECT src, src FROM edges GROUP BY src
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src),
+        |comps AS (
+        |  SELECT src AS doc_id, CAST(MIN(node) AS BIGINT) AS entity_id
+        |  FROM reach GROUP BY src)
+        |SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_doc, CAST(MAX(doc_id) AS BIGINT) AS max_doc
+        |FROM comps GROUP BY 1""".stripMargin,
     // same chunker convention as dup_span_stats (window 16, stride 16);
     // partial trailing chunks are always kept, full chunks keep only their
     // first (doc_id, pos) occurrence

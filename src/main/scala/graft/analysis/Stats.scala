@@ -363,6 +363,66 @@ object Stats {
         r6(col("__med")).as("group_median"), col("score"))
   }
 
+  /** Per-group proportion with a Wilson score interval — the report shape
+    * a rate belongs in: a 3/7 error rate and a 300/700 one are the same
+    * point estimate and wildly different facts; the interval carries the
+    * difference. Wilson (not Wald): stays inside [0,1] and behaves at
+    * p → 0/1 and small n, the regime data-quality rates live in.
+    *
+    * One map-side-combinable pass; every ratio is a stepwise fixed-shape
+    * IEEE expression over exact longs (the z² literal product included),
+    * r6 at output. Output: group_key, n, successes, rate, ci_lo, ci_hi.
+    */
+  def wilsonInterval(df: DataFrame, group: Column, success: Column): DataFrame = {
+    val folded = df.select(group.as("group_key"), success.as("__y"))
+      .filter(col("__y").isNotNull)
+      .groupBy(col("group_key"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("successes"))
+    def d(c: Column) = c.cast("double")
+    val z = lit(1.959964)
+    val p = d(col("successes")) / d(col("n"))
+    val z2n = z * z / d(col("n"))
+    val center = (p + z2n / lit(2.0)) / (lit(1.0) + z2n)
+    val half = (z * sqrt(p * (lit(1.0) - p) / d(col("n")) +
+      z * z / (lit(4.0) * d(col("n")) * d(col("n"))))) / (lit(1.0) + z2n)
+    folded.select(col("group_key"), col("n"), col("successes"),
+      r6(p).as("rate"), r6(center - half).as("ci_lo"), r6(center + half).as("ci_hi"))
+  }
+
+  /** Top-k movers: which streams' share of traffic changed most between
+    * the first and second half of the window — the "what changed this
+    * week" report (a share collapse is the broken flow; a surge is the
+    * campaign landing). The halves split at the exact microsecond
+    * midpoint, shares are per-half exact-long ratios, and the k ranking
+    * orders on the ROUNDED delta with a stream tie-break
+    * (TakeOrderedAndProject, no global sort).
+    */
+  def topMovers(df: DataFrame, ts: Column, stream: Column, k: Int): DataFrame = {
+    require(k >= 1, s"topMovers needs k >= 1, got $k")
+    val ev = df.select(ts.as("__ts"), stream.as("stream")).filter(col("__ts").isNotNull)
+    val mid = broadcast(ev.agg(
+      ((unix_micros(min(col("__ts"))) + unix_micros(max(col("__ts")))) / lit(2L))
+        .as("__mid")))
+    def d(c: Column) = c.cast("double")
+    val counts = ev.crossJoin(mid)
+      .withColumn("__h2", unix_micros(col("__ts")) >= col("__mid"))
+      .groupBy(col("stream"))
+      .agg(sum(when(!col("__h2"), 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("__h2"), 1L).otherwise(0L)).as("n_second"))
+    val totals = broadcast(counts.agg(
+      sum(col("n_first")).as("__t1"), sum(col("n_second")).as("__t2")))
+    counts.crossJoin(totals)
+      .withColumn("share_first", r6(d(col("n_first")) / d(col("__t1"))))
+      .withColumn("share_second", r6(d(col("n_second")) / d(col("__t2"))))
+      .withColumn("delta",
+        r6(d(col("n_second")) / d(col("__t2")) - d(col("n_first")) / d(col("__t1"))))
+      .select(col("stream"), col("n_first"), col("n_second"),
+        col("share_first"), col("share_second"), col("delta"))
+      .orderBy(abs(col("delta")).desc, col("stream"))
+      .limit(k)
+  }
+
   /** Benford first-digit audit: the observed distribution of leading
     * significant digits against Benford's law p(d) = log10(1 + 1/d), with
     * the chi-square distance. Fabricated or unit-mangled numeric feeds

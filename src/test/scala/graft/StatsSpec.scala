@@ -296,6 +296,35 @@ class StatsSpec extends SparkSpec {
     assert(same.isNullAt(5)) // identical rates: nothing to power for
   }
 
+  test("wilsonInterval: bounded in [0,1], wider at small n, exact-long fold") {
+    val df = (Seq.fill(3)(("small", true)) ++ Seq.fill(4)(("small", false)) ++
+      Seq.fill(300)(("big", true)) ++ Seq.fill(400)(("big", false)))
+      .toDF("g", "y")
+    val out = graft.analysis.Stats.wilsonInterval(df, col("g"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val (s, b) = (out("small"), out("big"))
+    // same point estimate, very different intervals
+    assert(s.getDouble(3) === b.getDouble(3))
+    assert(s.getDouble(4) >= 0.0 && s.getDouble(5) <= 1.0)
+    assert((s.getDouble(5) - s.getDouble(4)) > 3 * (b.getDouble(5) - b.getDouble(4)))
+    assert(s.getDouble(4) < s.getDouble(3) && s.getDouble(3) < s.getDouble(5))
+  }
+
+  test("topMovers: surge ranks first, shares are per-half ratios") {
+    def ts(d: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    // halves: a 10->10, b 10->30 (the surge), c 20->20; share deltas
+    // -0.0833 / +0.25 / -0.1667 — b's move dominates
+    val rows = (1 to 10).map(i => (ts(1, i), "a")) ++ (1 to 10).map(i => (ts(1, i), "b")) ++
+      (1 to 20).map(i => (ts(1, i % 23), "c")) ++
+      (1 to 10).map(i => (ts(9, i), "a")) ++ (1 to 30).map(i => (ts(9, i % 23), "b")) ++
+      (1 to 20).map(i => (ts(9, i % 23), "c"))
+    val out = graft.analysis.Stats.topMovers(rows.toDF("ts", "s"), col("ts"),
+      col("s"), 5).collect()
+    assert(out.head.getString(0) === "b" && out.head.getDouble(5) > 0)
+    assert(out.length === 3)
+    assert(math.abs(out.map(_.getDouble(5)).sum) < 1e-9) // shares are zero-sum
+  }
+
   test("jaro_winkler is callable from SQL (extension-registered)") {
     val r = spark.sql("SELECT jaro_winkler('martha', 'marhta') AS jw").collect().head
     assert(math.abs(r.getDouble(0) - 0.9611111111111111) < 1e-12)
