@@ -1301,6 +1301,11 @@ object SparkEntry {
       // the observed effect at alpha 0.05 / 80% power
       graft.analysis.Stats.abTestPower(events(s, dir), col("user_id"),
         col("user_id") % 2 === 0, col("event_type") === "purchase")),
+    "stickiness_daily" -> ((s, dir) =>
+      // habitual-usage series: DAU / trailing-7d WAU per calendar day,
+      // gap-filled spine (a dead day is stickiness 0, not absence)
+      graft.analysis.Stats.stickinessDaily(events(s, dir), col("user_id"),
+        col("ts"), 7)),
     "wilson_rates" -> ((s, dir) =>
       // rate reporting done right: per-type high-value share with a
       // Wilson score interval (a 3/7 and a 300/700 rate differ)
@@ -3063,6 +3068,25 @@ asofOracle,
         |    CAST(ceil((num * num) / ((p1 - p2) * (p1 - p2))) AS BIGINT)
         |  END AS n_required_per_arm
         |FROM q""".stripMargin,
+    "stickiness_daily" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE ts IS NOT NULL),
+        |r AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ev),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS DATE) AS day FROM r),
+        |dau AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau FROM ev GROUP BY 1),
+        |wc AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+        |      CAST(day AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM ev),
+        |wau AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau FROM wc GROUP BY 1)
+        |SELECT s.day, COALESCE(dau.dau, 0) AS dau, COALESCE(wau.wau, 0) AS wau,
+        |  CASE WHEN COALESCE(wau.wau, 0) > 0 THEN
+        |    floor((CAST(COALESCE(dau.dau, 0) AS DOUBLE) / CAST(wau.wau AS DOUBLE))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS stickiness
+        |FROM spine s LEFT JOIN dau USING (day) LEFT JOIN wau USING (day)""".stripMargin,
     "wilson_rates" ->
       """WITH f AS (
         |  SELECT event_type AS group_key, CAST(COUNT(*) AS BIGINT) AS n,

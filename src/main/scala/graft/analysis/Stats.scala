@@ -211,6 +211,42 @@ object Stats {
             (col("n").cast("double") * col("__sx").cast("double")))).as("gini"))
   }
 
+  /** Daily DAU/WAU stickiness: for every calendar day in the feed's span,
+    * the distinct actives that day, the distinct actives over the trailing
+    * `windowDays`, and their ratio — the canonical "how habitual is
+    * usage" engagement series.
+    *
+    * The trailing-window distinct is NOT a sliding recount: each event's
+    * day contributes to the `windowDays` window-days it belongs to (a
+    * bounded explode), then ONE distinct-aggregation per window-day —
+    * at 100 TB this is the exact-regime shape, and the mergeable
+    * theta/HLL sketch rows are the always-on sibling when exactness can
+    * be traded. The day spine is gap-filled: a zero-DAU day inside the
+    * span reports stickiness 0, not absence. Output: day, dau, wau,
+    * stickiness (NULL when wau = 0).
+    */
+  def stickinessDaily(df: DataFrame, entity: Column, ts: Column,
+                      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"stickinessDaily needs windowDays >= 1, got $windowDays")
+    val ev = df.select(entity.as("__e"), ts.cast("date").as("__day"))
+      .filter(col("__day").isNotNull)
+    val range = broadcast(ev.agg(min(col("__day")).as("__lo"), max(col("__day")).as("__hi")))
+    val spine = range.select(explode(expr("sequence(__lo, __hi, interval 1 day)")).as("day"))
+    val dau = ev.groupBy(col("__day").as("day"))
+      .agg(countDistinct(col("__e")).as("dau"))
+    val wau = ev
+      .select(col("__e"), explode(expr(
+        s"sequence(__day, __day + interval ${windowDays - 1} days, interval 1 day)"))
+        .as("day"))
+      .groupBy(col("day")).agg(countDistinct(col("__e")).as("wau"))
+    spine.join(dau, Seq("day"), "left").join(wau, Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"))
+      .withColumn("stickiness",
+        when(col("wau") > 0,
+          graft.util.Portable.round6(col("dau").cast("double") / col("wau").cast("double"))))
+  }
+
   /** RFM behavioral segmentation: per user, recency (days since their last
     * event, against the corpus's max timestamp), frequency (number of
     * `monetaryFilter` events), monetary (exact DECIMAL sum of their value),

@@ -325,6 +325,20 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(out.map(_.getDouble(5)).sum) < 1e-9) // shares are zero-sum
   }
 
+  test("stickinessDaily: trailing window, gap day reports 0, late window decay") {
+    def d(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    // users 1,2 on day 1; nobody day 2; user 1 on day 3
+    val df = Seq((1L, d(1)), (2L, d(1)), (1L, d(3))).toDF("u", "ts")
+    val out = graft.analysis.Stats.stickinessDaily(df, col("u"), col("ts"), 7)
+      .orderBy("day").collect()
+    assert(out.length === 3)
+    assert(out(0).getLong(1) === 2 && out(0).getLong(2) === 2) // day 1: dau 2, wau 2
+    assert(out(1).getLong(1) === 0 && out(1).getLong(2) === 2) // gap day: 0/2
+    assert(out(1).getDouble(3) === 0.0)
+    assert(out(2).getLong(1) === 1 && out(2).getLong(2) === 2) // day 3: 1 / {1,2}
+    assert(out(2).getDouble(3) === 0.5)
+  }
+
   test("jaro_winkler is callable from SQL (extension-registered)") {
     val r = spark.sql("SELECT jaro_winkler('martha', 'marhta') AS jw").collect().head
     assert(math.abs(r.getDouble(0) - 0.9611111111111111) < 1e-12)
