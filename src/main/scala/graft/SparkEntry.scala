@@ -1250,6 +1250,11 @@ object SparkEntry {
       // verify over the 64-char probe, rounded-then-thresholded at 0.9
       Dedup.jaroWinklerLinkage(table(s, dir, "documents"),
         col("doc_id"), col("text"), 16, 64, 0.9)),
+    "record_linkage_dl" -> ((s, dir) =>
+      // transposition-aware edit linkage on the same blocks as the JW
+      // verifier (typo-heavy-source contract); integer threshold
+      Dedup.damerauLinkage(table(s, dir, "documents"),
+        col("doc_id"), col("text"), 16, 64, 8)),
     "markov_transitions" -> ((s, dir) =>
       // per-user next-step transition matrix (row-normalized) — the
       // model-ready sibling of event_paths
@@ -2832,6 +2837,14 @@ asofOracle,
         |FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id
         |WHERE floor(jaro_winkler_similarity(x.probe, y.probe) * 1000000.0 + 0.5)
         |    / 1000000.0 >= 0.9""".stripMargin,
+    "record_linkage_dl" ->
+      """WITH b AS (
+        |  SELECT doc_id, substr(text, 1, 16) AS blk, substr(text, 1, 64) AS probe
+        |  FROM documents)
+        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |  CAST(damerau_levenshtein(x.probe, y.probe) AS INT) AS dl
+        |FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id
+        |WHERE damerau_levenshtein(x.probe, y.probe) <= 8""".stripMargin,
     "markov_transitions" ->
       """WITH s AS (
         |  SELECT event_type AS from_state,

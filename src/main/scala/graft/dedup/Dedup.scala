@@ -583,4 +583,26 @@ object Dedup {
           .as("jw"))
       .filter(col("jw") >= threshold)
   }
+
+  /** Blocked Damerau-Levenshtein linkage: the transposition-aware edit
+    * verifier for typo-heavy sources ("teh"/"the" is ONE edit here, two
+    * for plain Levenshtein). Same blocking shape as
+    * [[jaroWinklerLinkage]]; keeps pairs whose unrestricted DL distance
+    * over the `probeLen`-char probe is ≤ `maxDist`. Integer distances —
+    * no rounding contract needed at the threshold.
+    */
+  def damerauLinkage(df: DataFrame, id: Column, key: Column,
+                     blockLen: Int, probeLen: Int, maxDist: Int): DataFrame = {
+    require(blockLen >= 1 && probeLen >= blockLen,
+      s"damerauLinkage needs 1 <= blockLen <= probeLen, got $blockLen/$probeLen")
+    require(maxDist >= 0, s"damerauLinkage needs maxDist >= 0, got $maxDist")
+    val b = df.select(id.as("__id"), substring(key, 1, blockLen).as("__blk"),
+      substring(key, 1, probeLen).as("__probe"))
+    b.as("x").join(b.as("y"),
+        col("x.__blk") === col("y.__blk") && col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("doc_a"), col("y.__id").as("doc_b"),
+        graft.functions.DamerauLevenshtein
+          .damerauLevenshtein(col("x.__probe"), col("y.__probe")).as("dl"))
+      .filter(col("dl") <= maxDist)
+  }
 }

@@ -97,6 +97,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => bad("jaro_winkler(a, b)", other)
       }))
     e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("damerau_levenshtein"),
+      new ExpressionInfo("graft.functions.DamerauLevenshtein", "damerau_levenshtein"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => graft.functions.DamerauLevenshtein(a, b)
+        case other => bad("damerau_levenshtein(a, b)", other)
+      }))
+    e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("distinct_shingles"),
       new ExpressionInfo("graft.functions.DistinctShingles", "distinct_shingles"),
       (args: Seq[Expression]) => args match {
