@@ -437,6 +437,55 @@ object Sources {
     fs.delete(trash, true)
   }
 
+  /** Erasure sweep (the right-to-be-forgotten writer): rewrite a parquet
+    * table in place EXCLUDING every row whose `keyCol` appears in `deny`,
+    * and return (rows_before, rows_after) for the erasure log. The
+    * reference's consent machinery marks withdrawn participants so
+    * EXPORTS exclude them (`consent_withdrawn` covers the query side);
+    * erasure is the stronger storage-level obligation — the bytes must
+    * go.
+    *
+    * Same temp→trash→swap discipline as [[compactParquet]] (a crash never
+    * leaves the table half-erased: either the old data is intact or the
+    * swept copy is in place), same loud recovery message on a stale
+    * crash. The anti-join broadcasts the deny list — erasure requests are
+    * human-scale; the rewrite cost is the table scan, which is the
+    * irreducible price of physical deletion on immutable files.
+    */
+  def eraseKeys(spark: SparkSession, path: String, keyCol: String,
+                deny: DataFrame): (Long, Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__erase_tmp")
+    val trash = new org.apache.hadoop.fs.Path(path + ".__erase_trash")
+    require(!fs.exists(tmp) && !fs.exists(trash),
+      s"stale erasure dirs next to $path — a previous erasure crashed; recover manually")
+    val current = spark.read.parquet(path)
+    val before = current.count()
+    val denyKeys = org.apache.spark.sql.functions.broadcast(
+      deny.select(deny.columns.head).toDF(keyCol).distinct())
+    // USING-join hoists the key to the front; restore the table's own
+    // column order so the swept file is schema-identical to the original
+    val swept = current.join(denyKeys, Seq(keyCol), "left_anti")
+      .select(current.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    swept.write.parquet(tmp.toString)
+    if (!fs.rename(dst, trash))
+      throw new java.io.IOException(s"erasure: failed to move $dst aside")
+    if (!fs.rename(tmp, dst)) {
+      if (fs.rename(trash, dst))
+        throw new java.io.IOException(
+          s"erasure: failed to move $tmp into place; original restored at $dst")
+      else
+        throw new java.io.IOException(
+          s"erasure: failed to move $tmp into place AND the rollback failed — " +
+            s"the original data is intact at $trash, the swept copy at $tmp")
+    }
+    fs.delete(trash, true)
+    val after = spark.read.parquet(path).count()
+    (before, after)
+  }
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 

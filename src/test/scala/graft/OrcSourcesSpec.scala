@@ -24,6 +24,28 @@ class OrcSourcesSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("eraseKeys physically removes denied keys, leaves the rest intact") {
+    import spark.implicits._
+    val events = GraftSession.table(spark, sfDir, "events")
+    val dir = Files.createTempDirectory("graft_erase").toString + "/events"
+    events.write.parquet(dir)
+    val deny = Seq(1L, 2L, 3L).toDF("user_id")
+    val expected = events.filter(!col("user_id").isin(1L, 2L, 3L))
+      .orderBy("event_id").collect().toSeq
+    val (before, after) = graft.sources.Sources.eraseKeys(spark, dir, "user_id", deny)
+    assert(before === events.count())
+    assert(after === expected.length.toLong && after < before)
+    val back = spark.read.parquet(dir)
+    assert(back.orderBy("event_id").collect().toSeq === expected)
+    assert(back.filter(col("user_id").isin(1L, 2L, 3L)).count() === 0)
+    // no leftover temp/trash dirs
+    val parent = new java.io.File(dir).getParentFile
+    assert(!parent.listFiles().exists(_.getName.contains("__erase")))
+    // idempotent: a second sweep with the same deny list is a no-op
+    val (b2, a2) = graft.sources.Sources.eraseKeys(spark, dir, "user_id", deny)
+    assert(b2 === after && a2 === after)
+  }
+
   test("filters and column pruning reach the ORC scan") {
     val events = GraftSession.table(spark, sfDir, "events")
     val dir = Files.createTempDirectory("graft_orc_push").toString
