@@ -104,6 +104,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => bad("damerau_levenshtein(a, b)", other)
       }))
     e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("deflate_ratio"),
+      new ExpressionInfo("graft.functions.DeflateRatio", "deflate_ratio"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => graft.functions.DeflateRatio(t)
+        case other => bad("deflate_ratio(text)", other)
+      }))
+    e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("distinct_shingles"),
       new ExpressionInfo("graft.functions.DistinctShingles", "distinct_shingles"),
       (args: Seq[Expression]) => args match {
