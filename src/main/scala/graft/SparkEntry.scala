@@ -1306,6 +1306,22 @@ object SparkEntry {
       // the observed effect at alpha 0.05 / 80% power
       graft.analysis.Stats.abTestPower(events(s, dir), col("user_id"),
         col("user_id") % 2 === 0, col("event_type") === "purchase")),
+    "join_cardinality" -> ((s, dir) =>
+      // join-explosion pre-flight: exact equi-join output cardinality of
+      // events x orders on the user key, top contributing keys first
+      graft.analysis.Stats.joinCardinality(events(s, dir), col("user_id"),
+        table(s, dir, "orders"), col("o_custkey"), 10)),
+    "snapshot_diff" -> ((s, dir) => {
+      // state reconciliation: per-user latest event_type mid-month vs now
+      // (added / removed / changed / unchanged counts)
+      val ev = events(s, dir)
+      val prior = Snapshots.latest(
+        ev.filter(col("ts") < lit("2024-01-15 00:00:00").cast("timestamp")),
+        Seq(col("user_id")), col("ts"), col("event_id"))
+      val now = Snapshots.latest(ev, Seq(col("user_id")), col("ts"), col("event_id"))
+      graft.analysis.Stats.snapshotDiff(prior, col("user_id"), col("event_type"),
+        now, col("user_id"), col("event_type"))
+    }),
     "stickiness_daily" -> ((s, dir) =>
       // habitual-usage series: DAU / trailing-7d WAU per calendar day,
       // gap-filled spine (a dead day is stickiness 0, not absence)
@@ -3081,6 +3097,44 @@ asofOracle,
         |    CAST(ceil((num * num) / ((p1 - p2) * (p1 - p2))) AS BIGINT)
         |  END AS n_required_per_arm
         |FROM q""".stripMargin,
+    "join_cardinality" ->
+      """WITH lc AS (
+        |  SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n_left
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |rc AS (
+        |  SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS n_right
+        |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |p AS (
+        |  SELECT lc.key, n_left, n_right,
+        |    CAST(CAST(n_left AS DECIMAL(19,0)) * CAST(n_right AS DECIMAL(19,0))
+        |      AS DECIMAL(38,0)) AS outd
+        |  FROM lc JOIN rc USING (key)),
+        |t AS (SELECT SUM(outd) AS total FROM p)
+        |SELECT CAST(key AS VARCHAR) AS key, n_left, n_right,
+        |  CAST(outd AS BIGINT) AS out_rows, CAST(total AS BIGINT) AS total_out,
+        |  floor((CAST(outd AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS share_of_out
+        |FROM p, t ORDER BY outd DESC, CAST(key AS VARCHAR) LIMIT 10""".stripMargin,
+    "snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type FROM (
+        |    SELECT user_id, event_type,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00')
+        |  WHERE rn = 1),
+        |n AS (
+        |  SELECT user_id, event_type FROM (
+        |    SELECT user_id, event_type,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events)
+        |  WHERE rn = 1)
+        |SELECT status, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT CASE WHEN o.user_id IS NULL THEN 'added'
+        |              WHEN n.user_id IS NULL THEN 'removed'
+        |              WHEN o.event_type IS NOT DISTINCT FROM n.event_type THEN 'unchanged'
+        |              ELSE 'changed' END AS status
+        |  FROM o FULL OUTER JOIN n ON o.user_id = n.user_id)
+        |GROUP BY 1""".stripMargin,
     "stickiness_daily" ->
       """WITH ev AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE ts IS NOT NULL),

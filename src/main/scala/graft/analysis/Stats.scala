@@ -459,6 +459,68 @@ object Stats {
       .limit(k)
   }
 
+  /** Join-explosion pre-flight: the EXACT output cardinality a key
+    * equi-join would produce (Σₖ cₗ(k)·cᵣ(k)) plus the top contributing
+    * keys — run BEFORE a join ships, the way key_skew_report runs before
+    * a shuffle key is chosen. A join that multiplies instead of matching
+    * is the classic silent 100 TB killer; this makes it a number first.
+    *
+    * One map-side-combinable count per side, an inner join of the two
+    * KEY-CARDINALITY frames, DECIMAL products (a hot key squared
+    * overflows a long), one fold + top-k. Output (top-k keys by output
+    * contribution): key, n_left, n_right, out_rows, total_out (repeated),
+    * share_of_out.
+    */
+  def joinCardinality(left: DataFrame, leftKey: Column,
+                      right: DataFrame, rightKey: Column, k: Int): DataFrame = {
+    require(k >= 1, s"joinCardinality needs k >= 1, got $k")
+    val lc = left.select(leftKey.as("key")).filter(col("key").isNotNull)
+      .groupBy(col("key")).agg(count(lit(1)).as("n_left"))
+    val rc = right.select(rightKey.as("key")).filter(col("key").isNotNull)
+      .groupBy(col("key")).agg(count(lit(1)).as("n_right"))
+    val prod = lc.join(rc, Seq("key"))
+      .withColumn("out_rows",
+        (col("n_left").cast("decimal(19,0)") * col("n_right").cast("decimal(19,0)"))
+          .cast("decimal(38,0)"))
+    val totals = broadcast(prod.agg(
+      sum(col("out_rows")).as("__total"),
+      sum(col("n_left").cast("decimal(19,0)")).as("__lmatched"),
+      sum(col("n_right").cast("decimal(19,0)")).as("__rmatched")))
+    prod.crossJoin(totals)
+      .select(col("key").cast("string").as("key"), col("n_left"), col("n_right"),
+        col("out_rows").cast("bigint").as("out_rows"),
+        col("__total").cast("bigint").as("total_out"),
+        r6(col("out_rows").cast("double") / col("__total").cast("double"))
+          .as("share_of_out"))
+      .orderBy(col("out_rows").desc, col("key"))
+      .limit(k)
+  }
+
+  /** Snapshot diff audit: classify every key as added / removed / changed
+    * / unchanged between two table versions and report counts — the
+    * reconciliation a sync pipeline runs after each batch (the
+    * reference's sync_stats counts events; this compares STATES). The
+    * compared value is caller-chosen (a column or a hash of many).
+    *
+    * One full outer join on the key — the unavoidable shape for set
+    * reconciliation — then a single fold; at scale both sides hash
+    * shuffle once on the same key. Output: status, n.
+    */
+  def snapshotDiff(old: DataFrame, oldKey: Column, oldVal: Column,
+                   neu: DataFrame, neuKey: Column, neuVal: Column): DataFrame = {
+    // presence flags, not value-nullness: a legitimately-NULL value in an
+    // EXISTING row must not read as side-absence
+    val o = old.select(oldKey.as("key"), oldVal.as("__vo"), lit(true).as("__po"))
+    val n = neu.select(neuKey.as("key"), neuVal.as("__vn"), lit(true).as("__pn"))
+    o.join(n, Seq("key"), "full_outer")
+      .select(
+        when(col("__po").isNull, lit("added"))
+          .when(col("__pn").isNull, lit("removed"))
+          .when(col("__vo") <=> col("__vn"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+  }
+
   /** Benford first-digit audit: the observed distribution of leading
     * significant digits against Benford's law p(d) = log10(1 + 1/d), with
     * the chi-square distance. Fabricated or unit-mangled numeric feeds

@@ -339,6 +339,30 @@ class StatsSpec extends SparkSpec {
     assert(out(2).getDouble(3) === 0.5)
   }
 
+  test("joinCardinality: exact output rows, hot key first, decimal-safe") {
+    val l = (Seq.fill(100)(1L) ++ Seq.fill(2)(2L) ++ Seq(3L)).toDF("k")
+    val r = (Seq.fill(50)(1L) ++ Seq.fill(3)(2L) ++ Seq(4L)).toDF("k")
+    val out = graft.analysis.Stats.joinCardinality(l, col("k"), r, col("k"), 5)
+      .collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("1", "2")) // key 3/4 never match
+    assert(out.head.getLong(3) === 5000L && out(1).getLong(3) === 6L)
+    assert(out.head.getLong(4) === 5006L)
+    // the actual join agrees with the prediction
+    assert(l.join(r, Seq("k")).count() === 5006L)
+  }
+
+  test("snapshotDiff: presence flags classify; null values are not absence") {
+    val old = Seq((1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("d")))
+      .toDF("k", "v")
+    val neu = Seq((1L, Some("a")), (2L, Some("x")), (3L, Option.empty[String]),
+      (5L, Some("e"))).toDF("k", "v")
+    val out = graft.analysis.Stats.snapshotDiff(old, col("k"), col("v"),
+      neu, col("k"), col("v")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("unchanged" -> 2L, // key 1, and key 3 (null == null)
+      "changed" -> 1L, "removed" -> 1L, "added" -> 1L))
+  }
+
   test("jaro_winkler is callable from SQL (extension-registered)") {
     val r = spark.sql("SELECT jaro_winkler('martha', 'marhta') AS jw").collect().head
     assert(math.abs(r.getDouble(0) - 0.9611111111111111) < 1e-12)
