@@ -437,6 +437,38 @@ object Sources {
     fs.delete(trash, true)
   }
 
+  /** Schema-drift audit between two table versions — the SCHEMA side of
+    * the reconciliation story (snapshot_diff compares states; this
+    * compares shapes). A 100 TB feed spans writers and years; the ts /
+    * date / money / embedding encoding drifts this engine normalizes at
+    * ingest were all first visible as exactly this kind of diff. Field
+    * ORDER changes are deliberately not drift (columnar readers address
+    * by name); nullability-only changes report as `nullability_changed`
+    * (looser or tighter — callers decide severity), type changes as
+    * `type_changed`.
+    *
+    * Returns (status, column, detail) rows; empty = schemas compatible.
+    * Pure metadata — no data is read.
+    */
+  def schemaDiff(old: StructType, neu: StructType): Seq[(String, String, String)] = {
+    val o = old.fields.map(f => f.name -> f).toMap
+    val n = neu.fields.map(f => f.name -> f).toMap
+    val added = (n.keySet -- o.keySet).toSeq.sorted
+      .map(c => ("added", c, n(c).dataType.simpleString))
+    val removed = (o.keySet -- n.keySet).toSeq.sorted
+      .map(c => ("removed", c, o(c).dataType.simpleString))
+    val common = (o.keySet & n.keySet).toSeq.sorted
+    val typeChanged = common
+      .filter(c => o(c).dataType != n(c).dataType)
+      .map(c => ("type_changed", c,
+        s"${o(c).dataType.simpleString} -> ${n(c).dataType.simpleString}"))
+    val nullChanged = common
+      .filter(c => o(c).dataType == n(c).dataType && o(c).nullable != n(c).nullable)
+      .map(c => ("nullability_changed", c,
+        s"${o(c).nullable} -> ${n(c).nullable}"))
+    added ++ removed ++ typeChanged ++ nullChanged
+  }
+
   /** Erasure sweep (the right-to-be-forgotten writer): rewrite a parquet
     * table in place EXCLUDING every row whose `keyCol` appears in `deny`,
     * and return (rows_before, rows_after) for the erasure log. The

@@ -46,6 +46,28 @@ class OrcSourcesSpec extends SparkSpec {
     assert(b2 === after && a2 === after)
   }
 
+  test("schemaDiff: add/remove/type/nullability classified, order ignored") {
+    import org.apache.spark.sql.types._
+    val old = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType),
+      StructField("c", DoubleType, nullable = false), StructField("gone", IntegerType)))
+    val neu = StructType(Seq(
+      StructField("b", StringType), StructField("a", LongType), // reordered: NOT drift
+      StructField("c", DoubleType, nullable = true),            // loosened
+      StructField("d", TimestampType)))                         // new
+    val diff = graft.sources.Sources.schemaDiff(old, neu)
+    assert(diff.toSet === Set(
+      ("added", "d", "timestamp"),
+      ("removed", "gone", "int"),
+      ("nullability_changed", "c", "false -> true")))
+    assert(graft.sources.Sources.schemaDiff(old, old).isEmpty)
+    // type change reports both sides
+    val t = StructType(Seq(StructField("a", StringType)))
+    assert(graft.sources.Sources.schemaDiff(
+      StructType(Seq(StructField("a", LongType))), t) ===
+      Seq(("type_changed", "a", "bigint -> string")))
+  }
+
   test("filters and column pruning reach the ORC scan") {
     val events = GraftSession.table(spark, sfDir, "events")
     val dir = Files.createTempDirectory("graft_orc_push").toString
