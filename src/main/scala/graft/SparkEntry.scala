@@ -1306,6 +1306,16 @@ object SparkEntry {
       // the observed effect at alpha 0.05 / 80% power
       graft.analysis.Stats.abTestPower(events(s, dir), col("user_id"),
         col("user_id") % 2 === 0, col("event_type") === "purchase")),
+    "configured_curation_export" -> ((s, dir) =>
+      // the declarative entry point: near-dup keep-best + mixture + split
+      // + shards from ONE config object (ConfiguredCuration interpreter)
+      graft.config.ConfiguredCuration.export(table(s, dir, "documents"),
+        col("doc_id"), col("text"), col("lang"),
+        graft.config.CurationConfig(
+          dedup = graft.config.NearDupKeepBest(3, 16, 4, 0.5),
+          mixtureWeights = Map("en" -> 100, "fr" -> 50, "es" -> 25,
+            "de" -> 10, "zh" -> 75),
+          split = Some((90, 5)), shuffleShards = Some(8)))),
     "join_cardinality" -> ((s, dir) =>
       // join-explosion pre-flight: exact equi-join output cardinality of
       // events x orders on the user key, top contributing keys first
@@ -2609,6 +2619,15 @@ asofOracle,
     "curation_export_fuzzy" ->
       s"""$fuzzyCurationCtes
          |SELECT doc_id, source, n_tok FROM staged WHERE m""".stripMargin,
+    "configured_curation_export" ->
+      s"""$fuzzyCurationCtes
+         |SELECT doc_id, source, n_tok,
+         |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 4))::BIGINT % 100 < 90
+         |       THEN 'train'
+         |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 4))::BIGINT % 100 < 95
+         |       THEN 'val' ELSE 'test' END AS split,
+         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 4))::BIGINT % 8 AS shard
+         |FROM staged WHERE m""".stripMargin,
     "dup_span_stats" ->
       """WITH lw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |ch AS (

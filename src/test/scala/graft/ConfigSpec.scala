@@ -137,4 +137,34 @@ class ConfigSpec extends SparkSpec {
     // a single groupBy: exactly one shuffle exchange feeds one final agg
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
   }
+
+  test("configured curation equals the hand-written composition, both dedup modes") {
+    val docs = GraftSession.table(spark, "/root/testdata/sf0.001", "documents")
+    val w = Map("en" -> 100, "fr" -> 50, "es" -> 25, "de" -> 10, "zh" -> 75)
+    // exact mode
+    val exactCfg = graft.config.CurationConfig(mixtureWeights = w)
+    val viaCfg = graft.config.ConfiguredCuration.funnel(docs, col("doc_id"),
+      col("text"), col("lang"), exactCfg).orderBy("stage").collect().toSeq
+    val byHand = graft.curation.Curation.curationFunnel(docs, col("doc_id"),
+      col("text"), col("lang"), w).orderBy("stage").collect().toSeq
+    assert(viaCfg.nonEmpty && viaCfg == byHand)
+    // near-dup mode, with export shaping
+    val fuzzyCfg = graft.config.CurationConfig(
+      dedup = graft.config.NearDupKeepBest(3, 16, 4, 0.5), mixtureWeights = w,
+      split = Some((90, 5)), shuffleShards = Some(8))
+    val ex = graft.config.ConfiguredCuration.export(docs, col("doc_id"),
+      col("text"), col("lang"), fuzzyCfg)
+    assert(ex.columns.toSeq === Seq("doc_id", "source", "n_tok", "split", "shard"))
+    val pairs = graft.dedup.Dedup.minhashDedupVerified(docs, col("doc_id"),
+      col("text"), 3, 16, 4, 0.5)
+    val handRows = graft.curation.Curation.fuzzyCurationExport(docs, col("doc_id"),
+      col("text"), col("lang"), pairs,
+      graft.text.TextFeatures.qualityColumns(col("text")).last, w)
+      .select("doc_id").orderBy("doc_id").collect().toSeq
+    assert(ex.select("doc_id").orderBy("doc_id").collect().toSeq === handRows)
+    // export shaping is deterministic: same config, same assignment
+    assert(ex.orderBy("doc_id").collect().toSeq ===
+      graft.config.ConfiguredCuration.export(docs, col("doc_id"), col("text"),
+        col("lang"), fuzzyCfg).orderBy("doc_id").collect().toSeq)
+  }
 }
