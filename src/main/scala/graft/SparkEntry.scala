@@ -1316,6 +1316,11 @@ object SparkEntry {
           mixtureWeights = Map("en" -> 100, "fr" -> 50, "es" -> 25,
             "de" -> 10, "zh" -> 75),
           split = Some((90, 5)), shuffleShards = Some(8)))),
+    "column_profile" -> ((s, dir) =>
+      // the ingest's first look: per-column nulls + exact distincts in
+      // one pass (pairs with key_skew_report and schemaDiff)
+      graft.analysis.Stats.columnProfile(events(s, dir),
+        Seq("event_id", "ts", "user_id", "event_type", "value", "props"))),
     "join_cardinality" -> ((s, dir) =>
       // join-explosion pre-flight: exact equi-join output cardinality of
       // events x orders on the user key, top contributing keys first
@@ -3116,6 +3121,48 @@ asofOracle,
         |    CAST(ceil((num * num) / ((p1 - p2) * (p1 - p2))) AS BIGINT)
         |  END AS n_required_per_arm
         |FROM q""".stripMargin,
+    "column_profile" ->
+      """SELECT 'event_id' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  floor((CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS null_frac,
+        |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+        |FROM events
+        |UNION ALL
+        |SELECT 'ts' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  floor((CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS null_frac,
+        |  CAST(COUNT(DISTINCT ts) AS BIGINT) AS n_distinct
+        |FROM events
+        |UNION ALL
+        |SELECT 'user_id' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  floor((CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS null_frac,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+        |FROM events
+        |UNION ALL
+        |SELECT 'event_type' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  floor((CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS null_frac,
+        |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_distinct
+        |FROM events
+        |UNION ALL
+        |SELECT 'value' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  floor((CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS null_frac,
+        |  CAST(COUNT(DISTINCT value) AS BIGINT) AS n_distinct
+        |FROM events
+        |UNION ALL
+        |SELECT 'props' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  floor((CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS null_frac,
+        |  CAST(COUNT(DISTINCT props) AS BIGINT) AS n_distinct
+        |FROM events""".stripMargin,
     "join_cardinality" ->
       """WITH lc AS (
         |  SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n_left

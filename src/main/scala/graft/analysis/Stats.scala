@@ -521,6 +521,37 @@ object Stats {
       .groupBy(col("status")).agg(count(lit(1)).as("n"))
   }
 
+  /** Column profile: per column, row count, null count/fraction, and
+    * EXACT distinct cardinality — the first look any ingest gets (the
+    * Deequ-style audit; pairs with key_skew_report for the chosen keys
+    * and schemaDiff for the shape).
+    *
+    * ONE corpus pass: every column's null-sum and distinct ride a single
+    * aggregation (Spark plans multi-distinct as one Expand — k-way row
+    * multiplication, not k scans), and the per-column rows explode out of
+    * the single aggregated row. Min/max are deliberately NOT reported:
+    * their string forms are dialect-specific (double formatting), and
+    * typed extremes belong to the per-type queries.
+    */
+  def columnProfile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "columnProfile needs at least one column")
+    val aggs = columns.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val entries = columns.map { c =>
+      struct(lit(c).as("column_name"), col(s"__nn_$c").as("n_null"),
+        col(s"__nd_$c").as("n_distinct"))
+    }
+    one.select(col("__n"), explode(array(entries: _*)).as("__e"))
+      .select(col("__e.column_name").as("column_name"),
+        col("__n").as("n_rows"), col("__e.n_null").as("n_null"),
+        r6(col("__e.n_null").cast("double") / col("__n").cast("double"))
+          .as("null_frac"),
+        col("__e.n_distinct").as("n_distinct"))
+  }
+
   /** Benford first-digit audit: the observed distribution of leading
     * significant digits against Benford's law p(d) = log10(1 + 1/d), with
     * the chi-square distance. Fabricated or unit-mangled numeric feeds

@@ -363,6 +363,20 @@ class StatsSpec extends SparkSpec {
       "changed" -> 1L, "removed" -> 1L, "added" -> 1L))
   }
 
+  test("columnProfile: nulls and exact distincts per column, one scan") {
+    val df = Seq((1L, Some("a")), (2L, Some("a")), (3L, None), (4L, Some("b")))
+      .toDF("id", "v")
+    val out = graft.analysis.Stats.columnProfile(df, Seq("id", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("id").getLong(1) === 4 && out("id").getLong(2) === 0 &&
+      out("id").getLong(4) === 4)
+    assert(out("v").getLong(2) === 1 && out("v").getDouble(3) === 0.25 &&
+      out("v").getLong(4) === 2) // distinct excludes null
+    val plan = graft.analysis.Stats.columnProfile(df, Seq("id", "v"))
+      .queryExecution.executedPlan.toString
+    assert("LocalTableScan|Scan".r.findAllIn(plan).size <= 2, plan)
+  }
+
   test("jaro_winkler is callable from SQL (extension-registered)") {
     val r = spark.sql("SELECT jaro_winkler('martha', 'marhta') AS jw").collect().head
     assert(math.abs(r.getDouble(0) - 0.9611111111111111) < 1e-12)
