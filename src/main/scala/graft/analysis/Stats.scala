@@ -51,13 +51,23 @@ object Stats {
     val e = (sum(col("__c")).over(wa).cast("double") *
       sum(col("__c")).over(wb).cast("double")) /
       sum(col("__c")).over(wAll).cast("double")
+    // class cardinalities as row_number-gated sums, NOT countDistinct: a
+    // multi-distinct aggregate plans through RewriteDistinctAggregates,
+    // whose gid assignment iterates in exprId-dependent order — the plan
+    // fingerprint flipped run-to-run on identical code (instability
+    // class #4, caught by bench hash adjudication); the gates also drop
+    // the Expand entirely
+    val firstA = row_number().over(wa.orderBy(col("__b"))) === 1
+    val firstB = row_number().over(wb.orderBy(col("__a"))) === 1
     cells
       .withColumn("__n", sum(col("__c")).over(wAll))
+      .withColumn("__fa", when(firstA, 1L).otherwise(0L))
+      .withColumn("__fb", when(firstB, 1L).otherwise(0L))
       .withColumn("__term", q6((o - e) * (o - e) / e).cast("decimal(28,6)"))
       .agg(
         max(col("__n")).as("n"),
-        countDistinct(col("__a")).as("n_a"),
-        countDistinct(col("__b")).as("n_b"),
+        sum(col("__fa")).as("n_a"),
+        sum(col("__fb")).as("n_b"),
         sum(col("__term")).as("__chi2"))
       .select(
         col("n"), col("n_a"), col("n_b"),
@@ -103,10 +113,14 @@ object Stats {
         when(firstA, q6(entTerm(ra))).otherwise(lit(0.0)).cast("decimal(28,6)"))
       .withColumn("__hb",
         when(firstB, q6(entTerm(cb))).otherwise(lit(0.0)).cast("decimal(28,6)"))
+      // same gated-sum class counts as chiSquareIndependence (multi-
+      // distinct gid instability; the firstA/firstB gates already exist)
+      .withColumn("__fa", when(firstA, 1L).otherwise(0L))
+      .withColumn("__fb", when(firstB, 1L).otherwise(0L))
       .agg(
         max(col("__n")).as("n"),
-        countDistinct(col("__a")).as("n_a"),
-        countDistinct(col("__b")).as("n_b"),
+        sum(col("__fa")).as("n_a"),
+        sum(col("__fb")).as("n_b"),
         sum(col("__mi")).cast("double").as("mi"),
         sum(col("__ha")).cast("double").as("h_a"),
         sum(col("__hb")).cast("double").as("h_b"))
@@ -526,30 +540,34 @@ object Stats {
     * Deequ-style audit; pairs with key_skew_report for the chosen keys
     * and schemaDiff for the shape).
     *
-    * ONE corpus pass: every column's null-sum and distinct ride a single
-    * aggregation (Spark plans multi-distinct as one Expand — k-way row
-    * multiplication, not k scans), and the per-column rows explode out of
-    * the single aggregated row. Min/max are deliberately NOT reported:
-    * their string forms are dialect-specific (double formatting), and
-    * typed extremes belong to the per-type queries.
+    * ONE corpus pass: each row explodes into its k column-role views
+    * (same row multiplication an Expand-planned multi-distinct would pay)
+    * and ONE groupBy(column) folds count/nulls/distinct — deliberately
+    * NOT k countDistincts in one aggregate: RewriteDistinctAggregates
+    * assigns its gids in exprId-dependent iteration order, so a
+    * multi-distinct plan's fingerprint flips when ANY earlier query
+    * changes expression allocation (instability class #4 — the same bug
+    * fixed in chi2/MI, here avoided structurally). The distinct key is
+    * the value's STRING form — injective for every type the profile
+    * meets (full-precision double formatting, microsecond timestamps),
+    * and the oracle's raw-value distinct agrees or parity fails loudly.
+    * Min/max are deliberately NOT reported: their string forms are
+    * dialect-specific, and typed extremes belong to the per-type queries.
     */
   def columnProfile(df: DataFrame, columns: Seq[String]): DataFrame = {
     require(columns.nonEmpty, "columnProfile needs at least one column")
-    val aggs = columns.flatMap { c =>
-      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
-        countDistinct(col(c)).as(s"__nd_$c"))
-    }
-    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
     val entries = columns.map { c =>
-      struct(lit(c).as("column_name"), col(s"__nn_$c").as("n_null"),
-        col(s"__nd_$c").as("n_distinct"))
+      struct(lit(c).as("cn"), col(c).isNull.as("isn"), col(c).cast("string").as("v"))
     }
-    one.select(col("__n"), explode(array(entries: _*)).as("__e"))
-      .select(col("__e.column_name").as("column_name"),
-        col("__n").as("n_rows"), col("__e.n_null").as("n_null"),
-        r6(col("__e.n_null").cast("double") / col("__n").cast("double"))
+    df.select(explode(array(entries: _*)).as("__e"))
+      .groupBy(col("__e.cn").as("column_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__e.isn"), 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("__e.v")).as("n_distinct"))
+      .select(col("column_name"), col("n_rows"), col("n_null"),
+        r6(col("n_null").cast("double") / col("n_rows").cast("double"))
           .as("null_frac"),
-        col("__e.n_distinct").as("n_distinct"))
+        col("n_distinct"))
   }
 
   /** Benford first-digit audit: the observed distribution of leading

@@ -20,6 +20,7 @@ def main():
         if os.path.isdir(os.path.join(a_dir, d))
     )
     bad = 0
+    order_only = 0
     for name in names:
         pa = os.path.join(a_dir, name)
         pb = os.path.join(b_dir, name)
@@ -35,11 +36,23 @@ def main():
             bad += 1
             continue
         if not ta.select(cols).equals(tb.select(cols)):
-            print(f"[DIFF] {name}: content or order differs")
-            bad += 1
+            # distinguish CONTENT divergence (a real determinism bug) from
+            # row-ORDER divergence (shuffle-fetch order on a join-tailed
+            # frame — the driver's sorted-hash compare is order-free, and
+            # an unordered operator is CORRECT to leave unordered at scale)
+            ra = sorted(map(tuple, zip(*[ta.column(c).to_pylist() for c in cols])))
+            rb = sorted(map(tuple, zip(*[tb.column(c).to_pylist() for c in cols])))
+            if ra == rb:
+                print(f"[ORDR] {name}: content identical, row order differs "
+                      f"(unordered operator; driver compare unaffected)")
+                order_only += 1
+            else:
+                print(f"[DIFF] {name}: CONTENT differs")
+                bad += 1
             continue
         print(f"[ OK ] {name}: {ta.num_rows} rows identical")
-    print(f"\n{len(names) - bad} identical, {bad} mismatched")
+    print(f"\n{len(names) - bad - order_only} identical, "
+          f"{order_only} order-only, {bad} content-mismatched")
     sys.exit(1 if bad else 0)
 
 
