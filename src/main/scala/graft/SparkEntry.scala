@@ -1326,6 +1326,17 @@ object SparkEntry {
       // events x orders on the user key, top contributing keys first
       graft.analysis.Stats.joinCardinality(events(s, dir), col("user_id"),
         table(s, dir, "orders"), col("o_custkey"), 10)),
+    "corr_matrix" -> ((s, dir) =>
+      // feature-redundancy audit: exact-moment Pearson pairs over the
+      // lineitem measures in one pass
+      graft.analysis.Stats.corrPairs(table(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    "ks_drift" -> ((s, dir) =>
+      // distribution-shift tripwire: KS distance between purchase and
+      // click value distributions (distributed two-phase ECDF prefix)
+      graft.analysis.Stats.ksDrift(
+        events(s, dir).filter(col("event_type").isin("click", "purchase")),
+        col("value"), col("event_type") === "purchase")),
     "snapshot_diff" -> ((s, dir) => {
       // state reconciliation: per-user latest event_type mid-month vs now
       // (added / removed / changed / unchanged counts)
@@ -2759,6 +2770,89 @@ asofOracle,
         |  CASE WHEN h_a > 0 AND h_b > 0 THEN
         |    floor((mi / sqrt(h_a * h_b)) * 1000000.0 + 0.5) / 1000000.0 END AS nmi
         |FROM g""".stripMargin,
+    // one exact-moment row (DECIMAL sums of 6dp-quantized values; the
+    // cross moments are exact DECIMAL(37,12) products), six pair arms off
+    // it, one fixed-shape IEEE corr expression per arm
+    "corr_matrix" ->
+      """WITH r AS (
+        |  SELECT
+        |    CAST(floor(l_discount * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS q_di,
+        |    CAST(floor(l_extendedprice * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS q_ep,
+        |    CAST(floor(l_quantity * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS q_qt,
+        |    CAST(floor(l_tax * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS q_tx
+        |  FROM lineitem
+        |  WHERE l_discount IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_quantity IS NOT NULL AND l_tax IS NOT NULL),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(q_di) AS s_di, SUM(q_ep) AS s_ep, SUM(q_qt) AS s_qt, SUM(q_tx) AS s_tx,
+        |    SUM(CAST(q_di AS DECIMAL(19,6)) * CAST(q_di AS DECIMAL(19,6))) AS ss_di, SUM(CAST(q_ep AS DECIMAL(19,6)) * CAST(q_ep AS DECIMAL(19,6))) AS ss_ep,
+        |    SUM(CAST(q_qt AS DECIMAL(19,6)) * CAST(q_qt AS DECIMAL(19,6))) AS ss_qt, SUM(CAST(q_tx AS DECIMAL(19,6)) * CAST(q_tx AS DECIMAL(19,6))) AS ss_tx,
+        |    SUM(CAST(q_di AS DECIMAL(19,6)) * CAST(q_ep AS DECIMAL(19,6))) AS sp_di_ep, SUM(CAST(q_di AS DECIMAL(19,6)) * CAST(q_qt AS DECIMAL(19,6))) AS sp_di_qt,
+        |    SUM(CAST(q_di AS DECIMAL(19,6)) * CAST(q_tx AS DECIMAL(19,6))) AS sp_di_tx, SUM(CAST(q_ep AS DECIMAL(19,6)) * CAST(q_qt AS DECIMAL(19,6))) AS sp_ep_qt,
+        |    SUM(CAST(q_ep AS DECIMAL(19,6)) * CAST(q_tx AS DECIMAL(19,6))) AS sp_ep_tx, SUM(CAST(q_qt AS DECIMAL(19,6)) * CAST(q_tx AS DECIMAL(19,6))) AS sp_qt_tx
+        |  FROM r),
+        |u AS (
+        |  SELECT 'l_discount' AS col_a, 'l_extendedprice' AS col_b, n,
+        |    CAST(s_di AS DOUBLE) AS sx, CAST(s_ep AS DOUBLE) AS sy,
+        |    CAST(ss_di AS DOUBLE) AS sxx, CAST(ss_ep AS DOUBLE) AS syy,
+        |    CAST(sp_di_ep AS DOUBLE) AS sxy FROM m
+        |  UNION ALL SELECT 'l_discount', 'l_quantity', n,
+        |    CAST(s_di AS DOUBLE), CAST(s_qt AS DOUBLE), CAST(ss_di AS DOUBLE),
+        |    CAST(ss_qt AS DOUBLE), CAST(sp_di_qt AS DOUBLE) FROM m
+        |  UNION ALL SELECT 'l_discount', 'l_tax', n,
+        |    CAST(s_di AS DOUBLE), CAST(s_tx AS DOUBLE), CAST(ss_di AS DOUBLE),
+        |    CAST(ss_tx AS DOUBLE), CAST(sp_di_tx AS DOUBLE) FROM m
+        |  UNION ALL SELECT 'l_extendedprice', 'l_quantity', n,
+        |    CAST(s_ep AS DOUBLE), CAST(s_qt AS DOUBLE), CAST(ss_ep AS DOUBLE),
+        |    CAST(ss_qt AS DOUBLE), CAST(sp_ep_qt AS DOUBLE) FROM m
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax', n,
+        |    CAST(s_ep AS DOUBLE), CAST(s_tx AS DOUBLE), CAST(ss_ep AS DOUBLE),
+        |    CAST(ss_tx AS DOUBLE), CAST(sp_ep_tx AS DOUBLE) FROM m
+        |  UNION ALL SELECT 'l_quantity', 'l_tax', n,
+        |    CAST(s_qt AS DOUBLE), CAST(s_tx AS DOUBLE), CAST(ss_qt AS DOUBLE),
+        |    CAST(ss_tx AS DOUBLE), CAST(sp_qt_tx AS DOUBLE) FROM m),
+        |v AS (
+        |  SELECT col_a, col_b, n,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS vx,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS vy,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS cov
+        |  FROM u)
+        |SELECT col_a, col_b, n,
+        |  CASE WHEN n >= 2 AND vx > 0.0 AND vy > 0.0
+        |    THEN floor((cov / (sqrt(vx) * sqrt(vy))) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS corr
+        |FROM v""".stripMargin,
+    // exact-long ECDF prefixes (the engine's distributed two-phase scan
+    // and this window cumulative see identical integers), one IEEE
+    // division per distinct value, order-free max
+    "ks_drift" ->
+      """WITH r AS (
+        |  SELECT value AS v, (event_type = 'purchase') AS b
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+        |c AS (
+        |  SELECT v, SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN b THEN 1 ELSE 0 END) AS c2
+        |  FROM r GROUP BY v),
+        |t AS (
+        |  SELECT CAST(SUM(c1) AS BIGINT) AS n_a, CAST(SUM(c2) AS BIGINT) AS n_b
+        |  FROM c HAVING SUM(c1) > 0 AND SUM(c2) > 0),
+        |g AS (
+        |  SELECT CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS g1,
+        |    CAST(SUM(c2) OVER (ORDER BY v) AS BIGINT) AS g2
+        |  FROM c),
+        |d AS (
+        |  SELECT n_a, n_b,
+        |    floor(MAX(ABS(CAST(g1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |                  - CAST(g2 AS DOUBLE) / CAST(n_b AS DOUBLE)))
+        |      * 1000000.0 + 0.5) / 1000000.0 AS d_stat,
+        |    floor(MAX(1.358 * sqrt(CAST(n_a + n_b AS DOUBLE)
+        |                           / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))))
+        |      * 1000000.0 + 0.5) / 1000000.0 AS d_crit_95
+        |  FROM g CROSS JOIN t GROUP BY n_a, n_b)
+        |SELECT n_a, n_b, d_stat, d_crit_95, d_stat > d_crit_95 AS drift
+        |FROM d""".stripMargin,
     // moments are DECIMAL sums of 6dp-quantized values, so mean/std are
     // single IEEE expressions over identical inputs on both engines
     "zscore_outliers" ->

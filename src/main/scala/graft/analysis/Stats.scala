@@ -754,4 +754,116 @@ object Stats {
         col("conv_a") + col("conv_b") < col("n_a") + col("n_b"),
         r6((pa - pb) / se)).as("z"))
   }
+
+  /** Pairwise Pearson correlation matrix over a set of numeric columns —
+    * the feature-redundancy audit (two near-collinear quality signals
+    * weight the same evidence twice in any downstream score).
+    *
+    * ONE corpus pass: listwise-complete rows (any-null dropped, so every
+    * pair shares one n) fold to a single row of exact moments — each
+    * column 6dp-quantized to DECIMAL(18,6), so Σq and the Σqᵢqⱼ cross
+    * moments (DECIMAL(37,12) products) are bit-exact under any partial
+    * merge order — and the p(p−1)/2 pair rows explode out of that one
+    * aggregated row. r = (nΣxy − ΣxΣy)/(√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²))
+    * in a fixed IEEE shape off the exact sums; a zero-variance side
+    * reports NULL. Output: col_a, col_b (name-ordered), n, corr.
+    */
+  def corrPairs(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.size >= 2, "corrPairs needs at least two columns")
+    require(columns.distinct.size == columns.size, "corrPairs: duplicate column")
+    val cols = columns.sorted
+    val rows = df.select(cols.map(c => q6(col(c).cast("double"))
+        .cast("decimal(18,6)").as(s"__q_$c")): _*)
+      .filter(cols.map(c => col(s"__q_$c").isNotNull).reduce(_ && _))
+    val moments =
+      Seq(count(lit(1)).as("__n")) ++
+        cols.map(c => sum(col(s"__q_$c")).as(s"__s_$c")) ++
+        cols.map(c => sum(col(s"__q_$c") * col(s"__q_$c")).as(s"__ss_$c")) ++
+        cols.combinations(2).map { case Seq(a, b) =>
+          sum(col(s"__q_$a") * col(s"__q_$b")).as(s"__sp_${a}__$b")
+        }.toSeq
+    val one = rows.agg(moments.head, moments.tail: _*)
+    def d(c: Column) = c.cast("double")
+    val pairs = cols.combinations(2).map { case Seq(a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        d(col(s"__s_$a")).as("sx"), d(col(s"__s_$b")).as("sy"),
+        d(col(s"__ss_$a")).as("sxx"), d(col(s"__ss_$b")).as("syy"),
+        d(col(s"__sp_${a}__$b")).as("sxy"))
+    }.toSeq
+    val n = d(col("__n"))
+    val vx = n * col("__e.sxx") - col("__e.sx") * col("__e.sx")
+    val vy = n * col("__e.syy") - col("__e.sy") * col("__e.sy")
+    val cov = n * col("__e.sxy") - col("__e.sx") * col("__e.sy")
+    one.select(col("__n"), explode(array(pairs: _*)).as("__e"))
+      .select(col("__e.col_a").as("col_a"), col("__e.col_b").as("col_b"),
+        col("__n").as("n"),
+        when(col("__n") >= 2 && vx > 0.0 && vy > 0.0,
+          r6(cov / (sqrt(vx) * sqrt(vy)))).as("corr"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift test: D = max|F₁(v) − F₂(v)|
+    * between the value distributions of two row populations (e.g. this
+    * week's feed vs last week's) — the distribution-shift tripwire that a
+    * mean/variance z-test misses (a variance swap leaves the mean alone).
+    *
+    * Scale shape (no SinglePartition funnel): per-value pair counts ride
+    * one exchange; the ECDF prefix is a distributed two-phase scan —
+    * range-repartition on value, a partition-local typed fold to local
+    * prefixes, per-partition totals cumulated over the (tiny,
+    * partition-count-sized) offset frame, broadcast back. The global
+    * prefix (c₁, c₂) at each distinct value is independent of where the
+    * sampled range boundaries land, so the output is run-deterministic
+    * even though RangePartitioner samples. D candidates are exact-long
+    * cumulative counts pushed through one fixed-shape IEEE division each;
+    * max is order-free. Both sides empty-guarded: a degenerate split
+    * (either population empty) yields zero rows, not NaN.
+    *
+    * Output (one row): n_a, n_b, d_stat, d_crit_95
+    * (= 1.358·√((n₁+n₂)/(n₁·n₂))), drift (d_stat > d_crit_95 compared
+    * after r6 — both engines see identical rounded values).
+    */
+  def ksDrift(df: DataFrame, value: Column, sampleB: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.select(value.cast("double").as("__v"), sampleB.as("__b"))
+      .filter(col("__v").isNotNull && col("__b").isNotNull)
+      .groupBy(col("__v"))
+      .agg(sum(when(!col("__b"), 1L).otherwise(0L)).as("__c1"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("__c2"))
+    val ranged = counts
+      .repartitionByRange(col("__v"))
+      .sortWithinPartitions(col("__v"))
+      .select(col("__v"), col("__c1"), col("__c2"))
+      .as[(Double, Long, Long)]
+    // partition-local inclusive prefixes; pid tags the segment
+    val local = ranged.mapPartitions { iter =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var l1 = 0L; var l2 = 0L
+      iter.map { case (_, c1, c2) =>
+        l1 += c1; l2 += c2
+        (pid, l1, l2)
+      }
+    }.toDF("__pid", "__l1", "__l2")
+    // segment totals -> exclusive offsets; frame is partition-count-sized
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("__pid"))
+      .agg(max(col("__l1")).as("__t1"), max(col("__l2")).as("__t2"))
+      .select(col("__pid"),
+        coalesce(sum(col("__t1")).over(w), lit(0L)).as("__o1"),
+        coalesce(sum(col("__t2")).over(w), lit(0L)).as("__o2"))
+    val totals = counts.agg(sum(col("__c1")).as("n_a"), sum(col("__c2")).as("n_b"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+    def d(c: Column) = c.cast("double")
+    val step = abs(d(col("__l1") + col("__o1")) / d(col("n_a")) -
+      d(col("__l2") + col("__o2")) / d(col("n_b")))
+    val crit = lit(1.358) * sqrt(d(col("n_a") + col("n_b")) /
+      (d(col("n_a")) * d(col("n_b"))))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(r6(max(step)).as("d_stat"), r6(max(crit)).as("d_crit_95"))
+      .select(col("n_a"), col("n_b"), col("d_stat"), col("d_crit_95"),
+        (col("d_stat") > col("d_crit_95")).as("drift"))
+  }
 }

@@ -395,4 +395,50 @@ class StatsSpec extends SparkSpec {
     val byPair = out.map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
     assert(byPair(("new", "york")) > byPair(("is", "big")))
   }
+
+  test("corrPairs: perfect correlation, anti-correlation, zero-variance null") {
+    val df = Seq((1.0, 2.0, 5.0, 7.0), (2.0, 4.0, 4.0, 7.0),
+      (3.0, 6.0, 3.0, 7.0), (4.0, 8.0, 2.0, 7.0))
+      .toDF("x", "y2", "yneg", "konst").repartition(3)
+    val out = graft.analysis.Stats.corrPairs(df, Seq("x", "y2", "yneg", "konst"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out.size === 6)
+    assert(out(("x", "y2")) === Some(1.0))      // y = 2x
+    assert(out(("x", "yneg")) === Some(-1.0))   // y = 6 - x
+    assert(out(("konst", "x")) === None)        // zero variance side
+    assert(out(("y2", "yneg")) === Some(-1.0))
+    // name-ordered pair labels: col_a < col_b always
+    assert(out.keys.forall { case (a, b) => a < b })
+  }
+
+  test("corrPairs: listwise-complete n shared across pairs") {
+    val df = Seq((Some(1.0), Some(1.0), Some(9.0)), (Some(2.0), None, Some(8.0)),
+      (Some(3.0), Some(3.0), Some(7.0)), (Some(4.0), Some(5.0), Some(1.0)))
+      .toDF("a", "b", "c")
+    val rows = graft.analysis.Stats.corrPairs(df, Seq("a", "b", "c")).collect()
+    assert(rows.forall(_.getLong(2) === 3L)) // the None row drops everywhere
+  }
+
+  test("ksDrift: identical samples give D=0; disjoint samples give D=1") {
+    val same = (1 to 40).flatMap(i => Seq((i.toDouble, false), (i.toDouble, true)))
+      .toDF("v", "b").repartition(5)
+    val r0 = graft.analysis.Stats.ksDrift(same, col("v"), col("b")).collect().head
+    assert(r0.getAs[Long]("n_a") === 40 && r0.getAs[Long]("n_b") === 40)
+    assert(r0.getAs[Double]("d_stat") === 0.0 && !r0.getAs[Boolean]("drift"))
+    val apart = ((1 to 30).map(i => (i.toDouble, false)) ++
+      (31 to 60).map(i => (i.toDouble, true))).toDF("v", "b").repartition(5)
+    val r1 = graft.analysis.Stats.ksDrift(apart, col("v"), col("b")).collect().head
+    assert(r1.getAs[Double]("d_stat") === 1.0 && r1.getAs[Boolean]("drift"))
+  }
+
+  test("ksDrift: known small-sample D and empty-side guard") {
+    // F1 over {1,2,3,4}, F2 over {3,4,5,6}: max gap is 1/2 at v=2
+    val df = (Seq(1.0, 2.0, 3.0, 4.0).map((_, false)) ++
+      Seq(3.0, 4.0, 5.0, 6.0).map((_, true))).toDF("v", "b").repartition(3)
+    val r = graft.analysis.Stats.ksDrift(df, col("v"), col("b")).collect().head
+    assert(r.getAs[Double]("d_stat") === 0.5)
+    val oneSided = Seq((1.0, false), (2.0, false)).toDF("v", "b")
+    assert(graft.analysis.Stats.ksDrift(oneSided, col("v"), col("b")).count() === 0)
+  }
 }
