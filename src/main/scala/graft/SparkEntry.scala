@@ -1285,6 +1285,11 @@ object SparkEntry {
       // SUSTAINED value shift (k = 150 reference, h = 500 decision)
       graft.operators.Ewma.cusum(events(s, dir), col("user_id"), col("ts"),
         col("event_id"), col("value"), 150.0, 500.0)),
+    "holt_linear" -> ((s, dir) =>
+      // trend-aware smoother: level + trend state per user, one-step
+      // forecast out (alpha = 0.5, beta = 0.25, binary-exact)
+      graft.operators.Ewma.holtLinear(events(s, dir), col("user_id"),
+        col("ts"), col("event_id"), col("value"), 0.5, 0.25)),
     "mad_outliers" -> ((s, dir) =>
       // robust outlier sweep: median/MAD scoring at 3.5 MADs (the
       // heavy-tail-safe sibling of zscore_outliers)
@@ -3105,6 +3110,28 @@ asofOracle,
         |  FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1)
         |SELECT user_id, event_id, value,
         |  floor(s * 1000000.0 + 0.5) / 1000000.0 AS ewma
+        |FROM r""".stripMargin,
+    // two-accumulator recursion, same fixed IEEE operation tree as the
+    // engine's fold (the trend term re-evaluates the level expression —
+    // identical bits to the engine's reuse of the just-computed level)
+    "holt_linear" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT user_id, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |r AS (
+        |  SELECT user_id, event_id, value, rn, value AS l,
+        |    CAST(0.0 AS DOUBLE) AS tr
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.user_id, b.event_id, b.value, b.rn,
+        |    0.5 * b.value + 0.5 * (r.l + r.tr),
+        |    0.25 * ((0.5 * b.value + 0.5 * (r.l + r.tr)) - r.l) + 0.75 * r.tr
+        |  FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+        |SELECT user_id, event_id, value,
+        |  floor(l * 1000000.0 + 0.5) / 1000000.0 AS level,
+        |  floor(tr * 1000000.0 + 0.5) / 1000000.0 AS trend,
+        |  floor((l + tr) * 1000000.0 + 0.5) / 1000000.0 AS forecast
         |FROM r""".stripMargin,
     // the alarm compares the RAW statistic (rounding only at output),
     // exactly like the engine's fold

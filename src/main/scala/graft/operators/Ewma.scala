@@ -92,4 +92,55 @@ object Ewma {
       }
     }.toDF("user_id", "event_id", "value", "cusum", "alarm")
   }
+
+  /** Holt's linear (double-exponential) smoother per entity: EWMA plus an
+    * explicit trend state, so a steadily climbing series is tracked
+    * instead of lagged — lᵢ = α·xᵢ + (1−α)(lᵢ₋₁ + bᵢ₋₁),
+    * bᵢ = β(lᵢ − lᵢ₋₁) + (1−β)bᵢ₋₁, seeded l₁ = x₁, b₁ = 0. Emits level,
+    * trend and the one-step-ahead forecast lᵢ + bᵢ (the value the NEXT
+    * point is judged against — the forecast-residual anomaly input).
+    *
+    * Same execution shape and determinism contract as [[smooth]]: one
+    * entity-key repartition + streaming fold with TWO doubles of state;
+    * α/β restricted to binary-exact quarters and the update expressions
+    * kept to a fixed operation tree, so the recursion replays
+    * bit-identically against the DuckDB two-accumulator recursive-CTE
+    * oracle (`holt_linear`).
+    */
+  def holtLinear(df: DataFrame, entity: Column, ts: Column, tiebreak: Column,
+                 value: Column, alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"holt needs alpha in (0, 1], got $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"holt needs beta in [0, 1], got $beta")
+    require(alpha * 4 == math.rint(alpha * 4) && beta * 4 == math.rint(beta * 4),
+      s"holt needs binary-exact quarter alpha/beta for cross-engine " +
+        s"determinism, got $alpha/$beta")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ca = 1.0 - alpha
+    val cb = 1.0 - beta
+    val prepared = df
+      .select(entity.cast("long").as("__e"), ts.as("__ts"),
+        tiebreak.cast("long").as("__tie"), value.cast("double").as("__v"))
+      .filter(col("__v").isNotNull && col("__ts").isNotNull)
+      .repartition(col("__e"))
+      .sortWithinPartitions(col("__e"), col("__ts"), col("__tie"))
+      .select(col("__e"), col("__tie"), col("__v"))
+      .as[(Long, Long, Double)]
+    prepared.mapPartitions { iter =>
+      var cur = Long.MinValue
+      var open = false
+      var l = 0.0
+      var tr = 0.0
+      iter.map { case (e, tie, v) =>
+        if (!open || e != cur) { cur = e; open = true; l = v; tr = 0.0 }
+        else {
+          val lPrev = l
+          l = alpha * v + ca * (l + tr)
+          tr = beta * (l - lPrev) + cb * tr
+        }
+        def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+        (e, tie, v, r6(l), r6(tr), r6(l + tr))
+      }
+    }.toDF("user_id", "event_id", "value", "level", "trend", "forecast")
+  }
 }

@@ -225,6 +225,26 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("holtLinear: tracks a pure linear trend exactly after warm-up") {
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:0$i%01d:00")
+    // x = 10, 12, 14 with alpha = 0.5, beta = 0.5:
+    // l1=10, b1=0; l2=.5*12+.5*10=11, b2=.5*(11-10)+.5*0=0.5, f2=11.5
+    // l3=.5*14+.5*11.5=12.75, b3=.5*1.75+.25... recompute: .5*(12.75-11)+.5*.5=1.125
+    val df = Seq((1L, ts(1), 1L, 10.0), (1L, ts(2), 2L, 12.0),
+      (1L, ts(3), 3L, 14.0), (2L, ts(1), 4L, 5.0))
+      .toDF("u", "ts", "id", "v")
+    val out = graft.operators.Ewma.holtLinear(df.repartition(4), col("u"),
+      col("ts"), col("id"), col("v"), 0.5, 0.5)
+      .orderBy("user_id", "event_id").collect()
+    assert(out.map(_.getDouble(3)).toSeq === Seq(10.0, 11.0, 12.75, 5.0))
+    assert(out.map(_.getDouble(4)).toSeq === Seq(0.0, 0.5, 1.125, 0.0))
+    assert(out.map(_.getDouble(5)).toSeq === Seq(10.0, 11.5, 13.875, 5.0))
+    intercept[IllegalArgumentException] {
+      graft.operators.Ewma.holtLinear(df, col("u"), col("ts"), col("id"),
+        col("v"), 0.5, 0.3)
+    }
+  }
+
   test("cusum: accumulates sustained shift, clamps at zero, alarms on raw stat") {
     def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:0$i%01d:00")
     // k=10, h=5: values 12,12,8,20 -> s = 2, 4, max(0,2)=2, 12 (alarm)
