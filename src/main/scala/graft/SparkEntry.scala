@@ -1342,6 +1342,10 @@ object SparkEntry {
       graft.analysis.Stats.ksDrift(
         events(s, dir).filter(col("event_type").isin("click", "purchase")),
         col("value"), col("event_type") === "purchase")),
+    "psi_drift" -> ((s, dir) =>
+      // model-monitoring standard: PSI of the value feed, second time
+      // half vs first, over the baseline's own deciles
+      graft.analysis.Stats.psiDrift(events(s, dir), col("ts"), col("value"), 10)),
     "snapshot_diff" -> ((s, dir) => {
       // state reconciliation: per-user latest event_type mid-month vs now
       // (added / removed / changed / unchanged counts)
@@ -2828,6 +2832,54 @@ asofOracle,
         |    THEN floor((cov / (sqrt(vx) * sqrt(vy))) * 1000000.0 + 0.5) / 1000000.0
         |  END AS corr
         |FROM v""".stripMargin,
+    // baseline deciles via the percentile ≡ quantile_cont parity; PSI
+    // terms on 1e-6-clipped exact-ratio doubles, q6 then DECIMAL-summed
+    "psi_drift" ->
+      """WITH r AS (
+        |  SELECT ts, value AS v FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |mid AS (
+        |  SELECT (CAST(date_diff('microsecond', TIMESTAMP '1970-01-01', MIN(ts)) AS BIGINT)
+        |        + CAST(date_diff('microsecond', TIMESTAMP '1970-01-01', MAX(ts)) AS BIGINT)) / 2 AS m
+        |  FROM r),
+        |tg AS (
+        |  SELECT v,
+        |    CAST(date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS BIGINT) >= m AS cur
+        |  FROM r, mid),
+        |e AS (
+        |  SELECT quantile_cont(v, 0.1) AS e1, quantile_cont(v, 0.2) AS e2,
+        |    quantile_cont(v, 0.3) AS e3, quantile_cont(v, 0.4) AS e4,
+        |    quantile_cont(v, 0.5) AS e5, quantile_cont(v, 0.6) AS e6,
+        |    quantile_cont(v, 0.7) AS e7, quantile_cont(v, 0.8) AS e8,
+        |    quantile_cont(v, 0.9) AS e9
+        |  FROM tg WHERE NOT cur),
+        |b AS (
+        |  SELECT cur,
+        |    (CASE WHEN v > e1 THEN 1 ELSE 0 END) + (CASE WHEN v > e2 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN v > e3 THEN 1 ELSE 0 END) + (CASE WHEN v > e4 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN v > e5 THEN 1 ELSE 0 END) + (CASE WHEN v > e6 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN v > e7 THEN 1 ELSE 0 END) + (CASE WHEN v > e8 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN v > e9 THEN 1 ELSE 0 END) AS bk
+        |  FROM tg, e),
+        |c AS (
+        |  SELECT bk, SUM(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS c2
+        |  FROM b GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(SUM(c1) AS BIGINT) AS n_base, CAST(SUM(c2) AS BIGINT) AS n_cur
+        |  FROM c HAVING SUM(c1) > 0 AND SUM(c2) > 0),
+        |g AS (
+        |  SELECT n_base, n_cur,
+        |    SUM(CAST(floor(((GREATEST(CAST(c1 AS DOUBLE) / CAST(n_base AS DOUBLE), 0.000001)
+        |                     - GREATEST(CAST(c2 AS DOUBLE) / CAST(n_cur AS DOUBLE), 0.000001))
+        |                    * ln(GREATEST(CAST(c1 AS DOUBLE) / CAST(n_base AS DOUBLE), 0.000001)
+        |                         / GREATEST(CAST(c2 AS DOUBLE) / CAST(n_cur AS DOUBLE), 0.000001)))
+        |                   * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS s
+        |  FROM c CROSS JOIN t GROUP BY 1, 2)
+        |SELECT n_base, n_cur,
+        |  floor(CAST(s AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS psi,
+        |  floor(CAST(s AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 > 0.2 AS shifted
+        |FROM g""".stripMargin,
     // exact-long ECDF prefixes (the engine's distributed two-phase scan
     // and this window cumulative see identical integers), one IEEE
     // division per distinct value, order-free max

@@ -866,4 +866,56 @@ object Stats {
       .select(col("n_a"), col("n_b"), col("d_stat"), col("d_crit_95"),
         (col("d_stat") > col("d_crit_95")).as("drift"))
   }
+
+  /** Population Stability Index between the first and second time half of
+    * a value feed, over the baseline's own decile buckets — the
+    * model-monitoring standard for "has the input distribution my
+    * thresholds were tuned on moved" (PSI < 0.1 stable, > 0.2 shifted).
+    *
+    * Three corpus passes by necessity (midpoint, baseline cutpoints,
+    * bucketed fold) — the ccnet/winsorize shape: the exact-percentile
+    * edges are ONE baseline aggregation broadcast back, the bucket id is
+    * a fixed sum of edge comparisons (interpolated edges are identical
+    * doubles on both engines via the percentile ≡ quantile_cont parity),
+    * and the final fold is map-side combinable at bucket cardinality.
+    * PSI terms (p−q)·ln(p/q) are computed per bucket on 1e-6-clipped
+    * exact-ratio doubles, q6-quantized, DECIMAL-summed; both populations
+    * empty-guarded (a degenerate split yields zero rows). Output (one
+    * row): n_base, n_cur, psi, shifted (psi > 0.2 after r6).
+    */
+  def psiDrift(df: DataFrame, ts: Column, value: Column, buckets: Int): DataFrame = {
+    require(buckets >= 2 && buckets <= 100,
+      s"psiDrift needs buckets in [2, 100], got $buckets")
+    val rows = df.select(ts.as("__ts"), value.cast("double").as("__v"))
+      .filter(col("__ts").isNotNull && col("__v").isNotNull)
+    val mid = broadcast(rows.agg(
+      ((unix_micros(min(col("__ts"))) + unix_micros(max(col("__ts")))) / lit(2L))
+        .as("__mid")))
+    val tagged = rows.crossJoin(mid)
+      .withColumn("__cur", unix_micros(col("__ts")) >= col("__mid"))
+    val cutAggs = (1 until buckets).map { i =>
+      expr(s"percentile(__v, ${i.toDouble / buckets}D)").as(s"__e$i")
+    }
+    val edges = broadcast(tagged.filter(!col("__cur"))
+      .agg(cutAggs.head, cutAggs.tail: _*))
+    val bucket = (1 until buckets)
+      .map(i => when(col("__v") > col(s"__e$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val counts = tagged.crossJoin(edges)
+      .groupBy(bucket.as("__b"))
+      .agg(sum(when(!col("__cur"), 1L).otherwise(0L)).as("__c1"),
+        sum(when(col("__cur"), 1L).otherwise(0L)).as("__c2"))
+    val totals = broadcast(counts.agg(
+      sum(col("__c1")).as("n_base"), sum(col("__c2")).as("n_cur"))
+      .filter(col("n_base") > 0 && col("n_cur") > 0))
+    def d(c: Column) = c.cast("double")
+    val p = greatest(d(col("__c1")) / d(col("n_base")), lit(0.000001))
+    val q = greatest(d(col("__c2")) / d(col("n_cur")), lit(0.000001))
+    counts.crossJoin(totals)
+      .withColumn("__term", q6((p - q) * log(p / q)).cast("decimal(28,6)"))
+      .groupBy(col("n_base"), col("n_cur"))
+      .agg(r6(sum(col("__term")).cast("double")).as("psi"))
+      .select(col("n_base"), col("n_cur"), col("psi"),
+        (col("psi") > 0.2).as("shifted"))
+  }
 }

@@ -225,6 +225,30 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("psiDrift: unchanged distribution scores ~0, a hard shift fires") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // first half and second half draw the same 1..20 values -> PSI 0
+    val stable = ((1 to 20).map(i => (ts("2024-01-01 00:00:00"), i.toDouble)) ++
+      (1 to 20).map(i => (ts("2024-01-02 00:00:00"), i.toDouble)))
+      .toDF("ts", "v").repartition(4)
+    val r0 = graft.analysis.Stats.psiDrift(stable, col("ts"), col("v"), 10)
+      .collect().head
+    assert(r0.getAs[Long]("n_base") === 20 && r0.getAs[Long]("n_cur") === 20)
+    assert(r0.getAs[Double]("psi") === 0.0 && !r0.getAs[Boolean]("shifted"))
+    // second half jumps two orders of magnitude -> every row lands in the
+    // top bucket, PSI far above 0.2
+    val shifted = ((1 to 20).map(i => (ts("2024-01-01 00:00:00"), i.toDouble)) ++
+      (1 to 20).map(i => (ts("2024-01-02 00:00:00"), 1000.0 + i)))
+      .toDF("ts", "v").repartition(4)
+    val r1 = graft.analysis.Stats.psiDrift(shifted, col("ts"), col("v"), 10)
+      .collect().head
+    assert(r1.getAs[Boolean]("shifted") && r1.getAs[Double]("psi") > 1.0)
+    // all rows in one instant: baseline empty -> no row, not NaN
+    val degenerate = Seq((ts("2024-01-01 00:00:00"), 1.0)).toDF("ts", "v")
+    assert(graft.analysis.Stats.psiDrift(degenerate, col("ts"), col("v"), 10)
+      .count() === 0)
+  }
+
   test("holtLinear: tracks a pure linear trend exactly after warm-up") {
     def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:0$i%01d:00")
     // x = 10, 12, 14 with alpha = 0.5, beta = 0.5:
