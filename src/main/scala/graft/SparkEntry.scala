@@ -920,6 +920,15 @@ object SparkEntry {
         .select(col("vec_id").as("id"), Knn.toDoubleArray(col("embedding")).as("vec"))
       Knn.bruteForceTopK(e.filter(col("id") < 8), e, 10)
     }),
+    "ann_rank_eval" -> ((s, dir) => {
+      // ranking-quality read-out of the retrieval surface: NDCG@10 /
+      // precision@10 / MRR per query against label-match relevance
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), Knn.toDoubleArray(col("embedding")).as("vec"))
+      graft.similarity.RankEval.labelMatchEval(
+        Knn.bruteForceTopK(e.filter(col("id") < 8), e, 10),
+        table(s, dir, "embeddings").select(col("vec_id").as("id"), col("label")), 10)
+    }),
     "ann_pq_refined" -> ((s, dir) => {
       // product-quantization two-stage search in its exact regime: the ADC
       // shortlist covers the whole corpus, so the refined re-rank provably
@@ -3967,6 +3976,52 @@ asofOracle,
         |        c.vec_id ASC) AS rank
         |  FROM e q JOIN e c ON q.vec_id < 8 AND q.vec_id <> c.vec_id)
         |WHERE rank <= 10""".stripMargin,
+    // the ranked CTE is ann_topk's oracle verbatim; DCG/IDCG terms are
+    // q6'd 1/log2(pos+1) DECIMAL sums, ndcg one IEEE division
+    "ann_rank_eval" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |ranked AS (
+        |  SELECT query_id, vec_id, rank FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY floor((list_dot_product(q.v, c.v)
+        |          / NULLIF(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)), 0)) * 1000000.0 + 0.5) / 1000000.0 DESC,
+        |          c.vec_id ASC) AS rank
+        |    FROM e q JOIN e c ON q.vec_id < 8 AND q.vec_id <> c.vec_id)
+        |  WHERE rank <= 10),
+        |lab AS (SELECT vec_id AS id, label FROM embeddings),
+        |cnt AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS nl FROM lab GROUP BY 1),
+        |rof AS (
+        |  SELECT l.id AS query_id, c.nl - 1 AS n_rel_corpus
+        |  FROM lab l JOIN cnt c USING (label)),
+        |rel AS (
+        |  SELECT r.query_id, r.rank, (lq.label = lc.label) AS is_rel
+        |  FROM ranked r
+        |  JOIN lab lq ON r.query_id = lq.id
+        |  JOIN lab lc ON r.vec_id = lc.id),
+        |pq AS (
+        |  SELECT query_id,
+        |    CAST(SUM(CASE WHEN is_rel THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |    SUM(CAST(CASE WHEN is_rel
+        |      THEN floor((1.0 / log2(CAST(rank AS DOUBLE) + 1.0)) * 1000000.0 + 0.5) / 1000000.0
+        |      ELSE 0.0 END AS DECIMAL(28,6))) AS dcg,
+        |    MIN(CASE WHEN is_rel THEN rank END) AS firstrel
+        |  FROM rel GROUP BY 1),
+        |ideal AS (
+        |  SELECT query_id,
+        |    SUM(CAST(floor((1.0 / log2(CAST(i AS DOUBLE) + 1.0)) * 1000000.0 + 0.5) / 1000000.0
+        |      AS DECIMAL(28,6))) AS idcg
+        |  FROM (SELECT query_id, unnest(generate_series(1, LEAST(10, n_rel_corpus))) AS i
+        |        FROM rof WHERE n_rel_corpus >= 1) GROUP BY 1)
+        |SELECT p.query_id, r.n_rel_corpus, p.hits,
+        |  floor((CAST(p.hits AS DOUBLE) / 10.0) * 1000000.0 + 0.5) / 1000000.0 AS precision_at_k,
+        |  CASE WHEN p.firstrel IS NOT NULL
+        |    THEN floor((1.0 / CAST(p.firstrel AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+        |    ELSE 0.0 END AS mrr,
+        |  CASE WHEN i.idcg IS NOT NULL
+        |    THEN floor((CAST(p.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS ndcg
+        |FROM pq p JOIN rof r USING (query_id) LEFT JOIN ideal i USING (query_id)""".stripMargin,
     // PQ refined search with a corpus-wide shortlist is exactly brute
     // force (PqSpec invariant), so it shares ann_topk's oracle
     "ann_pq_refined" ->

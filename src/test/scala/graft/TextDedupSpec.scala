@@ -269,6 +269,30 @@ class TextDedupSpec extends SparkSpec {
     assert(lsh.count() == 8) // every query reports, even at zero recall
   }
 
+  test("labelMatchEval: hand-checked NDCG/MRR/precision, lonely-label null ndcg") {
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val labels = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "A"), (5L, "B"), (6L, "C"))
+      .toDF("id", "label")
+    // query 1 (label A, R=2): retrieved B, A, A at ranks 1..3
+    // query 6 (label C, R=0): nothing relevant exists anywhere
+    val ranked = Seq((1L, 3L, 1), (1L, 2L, 2), (1L, 4L, 3),
+      (6L, 2L, 1), (6L, 3L, 2), (6L, 5L, 3))
+      .toDF("query_id", "vec_id", "rank")
+    val out = graft.similarity.RankEval.labelMatchEval(ranked, labels, 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_rel_corpus") === 2 && r1.getAs[Long]("hits") === 2)
+    assert(r1.getAs[Double]("precision_at_k") === q6(2.0 / 3.0))
+    assert(r1.getAs[Double]("mrr") === 0.5) // first relevant at rank 2
+    val dcg = q6(1.0 / (math.log(3.0) / math.log(2.0))) + q6(1.0 / 2.0)
+    val idcg = q6(1.0) + q6(1.0 / (math.log(3.0) / math.log(2.0)))
+    assert(r1.getAs[Double]("ndcg") === q6(dcg / idcg))
+    val r6row = out(6L)
+    assert(r6row.getAs[Long]("n_rel_corpus") === 0 && r6row.getAs[Long]("hits") === 0)
+    assert(r6row.getAs[Double]("mrr") === 0.0)
+    assert(r6row.isNullAt(r6row.fieldIndex("ndcg"))) // nothing to rank, not 0/0
+  }
+
   test("hard negatives exclude near-dups BEFORE ranking, keeping k usable slots") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f)),     // anchor
