@@ -918,4 +918,34 @@ object Stats {
       .select(col("n_base"), col("n_cur"), col("psi"),
         (col("psi") > 0.2).as("shifted"))
   }
+
+  /** Train the PSI baseline driver-side: decile edges (exact percentile)
+    * and per-bucket proportions of a batch value frame — the model the
+    * STREAMING scorer (`Streams.psiDriftStream`) holds, same
+    * snapshot-at-start contract as the PQ codebook. Both collects are
+    * bounded (one percentile row + ≤ buckets count rows); the proportion
+    * division is the identical IEEE c/n the batch plan computes, so
+    * stream-scored windows replay [[psiDrift]]'s arithmetic bit-exactly.
+    */
+  def psiBaseline(df: DataFrame, value: Column,
+                  buckets: Int): (Array[Double], Array[Double]) = {
+    require(buckets >= 2 && buckets <= 100,
+      s"psiBaseline needs buckets in [2, 100], got $buckets")
+    val rows = df.select(value.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val cutAggs = (1 until buckets).map { i =>
+      expr(s"percentile(__v, ${i.toDouble / buckets}D)").as(s"__e$i")
+    }
+    val eRow = rows.agg(cutAggs.head, cutAggs.tail: _*).collect().head
+    require(!eRow.isNullAt(0), "psiBaseline needs a non-empty baseline")
+    val edges = Array.tabulate(buckets - 1)(eRow.getDouble)
+    val bucket = edges.map(e => when(col("__v") > lit(e), 1).otherwise(0))
+      .reduce(_ + _)
+    val counts = rows.groupBy(bucket.as("__b"))
+      .agg(count(lit(1)).as("__c")).collect()
+    val n = counts.map(_.getLong(1)).sum
+    val p = Array.fill(buckets)(0.0)
+    counts.foreach(r => p(r.getInt(0)) = r.getLong(1).toDouble / n.toDouble)
+    (edges, p)
+  }
 }

@@ -203,6 +203,51 @@ object Streams {
                          moments: DataFrame, zMin: Double): DataFrame =
     graft.analysis.Stats.scoreAgainstMoments(rows, group, id, value, moments, zMin)
 
+  /** Streaming PSI drift monitor — the always-on twin of the batch
+    * `psi_drift` audit: the baseline (decile edges + bucket proportions,
+    * `Stats.psiBaseline`) is TRAINED on the batch archive and held
+    * driver-side (pqEncodeStream's snapshot-at-start contract —
+    * retraining means restarting the query), and each event-time
+    * tumbling window folds to ONE row of fixed per-bucket conditional
+    * counts — a single stateful aggregation, no second agg level — from
+    * which the PSI is a row-local expression: the same 1e-6-clipped
+    * ratios, q6'd (p−q)·ln(p/q) terms and exact DECIMAL sum as the batch
+    * plan, so a stream-scored window equals `psiDrift` run over the same
+    * rows (StreamingSourcesSpec pins the equality). Emits
+    * (win_start, n, psi, shifted) per closed window.
+    */
+  def psiDriftStream(rows: DataFrame, tsCol: String,
+                     value: org.apache.spark.sql.Column,
+                     edges: Array[Double], baseP: Array[Double],
+                     windowLen: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame = {
+    require(edges.length + 1 == baseP.length,
+      s"edges/baseP arity mismatch: ${edges.length} + 1 != ${baseP.length}")
+    def q6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val r6 = graft.util.Portable.round6 _
+    val bucket = edges.map(e => when(value > lit(e), 1).otherwise(0))
+      .reduce(_ + _)
+    val counts = baseP.indices.map(i =>
+      sum(when(col("__b") === i, 1L).otherwise(0L)).as(s"__c$i"))
+    val agged = rows
+      .filter(value.isNotNull && col(tsCol).isNotNull)
+      .withColumn("__b", bucket)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(counts.head, counts.tail: _*)
+      .withColumn("__n", baseP.indices.map(i => col(s"__c$i")).reduce(_ + _))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val terms = baseP.indices.map { i =>
+      val p = greatest(lit(baseP(i)), lit(0.000001))
+      val q = greatest(d(col(s"__c$i")) / d(col("__n")), lit(0.000001))
+      q6((p - q) * log(p / q)).cast("decimal(28,6)")
+    }
+    agged.select(col("window.start").as("win_start"), col("__n").as("n"),
+        r6(terms.reduce(_ + _).cast("double")).as("psi"))
+      .withColumn("shifted", col("psi") > 0.2)
+  }
+
   /** Streaming twin of Pq.encode — encode-on-ingest for an always-on
     * embedding feed. The fused row-local kernel makes this a STATELESS
     * streaming plan (pure projection: no watermark, no state store), so

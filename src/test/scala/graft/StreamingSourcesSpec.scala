@@ -56,6 +56,36 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PSI drift equals the batch psi_drift on the same rows") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // first half (the baseline) draws 1..40, second half shifts upward;
+    // the batch midpoint lands between the two instants
+    val half1 = (1 to 40).map(i => (ts("2024-01-01 00:00:00"), i.toDouble))
+    val half2 = (1 to 40).map(i => (ts("2024-01-03 00:00:00"), 20.0 + i))
+    val full = (half1 ++ half2).toDF("ts", "v").repartition(4)
+    val batchPsi = graft.analysis.Stats.psiDrift(full, col("ts"), col("v"), 10)
+      .collect().head
+    val (edges, baseP) = graft.analysis.Stats.psiBaseline(
+      half1.toDF("ts", "v"), col("v"), 10)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    input.addData(half2: _*)
+    val q = Streams.psiDriftStream(input.toDF.toDF("ts", "v"), "ts", col("v"),
+        edges, baseP, windowLen = "1 day")
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("psi_out").start()
+    try {
+      q.processAllAvailable()
+      val win = spark.table("psi_out").collect()
+      assert(win.length === 1)
+      assert(win.head.getAs[Long]("n") === 40)
+      // bit-equal to the batch plan's psi over the identical halves
+      assert(win.head.getAs[Double]("psi") === batchPsi.getAs[Double]("psi"))
+      assert(win.head.getAs[Boolean]("shifted") === batchPsi.getAs[Boolean]("shifted"))
+    } finally q.stop()
+  }
+
   test("streaming window sample equals the batch bottom-k per window") {
     val batch = GraftSession.table(spark, sfDir, "events")
     val dir = Files.createTempDirectory("graft_sample_stream").toString
