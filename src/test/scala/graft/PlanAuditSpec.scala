@@ -366,6 +366,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(!rl.contains("CartesianProduct") && rl.contains("jarowinkler"), rl)
   }
 
+  test("drift/eval batch keeps its scale shapes") {
+    // one listwise pass, no Expand (the multi-distinct fingerprint-
+    // instability class stays structurally out), one exchange to the fold
+    val cm = plan("corr_matrix")
+    assert(count(cm, "Scan parquet") == 1 && count(cm, "Expand") == 0, cm)
+    assert(count(cm, "Exchange") == 1, cm)
+    // typed two-state fold: one entity-key exchange, one scan
+    val hl = plan("holt_linear")
+    assert(count(hl, "Scan parquet") == 1 && count(hl, "Exchange") == 1, hl)
+    // no cartesian anywhere in the batch; rank-eval joins broadcast
+    Seq("ks_drift", "psi_drift", "ann_rank_eval").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), q)
+    }
+  }
+
+  test("ks_drift runs ONE corpus scan at runtime (reused counts exchange)") {
+    // the two-phase ECDF prefix reads the per-value counts three ways
+    // (totals, offsets, fold); all three must reuse the first exchange
+    val df = SparkEntry.queries("ks_drift")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalPlan = p.substring(0, p.indexOf("+- == Initial Plan ==") match {
+      case -1 => p.length
+      case i  => i
+    })
+    assert(count(finalPlan, "Scan parquet") == 1, finalPlan)
+    assert(finalPlan.contains("ReusedExchange"), finalPlan)
+  }
+
+  test("psi_drift stays at its documented three passes at runtime") {
+    val df = SparkEntry.queries("psi_drift")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalPlan = p.substring(0, p.indexOf("+- == Initial Plan ==") match {
+      case -1 => p.length
+      case i  => i
+    })
+    // midpoint, baseline cutpoints, bucketed fold — never more
+    assert(count(finalPlan, "Scan parquet") <= 3, finalPlan)
+  }
+
   test("bigram_pmi runs ONE corpus scan at runtime (reused totals exchange)") {
     // the totals fold must reuse the groupBy exchange, not re-scan: the
     // assertion runs on the FINAL adaptive plan (reuse materializes at
