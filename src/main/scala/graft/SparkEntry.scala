@@ -915,6 +915,18 @@ object SparkEntry {
         size(split(col("text"), " ")).cast("long").as("n_ws"),
         graft.functions.TokenCount.tokenCount(col("text")).as("n_tok"),
         graft.text.TextFeatures.regexTokenCount(col("text")).as("n_re"))),
+    "tokenizer_fertility" -> ((s, dir) =>
+      // tokenizer-efficiency read-out per language: tokens-per-word says
+      // which slices burn sequence budget (one map-side pass, exact-long
+      // sums, one IEEE division per lang row)
+      table(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_words"),
+          sum(graft.functions.TokenCount.tokenCount(col("text"))).as("n_tokens"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+          r6(col("n_tokens").cast("double") / col("n_words").cast("double"))
+            .as("fertility"))),
     "ann_topk" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
         .select(col("vec_id").as("id"), Knn.toDoubleArray(col("embedding")).as("vec"))
@@ -3964,6 +3976,14 @@ asofOracle,
          |  $sqlTokCount AS n_tok,
          |  $sqlTokCount AS n_re
          |FROM documents""".stripMargin,
+    "tokenizer_fertility" ->
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+         |  CAST(SUM($sqlTokCount) AS BIGINT) AS n_tokens,
+         |  floor((CAST(SUM($sqlTokCount) AS DOUBLE)
+         |         / CAST(SUM(len(string_split(text, ' '))) AS DOUBLE))
+         |    * 1000000.0 + 0.5) / 1000000.0 AS fertility
+         |FROM documents GROUP BY 1""".stripMargin,
     "ann_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
         |SELECT query_id, vec_id, cos_sim, rank FROM (
