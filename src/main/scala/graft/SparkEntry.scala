@@ -867,6 +867,25 @@ object SparkEntry {
       d.select((col("doc_id") +: graft.text.TextFeatures.langIdProfiled(
         col("text"), graft.text.TextFeatures.defaultProfiles)): _*)
     }),
+    "label_consensus" -> ((s, dir) => {
+      // ensemble labeling (the Snorkel-style vote): declared lang + two
+      // heuristic labelers; a 2-of-3 agreement overrides the declared
+      // label, all-distinct keeps it (the declared voter is the prior).
+      // ONE row-local scan; the report is label-cardinality
+      val votes = table(s, dir, "documents").select(col("doc_id"),
+        col("lang").as("vote_a"),
+        graft.text.TextFeatures.langIdColumns(col("text")).last.as("vote_b"),
+        graft.text.TextFeatures.langIdProfiled(col("text"),
+          graft.text.TextFeatures.defaultProfiles).last.as("vote_c"))
+      votes
+        .select((col("doc_id") +: graft.text.TextFeatures.consensusVote(
+          col("vote_a"), col("vote_b"), col("vote_c"))): _*)
+        .groupBy(col("consensus"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_agree") === 3, 1L).otherwise(0L)).as("n_unanimous"),
+          sum(when(col("n_agree") === 2, 1L).otherwise(0L)).as("n_majority"),
+          sum(when(col("n_agree") === 1, 1L).otherwise(0L)).as("n_disputed"))
+    }),
     "quality_unpivot" -> ((s, dir) => {
       // long-form quality metrics (dashboard/melt shape) via the native
       // unpivot operator — one scan, Expand-style row fan-out, no joins
@@ -1920,6 +1939,25 @@ object SparkEntry {
       |       WHEN s_fr >= s_de THEN 'fr'
       |       ELSE 'de' END AS predicted_lang
       |FROM documents""".stripMargin
+
+  /** Shared by langid_profiled and label_consensus (the profiled labeler
+    * is one of the consensus voters — one definition so they cannot
+    * drift). */
+  private val langidProfiledOracle: String = {
+    val profiles = graft.text.TextFeatures.defaultProfiles
+    val scoreCols = profiles.map { case (code, stops) =>
+      s"  CAST(len(list_filter(string_split(text,' '), w -> w IN (${
+        stops.map(w => s"'$w'").mkString(",")}))) AS BIGINT) AS s_$code"
+    }.mkString(",\n")
+    val structs = profiles.zipWithIndex.map { case ((code, _), i) =>
+      s"{'score': s_$code, 'prio': ${-i}, 'lang': '$code'}"
+    }.mkString(", ")
+    s"""SELECT doc_id, ${profiles.map(p => "s_" + p._1).mkString(", ")},
+       |  (list_max([$structs])).lang AS predicted_lang
+       |FROM (SELECT doc_id,
+       |$scoreCols
+       |FROM documents)""".stripMargin
+  }
 
   /** Shared by asof_join and asof_join_native: both implementations are
     * gated against the identical oracle. */
@@ -3877,21 +3915,28 @@ asofOracle,
     // Generated from the SAME profile table as the Spark side, so adding a
     // language can never drift the two formulations apart. DuckDB list_max
     // over structs is field-order lexicographic, matching Spark array_max.
-    "langid_profiled" -> {
-      val profiles = graft.text.TextFeatures.defaultProfiles
-      val scoreCols = profiles.map { case (code, stops) =>
-        s"  CAST(len(list_filter(string_split(text,' '), w -> w IN (${
-          stops.map(w => s"'$w'").mkString(",")}))) AS BIGINT) AS s_$code"
-      }.mkString(",\n")
-      val structs = profiles.zipWithIndex.map { case ((code, _), i) =>
-        s"{'score': s_$code, 'prio': ${-i}, 'lang': '$code'}"
-      }.mkString(", ")
-      s"""SELECT doc_id, ${profiles.map(p => "s_" + p._1).mkString(", ")},
-         |  (list_max([$structs])).lang AS predicted_lang
-         |FROM (SELECT doc_id,
-         |$scoreCols
-         |FROM documents)""".stripMargin
-    },
+    "langid_profiled" -> langidProfiledOracle,
+    // both labeler CTEs are the SHARED langid oracles, so the vote cannot
+    // drift from the labelers it audits
+    "label_consensus" ->
+      s"""WITH h AS (
+         |$langidOracle),
+         |p AS (
+         |$langidProfiledOracle),
+         |v AS (
+         |  SELECT d.doc_id, d.lang AS a, h.predicted_lang AS b, p.predicted_lang AS c
+         |  FROM documents d JOIN h USING (doc_id) JOIN p USING (doc_id)),
+         |s AS (
+         |  SELECT CASE WHEN b = c AND a <> b THEN b ELSE a END AS consensus,
+         |    CASE WHEN a = b AND a = c THEN 3
+         |         WHEN a = b OR a = c OR b = c THEN 2
+         |         ELSE 1 END AS n_agree
+         |  FROM v)
+         |SELECT consensus, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN n_agree = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_unanimous,
+         |  CAST(SUM(CASE WHEN n_agree = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_majority,
+         |  CAST(SUM(CASE WHEN n_agree = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_disputed
+         |FROM s GROUP BY 1""".stripMargin,
     // mirrors LangModel.bigramScore's IEEE tree: (cbg + 1.0)/(cw + 1.0*v),
     // -ln, floor-based half-up rounding (engine round() disagrees on
     // half-way quotients), exact DECIMAL(18,6) accumulation per doc

@@ -101,6 +101,19 @@ object TextFeatures {
       .otherwise("kept")
   }
 
+  /** Three-voter ensemble consensus (the Snorkel-style weak-supervision
+    * vote): a 2-of-3 agreement between the b/c voters overrides the
+    * declared label `a`; any split with `a` on the winning side, or an
+    * all-distinct vote, keeps `a` (the declared voter is the prior).
+    * Returns (consensus, n_agree 1..3) — row-local, null comparisons fall
+    * through to the prior on both engines identically.
+    */
+  def consensusVote(a: Column, b: Column, c: Column): Seq[Column] = Seq(
+    when(b === c && a =!= b, b).otherwise(a).as("consensus"),
+    when(a === b && a === c, 3)
+      .when(a === b || a === c || b === c, 2)
+      .otherwise(1).as("n_agree"))
+
   /** Heuristic language-ID: stopword-hit score per language, argmax with a
     * fixed language priority for ties. Deterministic by construction.
     */

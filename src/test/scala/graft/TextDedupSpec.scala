@@ -269,6 +269,22 @@ class TextDedupSpec extends SparkSpec {
     assert(lsh.count() == 8) // every query reports, even at zero recall
   }
 
+  test("consensusVote: all four agreement shapes resolve as documented") {
+    val df = Seq(
+      ("u", "x", "x", "x"),  // unanimous -> x, 3
+      ("m", "x", "x", "y"),  // a=b majority -> x (a on winning side), 2
+      ("o", "x", "y", "y"),  // b=c outvotes a -> y, 2
+      ("d", "x", "y", "z"))  // all distinct -> a (the prior), 1
+      .toDF("k", "a", "b", "c")
+    val out = df.select((col("k") +: graft.text.TextFeatures.consensusVote(
+        col("a"), col("b"), col("c"))): _*)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(out("u") === ("x", 3))
+    assert(out("m") === ("x", 2))
+    assert(out("o") === ("y", 2))
+    assert(out("d") === ("x", 1))
+  }
+
   test("labelMatchEval: hand-checked NDCG/MRR/precision, lonely-label null ndcg") {
     def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
     val labels = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "A"), (5L, "B"), (6L, "C"))
