@@ -403,6 +403,29 @@ object SparkEntry {
           r6(sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
             / count(col("value")).over(w).cast("double")))
     }),
+    "feature_lags" -> ((s, dir) => {
+      // ML feature prep: per-user lag-1..3 values, seconds-since-previous
+      // and the exact 3-event trailing mean — ALL features ride ONE
+      // entity-key window exchange (lags copy values, no arithmetic;
+      // dt in exact integer seconds; the mean reuses rolling_mean's
+      // DECIMAL frame-sum discipline)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wr = w.rowsBetween(-2, 0)
+      events(s, dir).select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("lag_1", lag(col("value"), 1).over(w))
+        .withColumn("lag_2", lag(col("value"), 2).over(w))
+        .withColumn("lag_3", lag(col("value"), 3).over(w))
+        .withColumn("dt_sec",
+          // exact long micros diff, floor-divided: a bare long cast
+          // truncates on Spark but ROUNDS on DuckDB — floor is the one
+          // portable spelling (the conversion_lag lesson)
+          floor((unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+            / lit(1000000.0)).cast("long"))
+        .withColumn("roll_mean_3",
+          r6(sum(col("value").cast("decimal(18,2)")).over(wr).cast("double")
+            / count(col("value")).over(wr).cast("double")))
+    }),
     "resample_hourly" -> ((s, dir) => {
       // gap-filled hourly series per event type: empty hours appear as
       // zero rows (the time-series shape a forecaster consumes)
@@ -2330,6 +2353,20 @@ asofOracle,
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "feature_lags" ->
+      """SELECT user_id, ts, event_id, value,
+        |  LAG(value, 1) OVER w AS lag_1,
+        |  LAG(value, 2) OVER w AS lag_2,
+        |  LAG(value, 3) OVER w AS lag_3,
+        |  CAST(floor((CAST(date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS BIGINT)
+        |              - CAST(date_diff('microsecond', TIMESTAMP '1970-01-01', LAG(ts, 1) OVER w) AS BIGINT))
+        |             / 1000000.0) AS BIGINT) AS dt_sec,
+        |  floor((CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER wr AS DOUBLE)
+        |         / CAST(COUNT(value) OVER wr AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS roll_mean_3
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |  wr AS (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
     "resample_hourly" ->
       """WITH ev AS (SELECT * FROM events WHERE ts IS NOT NULL),
         |r AS (SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM ev),
