@@ -1409,6 +1409,25 @@ object SparkEntry {
       // model-monitoring standard: PSI of the value feed, second time
       // half vs first, over the baseline's own deciles
       graft.analysis.Stats.psiDrift(events(s, dir), col("ts"), col("value"), 10)),
+    "bot_burstiness" -> ((s, dir) =>
+      // scripted-traffic audit: inter-arrival CV per user (metronomic
+      // gaps flag schedulers; organic traffic sits near CV 1)
+      graft.analysis.Stats.burstiness(events(s, dir), col("user_id"),
+        col("ts"), col("event_id"), 5, 0.1)),
+    "langid_profile_train" -> ((s, dir) => {
+      // close the langid loop: learn the top-7 words per declared
+      // language from the corpus itself — the trained profile table
+      // langIdProfiled consumes in place of the built-in lists
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n").desc, col("word").asc)
+      table(s, dir, "documents")
+        .select(col("lang"),
+          explode(graft.text.TextFeatures.words(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 7)
+    }),
     "snapshot_diff" -> ((s, dir) => {
       // state reconciliation: per-user latest event_type mid-month vs now
       // (added / removed / changed / unchanged counts)
@@ -2928,6 +2947,43 @@ asofOracle,
         |    THEN floor((cov / (sqrt(vx) * sqrt(vy))) * 1000000.0 + 0.5) / 1000000.0
         |  END AS corr
         |FROM v""".stripMargin,
+    // gaps are exact long micros; moments exact DECIMAL sums; mean/cv one
+    // fixed IEEE shape; the regular flag compares AFTER r6
+    "bot_burstiness" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS BIGINT)
+        |    - CAST(date_diff('microsecond', TIMESTAMP '1970-01-01',
+        |        LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) AS dt
+        |  FROM events WHERE ts IS NOT NULL),
+        |m AS (
+        |  SELECT user_id AS entity, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |    SUM(CAST(dt AS DECIMAL(19,0))) AS s1,
+        |    SUM(CAST(dt AS DECIMAL(19,0)) * CAST(dt AS DECIMAL(19,0))) AS s2
+        |  FROM g WHERE dt IS NOT NULL GROUP BY 1),
+        |f AS (
+        |  SELECT entity, n_gaps,
+        |    CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean,
+        |    (CAST(s2 AS DOUBLE)
+        |     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+        |    / CAST(n_gaps - 1 AS DOUBLE) AS var
+        |  FROM m WHERE n_gaps >= 5 AND s1 > 0)
+        |SELECT entity, n_gaps,
+        |  floor((mean / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS mean_gap_sec,
+        |  floor((sqrt(var) / mean) * 1000000.0 + 0.5) / 1000000.0 AS cv_gap,
+        |  floor((sqrt(var) / mean) * 1000000.0 + 0.5) / 1000000.0 < 0.1 AS regular
+        |FROM f""".stripMargin,
+    "langid_profile_train" ->
+      """WITH t AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+        |c AS (
+        |  SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM t WHERE len(word) > 0 GROUP BY 1, 2)
+        |SELECT lang, word, n, rank FROM (
+        |  SELECT lang, word, n,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, word ASC) AS rank
+        |  FROM c)
+        |WHERE rank <= 7""".stripMargin,
     // baseline deciles via the percentile ≡ quantile_cont parity; PSI
     // terms on 1e-6-clipped exact-ratio doubles, q6 then DECIMAL-summed
     "psi_drift" ->

@@ -919,6 +919,47 @@ object Stats {
         (col("psi") > 0.2).as("shifted"))
   }
 
+  /** Inter-arrival burstiness audit per entity — the bot/scripted-traffic
+    * signal: organic humans are bursty (CV of the gap distribution ≈ 1),
+    * schedulers and replay scripts are metronomic (CV → 0). Reports every
+    * entity with ≥ minGaps gaps; the `regular` flag marks the suspects a
+    * curation pass should exclude before training on "user" behavior.
+    *
+    * ONE entity-key exchange feeds the lag window and the fold; gaps are
+    * EXACT long microseconds (no FP timestamps), moments are exact
+    * DECIMAL sums of the long gaps (dt² stays within DECIMAL(38,0) for
+    * month-scale spans), mean/std/cv fixed-shape IEEE off the exact sums,
+    * r6 at output. Output: entity, n_gaps, mean_gap_sec, cv_gap, regular
+    * (cv < cvMax compared after r6).
+    */
+  def burstiness(df: DataFrame, entity: Column, ts: Column, tiebreak: Column,
+                 minGaps: Int, cvMax: Double): DataFrame = {
+    require(minGaps >= 2, s"burstiness needs minGaps >= 2, got $minGaps")
+    require(cvMax > 0.0, s"burstiness needs cvMax > 0, got $cvMax")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__e")).orderBy(col("__ts"), col("__tie"))
+    val gaps = df
+      .select(entity.as("__e"), ts.as("__ts"), tiebreak.as("__tie"))
+      .filter(col("__ts").isNotNull)
+      .withColumn("__dt",
+        unix_micros(col("__ts")) - unix_micros(lag(col("__ts"), 1).over(w)))
+      .filter(col("__dt").isNotNull)
+      .withColumn("__q", col("__dt").cast("decimal(19,0)"))
+    def d(c: Column) = c.cast("double")
+    val mean = d(col("__s1")) / d(col("n_gaps"))
+    val variance = (d(col("__s2")) - d(col("__s1")) * d(col("__s1")) / d(col("n_gaps"))) /
+      d(col("n_gaps") - 1)
+    gaps.groupBy(col("__e"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("__q")).as("__s1"),
+        sum(col("__q") * col("__q")).as("__s2"))
+      .filter(col("n_gaps") >= minGaps && col("__s1") > 0)
+      .select(col("__e").as("entity"), col("n_gaps"),
+        r6(mean / lit(1000000.0)).as("mean_gap_sec"),
+        r6(sqrt(variance) / mean).as("cv_gap"))
+      .withColumn("regular", col("cv_gap") < cvMax)
+  }
+
   /** Train the PSI baseline driver-side: decile edges (exact percentile)
     * and per-bucket proportions of a batch value frame — the model the
     * STREAMING scorer (`Streams.psiDriftStream`) holds, same

@@ -225,6 +225,28 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("burstiness: metronomic entity flags regular, bursty one does not") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: exact 60s metronome (CV = 0). user 2: wildly varying gaps.
+    // user 3: only 3 gaps -> below the minGaps floor, no row.
+    val rows =
+      (0 to 6).map(i => (1L, ts(f"2024-01-01 00:${i}%02d:00"), i.toLong)) ++
+      Seq(0, 1, 10, 11, 300, 301, 1000).zipWithIndex.map { case (m, i) =>
+        (2L, java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(m * 60L)),
+          (100 + i).toLong) } ++
+      (0 to 3).map(i => (3L, ts(f"2024-01-01 02:${i}%02d:00"), (200 + i).toLong))
+    val df = rows.toDF("u", "ts", "id").repartition(3)
+    val out = graft.analysis.Stats.burstiness(df, col("u"), col("ts"), col("id"),
+      5, 0.1).collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(3L))
+    assert(out(1L).getAs[Long]("n_gaps") === 6)
+    assert(out(1L).getAs[Double]("cv_gap") === 0.0)
+    assert(out(1L).getAs[Boolean]("regular"))
+    assert(out(1L).getAs[Double]("mean_gap_sec") === 60.0)
+    assert(out(2L).getAs[Double]("cv_gap") > 0.5 && !out(2L).getAs[Boolean]("regular"))
+  }
+
   test("psiDrift: unchanged distribution scores ~0, a hard shift fires") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     // first half and second half draw the same 1..20 values -> PSI 0
