@@ -1414,6 +1414,31 @@ object SparkEntry {
       // gaps flag schedulers; organic traffic sits near CV 1)
       graft.analysis.Stats.burstiness(events(s, dir), col("user_id"),
         col("ts"), col("event_id"), 5, 0.1)),
+    "json_props_stats" -> ((s, dir) =>
+      // the semi-structured surface: JSON-path extraction (not the regex
+      // fallback) straight into exact integer aggregation per type
+      events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("__k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("__k").isNull, 1L).otherwise(0L)).as("n_null"),
+          min(col("__k")).as("min_k"), max(col("__k")).as("max_k"),
+          sum(col("__k").cast("long")).as("sum_k"))),
+    "rare_category_collapse" -> ((s, dir) => {
+      // one-hot cardinality control: categories below the support floor
+      // collapse into '__other' (the long-tail guard every categorical
+      // encoder needs); counts broadcast back, relabel is row-local
+      val ev = events(s, dir)
+        .select(get_json_object(col("props"), "$.k").as("cat"))
+        .filter(col("cat").isNotNull)
+      val counts = ev.groupBy(col("cat")).agg(count(lit(1)).as("__n"))
+      ev.join(broadcast(counts), Seq("cat"))
+        .select(when(col("__n") >= 100, col("cat")).otherwise(lit("__other"))
+          .as("final_label"))
+        .groupBy(col("final_label"))
+        .agg(count(lit(1)).as("n"))
+    }),
     "langid_profile_train" -> ((s, dir) => {
       // close the langid loop: learn the top-7 words per declared
       // language from the corpus itself — the trained profile table
@@ -2947,6 +2972,22 @@ asofOracle,
         |    THEN floor((cov / (sqrt(vx) * sqrt(vy))) * 1000000.0 + 0.5) / 1000000.0
         |  END AS corr
         |FROM v""".stripMargin,
+    "json_props_stats" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1""".stripMargin,
+    "rare_category_collapse" ->
+      """WITH e AS (
+        |  SELECT json_extract_string(props, '$.k') AS cat FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |c AS (SELECT cat, COUNT(*) AS cn FROM e GROUP BY 1)
+        |SELECT CASE WHEN cn >= 100 THEN e.cat ELSE '__other' END AS final_label,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM e JOIN c USING (cat) GROUP BY 1""".stripMargin,
     // gaps are exact long micros; moments exact DECIMAL sums; mean/cv one
     // fixed IEEE shape; the regular flag compares AFTER r6
     "bot_burstiness" ->
