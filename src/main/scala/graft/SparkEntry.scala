@@ -1453,6 +1453,19 @@ object SparkEntry {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 7)
     }),
+    "cdc_apply" -> ((s, dir) => {
+      // MERGE semantics: the pre-mid-month feed is the base snapshot, the
+      // rest is a change stream where 'error' rows are tombstones; the
+      // newest surviving row per user is the final state
+      val ev = events(s, dir).select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      val mid = lit("2024-01-15 00:00:00").cast("timestamp")
+      Snapshots.cdcApply(
+        ev.filter(col("ts") < mid),
+        ev.filter(col("ts") >= mid),
+        col("event_type") === "error",
+        Seq(col("user_id")), col("ts"), col("event_id"))
+    }),
     "snapshot_diff" -> ((s, dir) => {
       // state reconciliation: per-user latest event_type mid-month vs now
       // (added / removed / changed / unchanged counts)
@@ -2972,6 +2985,19 @@ asofOracle,
         |    THEN floor((cov / (sqrt(vx) * sqrt(vy))) * 1000000.0 + 0.5) / 1000000.0
         |  END AS corr
         |FROM v""".stripMargin,
+    // replay-the-log MERGE: union is the whole feed, del marks change-side
+    // tombstones, one window keeps the newest row, deletes drop after
+    "cdc_apply" ->
+      """WITH allr AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    (ts >= TIMESTAMP '2024-01-15 00:00:00' AND event_type = 'error') AS del
+        |  FROM events),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM allr)
+        |SELECT user_id, ts, event_id, event_type, value
+        |FROM r WHERE rn = 1 AND NOT del""".stripMargin,
     "json_props_stats" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL

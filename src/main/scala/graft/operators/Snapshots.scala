@@ -29,6 +29,33 @@ object Snapshots {
       .drop("__rn")
   }
 
+  /** Apply a change feed with upserts AND tombstones onto a base snapshot —
+    * the Delta/Iceberg MERGE (whenMatched update/delete, whenNotMatched
+    * insert) expressed as ONE window pass: union the base with the
+    * changes, keep the newest row per key under (version, tiebreaks), and
+    * drop keys whose newest row is a tombstone. A later upsert after a
+    * tombstone resurrects the key — exactly replay-the-log semantics, so
+    * applying feeds in any batch split gives the same final state
+    * (spec-pinned).
+    *
+    * Scale shape: one hash exchange on the key (the reused [[latest]]
+    * plan, WindowGroupLimit-bounded); tombstoned rows leave the frame
+    * only AFTER the window, so a delete costs nothing extra. Schemas must
+    * align (unionByName); `isDelete` is evaluated on change rows, base
+    * rows are never tombstones.
+    */
+  def cdcApply(base: DataFrame, changes: DataFrame, isDelete: Column,
+               key: Seq[Column], version: Column, tiebreaks: Column*): DataFrame = {
+    graft.util.TempCols.assertFree(base, "__del")
+    graft.util.TempCols.assertFree(changes, "__del")
+    val b = base.withColumn("__del", org.apache.spark.sql.functions.lit(false))
+    val c = changes.withColumn("__del", org.apache.spark.sql.functions.coalesce(
+      isDelete, org.apache.spark.sql.functions.lit(false)))
+    latest(b.unionByName(c), key, version, tiebreaks: _*)
+      .filter(!col("__del"))
+      .drop("__del")
+  }
+
   /** Build a type-2 slowly-changing-dimension history from a change feed:
     * per entity, collapse consecutive identical states, then emit one
     * validity interval per surviving change — valid_from = the change's

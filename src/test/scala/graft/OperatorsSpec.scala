@@ -24,6 +24,32 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq("b")) // desc tiebreak on payload
   }
 
+  test("Snapshots.cdcApply: upsert overrides, tombstone deletes, later upsert resurrects") {
+    val base = Seq(
+      ("u1", 1L, "a"), ("u2", 1L, "b"), ("u3", 1L, "c"))
+      .toDF("id", "v", "payload").withColumn("op", lit("U"))
+    val changes = Seq(
+      ("u1", 2L, "a2", "U"),              // plain update
+      ("u2", 2L, "x", "D"),               // tombstone: u2 gone
+      ("u3", 2L, "x", "D"), ("u3", 3L, "c3", "U"), // delete then resurrect
+      ("u4", 2L, "d", "U"))               // insert (not in base)
+      .toDF("id", "v", "payload", "op")
+    def apply2(c: org.apache.spark.sql.DataFrame) =
+      Snapshots.cdcApply(base, c, col("op") === "D",
+        Seq(col("id")), col("v"), col("payload"))
+    val got = apply2(changes).select("id", "payload")
+      .as[(String, String)].collect().toMap
+    assert(got == Map("u1" -> "a2", "u3" -> "c3", "u4" -> "d"))
+    // replay-the-log: applying in two batch splits = one-shot apply
+    val twoStep = Snapshots.cdcApply(
+      apply2(changes.filter(col("v") <= 2)).drop("op")
+        .withColumn("op", lit("U")),
+      changes.filter(col("v") > 2), col("op") === "D",
+      Seq(col("id")), col("v"), col("payload"))
+      .select("id", "payload").as[(String, String)].collect().toMap
+    assert(twoStep == got)
+  }
+
   test("Filters.activeRecords keeps live plus stale-without-live") {
     val df = Seq(
       (1, "live", "u1"), (2, "stale", "u1"), // u1 has live -> stale dropped
