@@ -518,6 +518,53 @@ object Sources {
     (before, after)
   }
 
+  /** Materialize a latest-state table from successive CDC batches — the
+    * foreachBatch sink that keeps a queryable MERGE target up to date
+    * from an always-on change stream (the missing sibling of
+    * [[appendDeduped]]: that one accretes immutable rows, this one
+    * REPLACES state under upserts and tombstones).
+    *
+    * Each call folds one batch into the table via
+    * `Snapshots.cdcApply` (newest-row-per-key, tombstones drop,
+    * later-upsert resurrects) and swaps the result in with the
+    * temp→trash→swap discipline of [[compactParquet]] — a crash leaves
+    * either the previous state or the merged state, never a torn table.
+    * Re-delivering a batch is a no-op by construction (replaying log
+    * rows cannot change the latest-by-version winners — spec-pinned), so
+    * at-least-once delivery is safe without an offset ledger.
+    */
+  def mergeCdcBatch(spark: SparkSession, path: String, batch: DataFrame,
+                    isDelete: Column, key: Seq[Column], version: Column,
+                    tiebreaks: Column*): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__merge_tmp")
+    val trash = new org.apache.hadoop.fs.Path(path + ".__merge_trash")
+    require(!fs.exists(tmp) && !fs.exists(trash),
+      s"stale merge dirs next to $path — a previous merge crashed; recover manually")
+    val base =
+      if (fs.exists(dst)) spark.read.parquet(path)
+      else batch.limit(0)
+    val merged = graft.operators.Snapshots.cdcApply(
+      base, batch, isDelete, key, version, tiebreaks: _*)
+    merged.write.parquet(tmp.toString)
+    if (fs.exists(dst)) {
+      if (!fs.rename(dst, trash))
+        throw new java.io.IOException(s"cdc merge: failed to move $dst aside")
+    }
+    if (!fs.rename(tmp, dst)) {
+      if (fs.exists(trash) && fs.rename(trash, dst))
+        throw new java.io.IOException(
+          s"cdc merge: failed to move $tmp into place; previous state restored at $dst")
+      else
+        throw new java.io.IOException(
+          s"cdc merge: failed to move $tmp into place — previous state at $trash, " +
+            s"merged copy at $tmp")
+    }
+    fs.delete(trash, true)
+  }
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 

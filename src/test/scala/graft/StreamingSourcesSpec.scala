@@ -304,6 +304,34 @@ class StreamingSourcesSpec extends SparkSpec {
     assert(got.toSeq == Seq((10L, "bronze"), (11L, "gold"), (12L, "silver")))
   }
 
+  test("foreachBatch CDC merge materializes latest state; redelivery is a no-op") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val target = Files.createTempDirectory("graft_cdc").toString + "/t"
+    def merge(batch: org.apache.spark.sql.DataFrame): Unit =
+      graft.sources.Sources.mergeCdcBatch(spark, target, batch,
+        col("op") === "D", Seq(col("id")), col("v"), col("payload"))
+    val ms = MemoryStream[(String, Long, String, String)]
+    val q = ms.toDF().toDF("id", "v", "payload", "op")
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        merge(batch)
+      }.start()
+    // batch 1: three inserts; batch 2: update u1, tombstone u2, insert u4
+    ms.addData(("u1", 1L, "a", "U"), ("u2", 1L, "b", "U"), ("u3", 1L, "c", "U"))
+    q.processAllAvailable()
+    val b2 = Seq(("u1", 2L, "a2", "U"), ("u2", 2L, "x", "D"), ("u4", 2L, "d", "U"))
+    ms.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    def state() = spark.read.parquet(target).select("id", "payload")
+      .as[(String, String)].collect().toMap
+    val expected = Map("u1" -> "a2", "u3" -> "c", "u4" -> "d")
+    assert(state() == expected)
+    // at-least-once: re-delivering batch 2 cannot change the winners
+    merge(b2.toDF("id", "v", "payload", "op"))
+    assert(state() == expected)
+  }
+
   test("foreachBatch + origin-key dedup makes re-delivered batches no-ops") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val target = Files.createTempDirectory("graft_upsert").toString + "/t"
