@@ -1425,6 +1425,12 @@ object SparkEntry {
           sum(when(col("__k").isNull, 1L).otherwise(0L)).as("n_null"),
           min(col("__k")).as("min_k"), max(col("__k")).as("max_k"),
           sum(col("__k").cast("long")).as("sum_k"))),
+    "target_encode_loo" -> ((s, dir) =>
+      // high-cardinality categorical encoding without self-leakage:
+      // each event's category mean-value excludes the event itself
+      graft.analysis.Stats.targetEncodeLoo(
+        events(s, dir).filter(col("value").isNotNull),
+        col("event_id"), get_json_object(col("props"), "$.k"), col("value"))),
     "rare_category_collapse" -> ((s, dir) => {
       // one-hot cardinality control: categories below the support floor
       // collapse into '__other' (the long-tail guard every categorical
@@ -3006,6 +3012,26 @@ asofOracle,
         |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1""".stripMargin,
+    // (Σ−y)/(n−1) on exact DECIMAL sums; singletons fall back to the
+    // global mean; every ratio one fixed IEEE shape
+    "target_encode_loo" ->
+      """WITH r AS (
+        |  SELECT event_id AS row_id, json_extract_string(props, '$.k') AS category,
+        |    value AS y,
+        |    CAST(floor(value * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS q
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL AND value IS NOT NULL),
+        |c AS (
+        |  SELECT category, CAST(COUNT(*) AS BIGINT) AS n, SUM(q) AS s
+        |  FROM r GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS gmean FROM r)
+        |SELECT row_id, category, y AS target,
+        |  CASE WHEN n > 1
+        |    THEN floor(((CAST(s AS DOUBLE) - CAST(q AS DOUBLE))
+        |                / CAST(n - 1 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+        |    ELSE floor(gmean * 1000000.0 + 0.5) / 1000000.0 END AS te_loo
+        |FROM r JOIN c USING (category) CROSS JOIN g""".stripMargin,
     "rare_category_collapse" ->
       """WITH e AS (
         |  SELECT json_extract_string(props, '$.k') AS cat FROM events

@@ -960,6 +960,38 @@ object Stats {
       .withColumn("regular", col("cv_gap") < cvMax)
   }
 
+  /** Leave-one-out target encoding — the categorical-encoder workhorse
+    * for high-cardinality features: each row gets its category's mean
+    * target EXCLUDING itself ((Σ−y)/(n−1)), which kills the
+    * self-leakage that makes naive mean encoding overfit; singleton
+    * categories fall back to the global mean (no self-free evidence).
+    *
+    * One exchange: per-category (n, Σ) on 6dp-quantized targets (exact
+    * DECIMAL — encode-then-train replays bit-identically), broadcast
+    * back with the single global-mean row; the LOO arithmetic is
+    * row-local fixed-shape IEEE, r6 at output. Output: id, category,
+    * target, te_loo.
+    */
+  def targetEncodeLoo(df: DataFrame, id: Column, category: Column,
+                      target: Column): DataFrame = {
+    val rows = df.select(id.as("row_id"), category.as("category"),
+        target.cast("double").as("__y"))
+      .filter(col("category").isNotNull && col("__y").isNotNull)
+      .withColumn("__q", q6(col("__y")).cast("decimal(18,6)"))
+    val cat = rows.groupBy(col("category"))
+      .agg(count(lit(1)).as("__n"), sum(col("__q")).as("__s"))
+    val global = broadcast(rows.agg(
+      (sum(col("__q")).cast("double") / count(lit(1)).cast("double"))
+        .as("__gmean")))
+    def d(c: Column) = c.cast("double")
+    rows.join(broadcast(cat), Seq("category"))
+      .crossJoin(global)
+      .select(col("row_id"), col("category"), col("__y").as("target"),
+        when(col("__n") > 1,
+          r6((d(col("__s")) - d(col("__q"))) / d(col("__n") - 1)))
+          .otherwise(r6(col("__gmean"))).as("te_loo"))
+  }
+
   /** Train the PSI baseline driver-side: decile edges (exact percentile)
     * and per-bucket proportions of a batch value frame — the model the
     * STREAMING scorer (`Streams.psiDriftStream`) holds, same

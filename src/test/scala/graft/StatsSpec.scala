@@ -225,6 +225,17 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("targetEncodeLoo: excludes self, singleton falls back to global mean") {
+    val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (4L, "b", 10.0)).toDF("id", "cat", "y").repartition(3)
+    val out = graft.analysis.Stats.targetEncodeLoo(df, col("id"), col("cat"),
+      col("y")).collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) === 2.5)  // (2+3)/2, own value excluded
+    assert(out(2L) === 2.0)  // (1+3)/2
+    assert(out(3L) === 1.5)  // (1+2)/2
+    assert(out(4L) === 4.0)  // singleton: global mean (1+2+3+10)/4
+  }
+
   test("burstiness: metronomic entity flags regular, bursty one does not") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     // user 1: exact 60s metronome (CV = 0). user 2: wildly varying gaps.
