@@ -387,6 +387,12 @@ object SparkEntry {
       graft.analysis.Eval.lDiversityReport(events(s, dir), qis,
         floor(col("value") / 25).cast("int"), 3)
     }),
+    "t_closeness" -> ((s, dir) =>
+      // the privacy trio's third leg: per-group sensitive-distribution
+      // EMD vs the table (a group can be k-anonymous and l-diverse and
+      // still tell you the value range)
+      graft.analysis.Eval.tClosenessReport(events(s, dir), col("event_type"),
+        col("value"), 0.2)),
     "winsorize_stats" -> ((s, dir) =>
       // outlier-robust cleaning audit: clamp at each dataset's own
       // [p05, p95] and report how far the tails moved the mean
@@ -2441,6 +2447,40 @@ asofOracle,
         |SELECT h.hour, t.event_type, COALESCE(c.n_raw, 0) AS n
         |FROM hours h CROSS JOIN types t
         |LEFT JOIN c ON c.hour = h.hour AND c.event_type = t.event_type""".stripMargin,
+    // ordered EMD over the global distinct-value axis: exact-long
+    // cumulatives, fixed IEEE divisions, q6 terms DECIMAL-summed, one
+    // division by (m-1) at the end
+    "t_closeness" ->
+      """WITH r AS (
+        |  SELECT event_type AS g, value AS v FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |gv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cq FROM r GROUP BY 1),
+        |gr AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng FROM r GROUP BY 1),
+        |tt AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(cq) AS BIGINT) AS nn
+        |  FROM gv HAVING COUNT(*) >= 2),
+        |gc AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM r GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT gr.g, gr.ng, gv.v, gv.cq, COALESCE(gc.c, 0) AS c
+        |  FROM gv CROSS JOIN gr
+        |  LEFT JOIN gc ON gc.g = gr.g AND gc.v = gv.v),
+        |cu AS (
+        |  SELECT g, ng, c, cq,
+        |    SUM(c) OVER (PARTITION BY g ORDER BY v) AS cumc,
+        |    SUM(cq) OVER (PARTITION BY g ORDER BY v) AS cumq
+        |  FROM sp),
+        |te AS (
+        |  SELECT g, ng, m,
+        |    CAST(floor(ABS(CAST(cumc AS DOUBLE) / CAST(ng AS DOUBLE)
+        |                   - CAST(cumq AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6)) AS term
+        |  FROM cu CROSS JOIN tt),
+        |f AS (
+        |  SELECT g AS group_key, MAX(ng) AS n,
+        |    floor((CAST(SUM(term) AS DOUBLE) / CAST(MAX(m) - 1 AS DOUBLE))
+        |      * 1000000.0 + 0.5) / 1000000.0 AS t_emd
+        |  FROM te GROUP BY 1)
+        |SELECT group_key, n, t_emd, t_emd > 0.2 AS violating FROM f""".stripMargin,
     "k_anonymity" ->
       """WITH g AS (
         |  SELECT event_type, date_trunc('week', ts) AS wk,

@@ -183,6 +183,54 @@ object Eval {
         min(col("__l")).as("min_l"))
   }
 
+  /** t-closeness audit — the third leg of the privacy trio: a QI group
+    * can be k-anonymous AND l-diverse yet still leak if its sensitive
+    * DISTRIBUTION differs sharply from the table's (seeing the group
+    * tells you the value range). Per QI group, the ordered Earth Mover's
+    * Distance between the group's and the global sensitive distribution:
+    * EMD = Σᵢ|cumP(vᵢ) − cumQ(vᵢ)| / (m−1) over the m global distinct
+    * values (Li et al.'s numerical-attribute formula).
+    *
+    * Scale shape: the spine is (groups × distinct values) with the
+    * group side broadcast (G is small by definition of a QI audit; m
+    * rides partitioned windows, never a single partition). Cumulatives
+    * are exact-long counts through fixed IEEE divisions; |·| terms q6 →
+    * DECIMAL sum per group; one division by (m−1) at the end, r6.
+    * Output per group: group_key, n, t_emd, violating (t_emd > t after
+    * r6). Degenerate domains (m < 2) yield zero rows.
+    */
+  def tClosenessReport(df: DataFrame, qi: Column, sensitive: Column,
+                       t: Double): DataFrame = {
+    require(t > 0.0 && t < 1.0, s"tClosenessReport needs t in (0, 1), got $t")
+    val rows = df.select(qi.as("group_key"), sensitive.cast("double").as("__v"))
+      .filter(col("group_key").isNotNull && col("__v").isNotNull)
+    val gv = rows.groupBy(col("__v")).agg(count(lit(1)).as("__cq"))
+    val groups = rows.groupBy(col("group_key")).agg(count(lit(1)).as("__ng"))
+    val totals = broadcast(gv.agg(
+      count(lit(1)).as("__m"), sum(col("__cq")).as("__N"))
+      .filter(col("__m") >= 2))
+    val gcounts = rows.groupBy(col("group_key"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col("group_key")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    def d(c: Column) = c.cast("double")
+    gv.crossJoin(broadcast(groups))
+      .join(gcounts, Seq("group_key", "__v"), "left")
+      .na.fill(0L, Seq("__c"))
+      .crossJoin(totals)
+      .withColumn("__cumC", sum(col("__c")).over(w))
+      .withColumn("__cumQ", sum(col("__cq")).over(w))
+      .withColumn("__term",
+        q6(abs(d(col("__cumC")) / d(col("__ng")) - d(col("__cumQ")) / d(col("__N"))))
+          .cast("decimal(28,6)"))
+      .groupBy(col("group_key"))
+      .agg(max(col("__ng")).as("n"), max(col("__m")).as("__mm"),
+        sum(col("__term")).as("__emd"))
+      .select(col("group_key"), col("n"),
+        r6(d(col("__emd")) / d(col("__mm") - 1)).as("t_emd"))
+      .withColumn("violating", col("t_emd") > t)
+  }
+
   /** Winsorization report: per group, clamp the value column at its own
     * exact [pLo, pHi] percentiles and report how much the tails moved the
     * mean — the outlier-robust cleaning decision (clamp vs drop) made

@@ -325,6 +325,30 @@ class EvalSamplingSpec extends SparkSpec {
     assert(out === ((2L, 1L, 10L, 1L)))
   }
 
+  test("tClosenessReport: global-matching group scores 0, concentrated group is flagged") {
+    // values 1..4 appear once per group in "mix" (matches global shape
+    // poorly since "low" skews it) — construct exactly: global = mix ∪ low
+    // mix: one of each 1,2,3,4; low: four rows all at value 1
+    val rows = ((1 to 4).map(v => ("mix", v.toDouble)) ++
+      Seq.fill(4)(("low", 1.0))).toDF("g", "v").repartition(3)
+    val out = graft.analysis.Eval.tClosenessReport(rows, col("g"), col("v"), 0.2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // global cum over m=4 values: (5/8, 6/8, 7/8, 8/8)
+    // low cum: (1, 1, 1, 1) -> EMD = (3/8 + 2/8 + 1/8 + 0)/3 = 0.25
+    assert(out("low").getAs[Double]("t_emd") === 0.25)
+    assert(out("low").getAs[Boolean]("violating"))
+    // mix cum: (1/4, 2/4, 3/4, 1) -> EMD = (3/8-... ) symmetric: also
+    // |1/4-5/8|+|2/4-6/8|+|3/4-7/8| = 3/8+2/8+1/8 over 3 = 0.25
+    assert(out("mix").getAs[Double]("t_emd") === 0.25)
+    // a group whose distribution IS the global one scores exactly 0
+    val same = ((1 to 4).map(v => ("a", v.toDouble)) ++
+      (1 to 4).map(v => ("b", v.toDouble))).toDF("g", "v")
+    val out2 = graft.analysis.Eval.tClosenessReport(same, col("g"), col("v"), 0.2)
+      .collect()
+    assert(out2.forall(r => r.getAs[Double]("t_emd") === 0.0))
+    assert(out2.forall(r => !r.getAs[Boolean]("violating")))
+  }
+
   test("winsorizeStats: clamp counts and mean shift on a planted outlier") {
     // nine 10.0s and one 1000.0 outlier: p95 (interpolated) < 1000, so
     // exactly one row clamps high and the winsorized mean drops
