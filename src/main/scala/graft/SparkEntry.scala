@@ -1375,6 +1375,11 @@ object SparkEntry {
       // z-scored on exact integer moments (zero hours ARE observations)
       graft.analysis.Stats.trafficAnomalies(events(s, dir), col("ts"),
         col("event_type"), 3.0)),
+    "acf_hourly" -> ((s, dir) =>
+      // seasonality detector: hourly-series autocorrelation per stream
+      // (daily cycle = the lag-24 peak)
+      graft.analysis.Stats.acfHourly(events(s, dir), col("ts"),
+        col("event_type"), Seq(1, 2, 3, 6, 12, 24))),
     "ab_test_power" -> ((s, dir) =>
       // how long must the experiment run: required per-arm n to detect
       // the observed effect at alpha 0.05 / 80% power
@@ -3515,6 +3520,55 @@ asofOracle,
         |FROM pu WHERE f IS NOT NULL AND t IS NOT NULL AND t >= f
         |GROUP BY 1""".stripMargin,
     // integer moments: counts' sums never touch a double until mean/std
+    // same spine as traffic_anomalies; deviation products q6'd then
+    // DECIMAL-summed, one IEEE division per (stream, lag)
+    "acf_hourly" ->
+      """WITH ev AS (SELECT ts, event_type FROM events WHERE ts IS NOT NULL),
+        |r AS (SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM ev),
+        |hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM r),
+        |types AS (SELECT DISTINCT event_type AS stream FROM ev),
+        |c AS (SELECT date_trunc('hour', ts) AS hour, event_type AS stream,
+        |        CAST(COUNT(*) AS BIGINT) AS nr
+        |      FROM ev GROUP BY 1, 2),
+        |series AS (
+        |  SELECT t.stream, h.hour, COALESCE(c.nr, 0) AS n
+        |  FROM hours h CROSS JOIN types t
+        |  LEFT JOIN c ON c.hour = h.hour AND c.stream = t.stream),
+        |m AS (
+        |  SELECT stream, CAST(COUNT(*) AS BIGINT) AS hcount,
+        |    SUM(CAST(n AS DECIMAL(28,0))) AS s1
+        |  FROM series GROUP BY 1),
+        |dv AS (
+        |  SELECT s.stream, s.hour,
+        |    CAST(s.n AS DOUBLE) - CAST(m.s1 AS DOUBLE) / CAST(m.hcount AS DOUBLE) AS d
+        |  FROM series s JOIN m USING (stream)),
+        |lg AS (
+        |  SELECT stream, d,
+        |    LAG(d, 1) OVER w AS dl1, LAG(d, 2) OVER w AS dl2,
+        |    LAG(d, 3) OVER w AS dl3, LAG(d, 6) OVER w AS dl6,
+        |    LAG(d, 12) OVER w AS dl12, LAG(d, 24) OVER w AS dl24
+        |  FROM dv WINDOW w AS (PARTITION BY stream ORDER BY hour)),
+        |f AS (
+        |  SELECT stream,
+        |    SUM(CAST(floor(d * d * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS den,
+        |    SUM(CAST(CASE WHEN dl1 IS NOT NULL THEN floor(d * dl1 * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END AS DECIMAL(28,6))) AS n1,
+        |    SUM(CAST(CASE WHEN dl2 IS NOT NULL THEN floor(d * dl2 * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END AS DECIMAL(28,6))) AS n2,
+        |    SUM(CAST(CASE WHEN dl3 IS NOT NULL THEN floor(d * dl3 * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END AS DECIMAL(28,6))) AS n3,
+        |    SUM(CAST(CASE WHEN dl6 IS NOT NULL THEN floor(d * dl6 * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END AS DECIMAL(28,6))) AS n6,
+        |    SUM(CAST(CASE WHEN dl12 IS NOT NULL THEN floor(d * dl12 * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END AS DECIMAL(28,6))) AS n12,
+        |    SUM(CAST(CASE WHEN dl24 IS NOT NULL THEN floor(d * dl24 * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END AS DECIMAL(28,6))) AS n24
+        |  FROM lg GROUP BY 1),
+        |u AS (
+        |  SELECT stream, 1 AS lag, CAST(n1 AS DOUBLE) AS num, CAST(den AS DOUBLE) AS dd FROM f
+        |  UNION ALL SELECT stream, 2, CAST(n2 AS DOUBLE), CAST(den AS DOUBLE) FROM f
+        |  UNION ALL SELECT stream, 3, CAST(n3 AS DOUBLE), CAST(den AS DOUBLE) FROM f
+        |  UNION ALL SELECT stream, 6, CAST(n6 AS DOUBLE), CAST(den AS DOUBLE) FROM f
+        |  UNION ALL SELECT stream, 12, CAST(n12 AS DOUBLE), CAST(den AS DOUBLE) FROM f
+        |  UNION ALL SELECT stream, 24, CAST(n24 AS DOUBLE), CAST(den AS DOUBLE) FROM f)
+        |SELECT stream, lag,
+        |  CASE WHEN dd > 0.0
+        |    THEN floor((num / dd) * 1000000.0 + 0.5) / 1000000.0 END AS acf
+        |FROM u""".stripMargin,
     "traffic_anomalies" ->
       """WITH ev AS (SELECT ts, event_type FROM events WHERE ts IS NOT NULL),
         |r AS (SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM ev),

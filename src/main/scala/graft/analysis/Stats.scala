@@ -681,6 +681,61 @@ object Stats {
         col("z"))
   }
 
+  /** Autocorrelation of the gap-filled hourly traffic series per stream,
+    * at caller-chosen lags — the seasonality detector: a daily cycle
+    * shows as the lag-24 peak, a weekly one at lag-168; feeding an
+    * anomaly threshold without knowing this flags every quiet night.
+    * Zero hours ARE observations (trafficAnomalies' spine discipline).
+    *
+    * ACF(k) = Σ dₜ·dₜ₋ₖ / Σ dₜ² over the in-range pairs; deviations are
+    * fixed-shape IEEE off exact integer moments, products q6-quantized
+    * and DECIMAL-summed (order-free), one IEEE division per (stream,
+    * lag), r6 out. One window exchange on the stream key evaluates every
+    * lag; the spine is bounded (hours × streams). Zero-variance series
+    * report NULL.
+    */
+  def acfHourly(df: DataFrame, ts: Column, stream: Column,
+                lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1) && lags.distinct.size == lags.size,
+      s"acfHourly needs distinct positive lags, got $lags")
+    val ev = df.select(ts.as("__ts"), stream.as("__s")).filter(col("__ts").isNotNull)
+    val range = ev.agg(date_trunc("hour", min(col("__ts"))).as("lo"),
+      date_trunc("hour", max(col("__ts"))).as("hi"))
+    val hours = range.select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+    val streams = ev.select(col("__s")).distinct()
+    val counts = ev.groupBy(date_trunc("hour", col("__ts")).as("hour"), col("__s"))
+      .agg(count(lit(1)).as("__n"))
+    val series = hours.crossJoin(streams)
+      .join(counts, Seq("hour", "__s"), "left")
+      .select(col("hour"), col("__s").as("stream"),
+        coalesce(col("__n"), lit(0L)).as("n"))
+    val moments = series.groupBy(col("stream")).agg(
+      count(lit(1)).as("__h"),
+      sum(col("n").cast("decimal(28,0)")).as("__s1"))
+    def d(c: Column) = c.cast("double")
+    val mean = d(col("__s1")) / d(col("__h"))
+    val dev = series.join(broadcast(moments), Seq("stream"))
+      .withColumn("__d", d(col("n")) - mean)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stream")).orderBy(col("hour"))
+    val withLags = lags.foldLeft(dev) { (acc, k) =>
+      acc.withColumn(s"__dl$k", lag(col("__d"), k).over(w))
+    }
+    val aggs =
+      sum(q6(col("__d") * col("__d")).cast("decimal(28,6)")).as("__den") +:
+        lags.map(k => sum(
+          when(col(s"__dl$k").isNotNull, q6(col("__d") * col(s"__dl$k")))
+            .otherwise(lit(0.0)).cast("decimal(28,6)")).as(s"__num$k"))
+    val folded = withLags.groupBy(col("stream")).agg(aggs.head, aggs.tail: _*)
+    val entries = lags.map(k =>
+      struct(lit(k).as("lag"), d(col(s"__num$k")).as("num")))
+    folded
+      .select(col("stream"), d(col("__den")).as("__dd"),
+        explode(array(entries: _*)).as("__e"))
+      .select(col("stream"), col("__e.lag").as("lag"),
+        when(col("__dd") > 0.0, r6(col("__e.num") / col("__dd"))).as("acf"))
+  }
+
   /** Two-proportion power analysis from the observed arms: the required
     * per-arm sample size to detect the OBSERVED effect at α = 0.05
     * (two-sided) with 80% power — the "how long must this experiment

@@ -225,6 +225,18 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("acfHourly: a strict 2-hour alternation scores acf(1) < 0 < acf(2)") {
+    // stream "alt": hourly counts 10,0,10,0,... over 48 hours — perfect
+    // period-2 seasonality: lag-1 strongly negative, lag-2 strongly positive
+    def ts(h: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(h * 3600L))
+    val rows = (0 until 48 by 2).flatMap(h => Seq.fill(10)(("alt", ts(h))))
+    val df = rows.toDF("s", "ts").repartition(3)
+    val out = graft.analysis.Stats.acfHourly(df, col("ts"), col("s"), Seq(1, 2))
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    assert(out(1) < -0.9 && out(2) > 0.9)
+  }
+
   test("targetEncodeLoo: excludes self, singleton falls back to global mean") {
     val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
       (4L, "b", 10.0)).toDF("id", "cat", "y").repartition(3)
