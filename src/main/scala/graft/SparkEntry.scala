@@ -1410,6 +1410,11 @@ object SparkEntry {
       // lineitem measures in one pass
       graft.analysis.Stats.corrPairs(table(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    "feature_screen" -> ((s, dir) =>
+      // feature-selection pre-flight: completeness, variance and
+      // corr-with-target per candidate, one corpus pass
+      graft.analysis.Stats.featureScreen(table(s, dir, "lineitem"),
+        Seq("l_discount", "l_quantity", "l_tax"), "l_extendedprice")),
     "ks_drift" -> ((s, dir) =>
       // distribution-shift tripwire: KS distance between purchase and
       // click value distributions (distributed two-phase ECDF prefix)
@@ -2983,6 +2988,70 @@ asofOracle,
         |  CASE WHEN h_a > 0 AND h_b > 0 THEN
         |    floor((mi / sqrt(h_a * h_b)) * 1000000.0 + 0.5) / 1000000.0 END AS nmi
         |FROM g""".stripMargin,
+    // per-feature masked moments in one pass; variance/corr fixed IEEE
+    // shapes off the exact sums (products widened past the int64 decimal
+    // path); near_zero true for degenerate features
+    "feature_screen" ->
+      """WITH r AS (
+    |  SELECT
+    |    l_extendedprice AS vt, CAST(floor(l_extendedprice * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS q_t,
+    |    l_discount AS v_di, CAST(floor(l_discount * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS q_di,
+    |    l_quantity AS v_qt, CAST(floor(l_quantity * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS q_qt,
+    |    l_tax AS v_tx, CAST(floor(l_tax * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS q_tx
+    |  FROM lineitem),
+    |m AS (
+    |  SELECT CAST(COUNT(*) AS BIGINT) AS rows_,
+    |    CAST(COUNT(*) FILTER (v_di IS NOT NULL AND vt IS NOT NULL) AS BIGINT) AS n_di,
+    |    CAST(SUM(CASE WHEN v_di IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS miss_di,
+    |    SUM(q_di) FILTER (v_di IS NOT NULL AND vt IS NOT NULL) AS sf_di,
+    |    SUM(CAST(q_di AS DECIMAL(19,6)) * CAST(q_di AS DECIMAL(19,6))) FILTER (v_di IS NOT NULL AND vt IS NOT NULL) AS sff_di,
+    |    SUM(q_t) FILTER (v_di IS NOT NULL AND vt IS NOT NULL) AS st_di,
+    |    SUM(CAST(q_t AS DECIMAL(19,6)) * CAST(q_t AS DECIMAL(19,6))) FILTER (v_di IS NOT NULL AND vt IS NOT NULL) AS stt_di,
+    |    SUM(CAST(q_di AS DECIMAL(19,6)) * CAST(q_t AS DECIMAL(19,6))) FILTER (v_di IS NOT NULL AND vt IS NOT NULL) AS sft_di,
+    |    CAST(COUNT(*) FILTER (v_qt IS NOT NULL AND vt IS NOT NULL) AS BIGINT) AS n_qt,
+    |    CAST(SUM(CASE WHEN v_qt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS miss_qt,
+    |    SUM(q_qt) FILTER (v_qt IS NOT NULL AND vt IS NOT NULL) AS sf_qt,
+    |    SUM(CAST(q_qt AS DECIMAL(19,6)) * CAST(q_qt AS DECIMAL(19,6))) FILTER (v_qt IS NOT NULL AND vt IS NOT NULL) AS sff_qt,
+    |    SUM(q_t) FILTER (v_qt IS NOT NULL AND vt IS NOT NULL) AS st_qt,
+    |    SUM(CAST(q_t AS DECIMAL(19,6)) * CAST(q_t AS DECIMAL(19,6))) FILTER (v_qt IS NOT NULL AND vt IS NOT NULL) AS stt_qt,
+    |    SUM(CAST(q_qt AS DECIMAL(19,6)) * CAST(q_t AS DECIMAL(19,6))) FILTER (v_qt IS NOT NULL AND vt IS NOT NULL) AS sft_qt,
+    |    CAST(COUNT(*) FILTER (v_tx IS NOT NULL AND vt IS NOT NULL) AS BIGINT) AS n_tx,
+    |    CAST(SUM(CASE WHEN v_tx IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS miss_tx,
+    |    SUM(q_tx) FILTER (v_tx IS NOT NULL AND vt IS NOT NULL) AS sf_tx,
+    |    SUM(CAST(q_tx AS DECIMAL(19,6)) * CAST(q_tx AS DECIMAL(19,6))) FILTER (v_tx IS NOT NULL AND vt IS NOT NULL) AS sff_tx,
+    |    SUM(q_t) FILTER (v_tx IS NOT NULL AND vt IS NOT NULL) AS st_tx,
+    |    SUM(CAST(q_t AS DECIMAL(19,6)) * CAST(q_t AS DECIMAL(19,6))) FILTER (v_tx IS NOT NULL AND vt IS NOT NULL) AS stt_tx,
+    |    SUM(CAST(q_tx AS DECIMAL(19,6)) * CAST(q_t AS DECIMAL(19,6))) FILTER (v_tx IS NOT NULL AND vt IS NOT NULL) AS sft_tx
+    |  FROM r),
+    |u AS (
+    |  SELECT 'l_discount' AS feature, n_di AS n, miss_di AS n_missing, rows_,
+    |    CAST(sf_di AS DOUBLE) AS sf, CAST(sff_di AS DOUBLE) AS sff,
+    |    CAST(st_di AS DOUBLE) AS st, CAST(stt_di AS DOUBLE) AS stt,
+    |    CAST(sft_di AS DOUBLE) AS sft FROM m
+    |  UNION ALL SELECT 'l_quantity' AS feature, n_qt AS n, miss_qt AS n_missing, rows_,
+    |    CAST(sf_qt AS DOUBLE) AS sf, CAST(sff_qt AS DOUBLE) AS sff,
+    |    CAST(st_qt AS DOUBLE) AS st, CAST(stt_qt AS DOUBLE) AS stt,
+    |    CAST(sft_qt AS DOUBLE) AS sft FROM m
+    |  UNION ALL SELECT 'l_tax' AS feature, n_tx AS n, miss_tx AS n_missing, rows_,
+    |    CAST(sf_tx AS DOUBLE) AS sf, CAST(sff_tx AS DOUBLE) AS sff,
+    |    CAST(st_tx AS DOUBLE) AS st, CAST(stt_tx AS DOUBLE) AS stt,
+    |    CAST(sft_tx AS DOUBLE) AS sft FROM m),
+    |v AS (
+    |  SELECT feature, n, n_missing, rows_, sff, sf, st, stt, sft,
+    |    CAST(n AS DOUBLE) * sff - sf * sf AS vf,
+    |    CAST(n AS DOUBLE) * stt - st * st AS vt2,
+    |    CAST(n AS DOUBLE) * sft - sf * st AS cov,
+    |    CASE WHEN n >= 2 THEN floor(((sff - sf * sf / CAST(n AS DOUBLE))
+    |      / (CAST(n AS DOUBLE) - 1.0)) * 1000000.0 + 0.5) / 1000000.0 END AS variance
+    |  FROM u)
+    |SELECT feature, n, n_missing,
+    |  floor((CAST(n_missing AS DOUBLE) / CAST(rows_ AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS missing_frac,
+    |  variance,
+    |  COALESCE(variance <= 0.0, TRUE) AS near_zero,
+    |  CASE WHEN n >= 2 AND vf > 0.0 AND vt2 > 0.0
+    |    THEN floor((cov / (sqrt(vf) * sqrt(vt2))) * 1000000.0 + 0.5) / 1000000.0
+    |  END AS target_corr
+    |FROM v""".stripMargin,
     // one exact-moment row (DECIMAL sums of 6dp-quantized values; the
     // cross moments are exact DECIMAL(37,12) products), six pair arms off
     // it, one fixed-shape IEEE corr expression per arm

@@ -856,6 +856,68 @@ object Stats {
           r6(cov / (sqrt(vx) * sqrt(vy)))).as("corr"))
   }
 
+  /** Feature-selection pre-flight: per candidate feature, completeness,
+    * variance and correlation-with-target in ONE corpus pass — the
+    * screen that drops dead columns (all-missing, near-zero variance,
+    * no signal) before a training export pays to carry them.
+    *
+    * Masks are PER-FEATURE (a feature's stats use its own complete pairs
+    * with the target, not the listwise intersection — a 90%-missing
+    * column would otherwise poison every other column's n). All moments
+    * are conditional sums of 6dp-quantized values in exact DECIMAL; the
+    * per-feature rows explode off the single aggregated row with
+    * fixed-shape IEEE variance/corr expressions; degenerate sides NULL.
+    * Output: feature, n, n_missing, missing_frac, variance, near_zero,
+    * target_corr.
+    */
+  def featureScreen(df: DataFrame, features: Seq[String],
+                    target: String): DataFrame = {
+    require(features.nonEmpty, "featureScreen needs at least one feature")
+    require(!features.contains(target), "featureScreen: target listed as feature")
+    val base = df.select(
+      (features :+ target).map(c => col(c).cast("double").as(s"__v_$c")): _*)
+    val withQ = base.select(
+      (features :+ target).flatMap(c => Seq(col(s"__v_$c"),
+        q6(col(s"__v_$c")).cast("decimal(18,6)").as(s"__q_$c"))): _*)
+    def m(f: String) = col(s"__v_$f").isNotNull && col(s"__v_$target").isNotNull
+    val aggs = Seq(count(lit(1)).as("__rows")) ++ features.flatMap { f =>
+      Seq(
+        sum(when(m(f), 1L).otherwise(0L)).as(s"__n_$f"),
+        sum(when(col(s"__v_$f").isNull, 1L).otherwise(0L)).as(s"__miss_$f"),
+        sum(when(m(f), col(s"__q_$f")).otherwise(lit(null))).as(s"__sf_$f"),
+        sum(when(m(f), col(s"__q_$f") * col(s"__q_$f")).otherwise(lit(null)))
+          .as(s"__sff_$f"),
+        sum(when(m(f), col(s"__q_$target")).otherwise(lit(null))).as(s"__st_$f"),
+        sum(when(m(f), col(s"__q_$target") * col(s"__q_$target"))
+          .otherwise(lit(null))).as(s"__stt_$f"),
+        sum(when(m(f), col(s"__q_$f") * col(s"__q_$target")).otherwise(lit(null)))
+          .as(s"__sft_$f"))
+    }
+    val one = withQ.agg(aggs.head, aggs.tail: _*)
+    def d(c: Column) = c.cast("double")
+    val entries = features.map { f =>
+      struct(lit(f).as("feature"), col(s"__n_$f").as("n"),
+        col(s"__miss_$f").as("n_missing"),
+        d(col(s"__sf_$f")).as("sf"), d(col(s"__sff_$f")).as("sff"),
+        d(col(s"__st_$f")).as("st"), d(col(s"__stt_$f")).as("stt"),
+        d(col(s"__sft_$f")).as("sft"))
+    }
+    val n = d(col("__e.n"))
+    val vf = n * col("__e.sff") - col("__e.sf") * col("__e.sf")
+    val vt = n * col("__e.stt") - col("__e.st") * col("__e.st")
+    val cov = n * col("__e.sft") - col("__e.sf") * col("__e.st")
+    val variance = when(col("__e.n") >= 2,
+      r6((col("__e.sff") - col("__e.sf") * col("__e.sf") / n) / (n - lit(1.0))))
+    one.select(col("__rows"), explode(array(entries: _*)).as("__e"))
+      .select(col("__e.feature").as("feature"), col("__e.n").as("n"),
+        col("__e.n_missing").as("n_missing"),
+        r6(d(col("__e.n_missing")) / d(col("__rows"))).as("missing_frac"),
+        variance.as("variance"),
+        coalesce(variance <= 0.0, lit(true)).as("near_zero"),
+        when(col("__e.n") >= 2 && vf > 0.0 && vt > 0.0,
+          r6(cov / (sqrt(vf) * sqrt(vt)))).as("target_corr"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov drift test: D = max|F₁(v) − F₂(v)|
     * between the value distributions of two row populations (e.g. this
     * week's feed vs last week's) — the distribution-shift tripwire that a

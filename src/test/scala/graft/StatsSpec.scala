@@ -225,6 +225,24 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("featureScreen: per-feature masks, near-zero flag, perfect target corr") {
+    val df = Seq(
+      (Some(1.0), Some(7.0), 2.0), (Some(2.0), Some(7.0), 4.0),
+      (Some(3.0), None, 6.0), (None, Some(7.0), 8.0))
+      .toDF("good", "flat", "t").repartition(3)
+    val out = graft.analysis.Stats.featureScreen(df, Seq("good", "flat"), "t")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = out("good")
+    assert(g.getAs[Long]("n") === 3 && g.getAs[Long]("n_missing") === 1)
+    assert(g.getAs[Double]("missing_frac") === 0.25)
+    assert(g.getAs[Double]("target_corr") === 1.0) // t = 2*good on its pairs
+    assert(!g.getAs[Boolean]("near_zero"))
+    val f = out("flat")
+    assert(f.getAs[Long]("n") === 3) // its OWN complete pairs, not listwise
+    assert(f.getAs[Double]("variance") === 0.0 && f.getAs[Boolean]("near_zero"))
+    assert(f.isNullAt(f.fieldIndex("target_corr"))) // zero variance side
+  }
+
   test("acfHourly: a strict 2-hour alternation scores acf(1) < 0 < acf(2)") {
     // stream "alt": hourly counts 10,0,10,0,... over 48 hours — perfect
     // period-2 seasonality: lag-1 strongly negative, lag-2 strongly positive
