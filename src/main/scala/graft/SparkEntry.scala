@@ -1164,6 +1164,19 @@ object SparkEntry {
       // epoch-salted deterministic training order over 8 shards
       graft.curation.Curation.shuffleOrder(table(s, dir, "documents"),
         col("doc_id"), "epoch0", 8)),
+    "cv_folds" -> ((s, dir) => {
+      // deterministic 5-fold assignment + the stratification-balance
+      // report (per-fold label shares — the check that a fold didn't
+      // starve a language)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fold"))
+      table(s, dir, "documents")
+        .select(graft.curation.Curation.cvFold(col("doc_id"), 5).as("fold"),
+          col("lang"))
+        .groupBy(col("fold"), col("lang")).agg(count(lit(1)).as("n"))
+        .withColumn("fold_total", sum(col("n")).over(w))
+        .withColumn("share",
+          r6(col("n").cast("double") / col("fold_total").cast("double")))
+    }),
     "sample_stratified" -> ((s, dir) =>
       // exactly-10-per-source deterministic sample (bounded bottom-k by
       // salted digest — the eval-set / human-review picker)
@@ -5016,6 +5029,16 @@ asofOracle,
         |  SELECT doc_id,
         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 4))::BIGINT % 100 AS h
         |  FROM documents)""".stripMargin,
+    "cv_folds" ->
+      """WITH f AS (
+        |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 4))::BIGINT % 5 AS fold,
+        |    lang
+        |  FROM documents),
+        |c AS (SELECT fold, lang, CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY 1, 2),
+        |t AS (SELECT fold, CAST(SUM(n) AS BIGINT) AS fold_total FROM c GROUP BY 1)
+        |SELECT c.fold, c.lang, c.n, t.fold_total,
+        |  floor((CAST(c.n AS DOUBLE) / CAST(t.fold_total AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS share
+        |FROM c JOIN t USING (fold)""".stripMargin,
     "shuffle_order" ->
       """SELECT doc_id, shard,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord ASC, doc_id ASC) AS INT) AS pos

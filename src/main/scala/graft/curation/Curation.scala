@@ -192,6 +192,17 @@ object Curation {
   def hashShard(key: Column, numShards: Int): Column =
     conv(substring(md5(key.cast("string")), 9, 4), 16, 10).cast("long") % numShards
 
+  /** Deterministic k-fold cross-validation assignment — membership is a
+    * pure function of the key, so every engine, run and team member
+    * reproduces the same folds (the dataset_split contract, generalized
+    * past train/val/test). Draws digest window offset 7 (hex chars
+    * 25-28), disjoint from the split/shard/mixture windows, so fold
+    * membership is independent of every other hash decision. */
+  def cvFold(key: Column, k: Int): Column = {
+    require(k >= 2 && k <= 100, s"cvFold needs k in [2, 100], got $k")
+    conv(substring(md5(key.cast("string")), 25, 4), 16, 10).cast("long") % k
+  }
+
   /** Deterministic exactly-k-per-stratum sample (eval sets, human-review
     * batches, per-source probes) — the fixed-size sibling of data_mixture's
     * Bernoulli coin. Each stratum keeps its k smallest salted digests:
