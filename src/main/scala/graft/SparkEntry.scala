@@ -896,6 +896,16 @@ object SparkEntry {
       d.select((col("doc_id") +: graft.text.TextFeatures.langIdProfiled(
         col("text"), graft.text.TextFeatures.defaultProfiles)): _*)
     }),
+    "langid_confusion" -> ((s, dir) => {
+      // error analysis for the labeler: gold x predicted counts (the
+      // matrix classifier_eval's per-class P/R/F1 summarizes away)
+      val d = table(s, dir, "documents")
+      d.select(col("doc_id"), col("lang").as("gold"),
+          graft.text.TextFeatures.langIdColumns(col("text")).last.as("predicted"))
+        .filter(col("gold").isNotNull && col("predicted").isNotNull)
+        .groupBy(col("gold"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+    }),
     "label_consensus" -> ((s, dir) => {
       // ensemble labeling (the Snorkel-style vote): declared lang + two
       // heuristic labelers; a 2-of-3 agreement overrides the declared
@@ -1428,6 +1438,11 @@ object SparkEntry {
       // corr-with-target per candidate, one corpus pass
       graft.analysis.Stats.featureScreen(table(s, dir, "lineitem"),
         Seq("l_discount", "l_quantity", "l_tax"), "l_extendedprice")),
+    "embedding_centroid_shift" -> ((s, dir) =>
+      // embedding-space drift audit: per-label centroid L2 distance from
+      // the corpus centroid (encoder skew / domain shift / poisoned slice)
+      graft.analysis.Stats.centroidShift(table(s, dir, "embeddings"),
+        col("label"), Knn.toDoubleArray(col("embedding")))),
     "ks_drift" -> ((s, dir) =>
       // distribution-shift tripwire: KS distance between purchase and
       // click value distributions (distributed two-phase ECDF prefix)
@@ -3065,6 +3080,32 @@ asofOracle,
     |    THEN floor((cov / (sqrt(vf) * sqrt(vt2))) * 1000000.0 + 0.5) / 1000000.0
     |  END AS target_corr
     |FROM v""".stripMargin,
+    // per-dim exact DECIMAL means, squared diffs q6 + DECIMAL-summed over
+    // the dimension axis, one sqrt at the end
+    "embedding_centroid_shift" ->
+      """WITH e AS (
+        |  SELECT label AS group_key, i AS pos,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |      AS DECIMAL(18,6)) AS q
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+        |  WHERE embedding[i] IS NOT NULL),
+        |bg AS (
+        |  SELECT group_key, pos, CAST(COUNT(*) AS BIGINT) AS n, SUM(q) AS s
+        |  FROM e GROUP BY 1, 2),
+        |gl AS (
+        |  SELECT pos, CAST(COUNT(*) AS BIGINT) AS gn, SUM(q) AS gs
+        |  FROM e GROUP BY 1),
+        |j AS (
+        |  SELECT bg.group_key, bg.n,
+        |    CAST(floor((CAST(bg.s AS DOUBLE) / CAST(bg.n AS DOUBLE)
+        |                - CAST(gl.gs AS DOUBLE) / CAST(gl.gn AS DOUBLE))
+        |               * (CAST(bg.s AS DOUBLE) / CAST(bg.n AS DOUBLE)
+        |                  - CAST(gl.gs AS DOUBLE) / CAST(gl.gn AS DOUBLE))
+        |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6)) AS term
+        |  FROM bg JOIN gl USING (pos))
+        |SELECT group_key, MAX(n) AS n_vecs,
+        |  floor(sqrt(CAST(SUM(term) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS centroid_shift
+        |FROM j GROUP BY 1""".stripMargin,
     // one exact-moment row (DECIMAL sums of 6dp-quantized values; the
     // cross moments are exact DECIMAL(37,12) products), six pair arms off
     // it, one fixed-shape IEEE corr expression per arm
@@ -4278,6 +4319,16 @@ asofOracle,
     // language can never drift the two formulations apart. DuckDB list_max
     // over structs is field-order lexicographic, matching Spark array_max.
     "langid_profiled" -> langidProfiledOracle,
+    // the prediction CTE is the SHARED langid oracle (classifier_eval's
+    // discipline applied to the raw matrix)
+    "langid_confusion" ->
+      s"""WITH pred AS (
+         |$langidOracle)
+         |SELECT d.lang AS gold, p.predicted_lang AS predicted,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |FROM documents d JOIN pred p USING (doc_id)
+         |WHERE d.lang IS NOT NULL AND p.predicted_lang IS NOT NULL
+         |GROUP BY 1, 2""".stripMargin,
     // both labeler CTEs are the SHARED langid oracles, so the vote cannot
     // drift from the labelers it audits
     "label_consensus" ->

@@ -856,6 +856,40 @@ object Stats {
           r6(cov / (sqrt(vx) * sqrt(vy)))).as("corr"))
   }
 
+  /** Per-group embedding centroid shift vs the global centroid — the
+    * embedding-space drift audit: a source/label whose centroid sits far
+    * from the corpus mean embeds differently (encoder version skew, a
+    * domain shift, a poisoned slice) and will dominate nearest-neighbor
+    * structure. L2 distance per group, exact to the quantization:
+    * per-dim means are IEEE off exact DECIMAL sums of 6dp-quantized
+    * components, squared diffs q6 → DECIMAL-summed over the dimension
+    * axis, one sqrt at the end, r6.
+    *
+    * Scale shape: one explode pass to (group, dim) and (dim) moment
+    * tables — both group×dim-cardinality, the global side broadcast
+    * back; nothing joins at vector cardinality after the fold.
+    */
+  def centroidShift(df: DataFrame, group: Column, vec: Column): DataFrame = {
+    val e = df.select(group.as("group_key"), posexplode(vec).as(Seq("__pos", "__x")))
+      .filter(col("__x").isNotNull)
+      .withColumn("__q", q6(col("__x").cast("double")).cast("decimal(18,6)"))
+    def d(c: Column) = c.cast("double")
+    val byGroup = e.groupBy(col("group_key"), col("__pos"))
+      .agg(count(lit(1)).as("__n"), sum(col("__q")).as("__s"))
+      .withColumn("__m", d(col("__s")) / d(col("__n")))
+    val global = broadcast(e.groupBy(col("__pos"))
+      .agg(sum(col("__q")).as("__gs"), count(lit(1)).as("__gn"))
+      .withColumn("__gm", d(col("__gs")) / d(col("__gn"))))
+    byGroup.join(global, Seq("__pos"))
+      .withColumn("__t",
+        q6((col("__m") - col("__gm")) * (col("__m") - col("__gm")))
+          .cast("decimal(28,6)"))
+      .groupBy(col("group_key"))
+      .agg(max(col("__n")).as("n_vecs"), sum(col("__t")).as("__ss"))
+      .select(col("group_key"), col("n_vecs"),
+        r6(sqrt(d(col("__ss")))).as("centroid_shift"))
+  }
+
   /** Feature-selection pre-flight: per candidate feature, completeness,
     * variance and correlation-with-target in ONE corpus pass — the
     * screen that drops dead columns (all-missing, near-zero variance,

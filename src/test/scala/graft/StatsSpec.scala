@@ -225,6 +225,18 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("centroidShift: symmetric two-cluster corpus, zero for a global-shaped group") {
+    val df = Seq(("a", Seq(1.0, 0.0)), ("a", Seq(1.0, 0.0)),
+      ("b", Seq(0.0, 1.0)), ("b", Seq(0.0, 1.0)),
+      ("mid", Seq(0.5, 0.5)))
+      .toDF("g", "v").repartition(3)
+    val out = graft.analysis.Stats.centroidShift(df, col("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // global centroid = (0.5, 0.5); a/b sit sqrt(0.5) away, mid exactly on it
+    assert(out("mid") === 0.0)
+    assert(out("a") === q6(math.sqrt(0.5)) && out("b") === q6(math.sqrt(0.5)))
+  }
+
   test("featureScreen: per-feature masks, near-zero flag, perfect target corr") {
     val df = Seq(
       (Some(1.0), Some(7.0), 2.0), (Some(2.0), Some(7.0), 4.0),
