@@ -1449,6 +1449,11 @@ object SparkEntry {
       graft.analysis.Stats.ksDrift(
         events(s, dir).filter(col("event_type").isin("click", "purchase")),
         col("value"), col("event_type") === "purchase")),
+    "bootstrap_ci" -> ((s, dir) =>
+      // the uncertainty a point estimate hides, without unreplayable
+      // randomness: md5-coin subsample replicates, nearest-rank CI
+      graft.analysis.Stats.bootstrapCiMean(events(s, dir), col("event_id"),
+        col("value"), 32, 63)),
     "psi_drift" -> ((s, dir) =>
       // model-monitoring standard: PSI of the value feed, second time
       // half vs first, over the baseline's own deciles
@@ -3293,6 +3298,36 @@ asofOracle,
         |  floor(CAST(s AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS psi,
         |  floor(CAST(s AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 > 0.2 AS shifted
         |FROM g""".stripMargin,
+    // the same md5 coins, conditional DECIMAL sums and nearest-rank
+    // list indices as the engine's one-pass fold
+    "bootstrap_ci" -> {
+      val reps = 32
+      def coin(r: Int) =
+        s"(('0x' || substr(md5(id || ':$r'), 1, 4))::BIGINT % 100 < 63)"
+      val arms = (0 until reps).map { r =>
+        s"""    |    CAST(SUM(CASE WHEN ${coin(r)} THEN 1 ELSE 0 END) AS BIGINT) AS n$r,
+           |    |    SUM(CASE WHEN ${coin(r)} THEN q END) AS s$r"""
+          .stripMargin('|').linesIterator.mkString("\n")
+      }.mkString(",\n")
+      val means = (0 until reps).map { r =>
+        s"CASE WHEN n$r > 0 THEN CAST(s$r AS DOUBLE) / CAST(n$r AS DOUBLE) " +
+          s"ELSE CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END"
+      }.mkString(", ")
+      s"""WITH r AS (
+         |  SELECT CAST(event_id AS VARCHAR) AS id, value AS v,
+         |    CAST(floor(value * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS q
+         |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+         |m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(q) AS s,
+         |$arms
+         |  FROM r),
+         |x AS (SELECT n, s, list_sort([$means]) AS arr FROM m WHERE n > 0)
+         |SELECT n,
+         |  floor((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mean,
+         |  floor(arr[2] * 1000000.0 + 0.5) / 1000000.0 AS ci_lo,
+         |  floor(arr[31] * 1000000.0 + 0.5) / 1000000.0 AS ci_hi
+         |FROM x""".stripMargin
+    },
     // exact-long ECDF prefixes (the engine's distributed two-phase scan
     // and this window cumulative see identical integers), one IEEE
     // division per distinct value, order-free max

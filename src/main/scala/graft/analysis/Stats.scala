@@ -856,6 +856,54 @@ object Stats {
           r6(cov / (sqrt(vx) * sqrt(vy)))).as("corr"))
   }
 
+  /** Deterministic bootstrap confidence interval for the mean — the
+    * uncertainty a point estimate hides, computed WITHOUT randomness an
+    * engine can't replay: R subsample replicates are drawn by portable
+    * md5 coins keyed on (row id, replicate), so every engine and every
+    * run sees the same replicates (m-out-of-n bootstrap at samplePct).
+    * CI bounds are nearest-rank percentiles over the R replicate means.
+    *
+    * ONE corpus pass: all R conditional (n, Σ) pairs ride a single
+    * aggregation (map-side combinable; R md5 evaluations per row is the
+    * price of portability), replicate means are fixed IEEE divisions of
+    * exact DECIMAL sums, and the rank selection is an array_sort over R
+    * values in the one output row. Output: n, mean, ci_lo, ci_hi.
+    */
+  def bootstrapCiMean(df: DataFrame, id: Column, value: Column,
+                      reps: Int = 32, samplePct: Int = 63): DataFrame = {
+    require(reps >= 8 && reps <= 128, s"bootstrapCiMean needs reps in [8,128], got $reps")
+    require(samplePct >= 10 && samplePct <= 90,
+      s"bootstrapCiMean needs samplePct in [10,90], got $samplePct")
+    val rows = df.select(id.cast("string").as("__id"),
+        value.cast("double").as("__v"))
+      .filter(col("__v").isNotNull && col("__id").isNotNull)
+      .withColumn("__q", q6(col("__v")).cast("decimal(18,6)"))
+    def coin(r: Int): Column =
+      conv(substring(md5(concat(col("__id"), lit(s":$r"))), 1, 4), 16, 10)
+        .cast("long") % 100 < samplePct
+    val aggs = Seq(count(lit(1)).as("__n"), sum(col("__q")).as("__s")) ++
+      (0 until reps).flatMap { r =>
+        Seq(sum(when(coin(r), 1L).otherwise(0L)).as(s"__n$r"),
+          sum(when(coin(r), col("__q")).otherwise(lit(null))).as(s"__s$r"))
+      }
+    val one = rows.agg(aggs.head, aggs.tail: _*)
+    def d(c: Column) = c.cast("double")
+    // an empty replicate (possible only on tiny inputs) falls back to the
+    // full-sample mean rather than emitting a NULL whose sort position
+    // differs across engines
+    val means = (0 until reps).map(r =>
+      when(col(s"__n$r") > 0, d(col(s"__s$r")) / d(col(s"__n$r")))
+        .otherwise(d(col("__s")) / d(col("__n"))))
+    val loIdx = math.max(1, math.ceil(0.05 * reps).toInt)
+    val hiIdx = math.min(reps, math.ceil(0.95 * reps).toInt)
+    one.filter(col("__n") > 0)
+      .withColumn("__arr", array_sort(array(means: _*)))
+      .select(col("__n").as("n"),
+        r6(d(col("__s")) / d(col("__n"))).as("mean"),
+        r6(element_at(col("__arr"), loIdx)).as("ci_lo"),
+        r6(element_at(col("__arr"), hiIdx)).as("ci_hi"))
+  }
+
   /** Per-group embedding centroid shift vs the global centroid — the
     * embedding-space drift audit: a source/label whose centroid sits far
     * from the corpus mean embeds differently (encoder version skew, a

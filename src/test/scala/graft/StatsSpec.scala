@@ -225,6 +225,22 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("bootstrapCiMean: CI brackets the mean, constant data collapses the interval") {
+    val df = (1 to 500).map(i => (i.toLong, (i % 100).toDouble)).toDF("id", "v")
+      .repartition(4)
+    val r = graft.analysis.Stats.bootstrapCiMean(df, col("id"), col("v"))
+      .collect().head
+    assert(r.getAs[Long]("n") === 500)
+    assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("mean"))
+    assert(r.getAs[Double]("mean") <= r.getAs[Double]("ci_hi"))
+    assert(r.getAs[Double]("ci_lo") < r.getAs[Double]("ci_hi")) // real spread
+    val const = (1 to 100).map(i => (i.toLong, 7.0)).toDF("id", "v")
+    val rc = graft.analysis.Stats.bootstrapCiMean(const, col("id"), col("v"))
+      .collect().head
+    // every replicate of a constant sample has the same mean
+    assert(rc.getAs[Double]("ci_lo") === 7.0 && rc.getAs[Double]("ci_hi") === 7.0)
+  }
+
   test("centroidShift: symmetric two-cluster corpus, zero for a global-shaped group") {
     val df = Seq(("a", Seq(1.0, 0.0)), ("a", Seq(1.0, 0.0)),
       ("b", Seq(0.0, 1.0)), ("b", Seq(0.0, 1.0)),
