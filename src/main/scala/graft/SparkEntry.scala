@@ -973,6 +973,12 @@ object SparkEntry {
         size(split(col("text"), " ")).cast("long").as("n_ws"),
         graft.functions.TokenCount.tokenCount(col("text")).as("n_tok"),
         graft.text.TextFeatures.regexTokenCount(col("text")).as("n_re"))),
+    "weighted_median" -> ((s, dir) =>
+      // token-mass median doc length per source: where the budget's
+      // median token lives, not the median document (mass vs membership)
+      graft.analysis.Stats.weightedMedian(table(s, dir, "documents"),
+        col("source"), col("n_chars"),
+        graft.functions.TokenCount.tokenCount(col("text")))),
     "tokenizer_fertility" -> ((s, dir) =>
       // tokenizer-efficiency read-out per language: tokens-per-word says
       // which slices burn sequence budget (one map-side pass, exact-long
@@ -4469,6 +4475,23 @@ asofOracle,
          |  $sqlTokCount AS n_tok,
          |  $sqlTokCount AS n_re
          |FROM documents""".stripMargin,
+    // exact-integer 2*cumW >= W pick over collapsed per-value weights
+    "weighted_median" ->
+      s"""WITH r AS (
+         |  SELECT source AS group_key, n_chars AS v, $sqlTokCount AS w
+         |  FROM documents
+         |  WHERE n_chars IS NOT NULL AND $sqlTokCount > 0),
+         |bv AS (
+         |  SELECT group_key, v, CAST(SUM(w) AS BIGINT) AS wv
+         |  FROM r GROUP BY 1, 2),
+         |c AS (
+         |  SELECT group_key, v,
+         |    CAST(SUM(wv) OVER (PARTITION BY group_key ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |    CAST(SUM(wv) OVER (PARTITION BY group_key) AS BIGINT) AS tot
+         |  FROM bv)
+         |SELECT group_key, MAX(tot) AS total_w, MIN(v) AS w_median
+         |FROM c WHERE 2 * cum >= tot GROUP BY 1""".stripMargin,
     "tokenizer_fertility" ->
       s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words,

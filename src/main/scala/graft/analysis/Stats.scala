@@ -856,6 +856,37 @@ object Stats {
           r6(cov / (sqrt(vx) * sqrt(vy)))).as("corr"))
   }
 
+  /** Weighted median per group — "the median TOKEN sits in a document of
+    * length X", not "the median document has length X": under heavy
+    * length skew the two differ wildly, and budget decisions (context
+    * packing, chunk sizing) follow mass, not membership. Lower weighted
+    * median: the smallest value whose cumulative weight reaches half the
+    * total, compared as exact integers (2·cumW ≥ W — no fractions, no
+    * FP knife edge).
+    *
+    * One exchange: per-(group, value) weights collapse first (ties
+    * merge), the cumulative and the total ride two frames of the same
+    * partitioned window, the pick is a min over qualifying values.
+    */
+  def weightedMedian(df: DataFrame, group: Column, value: Column,
+                     weight: Column): DataFrame = {
+    val rows = df.select(group.as("group_key"), value.as("__v"),
+        weight.cast("long").as("__w"))
+      .filter(col("__v").isNotNull && col("__w").isNotNull && col("__w") > 0)
+    val byValue = rows.groupBy(col("group_key"), col("__v"))
+      .agg(sum(col("__w")).as("__wv"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group_key")).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("group_key"))
+    byValue
+      .withColumn("__cum", sum(col("__wv")).over(wCum))
+      .withColumn("__tot", sum(col("__wv")).over(wAll))
+      .filter(lit(2) * col("__cum") >= col("__tot"))
+      .groupBy(col("group_key"))
+      .agg(max(col("__tot")).as("total_w"), min(col("__v")).as("w_median"))
+  }
+
   /** Deterministic bootstrap confidence interval for the mean — the
     * uncertainty a point estimate hides, computed WITHOUT randomness an
     * engine can't replay: R subsample replicates are drawn by portable

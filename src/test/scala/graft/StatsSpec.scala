@@ -225,6 +225,19 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("weightedMedian: mass beats membership; exact half-weight tie picks lower") {
+    // three short docs (w=1 each) and one huge doc (w=10): the median
+    // document is short, but the median unit of MASS lives in the big one
+    val df = Seq(("s", 10L, 1L), ("s", 11L, 1L), ("s", 12L, 1L),
+      ("s", 1000L, 10L),
+      // exact tie: weights 5 at v=1, 5 at v=9 -> 2*cum(1)=10 >= 10, lower wins
+      ("t", 1L, 5L), ("t", 9L, 5L)).toDF("g", "v", "w").repartition(3)
+    val out = graft.analysis.Stats.weightedMedian(df, col("g"), col("v"), col("w"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("s") === ((13L, 1000L)))
+    assert(out("t") === ((10L, 1L)))
+  }
+
   test("bootstrapCiMean: CI brackets the mean, constant data collapses the interval") {
     val df = (1 to 500).map(i => (i.toLong, (i % 100).toDouble)).toDF("id", "v")
       .repartition(4)
