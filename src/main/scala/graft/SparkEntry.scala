@@ -1469,6 +1469,11 @@ object SparkEntry {
       // gaps flag schedulers; organic traffic sits near CV 1)
       graft.analysis.Stats.burstiness(events(s, dir), col("user_id"),
         col("ts"), col("event_id"), 5, 0.1)),
+    "interval_coverage" -> ((s, dir) =>
+      // true active time per user: union of 30-minute activity windows
+      // (summing raw windows double-counts every overlap)
+      graft.analysis.Stats.intervalCoverage(events(s, dir), col("user_id"),
+        col("ts"), col("event_id"), 1800L)),
     "json_props_stats" -> ((s, dir) =>
       // the semi-structured surface: JSON-path extraction (not the regex
       // fallback) straight into exact integer aggregation per type
@@ -3183,6 +3188,34 @@ asofOracle,
         |  FROM allr)
         |SELECT user_id, ts, event_id, event_type, value
         |FROM r WHERE rn = 1 AND NOT del""".stripMargin,
+    // island = start beyond the running max of prior ends; union length =
+    // maxEnd - minStart per island; exact long micros throughout
+    "interval_coverage" ->
+      """WITH r AS (
+        |  SELECT user_id AS e,
+        |    CAST(date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS BIGINT) AS s,
+        |    event_id AS tie
+        |  FROM events WHERE ts IS NOT NULL),
+        |x AS (
+        |  SELECT e, s, tie, s + 1800000000 AS en,
+        |    MAX(s + 1800000000) OVER (PARTITION BY e ORDER BY s, tie
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+        |  FROM r),
+        |y AS (
+        |  SELECT e, s, tie, en,
+        |    CASE WHEN prevmax IS NULL OR s > prevmax THEN 1 ELSE 0 END AS nw
+        |  FROM x),
+        |z AS (
+        |  SELECT e, s, en,
+        |    SUM(nw) OVER (PARTITION BY e ORDER BY s, tie
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM y),
+        |i AS (
+        |  SELECT e, island, MIN(s) AS istart, MAX(en) AS iend
+        |  FROM z GROUP BY 1, 2)
+        |SELECT e AS entity, CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |  CAST(floor(CAST(SUM(iend - istart) AS DOUBLE) / 1000000.0) AS BIGINT) AS covered_sec
+        |FROM i GROUP BY 1""".stripMargin,
     "json_props_stats" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL

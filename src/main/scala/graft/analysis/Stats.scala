@@ -856,6 +856,44 @@ object Stats {
           r6(cov / (sqrt(vx) * sqrt(vy)))).as("corr"))
   }
 
+  /** Merged-interval coverage per entity: total time covered by the
+    * union of [ts, ts + activeLen) activity windows, plus the island
+    * count — "how long was this user actually active" where summing raw
+    * windows double-counts every overlap (the classic uptime/coverage
+    * union). Islands form where an interval's start exceeds the running
+    * max of prior ends (touching intervals merge); a union's length is
+    * then maxEnd − minStart per island.
+    *
+    * One entity-key exchange feeds all three window frames (running max,
+    * island cumsum — same partitioning); arithmetic is exact long
+    * microseconds end to end, floor-divided to seconds only at output.
+    */
+  def intervalCoverage(df: DataFrame, entity: Column, ts: Column,
+                       tiebreak: Column, activeSec: Long): DataFrame = {
+    require(activeSec > 0, s"intervalCoverage needs activeSec > 0, got $activeSec")
+    val micros = activeSec * 1000000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__e")).orderBy(col("__s"), col("__tie"))
+    val wPrev = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wCum = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.select(entity.as("__e"), unix_micros(ts).as("__s"),
+        tiebreak.as("__tie"))
+      .filter(col("__s").isNotNull)
+      .withColumn("__end", col("__s") + lit(micros))
+      .withColumn("__prevMax", max(col("__end")).over(wPrev))
+      .withColumn("__new",
+        when(col("__prevMax").isNull || col("__s") > col("__prevMax"), 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(wCum))
+      .groupBy(col("__e"), col("__island"))
+      .agg(min(col("__s")).as("__is"), max(col("__end")).as("__ie"))
+      .groupBy(col("__e"))
+      .agg(count(lit(1)).as("n_islands"),
+        floor(sum(col("__ie") - col("__is")) / lit(1000000.0)).cast("long")
+          .as("covered_sec"))
+      .withColumnRenamed("__e", "entity")
+  }
+
   /** Weighted median per group — "the median TOKEN sits in a document of
     * length X", not "the median document has length X": under heavy
     * length skew the two differ wildly, and budget decisions (context

@@ -225,6 +225,23 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("intervalCoverage: overlaps merge, touching merges, gaps split islands") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // windows of 600s: 10:00+10:05 overlap (merge), 10:15 touches 10:05's
+    // end (merge -> one island 10:00-10:25 = 1500s), 12:00 is a new island
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L), (1L, ts("2024-01-01 10:05:00"), 2L),
+      (1L, ts("2024-01-01 10:15:00"), 3L), (1L, ts("2024-01-01 12:00:00"), 4L),
+      (2L, ts("2024-01-01 09:00:00"), 5L))
+      .toDF("u", "ts", "id").repartition(3)
+    val out = graft.analysis.Stats.intervalCoverage(df, col("u"), col("ts"),
+      col("id"), 600L).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_islands") === 2)
+    assert(out(1L).getAs[Long]("covered_sec") === 1500 + 600)
+    assert(out(2L).getAs[Long]("n_islands") === 1)
+    assert(out(2L).getAs[Long]("covered_sec") === 600)
+  }
+
   test("weightedMedian: mass beats membership; exact half-weight tie picks lower") {
     // three short docs (w=1 each) and one huge doc (w=10): the median
     // document is short, but the median unit of MASS lives in the big one
