@@ -372,6 +372,15 @@ object SparkEntry {
         .select(col("user_id").as("src"), (k % 150).cast("long").as("dst"))
       graft.analysis.Graph.triangleCount(edges, col("src"), col("dst"))
     }),
+    "degree_assortativity" -> ((s, dir) => {
+      // hub-mixing read-out on the same interaction graph: do hubs attach
+      // to hubs (r > 0) or leaves (r < 0)?
+      val k = propsInt
+      val edges = events(s, dir)
+        .filter(k.isNotNull && col("user_id").isNotNull)
+        .select(col("user_id").as("src"), (k % 150).cast("long").as("dst"))
+      graft.analysis.Graph.degreeAssortativity(edges, col("src"), col("dst"))
+    }),
     "k_anonymity" -> ((s, dir) => {
       // pre-export privacy audit: (dataset, week, derived age band) as the
       // quasi-identifier triple, k = 5
@@ -2440,6 +2449,43 @@ asofOracle,
          |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
          |      FROM e0 x JOIN e0 y ON x.b = y.a JOIN e0 z ON z.a = x.a AND z.b = y.b)
          |SELECT n_nodes, n_edges, n_triangles FROM n, m, t""".stripMargin,
+    // both orientations of each canonical edge; exact DECIMAL degree
+    // moments; the corr_matrix IEEE shape
+    "degree_assortativity" ->
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT LEAST(user_id, CAST($propsIntSql % 150 AS BIGINT)) AS a,
+         |    GREATEST(user_id, CAST($propsIntSql % 150 AS BIGINT)) AS b
+         |  FROM events
+         |  WHERE $propsIntSql IS NOT NULL AND user_id IS NOT NULL
+         |    AND user_id <> CAST($propsIntSql % 150 AS BIGINT)),
+         |dg AS (
+         |  SELECT v AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+         |    (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+         |dir AS (
+         |  SELECT a AS x, b AS y FROM e0 UNION ALL SELECT b, a FROM e0),
+         |p AS (
+         |  SELECT CAST(dx.deg AS DECIMAL(19,0)) AS qx,
+         |    CAST(dy.deg AS DECIMAL(19,0)) AS qy
+         |  FROM dir JOIN dg dx ON dir.x = dx.node JOIN dg dy ON dir.y = dy.node),
+         |m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    SUM(qx) AS sx, SUM(qy) AS sy,
+         |    SUM(qx * qx) AS sxx, SUM(qy * qy) AS syy, SUM(qx * qy) AS sxy
+         |  FROM p),
+         |cnt AS (
+         |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dg) AS n_nodes,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e0) AS n_edges),
+         |v AS (
+         |  SELECT n_nodes, n_edges, n,
+         |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+         |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+         |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov
+         |  FROM cnt, m)
+         |SELECT n_nodes, n_edges,
+         |  CASE WHEN n >= 2 AND vx > 0.0 AND vy > 0.0
+         |    THEN floor((cov / (sqrt(vx) * sqrt(vy))) * 1000000.0 + 0.5) / 1000000.0
+         |  END AS assortativity
+         |FROM v""".stripMargin,
     "l_diversity" ->
       """WITH g AS (
         |  SELECT event_type, date_trunc('week', ts) AS wk, CAST(user_id % 7 AS INT) AS band,

@@ -121,6 +121,53 @@ object Graph {
           / (col("deg") * (col("deg") - 1)).cast("double"))).as("coeff"))
   }
 
+  /** Degree assortativity (Newman's r): the Pearson correlation of
+    * endpoint degrees over edges, each undirected edge counted in both
+    * orientations — do high-degree nodes attach to other hubs (r > 0,
+    * social-network shape) or to leaves (r < 0, hub-and-spoke)? The
+    * number that says which failure mode a sampling or dedup pass will
+    * hit: disassortative graphs lose connectivity when hubs drop.
+    *
+    * Same canonical-edge/degree discipline as the triangle core
+    * (self-loops dropped, parallel edges collapsed); moments are exact
+    * DECIMAL sums of long degrees, one fixed-shape IEEE correlation at
+    * the end, NULL on a degree-regular (zero-variance) graph. Output
+    * (one row): n_nodes, n_edges, assortativity.
+    */
+  def degreeAssortativity(edgesIn: DataFrame, src: Column, dst: Column): DataFrame = {
+    val und = edgesIn.select(src.as("a"), dst.as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val dir = und.select(col("a").as("x"), col("b").as("y"))
+      .union(und.select(col("b").as("x"), col("a").as("y")))
+    val paired = dir
+      .join(deg.select(col("node").as("x"), col("deg").as("__dx")), Seq("x"))
+      .join(deg.select(col("node").as("y"), col("deg").as("__dy")), Seq("y"))
+      .select(col("__dx").cast("decimal(19,0)").as("__qx"),
+        col("__dy").cast("decimal(19,0)").as("__qy"))
+    def d(c: Column) = c.cast("double")
+    val folded = paired.agg(
+      count(lit(1)).as("__n"),
+      sum(col("__qx")).as("__sx"), sum(col("__qy")).as("__sy"),
+      sum(col("__qx") * col("__qx")).as("__sxx"),
+      sum(col("__qy") * col("__qy")).as("__syy"),
+      sum(col("__qx") * col("__qy")).as("__sxy"))
+    val counts = und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+    val n = d(col("__n"))
+    val vx = n * d(col("__sxx")) - d(col("__sx")) * d(col("__sx"))
+    val vy = n * d(col("__syy")) - d(col("__sy")) * d(col("__sy"))
+    val cov = n * d(col("__sxy")) - d(col("__sx")) * d(col("__sy"))
+    broadcast(counts).crossJoin(folded)
+      .select(col("n_nodes"), col("n_edges"),
+        when(col("__n") >= 2 && vx > 0.0 && vy > 0.0,
+          graft.util.Portable.round6(cov / (sqrt(vx) * sqrt(vy))))
+          .as("assortativity"))
+  }
+
   /** Shared core: canonical undirected edges, node degrees, and the closed
     * triangles (wa, wb, wc) found by degree-ordered wedge generation. */
   private def closedTriangles(edgesIn: DataFrame, src: Column, dst: Column)

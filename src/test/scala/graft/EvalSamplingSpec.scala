@@ -381,6 +381,19 @@ class EvalSamplingSpec extends SparkSpec {
     assert(pick(Seq((1L, ts("2024-01-01 11:00:00"), 9.0))) === 9.0)
   }
 
+  test("degreeAssortativity: star is perfectly disassortative, cycle is NULL") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("s", "d")
+    val rs = graft.analysis.Graph.degreeAssortativity(star, col("s"), col("d"))
+      .collect().head
+    assert(rs.getAs[Long]("n_nodes") === 4 && rs.getAs[Long]("n_edges") === 3)
+    assert(rs.getAs[Double]("assortativity") === -1.0)
+    // every node degree 2: zero variance -> NULL, not NaN
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val rc = graft.analysis.Graph.degreeAssortativity(cycle, col("s"), col("d"))
+      .collect().head
+    assert(rc.isNullAt(rc.fieldIndex("assortativity")))
+  }
+
   test("clusteringCoefficient: K4 fully cohesive, pendant undefined") {
     // triangle 1-2-3 plus pendant 4 on node 3
     val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("s", "d")
