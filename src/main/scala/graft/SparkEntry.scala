@@ -4554,21 +4554,18 @@ asofOracle,
          |  $sqlTokCount AS n_tok,
          |  $sqlTokCount AS n_re
          |FROM documents""".stripMargin,
-    // exact-integer 2*cumW >= W pick over collapsed per-value weights
+    // exact-integer 2*cumW >= W pick; the RANGE-default window frame
+    // gives ties a shared cumulative on both engines
     "weighted_median" ->
       s"""WITH r AS (
          |  SELECT source AS group_key, n_chars AS v, $sqlTokCount AS w
          |  FROM documents
          |  WHERE n_chars IS NOT NULL AND $sqlTokCount > 0),
-         |bv AS (
-         |  SELECT group_key, v, CAST(SUM(w) AS BIGINT) AS wv
-         |  FROM r GROUP BY 1, 2),
          |c AS (
          |  SELECT group_key, v,
-         |    CAST(SUM(wv) OVER (PARTITION BY group_key ORDER BY v
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
-         |    CAST(SUM(wv) OVER (PARTITION BY group_key) AS BIGINT) AS tot
-         |  FROM bv)
+         |    CAST(SUM(w) OVER (PARTITION BY group_key ORDER BY v) AS BIGINT) AS cum,
+         |    CAST(SUM(w) OVER (PARTITION BY group_key) AS BIGINT) AS tot
+         |  FROM r)
          |SELECT group_key, MAX(tot) AS total_w, MIN(v) AS w_median
          |FROM c WHERE 2 * cum >= tot GROUP BY 1""".stripMargin,
     "tokenizer_fertility" ->

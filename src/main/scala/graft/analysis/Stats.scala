@@ -902,24 +902,24 @@ object Stats {
     * total, compared as exact integers (2·cumW ≥ W — no fractions, no
     * FP knife edge).
     *
-    * One exchange: per-(group, value) weights collapse first (ties
-    * merge), the cumulative and the total ride two frames of the same
-    * partitioned window, the pick is a min over qualifying values.
+    * ONE exchange on the group key: the cumulative rides a RANGE frame
+    * (ties share a cumulative — no pre-collapse groupBy, which would
+    * cost a second (group, value) exchange), the total a second frame of
+    * the same partitioned window, the final fold reuses the same
+    * distribution (plan-audited).
     */
   def weightedMedian(df: DataFrame, group: Column, value: Column,
                      weight: Column): DataFrame = {
     val rows = df.select(group.as("group_key"), value.as("__v"),
         weight.cast("long").as("__w"))
       .filter(col("__v").isNotNull && col("__w").isNotNull && col("__w") > 0)
-    val byValue = rows.groupBy(col("group_key"), col("__v"))
-      .agg(sum(col("__w")).as("__wv"))
     val wCum = org.apache.spark.sql.expressions.Window
       .partitionBy(col("group_key")).orderBy(col("__v"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("group_key"))
-    byValue
-      .withColumn("__cum", sum(col("__wv")).over(wCum))
-      .withColumn("__tot", sum(col("__wv")).over(wAll))
+    rows
+      .withColumn("__cum", sum(col("__w")).over(wCum))
+      .withColumn("__tot", sum(col("__w")).over(wAll))
       .filter(lit(2) * col("__cum") >= col("__tot"))
       .groupBy(col("group_key"))
       .agg(max(col("__tot")).as("total_w"), min(col("__v")).as("w_median"))

@@ -408,6 +408,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(count(finalPlan, "Scan parquet") <= 3, finalPlan)
   }
 
+  test("ML-prep/eval batch keeps its scale shapes") {
+    // single-scan single-agg reports: no second corpus pass hiding anywhere
+    Seq("feature_screen", "bootstrap_ci", "json_props_stats",
+        "tokenizer_fertility", "langid_confusion").foreach { q =>
+      assert(count(plan(q), "Scan parquet") == 1, s"$q must scan once")
+    }
+    // one entity-key exchange feeds every window frame
+    Seq("weighted_median", "interval_coverage").foreach { q =>
+      val p = plan(q)
+      assert(count(p, "Scan parquet") == 1 && count(p, "Exchange") == 1, q)
+    }
+    // broadcast joins only — no shuffled or cartesian join in the batch
+    Seq("target_encode_loo", "rare_category_collapse", "cdc_apply",
+        "degree_assortativity", "t_closeness", "cv_folds").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), q)
+    }
+  }
+
   test("bigram_pmi runs ONE corpus scan at runtime (reused totals exchange)") {
     // the totals fold must reuse the groupBy exchange, not re-scan: the
     // assertion runs on the FINAL adaptive plan (reuse materializes at
