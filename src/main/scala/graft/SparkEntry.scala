@@ -1418,6 +1418,16 @@ object SparkEntry {
       // (daily cycle = the lag-24 peak)
       graft.analysis.Stats.acfHourly(events(s, dir), col("ts"),
         col("event_type"), Seq(1, 2, 3, 6, 12, 24))),
+    "hourly_percentiles" -> ((s, dir) =>
+      // the p50/p95-by-hour-of-day dashboard row: tail behavior by time
+      // of day per stream (a p95 that doubles at night is a batch job,
+      // not users) — exact percentiles at bounded group cardinality
+      events(s, dir)
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+        .groupBy(col("event_type"), hour(col("ts")).as("hour_of_day"))
+        .agg(count(lit(1)).as("n"),
+          r6(expr("percentile(value, 0.5D)")).as("p50"),
+          r6(expr("percentile(value, 0.95D)")).as("p95"))),
     "ab_test_power" -> ((s, dir) =>
       // how long must the experiment run: required per-arm n to detect
       // the observed effect at alpha 0.05 / 80% power
@@ -3763,6 +3773,14 @@ asofOracle,
         |FROM pu WHERE f IS NOT NULL AND t IS NOT NULL AND t >= f
         |GROUP BY 1""".stripMargin,
     // integer moments: counts' sums never touch a double until mean/std
+    // Spark percentile ≡ DuckDB quantile_cont; hour() is UTC on both
+    "hourly_percentiles" ->
+      """SELECT event_type, CAST(hour(ts) AS INT) AS hour_of_day,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  floor(quantile_cont(value, 0.5) * 1000000.0 + 0.5) / 1000000.0 AS p50,
+        |  floor(quantile_cont(value, 0.95) * 1000000.0 + 0.5) / 1000000.0 AS p95
+        |FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
     // same spine as traffic_anomalies; deviation products q6'd then
     // DECIMAL-summed, one IEEE division per (stream, lag)
     "acf_hourly" ->
