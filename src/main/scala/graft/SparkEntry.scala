@@ -1538,6 +1538,12 @@ object SparkEntry {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 7)
     }),
+    "pit_features" -> ((s, dir) =>
+      // leakage-safe training set: features strictly pre-cutoff, label
+      // strictly in the 7-day horizon after (feature-store discipline)
+      graft.analysis.Stats.pitFeatures(events(s, dir), col("user_id"),
+        col("ts"), col("value"), col("event_type"),
+        col("event_type") === "purchase", "2024-01-20 00:00:00", 7)),
     "cdc_apply" -> ((s, dir) => {
       // MERGE semantics: the pre-mid-month feed is the base snapshot, the
       // rest is a change stream where 'error' rows are tombstones; the
@@ -3231,6 +3237,36 @@ asofOracle,
         |    THEN floor((cov / (sqrt(vx) * sqrt(vy))) * 1000000.0 + 0.5) / 1000000.0
         |  END AS corr
         |FROM v""".stripMargin,
+    // pre/post split as conditional-aggregation masks in ONE pass (no
+    // self-join); distinct via the null-skipping conditional (the
+    // multi-distinct class stays out on the Spark side via collect_set)
+    "pit_features" ->
+      """WITH r AS (
+        |  SELECT user_id AS entity, ts, value AS v, event_type AS et
+        |  FROM events WHERE ts IS NOT NULL),
+        |a AS (
+        |  SELECT entity,
+        |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+        |    SUM(CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' AND v IS NOT NULL
+        |      THEN CAST(floor(v * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6)) END) AS sv,
+        |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' AND v IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS nv,
+        |    MAX(CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN ts END) AS last_ts,
+        |    CAST(COUNT(DISTINCT CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00'
+        |      THEN et END) AS BIGINT) AS n_types,
+        |    MAX(CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |      AND ts < TIMESTAMP '2024-01-27 00:00:00'
+        |      AND et = 'purchase' THEN TRUE ELSE FALSE END) AS label
+        |  FROM r GROUP BY 1)
+        |SELECT entity, n_events,
+        |  CASE WHEN nv > 0
+        |    THEN floor((CAST(sv AS DOUBLE) / CAST(nv AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS mean_value,
+        |  CAST(floor((CAST(date_diff('microsecond', TIMESTAMP '1970-01-01', TIMESTAMP '2024-01-20 00:00:00') AS BIGINT)
+        |              - CAST(date_diff('microsecond', TIMESTAMP '1970-01-01', last_ts) AS BIGINT))
+        |             / 86400000000.0) AS BIGINT) AS days_since_last,
+        |  n_types, label
+        |FROM a WHERE n_events > 0""".stripMargin,
     // replay-the-log MERGE: union is the whole feed, del marks change-side
     // tombstones, one window keeps the newest row, deletes drop after
     "cdc_apply" ->

@@ -856,6 +856,54 @@ object Stats {
           r6(cov / (sqrt(vx) * sqrt(vy)))).as("corr"))
   }
 
+  /** Point-in-time training-set builder: per entity, features computed
+    * ONLY from rows before the cutoff and the label ONLY from the
+    * horizon after it — the feature-store discipline whose violation
+    * (a feature peeking past the cutoff) is the classic silent leakage
+    * that makes offline metrics lie. Entities with no pre-cutoff history
+    * are excluded (nothing to featurize); entities with history and no
+    * horizon activity get label = false, not a dropped row.
+    *
+    * One scan, one entity-key exchange: the pre/post split is a
+    * conditional-aggregation mask, so features and label fold in the
+    * SAME pass without a self-join. Exact arithmetic: counts long,
+    * mean from a DECIMAL sum, recency in whole days by integer micros
+    * division. Output: entity, n_events, mean_value, days_since_last,
+    * n_types, label.
+    */
+  def pitFeatures(df: DataFrame, entity: Column, ts: Column, value: Column,
+                  eventType: Column, labelEvent: Column,
+                  cutoff: String, horizonDays: Int): DataFrame = {
+    require(horizonDays >= 1, s"pitFeatures needs horizonDays >= 1, got $horizonDays")
+    val cut = lit(cutoff).cast("timestamp")
+    val horizonEnd = lit(cutoff).cast("timestamp") +
+      expr(s"INTERVAL $horizonDays DAYS")
+    val rows = df.select(entity.as("entity"), ts.as("__ts"),
+        value.cast("double").as("__v"), eventType.as("__et"),
+        labelEvent.as("__lab"))
+      .filter(col("__ts").isNotNull)
+    val pre = col("__ts") < cut
+    val inHorizon = col("__ts") >= cut && col("__ts") < horizonEnd
+    def d(c: Column) = c.cast("double")
+    rows.groupBy(col("entity"))
+      .agg(
+        sum(when(pre, 1L).otherwise(0L)).as("n_events"),
+        sum(when(pre, q6(col("__v")).cast("decimal(28,6)"))
+          .otherwise(lit(null))).as("__sv"),
+        sum(when(pre && col("__v").isNotNull, 1L).otherwise(0L)).as("__nv"),
+        max(when(pre, col("__ts")).otherwise(lit(null))).as("__last"),
+        size(collect_set(when(pre, col("__et")).otherwise(lit(null))))
+          .cast("long").as("n_types"),
+        max(when(inHorizon && col("__lab"), true).otherwise(false)).as("label"))
+      .filter(col("n_events") > 0)
+      .select(col("entity"), col("n_events"),
+        when(col("__nv") > 0, r6(d(col("__sv")) / d(col("__nv"))))
+          .as("mean_value"),
+        floor((unix_micros(cut) - unix_micros(col("__last"))) /
+          lit(86400000000.0)).cast("long").as("days_since_last"),
+        col("n_types"), col("label"))
+  }
+
   /** Merged-interval coverage per entity: total time covered by the
     * union of [ts, ts + activeLen) activity windows, plus the island
     * count — "how long was this user actually active" where summing raw

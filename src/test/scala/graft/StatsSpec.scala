@@ -225,6 +225,35 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("pitFeatures: post-cutoff rows never leak into features; label from horizon only") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val cutoff = "2024-01-20 00:00:00"
+    val df = Seq(
+      // u1: 2 pre rows (values 10, 20), a purchase INSIDE the horizon,
+      // and a post-horizon monster value that must NOT touch any feature
+      (1L, ts("2024-01-10 00:00:00"), 10.0, "click"),
+      (1L, ts("2024-01-18 00:00:00"), 20.0, "view"),
+      (1L, ts("2024-01-22 00:00:00"), 999.0, "purchase"),
+      (1L, ts("2024-02-15 00:00:00"), 99999.0, "click"),
+      // u2: pre history, purchase only AFTER the horizon -> label false
+      (2L, ts("2024-01-05 00:00:00"), 5.0, "click"),
+      (2L, ts("2024-01-30 00:00:00"), 5.0, "purchase"),
+      // u3: no pre-cutoff history -> excluded entirely
+      (3L, ts("2024-01-25 00:00:00"), 7.0, "purchase"))
+      .toDF("u", "ts", "v", "et").repartition(3)
+    val out = graft.analysis.Stats.pitFeatures(df, col("u"), col("ts"),
+        col("v"), col("et"), col("et") === "purchase", cutoff, 7)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(3L))
+    val u1 = out(1L)
+    assert(u1.getAs[Long]("n_events") === 2)
+    assert(u1.getAs[Double]("mean_value") === 15.0) // post rows excluded
+    assert(u1.getAs[Long]("days_since_last") === 2)
+    assert(u1.getAs[Long]("n_types") === 2)
+    assert(u1.getAs[Boolean]("label"))
+    assert(!out(2L).getAs[Boolean]("label")) // purchase after horizon
+  }
+
   test("intervalCoverage: overlaps merge, touching merges, gaps split islands") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     // windows of 600s: 10:00+10:05 overlap (merge), 10:15 touches 10:05's
