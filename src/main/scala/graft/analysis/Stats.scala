@@ -856,6 +856,27 @@ object Stats {
           r6(cov / (sqrt(vx) * sqrt(vy)))).as("corr"))
   }
 
+  /** Category encoding table for SERVING: per-category (n, Σ) plus the
+    * full mean — what [[targetEncodeLoo]] trains against, minus the
+    * leave-one-out (an arriving row was never in the training data, so
+    * its encoding IS the plain category mean; LOO is a TRAINING-set
+    * correction). Broadcastable category-cardinality frame; the
+    * streaming scorer (`Streams.targetEncodeStream`) joins it
+    * stream-static.
+    */
+  def targetEncodeTable(df: DataFrame, category: Column,
+                        target: Column): DataFrame = {
+    val rows = df.select(category.as("category"),
+        target.cast("double").as("__y"))
+      .filter(col("category").isNotNull && col("__y").isNotNull)
+      .withColumn("__q", q6(col("__y")).cast("decimal(18,6)"))
+    def d(c: Column) = c.cast("double")
+    rows.groupBy(col("category"))
+      .agg(count(lit(1)).as("__n"), sum(col("__q")).as("__s"))
+      .select(col("category"), col("__n").as("n"),
+        r6(d(col("__s")) / d(col("__n"))).as("te_mean"))
+  }
+
   /** Point-in-time training-set builder: per entity, features computed
     * ONLY from rows before the cutoff and the label ONLY from the
     * horizon after it — the feature-store discipline whose violation

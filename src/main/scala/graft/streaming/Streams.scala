@@ -203,6 +203,25 @@ object Streams {
                          moments: DataFrame, zMin: Double): DataFrame =
     graft.analysis.Stats.scoreAgainstMoments(rows, group, id, value, moments, zMin)
 
+  /** Streaming categorical encoder — encode-on-ingest against a
+    * batch-trained table (`Stats.targetEncodeTable`): each arriving row
+    * joins its category's mean target stream-static (broadcast,
+    * STATELESS — no watermark, no state store); unseen categories fall
+    * back to the supplied global mean instead of dropping or nulling.
+    * Serving uses the plain category mean by design: an arriving row was
+    * never in the training data, so the batch side's leave-one-out
+    * correction does not apply — spec pins both the known-category
+    * equality and the fallback.
+    */
+  def targetEncodeStream(rows: DataFrame, category: org.apache.spark.sql.Column,
+                         teTable: DataFrame, globalMean: Double): DataFrame =
+    rows.withColumn("__cat", category)
+      .join(broadcast(teTable.select(col("category").as("__cat"),
+        col("te_mean").as("__te"))), Seq("__cat"), "left")
+      .withColumn("te", coalesce(col("__te"),
+        lit(graft.util.Portable.round6d(globalMean))))
+      .drop("__cat", "__te")
+
   /** Streaming PSI drift monitor — the always-on twin of the batch
     * `psi_drift` audit: the baseline (decile edges + bucket proportions,
     * `Stats.psiBaseline`) is TRAINED on the batch archive and held

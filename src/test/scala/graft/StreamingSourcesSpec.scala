@@ -304,6 +304,27 @@ class StreamingSourcesSpec extends SparkSpec {
     assert(got.toSeq == Seq((10L, "bronze"), (11L, "gold"), (12L, "silver")))
   }
 
+  test("streaming target encoder joins the trained table stateless; unseen falls back") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val train = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0)).toDF("cat", "y")
+    val table = graft.analysis.Stats.targetEncodeTable(train, col("cat"), col("y"))
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streams.targetEncodeStream(
+        ms.toDF().toDF("id", "c"), col("c"), table, globalMean = 4.0 / 3.0)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("te_out").start()
+    try {
+      ms.addData((1L, "a"), (2L, "b"), (3L, "zzz"))
+      q.processAllAvailable()
+      val got = spark.table("te_out").collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Double]("te")).toMap
+      assert(got(1L) === 2.0)       // mean of category a
+      assert(got(2L) === 10.0)      // mean of category b
+      assert(got(3L) === 1.333333)  // unseen -> r6'd global mean
+      assert(q.lastProgress.stateOperators.isEmpty) // stateless plan
+    } finally q.stop()
+  }
+
   test("foreachBatch CDC merge materializes latest state; redelivery is a no-op") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val target = Files.createTempDirectory("graft_cdc").toString + "/t"
