@@ -1538,6 +1538,58 @@ object SparkEntry {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 7)
     }),
+    "event_lift" -> ((s, dir) => {
+      // market-basket lite over event types: per type pair, how much more
+      // often do they co-occur in a user's history than independence
+      // predicts (lift > 1 = the cross-sell/funnel signal)
+      val perUser = events(s, dir)
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        .select(col("user_id").as("u"), col("event_type").as("t"))
+        .distinct()
+      val n = broadcast(perUser.select(col("u")).distinct()
+        .agg(count(lit(1)).as("__nu")))
+      val typeCounts = perUser.groupBy(col("t")).agg(count(lit(1)).as("__c"))
+      val pairs = perUser.as("a").join(perUser.as("b"),
+          col("a.u") === col("b.u") && col("a.t") < col("b.t"))
+        .groupBy(col("a.t").as("type_a"), col("b.t").as("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      def d(c: Column) = c.cast("double")
+      pairs
+        .join(broadcast(typeCounts.select(col("t").as("type_a"), col("__c").as("__ca"))),
+          Seq("type_a"))
+        .join(broadcast(typeCounts.select(col("t").as("type_b"), col("__c").as("__cb"))),
+          Seq("type_b"))
+        .crossJoin(n)
+        .select(col("type_a"), col("type_b"), col("n_both"),
+          r6((d(col("n_both")) * d(col("__nu"))) /
+            (d(col("__ca")) * d(col("__cb")))).as("lift"))
+    }),
+    "contract_check" -> ((s, dir) => {
+      // declarative data-contract validation (the dbt-test /
+      // Great-Expectations staple): each rule is one conditional sum over
+      // ONE corpus pass; the report is rule-cardinality
+      val ev = events(s, dir)
+      val rules: Seq[(String, Column)] = Seq(
+        "value_non_negative" -> (col("value").isNotNull && col("value") < 0),
+        "value_below_1000" -> (col("value").isNotNull && col("value") >= 1000.0),
+        "event_type_in_domain" ->
+          (col("event_type").isNull || !col("event_type").isin(eventTypes: _*)),
+        "ts_not_null" -> col("ts").isNull,
+        "user_id_not_null" -> col("user_id").isNull,
+        "ts_in_2024" ->
+          (col("ts").isNotNull && year(col("ts")) =!= 2024))
+      val aggs = Seq(count(lit(1)).as("__n")) ++ rules.map { case (name, bad) =>
+        sum(when(bad, 1L).otherwise(0L)).as(s"__v_$name")
+      }
+      val one = ev.agg(aggs.head, aggs.tail: _*)
+      val entries = rules.map { case (name, _) =>
+        struct(lit(name).as("rule"), col(s"__v_$name").as("n_violations"))
+      }
+      one.select(col("__n"), explode(array(entries: _*)).as("__e"))
+        .select(col("__e.rule").as("rule"), col("__n").as("n_rows"),
+          col("__e.n_violations").as("n_violations"),
+          (col("__e.n_violations") === 0L).as("pass"))
+    }),
     "pit_features" -> ((s, dir) =>
       // leakage-safe training set: features strictly pre-cutoff, label
       // strictly in the 7-day horizon after (feature-store discipline)
@@ -3237,6 +3289,45 @@ asofOracle,
         |    THEN floor((cov / (sqrt(vx) * sqrt(vy))) * 1000000.0 + 0.5) / 1000000.0
         |  END AS corr
         |FROM v""".stripMargin,
+    // lift = n_both * n_users / (c_a * c_b) over exact longs
+    "event_lift" ->
+      """WITH pu AS (
+        |  SELECT DISTINCT user_id AS u, event_type AS t FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |n AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS nu FROM pu),
+        |tc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM pu GROUP BY 1),
+        |p AS (
+        |  SELECT a.t AS type_a, b.t AS type_b, CAST(COUNT(*) AS BIGINT) AS n_both
+        |  FROM pu a JOIN pu b ON a.u = b.u AND a.t < b.t
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, p.n_both,
+        |  floor(((CAST(p.n_both AS DOUBLE) * CAST(n.nu AS DOUBLE))
+        |         / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS lift
+        |FROM p
+        |JOIN tc ca ON ca.t = p.type_a
+        |JOIN tc cb ON cb.t = p.type_b
+        |CROSS JOIN n""".stripMargin,
+    // one conditional sum per rule over ONE pass; rule rows explode off
+    // the single aggregated row
+    "contract_check" ->
+      """WITH m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN value IS NOT NULL AND value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |    CAST(SUM(CASE WHEN value IS NOT NULL AND value >= 1000.0 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |    CAST(SUM(CASE WHEN event_type NOT IN ('click','view','purchase','signup','error')
+        |      OR event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+        |    CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+        |    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v5,
+        |    CAST(SUM(CASE WHEN ts IS NOT NULL AND year(ts) <> 2024 THEN 1 ELSE 0 END) AS BIGINT) AS v6
+        |  FROM events)
+        |SELECT u.rule, m.n AS n_rows, u.nv AS n_violations, u.nv = 0 AS pass
+        |FROM m, (
+        |  SELECT 'value_non_negative' AS rule, v1 AS nv FROM m
+        |  UNION ALL SELECT 'value_below_1000', v2 FROM m
+        |  UNION ALL SELECT 'event_type_in_domain', v3 FROM m
+        |  UNION ALL SELECT 'ts_not_null', v4 FROM m
+        |  UNION ALL SELECT 'user_id_not_null', v5 FROM m
+        |  UNION ALL SELECT 'ts_in_2024', v6 FROM m) u""".stripMargin,
     // pre/post split as conditional-aggregation masks in ONE pass (no
     // self-join); distinct via the null-skipping conditional (the
     // multi-distinct class stays out on the Spark side via collect_set)
