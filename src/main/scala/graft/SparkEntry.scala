@@ -1538,6 +1538,36 @@ object SparkEntry {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 7)
     }),
+    "attribution_compare" -> ((s, dir) => {
+      // first-touch vs last-touch revenue attribution per channel: the
+      // two models disagree exactly where budget decisions live. One
+      // entity-key exchange; the touch lookups are frame-bound window
+      // lasts/firsts with ignoreNulls (no self-join)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val touch = when(col("event_type") =!= "purchase", col("event_type"))
+      val purchases = events(s, dir)
+        .filter(col("ts").isNotNull)
+        .withColumn("__first", first(touch, ignoreNulls = true).over(w))
+        .withColumn("__last", last(touch, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .withColumn("__q", col("value").cast("decimal(18,2)"))
+      val byFirst = purchases.filter(col("__first").isNotNull)
+        .groupBy(col("__first").as("channel"))
+        .agg(count(lit(1)).as("n_first"), sum(col("__q")).as("__rf"))
+      val byLast = purchases.filter(col("__last").isNotNull)
+        .groupBy(col("__last").as("channel"))
+        .agg(count(lit(1)).as("n_last"), sum(col("__q")).as("__rl"))
+      byFirst.join(byLast, Seq("channel"), "full_outer")
+        .select(col("channel"),
+          coalesce(col("n_first"), lit(0L)).as("n_first"),
+          r6(coalesce(col("__rf"), lit(0).cast("decimal(18,2)")).cast("double"))
+            .as("revenue_first_touch"),
+          coalesce(col("n_last"), lit(0L)).as("n_last"),
+          r6(coalesce(col("__rl"), lit(0).cast("decimal(18,2)")).cast("double"))
+            .as("revenue_last_touch"))
+    }),
     "event_lift" -> ((s, dir) => {
       // market-basket lite over event types: per type pair, how much more
       // often do they co-occur in a user's history than independence
@@ -3289,6 +3319,33 @@ asofOracle,
         |    THEN floor((cov / (sqrt(vx) * sqrt(vy))) * 1000000.0 + 0.5) / 1000000.0
         |  END AS corr
         |FROM v""".stripMargin,
+    // frame-bound FIRST/LAST with IGNORE NULLS over the per-user stream;
+    // revenue sums exact DECIMAL(18,2)
+    "attribution_compare" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER w AS ft,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER w AS lt
+        |  FROM events WHERE ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p AS (
+        |  SELECT ft, lt, CAST(value AS DECIMAL(18,2)) AS q
+        |  FROM t WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |f AS (
+        |  SELECT ft AS channel, CAST(COUNT(*) AS BIGINT) AS n_first, SUM(q) AS rf
+        |  FROM p WHERE ft IS NOT NULL GROUP BY 1),
+        |l AS (
+        |  SELECT lt AS channel, CAST(COUNT(*) AS BIGINT) AS n_last, SUM(q) AS rl
+        |  FROM p WHERE lt IS NOT NULL GROUP BY 1)
+        |SELECT COALESCE(f.channel, l.channel) AS channel,
+        |  COALESCE(n_first, 0) AS n_first,
+        |  floor(CAST(COALESCE(rf, 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS revenue_first_touch,
+        |  COALESCE(n_last, 0) AS n_last,
+        |  floor(CAST(COALESCE(rl, 0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS revenue_last_touch
+        |FROM f FULL OUTER JOIN l ON f.channel = l.channel""".stripMargin,
     // lift = n_both * n_users / (c_a * c_b) over exact longs
     "event_lift" ->
       """WITH pu AS (
