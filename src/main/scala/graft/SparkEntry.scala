@@ -1114,6 +1114,28 @@ object SparkEntry {
       // generic over any array-of-lines column
       graft.curation.Curation.lineDedup(table(s, dir, "documents"), col("doc_id"),
         graft.curation.Curation.wordLines(col("text"), 8))),
+    "pii_scan_report" -> ((s, dir) => {
+      // export-safety audit per source: how much PII would ship (the
+      // decision input BEFORE pii_redact runs); every third doc gets the
+      // deterministic injection so rates are non-trivial
+      val d = table(s, dir, "documents")
+      val withPii = when(col("doc_id") % 3 === 0, concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example or call +2547"),
+        lpad((col("doc_id") % 1000000).cast("string"), 6, "0")))
+        .otherwise(col("text"))
+      val cols = graft.text.Redact.piiColumns(withPii)
+      d.select(col("source"), cols(0), cols(1), cols(2))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_urls") + col("n_emails") + col("n_phones") > 0, 1L)
+            .otherwise(0L)).as("n_docs_with_pii"),
+          sum(col("n_urls")).as("n_urls"),
+          sum(col("n_emails")).as("n_emails"),
+          sum(col("n_phones")).as("n_phones"))
+        .withColumn("pii_rate",
+          r6(col("n_docs_with_pii").cast("double") / col("n_docs").cast("double")))
+    }),
     "pii_redact" -> ((s, dir) => {
       // deterministic PII injection (the word-soup corpus has none), so the
       // oracle exercises real masking: one URL, one email, one phone per doc
@@ -5283,6 +5305,37 @@ asofOracle,
         |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos ASC), '') AS text_kept
         |FROM r GROUP BY doc_id""".stripMargin,
+    // same injection + precedence-chained counts as pii_redact, folded to
+    // the per-source export-safety report
+    "pii_scan_report" ->
+      """WITH raw AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |        || '@mail.example or call +2547'
+        |        || lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0')
+        |      ELSE text END AS t
+        |  FROM documents),
+        |staged AS (
+        |  SELECT source, t,
+        |    regexp_replace(t, '[Hh][Tt][Tt][Pp][Ss]?://[^\s]+', '<URL>', 'g') AS um
+        |  FROM raw),
+        |cnt AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(t, '[Hh][Tt][Tt][Pp][Ss]?://[^\s]+')) AS BIGINT) AS u,
+        |    CAST(len(regexp_extract_all(um, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS e,
+        |    CAST(len(regexp_extract_all(
+        |      regexp_replace(um, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+[0-9]{7,}')) AS BIGINT) AS p
+        |  FROM staged)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN u + e + p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+        |  CAST(SUM(u) AS BIGINT) AS n_urls,
+        |  CAST(SUM(e) AS BIGINT) AS n_emails,
+        |  CAST(SUM(p) AS BIGINT) AS n_phones,
+        |  floor((CAST(SUM(CASE WHEN u + e + p > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS pii_rate
+        |FROM cnt GROUP BY 1""".stripMargin,
     "pii_redact" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(t, '[Hh][Tt][Tt][Pp][Ss]?://[^\s]+')) AS BIGINT) AS n_urls,
