@@ -1450,6 +1450,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           r6(expr("percentile(value, 0.5D)")).as("p50"),
           r6(expr("percentile(value, 0.95D)")).as("p95"))),
+    "seasonal_anomalies" -> ((s, dir) =>
+      // the daily-cycle-aware tripwire: z vs the (stream, hour-of-day)
+      // profile, not the global mean (quiet nights stop being "anomalies")
+      graft.analysis.Stats.seasonalAnomalies(events(s, dir), col("ts"),
+        col("event_type"), 3.0)),
     "ab_test_power" -> ((s, dir) =>
       // how long must the experiment run: required per-arm n to detect
       // the observed effect at alpha 0.05 / 80% power
@@ -4066,6 +4071,39 @@ asofOracle,
         |  FROM z WHERE std > 0)
         |SELECT stream, hour, n,
         |  floor(mean * 1000000.0 + 0.5) / 1000000.0 AS hourly_mean, z
+        |FROM f WHERE abs(z) >= 3.0""".stripMargin,
+    // traffic_anomalies' spine with (stream, hour-of-day) profile moments
+    "seasonal_anomalies" ->
+      """WITH ev AS (SELECT ts, event_type FROM events WHERE ts IS NOT NULL),
+        |r AS (SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM ev),
+        |hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM r),
+        |types AS (SELECT DISTINCT event_type AS stream FROM ev),
+        |c AS (SELECT date_trunc('hour', ts) AS hour, event_type AS stream,
+        |        CAST(COUNT(*) AS BIGINT) AS nr
+        |      FROM ev GROUP BY 1, 2),
+        |series AS (
+        |  SELECT t.stream, h.hour, COALESCE(c.nr, 0) AS n,
+        |    CAST(hour(h.hour) AS INT) AS hod
+        |  FROM hours h CROSS JOIN types t
+        |  LEFT JOIN c ON c.hour = h.hour AND c.stream = t.stream),
+        |m AS (
+        |  SELECT stream, hod, CAST(COUNT(*) AS BIGINT) AS hcount,
+        |    SUM(CAST(n AS DECIMAL(28,0))) AS s1,
+        |    SUM(CAST(n * n AS DECIMAL(38,0))) AS s2
+        |  FROM series GROUP BY 1, 2),
+        |z AS (
+        |  SELECT s.stream, s.hour, s.hod, s.n,
+        |    CAST(s1 AS DOUBLE) / CAST(hcount AS DOUBLE) AS mean,
+        |    sqrt((CAST(s2 AS DOUBLE)
+        |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(hcount AS DOUBLE))
+        |         / CAST(hcount - 1 AS DOUBLE)) AS std
+        |  FROM series s JOIN m USING (stream, hod) WHERE hcount >= 2),
+        |f AS (
+        |  SELECT stream, hour, hod, n, mean,
+        |    floor(((CAST(n AS DOUBLE) - mean) / std) * 1000000.0 + 0.5) / 1000000.0 AS z
+        |  FROM z WHERE std > 0)
+        |SELECT stream, hour, hod, n,
+        |  floor(mean * 1000000.0 + 0.5) / 1000000.0 AS hod_mean, z
         |FROM f WHERE abs(z) >= 3.0""".stripMargin,
     // integer cross-multiplication detects the zero-effect case exactly
     "ab_test_power" ->

@@ -736,6 +736,50 @@ object Stats {
         when(col("__dd") > 0.0, r6(col("__e.num") / col("__dd"))).as("acf"))
   }
 
+  /** Seasonally-adjusted traffic anomalies: the gap-filled hourly series
+    * z-scored against its own (stream, hour-of-day) profile rather than
+    * the stream's global moments — the tripwire [[trafficAnomalies]]
+    * should be on daily-cycle data, where the global version flags every
+    * quiet night and misses a dead DAYTIME hour (acf_hourly is the
+    * diagnosis, this is the fix). Same spine discipline (zero hours ARE
+    * observations), moments per (stream, hod) are exact integer sums,
+    * z fixed-shape IEEE, profile cells with < 2 observations or zero
+    * variance are skipped.
+    */
+  def seasonalAnomalies(df: DataFrame, ts: Column, stream: Column,
+                        zMin: Double): DataFrame = {
+    require(zMin > 0.0, s"seasonalAnomalies needs zMin > 0, got $zMin")
+    val ev = df.select(ts.as("__ts"), stream.as("__s")).filter(col("__ts").isNotNull)
+    val range = ev.agg(date_trunc("hour", min(col("__ts"))).as("lo"),
+      date_trunc("hour", max(col("__ts"))).as("hi"))
+    val hours = range.select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+    val streams = ev.select(col("__s")).distinct()
+    val counts = ev.groupBy(date_trunc("hour", col("__ts")).as("hour"), col("__s"))
+      .agg(count(lit(1)).as("__n"))
+    val series = hours.crossJoin(streams)
+      .join(counts, Seq("hour", "__s"), "left")
+      .select(col("hour"), col("__s").as("stream"),
+        coalesce(col("__n"), lit(0L)).as("n"),
+        hour(col("hour")).as("hod"))
+    val moments = series.groupBy(col("stream"), col("hod")).agg(
+      count(lit(1)).as("__h"),
+      sum(col("n").cast("decimal(28,0)")).as("__s1"),
+      sum((col("n") * col("n")).cast("decimal(38,0)")).as("__s2"))
+    val mean = col("__s1").cast("double") / col("__h").cast("double")
+    val variance = (col("__s2").cast("double") -
+      col("__s1").cast("double") * col("__s1").cast("double") / col("__h").cast("double")) /
+      (col("__h") - 1).cast("double")
+    series.join(broadcast(moments), Seq("stream", "hod"))
+      .filter(col("__h") >= 2)
+      .withColumn("__mean", mean)
+      .withColumn("__std", sqrt(variance))
+      .filter(col("__std") > 0.0)
+      .withColumn("z", r6((col("n").cast("double") - col("__mean")) / col("__std")))
+      .filter(abs(col("z")) >= zMin)
+      .select(col("stream"), col("hour"), col("hod"), col("n"),
+        r6(col("__mean")).as("hod_mean"), col("z"))
+  }
+
   /** Two-proportion power analysis from the observed arms: the required
     * per-arm sample size to detect the OBSERVED effect at α = 0.05
     * (two-sided) with 80% power — the "how long must this experiment
