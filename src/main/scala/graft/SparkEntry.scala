@@ -665,6 +665,30 @@ object SparkEntry {
         col("event_type") === "error" && col("value") > 250.0)),
 
     // ---- C. LLM-training-data operators ----
+    "lsh_tuning_table" -> ((s, dir) => {
+      // the LSH design tool: for each (bands, rows) layout of a
+      // 16-hash signature, the S-curve's 50% threshold and the
+      // catch probabilities at J = 0.5 / 0.7 / 0.9 — read BEFORE
+      // committing a band layout (data-free planning table)
+      val layouts = Seq((2, 8), (4, 4), (8, 2), (16, 1))
+      val rows = layouts.map { case (b, r) =>
+        struct(lit(b).as("bands"), lit(r).as("rows_per_band"))
+      }
+      def pCatch(sim: Double) = {
+        val j = lit(sim)
+        r6(lit(1.0) - pow(lit(1.0) -
+          pow(j, col("rows_per_band").cast("double")),
+          col("bands").cast("double")))
+      }
+      s.range(1).select(explode(array(rows: _*)).as("__e"))
+        .select(col("__e.bands").as("bands"),
+          col("__e.rows_per_band").as("rows_per_band"))
+        .select(col("bands"), col("rows_per_band"),
+          r6(pow(lit(1.0) / col("bands").cast("double"),
+            lit(1.0) / col("rows_per_band").cast("double"))).as("s50"),
+          pCatch(0.5).as("p_at_50"), pCatch(0.7).as("p_at_70"),
+          pCatch(0.9).as("p_at_90"))
+    }),
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(table(s, dir, "documents"), col("doc_id"), col("text"))),
     "doc_fingerprint" -> ((s, dir) =>
@@ -3634,6 +3658,22 @@ asofOracle,
          |  floor(arr[31] * 1000000.0 + 0.5) / 1000000.0 AS ci_hi
          |FROM x""".stripMargin
     },
+    // pure closed-form S-curve arithmetic on a literal grid, fixed IEEE
+    // pow shapes on both engines
+    "lsh_tuning_table" ->
+      """WITH l AS (
+        |  SELECT 2 AS bands, 8 AS rows_per_band
+        |  UNION ALL SELECT 4, 4 UNION ALL SELECT 8, 2 UNION ALL SELECT 16, 1)
+        |SELECT bands, rows_per_band,
+        |  floor(pow(1.0 / CAST(bands AS DOUBLE), 1.0 / CAST(rows_per_band AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS s50,
+        |  floor((1.0 - pow(1.0 - pow(0.5, CAST(rows_per_band AS DOUBLE)),
+        |    CAST(bands AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS p_at_50,
+        |  floor((1.0 - pow(1.0 - pow(0.7, CAST(rows_per_band AS DOUBLE)),
+        |    CAST(bands AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS p_at_70,
+        |  floor((1.0 - pow(1.0 - pow(0.9, CAST(rows_per_band AS DOUBLE)),
+        |    CAST(bands AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS p_at_90
+        |FROM l""".stripMargin,
     // exact-long ECDF prefixes (the engine's distributed two-phase scan
     // and this window cumulative see identical integers), one IEEE
     // division per distinct value, order-free max
