@@ -929,6 +929,17 @@ object SparkEntry {
       d.select((col("doc_id") +: graft.text.TextFeatures.langIdProfiled(
         col("text"), graft.text.TextFeatures.defaultProfiles)): _*)
     }),
+    "krippendorff_alpha" -> ((s, dir) => {
+      // annotation reliability across the THREE labelers (declared +
+      // both heuristics): kappa's multi-coder generalization, in its
+      // exact-integer common-m form (one IEEE division at the end)
+      val votes = table(s, dir, "documents").select(col("doc_id"),
+        explode(array(col("lang"),
+          graft.text.TextFeatures.langIdColumns(col("text")).last,
+          graft.text.TextFeatures.langIdProfiled(col("text"),
+            graft.text.TextFeatures.defaultProfiles).last)).as("vote"))
+      graft.analysis.Eval.krippendorffAlpha(votes, col("doc_id"), col("vote"))
+    }),
     "langid_confusion" -> ((s, dir) => {
       // error analysis for the labeler: gold x predicted counts (the
       // matrix classifier_eval's per-class P/R/F1 summarizes away)
@@ -4741,6 +4752,39 @@ asofOracle,
     // language can never drift the two formulations apart. DuckDB list_max
     // over structs is field-order lexicographic, matching Spark array_max.
     "langid_profiled" -> langidProfiledOracle,
+    // the voter CTEs are the SHARED langid oracles; the alpha algebra is
+    // exact integers until one IEEE division
+    "krippendorff_alpha" ->
+      s"""WITH h AS (
+         |$langidOracle),
+         |p AS (
+         |$langidProfiledOracle),
+         |v AS (
+         |  SELECT d.doc_id AS u, d.lang AS l FROM documents d
+         |  UNION ALL SELECT h.doc_id, h.predicted_lang FROM h
+         |  UNION ALL SELECT p.doc_id, p.predicted_lang FROM p),
+         |ul AS (
+         |  SELECT u, l, CAST(COUNT(*) AS BIGINT) AS c FROM v
+         |  WHERE u IS NOT NULL AND l IS NOT NULL GROUP BY 1, 2),
+         |pu AS (
+         |  SELECT u, CAST(SUM(c) AS BIGINT) AS m, CAST(SUM(c * c) AS BIGINT) AS ss
+         |  FROM ul GROUP BY 1),
+         |lm AS (SELECT l, CAST(SUM(c) AS BIGINT) AS nl FROM ul GROUP BY 1),
+         |f AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_units, MIN(m) AS mmin,
+         |    CAST(SUM(m * m - ss) AS BIGINT) AS o2, CAST(SUM(m) AS BIGINT) AS n
+         |  FROM pu),
+         |g AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_labels,
+         |    CAST(SUM(nl * nl) AS BIGINT) AS snl2
+         |  FROM lm)
+         |SELECT n_units, n_labels,
+         |  CASE WHEN n * n - snl2 > 0 AND mmin >= 2
+         |    THEN floor((1.0 - CAST((n - 1) * o2 AS DOUBLE)
+         |                      / CAST((mmin - 1) * (n * n - snl2) AS DOUBLE))
+         |      * 1000000.0 + 0.5) / 1000000.0
+         |  END AS alpha
+         |FROM f, g""".stripMargin,
     // the prediction CTE is the SHARED langid oracle (classifier_eval's
     // discipline applied to the raw matrix)
     "langid_confusion" ->

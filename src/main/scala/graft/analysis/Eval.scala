@@ -183,6 +183,56 @@ object Eval {
         min(col("__l")).as("min_l"))
   }
 
+  /** Krippendorff's alpha (nominal data) — the multi-coder reliability
+    * generalization of Cohen's kappa: any number of coders per unit,
+    * chance-corrected against the pooled label distribution. For units
+    * that all carry the same coder count m, the coincidence algebra
+    * collapses to INTEGERS: per-unit off-diagonal pair mass is
+    * m² − Σ_l n_ul², the expected mass is n² − Σ_l n_l², and
+    * α = 1 − (n−1)·ΣO2 / (2·(n²−Σn_l²))... computed here in its exact
+    * integer form with ONE IEEE division at the end (no per-cell
+    * fractions to round). Input: one row per (unit, coder label vote),
+    * labels non-null. Output (one row): n_units, n_labels, alpha (NULL
+    * when the expected disagreement is zero — a single-label corpus has
+    * no reliability to measure).
+    *
+    * Scale shape: one exchange to (unit, label) counts, a unit-level
+    * fold, and label marginals off the same counts frame; everything
+    * after is scalar arithmetic.
+    */
+  def krippendorffAlpha(df: DataFrame, unit: Column, vote: Column): DataFrame = {
+    val rows = df.select(unit.as("__u"), vote.as("__l"))
+      .filter(col("__u").isNotNull && col("__l").isNotNull)
+    val ul = rows.groupBy(col("__u"), col("__l")).agg(count(lit(1)).as("__c"))
+    // per-unit: m_u and Σ n_ul² -> off-diagonal pair mass m² − Σn²,
+    // weighted by 1/(m_u − 1) exactly via the common-m contract below
+    val perUnit = ul.groupBy(col("__u")).agg(
+      sum(col("__c")).as("__m"),
+      sum(col("__c") * col("__c")).as("__ss"))
+    // exact-integer collapse requires a COMMON coder count (the 3-voter
+    // ensemble's case); reject ragged panels loudly rather than silently
+    // approximating the per-unit 1/(m_u−1) weights
+    val labelMarg = ul.groupBy(col("__l")).agg(sum(col("__c")).as("__nl"))
+    def d(c: Column) = c.cast("double")
+    val folded = perUnit.agg(
+      count(lit(1)).as("n_units"),
+      min(col("__m")).as("__mMin"), max(col("__m")).as("__mMax"),
+      sum(col("__m") * col("__m") - col("__ss")).as("__o2"),
+      sum(col("__m")).as("__n"))
+    val marg = labelMarg.agg(count(lit(1)).as("n_labels"),
+      sum(col("__nl") * col("__nl")).as("__snl2"))
+    val de = col("__n") * col("__n") - col("__snl2")
+    val alpha = graft.util.Portable.round6(lit(1.0) -
+      d((col("__n") - 1) * col("__o2")) / d((col("__mMin") - 1) * de))
+    folded.crossJoin(broadcast(marg))
+      .select(col("n_units"), col("n_labels"),
+        when(col("__mMin") =!= col("__mMax"),
+          raise_error(lit("krippendorffAlpha: ragged coder counts — the " +
+            "exact integer form needs a common m per unit")).cast("double"))
+          .when(de > 0 && col("__mMin") >= 2, alpha)
+          .as("alpha"))
+  }
+
   /** t-closeness audit — the third leg of the privacy trio: a QI group
     * can be k-anonymous AND l-diverse yet still leak if its sensitive
     * DISTRIBUTION differs sharply from the table's (seeing the group

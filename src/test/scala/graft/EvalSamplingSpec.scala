@@ -325,6 +325,32 @@ class EvalSamplingSpec extends SparkSpec {
     assert(out === ((2L, 1L, 10L, 1L)))
   }
 
+  test("krippendorffAlpha: hand-computed nominal alpha, perfect agreement, ragged rejected") {
+    def votes(rows: (Long, String)*) = rows.toSeq.toDF("u", "l")
+    // 4 units x 2 coders: (a,a) (b,b) (a,b) (a,a)
+    // O2=2, n=8, marginals a=5 b=3 -> alpha = 1 - 7*2/(1*30) = 0.533333
+    val mixed = votes(1L -> "a", 1L -> "a", 2L -> "b", 2L -> "b",
+      3L -> "a", 3L -> "b", 4L -> "a", 4L -> "a")
+    val r = graft.analysis.Eval.krippendorffAlpha(mixed, col("u"), col("l"))
+      .collect().head
+    assert(r.getLong(0) === 4 && r.getLong(1) === 2)
+    assert(r.getAs[Double]("alpha") === math.floor((1.0 - 14.0 / 30.0) * 1e6 + 0.5) / 1e6)
+    // perfect agreement -> exactly 1
+    val perfect = votes(1L -> "x", 1L -> "x", 2L -> "y", 2L -> "y")
+    assert(graft.analysis.Eval.krippendorffAlpha(perfect, col("u"), col("l"))
+      .collect().head.getAs[Double]("alpha") === 1.0)
+    // single-label corpus: expected disagreement 0 -> NULL, not NaN
+    val mono = votes(1L -> "x", 1L -> "x", 2L -> "x", 2L -> "x")
+    val m = graft.analysis.Eval.krippendorffAlpha(mono, col("u"), col("l"))
+      .collect().head
+    assert(m.isNullAt(m.fieldIndex("alpha")))
+    // ragged coder counts fail LOUDLY (the exact form needs a common m)
+    val ragged = votes(1L -> "a", 1L -> "a", 1L -> "a", 2L -> "a", 2L -> "b")
+    intercept[Exception] {
+      graft.analysis.Eval.krippendorffAlpha(ragged, col("u"), col("l")).collect()
+    }
+  }
+
   test("tClosenessReport: global-matching group scores 0, concentrated group is flagged") {
     // values 1..4 appear once per group in "mix" (matches global shape
     // poorly since "low" skews it) — construct exactly: global = mix ∪ low
