@@ -505,6 +505,13 @@ object SparkEntry {
       graft.analysis.Glm.logitByGroup(events(s, dir), "event_type",
         Seq(hour(col("ts")).cast("double")), logitY,
         Seq("b0", "b_hour"))),
+    "regression_huber" -> ((s, dir) =>
+      // robust OLS: residuals past delta = 150 downweight to delta/|r|,
+      // so a fat-tailed value feed can't drag the fitted line (the
+      // outlier-safe sibling of regression_ols, same IRLS machinery)
+      graft.analysis.Glm.huberByGroup(events(s, dir), "event_type",
+        Seq(hour(col("ts")).cast("double")), col("value"),
+        Seq("b0", "b_hour"), delta = 150.0)),
     "regression_logit_multi" -> ((s, dir) =>
       // all-categorical predictor set like the reference's
       // gender/age_category/disability/recently_displaced one-hots
@@ -2910,6 +2917,11 @@ asofOracle,
         "SELECT event_type, CAST(EXTRACT(HOUR FROM ts) AS DOUBLE) AS __x1, " +
           s"$logitYSql AS __y FROM events",
         "event_type", 2, Seq("b0", "b_hour")),
+    "regression_huber" ->
+      graft.analysis.Glm.huberOracleSql(
+        "SELECT event_type, CAST(EXTRACT(HOUR FROM ts) AS DOUBLE) AS __x1, " +
+          "value AS __y FROM events",
+        "event_type", 2, Seq("b0", "b_hour"), delta = 150.0),
     "regression_logit_multi" ->
       graft.analysis.Glm.logitOracleSql(
         demogRowsSql(Seq.empty, logitYSql),

@@ -175,6 +175,39 @@ object Glm {
         (0 until p).map(i => (s"__b_$i", r6s(s"__b_$i"))))
   }
 
+  /** Coarser portable quantized sum: 1e-9 grid, exact integers for
+    * |term| ≤ ~9e6 — the Huber moments' x·y·w products exceed [[qsum]]'s
+    * ~9000-bound, so they ride this grid instead (still order-free: the
+    * DECIMAL accumulation is exact, only the per-term quantization is
+    * coarser). */
+  private def qsum9(term: String) =
+    s"CAST(SUM(CAST(FLOOR(($term) * 1.0e9 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1.0e9"
+
+  /** The distributed half of one Huber-IRLS iteration: robust working
+    * weights w = min(1, δ/|r|) from the PREVIOUS beta's residuals, then
+    * one weighted normal-equation aggregation (X'WX, X'Wy). Fixed δ in
+    * response units (no per-iteration scale re-estimation — the contract
+    * that keeps the recursion a pure fixed-point both engines replay). */
+  private def huberMomentSteps(p: Int, delta: Double): Seq[Step] = {
+    val eta = (0 until p).map(i => s"(__b_$i * __x$i)").reduce((a, b) => s"($a + $b)")
+    Seq(
+      Extend("__eta", eta),
+      Extend("__res", "(__y - __eta)"),
+      Extend("__w",
+        r9s(s"CASE WHEN ABS(__res) <= $delta THEN 1.0 ELSE ($delta / ABS(__res)) END")),
+      Aggregate(("__n", "COUNT(*)") +:
+        (entries(p).map { case (i, j) => (aN(i, j), qsum9(s"((__x$i * __x$j) * __w)")) } ++
+          (0 until p).map(i => (s"__r_$i", qsum9(s"((__x$i * __y) * __w)"))))))
+  }
+
+  private def huberIterationSteps(p: Int, group: String, ridge: Double,
+                                  delta: Double): Seq[Step] = {
+    val keep = Seq(group, "__n")
+    huberMomentSteps(p, delta) ++ (ridgeStep(p, ridge, keep) +: solveStages(p, keep)) :+
+      Project(Seq((group, group), ("__n", "__n")) ++
+        (0 until p).map(i => (s"__b_$i", r6s(s"__b_$i"))))
+  }
+
   /** Portable half-up 6dp rounding — scalar twin of [[r6s]]. */
   private def r6(v: Double): Double = math.floor(v * 1.0e6 + 0.5) / 1.0e6
 
@@ -246,7 +279,33 @@ object Glm {
     * eagerly, so the unpersist cannot trigger recomputation.
     */
   def logitByGroup(rows0: DataFrame, group: String, xs: Seq[Column], y: Column,
-                   outNames: Seq[String], iters: Int = 6, ridge: Double = 1e-6): DataFrame = {
+                   outNames: Seq[String], iters: Int = 6, ridge: Double = 1e-6): DataFrame =
+    irlsFitByGroup(rows0, group, xs, y, outNames, iters, ridge, logitMomentSteps)
+
+  /** Huber robust regression per group — OLS whose influence function
+    * caps at δ: a fat-tailed response (the exact shape real value feeds
+    * have) drags an OLS line arbitrarily far, while the Huber fit
+    * downweights any residual beyond δ to δ/|r| and converges to the
+    * line through the bulk. Same IRLS fixed-point discipline as the
+    * logit: K weighted normal-equation passes over the persisted working
+    * set, driver-side p×p solve bit-identical to the oracle's unrolled
+    * CTE solve, β re-rounded to 6dp per iteration so both engines walk
+    * the identical trajectory. δ is FIXED in response units (no scale
+    * re-estimation per iteration) — the contract that keeps the
+    * recursion a replayable fixed-point.
+    */
+  def huberByGroup(rows0: DataFrame, group: String, xs: Seq[Column], y: Column,
+                   outNames: Seq[String], delta: Double,
+                   iters: Int = 6, ridge: Double = 1e-6): DataFrame = {
+    require(delta > 0.0, s"huberByGroup needs delta > 0, got $delta")
+    irlsFitByGroup(rows0, group, xs, y, outNames, iters, ridge,
+      p => huberMomentSteps(p, delta))
+  }
+
+  private def irlsFitByGroup(rows0: DataFrame, group: String, xs: Seq[Column],
+                             y: Column, outNames: Seq[String], iters: Int,
+                             ridge: Double,
+                             momentSteps: Int => Seq[Step]): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
     val p = xs.size + 1
@@ -280,7 +339,7 @@ object Glm {
               betaSchema)
             prepared.join(broadcast(betaDf), Seq(group))
           }
-        val moments = runSteps(joined, group, logitMomentSteps(p)).collect()
+        val moments = runSteps(joined, group, momentSteps(p)).collect()
         beta = moments.toSeq.map { row =>
           val upper = es.map { case (i, j) => row.getDouble(row.fieldIndex(aN(i, j))) }
           val grad = (0 until p).map(i => row.getDouble(row.fieldIndex(s"__r_$i")))
@@ -302,7 +361,20 @@ object Glm {
     * rendered as CTEs. `rowsSql` must produce the group column plus
     * __x1..__x{p-1} and __y (the intercept __x0 is added here). */
   def logitOracleSql(rowsSql: String, group: String, p: Int, outNames: Seq[String],
-                     iters: Int = 6, ridge: Double = 1e-6): String = {
+                     iters: Int = 6, ridge: Double = 1e-6): String =
+    irlsOracleSql(rowsSql, group, p, outNames, iters,
+      irlsIterationSteps(p, group, ridge))
+
+  /** DuckDB twin of [[huberByGroup]] — the same fixed-δ weighted
+    * iteration fragments rendered as unrolled CTEs. */
+  def huberOracleSql(rowsSql: String, group: String, p: Int, outNames: Seq[String],
+                     delta: Double, iters: Int = 6, ridge: Double = 1e-6): String =
+    irlsOracleSql(rowsSql, group, p, outNames, iters,
+      huberIterationSteps(p, group, ridge, delta))
+
+  private def irlsOracleSql(rowsSql: String, group: String, p: Int,
+                            outNames: Seq[String], iters: Int,
+                            iteration: Seq[Step]): String = {
     require(outNames.size == p)
     val b = new StringBuilder("WITH __rows0 AS (\n").append(rowsSql).append("),\n")
     b.append(s"__rows AS (SELECT *, 1.0 AS __x0 FROM __rows0 WHERE ${completeCase(p)}),\n")
@@ -313,8 +385,7 @@ object Glm {
       val join = s"__j_$k AS (SELECT r.*, " +
         (0 until p).map(i => s"b.__b_$i").mkString(", ") +
         s" FROM __rows r JOIN $prevBeta b USING ($group))"
-      val (ctes, last) = renderSql(s"__j_$k", s"__it${k}", group,
-        irlsIterationSteps(p, group, ridge))
+      val (ctes, last) = renderSql(s"__j_$k", s"__it${k}", group, iteration)
       b.append((join +: ctes).mkString(",\n")).append(",\n")
       prevBeta = last
     }

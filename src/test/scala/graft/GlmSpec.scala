@@ -91,6 +91,25 @@ class GlmSpec extends SparkSpec {
     assert(got == Map("a" -> 2L, "b" -> 2L))
   }
 
+  test("huberByGroup shrugs off the outlier that drags OLS") {
+    // clean line y = 10 + 2x on x = 0..19, plus one monster outlier at
+    // x = 10: OLS chases it, the Huber fit (delta = 5) stays on the line
+    val clean = (0 until 20).map(x => ("g", x.toDouble, 10.0 + 2.0 * x))
+    val df = (clean :+ (("g", 10.0, 5000.0))).toDF("g", "x", "y")
+    val hub = Glm.huberByGroup(df, "g", Seq(col("x")), col("y"),
+        Seq("b0", "b1"), delta = 5.0)
+      .select("b0", "b1").as[(Double, Double)].collect().head
+    assert(math.abs(hub._1 - 10.0) < 0.5 && math.abs(hub._2 - 2.0) < 0.1, hub)
+    val ols = Glm.olsMultiByGroup(df, "g", Seq(col("x")), col("y"), Seq("b0", "b1"))
+      .select("b0", "b1").as[(Double, Double)].collect().head
+    // the outlier moves the OLS intercept by two orders of magnitude more
+    assert(math.abs(ols._1 - 10.0) > 10.0, ols)
+    // delta must be positive
+    intercept[IllegalArgumentException] {
+      Glm.huberByGroup(df, "g", Seq(col("x")), col("y"), Seq("b0", "b1"), delta = 0.0)
+    }
+  }
+
   test("olsMultiByGroup recovers an exact multivariate line") {
     // y = 3 + 2·x1 − 1·x2 + 0.5·x3 exactly; DECIMAL-exact inputs
     val df = (0 until 60).map { i =>
