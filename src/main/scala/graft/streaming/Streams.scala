@@ -460,6 +460,50 @@ object Streams {
                       cusum: Double, alarm: Boolean)
   case class DriftState(s: Double)
 
+  case class HoltOut(user_id: Long, event_id: Long, value: Double,
+                     level: Double, trend: Double, forecast: Double)
+  case class HoltState(l: Double, tr: Double, seeded: Boolean)
+
+  /** Streaming Holt's linear smoother — the always-on twin of the batch
+    * `holt_linear` fold: TWO doubles of per-entity state (level + trend)
+    * carried across micro-batches via flatMapGroupsWithState (NoTimeout:
+    * a forecast must survive idle periods — the cusumStream trade), the
+    * same binary-exact α/β contract and fixed IEEE operation tree, so a
+    * stream-fed entity walks the identical recursion as the batch fold
+    * (spec proves a two-batch split equals the batch output exactly).
+    * In-batch rows fold in event-time order with the event_id tie-break.
+    */
+  def holtStream(events: Dataset[DriftEvent], alpha: Double,
+                 beta: Double): Dataset[HoltOut] = {
+    require(alpha > 0.0 && alpha <= 1.0 && beta >= 0.0 && beta <= 1.0 &&
+      alpha * 4 == math.rint(alpha * 4) && beta * 4 == math.rint(beta * 4),
+      s"holtStream needs binary-exact quarter alpha/beta in range, got $alpha/$beta")
+    val ca = 1.0 - alpha
+    val cb = 1.0 - beta
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[HoltState, HoltOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[DriftEvent], state: GroupState[HoltState]) =>
+          val sorted = rows.map(e => (micros(e.ts), e)).toSeq
+            .sortBy { case (m, e) => (m, e.event_id) }
+          var st = state.getOption.getOrElse(HoltState(0.0, 0.0, seeded = false))
+          def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+          val out = sorted.map { case (_, e) =>
+            st =
+              if (!st.seeded) HoltState(e.value, 0.0, seeded = true)
+              else {
+                val lPrev = st.l
+                val l = alpha * e.value + ca * (st.l + st.tr)
+                HoltState(l, beta * (l - lPrev) + cb * st.tr, seeded = true)
+              }
+            HoltOut(user, e.event_id, e.value, r6(st.l), r6(st.tr), r6(st.l + st.tr))
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming CUSUM drift detection — the stateful twin of the batch
     * `cusum_drift` fold: per entity, sᵢ = max(0, sᵢ₋₁ + xᵢ − k) carried
     * across micro-batches as ONE double of state, alarm when the RAW

@@ -190,6 +190,33 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Holt smoother carries (level, trend) state, equals batch") {
+    import graft.streaming.Streams.{DriftEvent, HoltOut}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[DriftEvent]
+    val q = graft.streaming.Streams.holtStream(input.toDS(), 0.5, 0.25)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("holt_out").start()
+    try {
+      val events = GraftSession.table(spark, sfDir, "events")
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .as[DriftEvent].collect().sortBy(e => (e.ts.getTime, e.event_id))
+      // two micro-batches: both state doubles must round-trip the store
+      val (first, second) = events.splitAt(events.length / 2)
+      input.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(second.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("holt_out").as[HoltOut].collect()
+        .map(o => (o.user_id, o.event_id, o.value, o.level, o.trend, o.forecast))
+        .toSet
+      val expected = SparkEntry.queries("holt_linear")(spark, sfDir)
+        .as[(Long, Long, Double, Double, Double, Double)].collect().toSet
+      assert(streamed.nonEmpty && streamed == expected)
+    } finally q.stop()
+  }
+
   test("streaming as-of enrichment matches the batch as-of join") {
     import graft.streaming.Streams.{EnrichEvent, EnrichOut}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
