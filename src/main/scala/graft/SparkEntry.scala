@@ -1622,20 +1622,23 @@ object SparkEntry {
         .withColumn("__last", last(touch, ignoreNulls = true).over(w))
         .filter(col("event_type") === "purchase" && col("value").isNotNull)
         .withColumn("__q", col("value").cast("decimal(18,2)"))
-      val byFirst = purchases.filter(col("__first").isNotNull)
-        .groupBy(col("__first").as("channel"))
-        .agg(count(lit(1)).as("n_first"), sum(col("__q")).as("__rf"))
-      val byLast = purchases.filter(col("__last").isNotNull)
-        .groupBy(col("__last").as("channel"))
-        .agg(count(lit(1)).as("n_last"), sum(col("__q")).as("__rl"))
-      byFirst.join(byLast, Seq("channel"), "full_outer")
-        .select(col("channel"),
-          coalesce(col("n_first"), lit(0L)).as("n_first"),
-          r6(coalesce(col("__rf"), lit(0).cast("decimal(18,2)")).cast("double"))
-            .as("revenue_first_touch"),
-          coalesce(col("n_last"), lit(0L)).as("n_last"),
-          r6(coalesce(col("__rl"), lit(0).cast("decimal(18,2)")).cast("double"))
-            .as("revenue_last_touch"))
+      // both models fold in ONE pass: each purchase explodes into its
+      // (first, last) role rows and conditional sums split them — the
+      // per-model groupBy + full-outer join shape planned a (harmless but
+      // needless) sort-merge join of two 4-row frames
+      purchases.select(col("__q"), explode(array(
+          struct(col("__first").as("channel"), lit("f").as("w")),
+          struct(col("__last").as("channel"), lit("l").as("w")))).as("__e"))
+        .select(col("__e.channel").as("channel"), col("__e.w").as("__w"), col("__q"))
+        .filter(col("channel").isNotNull)
+        .groupBy(col("channel"))
+        .agg(
+          sum(when(col("__w") === "f", 1L).otherwise(0L)).as("n_first"),
+          r6(coalesce(sum(when(col("__w") === "f", col("__q"))),
+            lit(0).cast("decimal(18,2)")).cast("double")).as("revenue_first_touch"),
+          sum(when(col("__w") === "l", 1L).otherwise(0L)).as("n_last"),
+          r6(coalesce(sum(when(col("__w") === "l", col("__q"))),
+            lit(0).cast("decimal(18,2)")).cast("double")).as("revenue_last_touch"))
     }),
     "event_lift" -> ((s, dir) => {
       // market-basket lite over event types: per type pair, how much more

@@ -427,6 +427,25 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("final-batch operators keep their scale shapes") {
+    // one scan, one exchange: reports that fold in a single pass
+    Seq("pii_scan_report", "contract_check", "hourly_percentiles",
+        "pit_features", "attribution_compare").foreach { q =>
+      val p = plan(q)
+      assert(count(p, "Scan parquet") == 1, s"$q must scan once")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), q)
+    }
+    // the design table is data-free: zero scans, zero exchanges
+    val lt = plan("lsh_tuning_table")
+    assert(count(lt, "Scan parquet") == 0 && count(lt, "Exchange") == 0, lt)
+    // no cartesian/SMJ anywhere else in the batch
+    Seq("seasonal_anomalies", "event_lift", "krippendorff_alpha",
+        "regression_huber").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), q)
+    }
+  }
+
   test("bigram_pmi runs ONE corpus scan at runtime (reused totals exchange)") {
     // the totals fold must reuse the groupBy exchange, not re-scan: the
     // assertion runs on the FINAL adaptive plan (reuse materializes at
