@@ -1461,6 +1461,26 @@ object SparkEntry {
       // forecast out (alpha = 0.5, beta = 0.25, binary-exact)
       graft.operators.Ewma.holtLinear(events(s, dir), col("user_id"),
         col("ts"), col("event_id"), col("value"), 0.5, 0.25)),
+    "forecast_accuracy" -> ((s, dir) => {
+      // close the forecasting loop: backtest the one-step Holt forecast
+      // against what actually arrived (err_t = value_t − forecast_{t−1});
+      // MAE says how wrong, signed bias says which way
+      val h = graft.operators.Ewma.holtLinear(events(s, dir), col("user_id"),
+        col("ts"), col("event_id"), col("value"), 0.5, 0.25)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      def q6d(c: Column) =
+        (floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).cast("decimal(28,6)")
+      h.join(events(s, dir).select(col("event_id"), col("ts")), Seq("event_id"))
+        .withColumn("__pf", lag(col("forecast"), 1).over(w))
+        .filter(col("__pf").isNotNull)
+        .withColumn("__err", col("value") - col("__pf"))
+        .agg(count(lit(1)).as("n_evals"),
+          r6(sum(q6d(abs(col("__err")))).cast("double")
+            / count(lit(1)).cast("double")).as("mae"),
+          r6(sum(q6d(col("__err"))).cast("double")
+            / count(lit(1)).cast("double")).as("bias"))
+    }),
     "mad_outliers" -> ((s, dir) =>
       // robust outlier sweep: median/MAD scoring at 3.5 MADs (the
       // heavy-tail-safe sibling of zscore_outliers)
@@ -2283,6 +2303,30 @@ object SparkEntry {
        |$scoreCols
        |FROM documents)""".stripMargin
   }
+
+  /** Shared by holt_linear and forecast_accuracy: the two-accumulator
+    * Holt recursion as CTEs ending in an UNCLOSED `holt` clause —
+    * continue with `)` (standalone) or `),<more CTEs>` (composition). */
+  private val holtOracleCtes: String =
+    """WITH RECURSIVE base AS (
+      |  SELECT user_id, event_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+      |r AS (
+      |  SELECT user_id, event_id, value, rn, value AS l,
+      |    CAST(0.0 AS DOUBLE) AS tr
+      |  FROM base WHERE rn = 1
+      |  UNION ALL
+      |  SELECT b.user_id, b.event_id, b.value, b.rn,
+      |    0.5 * b.value + 0.5 * (r.l + r.tr),
+      |    0.25 * ((0.5 * b.value + 0.5 * (r.l + r.tr)) - r.l) + 0.75 * r.tr
+      |  FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1),
+      |holt AS (
+      |  SELECT user_id, event_id, value,
+      |    floor(l * 1000000.0 + 0.5) / 1000000.0 AS level,
+      |    floor(tr * 1000000.0 + 0.5) / 1000000.0 AS trend,
+      |    floor((l + tr) * 1000000.0 + 0.5) / 1000000.0 AS forecast
+      |  FROM r""".stripMargin
 
   /** Shared by asof_join and asof_join_native: both implementations are
     * gated against the identical oracle. */
@@ -3986,25 +4030,28 @@ asofOracle,
     // two-accumulator recursion, same fixed IEEE operation tree as the
     // engine's fold (the trend term re-evaluates the level expression —
     // identical bits to the engine's reuse of the just-computed level)
-    "holt_linear" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT user_id, event_id, value,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
-        |r AS (
-        |  SELECT user_id, event_id, value, rn, value AS l,
-        |    CAST(0.0 AS DOUBLE) AS tr
-        |  FROM base WHERE rn = 1
-        |  UNION ALL
-        |  SELECT b.user_id, b.event_id, b.value, b.rn,
-        |    0.5 * b.value + 0.5 * (r.l + r.tr),
-        |    0.25 * ((0.5 * b.value + 0.5 * (r.l + r.tr)) - r.l) + 0.75 * r.tr
-        |  FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1)
-        |SELECT user_id, event_id, value,
-        |  floor(l * 1000000.0 + 0.5) / 1000000.0 AS level,
-        |  floor(tr * 1000000.0 + 0.5) / 1000000.0 AS trend,
-        |  floor((l + tr) * 1000000.0 + 0.5) / 1000000.0 AS forecast
-        |FROM r""".stripMargin,
+    "holt_linear" -> s"$holtOracleCtes)\nSELECT user_id, event_id, value, level, trend, forecast FROM holt",
+    // backtest of the one-step forecast: err_t = value_t − forecast_{t−1}
+    // per user stream; MAE + signed bias over q6'd DECIMAL-summed terms
+    "forecast_accuracy" ->
+      s"""$holtOracleCtes),
+         |j AS (
+         |  SELECT h.user_id, h.event_id, h.value, h.forecast, e.ts
+         |  FROM holt h JOIN events e ON h.event_id = e.event_id),
+         |x AS (
+         |  SELECT user_id, value,
+         |    LAG(forecast, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pf
+         |  FROM j),
+         |t AS (
+         |  SELECT value - pf AS err FROM x WHERE pf IS NOT NULL)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_evals,
+         |  floor((CAST(SUM(CAST(floor(ABS(err) * 1000000.0 + 0.5) / 1000000.0
+         |      AS DECIMAL(28,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+         |    * 1000000.0 + 0.5) / 1000000.0 AS mae,
+         |  floor((CAST(SUM(CAST(floor(err * 1000000.0 + 0.5) / 1000000.0
+         |      AS DECIMAL(28,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+         |    * 1000000.0 + 0.5) / 1000000.0 AS bias
+         |FROM t""".stripMargin,
     // the alarm compares the RAW statistic (rounding only at output),
     // exactly like the engine's fold
     "cusum_drift" ->
