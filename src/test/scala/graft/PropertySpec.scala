@@ -194,6 +194,60 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ksDrift: symmetric in sample labels, D in [0,1], equal samples give 0") {
+    val pts = Gen.listOfN(60,
+      for (v <- Gen.choose(0, 30); b <- Gen.oneOf(true, false)) yield (v.toDouble, b))
+    for (c0 <- samples(pts, 8)) {
+      // ensure both sides non-empty
+      val c = (c0 :+ ((31.0, true)) :+ ((32.0, false)))
+      val df = c.toDF("v", "b")
+      val r1 = graft.analysis.Stats.ksDrift(df, col("v"), col("b")).collect().head
+      val r2 = graft.analysis.Stats.ksDrift(df, col("v"), !col("b")).collect().head
+      // relabeling the samples swaps n_a/n_b but cannot change D
+      assert(r1.getAs[Double]("d_stat") === r2.getAs[Double]("d_stat"))
+      assert(r1.getAs[Long]("n_a") === r2.getAs[Long]("n_b"))
+      val d = r1.getAs[Double]("d_stat")
+      assert(d >= 0.0 && d <= 1.0)
+    }
+    // a sample against an identical copy of itself: D exactly 0
+    val same = (1 to 20).flatMap(i => Seq((i.toDouble, true), (i.toDouble, false)))
+      .toDF("v", "b")
+    assert(graft.analysis.Stats.ksDrift(same, col("v"), col("b"))
+      .collect().head.getAs[Double]("d_stat") === 0.0)
+  }
+
+  test("weightedMedian: bounded by min/max, reduces to plain median at weight 1") {
+    val pts = Gen.listOfN(25, Gen.choose(1, 100))
+    for (c <- samples(pts, 10) if c.nonEmpty) {
+      val df = c.map(v => ("g", v.toLong, 1L)).toDF("g", "v", "w")
+      val got = graft.analysis.Stats.weightedMedian(df, col("g"), col("v"), col("w"))
+        .collect().head.getLong(2)
+      assert(got >= c.min && got <= c.max)
+      // lower median of the sorted multiset under unit weights
+      val sorted = c.sorted
+      val expected = sorted((c.size - 1) / 2).toLong
+      assert(got === expected, s"values=$c")
+    }
+  }
+
+  test("intervalCoverage: bounded by n*len and by span+len; islands <= n") {
+    val gaps = Gen.listOfN(12, Gen.choose(0L, 2000L))
+    for (g <- samples(gaps, 10)) {
+      val times = g.scanLeft(0L)(_ + _)
+      val rows = times.zipWithIndex.map { case (t, i) =>
+        (1L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(t)), i.toLong)
+      }
+      val df = rows.toDF("u", "ts", "id")
+      val r = graft.analysis.Stats.intervalCoverage(df, col("u"), col("ts"),
+        col("id"), 600L).collect().head
+      val covered = r.getAs[Long]("covered_sec")
+      assert(covered <= rows.size * 600L)
+      assert(covered <= (times.max - times.min) + 600L)
+      assert(covered >= 600L) // at least one window
+      assert(r.getAs[Long]("n_islands") >= 1 && r.getAs[Long]("n_islands") <= rows.size)
+    }
+  }
+
   test("BPE: merges are deterministic and monotone in numMerges") {
     import graft.text.Bpe
     val corpus = Gen.listOfN(15,
