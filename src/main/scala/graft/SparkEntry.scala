@@ -28,6 +28,20 @@ object SparkEntry {
 
   private def events(s: SparkSession, dir: String): DataFrame = table(s, dir, "events")
 
+  /** Shared by forecast_accuracy and forecast_interval: the Holt
+    * one-step backtest residual frame (err_t = value_t − forecast_{t−1}
+    * over the same (ts, event_id) order as the fold). */
+  private def holtBacktestErrors(s: SparkSession, dir: String): DataFrame = {
+    val h = graft.operators.Ewma.holtLinear(events(s, dir), col("user_id"),
+      col("ts"), col("event_id"), col("value"), 0.5, 0.25)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    h.join(events(s, dir).select(col("event_id"), col("ts")), Seq("event_id"))
+      .withColumn("__pf", lag(col("forecast"), 1).over(w))
+      .filter(col("__pf").isNotNull)
+      .withColumn("__err", col("value") - col("__pf"))
+  }
+
   /** Numeric answer extracted from the props payload — delegates to the ONE
     * owner of the "first integer" contract (Cleaners.firstInt: nullif guard
     * for ANSI CAST('' AS INT), <=9-digit length cap so a long digit run
@@ -1465,21 +1479,28 @@ object SparkEntry {
       // close the forecasting loop: backtest the one-step Holt forecast
       // against what actually arrived (err_t = value_t − forecast_{t−1});
       // MAE says how wrong, signed bias says which way
-      val h = graft.operators.Ewma.holtLinear(events(s, dir), col("user_id"),
-        col("ts"), col("event_id"), col("value"), 0.5, 0.25)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       def q6d(c: Column) =
         (floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).cast("decimal(28,6)")
-      h.join(events(s, dir).select(col("event_id"), col("ts")), Seq("event_id"))
-        .withColumn("__pf", lag(col("forecast"), 1).over(w))
-        .filter(col("__pf").isNotNull)
-        .withColumn("__err", col("value") - col("__pf"))
+      holtBacktestErrors(s, dir)
         .agg(count(lit(1)).as("n_evals"),
           r6(sum(q6d(abs(col("__err")))).cast("double")
             / count(lit(1)).cast("double")).as("mae"),
           r6(sum(q6d(col("__err"))).cast("double")
             / count(lit(1)).cast("double")).as("bias"))
+    }),
+    "forecast_interval" -> ((s, dir) => {
+      // conformal-lite: the 90th-percentile absolute backtest residual is
+      // the one-step prediction interval's half-width, and the realized
+      // coverage at that width is reported alongside (the calibration
+      // check an interval ships with)
+      val evals = holtBacktestErrors(s, dir)
+      val q = broadcast(evals.agg(
+        expr("percentile(abs(__err), 0.9D)").as("__q90")))
+      evals.crossJoin(q)
+        .agg(count(lit(1)).as("n_evals"),
+          r6(max(col("__q90"))).as("q90_abs_err"),
+          r6(sum(when(abs(col("__err")) <= col("__q90"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1)).cast("double")).as("coverage"))
     }),
     "mad_outliers" -> ((s, dir) =>
       // robust outlier sweep: median/MAD scoring at 3.5 MADs (the
@@ -4031,6 +4052,24 @@ asofOracle,
     // engine's fold (the trend term re-evaluates the level expression —
     // identical bits to the engine's reuse of the just-computed level)
     "holt_linear" -> s"$holtOracleCtes)\nSELECT user_id, event_id, value, level, trend, forecast FROM holt",
+    // residual-quantile interval half-width + realized coverage, off the
+    // same shared recursion and quantile_cont parity
+    "forecast_interval" ->
+      s"""$holtOracleCtes),
+         |j AS (
+         |  SELECT h.user_id, h.event_id, h.value, h.forecast, e.ts
+         |  FROM holt h JOIN events e ON h.event_id = e.event_id),
+         |x AS (
+         |  SELECT user_id, value,
+         |    LAG(forecast, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pf
+         |  FROM j),
+         |t AS (SELECT value - pf AS err FROM x WHERE pf IS NOT NULL),
+         |q AS (SELECT quantile_cont(ABS(err), 0.9) AS q90 FROM t)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_evals,
+         |  floor(MAX(q90) * 1000000.0 + 0.5) / 1000000.0 AS q90_abs_err,
+         |  floor((CAST(SUM(CASE WHEN ABS(err) <= q90 THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS coverage
+         |FROM t CROSS JOIN q""".stripMargin,
     // backtest of the one-step forecast: err_t = value_t − forecast_{t−1}
     // per user stream; MAE + signed bias over q6'd DECIMAL-summed terms
     "forecast_accuracy" ->
