@@ -1623,12 +1623,14 @@ object SparkEntry {
     "rare_category_collapse" -> ((s, dir) => {
       // one-hot cardinality control: categories below the support floor
       // collapse into '__other' (the long-tail guard every categorical
-      // encoder needs); counts broadcast back, relabel is row-local
+      // encoder needs); the counts frame is unbounded-cardinality by
+      // construction (the long tail IS the input), so no broadcast
+      // hint — AQE picks the join strategy from observed stats
       val ev = events(s, dir)
         .select(get_json_object(col("props"), "$.k").as("cat"))
         .filter(col("cat").isNotNull)
       val counts = ev.groupBy(col("cat")).agg(count(lit(1)).as("__n"))
-      ev.join(broadcast(counts), Seq("cat"))
+      ev.join(counts, Seq("cat"))
         .select(when(col("__n") >= 100, col("cat")).otherwise(lit("__other"))
           .as("final_label"))
         .groupBy(col("final_label"))
@@ -4005,11 +4007,12 @@ asofOracle,
     // (log10/floor mis-digits on FP knife edges)
     "benford_digits" ->
       """WITH c AS (
-        |  SELECT CAST(substr(CAST(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
-        |      AS VARCHAR), 1, 1) AS INT) AS digit,
+        |  SELECT CAST(NULLIF(regexp_extract(CAST(value AS VARCHAR), '[1-9]'), '')
+        |      AS INT) AS digit,
         |    CAST(COUNT(*) AS BIGINT) AS cnt
         |  FROM events
-        |  WHERE value > 0.0 AND CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) >= 1
+        |  WHERE value > 0.0
+        |    AND NULLIF(regexp_extract(CAST(value AS VARCHAR), '[1-9]'), '') IS NOT NULL
         |  GROUP BY 1),
         |sp AS (SELECT unnest(generate_series(1, 9)) AS digit),
         |j AS (

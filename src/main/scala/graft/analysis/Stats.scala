@@ -549,15 +549,29 @@ object Stats {
     * changes expression allocation (instability class #4 — the same bug
     * fixed in chi2/MI, here avoided structurally). The distinct key is
     * the value's STRING form — injective for every type the profile
-    * meets (full-precision double formatting, microsecond timestamps),
-    * and the oracle's raw-value distinct agrees or parity fails loudly.
+    * meets (full-precision double formatting, microsecond timestamps)
+    * once -0.0 is collapsed into 0.0 on floating columns (they compare
+    * equal as raw values but stringify apart), so the oracle's
+    * raw-value distinct agrees or parity fails loudly.
     * Min/max are deliberately NOT reported: their string forms are
     * dialect-specific, and typed extremes belong to the per-type queries.
     */
   def columnProfile(df: DataFrame, columns: Seq[String]): DataFrame = {
     require(columns.nonEmpty, "columnProfile needs at least one column")
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val entries = columns.map { c =>
-      struct(lit(c).as("cn"), col(c).isNull.as("isn"), col(c).cast("string").as("v"))
+      // floating columns: collapse -0.0 into 0.0 before stringifying —
+      // they compare EQUAL as raw values (the oracle's distinct) but
+      // stringify differently, which would inflate n_distinct by one.
+      // NaN is left as-is: both engines have a single NaN rendering and
+      // raw-value distinct counts it once either way.
+      val v = types.get(c) match {
+        case Some(org.apache.spark.sql.types.DoubleType) |
+             Some(org.apache.spark.sql.types.FloatType) =>
+          when(col(c) === 0.0, lit(0.0).cast(types(c))).otherwise(col(c))
+        case _ => col(c)
+      }
+      struct(lit(c).as("cn"), col(c).isNull.as("isn"), v.cast("string").as("v"))
     }
     df.select(explode(array(entries: _*)).as("__e"))
       .groupBy(col("__e.cn").as("column_name"))
@@ -576,10 +590,14 @@ object Stats {
     * snap away from Benford long before a human eyeballs them — the
     * pre-ingest data-quality tripwire.
     *
-    * Digit extraction is STRING-based on the 6dp-quantized integer (first
-    * char of floor(v·10⁶ + 0.5) as text) — a log10/floor formulation
-    * mis-digits on FP knife edges (log10(1000) < 3 in doubles); the
-    * string path is exact on both engines. One map-side-combinable pass
+    * Digit extraction is STRING-based: the first [1-9] character of the
+    * value's decimal rendering IS the leading significant digit for any
+    * positive double, at any magnitude (plain or scientific form — the
+    * mantissa leads and the regex takes the FIRST match, never the
+    * exponent). A log10/floor formulation mis-digits on FP knife edges
+    * (log10(1000) < 3 in doubles), and the earlier 6dp-quantized-integer
+    * path mis-digited below 1e-5; the rendering path has neither floor.
+    * One map-side-combinable pass
     * to 9 digit counts; the digit spine left-joins so an absent digit
     * still contributes its (O=0 − E)²/E term. Output per digit 1-9:
     * digit, n_obs, p_obs, p_expected, chi2 (the corpus-level statistic,
@@ -588,9 +606,9 @@ object Stats {
   def benfordTest(df: DataFrame, value: Column): DataFrame = {
     val counts = df.select(value.as("__v"))
       .filter(col("__v") > 0.0)
-      .withColumn("__s", floor(col("__v") * lit(1000000.0) + lit(0.5)).cast("bigint"))
-      .filter(col("__s") >= 1)
-      .withColumn("digit", substring(col("__s").cast("string"), 1, 1).cast("int"))
+      .withColumn("digit",
+        regexp_extract(col("__v").cast("string"), "[1-9]", 0).cast("int"))
+      .filter(col("digit").isNotNull)
       .groupBy(col("digit")).agg(count(lit(1)).as("__c"))
     val spine = df.sparkSession.range(1, 10)
       .select(col("id").cast("int").as("digit"))
@@ -665,7 +683,7 @@ object Stats {
     val moments = series.groupBy(col("stream")).agg(
       count(lit(1)).as("__h"),
       sum(col("n").cast("decimal(28,0)")).as("__s1"),
-      sum((col("n") * col("n")).cast("decimal(38,0)")).as("__s2"))
+      sum(col("n").cast("decimal(19,0)") * col("n").cast("decimal(19,0)")).as("__s2"))
     val mean = col("__s1").cast("double") / col("__h").cast("double")
     val variance = (col("__s2").cast("double") -
       col("__s1").cast("double") * col("__s1").cast("double") / col("__h").cast("double")) /
@@ -764,7 +782,7 @@ object Stats {
     val moments = series.groupBy(col("stream"), col("hod")).agg(
       count(lit(1)).as("__h"),
       sum(col("n").cast("decimal(28,0)")).as("__s1"),
-      sum((col("n") * col("n")).cast("decimal(38,0)")).as("__s2"))
+      sum(col("n").cast("decimal(19,0)") * col("n").cast("decimal(19,0)")).as("__s2"))
     val mean = col("__s1").cast("double") / col("__h").cast("double")
     val variance = (col("__s2").cast("double") -
       col("__s1").cast("double") * col("__s1").cast("double") / col("__h").cast("double")) /
@@ -1348,10 +1366,14 @@ object Stats {
     * categories fall back to the global mean (no self-free evidence).
     *
     * One exchange: per-category (n, Σ) on 6dp-quantized targets (exact
-    * DECIMAL — encode-then-train replays bit-identically), broadcast
-    * back with the single global-mean row; the LOO arithmetic is
-    * row-local fixed-shape IEEE, r6 at output. Output: id, category,
-    * target, te_loo.
+    * DECIMAL — encode-then-train replays bit-identically) joined back
+    * with the single global-mean row; the LOO arithmetic is row-local
+    * fixed-shape IEEE, r6 at output. The category frame is NOT
+    * broadcast-hinted: its cardinality is data-driven (the whole point
+    * of this encoder is unbounded category domains), so AQE picks
+    * broadcast vs shuffle from observed stats instead of dying on a
+    * forced broadcast build at scale. Output: id, category, target,
+    * te_loo.
     */
   def targetEncodeLoo(df: DataFrame, id: Column, category: Column,
                       target: Column): DataFrame = {
@@ -1365,7 +1387,7 @@ object Stats {
       (sum(col("__q")).cast("double") / count(lit(1)).cast("double"))
         .as("__gmean")))
     def d(c: Column) = c.cast("double")
-    rows.join(broadcast(cat), Seq("category"))
+    rows.join(cat, Seq("category"))
       .crossJoin(global)
       .select(col("row_id"), col("category"), col("__y").as("target"),
         when(col("__n") > 1,

@@ -495,8 +495,20 @@ object Sources {
       s"stale erasure dirs next to $path — a previous erasure crashed; recover manually")
     val current = spark.read.parquet(path)
     val before = current.count()
+    // pick the deny column BY NAME when present; a multi-column deny frame
+    // without the key is ambiguous, and silently taking columns.head would
+    // anti-join on the wrong values — leaving to-be-forgotten rows in
+    // place with no error. Compliance paths fail loud, not wrong.
+    val denyCol =
+      if (deny.columns.contains(keyCol)) keyCol
+      else {
+        require(deny.columns.length == 1,
+          s"eraseKeys: deny frame has columns ${deny.columns.mkString("[", ",", "]")} " +
+            s"but none named '$keyCol'; pass a single-column frame or name the key")
+        deny.columns.head
+      }
     val denyKeys = org.apache.spark.sql.functions.broadcast(
-      deny.select(deny.columns.head).toDF(keyCol).distinct())
+      deny.select(denyCol).toDF(keyCol).distinct())
     // USING-join hoists the key to the front; restore the table's own
     // column order so the swept file is schema-identical to the original
     val swept = current.join(denyKeys, Seq(keyCol), "left_anti")

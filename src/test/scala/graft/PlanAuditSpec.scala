@@ -420,10 +420,30 @@ class PlanAuditSpec extends SparkSpec {
       assert(count(p, "Scan parquet") == 1 && count(p, "Exchange") == 1, q)
     }
     // broadcast joins only — no shuffled or cartesian join in the batch
-    Seq("target_encode_loo", "rare_category_collapse", "cdc_apply",
+    Seq("cdc_apply",
         "degree_assortativity", "t_closeness", "cv_folds").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), q)
+    }
+  }
+
+  test("unbounded category frames carry no forced broadcast hint") {
+    // target_encode_loo / rare_category_collapse join a per-category
+    // counts frame whose cardinality is data-driven (the long tail IS
+    // the input). A broadcast() hint there overrides AQE's size estimate
+    // and dies on broadcast build at 100× scale — so the hint must be
+    // absent and the strategy left to AQE. The ONLY allowed hint in
+    // target_encode_loo is the 1-row global-mean broadcast.
+    val te = SparkEntry.queries("target_encode_loo")(spark, sfDir)
+    assert(count(te.queryExecution.optimizedPlan.toString,
+      "strategy=broadcast") <= 1, "only the 1-row global mean may be hinted")
+    val rc = SparkEntry.queries("rare_category_collapse")(spark, sfDir)
+    assert(!rc.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+      "the category-counts join must not be broadcast-hinted")
+    // whatever AQE picks, the executed plan must never be a cartesian
+    Seq(te, rc).foreach { df =>
+      df.collect()
+      assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
     }
   }
 

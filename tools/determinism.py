@@ -40,8 +40,12 @@ def main():
             # row-ORDER divergence (shuffle-fetch order on a join-tailed
             # frame — the driver's sorted-hash compare is order-free, and
             # an unordered operator is CORRECT to leave unordered at scale)
-            ra = sorted(map(tuple, zip(*[ta.column(c).to_pylist() for c in cols])))
-            rb = sorted(map(tuple, zip(*[tb.column(c).to_pylist() for c in cols])))
+            # None-safe sort key: Python 3 refuses None < int, and NULLs
+            # are legitimate in compared columns
+            def _key(row):
+                return tuple((v is None, str(type(v)), v) for v in row)
+            ra = sorted(map(tuple, zip(*[ta.column(c).to_pylist() for c in cols])), key=_key)
+            rb = sorted(map(tuple, zip(*[tb.column(c).to_pylist() for c in cols])), key=_key)
             if ra == rb:
                 print(f"[ORDR] {name}: content identical, row order differs "
                       f"(unordered operator; driver compare unaffected)")
