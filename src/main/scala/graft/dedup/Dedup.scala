@@ -48,11 +48,12 @@ object Dedup {
     *
     * Rule: order every document's shingles by ONE global total order
     * (corpus df ascending, shingle ascending — rarest first) and keep only
-    * the first sz − ⌈τ·sz⌉ + 1 as its "prefix". Two sets with
-    * J ≥ τ MUST share a prefix element (if they shared none, each set
-    * would have more than ⌈τ·sz⌉ elements outside the other, capping the
-    * overlap below the threshold) — so joining on prefix shingles alone
-    * generates a complete candidate set. Rarest-first ordering makes those
+    * the first sz − ⌈τ·sz⌉ + ℓ as its "ℓ-extended prefix". Two sets with
+    * J ≥ τ MUST share at least min(ℓ, α) prefix elements (α their
+    * required overlap; proof at the ext definition below) — so joining on
+    * prefix shingles and counting matches per pair generates a complete
+    * candidate set with far fewer coincidence pairs than the classic
+    * 1-match rule. Rarest-first ordering makes those
     * join keys the LEAST frequent shingles in the corpus: candidate volume
     * shrinks both because prefixes are short (factor ~1−τ) and because hot
     * boilerplate shingles sort LAST, out of every prefix — at 100 TB the
@@ -86,16 +87,42 @@ object Dedup {
     // prefix comes out one SHORTER and boundary pairs get lost. Nudging
     // down by 1e-9 before ceil can only lengthen the prefix (more
     // candidates, still complete) — the knife-edge goes the safe way.
+    // ℓ-extended prefix (Adapt-Join's generalization of the prefix rule):
+    // with prefix length sz − ⌈τ·sz⌉ + ℓ under ONE global shingle order,
+    // any pair with J ≥ τ shares at least min(ℓ, α) prefix elements,
+    // where α = ⌈τ/(1+τ)·(za+zb)⌉ is the pair's required overlap. Proof
+    // shape: if the ℓ-th smallest common element sat outside A's prefix,
+    // the ≥ i−ℓ+1 commons at-or-after it would all fit in A's suffix of
+    // ⌈τ·za⌉−ℓ slots, forcing i < ⌈τ·za⌉ ≤ i. Requiring ℓ=3 shared
+    // prefix shingles (not ≥1) is what kills the coincidence pairs — at
+    // τ=0.4 the 1-match rule over-generates ~1700× on the benchmark
+    // corpus (444k candidates for 256 true pairs), and the verification
+    // joins ship full shingle arrays to every false candidate. Small sets
+    // whose REQUIRED overlap α is below ℓ only need α matches (a pair of
+    // identical 1-shingle docs must survive) — hence the min(ℓ, α) floor.
+    val ext = 3
     val ranked = ex.join(freq, Seq("sh"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("__df"), col("sh"))))
       .filter(col("__rn") <=
-        (col("sz") - ceil(lit(tau) * col("sz") - lit(1e-9)) + 1).cast("int"))
-      .select(col("doc_id"), col("sh"))
+        (col("sz") - ceil(lit(tau) * col("sz") - lit(1e-9)) + ext).cast("int"))
+      .select(col("doc_id"), col("sz"), col("sh"))
+    // PPJoin length filter: J = i/(za+zb−i) ≤ min(za,zb)/max(za,zb), so a
+    // pair whose sizes differ by more than the τ ratio can NEVER verify —
+    // pruned in the shingle join itself, before the match-count exchange
+    // and the two verification joins ever see it. Every 1e-9 nudge here
+    // and below moves the knife edge toward MORE candidates — the
+    // completeness-safe direction.
     val cand = ranked.as("a")
-      .join(ranked.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      .join(ranked.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.sz"), col("b.sz")).cast("double") >=
+          lit(tau) * greatest(col("a.sz"), col("b.sz")).cast("double") - lit(1e-9))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("__za0"), col("b.sz").as("__zb0"))
+      .agg(count(lit(1)).as("__m"))
+      .filter(col("__m") >= least(lit(ext),
+        ceil(lit(tau / (1.0 + tau)) * (col("__za0") + col("__zb0")) - lit(1e-9))))
+      .select(col("doc_a"), col("doc_b"))
     val verified = cand
       .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("__sa"),
         col("sz").as("__za")), Seq("doc_a"))
