@@ -879,6 +879,32 @@ object SparkEntry {
         .select(col("event_id").as("message_id"), col("user_id").as("participant_uuid"),
           col("ts").as("timestamp"), col("value").as("message_value"), col("signup_n"))
     }),
+    // the CSV sink (analysis_files.py's production/messages/participants
+    // exports), driven END-TO-END as a query: the purchase export is
+    // written through Sources.writeCsv, read back with an explicit schema,
+    // and summarized. The oracle computes the identical summary straight
+    // from the source parquet — a hash match proves the writer emitted
+    // every row and every value faithfully through the text round-trip.
+    // Timestamps export as unix micros (CSV timestamp RENDERING is
+    // writer-configurable; the integer form is the portable contract) and
+    // doubles rely on shortest-round-trip formatting (exact by JLS).
+    "dataset_export" -> ((s, dir) => {
+      val out = events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_micros"), col("value"))
+      val path = System.getProperty("java.io.tmpdir") +
+        s"/graft_dataset_export_${Integer.toHexString(dir.hashCode)}"
+      graft.sources.Sources.writeCsv(out, path)
+      s.read.option("header", "true")
+        .schema("event_id BIGINT, user_id BIGINT, ts_micros BIGINT, value DOUBLE")
+        .csv(path)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("event_id").cast("decimal(38,0)")).as("sum_event_id"),
+          sum(floor(col("value") * lit(1000000.0) + lit(0.5)).cast("decimal(38,0)"))
+            .as("sum_value_q6"),
+          sum(col("ts_micros").cast("decimal(38,0)")).as("sum_ts_micros"))
+    }),
     // the composed end-to-end analysis run (engagement_db_to_analysis.py:56-130):
     // every stage above, chained in the reference's order, with per-stage
     // (stage x dataset) accounting — order-sensitive where unit parity isn't
@@ -4758,6 +4784,15 @@ asofOracle,
         |LEFT JOIN (SELECT user_id, COUNT(*) AS signup_n FROM kept
         |           WHERE event_type = 'signup' GROUP BY user_id) d
         |  ON l.user_id = d.user_id""".stripMargin,
+    // computed straight from parquet: equality with the Spark side (which
+    // reads its own CSV output back) is the export-integrity proof
+    "dataset_export" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  SUM(CAST(event_id AS DECIMAL(38,0))) AS sum_event_id,
+        |  SUM(CAST(floor(value * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS sum_value_q6,
+        |  SUM(CAST(epoch_us(ts) AS DECIMAL(38,0))) AS sum_ts_micros
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
     "engagement_pipeline" ->
       s"""$engagementFlowCtes,
          |stages AS (
