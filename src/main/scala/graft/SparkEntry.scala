@@ -50,6 +50,18 @@ object SparkEntry {
     *      THEN NULLIF(regexp_extract(props,'[0-9]+',0),'') END AS INT). */
   private def propsInt = graft.text.Cleaners.firstInt(col("props"))
 
+  /** The three-labeler vote frame over documents (declared lang + both
+    * heuristic labelers) — ONE definition shared by krippendorff_alpha
+    * and label_consensus, so the reliability statistic and the consensus
+    * labeler can never disagree on who voted (the oracle side shares the
+    * langidOracle/langidProfiledOracle CTEs the same way). */
+  private def threeLabelerVotes(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select(col("doc_id"),
+      col("lang").as("vote_a"),
+      graft.text.TextFeatures.langIdColumns(col("text")).last.as("vote_b"),
+      graft.text.TextFeatures.langIdProfiled(col("text"),
+        graft.text.TextFeatures.defaultProfiles).last.as("vote_c"))
+
   /** Binary outcome for the logistic family (answered-high). Null value
     * stays null (NOT false) so the GLM's complete-case filter sees the
     * same rows as the oracle's — a bare `CASE WHEN value > 50` would send
@@ -980,11 +992,9 @@ object SparkEntry {
       // annotation reliability across the THREE labelers (declared +
       // both heuristics): kappa's multi-coder generalization, in its
       // exact-integer common-m form (one IEEE division at the end)
-      val votes = table(s, dir, "documents").select(col("doc_id"),
-        explode(array(col("lang"),
-          graft.text.TextFeatures.langIdColumns(col("text")).last,
-          graft.text.TextFeatures.langIdProfiled(col("text"),
-            graft.text.TextFeatures.defaultProfiles).last)).as("vote"))
+      val v = threeLabelerVotes(s, dir)
+      val votes = v.select(col("doc_id"),
+        explode(array(col("vote_a"), col("vote_b"), col("vote_c"))).as("vote"))
       graft.analysis.Eval.krippendorffAlpha(votes, col("doc_id"), col("vote"))
     }),
     "langid_confusion" -> ((s, dir) => {
@@ -1002,12 +1012,7 @@ object SparkEntry {
       // heuristic labelers; a 2-of-3 agreement overrides the declared
       // label, all-distinct keeps it (the declared voter is the prior).
       // ONE row-local scan; the report is label-cardinality
-      val votes = table(s, dir, "documents").select(col("doc_id"),
-        col("lang").as("vote_a"),
-        graft.text.TextFeatures.langIdColumns(col("text")).last.as("vote_b"),
-        graft.text.TextFeatures.langIdProfiled(col("text"),
-          graft.text.TextFeatures.defaultProfiles).last.as("vote_c"))
-      votes
+      threeLabelerVotes(s, dir)
         .select((col("doc_id") +: graft.text.TextFeatures.consensusVote(
           col("vote_a"), col("vote_b"), col("vote_c"))): _*)
         .groupBy(col("consensus"))
