@@ -464,44 +464,134 @@ object Streams {
                      level: Double, trend: Double, forecast: Double)
   case class HoltState(l: Double, tr: Double, seeded: Boolean)
 
-  /** Streaming Holt's linear smoother — the always-on twin of the batch
-    * `holt_linear` fold: TWO doubles of per-entity state (level + trend)
-    * carried across micro-batches via flatMapGroupsWithState (NoTimeout:
-    * a forecast must survive idle periods — the cusumStream trade), the
-    * same binary-exact α/β contract and fixed IEEE operation tree, so a
-    * stream-fed entity walks the identical recursion as the batch fold
-    * (spec proves a two-batch split equals the batch output exactly).
-    * In-batch rows fold in event-time order with the event_id tie-break.
-    */
-  def holtStream(events: Dataset[DriftEvent], alpha: Double,
-                 beta: Double): Dataset[HoltOut] = {
+  private def requireHoltParams(alpha: Double, beta: Double): Unit =
     require(alpha > 0.0 && alpha <= 1.0 && beta >= 0.0 && beta <= 1.0 &&
       alpha * 4 == math.rint(alpha * 4) && beta * 4 == math.rint(beta * 4),
       s"holtStream needs binary-exact quarter alpha/beta in range, got $alpha/$beta")
+
+  /** The one per-batch Holt fold both holtStream variants share (the
+    * foldSessions discipline — the evicting variant can never drift from
+    * its namesake): event-time sort with the event_id tie-break, the
+    * fixed IEEE recursion, r6 at emission. Returns the advanced state,
+    * the outputs, and the batch's max event-time micros (the evicting
+    * variant's timeout anchor). */
+  private def foldHolt(user: Long, rows: Iterator[DriftEvent], st0: HoltState,
+                       alpha: Double, beta: Double): (HoltState, Seq[HoltOut], Long) = {
     val ca = 1.0 - alpha
     val cb = 1.0 - beta
+    val sorted = rows.map(e => (micros(e.ts), e)).toSeq
+      .sortBy { case (m, e) => (m, e.event_id) }
+    var st = st0
+    var maxTs = Long.MinValue
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val out = sorted.map { case (m, e) =>
+      if (m > maxTs) maxTs = m
+      st =
+        if (!st.seeded) HoltState(e.value, 0.0, seeded = true)
+        else {
+          val lPrev = st.l
+          val l = alpha * e.value + ca * (st.l + st.tr)
+          HoltState(l, beta * (l - lPrev) + cb * st.tr, seeded = true)
+        }
+      HoltOut(user, e.event_id, e.value, r6(st.l), r6(st.tr), r6(st.l + st.tr))
+    }
+    (st, out, maxTs)
+  }
+
+  /** Streaming Holt's linear smoother — the always-on twin of the batch
+    * `holt_linear` fold: TWO doubles of per-entity state (level + trend)
+    * carried across micro-batches via flatMapGroupsWithState, the same
+    * binary-exact α/β contract and fixed IEEE operation tree, so a
+    * stream-fed entity walks the identical recursion as the batch fold
+    * (spec proves a two-batch split equals the batch output exactly).
+    * In-batch rows fold in event-time order with the event_id tie-break.
+    * NoTimeout: a forecast survives arbitrary idle periods, at one state
+    * row per EVER-seen entity — on an unbounded/churning key space use
+    * `holtStreamEvicting`.
+    */
+  def holtStream(events: Dataset[DriftEvent], alpha: Double,
+                 beta: Double): Dataset[HoltOut] = {
+    requireHoltParams(alpha, beta)
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[HoltState, HoltOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[DriftEvent], state: GroupState[HoltState]) =>
-          val sorted = rows.map(e => (micros(e.ts), e)).toSeq
-            .sortBy { case (m, e) => (m, e.event_id) }
-          var st = state.getOption.getOrElse(HoltState(0.0, 0.0, seeded = false))
-          def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
-          val out = sorted.map { case (_, e) =>
-            st =
-              if (!st.seeded) HoltState(e.value, 0.0, seeded = true)
-              else {
-                val lPrev = st.l
-                val l = alpha * e.value + ca * (st.l + st.tr)
-                HoltState(l, beta * (l - lPrev) + cb * st.tr, seeded = true)
-              }
-            HoltOut(user, e.event_id, e.value, r6(st.l), r6(st.tr), r6(st.l + st.tr))
-          }
+          val st0 = state.getOption.getOrElse(HoltState(0.0, 0.0, seeded = false))
+          val (st, out, _) = foldHolt(user, rows, st0, alpha, beta)
           state.update(st)
           out.iterator
       }
+  }
+
+  /** Evicting variant of `holtStream`: per-entity (level, trend) state
+    * carries an EVENT-TIME timeout at lastTs + idle horizon — once the
+    * watermark passes it, the entity's state is dropped. This is what
+    * bounds state under entity churn at 100 TB (the plain smoother keeps
+    * two doubles per EVER-seen entity, forever). The trade is an explicit
+    * RE-WARM-UP contract: an entity returning after eviction re-seeds —
+    * its first post-return value becomes the level, trend restarts at 0 —
+    * so forecasts for the first few post-return points track the re-seed
+    * recursion, not the pre-idle history. For a smoother that is usually
+    * the right semantics anyway: a series silent past the idle horizon
+    * has a stale trend that should NOT be extrapolated.
+    *
+    * Second divergence (the sessionizeEvicting caveat verbatim): with
+    * EventTimeTimeout, Spark drops watermark-late rows BEFORE the group
+    * function runs, so the watermark delay is the late-data-loss bound,
+    * not just a state-size knob. Requires `idleSeconds` > 0 and a
+    * watermark spec for the `ts` column.
+    */
+  def holtStreamEvicting(events: Dataset[DriftEvent], alpha: Double, beta: Double,
+                         idleSeconds: Long, watermark: String): Dataset[HoltOut] = {
+    requireHoltParams(alpha, beta)
+    require(idleSeconds > 0, s"holtStreamEvicting needs idleSeconds > 0, got $idleSeconds")
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(HoltState, Long), HoltOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[DriftEvent], state: GroupState[(HoltState, Long)]) =>
+          if (state.hasTimedOut) {
+            // idle past the horizon: drop the row; a returning entity
+            // re-seeds from its first post-return value
+            state.remove()
+            Iterator.empty
+          } else {
+            val (st0, lastTs0) =
+              state.getOption.getOrElse((HoltState(0.0, 0.0, seeded = false), Long.MinValue))
+            val (st, out, maxTs) = foldHolt(user, rows, st0, alpha, beta)
+            val lastTs = math.max(lastTs0, maxTs) // never rewind on late data
+            state.update((st, lastTs))
+            state.setTimeoutTimestamp(lastTs / 1000L + idleSeconds * 1000L)
+            out.iterator
+          }
+      }
+  }
+
+  private def requireCusumParams(k: Double, h: Double): Unit = {
+    require(h > 0.0, s"cusumStream needs h > 0, got $h")
+    require(k * 4 == math.rint(k * 4) && h * 4 == math.rint(h * 4),
+      s"cusumStream needs binary-exact quarter k/h, got $k/$h")
+  }
+
+  /** The one per-batch CUSUM fold both cusumStream variants share: sorted
+    * event-time fold of sᵢ = max(0, sᵢ₋₁ + xᵢ − k), alarm at the RAW
+    * statistic ≥ h, r6 on the emitted value. Also returns the batch max
+    * event-time micros for the evicting variant's timeout anchor. */
+  private def foldCusum(user: Long, rows: Iterator[DriftEvent], s0: Double,
+                        k: Double, h: Double): (Double, Seq[DriftOut], Long) = {
+    val sorted = rows.map(e => (micros(e.ts), e)).toSeq
+      .sortBy { case (m, e) => (m, e.event_id) }
+    var s = s0
+    var maxTs = Long.MinValue
+    val out = sorted.map { case (m, e) =>
+      if (m > maxTs) maxTs = m
+      s = math.max(0.0, s + e.value - k)
+      DriftOut(user, e.event_id, e.value,
+        math.floor(s * 1e6 + 0.5) / 1e6, s >= h)
+    }
+    (s, out, maxTs)
   }
 
   /** Streaming CUSUM drift detection — the stateful twin of the batch
@@ -512,28 +602,55 @@ object Streams {
     * per-key-ordered-arrival contract as `sessionize`/`asOfEnrich`
     * applies. Same binary-exact k/h discipline as the batch operator, so
     * in-order stream == batch on identical rows (spec-proven across a
-    * two-batch split). NoTimeout: drift state must survive idle periods;
-    * on an unbounded key space take the sessionizeEvicting trade.
+    * two-batch split). NoTimeout: drift state survives arbitrary idle
+    * periods, at one state row per EVER-seen entity — on an unbounded/
+    * churning key space use `cusumStreamEvicting`.
     */
   def cusumStream(events: Dataset[DriftEvent], k: Double, h: Double): Dataset[DriftOut] = {
-    require(h > 0.0, s"cusumStream needs h > 0, got $h")
-    require(k * 4 == math.rint(k * 4) && h * 4 == math.rint(h * 4),
-      s"cusumStream needs binary-exact quarter k/h, got $k/$h")
+    requireCusumParams(k, h)
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[DriftState, DriftOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[DriftEvent], state: GroupState[DriftState]) =>
-          val sorted = rows.map(e => (micros(e.ts), e)).toSeq
-            .sortBy { case (m, e) => (m, e.event_id) }
-          var s = state.getOption.map(_.s).getOrElse(0.0)
-          val out = sorted.map { case (_, e) =>
-            s = math.max(0.0, s + e.value - k)
-            DriftOut(user, e.event_id, e.value,
-              math.floor(s * 1e6 + 0.5) / 1e6, s >= h)
-          }
+          val (s, out, _) = foldCusum(user, rows, state.getOption.map(_.s).getOrElse(0.0), k, h)
           state.update(DriftState(s))
           out.iterator
+      }
+  }
+
+  /** Evicting variant of `cusumStream` — the holtStreamEvicting contract
+    * applied to the drift statistic: per-entity state times out at
+    * lastTs + idle horizon (event time), bounding state under entity
+    * churn. Re-warm-up on return: the statistic restarts at s = 0, so a
+    * drift that straddles an idle gap longer than the horizon must
+    * re-accumulate from zero before it alarms — the explicit trade for
+    * bounded state. Watermark-late rows are dropped before the fold
+    * (EventTimeTimeout semantics); the watermark delay is the
+    * late-data-loss bound.
+    */
+  def cusumStreamEvicting(events: Dataset[DriftEvent], k: Double, h: Double,
+                          idleSeconds: Long, watermark: String): Dataset[DriftOut] = {
+    requireCusumParams(k, h)
+    require(idleSeconds > 0, s"cusumStreamEvicting needs idleSeconds > 0, got $idleSeconds")
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(DriftState, Long), DriftOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[DriftEvent], state: GroupState[(DriftState, Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val (st0, lastTs0) =
+              state.getOption.getOrElse((DriftState(0.0), Long.MinValue))
+            val (s, out, maxTs) = foldCusum(user, rows, st0.s, k, h)
+            val lastTs = math.max(lastTs0, maxTs) // never rewind on late data
+            state.update((DriftState(s), lastTs))
+            state.setTimeoutTimestamp(lastTs / 1000L + idleSeconds * 1000L)
+            out.iterator
+          }
       }
   }
 

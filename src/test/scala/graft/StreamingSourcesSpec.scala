@@ -301,6 +301,102 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("evicting Holt smoother drops idle state; a returning entity re-seeds") {
+    import graft.streaming.Streams.{DriftEvent, HoltOut}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(user: Long, min: Int, id: Long, v: Double) =
+      DriftEvent(user, java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00"), id, v)
+    val input = MemoryStream[DriftEvent]
+    val q = Streams.holtStreamEvicting(input.toDS(), 0.5, 0.25,
+      idleSeconds = 600L, watermark = "0 seconds")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("evict_holt").start()
+    try {
+      input.addData(ev(1L, 0, 1, 10.0), ev(1L, 5, 2, 20.0))
+      q.processAllAvailable()
+      // a second entity far in the future pushes the watermark past
+      // entity 1's timeout (10:05 + 10 min) -> its (level, trend) drops
+      input.addData(ev(2L, 50, 3, 5.0))
+      q.processAllAvailable()
+      // entity 1 returns: re-seeded (level = first value, trend = 0),
+      // NOT the pre-idle recursion (which had level 15, trend 1.25)
+      input.addData(ev(1L, 55, 4, 40.0))
+      q.processAllAvailable()
+      val mine = spark.table("evict_holt").as[HoltOut].collect()
+        .filter(_.user_id == 1L).sortBy(_.event_id)
+      assert(mine.map(o => (o.event_id, o.level, o.trend)).toSeq ===
+        Seq((1L, 10.0, 0.0), (2L, 15.0, 1.25), (4L, 40.0, 0.0)),
+        s"got ${mine.toSeq}")
+    } finally q.stop()
+  }
+
+  test("evicting CUSUM drops idle state; the statistic re-accumulates from zero") {
+    import graft.streaming.Streams.{DriftEvent, DriftOut}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(user: Long, min: Int, id: Long, v: Double) =
+      DriftEvent(user, java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00"), id, v)
+    val input = MemoryStream[DriftEvent]
+    // k = 0: s accumulates raw values, alarm at 30
+    val q = Streams.cusumStreamEvicting(input.toDS(), 0.0, 30.0,
+      idleSeconds = 600L, watermark = "0 seconds")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("evict_cusum").start()
+    try {
+      input.addData(ev(1L, 0, 1, 20.0), ev(1L, 5, 2, 5.0)) // s = 20, 25
+      q.processAllAvailable()
+      input.addData(ev(2L, 50, 3, 1.0)) // watermark passes 10:15 -> evict
+      q.processAllAvailable()
+      // with carried state (25) this 10.0 would alarm at 35; evicted
+      // state restarts at 0 -> s = 10, no alarm: the documented re-warm-up
+      input.addData(ev(1L, 55, 4, 10.0))
+      q.processAllAvailable()
+      val mine = spark.table("evict_cusum").as[DriftOut].collect()
+        .filter(_.user_id == 1L).sortBy(_.event_id)
+      assert(mine.map(o => (o.event_id, o.cusum, o.alarm)).toSeq ===
+        Seq((1L, 20.0, false), (2L, 25.0, false), (4L, 10.0, false)),
+        s"got ${mine.toSeq}")
+    } finally q.stop()
+  }
+
+  test("evicting drift variants equal their namesakes when nothing idles out") {
+    import graft.streaming.Streams.{DriftEvent, DriftOut, HoltOut}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = GraftSession.table(spark, sfDir, "events")
+      .filter(col("value").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[DriftEvent].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val (first, second) = events.splitAt(events.length / 2)
+    // horizon far past the fixture's span, zero-delay watermark: no key
+    // ever times out and no row is late, so the shared fold must produce
+    // byte-identical output to the NoTimeout variants (and, transitively,
+    // to the batch operators those are spec-pinned against)
+    val horizon = 10L * 365 * 24 * 3600
+    val inH = MemoryStream[DriftEvent]
+    val qh = Streams.holtStreamEvicting(inH.toDS(), 0.5, 0.25, horizon, "0 seconds")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("evict_holt_eq").start()
+    val inC = MemoryStream[DriftEvent]
+    val qc = Streams.cusumStreamEvicting(inC.toDS(), 150.0, 500.0, horizon, "0 seconds")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("evict_cusum_eq").start()
+    try {
+      inH.addData(first.toIndexedSeq); qh.processAllAvailable()
+      inH.addData(second.toIndexedSeq); qh.processAllAvailable()
+      inC.addData(first.toIndexedSeq); qc.processAllAvailable()
+      inC.addData(second.toIndexedSeq); qc.processAllAvailable()
+      val holt = spark.table("evict_holt_eq").as[HoltOut].collect()
+        .map(o => (o.user_id, o.event_id, o.value, o.level, o.trend, o.forecast)).toSet
+      val holtBatch = SparkEntry.queries("holt_linear")(spark, sfDir)
+        .as[(Long, Long, Double, Double, Double, Double)].collect().toSet
+      assert(holt.nonEmpty && holt == holtBatch)
+      val cusum = spark.table("evict_cusum_eq").as[DriftOut].collect()
+        .map(o => (o.user_id, o.event_id, o.value, o.cusum, o.alarm)).toSet
+      val cusumBatch = SparkEntry.queries("cusum_drift")(spark, sfDir)
+        .as[(Long, Long, Double, Double, Boolean)].collect().toSet
+      assert(cusum.nonEmpty && cusum == cusumBatch)
+    } finally { qh.stop(); qc.stop() }
+  }
+
   test("incremental watermark reads only new rows and advances") {
     val ev = GraftSession.table(spark, sfDir, "events")
     val w0 = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
