@@ -261,4 +261,31 @@ class PropertySpec extends SparkSpec {
       assert(Bpe.trainLocal(c.reverse, 10) == m10)
     }
   }
+
+  test("prefixFilterJoin equals brute-force all-pairs Jaccard at any tau") {
+    // the l-extended prefix + length-filter completeness argument, tested
+    // the adversarial way: a 7-word vocabulary forces heavy shingle
+    // sharing, doc lengths 3-12 exercise the tiny-set min(l, alpha)
+    // floor, and tau = 2/3 lands tau*sz on integral knife edges
+    val smallWord = Gen.oneOf("a", "b", "c", "d", "e", "f", "g")
+    val doc = Gen.choose(3, 12).flatMap(n => Gen.listOfN(n, smallWord).map(_.mkString(" ")))
+    val corpus = samples(doc, 40).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = corpus.toDF("doc_id", "text")
+    val sh = corpus
+      .map { case (id, t) => id -> ShingleUtil.distinctShingles(t, 3).toSet }
+      .filter(_._2.nonEmpty)
+    for (tau <- Seq(0.3, 0.4, 0.5, 2.0 / 3.0, 0.75, 1.0)) {
+      val expected = (for {
+        (a, sa) <- sh
+        (b, sb) <- sh if a < b
+        i = (sa & sb).size
+        if i.toDouble / (sa.size + sb.size - i) >= tau
+      } yield (a, b)).toSet
+      val got = graft.dedup.Dedup
+        .prefixFilterJoin(df, col("doc_id"), col("text"), 3, tau)
+        .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+      assert(got == expected,
+        s"tau=$tau missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
 }
