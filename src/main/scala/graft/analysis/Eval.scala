@@ -300,9 +300,18 @@ object Eval {
     require(pLo > 0.0 && pHi < 1.0 && pLo < pHi,
       s"winsorizeStats needs 0 < pLo < pHi < 1, got $pLo/$pHi")
     val rows = df.select(group.as("__g"), value.as("__v")).filter(col("__v").isNotNull)
+    // cutpoints are 6dp-QUANTIZED before the clamp/count compare: engines
+    // interpolate percentiles with different IEEE op orders (a+f·(b−a) vs
+    // a·(1−f)+b·f), and when a REPEATED data value sits exactly at the
+    // percentile rank the 1-ulp difference flips `v < lo` for the whole
+    // run of equal values (surfaced by the sf1 replication probe: 50
+    // copies of one value sat on the p05 cutpoint and the strict-below
+    // count diverged by exactly 50). Quantization is the portable
+    // contract; a 6dp cutpoint cannot sit between two data values closer
+    // than a micro-unit apart.
     val cuts = rows.groupBy(col("__g")).agg(
-      expr(s"percentile(__v, ${pLo}D)").as("__lo"),
-      expr(s"percentile(__v, ${pHi}D)").as("__hi"))
+      q6(expr(s"percentile(__v, ${pLo}D)")).as("__lo"),
+      q6(expr(s"percentile(__v, ${pHi}D)")).as("__hi"))
     rows.join(broadcast(cuts), Seq("__g"))
       .withColumn("__w", least(greatest(col("__v"), col("__lo")), col("__hi")))
       .groupBy(col("__g"))
