@@ -3727,11 +3727,15 @@ asofOracle,
         |    CAST(date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS BIGINT) >= m AS cur
         |  FROM r, mid),
         |e AS (
-        |  SELECT quantile_cont(v, 0.1) AS e1, quantile_cont(v, 0.2) AS e2,
-        |    quantile_cont(v, 0.3) AS e3, quantile_cont(v, 0.4) AS e4,
-        |    quantile_cont(v, 0.5) AS e5, quantile_cont(v, 0.6) AS e6,
-        |    quantile_cont(v, 0.7) AS e7, quantile_cont(v, 0.8) AS e8,
-        |    quantile_cont(v, 0.9) AS e9
+        |  SELECT floor(quantile_cont(v, 0.1) * 1000000.0 + 0.5) / 1000000.0 AS e1,
+        |    floor(quantile_cont(v, 0.2) * 1000000.0 + 0.5) / 1000000.0 AS e2,
+        |    floor(quantile_cont(v, 0.3) * 1000000.0 + 0.5) / 1000000.0 AS e3,
+        |    floor(quantile_cont(v, 0.4) * 1000000.0 + 0.5) / 1000000.0 AS e4,
+        |    floor(quantile_cont(v, 0.5) * 1000000.0 + 0.5) / 1000000.0 AS e5,
+        |    floor(quantile_cont(v, 0.6) * 1000000.0 + 0.5) / 1000000.0 AS e6,
+        |    floor(quantile_cont(v, 0.7) * 1000000.0 + 0.5) / 1000000.0 AS e7,
+        |    floor(quantile_cont(v, 0.8) * 1000000.0 + 0.5) / 1000000.0 AS e8,
+        |    floor(quantile_cont(v, 0.9) * 1000000.0 + 0.5) / 1000000.0 AS e9
         |  FROM tg WHERE NOT cur),
         |b AS (
         |  SELECT cur,
@@ -4156,10 +4160,14 @@ asofOracle,
       """WITH rows_ AS (
         |  SELECT event_type AS group_key, event_id AS row_id, value AS v
         |  FROM events WHERE value IS NOT NULL),
-        |med AS (SELECT group_key, quantile_cont(v, 0.5) AS m FROM rows_ GROUP BY 1),
+        |med AS (SELECT group_key,
+        |          floor(quantile_cont(v, 0.5) * 1000000.0 + 0.5) / 1000000.0 AS m
+        |        FROM rows_ GROUP BY 1),
         |dev AS (SELECT r.group_key, r.row_id, r.v, med.m, abs(r.v - med.m) AS d
         |        FROM rows_ r JOIN med USING (group_key)),
-        |mad AS (SELECT group_key, quantile_cont(d, 0.5) AS md FROM dev GROUP BY 1),
+        |mad AS (SELECT group_key,
+        |          floor(quantile_cont(d, 0.5) * 1000000.0 + 0.5) / 1000000.0 AS md
+        |        FROM dev GROUP BY 1),
         |sc AS (
         |  SELECT dev.group_key, dev.row_id, dev.v, dev.m,
         |    floor(((dev.v - dev.m) / (1.4826 * mad.md)) * 1000000.0 + 0.5) / 1000000.0 AS score

@@ -398,12 +398,17 @@ object Stats {
     require(nMads > 0.0, s"madOutliers needs nMads > 0, got $nMads")
     val rows = df.select(group.as("group_key"), id.as("row_id"), value.as("__v"))
       .filter(col("__v").isNotNull)
+    // median and MAD are 6dp-QUANTIZED at the aggregation (the scoreCuts /
+    // winsorizeStats discipline): engines interpolate percentiles with
+    // different IEEE op orders, and a raw interpolated statistic feeding a
+    // threshold comparison flips membership on the ulp when data sits at
+    // the knife edge (the failure class the sf1 replication probe caught)
     val med = rows.groupBy(col("group_key"))
-      .agg(expr("percentile(__v, 0.5D)").as("__med"))
+      .agg(q6(expr("percentile(__v, 0.5D)")).as("__med"))
     val dev = rows.join(broadcast(med), Seq("group_key"))
       .withColumn("__d", abs(col("__v") - col("__med")))
     val mad = dev.groupBy(col("group_key"))
-      .agg(expr("percentile(__d, 0.5D)").as("__mad"))
+      .agg(q6(expr("percentile(__d, 0.5D)")).as("__mad"))
     dev.join(broadcast(mad), Seq("group_key"))
       .filter(col("__mad") > 0.0)
       .withColumn("score",
@@ -1292,8 +1297,12 @@ object Stats {
         .as("__mid")))
     val tagged = rows.crossJoin(mid)
       .withColumn("__cur", unix_micros(col("__ts")) >= col("__mid"))
+    // edges 6dp-quantized before the bucket compare — raw interpolated
+    // percentiles differ by an ulp across engines, and a decile edge ON a
+    // repeated data value would flip the whole run's bucket (the
+    // winsorizeStats knife-edge class)
     val cutAggs = (1 until buckets).map { i =>
-      expr(s"percentile(__v, ${i.toDouble / buckets}D)").as(s"__e$i")
+      q6(expr(s"percentile(__v, ${i.toDouble / buckets}D)")).as(s"__e$i")
     }
     val edges = broadcast(tagged.filter(!col("__cur"))
       .agg(cutAggs.head, cutAggs.tail: _*))
@@ -1409,8 +1418,10 @@ object Stats {
       s"psiBaseline needs buckets in [2, 100], got $buckets")
     val rows = df.select(value.cast("double").as("__v"))
       .filter(col("__v").isNotNull)
+    // same 6dp edge quantization as psiDrift — the stream twin must
+    // replay the batch scorer's bucket decisions bit-exactly
     val cutAggs = (1 until buckets).map { i =>
-      expr(s"percentile(__v, ${i.toDouble / buckets}D)").as(s"__e$i")
+      q6(expr(s"percentile(__v, ${i.toDouble / buckets}D)")).as(s"__e$i")
     }
     val eRow = rows.agg(cutAggs.head, cutAggs.tail: _*).collect().head
     require(!eRow.isNullAt(0), "psiBaseline needs a non-empty baseline")
