@@ -1530,9 +1530,14 @@ object SparkEntry {
       // the one-step prediction interval's half-width, and the realized
       // coverage at that width is reported alongside (the calibration
       // check an interval ships with)
+      // q90 is 6dp-quantized before the coverage compare (the winsorize/
+      // psi knife-edge discipline): a raw interpolated quantile differs by
+      // an ulp across engines and flips `abs(err) <= q90` for residuals
+      // sitting exactly at the interval edge
       val evals = holtBacktestErrors(s, dir)
       val q = broadcast(evals.agg(
-        expr("percentile(abs(__err), 0.9D)").as("__q90")))
+        (floor(expr("percentile(abs(__err), 0.9D)") * lit(1000000.0) + lit(0.5))
+          / lit(1000000.0)).as("__q90")))
       evals.crossJoin(q)
         .agg(count(lit(1)).as("n_evals"),
           r6(max(col("__q90"))).as("q90_abs_err"),
@@ -4110,7 +4115,7 @@ asofOracle,
          |    LAG(forecast, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pf
          |  FROM j),
          |t AS (SELECT value - pf AS err FROM x WHERE pf IS NOT NULL),
-         |q AS (SELECT quantile_cont(ABS(err), 0.9) AS q90 FROM t)
+         |q AS (SELECT floor(quantile_cont(ABS(err), 0.9) * 1000000.0 + 0.5) / 1000000.0 AS q90 FROM t)
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_evals,
          |  floor(MAX(q90) * 1000000.0 + 0.5) / 1000000.0 AS q90_abs_err,
          |  floor((CAST(SUM(CASE WHEN ABS(err) <= q90 THEN 1 ELSE 0 END) AS DOUBLE)
