@@ -498,12 +498,17 @@ object SparkEntry {
     }),
     "coder_agreement" -> ((s, dir) => {
       // two deterministic "coders" labeling the same messages (the Coda
-      // double-coding scenario): coder B breaks from A on high-value rows
-      val k = propsInt
+      // double-coding scenario): coder B breaks from A on high-value rows.
+      // __k is materialized in its OWN projection: the coder expressions
+      // reference it five times, and conditional branches defeat codegen
+      // subexpression elimination — without the boundary the regexp ran
+      // ~10x per row and this was the slowest small query in the suite
+      val k = col("__k")
+      val base = events(s, dir).select(col("value"), propsInt.as("__k"))
       val coderA = when(k.isNotNull, concat(lit("c"), k % 4))
       val coderB = when(k.isNotNull,
         concat(lit("c"), when(col("value") > 75.0, (k + 1) % 4).otherwise(k % 4)))
-      graft.analysis.Eval.cohenKappa(events(s, dir), coderA, coderB)
+      graft.analysis.Eval.cohenKappa(base, coderA, coderB)
     }),
     "regression_ols" -> ((s, dir) =>
       graft.analysis.Regression.olsByGroup(

@@ -36,11 +36,15 @@ object Cleaners {
     * several predicates re-evaluates the regex per reference.
     */
   def firstInt(c: Column): Column = {
-    // length cap: under ANSI (default on Spark 4) CAST of a >9-digit run
-    // to INT throws mid-job; a run that long is never a plausible age or
-    // survey integer, so it cleans to null like any other non-answer
-    val run = nullif(regexp_extract(c, "[0-9]+", 0), lit(""))
-    when(length(run) <= 9, run).cast("int")
+    // length window: under ANSI (default on Spark 4) CAST of a >9-digit
+    // run OR of the empty string to INT throws mid-job; a run that long
+    // is never a plausible age or survey integer, so both clean to null
+    // like any other non-answer. The 1..9 window replaces the earlier
+    // nullif('') guard — one regexp evaluation fewer per reference, and
+    // this expression is the hottest scalar in the contract (every
+    // props-derived query evaluates it, some several times per row).
+    val run = regexp_extract(c, "[0-9]+", 0)
+    when(length(run).between(1, 9), run).cast("int")
   }
 
   /** Plausibility bounds over an already-extracted integer column. */
