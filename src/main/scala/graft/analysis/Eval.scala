@@ -97,10 +97,17 @@ object Eval {
     val totals = marg.agg(
       sum(col("__na")).as("n_items"),
       sum(col("__agree")).as("__agree"),
-      sum(col("__na") * col("__nb")).as("__cross"))
+      // decimal before the multiply: per-category marginals are corpus-
+      // scale counts, and a LongType na*nb overflows silently past ~3e9
+      // items in one category (the traffic_anomalies discipline)
+      sum(col("__na").cast("decimal(19,0)") * col("__nb").cast("decimal(19,0)"))
+        .as("__cross"))
     val po = col("__agree").cast("double") / col("n_items").cast("double")
+    // n² via decimal for the same reason; the quotient's IEEE value is
+    // unchanged (both paths feed the division one exact integer)
     val pe = col("__cross").cast("double") /
-      (col("n_items") * col("n_items")).cast("double")
+      (col("n_items").cast("decimal(19,0)") * col("n_items").cast("decimal(19,0)"))
+        .cast("double")
     totals.select(col("n_items"), r6(po).as("po"), r6(pe).as("pe"),
       when(pe < 1.0, r6((po - pe) / (lit(1.0) - pe))).as("kappa"))
   }
@@ -214,16 +221,22 @@ object Eval {
     // approximating the per-unit 1/(m_u−1) weights
     val labelMarg = ul.groupBy(col("__l")).agg(sum(col("__c")).as("__nl"))
     def d(c: Column) = c.cast("double")
+    // DECIMAL before every count-by-count multiply (the traffic_anomalies
+    // discipline): __nl is a per-label CORPUS total and __n the grand
+    // total, so nl², n² overflow a silent LongType product past ~3e9
+    // votes — exactly the scale this operator exists for. Per-unit
+    // m²−ss stays long (m is the coder count, single digits).
+    def dec(c: Column) = c.cast("decimal(19,0)")
     val folded = perUnit.agg(
       count(lit(1)).as("n_units"),
       min(col("__m")).as("__mMin"), max(col("__m")).as("__mMax"),
       sum(col("__m") * col("__m") - col("__ss")).as("__o2"),
       sum(col("__m")).as("__n"))
     val marg = labelMarg.agg(count(lit(1)).as("n_labels"),
-      sum(col("__nl") * col("__nl")).as("__snl2"))
-    val de = col("__n") * col("__n") - col("__snl2")
+      sum(dec(col("__nl")) * dec(col("__nl"))).as("__snl2"))
+    val de = dec(col("__n")) * dec(col("__n")) - col("__snl2")
     val alpha = graft.util.Portable.round6(lit(1.0) -
-      d((col("__n") - 1) * col("__o2")) / d((col("__mMin") - 1) * de))
+      d(dec(col("__n") - 1) * dec(col("__o2"))) / d(dec(col("__mMin") - 1) * de))
     folded.crossJoin(broadcast(marg))
       .select(col("n_units"), col("n_labels"),
         when(col("__mMin") =!= col("__mMax"),
