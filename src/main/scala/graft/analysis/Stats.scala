@@ -836,8 +836,11 @@ object Stats {
       when(col("n_a") > 0, r6(p1)).as("rate_a"),
       when(col("n_b") > 0, r6(p2)).as("rate_b"),
       when(col("n_a") > 0 && col("n_b") > 0, r6(p1 - p2)).as("effect"),
+      // exact cross-multiplied rate equality via DECIMAL: a LongType
+      // conv*n product overflows silently past ~3e9 entities per arm
       when(col("n_a") > 0 && col("n_b") > 0 &&
-        col("conv_a") * col("n_b") =!= col("conv_b") * col("n_a"),
+        col("conv_a").cast("decimal(19,0)") * col("n_b").cast("decimal(19,0)") =!=
+          col("conv_b").cast("decimal(19,0)") * col("n_a").cast("decimal(19,0)"),
         ceil(nReq).cast("bigint")).as("n_required_per_arm"))
   }
 
