@@ -64,6 +64,10 @@ object Bench {
             // class, found round 8 — regression_ols hashed differently
             // solo vs mid-suite)
             .replaceAll("_common_expr_\\d+", "_common_expr_")
+            // dataset_export's scratch dir carries a per-JVM token (so
+            // concurrent processes don't race on one path); the token is
+            // not part of the declared plan shape
+            .replaceAll("graft_dataset_export_[0-9a-f_]+", "graft_dataset_export_")
           f"${scala.util.hashing.MurmurHash3.stringHash(stable)}%08x"
         } catch { case _: Throwable => "err" }
       val cold = once()

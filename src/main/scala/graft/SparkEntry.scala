@@ -50,6 +50,13 @@ object SparkEntry {
     *      THEN NULLIF(regexp_extract(props,'[0-9]+',0),'') END AS INT). */
   private def propsInt = graft.text.Cleaners.firstInt(col("props"))
 
+  /** Per-JVM token for side-effecting sink queries (dataset_export): keeps
+    * concurrent processes out of each other's scratch dirs while staying
+    * stable across invocations WITHIN a process (so a bench's repeated
+    * plan builds fingerprint identically). */
+  private val jvmToken: String =
+    java.lang.Long.toHexString(java.util.UUID.randomUUID().getMostSignificantBits)
+
   /** The three-labeler vote frame over documents (declared lang + both
     * heuristic labelers) — ONE definition shared by krippendorff_alpha
     * and label_consensus, so the reliability statistic and the consensus
@@ -915,8 +922,13 @@ object SparkEntry {
       val out = events(s, dir).filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("ts_micros"), col("value"))
+      // per-JVM export dir: a path keyed only on the data dir races when
+      // two processes (determinism's double Verify, parallel test suites)
+      // overwrite/read the same files. The JVM token is stable within a
+      // process so Bench's repeated invocations share one plan shape;
+      // Bench normalizes the token out of the plan fingerprint.
       val path = System.getProperty("java.io.tmpdir") +
-        s"/graft_dataset_export_${Integer.toHexString(dir.hashCode)}"
+        s"/graft_dataset_export_${Integer.toHexString(dir.hashCode)}_$jvmToken"
       graft.sources.Sources.writeCsv(out, path)
       s.read.option("header", "true")
         .schema("event_id BIGINT, user_id BIGINT, ts_micros BIGINT, value DOUBLE")

@@ -609,10 +609,15 @@ object Stats {
     * repeated — the frame is the report).
     */
   def benfordTest(df: DataFrame, value: Column): DataFrame = {
+    // NaN/Infinity guard (the firstInt discipline): NaN compares greater
+    // than 0.0 on both engines, renders with no [1-9] character, and an
+    // unguarded CAST('' AS INT) under ANSI (Spark 4 default) would crash
+    // the job the oracle quietly completes — the length gate keeps the
+    // empty extract away from the cast so dirty rows drop as nulls
+    val run = regexp_extract(col("__v").cast("string"), "[1-9]", 0)
     val counts = df.select(value.as("__v"))
       .filter(col("__v") > 0.0)
-      .withColumn("digit",
-        regexp_extract(col("__v").cast("string"), "[1-9]", 0).cast("int"))
+      .withColumn("digit", when(length(run) === 1, run).cast("int"))
       .filter(col("digit").isNotNull)
       .groupBy(col("digit")).agg(count(lit(1)).as("__c"))
     val spine = df.sparkSession.range(1, 10)

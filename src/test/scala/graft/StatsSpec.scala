@@ -210,6 +210,21 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(n1.getDouble(4) - expected) < 1e-9)
   }
 
+  test("benfordTest survives NaN and Infinity rows (ANSI cast guard)") {
+    // NaN compares greater than 0.0 in Spark's ordering and renders with
+    // no [1-9] character; an unguarded CAST('' AS INT) under ANSI would
+    // crash the job. Dirty rows must DROP (like the oracle's NULLIF),
+    // Infinity keeps its leading mantissa-free rendering out too.
+    val df = Seq(10.0, 20.0, Double.NaN, Double.PositiveInfinity, 3.0).toDF("v")
+    val out = graft.analysis.Stats.benfordTest(df, col("v"))
+      .orderBy("digit").collect()
+    assert(out.map(_.getInt(0)).toSeq === (1 to 9))
+    // only the three finite values count: 10, 20, 3
+    assert(out.map(_.getLong(1)).sum === 3L)
+    assert(out(0).getLong(1) === 1L && out(1).getLong(1) === 1L
+      && out(2).getLong(1) === 1L)
+  }
+
   test("ewma: folds the recursion in order, resets per entity, rejects inexact alpha") {
     def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:0$i%01d:00")
     val df = Seq(

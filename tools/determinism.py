@@ -40,12 +40,24 @@ def main():
             # row-ORDER divergence (shuffle-fetch order on a join-tailed
             # frame — the driver's sorted-hash compare is order-free, and
             # an unordered operator is CORRECT to leave unordered at scale)
-            # None-safe sort key: Python 3 refuses None < int, and NULLs
-            # are legitimate in compared columns
-            def _key(row):
-                return tuple((v is None, str(type(v)), v) for v in row)
-            ra = sorted(map(tuple, zip(*[ta.column(c).to_pylist() for c in cols])), key=_key)
-            rb = sorted(map(tuple, zip(*[tb.column(c).to_pylist() for c in cols])), key=_key)
+            # Normalize every cell to a totally-ordered, equality-stable
+            # form BEFORE sorting and comparing: Python 3 refuses
+            # None < int, NaN != NaN breaks both tuple equality and sort
+            # totality (nan<x and x<nan are both False), and NULLs/NaNs
+            # are legitimate in compared columns. repr() keeps full float
+            # precision so distinct doubles never collide.
+            def _norm(row):
+                out = []
+                for v in row:
+                    if v is None:
+                        out.append((0, ""))
+                    elif isinstance(v, float):
+                        out.append((1, "nan" if v != v else repr(v)))
+                    else:
+                        out.append((2, f"{type(v).__name__}:{v}"))
+                return tuple(out)
+            ra = sorted(_norm(r) for r in zip(*[ta.column(c).to_pylist() for c in cols]))
+            rb = sorted(_norm(r) for r in zip(*[tb.column(c).to_pylist() for c in cols]))
             if ra == rb:
                 print(f"[ORDR] {name}: content identical, row order differs "
                       f"(unordered operator; driver compare unaffected)")
