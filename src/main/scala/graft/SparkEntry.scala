@@ -51,11 +51,33 @@ object SparkEntry {
   private def propsInt = graft.text.Cleaners.firstInt(col("props"))
 
   /** Per-JVM token for side-effecting sink queries (dataset_export): keeps
-    * concurrent processes out of each other's scratch dirs while staying
-    * stable across invocations WITHIN a process (so a bench's repeated
-    * plan builds fingerprint identically). */
+    * concurrent processes out of each other's scratch dirs. A per-CALL
+    * counter is appended on top so same-JVM concurrent builds (parallel
+    * test suites) never share a path either; Bench normalizes the whole
+    * suffix out of the plan fingerprint. */
   private val jvmToken: String =
     java.lang.Long.toHexString(java.util.UUID.randomUUID().getMostSignificantBits)
+  private val exportSeq = new java.util.concurrent.atomic.AtomicLong()
+  private val exportDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val exportCleanup: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      exportDirs.forEach { p =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(p))
+      }))
+
+  /** Fresh scratch dir for one export build, registered for JVM-exit
+    * cleanup (scratch dirs must not accumulate across gate/bench runs —
+    * the eraseKeys stale-dir discipline applied to the sink query). */
+  private def exportScratchDir(dir: String): String = {
+    exportCleanup
+    val p = System.getProperty("java.io.tmpdir") +
+      s"/graft_dataset_export_${Integer.toHexString(dir.hashCode)}_${jvmToken}_${exportSeq.incrementAndGet()}"
+    exportDirs.add(p)
+    p
+  }
 
   /** The three-labeler vote frame over documents (declared lang + both
     * heuristic labelers) — ONE definition shared by krippendorff_alpha
@@ -922,13 +944,10 @@ object SparkEntry {
       val out = events(s, dir).filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("ts_micros"), col("value"))
-      // per-JVM export dir: a path keyed only on the data dir races when
-      // two processes (determinism's double Verify, parallel test suites)
-      // overwrite/read the same files. The JVM token is stable within a
-      // process so Bench's repeated invocations share one plan shape;
-      // Bench normalizes the token out of the plan fingerprint.
-      val path = System.getProperty("java.io.tmpdir") +
-        s"/graft_dataset_export_${Integer.toHexString(dir.hashCode)}_$jvmToken"
+      // per-build scratch dir (no process- or thread-level sharing, so no
+      // overwrite/read race anywhere), cleaned up at JVM exit; Bench
+      // normalizes the unique suffix out of the plan fingerprint
+      val path = exportScratchDir(dir)
       graft.sources.Sources.writeCsv(out, path)
       s.read.option("header", "true")
         .schema("event_id BIGINT, user_id BIGINT, ts_micros BIGINT, value DOUBLE")
@@ -1553,8 +1572,7 @@ object SparkEntry {
       // sitting exactly at the interval edge
       val evals = holtBacktestErrors(s, dir)
       val q = broadcast(evals.agg(
-        (floor(expr("percentile(abs(__err), 0.9D)") * lit(1000000.0) + lit(0.5))
-          / lit(1000000.0)).as("__q90")))
+        r6(expr("percentile(abs(__err), 0.9D)")).as("__q90")))
       evals.crossJoin(q)
         .agg(count(lit(1)).as("n_evals"),
           r6(max(col("__q90"))).as("q90_abs_err"),

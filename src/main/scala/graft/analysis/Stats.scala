@@ -563,17 +563,20 @@ object Stats {
     */
   def columnProfile(df: DataFrame, columns: Seq[String]): DataFrame = {
     require(columns.nonEmpty, "columnProfile needs at least one column")
-    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val entries = columns.map { c =>
       // floating columns: collapse -0.0 into 0.0 before stringifying —
       // they compare EQUAL as raw values (the oracle's distinct) but
       // stringify differently, which would inflate n_distinct by one.
       // NaN is left as-is: both engines have a single NaN rendering and
-      // raw-value distinct counts it once either way.
-      val v = types.get(c) match {
-        case Some(org.apache.spark.sql.types.DoubleType) |
-             Some(org.apache.spark.sql.types.FloatType) =>
-          when(col(c) === 0.0, lit(0.0).cast(types(c))).otherwise(col(c))
+      // raw-value distinct counts it once either way. The type is read
+      // through Spark's OWN resolution (df.select(c).schema) so a
+      // case-mismatched caller name still hits the floating branch —
+      // an exact-name map lookup would silently skip the collapse.
+      val dt = df.select(col(c)).schema.head.dataType
+      val v = dt match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType =>
+          when(col(c) === 0.0, lit(0.0).cast(dt)).otherwise(col(c))
         case _ => col(c)
       }
       struct(lit(c).as("cn"), col(c).isNull.as("isn"), v.cast("string").as("v"))
