@@ -21,7 +21,7 @@ object MakeSf1 {
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/tmp/sf1"
-    val reps = 10
+    val reps = if (args.length > 2) args(2).toInt else 10
     val spark = graft.GraftSession.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
