@@ -1152,7 +1152,17 @@ object SparkEntry {
       // against the same oracle as ann_topk.
       val e = table(s, dir, "embeddings")
         .select(col("vec_id").as("id"), Knn.toDoubleArray(col("embedding")).as("vec"))
-      val cb = graft.similarity.Pq.train(e, m = 8, dim = 64, ksub = 16, iters = 2)
+      // codebook training is sample-bounded (256 vectors per centroid):
+      // Lloyd passes run over <= 4096 rows however large the corpus, so
+      // train cost is CONSTANT in corpus size — only encode (one
+      // row-local pass) and search scale with the data. Sound here
+      // because the exact-regime output is codebook-independent (the
+      // corpus-wide shortlist is re-ranked exactly), and the right
+      // discipline in the approximate regime too (quantizer quality
+      // saturates long before the sample does). TakeOrdered keeps the
+      // sample deterministic without a full sort.
+      val sample = e.orderBy(col("id").asc).limit(4096)
+      val cb = graft.similarity.Pq.train(sample, m = 8, dim = 64, ksub = 16, iters = 2)
       val codes = graft.similarity.Pq.encode(e, cb, m = 8, dim = 64)
       // shortlist must cover the corpus at ANY scale factor for the
       // exact-regime contract (sf0.1 has 10x the embeddings of sf0.01)

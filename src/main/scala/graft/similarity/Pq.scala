@@ -76,6 +76,12 @@ object Pq {
     * never m separate jobs). Seeds are the ksub lowest-id vectors'
     * subvectors, mirroring Knn.kmeansCentroids.
     *
+    * Every Lloyd iteration scans `corpus`, so at scale the caller should
+    * pass a bounded deterministic sample (a few hundred vectors per
+    * centroid — e.g. `corpus.orderBy(id).limit(256 * ksub)`), never the
+    * full table: quantizer quality saturates long before the sample does,
+    * and encode/search are the only stages that must see every vector.
+    *
     * Returns (sub, cid, cvec) with cids re-numbered DENSE per subspace
     * (0..count-1): Lloyd can drop a centroid that captures zero vectors,
     * and the ADC table is positional — a hole in the id space would
