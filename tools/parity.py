@@ -35,9 +35,14 @@ def normalize(rows, cols):
     return sorted(cols), sorted(out)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    # big-SF probes: bound DuckDB's memory and let it spill to disk instead
+    # of dying on allocation (line-explode oracles at 100x SF need this)
+    con.execute("SET memory_limit='24GB'")
+    os.makedirs("/tmp/duck_spill", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
@@ -45,6 +50,8 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
+        if only is not None and name not in only:
+            continue
         spark_dir = f"{out_dir}/{name}"
         files = glob.glob(f"{spark_dir}/*.parquet")
         if not files:
@@ -77,6 +84,8 @@ def main(sf_dir, out_dir):
             print(f"[ OK ] {name}: {len(s_rows)} rows")
     # queries without oracle (rows-only)
     for d in sorted(os.listdir(out_dir)):
+        if only is not None and d not in only:
+            continue
         if os.path.isdir(f"{out_dir}/{d}") and d not in oracle:
             n = con.sql(f"SELECT count(*) FROM '{out_dir}/{d}/*.parquet'").fetchone()[0]
             print(f"[ROWS] {d}: {n} rows (no oracle)")
@@ -85,4 +94,6 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    # optional third arg: comma-separated query-name filter (dev iteration)
+    names = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], names))
