@@ -14,12 +14,17 @@ import org.apache.spark.sql.types.DecimalType
   * most relevant to a probe query (contamination hunting, targeted
   * corpus slicing, retrieval-augmented eval set construction).
   *
-  * Scale shape: one tokenize pass feeds document lengths, document
-  * frequencies, and term frequencies; the query term set is broadcast (a
-  * query is a handful of terms); corpus-level scalars (N, avgdl) ride a
-  * broadcast cross join. The only shuffles are the two token
-  * aggregations, both map-side combinable on bounded keys. Scoring and
-  * ranking touch only documents containing at least one query term.
+  * Scale shape: ZERO corpus-sized shuffles. Document length is computed
+  * on the row (size of the filtered token array, no explode); document
+  * frequencies dedupe terms per-doc on the row (array_distinct) so the
+  * df exchange carries vocabulary-sized partial counts; the query-term
+  * broadcast filter runs before the tf aggregation so only hit rows are
+  * exchanged, with dl riding the row as a group key instead of a
+  * corpus-sized join. The corpus is scanned three times (stats, df, tf)
+  * — scans are embarrassingly parallel and cheap; it is the token-pair
+  * exchanges that kill a 100 TB run, and this plan has none. Corpus
+  * scalars (N, avgdl) ride a broadcast cross join; scoring and ranking
+  * touch only documents containing at least one query term.
   *
   * Numeric determinism (the lm_bigram_score discipline): the idf and each
   * per-term score part are rounded with the portable floor arithmetic,
@@ -40,22 +45,40 @@ object Bm25 {
   def topDocs(docs: DataFrame, id: Column, text: Column,
               numTerms: Int, k: Int,
               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // NOTHING in this query shuffles corpus-sized data. Every per-document
+    // quantity is computed ROW-LOCALLY before any exchange:
+    //   dl    — token count via size(filter(split(...))) on the row, no
+    //           explode, no groupBy(doc_id) over exploded tokens;
+    //   df    — per-doc term DEDUP via array_distinct on the row, so the
+    //           explode feeds a term-keyed partial aggregate and the
+    //           exchange carries (term, partial count) — VOCABULARY-sized
+    //           per partition, never corpus-sized (the (doc_id, term)
+    //           distinct-shuffle formulation moves every token pair);
+    //   tf    — the broadcast query-term semi-filter runs BEFORE the
+    //           aggregation, so only hit rows are exchanged, and dl rides
+    //           the row as a group key instead of a corpus-sized join.
+    // (doc ids are assumed non-null and physically distinct — the df count
+    // is per document row.)
     val base = docs.select(id.as("doc_id"), text.as("text"))
-    val toks = base
-      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("term"))
-      .filter(col("term") =!= "")
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    // corpus scalars: one tiny agg row, broadcast with the cross join
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val dft = toks.select(col("doc_id"), col("term")).distinct()
+    val tokens = filter(split(col("text"), " ", -1), t => t =!= "")
+    val withDl = base.select(col("doc_id"), col("text"),
+      size(tokens).cast("long").as("dl"))
+    // corpus scalars over token-bearing docs (the population the exploded
+    // formulation sees): one tiny agg row, broadcast with the cross join
+    val stats = withDl.filter(col("dl") > 0L)
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val dft = base.select(explode(array_distinct(tokens)).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val qterms = dft.orderBy(col("df").desc, col("term").asc).limit(numTerms)
 
-    val tf = toks.join(broadcast(qterms), Seq("term"))
-      .groupBy(col("doc_id"), col("term"), col("df"))
+    val tf = withDl
+      .select(col("doc_id"), col("dl"),
+        explode(split(col("text"), " ", -1)).as("term"))
+      .filter(col("term") =!= "")
+      .join(broadcast(qterms), Seq("term"))
+      .groupBy(col("doc_id"), col("term"), col("df"), col("dl"))
       .agg(count(lit(1)).as("tf"))
     val scored = tf
-      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       // idf = ln((N - df + 0.5)/(df + 0.5) + 1) — the +1 variant is
       // never negative (Lucene's choice); rounded before use

@@ -287,8 +287,16 @@ class PlanAuditSpec extends SparkSpec {
     // corpus-scalar cross join must ride a broadcast exchange too
     assert(count(p, "BroadcastHashJoin") >= 1, p)
     assert(count(p, "BroadcastExchange") >= 2, p)
-    // dl/df/tf counts combine map-side before their exchanges
+    // df/tf counts combine map-side before their exchanges
     assert(count(p, "partial_count") >= 2, p)
+    // exactly TWO explodes (df's distinct terms + tf's hit filter):
+    // document length must stay row-local (size of the token array) —
+    // a third Generate means a corpus-sized groupBy(doc_id) crept back
+    assert(count(p, "Generate explode") == 2,
+      s"bm25 must tokenize only for df and tf, dl stays row-local\n$p")
+    // and the df explode dedupes per-doc on the row, so its exchange is
+    // vocabulary-sized, never token-pair-sized
+    assert(p.contains("array_distinct"), p)
   }
 
   test("pq refined search fetches shortlist vectors via broadcast joins") {
