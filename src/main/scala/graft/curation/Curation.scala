@@ -66,45 +66,50 @@ object Curation {
     * (doc_id, position) — and removed everywhere else; documents are then
     * reassembled in original line order.
     *
-    * `lines` must be an array<string> column with positional semantics.
-    * The first occurrence per line is a `min(struct(doc_id, pos))`
-    * AGGREGATION, not a window: partial aggregation combines map-side, so a
-    * boilerplate line repeated across millions of documents costs one row
-    * per task instead of one hot window partition (the skew cliff a
-    * row_number formulation would have). The join back on the line key is
-    * skew-splittable by AQE; the reassembly key (doc_id) is unskewed by
-    * construction.
+    * `lines` must be an array<string> column with positional semantics and
+    * NON-NULL elements (split output). The first occurrence per line is a
+    * `min(struct(doc_id, pos))` AGGREGATION, not a window: partial
+    * aggregation combines map-side, so a boilerplate line repeated across
+    * millions of documents costs one row per task instead of one hot
+    * window partition (the skew cliff a row_number formulation would
+    * have).
+    *
+    * The winners of that aggregation ARE the complete kept set, so they
+    * fold straight into per-doc position arrays (ints only) and the
+    * document reassembles ROW-LOCALLY with an indexed array filter —
+    * line text shuffles exactly once (the distinct-line aggregation);
+    * the old join-back-and-regroup shape moved the full corpus text
+    * through two more exchanges to make the same decision. The one
+    * remaining doc-keyed join moves each document once to meet its
+    * kept-position row — the floor for an exact global first-keeper.
     *
     * Returns (doc_id, n_lines, n_kept, text_kept) with kept lines joined by
     * '\n' — empty string when every line of a document was a repeat.
     */
   def lineDedup(df: DataFrame, id: Column, lines: Column): DataFrame = {
-    val exploded = df.select(id.as("doc_id"), posexplode(lines).as(Seq("pos", "line")))
+    val base = df.select(id.as("doc_id"), lines.as("__lines"))
+      .filter(size(col("__lines")) > 0)
+    val exploded = base.select(col("doc_id"),
+      posexplode(col("__lines")).as(Seq("pos", "line")))
     val firsts = exploded.groupBy(col("line"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("__first"))
-    exploded.join(firsts, Seq("line"))
-      .withColumn("__keep", struct(col("doc_id"), col("pos")) === col("__first"))
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_lines"),
-        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
-        reassembledText(col("__keep")).as("text_kept"))
+    base.join(keptPositions(firsts), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        coalesce(size(col("__kept")), lit(0)).cast("long").as("n_kept"),
+        array_join(filter(col("__lines"),
+          (_, i) => array_contains(col("__kept"), i)), "\n").as("text_kept"))
   }
 
-  /** In-order reassembly of the lines satisfying `keep`, as an aggregate
-    * expression over exploded (pos, line) rows: collect_list drops the
-    * nulls from non-kept lines, and the struct sort restores original
-    * order deterministically (pos is unique within a doc). The one owner
-    * of that trick — lineDedup and decontaminateSurgical both aggregate
-    * with it, so the two line-level operators can never reassemble
-    * documents differently.
-    */
-  private def reassembledText(keep: Column, sep: String = "\n"): Column =
-    array_join(
-      transform(
-        array_sort(collect_list(when(keep, struct(col("pos"), col("line"))))),
-        x => x.getField("line")),
-      sep)
+  /** Fold first-occurrence winners (line/chunk-keyed `min(struct(doc_id,
+    * pos))` rows) into per-doc kept-position arrays: (doc_id, __kept
+    * array<int>). Ints only — the deduped text never travels past its
+    * first aggregation; per-doc array size is bounded by the document's
+    * own line/chunk count. */
+  private def keptPositions(firsts: DataFrame): DataFrame =
+    firsts.select(col("__first.doc_id").as("doc_id"), col("__first.pos").as("pos"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("pos")).as("__kept"))
 
   /** Surgical decontamination: excise the individual lines whose content
     * appears in the benchmark and keep the rest of the document in order —
@@ -115,21 +120,33 @@ object Curation {
     * n_removed/n_lines) rather than lightly contaminated.
     *
     * Scale shape: the benchmark's distinct line set is benchmark-sized —
-    * broadcast; the corpus explodes once, the reassembly is one groupBy on
-    * the doc key (same shape as lineDedup). Line identity is the exact
-    * text here; at 100 TB hash the line first so the broadcast ships
-    * digests, not benchmark text.
+    * broadcast, so the hit decision never shuffles the corpus; only HIT
+    * positions aggregate (contamination-sized, typically a sliver of the
+    * corpus) and the document reassembles ROW-LOCALLY with an indexed
+    * array filter. The removed-position frame carries no size hint: when
+    * contamination is rare AQE broadcasts it from measured size and the
+    * corpus text never shuffles at all; a pathologically contaminated
+    * corpus degrades to one doc-keyed exchange, never more. Line identity
+    * is the exact text here; at 100 TB hash the line first so the
+    * broadcast ships digests, not benchmark text.
     */
   def decontaminateSurgical(corpus: DataFrame, id: Column, lines: Column,
                             benchmark: DataFrame, benchLines: Column): DataFrame = {
-    val ex = corpus.select(id.as("doc_id"), posexplode(lines).as(Seq("pos", "line")))
+    val base = corpus.select(id.as("doc_id"), lines.as("__lines"))
+      .filter(size(col("__lines")) > 0)
+    val ex = base.select(col("doc_id"),
+      posexplode(col("__lines")).as(Seq("pos", "line")))
     val bench = benchmark.select(explode(benchLines).as("line")).distinct()
-      .withColumn("__hit", lit(true))
-    ex.join(broadcast(bench), Seq("line"), "left")
+    val removed = ex.join(broadcast(bench), Seq("line"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_lines"),
-        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_removed"),
-        reassembledText(col("__hit").isNull).as("text_clean"))
+      .agg(collect_list(col("pos")).as("__removed"))
+    base.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        coalesce(size(col("__removed")), lit(0)).cast("long").as("n_removed"),
+        array_join(filter(col("__lines"),
+          (_, i) => coalesce(!array_contains(col("__removed"), i), lit(true))),
+          "\n").as("text_clean"))
   }
 
   /** Exact-substring dedup REWRITE at chunk granularity (the ExactSubstr
@@ -144,9 +161,11 @@ object Curation {
     *
     * Scale shape is lineDedup's: one explode, first occurrence as a
     * map-side-combinable min(struct) agg (no per-chunk window ⇒ no
-    * hot-boilerplate skew cliff), doc-keyed ordered reassembly. The
+    * hot-boilerplate skew cliff), winners folded to per-doc kept-position
+    * int arrays, ROW-LOCAL reassembly on the recomputed chunk array —
+    * chunk text shuffles exactly once (as its md5 digest). The
     * first-keeper key is md5(chunk), not the raw 16-token string — the
-    * agg/join sides stay fixed-width and a million-fold hot chunk is an
+    * agg side stays fixed-width and a million-fold hot chunk is an
     * AQE-splittable 32-char key (the curationStages digest convention).
     * Trailing partial chunks (< window tokens) are always kept: they
     * cannot be attested verbatim repeats at this granularity.
@@ -154,21 +173,23 @@ object Curation {
     * Output: doc_id, n_chunks, n_removed, text_kept (space-rejoined).
     */
   def spanDedupRewrite(df: DataFrame, id: Column, text: Column, window: Int): DataFrame = {
-    val chunks = chunkDocs(df, id, text, window, window)
-      .select(col("doc_id"), col("chunk_id").as("pos"), col("n_tokens"),
-        col("chunk").as("line"))
-      .withColumn("__digest", md5(col("line")))
-    val firsts = chunks.filter(col("n_tokens") === window)
-      .groupBy(col("__digest"))
+    val base = df.select(id.as("doc_id"),
+        wordChunks(text, window, window).as("__chunks"))
+      .filter(size(col("__chunks")) > 0)
+    val chunks = base.select(col("doc_id"),
+      posexplode(col("__chunks")).as(Seq("pos", "ws")))
+    val firsts = chunks.filter(size(col("ws")) === window)
+      .groupBy(md5(array_join(col("ws"), " ")).as("__digest"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("__first"))
-    chunks.join(firsts, Seq("__digest"), "left")
-      .withColumn("__keep",
-        col("n_tokens") =!= window || struct(col("doc_id"), col("pos")) === col("__first"))
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_chunks"),
-        sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_removed"),
-        reassembledText(col("__keep"), " ").as("text_kept"))
+    val nFull = size(filter(col("__chunks"), c => size(c) === window))
+    base.join(keptPositions(firsts), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("__chunks")).cast("long").as("n_chunks"),
+        (nFull - coalesce(size(col("__kept")), lit(0))).cast("long").as("n_removed"),
+        array_join(transform(filter(col("__chunks"),
+            (c, i) => size(c) =!= window ||
+              coalesce(array_contains(col("__kept"), i), lit(false))),
+          c => array_join(c, " ")), " ").as("text_kept"))
   }
 
   /** Deterministic, dialect-portable [0, 100) hash percentile of a key —
