@@ -372,12 +372,21 @@ object Curation {
   private def wordChunks(text: Column, window: Int, stride: Int): Column = {
     require(stride > 0 && window >= stride,
       "need stride > 0 and window >= stride (otherwise words are skipped)")
-    val w = split(text, " ", -1)
-    // ceil((len - window) / stride) extra chunks after the first, floored at 0
-    val nExtra = floor((greatest(lit(0), size(w) - window) + (stride - 1))
-      / lit(stride.toDouble)).cast("int")
-    transform(sequence(lit(0), nExtra), i =>
-      slice(w, (i * stride + 1).cast("int"), lit(window)))
+    // LET-BIND the split once via a single-element transform: a lambda
+    // body re-evaluates captured subexpressions PER ELEMENT, so slicing
+    // `split(text)` directly inside the per-chunk lambda re-tokenizes the
+    // whole document for every chunk it yields — measured as 5x the cost
+    // of the entire chunk stage at the 100x replica. Binding the token
+    // array as a lambda variable evaluates the split exactly once per row.
+    element_at(
+      transform(array(split(text, " ", -1)), w => {
+        // ceil((len - window) / stride) extra chunks after the first, floored at 0
+        val nExtra = floor((greatest(lit(0), size(w) - window) + (stride - 1))
+          / lit(stride.toDouble)).cast("int")
+        transform(sequence(lit(0), nExtra), i =>
+          slice(w, (i * stride + 1).cast("int"), lit(window)))
+      }),
+      1)
   }
 
   /** Fixed-width "lines" derived by chunking words — how a corpus without
@@ -614,10 +623,15 @@ object Curation {
     * stand-in for suffix-array exact-substring dedup): slide a
     * `window`-token span every `stride` tokens, and report per document how
     * many of its full spans appear verbatim in at least one other document.
-    * The span fingerprints come from the same chunker the retrieval prep
-    * uses; the per-span document count is a (chunk → distinct doc)
-    * aggregation — partial-agg combinable, candidate work proportional to
-    * shared spans, never a doc×doc product.
+    *
+    * NO text travels and NO un-shared span joins: per-doc span counts are
+    * row-local (size of the full-window chunk array), span identity is the
+    * md5 digest (the curationStages convention — fixed-width agg keys, AQE
+    * can split a million-fold boilerplate span), the (digest → distinct
+    * doc) aggregation is partial-agg combinable, and only digests seen in
+    * MORE THAN ONE document survive to the membership join — which AQE
+    * broadcasts from measured size when duplication is rare. Candidate
+    * work is proportional to shared spans, never a doc×doc product.
     *
     * Returns one row per document: (doc_id, n_spans, n_shared,
     * shared_frac); shared_frac is NULL for documents too short for a full
@@ -625,22 +639,29 @@ object Curation {
     */
   def dupSpanStats(df: DataFrame, id: Column, text: Column,
                    window: Int, stride: Int): DataFrame = {
-    val spans = chunkDocs(df, id, text, window, stride)
-      .filter(col("n_tokens") === window) // partial trailing spans can't be verbatim repeats
-      .select(col("doc_id"), col("chunk"))
-    val freq = spans.groupBy(col("chunk"))
+    val base = df.select(id.as("doc_id"),
+      wordChunks(text, window, stride).as("__chunks"))
+    val spans = base
+      .select(col("doc_id"), explode(col("__chunks")).as("ws"))
+      .filter(size(col("ws")) === window) // partial spans can't be verbatim repeats
+      .select(col("doc_id"), md5(array_join(col("ws"), " ")).as("__digest"))
+    val sharedDigests = spans.groupBy(col("__digest"))
       .agg(countDistinct(col("doc_id")).as("__ndocs"))
-    val stats = spans.join(freq, Seq("chunk"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("__ndocs") > 1, 1L).otherwise(0L)).as("n_shared"))
-    df.select(id.as("doc_id"))
-      .join(stats, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+      .filter(col("__ndocs") > 1)
+      .select(col("__digest"))
+    val shared = spans.join(sharedDigests, Seq("__digest"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    // coalesce matches the exploded formulation: a null text produced no
+    // span rows there, so it reports 0 spans (not NULL) here too
+    val nSpans = coalesce(
+      size(filter(col("__chunks"), c => size(c) === window)).cast("long"), lit(0L))
+    base.select(col("doc_id"), nSpans.as("n_spans"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        when(coalesce(col("n_spans"), lit(0L)) > 0,
-          r6(col("n_shared").cast("double") / col("n_spans").cast("double")))
+        when(col("n_spans") > 0,
+          r6(coalesce(col("n_shared"), lit(0L)).cast("double")
+            / col("n_spans").cast("double")))
           .as("shared_frac"))
   }
 
@@ -677,23 +698,33 @@ object Curation {
     * classic training-data bug). Span-level rather than whole-document so
     * partial mirrors (same article, different boilerplate) still register.
     *
-    * Shape: spans come from the same chunker as dupSpanStats; (span-hash,
-    * source) pairs are distinct-ed first (one map-side-combinable agg), so
-    * each span bucket holds at most |sources| rows and the self-join is
-    * bounded by #distinct-spans x #sources², never corpus-quadratic. The
-    * span is md5'd before the distinct so everything after the chunk scan
-    * shuffles 32-char digests, not raw text.
+    * Shape: spans come from the same chunker as dupSpanStats; ONE
+    * digest-keyed aggregation folds each span's distinct sources into a
+    * set (collect_set buffers are bounded by |sources|, the partial agg
+    * combines map-side), the unordered source pairs are enumerated
+    * ROW-LOCALLY from the sorted set (≤ |sources|²/2 structs per digest),
+    * and a tiny pair-keyed count finishes. No self-join: the previous
+    * formulation shuffled the (digest, source) frame twice more to join
+    * it with itself and re-derive exactly the per-digest source sets this
+    * aggregation produces directly. The span is md5'd before aggregating
+    * so everything after the chunk scan shuffles 32-char digests, not raw
+    * text.
     */
   def crossSourceLeakage(df: DataFrame, text: Column, source: Column,
                          window: Int, stride: Int): DataFrame = {
     // source rides along with the exploded chunks — no join back to the corpus
-    val hs = df.select(source.as("__src"),
+    val srcSets = df.select(source.as("__src"),
         explode(wordChunks(text, window, stride)).as("ws"))
       .filter(size(col("ws")) === window)
-      .select(md5(array_join(col("ws"), " ")).as("__h"), col("__src")).distinct()
-    hs.as("a").join(hs.as("b"),
-        col("a.__h") === col("b.__h") && col("a.__src") < col("b.__src"))
-      .groupBy(col("a.__src").as("source_a"), col("b.__src").as("source_b"))
+      .groupBy(md5(array_join(col("ws"), " ")).as("__h"))
+      .agg(array_sort(collect_set(col("__src"))).as("__srcs"))
+      .filter(size(col("__srcs")) > 1)
+    val pairs = flatten(transform(col("__srcs"), (a, i) =>
+      transform(slice(col("__srcs"), i + lit(2), size(col("__srcs"))),
+        b => struct(a.as("source_a"), b.as("source_b")))))
+    srcSets.select(explode(pairs).as("__p"))
+      .groupBy(col("__p.source_a").as("source_a"),
+        col("__p.source_b").as("source_b"))
       .agg(count(lit(1)).as("n_shared_spans"))
   }
 

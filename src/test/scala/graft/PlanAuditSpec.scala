@@ -194,14 +194,13 @@ class PlanAuditSpec extends SparkSpec {
     val fe = plan("dedup_fuzzy_edit")
     assert(fe.contains("levenshtein"), fe)
     assert(!fe.contains("BroadcastNestedLoopJoin"), fe)
-    // leakage: the (span-hash, source) distinct must aggregate BEFORE the
-    // self-join — the bounded-bucket guarantee. A plan that joins first
-    // would put the HashAggregate pair above the SortMergeJoin instead.
+    // leakage: NO join at all — per-digest source sets aggregate once
+    // (collect_set, bounded by |sources|) and the source pairs enumerate
+    // row-locally from the sorted set; a join anywhere means the self-join
+    // formulation (two more corpus-digest exchanges) crept back
     val xl = plan("cross_source_leakage")
-    val joinAt = xl.indexOf("Join")
-    val aggAt = xl.lastIndexOf("HashAggregate")
-    assert(joinAt >= 0 && aggAt > joinAt,
-      s"distinct must sit below the self-join (join@$joinAt agg@$aggAt)\n$xl")
+    assert(!xl.contains("Join"), s"leakage must not plan any join\n$xl")
+    assert(xl.contains("collect_set"), xl)
   }
 
   test("round-4 composed flows keep their scale shapes") {
