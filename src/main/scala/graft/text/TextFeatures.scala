@@ -17,11 +17,17 @@ object TextFeatures {
     * words.
     */
   def shingles(text: Column, n: Int): Column = {
-    val w = words(text)
-    when(size(w) >= n,
-      transform(sequence(lit(0), size(w) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + lit(j + 1))): _*)))
-      .otherwise(array().cast("array<string>"))
+    // let-bind the split once (single-element transform): referencing
+    // words(text) inside the per-shingle lambda re-tokenizes the document
+    // n times per shingle — lambda bodies re-evaluate captured
+    // subexpressions per element (the wordChunks lesson)
+    element_at(
+      transform(array(words(text)), w =>
+        when(size(w) >= n,
+          transform(sequence(lit(0), size(w) - n),
+            i => concat_ws(" ", (0 until n).map(j => element_at(w, i + lit(j + 1))): _*)))
+          .otherwise(array().cast("array<string>"))),
+      1)
   }
 
   /** Number of tokens contained in `stopwords`. */
