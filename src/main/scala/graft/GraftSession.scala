@@ -24,6 +24,24 @@ object GraftSession {
       // Parquet TIMESTAMP(NANOS) is rejected by the vectorized reader
       // (PARQUET_TYPE_ILLEGAL); read as raw nanos and normalize in table().
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ObjectHashAggregate (typed aggregates, collect_list/set) falls back
+      // to SORT-BASED aggregation after 128 distinct keys per task — which
+      // silently turns bounded-heap aggregates (TopKDoubles over thousands
+      // of anchors) into a full sort of the input, the exact plan they
+      // exist to avoid. 4096 is 32x the default and still memory-safe for
+      // the repo's worst bounded buffer (a ~10 KB KLL sketch x 4096 keys
+      // = 40 MB/task); beyond that the sort fallback is the right valve.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
+      // Split scans by CPU grain, not IO grain: the engine's hot paths are
+      // CPU-dense codegen kernels (per-shingle md5, minhash permutations,
+      // 64-dim dot products), where 16 MB of snappy parquet is minutes of
+      // kernel work. The 128 MB default assumes IO-bound scans and lays a
+      // 50 MB single-file table onto ONE core — measured as a 32x
+      // parallelism loss on the dense ANN/dedup pipelines at a 100x
+      // replica. Real clusters tune this the same way for compute-dense
+      // columns; IO-bound relational scans just see more, smaller splits
+      // that AQE re-coalesces after the first exchange.
+      .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
 
   def get(master: String = "local[*]"): SparkSession = {

@@ -94,13 +94,38 @@ object Knn {
     * would poison the training pairs). The duplicate exclusion happens
     * BEFORE ranking, so all k slots hold usable negatives — a post-filter
     * on plain top-k would return fewer than k whenever duplicates crowd
-    * the head. Same broadcast + partial-top-k shape as bruteForceTopK
-    * (WindowGroupLimit bounds per-task state); swap in the LSH/IVF bucket
-    * join for the corpus-scale path.
+    * the head.
+    *
+    * Unlike bruteForceTopK's handful of probe queries, mining anchors are
+    * typically corpus-proportional (a % sample), so the anchor × corpus
+    * pair volume cannot feed a window sort — at a 100× replica that plan
+    * spent 30+ minutes in TimSort. Two passes instead: (1) the bounded-
+    * heap TopKDoubles aggregate folds each anchor's k-th-best score in
+    * ONE scan (no sort, k doubles per anchor per task); (2) only rows at
+    * or above their anchor's cutoff survive (ties included) into the
+    * final window, which replays the exact (cos desc, vec_id) ranking
+    * over ~k rows per anchor. Both passes regenerate the pairs map-side
+    * off the broadcast query join — recomputing a codegen'd dot product
+    * is cheap; sorting the pair volume is not. The cutoff frame is
+    * anchors-sized and unhinted (AQE broadcasts it from measured size).
+    * Output is provably identical to the single-window formulation: rows
+    * above the k-th value always rank ≤ k, rows below never do, and
+    * value-ties at the cutoff are re-decided by the same tie-break.
+    * Swap in the LSH/IVF bucket join for the corpus-scale path.
     */
   def hardNegativeTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-                       dupThreshold: Double): DataFrame =
-    rankTopK(scoredPairs(queries, corpus).filter(col("cos_sim") < dupThreshold), k)
+                       dupThreshold: Double): DataFrame = {
+    val scored = scoredPairs(queries, corpus).filter(col("cos_sim") < dupThreshold)
+    val cutoffs = scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topK(col("cos_sim"), k).as("__top"))
+      .select(col("query_id"),
+        element_at(col("__top"), size(col("__top"))).as("__cut"))
+    rankTopK(
+      scored.join(cutoffs, Seq("query_id"))
+        .filter(col("cos_sim") >= col("__cut"))
+        .select(col("query_id"), col("vec_id"), col("cos_sim")),
+      k)
+  }
 
   /** Symmetric int8 quantization of an embedding: per-vector scale =
     * max|x|/127, components rounded to bytes. 4x smaller than float32 at

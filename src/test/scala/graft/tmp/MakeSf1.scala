@@ -27,7 +27,13 @@ object MakeSf1 {
 
     def writeSingle(df: DataFrame, table: String): Unit = {
       val tmp = s"$dst/__tmp_$table"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      // 8 MB row groups: parquet splits only at row-group boundaries, so a
+      // coalesce(1) file with the default 128 MB block is ONE task for any
+      // scan — serializing every CPU-dense kernel (minhash, dot products)
+      // in the probe no matter what maxPartitionBytes says
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", (8 * 1024 * 1024).toString)
+        .parquet(tmp)
       val fs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
       val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
