@@ -59,21 +59,42 @@ object SparkEntry {
     java.lang.Long.toHexString(java.util.UUID.randomUUID().getMostSignificantBits)
   private val exportSeq = new java.util.concurrent.atomic.AtomicLong()
   private val exportDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-  private lazy val exportCleanup: Unit =
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
+  private lazy val exportCleanup: Unit = {
+    // Stale-dir sweep (the eraseKeys discipline): a hard-killed JVM never
+    // reaches its shutdown hook, and the per-JVM token means later runs
+    // would neither match nor reclaim its scratch — so on first use, sweep
+    // sibling graft_dataset_export_* dirs older than an hour. The age bound
+    // keeps the sweep safe against a concurrently-running sibling process.
+    val root = new java.io.File(exportScratchRoot)
+    val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+    Option(root.listFiles()).foreach(_.foreach { f =>
+      if (f.getName.startsWith("graft_dataset_export_") && f.lastModified() < cutoff)
+        rmTree(f)
+    })
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      exportDirs.forEach { p =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(new java.io.File(p))
-      }))
+      exportDirs.forEach(p => rmTree(new java.io.File(p)))))
+  }
+
+  /** Root for export scratch: the harness-owned path when the running main
+    * declares one (`graft.scratch.root`, set by Verify under its outDir),
+    * else the JVM tmpdir. The round-9 gate showed the sink query red ONLY
+    * in the driver container while green in every local replica — writing
+    * the round-trip files outside the harness-owned output tree (where a
+    * tmp cleaner or tmpfs pressure can touch them between write and
+    * read-back) was the one environment-coupled dependency, so the scratch
+    * now lives wherever the harness owns. */
+  private def exportScratchRoot: String =
+    sys.props.getOrElse("graft.scratch.root", System.getProperty("java.io.tmpdir"))
 
   /** Fresh scratch dir for one export build, registered for JVM-exit
-    * cleanup (scratch dirs must not accumulate across gate/bench runs —
-    * the eraseKeys stale-dir discipline applied to the sink query). */
+    * cleanup (scratch dirs must not accumulate across gate/bench runs). */
   private def exportScratchDir(dir: String): String = {
+    val root = exportScratchRoot
     exportCleanup
-    val p = System.getProperty("java.io.tmpdir") +
+    val p = root +
       s"/graft_dataset_export_${Integer.toHexString(dir.hashCode)}_${jvmToken}_${exportSeq.incrementAndGet()}"
     exportDirs.add(p)
     p
@@ -949,7 +970,10 @@ object SparkEntry {
       // normalizes the unique suffix out of the plan fingerprint
       val path = exportScratchDir(dir)
       graft.sources.Sources.writeCsv(out, path)
-      s.read.option("header", "true")
+      // FAILFAST: a malformed line must abort the query (a loud error row
+      // in the gate, with the parse message) rather than silently nulling
+      // fields into a wrong-but-plausible summary hash
+      s.read.option("header", "true").option("mode", "FAILFAST")
         .schema("event_id BIGINT, user_id BIGINT, ts_micros BIGINT, value DOUBLE")
         .csv(path)
         .agg(count(lit(1)).as("n_rows"),

@@ -12,6 +12,13 @@ object Verify {
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Sink-query scratch lives INSIDE the harness-owned output tree (an
+    // underscore-prefixed dir the parquet compare ignores): /tmp in the
+    // gate container can be swept between a query's write and read-back,
+    // and round 9's only red row was exactly that environment coupling.
+    val scratch = new java.io.File(outDir, "_scratch")
+    scratch.mkdirs()
+    System.setProperty("graft.scratch.root", scratch.getAbsolutePath)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -45,6 +52,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Every query result is parquet-materialized by now; remove the scratch
+    // tree so the driver's outDir walk sees exactly the query dirs + json.
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(scratch)
     spark.stop()
   }
 }

@@ -277,12 +277,16 @@ object Stats {
                   monetaryFilter: Column): DataFrame = {
     val base = df.select(user.as("user_id"), ts.as("__ts"), value.as("__v"),
       monetaryFilter.as("__m"))
+    // recency anchor = one-row agg broadcast back (the topMovers pattern):
+    // a partitionBy(lit(1)) max over the per-user frame would funnel an
+    // entity-cardinality frame through ONE task at 100M+ users
+    val anchor = broadcast(base.agg(max(col("__ts")).as("__corpus_max")))
     val perUser = base.groupBy(col("user_id")).agg(
       max(col("__ts")).as("__last"),
       sum(when(col("__m"), 1L).otherwise(0L)).as("__freq"),
       sum(when(col("__m"), q6(col("__v"))).otherwise(lit(0.0))
         .cast("decimal(28,6)")).as("__money"))
-      .withColumn("__corpus_max", max(col("__last")).over(Window.partitionBy(lit(1))))
+      .crossJoin(anchor)
       .withColumn("__rdays",
         datediff(col("__corpus_max").cast("date"), col("__last").cast("date")))
     val rT = ntile(5).over(Window.partitionBy(lit(1))
@@ -345,11 +349,21 @@ object Stats {
   def kaplanMeier(df: DataFrame, entity: Column, ts: Column,
                   churnGapDays: Int): DataFrame = {
     require(churnGapDays >= 1, s"kaplanMeier needs churnGapDays >= 1, got $churnGapDays")
-    val perUser = df.select(entity.as("__e"), ts.as("__ts"))
+    val base = df.select(entity.as("__e"), ts.as("__ts"))
       .filter(col("__ts").isNotNull)
+    // corpus horizon = one-row agg broadcast back (the topMovers pattern),
+    // NOT a partitionBy(lit(1)) window over the per-entity frame — that
+    // window funnels an entity-cardinality frame through one task at 100M+
+    // entities. Costs a second corpus pass, but one that column-prunes to
+    // the single ts column and combines map-side (deriving the horizon from
+    // the per-entity frame instead would NOT fold back to one scan: the
+    // horizon branch prunes to __last only, so the groupBy subtrees differ
+    // and AQE cannot reuse the exchange — measured, not guessed).
+    val horizon = broadcast(base.agg(max(col("__ts")).as("__cmax")))
+    val perUser = base
       .groupBy(col("__e"))
       .agg(min(col("__ts")).as("__first"), max(col("__ts")).as("__last"))
-      .withColumn("__cmax", max(col("__last")).over(Window.partitionBy(lit(1))))
+      .crossJoin(horizon)
       .withColumn("t_days",
         datediff(col("__last").cast("date"), col("__first").cast("date")))
       .withColumn("__event",

@@ -354,10 +354,16 @@ class PlanAuditSpec extends SparkSpec {
     // dependence tests: ONE corpus scan; marginals are windows on the
     // class-cardinality cells frame, never a re-aggregation of the corpus
     Seq("chi2_independence", "mutual_information", "gini_concentration",
-        "scd2_intervals", "markov_transitions", "kaplan_meier", "ab_test_zscore")
+        "scd2_intervals", "markov_transitions", "ab_test_zscore")
       .foreach { q =>
         assert(count(plan(q), "Scan parquet") == 1, s"$q must scan once")
       }
+    // kaplan_meier: exactly TWO scans — the 1-column map-side corpus-horizon
+    // agg (broadcast back, the topMovers shape) plus the per-entity pass;
+    // the old one-scan form hid an entity-cardinality single-partition window
+    val km = plan("kaplan_meier")
+    assert(count(km, "Scan parquet") == 2, s"kaplan_meier must scan twice\n$km")
+    assert(km.contains("BroadcastNestedLoopJoin"), km)
     // scd2: all three window passes ride ONE entity-key exchange
     assert(count(plan("scd2_intervals"), "Exchange") == 1, plan("scd2_intervals"))
     // gini: rank window and fold share the single group-key exchange
@@ -487,6 +493,37 @@ class PlanAuditSpec extends SparkSpec {
     })
     assert(count(finalPlan, "Scan parquet") == 1, finalPlan)
     assert(finalPlan.contains("ReusedExchange"), finalPlan)
+  }
+
+  test("empty-partition (single-partition) windows appear ONLY on the bounded-frame whitelist") {
+    // A Window with no partitionSpec funnels its whole input through ONE
+    // task — acceptable only when the frame is bounded by construction.
+    // Exactly these queries are allowed one, each with a bounded frame:
+    //   benford_digits     — 9-row first-digit distribution
+    //   bm25_topk          — k-bounded ranking after WindowGroupLimit
+    //   chi2_independence  — contingency cells (|classes|²)
+    //   mutual_information — contingency cells (|classes|²)
+    //   kaplan_meier       — distinct lifetime days (time axis)
+    //   ks_drift           — per-input-partition count offsets (two-phase ECDF)
+    //   rfm_segments       — ntile quintiles over the per-user frame: the
+    //                        quintile assignment IS the semantic (the
+    //                        value_ntiles carve-out); >100M-user frames
+    //                        need the distributed-ECDF formulation — see
+    //                        Stats.rfmSegments scaladoc.
+    // The set is checked for EQUALITY: a new global window fails loudly,
+    // and a whitelisted query that stops needing one must be delisted.
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    val allowed = Set("benford_digits", "bm25_topk", "chi2_independence",
+      "mutual_information", "kaplan_meier", "ks_drift", "rfm_segments")
+    val found = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      val sp = SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan
+      sp.collectFirst {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w
+      }.nonEmpty
+    }.toSet
+    assert(found == allowed,
+      s"global-window whitelist drift: unexpected=${(found -- allowed).toSeq.sorted} stale=${(allowed -- found).toSeq.sorted}")
   }
 
   test("pushdown rewrite preserves filter semantics on events") {
