@@ -413,7 +413,8 @@ object SparkEntry {
           graft.functions.ThetaSketchAgg.thetaEstimate(col("__sk")).as("n_users"))),
     "value_ntiles" -> ((s, dir) => {
       // exact per-dataset deciles (distribution table); the total order is
-      // the semantic here — the sketch row is the bounded-state sibling
+      // the semantic here — the sketch row is the bounded-state sibling and
+      // value_ntiles_dist the no-single-partition-window sibling at scale
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
       events(s, dir).filter(col("value").isNotNull)
@@ -421,6 +422,11 @@ object SparkEntry {
         .groupBy(col("event_type"), col("decile"))
         .agg(count(lit(1)).as("n"), min(col("value")).as("lo"), max(col("value")).as("hi"))
     }),
+    "value_ntiles_dist" -> ((s, dir) =>
+      // the same decile table via the distributed two-phase rank (no
+      // per-group total-order window) — the >100M-rows-per-group path
+      graft.analysis.Stats.valueNtilesDist(
+        events(s, dir), col("event_type"), col("value"), col("event_id"), 10)),
     "event_paths" -> ((s, dir) =>
       // the funnel's exploratory sibling: which 3-step orders actually occur
       graft.analysis.Eval.topPaths(events(s, dir), col("user_id"),
@@ -2730,6 +2736,16 @@ asofOracle,
         |FROM events GROUP BY 1""".stripMargin,
     "value_ntiles" ->
       """SELECT event_type, CAST(decile AS INT) AS decile,
+        |  CAST(COUNT(*) AS BIGINT) AS n, MIN(value) AS lo, MAX(value) AS hi
+        |FROM (
+        |  SELECT event_type, value, event_id,
+        |    NTILE(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
+        |  FROM events WHERE value IS NOT NULL)
+        |GROUP BY 1, 2""".stripMargin,
+    // identical semantics to value_ntiles — the distributed-rank path must
+    // reproduce the window NTILE exactly
+    "value_ntiles_dist" ->
+      """SELECT CAST(event_type AS VARCHAR) AS group_key, CAST(decile AS INT) AS tile,
         |  CAST(COUNT(*) AS BIGINT) AS n, MIN(value) AS lo, MAX(value) AS hi
         |FROM (
         |  SELECT event_type, value, event_id,

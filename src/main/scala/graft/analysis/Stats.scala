@@ -270,8 +270,14 @@ object Stats {
     *
     * One corpus pass to the per-user frame (map-side combinable); the
     * ntile windows run on the user-cardinality frame — the distribution
-    * table IS the semantic, same carve-out as value_ntiles. Output per
-    * (r_tile, f_tile, m_tile): n_users, avg_monetary (r6 of DECIMAL sums).
+    * table IS the semantic, same carve-out as value_ntiles. SCALE CEILING:
+    * each ntile(5) is a single-partition window over the per-user frame,
+    * so this formulation holds to roughly the rows one task can sort
+    * (~10⁸ users); past that, compute the three quintile assignments with
+    * the distributed two-phase rank ([[valueNtilesDist]] — same closed-form
+    * NTILE rule, no single-partition exchange) and join them back. Output
+    * per (r_tile, f_tile, m_tile): n_users, avg_monetary (r6 of DECIMAL
+    * sums).
     */
   def rfmSegments(df: DataFrame, user: Column, ts: Column, value: Column,
                   monetaryFilter: Column): DataFrame = {
@@ -1251,6 +1257,75 @@ object Stats {
     * (= 1.358·√((n₁+n₂)/(n₁·n₂))), drift (d_stat > d_crit_95 compared
     * after r6 — both engines see identical rounded values).
     */
+  /** Exact per-group NTILE(k) distribution table WITHOUT a per-group
+    * total-order window — the scale sibling of `value_ntiles` (and of the
+    * rfm quintile assignment), for group cardinalities where funneling a
+    * group through one window task is not an option.
+    *
+    * Machinery (the ksDrift two-phase prefix): range-repartition on
+    * (group, value, tiebreak) + partition-local sort completes a global
+    * total order per group without any single-partition exchange; a
+    * partition-local pass assigns within-segment indices; per-(partition,
+    * group) segment counts (map-side combined, so the exchange carries
+    * partitions×groups rows, never the corpus) cumulate into exclusive
+    * offsets over the tiny segment frame and broadcast back. Global rank =
+    * offset + local index, and the SQL-standard NTILE bucket rule (first
+    * n mod k buckets take one extra row) is closed-form in (rank, n).
+    * Rank arithmetic runs in doubles — exact to 2^52 rows per group.
+    * Output is run-deterministic even though RangePartitioner samples:
+    * rank is boundary-independent, and rows tied on the full sort key are
+    * interchangeable in every output column.
+    *
+    * One corpus shuffle (the range exchange); the final (group, tile)
+    * aggregation combines map-side to groups×k rows per task.
+    * Output per (group_key, tile): n, lo, hi — matching `value_ntiles`.
+    */
+  def valueNtilesDist(df: DataFrame, group: Column, value: Column,
+                      tiebreak: Column, k: Int): DataFrame = {
+    require(k >= 1, s"valueNtilesDist needs k >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(group.cast("string").as("__g"),
+        value.cast("double").as("__v"), tiebreak.cast("long").as("__t"))
+      .filter(col("__v").isNotNull)
+    val ranged = rows
+      .repartitionByRange(col("__g"), col("__v"), col("__t"))
+      .sortWithinPartitions(col("__g"), col("__v"), col("__t"))
+      .as[(String, Double, Long)]
+    // groups are contiguous within a sorted partition: one streaming pass
+    // assigns 1-based within-segment indices
+    val local = ranged.mapPartitions { iter =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var g: String = null
+      var i = 0L
+      iter.map { case (gg, v, _) =>
+        if (gg != g) { g = gg; i = 0L }
+        i += 1
+        (pid, gg, v, i)
+      }
+    }.toDF("__pid", "__g", "__v", "__i")
+    val perSeg = local.groupBy(col("__pid"), col("__g"))
+      .agg(max(col("__i")).as("__c"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perSeg.select(col("__pid"), col("__g"),
+      coalesce(sum(col("__c")).over(w), lit(0L)).as("__o"))
+    val totals = perSeg.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+    def d(c: Column) = c.cast("double")
+    val r = d(col("__o") + col("__i"))
+    val base = floor(d(col("__n")) / lit(k.toDouble))
+    val rem = d(col("__n")) - base * lit(k.toDouble)
+    val cut = (base + lit(1.0)) * rem
+    val tile = when(r <= cut, floor((r - lit(1.0)) / (base + lit(1.0))) + lit(1.0))
+      .otherwise(rem + floor((r - cut - lit(1.0)) / base) + lit(1.0))
+    local.join(broadcast(offsets), Seq("__pid", "__g"))
+      .join(broadcast(totals), Seq("__g"))
+      .withColumn("tile", tile.cast("int"))
+      .groupBy(col("__g"), col("tile"))
+      .agg(count(lit(1)).as("n"), min(col("__v")).as("lo"), max(col("__v")).as("hi"))
+      .withColumnRenamed("__g", "group_key")
+  }
+
   def ksDrift(df: DataFrame, value: Column, sampleB: Column): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -320,10 +320,12 @@ object Knn {
     * greedy-by-id variant of the published keep-one-per-similar-group rule.
     *
     * Scale shape: the pair comparison is confined to cluster buckets (never
-    * a corpus cross-product), and the number of centroids is chosen to grow
-    * with the corpus, bounding cluster width. Centroids are broadcast for
-    * assignment; the only shuffles are the cluster-keyed self-join and the
-    * final keep flag join.
+    * a corpus cross-product), and the number of centroids must grow with
+    * the corpus to bound cluster width — prefer [[semDedupAuto]], which
+    * derives k = ⌈n/targetClusterSize⌉, unless a pre-trained quantizer is
+    * supplied (a FIXED k makes the per-cluster pair stage quadratic in the
+    * corpus). Centroids are broadcast for assignment; the only shuffles are
+    * the cluster-keyed self-join and the final keep flag join.
     *
     * Returns one row per corpus vector: (vec_id, cluster, keep).
     */
@@ -340,6 +342,25 @@ object Knn {
     clustered.select(col("id").as("vec_id"), col("cluster"))
       .join(dropped, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"), col("__dup").isNull.as("keep"))
+  }
+
+  /** [[semDedup]] with the centroid count derived from the corpus instead
+    * of caller-chosen: k = ⌈n / targetClusterSize⌉, trained with
+    * [[kmeansCentroids]]. The in-cluster pair stage is ~c²/2 per cluster,
+    * so a FIXED k means per-cluster cost grows quadratically with the
+    * corpus — scaling k with n pins expected cluster width to
+    * `targetClusterSize` and keeps total pair work linear in n (modulo
+    * cluster skew, which the spec bounds). 1024 is the published SemDedup
+    * operating point's order of magnitude; the single corpus `count()` is
+    * a scalar by contract.
+    */
+  def semDedupAuto(corpus: DataFrame, minCos: Double,
+                   targetClusterSize: Int = 1024, iters: Int = 2): DataFrame = {
+    require(targetClusterSize >= 2,
+      s"semDedupAuto needs targetClusterSize >= 2, got $targetClusterSize")
+    val n = corpus.count()
+    val k = math.max(1, math.ceil(n.toDouble / targetClusterSize).toInt)
+    semDedup(corpus, kmeansCentroids(corpus, k, iters), minCos)
   }
 
   /** Cosine near-duplicate pairs within blocking groups: only pairs sharing

@@ -336,6 +336,33 @@ class CurationSpec extends SparkSpec {
     assert(out(14L)._2 && out(13L)._1 != out(14L)._1)
   }
 
+  test("semDedupAuto scales k with the corpus: per-cluster pair cost stays flat at 10x") {
+    // deterministic pseudo-random 4-dim vectors from id arithmetic
+    def corpus(n: Int) = spark.range(n).select(col("id"),
+      array(
+        ((col("id") * 2654435761L) % 1000).cast("double") / 1000.0,
+        ((col("id") * 40503 + 17) % 1000).cast("double") / 1000.0,
+        ((col("id") * 69621 + 5) % 1000).cast("double") / 1000.0,
+        ((col("id") * 1103515245L + 12345) % 1000).cast("double") / 1000.0
+      ).as("vec"))
+    // per-cluster pair work = Σ c·(c−1)/2 over the assignment frame
+    def pairStats(n: Int): (Long, Double) = {
+      val sizes = graft.similarity.Knn
+        .semDedupAuto(corpus(n), minCos = 0.9999, targetClusterSize = 50, iters = 1)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("c"))
+        .select(col("c")).as[Long].collect()
+      val pairs = sizes.map(c => c * (c - 1) / 2).sum
+      (pairs, pairs.toDouble / sizes.length)
+    }
+    val (pairs1, perCluster1) = pairStats(400)
+    val (pairs10, perCluster10) = pairStats(4000)
+    // k grows with n, so TOTAL pair work stays ~linear (quadratic would be
+    // 100x) and MEAN per-cluster work ~flat (modulo Lloyd skew)
+    assert(pairs10 <= 40L * pairs1, s"total pair work superlinear: $pairs1 -> $pairs10")
+    assert(perCluster10 <= 5.0 * perCluster1,
+      s"per-cluster pair cost grew with the corpus: $perCluster1 -> $perCluster10")
+  }
+
   test("trainingPipeline stage counts equal the individual operators composed in order") {
     val docs = GraftSession.table(spark, "/root/testdata/sf0.001", "documents")
     val corpus = docs.filter(col("doc_id") % 50 =!= 0)

@@ -14,6 +14,23 @@ class StatsSpec extends SparkSpec {
 
   private def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 
+  test("valueNtilesDist reproduces the window NTILE exactly, incl. n < k and uneven buckets") {
+    // group a: 7 rows into 3 tiles -> sizes 3,2,2; group b: 2 rows into
+    // 3 tiles (n < k) -> one row per tile, third tile empty
+    val df = (1 to 7).map(i => ("a", i * 10.0, i.toLong)).toDF("g", "v", "id")
+      .union(Seq(("b", 5.0, 8L), ("b", 4.0, 9L)).toDF("g", "v", "id"))
+    val got = graft.analysis.Stats
+      .valueNtilesDist(df, col("g"), col("v"), col("id"), 3)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(("a", 1)) == ((3L, 10.0, 30.0)))
+    assert(got(("a", 2)) == ((2L, 40.0, 50.0)))
+    assert(got(("a", 3)) == ((2L, 60.0, 70.0)))
+    assert(got(("b", 1)) == ((1L, 4.0, 4.0)))
+    assert(got(("b", 2)) == ((1L, 5.0, 5.0)))
+    assert(got.size == 5)
+  }
+
   // the kappa suite's 2×2: cells yes/yes=20, yes/no=5, no/yes=10, no/no=15
   private def crosstab =
     (Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no")) ++
