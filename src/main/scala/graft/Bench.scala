@@ -3,7 +3,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt,
+      GraftSession.CpuDenseMaxPartitionBytes).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up: session/codegen init + file-index caches, so per-query times
     // reflect steady state rather than first-query JVM startup.
@@ -71,7 +72,16 @@ object Bench {
           f"${scala.util.hashing.MurmurHash3.stringHash(stable)}%08x"
         } catch { case _: Throwable => "err" }
       val cold = once()
-      (name, cold, if (warm && cold.isRight) Some(once()) else None, planHash)
+      // SPARK_GRAFT_WARM_REPS > 1: warm = MEDIAN of N steady-state reps —
+      // the floor-recording mode (tools/make_floors.py), so floors carry
+      // this box's typical warm time instead of an all-time lucky minimum
+      // that turns the 2x regression tripwire into noise
+      val warmReps = sys.env.get("SPARK_GRAFT_WARM_REPS").map(_.toInt).getOrElse(1)
+      val warmTime = if (warm && cold.isRight) {
+        val ts = Seq.fill(warmReps)(once()).flatMap(_.toOption).sorted
+        if (ts.isEmpty) None else Some(Right(ts(ts.length / 2)): Either[String, Double])
+      } else None
+      (name, cold, warmTime, planHash)
     }
     def r3(v: Double) = math.round(v * 1000) / 1000.0
     def obj(xs: Seq[(String, Double)]) =

@@ -11,7 +11,18 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, T
   * for the local harness (a real cluster overrides via spark-submit conf).
   */
 object GraftSession {
-  def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =
+  /** CPU-grain scan split for compute-dense kernels (per-shingle md5,
+    * minhash permutations, dot products): 16 MB of snappy parquet is
+    * minutes of kernel work, and the 128 MB IO-grain default lays a 50 MB
+    * single-file table onto ONE core (measured: 32× parallelism loss on
+    * the dense ANN/dedup pipelines at a 100× replica). Passed explicitly
+    * by Bench/Verify/scale probes; IO-bound consumers (scan→write jobs
+    * with no exchange, which AQE cannot re-coalesce) should keep the
+    * default — 8× the tasks for no CPU to hide is pure overhead. */
+  val CpuDenseMaxPartitionBytes: Long = 16L * 1024 * 1024
+
+  def builder(master: String = "local[*]", shufflePartitions: Int = 32,
+              maxPartitionBytes: Long = 128L * 1024 * 1024): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
       .withExtensions(new graft.plans.GraftExtensions)
@@ -32,16 +43,9 @@ object GraftSession {
       // the repo's worst bounded buffer (a ~10 KB KLL sketch x 4096 keys
       // = 40 MB/task); beyond that the sort fallback is the right valve.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
-      // Split scans by CPU grain, not IO grain: the engine's hot paths are
-      // CPU-dense codegen kernels (per-shingle md5, minhash permutations,
-      // 64-dim dot products), where 16 MB of snappy parquet is minutes of
-      // kernel work. The 128 MB default assumes IO-bound scans and lays a
-      // 50 MB single-file table onto ONE core — measured as a 32x
-      // parallelism loss on the dense ANN/dedup pipelines at a 100x
-      // replica. Real clusters tune this the same way for compute-dense
-      // columns; IO-bound relational scans just see more, smaller splits
-      // that AQE re-coalesces after the first exchange.
-      .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
+      // scan split grain: Spark's IO default unless the caller opts into
+      // the CPU grain (see CpuDenseMaxPartitionBytes)
+      .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes.toString)
       .config("spark.ui.enabled", "false")
 
   def get(master: String = "local[*]"): SparkSession = {

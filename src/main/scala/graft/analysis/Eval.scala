@@ -321,7 +321,14 @@ object Eval {
     // copies of one value sat on the p05 cutpoint and the strict-below
     // count diverged by exactly 50). Quantization is the portable
     // contract; a 6dp cutpoint cannot sit between two data values closer
-    // than a micro-unit apart.
+    // than a micro-unit apart. RESIDUAL boundary case (documented, not
+    // eliminated): a raw percentile within an ulp of an EXACT 0.5-micro-
+    // unit boundary (x.xxxxxx5) can still floor differently per engine —
+    // astronomically unlikely on measured data, and any dataset that
+    // manufactures it should pin cutpoints explicitly. Quantization also
+    // coarsens the REPORTED lo/hi/med/MAD values to 6dp — a deliberate
+    // output-contract choice (r6 convention) shared by winsorizeStats,
+    // madOutliers and psi.
     val cuts = rows.groupBy(col("__g")).agg(
       q6(expr(s"percentile(__v, ${pLo}D)")).as("__lo"),
       q6(expr(s"percentile(__v, ${pHi}D)")).as("__hi"))

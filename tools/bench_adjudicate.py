@@ -2,7 +2,12 @@
 """Adjudicate a BENCH_full.json run against the per-query floors and a
 reference round's plan hashes.
 
-Usage: bench_adjudicate.py BENCH_full.json BASELINE_local.json BENCH_rREF.json
+Usage: bench_adjudicate.py BENCH_full.json FLOORS_local.json BENCH_rREF.json
+
+Floors: FLOORS_local.json (median-of-3 warm on the gate box, re-recorded
+per round via tools/make_floors.py). The older BASELINE_local.json
+(all-time minima across quiet and contended boxes) still parses, but its
+lucky-minimum floors make the 2x tripwire noisy — prefer the median file.
 
 Methodology (SURVEY §5 / round-5 bench note): a query slower than 2x its
 floor with an UNCHANGED plan fingerprint is machine noise; a changed
