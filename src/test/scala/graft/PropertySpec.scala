@@ -49,6 +49,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("valueNtilesDist equals the window-NTILE formulation on random frames") {
+    // random (group, value, id) frames with heavy ties; every k in 1..7
+    val row = for {
+      g <- Gen.oneOf("a", "b", "c")
+      v <- Gen.chooseNum(-5, 5) // small range forces duplicate values
+    } yield (g, v.toDouble)
+    for (seed <- 0 until 4) {
+      val rows = samples(Gen.listOfN(120, row), 1).head
+        .zipWithIndex.map { case ((g, v), i) => (g, v, (i + seed * 1000).toLong) }
+      val df = rows.toDF("g", "v", "id")
+      for (k <- Seq(1, 2, 3, 7)) {
+        val viaWindow = df
+          .withColumn("tile", ntile(k).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("g")).orderBy(col("v"), col("id"))))
+          .groupBy(col("g"), col("tile"))
+          .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+          .collect().map(r => (r.getString(0), r.getInt(1)) ->
+            ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+        val viaDist = graft.analysis.Stats
+          .valueNtilesDist(df, col("g"), col("v"), col("id"), k)
+          .collect().map(r => (r.getString(0), r.getInt(1)) ->
+            ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+        assert(viaDist == viaWindow, s"k=$k seed=$seed")
+      }
+    }
+  }
+
   test("TokenCount expression equals regex token count on generated text") {
     val token = Gen.oneOf(word, Gen.const("!!"), Gen.const("42"), Gen.const("a1b2"))
     val texts = samples(Gen.listOf(token).map(_.mkString(" ")), 120)
