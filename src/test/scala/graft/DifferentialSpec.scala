@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Randomized differential tests: distributed operators vs tiny driver-side
+  * reference implementations on seeded random inputs. The oracle gate
+  * checks one data distribution; these sweep corner cases that
+  * distribution never produces (duplicate timestamps on both sides of an
+  * as-of, singleton/fully-connected graph mixes, all-equal weighted
+  * medians). Seeds are fixed — failures replay exactly.
+  */
+class DifferentialSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents equals driver-side union-find on random graphs") {
+    for (seed <- 0 until 5) {
+      val rnd = new scala.util.Random(seed)
+      val n = 120
+      val edges = Seq.fill(80)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: union-find with min-label components
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val expect = touched.map(v => v -> find(v.toInt).toLong).toMap
+      val got = graft.dedup.Dedup
+        .connectedComponents(edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+        .as[(Long, Long)].collect().toMap
+      // operator labels components by min MEMBER id; union-find roots are
+      // min labels too because we always point the larger root at the
+      // smaller — but path order can leave a non-min root, so normalize
+      // both sides to min-of-component before comparing
+      def canon(m: Map[Long, Long]): Map[Long, Long] = {
+        val minOf = m.groupBy(_._2).map { case (c, kv) => c -> kv.keys.min }
+        m.map { case (v, c) => v -> minOf(c) }
+      }
+      assert(canon(got) == canon(expect), s"seed=$seed")
+    }
+  }
+
+  test("asOf (all directions, with/without tolerance) equals brute force on random feeds") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    for (seed <- 0 until 3) {
+      val rnd = new scala.util.Random(100 + seed)
+      // duplicate-heavy: 3 keys, timestamps drawn from just 12 values
+      val right = Seq.tabulate(40)(i =>
+        (rnd.nextInt(3).toLong, ts(rnd.nextInt(12).toLong * 10), i.toLong, rnd.nextInt(100).toDouble))
+      val left = Seq.tabulate(30)(i =>
+        (1000L + i, rnd.nextInt(3).toLong, ts(rnd.nextInt(12).toLong * 10 + rnd.nextInt(3))))
+      val rightDf = right.toDF("user", "rts", "tb", "v")
+      val leftDf = left.toDF("event_id", "user", "lts")
+      // reference right side: per (user, rts) keep max tiebreak
+      val dedup = right.groupBy(r => (r._1, r._2.getTime))
+        .map { case (_, rs) => rs.maxBy(_._3) }.toSeq
+      def brute(dir: String, tol: Option[Long]): Map[Long, Option[Double]] =
+        left.map { case (id, u, lts) =>
+          val cands = dedup.filter(_._1 == u)
+          val back = cands.filter(_._2.getTime <= lts.getTime)
+            .filter(r => tol.forall(t => lts.getTime - r._2.getTime <= t * 1000))
+            .sortBy(_._2.getTime).lastOption
+          val fwd = cands.filter(_._2.getTime >= lts.getTime)
+            .filter(r => tol.forall(t => r._2.getTime - lts.getTime <= t * 1000))
+            .sortBy(_._2.getTime).headOption
+          val pick = dir match {
+            case "backward" => back
+            case "forward"  => fwd
+            case "nearest" => (back, fwd) match {
+              case (Some(b), Some(f)) =>
+                if (lts.getTime - b._2.getTime <= f._2.getTime - lts.getTime) Some(b) else Some(f)
+              case (b, f) => b.orElse(f)
+            }
+          }
+          id -> pick.map(_._4)
+        }.toMap
+      for (dir <- Seq("backward", "forward", "nearest"); tol <- Seq(None, Some(25L))) {
+        val got = graft.operators.AsOfJoin
+          .asOf(leftDf, rightDf, "user", "lts", "rts", "tb", Seq("v"), tol, dir)
+          .select(col("event_id"), col("asof_v"))
+          .as[(Long, Option[Double])].collect().toMap
+        assert(got == brute(dir, tol), s"seed=$seed dir=$dir tol=$tol")
+      }
+    }
+  }
+
+  test("weightedMedian equals the brute-force weighted lower median") {
+    for (seed <- 0 until 5) {
+      val rnd = new scala.util.Random(200 + seed)
+      val rows = Seq.tabulate(60)(_ =>
+        (s"g${rnd.nextInt(4)}", rnd.nextInt(8).toDouble, (rnd.nextInt(5) + 1).toLong))
+      val expect = rows.groupBy(_._1).map { case (g, rs) =>
+        val tot = rs.map(_._3).sum
+        val sorted = rs.sortBy(_._2)
+        var cum = 0L
+        val med = sorted.find { r => cum += r._3; 2 * cum >= tot }.get._2
+        g -> ((tot, med))
+      }
+      val got = graft.analysis.Stats
+        .weightedMedian(rows.toDF("g", "v", "w"), col("g"), col("v"), col("w"))
+        .as[(String, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+}
