@@ -86,6 +86,80 @@ class DifferentialSpec extends SparkSpec {
     }
   }
 
+  test("scd2 equals brute-force collapse-and-interval on random state feeds") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    for (seed <- 0 until 4) {
+      val rnd = new scala.util.Random(300 + seed)
+      // tie-heavy: timestamps from 8 values, 3 states, explicit tiebreak
+      val rows = Seq.tabulate(50)(i =>
+        (rnd.nextInt(4).toLong, ts(rnd.nextInt(8).toLong * 100), s"s${rnd.nextInt(3)}", i.toLong))
+      val expect = rows.groupBy(_._1).flatMap { case (e, rs) =>
+        val ordered = rs.sortBy(r => (r._2.getTime, r._4)).map(r => (r._2, r._3))
+        val collapsed = ordered.foldLeft(Vector.empty[(java.sql.Timestamp, String)]) {
+          case (acc, (t, s)) if acc.nonEmpty && acc.last._2 == s => acc
+          case (acc, r) => acc :+ r
+        }
+        collapsed.zipWithIndex.map { case ((t, s), i) =>
+          val to = if (i + 1 < collapsed.length) Some(collapsed(i + 1)._1) else None
+          (e, s, t, to, i + 1, to.isEmpty)
+        }
+      }.toSet
+      val got = graft.operators.Snapshots
+        .scd2(rows.toDF("e", "t", "s", "tb"), col("e"), col("t"), col("s"), col("tb"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+          Option(r.getTimestamp(3)), r.getInt(4), r.getBoolean(5))).toSet
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
+  test("funnelWithin equals brute-force attribution-window counting") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val day = 86400L
+    for (seed <- 0 until 4) {
+      val rnd = new scala.util.Random(400 + seed)
+      val rows = Seq.tabulate(80)(_ =>
+        (rnd.nextInt(12).toLong, if (rnd.nextBoolean()) "from" else "to",
+          ts(rnd.nextInt(10).toLong * day + rnd.nextInt(1000))))
+      val windowDays = 3
+      val entered = rows.filter(_._2 == "from").groupBy(_._1)
+        .map { case (k, rs) => k -> rs.map(_._3.getTime).min }
+      val nConv = entered.count { case (k, t0) =>
+        rows.exists(r => r._1 == k && r._2 == "to" &&
+          r._3.getTime > t0 && r._3.getTime <= t0 + windowDays * day * 1000)
+      }
+      val got = graft.analysis.Engagement
+        .funnelWithin(rows.toDF("k", "stage", "t"), col("k"), col("stage"),
+          col("t"), "from", "to", windowDays)
+        .collect().head
+      assert(got.getLong(0) == entered.size && got.getLong(1) == nConv.toLong,
+        s"seed=$seed got=$got expect=(${entered.size},$nConv)")
+    }
+  }
+
+  test("pointInInterval equals the brute-force range predicate on random grids") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    for (seed <- 0 until 4) {
+      val rnd = new scala.util.Random(500 + seed)
+      // intervals straddle cell boundaries on purpose (bucket = 100s,
+      // bounds NOT multiples of 100); includes zero-length intervals
+      val intervals = Seq.tabulate(15) { i =>
+        val s = rnd.nextInt(2000).toLong
+        (i.toLong, ts(s), ts(s + rnd.nextInt(400).toLong))
+      }
+      val points = Seq.tabulate(60)(i => (100L + i, ts(rnd.nextInt(2400).toLong)))
+      val expect = (for {
+        (pid, pt) <- points
+        (iid, s, e) <- intervals
+        if pt.getTime >= s.getTime && pt.getTime < e.getTime
+      } yield (pid, iid)).toSet
+      val got = graft.operators.RangeJoin
+        .pointInInterval(points.toDF("pid", "pt"), col("pt"),
+          intervals.toDF("iid", "s", "e"), col("s"), col("e"), bucketSeconds = 100)
+        .select(col("pid"), col("iid")).as[(Long, Long)].collect().toSet
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
   test("weightedMedian equals the brute-force weighted lower median") {
     for (seed <- 0 until 5) {
       val rnd = new scala.util.Random(200 + seed)
