@@ -160,6 +160,56 @@ class DifferentialSpec extends SparkSpec {
     }
   }
 
+  test("intervalCoverage equals brute-force interval-union length and island count") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    for (seed <- 0 until 4) {
+      val rnd = new scala.util.Random(600 + seed)
+      val activeSec = 50L
+      val rows = Seq.tabulate(60)(i =>
+        (rnd.nextInt(5).toLong, ts(rnd.nextInt(600).toLong), i.toLong))
+      val expect = rows.groupBy(_._1).map { case (e, rs) =>
+        val ivs = rs.map(r => (r._2.getTime / 1000, r._2.getTime / 1000 + activeSec))
+          .sortBy(_._1)
+        // merge touching/overlapping intervals (start > running max end opens an island)
+        val islands = ivs.tail.foldLeft(Vector(ivs.head)) { case (acc, (s, en)) =>
+          val (ls, le) = acc.last
+          if (s > le) acc :+ ((s, en))
+          else acc.init :+ ((ls, math.max(le, en)))
+        }
+        e -> ((islands.length.toLong, islands.map(i => i._2 - i._1).sum))
+      }
+      val got = graft.analysis.Stats
+        .intervalCoverage(rows.toDF("e", "t", "tb"), col("e"), col("t"), col("tb"), activeSec)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
+  test("markovTransitions equals brute-force adjacency counting with tie-broken order") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    for (seed <- 0 until 4) {
+      val rnd = new scala.util.Random(700 + seed)
+      val rows = Seq.tabulate(60)(i =>
+        (rnd.nextInt(5).toLong, ts(rnd.nextInt(10).toLong * 100), i.toLong, s"s${rnd.nextInt(3)}"))
+      val pairs = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        val ordered = rs.sortBy(r => (r._2.getTime, r._3)).map(_._4)
+        ordered.zip(ordered.drop(1))
+      }
+      val counts = pairs.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+      val fromTotals = pairs.groupBy(_._1).map { case (f, xs) => f -> xs.size.toLong }
+      def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      val expect = counts.map { case ((f, t), n) =>
+        (f, t) -> ((n, r6(n.toDouble / fromTotals(f).toDouble)))
+      }
+      val got = graft.analysis.Stats
+        .markovTransitions(rows.toDF("e", "t", "tb", "s"),
+          col("e"), col("t"), col("tb"), col("s"))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
   test("weightedMedian equals the brute-force weighted lower median") {
     for (seed <- 0 until 5) {
       val rnd = new scala.util.Random(200 + seed)
