@@ -607,7 +607,7 @@ object Curation {
         XxHash64(Seq(Bridge.expression(col("__s"))), 42L),
         Bridge.expression(lit(expectedItems)), Bridge.expression(lit(numBits)))
       .toAggregateExpression())
-    val bloom = benchSh.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
+    val bloom = benchSh.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
     require(bloom != null, "benchmark produced no shingles to build a filter from")
     val mightContain = Bridge.column(BloomFilterMightContain(
       Bridge.expression(lit(bloom)),

@@ -83,7 +83,7 @@ object Sources {
 
   /** Next watermark for a slice (None when the slice is empty). */
   def nextWatermark(df: DataFrame, tsCol: Column): Option[java.sql.Timestamp] =
-    Option(df.agg(max(tsCol)).head.getTimestamp(0))
+    Option(df.agg(max(tsCol)).head().getTimestamp(0))
 
   /** Persists a sync watermark as ISO-8601 text at `<cacheDir>/<name>.txt`,
     * mirroring the reference's incremental-sync cache
@@ -354,7 +354,7 @@ object Sources {
     graft.util.TempCols.assertFree(df, "__z")
     val b = df.agg(
       min(col(xCol).cast("double")), max(col(xCol).cast("double")),
-      min(col(yCol).cast("double")), max(col(yCol).cast("double"))).head
+      min(col(yCol).cast("double")), max(col(yCol).cast("double"))).head()
     // an empty frame has no bounds; write the empty layout as-is
     if (b.isNullAt(0) || b.isNullAt(2)) {
       df.write.mode("overwrite").parquet(path)

@@ -170,7 +170,7 @@ object StatsManifest {
     * job, not a data scan. */
   private def probePositions(spark: SparkSession, value: Column,
                              bits: Int, hashes: Int): Seq[Long] = {
-    val row = spark.range(1).select(bloomPositions(value, bits, hashes).as("p")).head
+    val row = spark.range(1).select(bloomPositions(value, bits, hashes).as("p")).head()
     require(!row.isNullAt(0), "Bloom equality probes require a non-null literal value")
     row.getSeq[Long](0)
   }
