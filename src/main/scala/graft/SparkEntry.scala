@@ -1534,6 +1534,11 @@ object SparkEntry {
       // (monetary = purchase events), rolled up per segment cell
       graft.analysis.Stats.rfmSegments(events(s, dir), col("user_id"),
         col("ts"), col("value"), col("event_type") === "purchase")),
+    "rfm_segments_dist" -> ((s, dir) =>
+      // the same segmentation via three distributed two-phase ranks —
+      // no single-partition ntile window anywhere in the plan
+      graft.analysis.Stats.rfmSegmentsDist(events(s, dir), col("user_id"),
+        col("ts"), col("value"), col("event_type") === "purchase")),
     "scd2_intervals" -> ((s, dir) =>
       // type-2 dimension build from the event change feed: per-user state
       // validity intervals with consecutive-duplicate collapse
@@ -3979,6 +3984,30 @@ asofOracle,
     // money sums are DECIMAL of 6dp-quantized values; DuckDB's null order
     // is pinned NULLS FIRST on the money tile to match Spark's asc default
     "rfm_segments" ->
+      """WITH pu AS (
+        |  SELECT user_id, MAX(ts) AS last_ts,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS freq,
+        |    SUM(CAST(CASE WHEN event_type = 'purchase'
+        |          THEN floor(value * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END
+        |        AS DECIMAL(28,6))) AS money
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT user_id, freq, money,
+        |    date_diff('day', CAST(last_ts AS DATE), CAST(MAX(last_ts) OVER () AS DATE)) AS rdays
+        |  FROM pu),
+        |tiles AS (
+        |  SELECT money,
+        |    CAST(NTILE(5) OVER (ORDER BY rdays DESC, user_id) AS INT) AS r_tile,
+        |    CAST(NTILE(5) OVER (ORDER BY freq ASC, user_id) AS INT) AS f_tile,
+        |    CAST(NTILE(5) OVER (ORDER BY money ASC NULLS FIRST, user_id) AS INT) AS m_tile
+        |  FROM r)
+        |SELECT r_tile, f_tile, m_tile, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  floor((CAST(SUM(money) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS avg_monetary
+        |FROM tiles GROUP BY 1, 2, 3""".stripMargin,
+    // the distributed-rank formulation must reproduce the window NTILE
+    // exactly — SAME oracle as rfm_segments
+    "rfm_segments_dist" ->
       """WITH pu AS (
         |  SELECT user_id, MAX(ts) AS last_ts,
         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS freq,

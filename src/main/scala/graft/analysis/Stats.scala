@@ -279,15 +279,19 @@ object Stats {
     * per (r_tile, f_tile, m_tile): n_users, avg_monetary (r6 of DECIMAL
     * sums).
     */
-  def rfmSegments(df: DataFrame, user: Column, ts: Column, value: Column,
-                  monetaryFilter: Column): DataFrame = {
+  /** The shared R/F/M per-user frame: ONE definition feeding both the
+    * window formulation ([[rfmSegments]]) and the distributed one
+    * ([[rfmSegmentsDist]]), so the two can never disagree on what R, F
+    * and M mean. Columns: user_id, __last, __freq, __money, __rdays. */
+  private def rfmPerUser(df: DataFrame, user: Column, ts: Column,
+                         value: Column, monetaryFilter: Column): DataFrame = {
     val base = df.select(user.as("user_id"), ts.as("__ts"), value.as("__v"),
       monetaryFilter.as("__m"))
     // recency anchor = one-row agg broadcast back (the topMovers pattern):
     // a partitionBy(lit(1)) max over the per-user frame would funnel an
     // entity-cardinality frame through ONE task at 100M+ users
     val anchor = broadcast(base.agg(max(col("__ts")).as("__corpus_max")))
-    val perUser = base.groupBy(col("user_id")).agg(
+    base.groupBy(col("user_id")).agg(
       max(col("__ts")).as("__last"),
       sum(when(col("__m"), 1L).otherwise(0L)).as("__freq"),
       sum(when(col("__m"), q6(col("__v"))).otherwise(lit(0.0))
@@ -295,6 +299,11 @@ object Stats {
       .crossJoin(anchor)
       .withColumn("__rdays",
         datediff(col("__corpus_max").cast("date"), col("__last").cast("date")))
+  }
+
+  def rfmSegments(df: DataFrame, user: Column, ts: Column, value: Column,
+                  monetaryFilter: Column): DataFrame = {
+    val perUser = rfmPerUser(df, user, ts, value, monetaryFilter)
     val rT = ntile(5).over(Window.partitionBy(lit(1))
       .orderBy(col("__rdays").desc, col("user_id")))
     val fT = ntile(5).over(Window.partitionBy(lit(1))
@@ -303,6 +312,74 @@ object Stats {
       .orderBy(col("__money"), col("user_id")))
     perUser
       .withColumn("r_tile", rT).withColumn("f_tile", fT).withColumn("m_tile", mT)
+      .groupBy(col("r_tile"), col("f_tile"), col("m_tile"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        r6(sum(col("__money")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_monetary"))
+  }
+
+  /** Corpus-wide NTILE(k) ASSIGNMENT with no single-partition sort — the
+    * distributed-rank kernel [[rfmSegmentsDist]] runs three times (the
+    * single-axis sibling of [[valueNtilesDist]]'s grouped form). Sort key
+    * is an exact LONG (no FP ordering ambiguity); output (__id, outName).
+    * The only unpartitioned window is the per-range-partition offset
+    * cumulation — a partition-count-sized frame (the ksDrift shape). */
+  private def ntileAssignAll(df: DataFrame, id: Column, sortKey: Column,
+                             k: Int, outName: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranged = df.select(sortKey.cast("long").as("__k"), id.cast("long").as("__id"))
+      .repartitionByRange(col("__k"), col("__id"))
+      .sortWithinPartitions(col("__k"), col("__id"))
+      .as[(Long, Long)]
+    val local = ranged.mapPartitions { iter =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var i = 0L
+      iter.map { case (_, rid) => i += 1; (pid, rid, i) }
+    }.toDF("__pid", "__rid", "__i")
+    val perSeg = local.groupBy(col("__pid")).agg(max(col("__i")).as("__c"))
+    val wPrev = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perSeg.select(col("__pid"),
+      coalesce(sum(col("__c")).over(wPrev), lit(0L)).as("__o"))
+    val totals = perSeg.agg(sum(col("__c")).as("__n"))
+    def d(c: Column) = c.cast("double")
+    val r = d(col("__o") + col("__i"))
+    val base = floor(d(col("__n")) / lit(k.toDouble))
+    val rem = d(col("__n")) - base * lit(k.toDouble)
+    val cut = (base + lit(1.0)) * rem
+    val tile = when(r <= cut, floor((r - lit(1.0)) / (base + lit(1.0))) + lit(1.0))
+      .otherwise(rem + floor((r - cut - lit(1.0)) / base) + lit(1.0))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .crossJoin(broadcast(totals))
+      .select(col("__rid").as("__id"), tile.cast("int").as(outName))
+  }
+
+  /** [[rfmSegments]] WITHOUT the three single-partition ntile windows —
+    * the >10⁸-user formulation promised by rfmSegments' scale-ceiling
+    * note. Each quintile axis is a distributed two-phase rank
+    * ([[ntileAssignAll]]) over an exact LONG key: recency ranks on
+    * NEGATED __rdays (desc ≡ asc of the negation, int-exact), frequency
+    * on the count, monetary on micro-units (decimal(28,6)·10⁶ — exact to
+    * ±9.2·10¹² money units, far past any real engagement feed). The
+    * per-user frame is localCheckpoint-ed once (the kmeans/pagerank
+    * lineage discipline) because the three axes and the final rollup
+    * would otherwise each re-aggregate the corpus — column pruning makes
+    * their subtrees unequal, so AQE exchange reuse cannot collapse them
+    * (the kaplanMeier lesson). Output ≡ rfmSegments (oracle-identical
+    * when money stays in the exact-micro range).
+    */
+  def rfmSegmentsDist(df: DataFrame, user: Column, ts: Column, value: Column,
+                      monetaryFilter: Column): DataFrame = {
+    val perUser = rfmPerUser(df, user, ts, value, monetaryFilter)
+      .localCheckpoint(true)
+    val rT = ntileAssignAll(perUser, col("user_id"), -col("__rdays"), 5, "r_tile")
+    val fT = ntileAssignAll(perUser, col("user_id"), col("__freq"), 5, "f_tile")
+    val mT = ntileAssignAll(perUser, col("user_id"),
+      (col("__money") * lit(1000000)).cast("long"), 5, "m_tile")
+    perUser.select(col("user_id").cast("long").as("__id"), col("__money"))
+      .join(rT, Seq("__id")).join(fT, Seq("__id")).join(mT, Seq("__id"))
       .groupBy(col("r_tile"), col("f_tile"), col("m_tile"))
       .agg(
         count(lit(1)).as("n_users"),

@@ -505,6 +505,8 @@ class PlanAuditSpec extends SparkSpec {
     //   mutual_information — contingency cells (|classes|²)
     //   kaplan_meier       — distinct lifetime days (time axis)
     //   ks_drift           — per-input-partition count offsets (two-phase ECDF)
+    //   rfm_segments_dist  — the same partition-count offset frame, ×3
+    //                        (one per distributed quintile axis)
     //   rfm_segments       — ntile quintiles over the per-user frame: the
     //                        quintile assignment IS the semantic (the
     //                        value_ntiles carve-out); >100M-user frames
@@ -514,7 +516,8 @@ class PlanAuditSpec extends SparkSpec {
     // and a whitelisted query that stops needing one must be delisted.
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
     val allowed = Set("benford_digits", "bm25_topk", "chi2_independence",
-      "mutual_information", "kaplan_meier", "ks_drift", "rfm_segments")
+      "mutual_information", "kaplan_meier", "ks_drift", "rfm_segments",
+      "rfm_segments_dist")
     val found = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       val sp = SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan
       sp.collectFirst {
