@@ -210,6 +210,31 @@ class DifferentialSpec extends SparkSpec {
     }
   }
 
+  test("withSessionId equals brute-force gap-based session assignment") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    for (seed <- 0 until 4) {
+      val rnd = new scala.util.Random(800 + seed)
+      val gap = 30L
+      // bursts with gaps exactly AT the threshold (strictly-greater opens)
+      val rows = Seq.tabulate(50)(i =>
+        (rnd.nextInt(4).toLong, ts(rnd.nextInt(12).toLong * gap), i.toLong))
+      val expect = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        val ordered = rs.sortBy(r => (r._2.getTime, r._3))
+        var sid = 0L
+        var prev = -1L
+        ordered.map { r =>
+          if (prev >= 0 && r._2.getTime - prev > gap * 1000) sid += 1
+          prev = r._2.getTime
+          (r._3, sid)
+        }
+      }.toMap
+      val got = graft.operators.Sessionize
+        .withSessionId(rows.toDF("u", "t", "id"), "u", col("t"), col("id"), gap)
+        .select(col("id"), col("session_id")).as[(Long, Long)].collect().toMap
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
   test("weightedMedian equals the brute-force weighted lower median") {
     for (seed <- 0 until 5) {
       val rnd = new scala.util.Random(200 + seed)
