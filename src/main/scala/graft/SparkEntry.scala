@@ -1240,6 +1240,13 @@ object SparkEntry {
         .select(col("vec_id").as("id"), Knn.toDoubleArray(col("embedding")).as("vec"))
       Knn.hardNegativeTopK(e.filter(col("id") % 50 === 0), e, 5, 0.25)
     }),
+    "hard_negatives_lsh" -> ((s, dir) => {
+      // the corpus-scale mining path: same anchors/threshold, candidates
+      // from multi-probe LSH buckets instead of the full cross product
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), Knn.toDoubleArray(col("embedding")).as("vec"))
+      Knn.hardNegativeTopKLsh(e.filter(col("id") % 50 === 0), e, 5, 0.25, 8, 64)
+    }),
     "embedding_neardup" -> ((s, dir) =>
       Knn.nearDupPairs(table(s, dir, "embeddings"), col("vec_id"), col("embedding"),
         col("label"), col("id") % 50 === 0, 0.25)),
@@ -5354,6 +5361,31 @@ asofOracle,
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
          |  FROM cand)
          |WHERE rank <= 10""".stripMargin
+    },
+    // the same multi-probe candidate CTEs with the near-dup tier excluded
+    // BEFORE ranking — hard_negatives' bucketed scale sibling
+    "hard_negatives_lsh" -> {
+      s"""WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |b AS (SELECT id, v, $lshBucketExpr AS bucket FROM e),
+         |q0 AS (SELECT * FROM b WHERE id % 50 = 0),
+         |probes AS (
+         |  SELECT id, v, bucket AS probe FROM q0
+         |  UNION ALL
+         |  SELECT id, v,
+         |    substr(bucket, 1, i - 1)
+         |      || (CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END)
+         |      || substr(bucket, i + 1) AS probe
+         |  FROM q0, (VALUES (1), (2), (3), (4), (5), (6), (7), (8)) AS f(i)),
+         |cand AS (
+         |  SELECT DISTINCT q.id AS query_id, c.id AS vec_id,
+         |    floor((list_dot_product(q.v, c.v)
+         |      / NULLIF(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)), 0)) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+         |  FROM probes q JOIN b c ON q.probe = c.bucket AND q.id <> c.id)
+         |SELECT query_id, vec_id, cos_sim, rank FROM (
+         |  SELECT query_id, vec_id, cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+         |  FROM cand WHERE cos_sim < 0.25)
+         |WHERE rank <= 5""".stripMargin
     },
     "embedding_neardup" ->
       """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)

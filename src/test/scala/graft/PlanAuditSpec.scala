@@ -171,7 +171,8 @@ class PlanAuditSpec extends SparkSpec {
     // it as a partial+final pair, so the top-k window alone contributes
     // TWO nodes; ivf has an extra pair from assignNearest's row_number<=1
     // (count >= 4 ensures the top-k pair can't be masked by it)
-    Seq("ann_topk" -> 2, "ann_lsh_topk" -> 2, "ann_ivf_topk" -> 4).foreach { case (q, n) =>
+    Seq("ann_topk" -> 2, "ann_lsh_topk" -> 2, "ann_ivf_topk" -> 4,
+        "hard_negatives_lsh" -> 2).foreach { case (q, n) =>
       assert(count(plan(q), "WindowGroupLimit") >= n, s"$q lost the group-limit pushdown")
     }
   }
