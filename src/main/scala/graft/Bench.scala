@@ -78,8 +78,12 @@ object Bench {
       // that turns the 2x regression tripwire into noise
       val warmReps = sys.env.get("SPARK_GRAFT_WARM_REPS").map(_.toInt).getOrElse(1)
       val warmTime = if (warm && cold.isRight) {
-        val ts = Seq.fill(warmReps)(once()).flatMap(_.toOption).sorted
-        if (ts.isEmpty) None else Some(Right(ts(ts.length / 2)): Either[String, Double])
+        val reps = Seq.fill(warmReps)(once())
+        val ts = reps.flatMap(_.toOption).sorted
+        // all-reps-failed must stay VISIBLE (a warm-only failure is a real
+        // signal), not collapse into the same None as warm-disabled
+        if (ts.isEmpty) reps.headOption
+        else Some(Right(ts(ts.length / 2)): Either[String, Double])
       } else None
       (name, cold, warmTime, planHash)
     }
@@ -99,7 +103,12 @@ object Bench {
       if (warm) s""","warm_queries":${obj(ok.flatMap(r => r._3.flatMap(_.toOption).map(r._1 -> _)))}"""
       else ""
     val hashes = results.map(r => s"\"${r._1}\":\"${r._4}\"").mkString("{", ",", "}")
-    val errPart = errs.map { case (n, m) => s"${jstr(n)}:${jstr(m)}" }.mkString("{", ",", "}")
+    // a query whose COLD run passed but whose warm reps ALL failed is a real
+    // signal (state leak, scratch exhaustion): surface it in errors rather
+    // than letting it vanish from warm_queries indistinguishably from
+    // warm-disabled
+    val warmErrs = ok.flatMap(r => r._3.collect { case Left(m) => (r._1 + " (warm)", m) })
+    val errPart = (errs ++ warmErrs).map { case (n, m) => s"${jstr(n)}:${jstr(m)}" }.mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$warmPart,"plan_hashes":$hashes,"errors":$errPart,"sf":"$sfDir"}"""
     // The driver captures only the tail of stdout; with 120+ per-query

@@ -958,36 +958,66 @@ object SparkEntry {
         .select(col("event_id").as("message_id"), col("user_id").as("participant_uuid"),
           col("ts").as("timestamp"), col("value").as("message_value"), col("signup_n"))
     }),
-    // the CSV sink (analysis_files.py's production/messages/participants
+    // the dataset sink (analysis_files.py's production/messages/participants
     // exports), driven END-TO-END as a query: the purchase export is
-    // written through Sources.writeCsv, read back with an explicit schema,
-    // and summarized. The oracle computes the identical summary straight
-    // from the source parquet — a hash match proves the writer emitted
-    // every row and every value faithfully through the text round-trip.
-    // Timestamps export as unix micros (CSV timestamp RENDERING is
-    // writer-configurable; the integer form is the portable contract) and
-    // doubles rely on shortest-round-trip formatting (exact by JLS).
+    // written to a scratch sink, read back with an explicit schema, counted
+    // against the writer's own row metric, and summarized. The oracle
+    // computes the identical summary straight from the source parquet — a
+    // hash match proves the sink emitted every row and every value
+    // faithfully through the round trip.
+    //
+    // Two hard-won disciplines (rounds 9-10 were red in the driver gate on
+    // this row while green in every local replica):
+    //  * the round trip is PARQUET, not text — footer-validated files, no
+    //    parse layer whose failure mode is a plausible-but-wrong value
+    //    (CSV fidelity is pinned separately by ExportFidelitySpec);
+    //  * the query SELF-CHECKS: rows written (an Observation metric on the
+    //    write job, no extra scan) must equal rows read back, else it
+    //    THROWS — an environment that disturbs the scratch tree between
+    //    write and read-back now surfaces as a loud, diagnosable error row
+    //    in the gate instead of a silent hash mismatch.
+    // The write runs at FIRST ACTION, not at DataFrame construction:
+    // DeferredSummary moves the side effect into query execution, so
+    // plan-only consumers (PlanAuditSpec, bench plan-hashing, .explain)
+    // never trigger write jobs.
     "dataset_export" -> ((s, dir) => {
-      val out = events(s, dir).filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"),
-          unix_micros(col("ts")).as("ts_micros"), col("value"))
-      // per-build scratch dir (no process- or thread-level sharing, so no
-      // overwrite/read race anywhere), cleaned up at JVM exit; Bench
-      // normalizes the unique suffix out of the plan fingerprint
-      val path = exportScratchDir(dir)
-      graft.sources.Sources.writeCsv(out, path)
-      // FAILFAST: a malformed line must abort the query (a loud error row
-      // in the gate, with the parse message) rather than silently nulling
-      // fields into a wrong-but-plausible summary hash
-      s.read.option("header", "true").option("mode", "FAILFAST")
-        .schema("event_id BIGINT, user_id BIGINT, ts_micros BIGINT, value DOUBLE")
-        .csv(path)
-        .agg(count(lit(1)).as("n_rows"),
-          countDistinct(col("user_id")).as("n_users"),
-          sum(col("event_id").cast("decimal(38,0)")).as("sum_event_id"),
-          sum(floor(col("value") * lit(1000000.0) + lit(0.5)).cast("decimal(38,0)"))
-            .as("sum_value_q6"),
-          sum(col("ts_micros").cast("decimal(38,0)")).as("sum_ts_micros"))
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("n_rows", LongType), StructField("n_users", LongType),
+        StructField("sum_event_id", DecimalType(38, 0)),
+        StructField("sum_value_q6", DecimalType(38, 0)),
+        StructField("sum_ts_micros", DecimalType(38, 0))))
+      graft.plans.DeferredSummary.of(s, "dataset_export", schema) { () =>
+        val out = events(s, dir).filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_micros"), col("value"))
+        // fresh per-execution scratch dir (the thunk re-runs per action;
+        // no process- or thread-level sharing), cleaned up at JVM exit
+        val path = exportScratchDir(dir)
+        val obs = new org.apache.spark.sql.Observation()
+        out.observe(obs, count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(path)
+        val written = obs.get("n").asInstanceOf[Long]
+        val summary = s.read
+          .schema("event_id BIGINT, user_id BIGINT, ts_micros BIGINT, value DOUBLE")
+          .parquet(path)
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(col("event_id").cast("decimal(38,0)")).as("sum_event_id"),
+            sum(floor(col("value") * lit(1000000.0) + lit(0.5)).cast("decimal(38,0)"))
+              .as("sum_value_q6"),
+            sum(col("ts_micros").cast("decimal(38,0)")).as("sum_ts_micros"))
+        require(org.apache.spark.sql.types.DataType.equalsStructurally(
+          summary.schema, schema, ignoreNullability = true),
+          s"dataset_export summary schema drifted: ${summary.schema.sql}")
+        val rows = summary.queryExecution.executedPlan.executeCollect()
+        val readBack = rows(0).getLong(0)
+        // the export-integrity assertion: a swept/partial scratch tree can
+        // never again yield a plausible hash — it fails here, loudly
+        if (readBack != written) throw new IllegalStateException(
+          s"dataset_export round-trip integrity: wrote $written rows, read back $readBack ($path)")
+        rows
+      }
     }),
     // the composed end-to-end analysis run (engagement_db_to_analysis.py:56-130):
     // every stage above, chained in the reference's order, with per-stage
@@ -3997,7 +4027,7 @@ asofOracle,
         |    SUM(CAST(CASE WHEN event_type = 'purchase'
         |          THEN floor(value * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END
         |        AS DECIMAL(28,6))) AS money
-        |  FROM events GROUP BY 1),
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
         |r AS (
         |  SELECT user_id, freq, money,
         |    date_diff('day', CAST(last_ts AS DATE), CAST(MAX(last_ts) OVER () AS DATE)) AS rdays
@@ -4021,7 +4051,7 @@ asofOracle,
         |    SUM(CAST(CASE WHEN event_type = 'purchase'
         |          THEN floor(value * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END
         |        AS DECIMAL(28,6))) AS money
-        |  FROM events GROUP BY 1),
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
         |r AS (
         |  SELECT user_id, freq, money,
         |    date_diff('day', CAST(last_ts AS DATE), CAST(MAX(last_ts) OVER () AS DATE)) AS rdays

@@ -268,25 +268,27 @@ object Stats {
     * per segment. The engagement-prioritization table a targeting step
     * consumes.
     *
-    * One corpus pass to the per-user frame (map-side combinable); the
-    * ntile windows run on the user-cardinality frame — the distribution
-    * table IS the semantic, same carve-out as value_ntiles. SCALE CEILING:
-    * each ntile(5) is a single-partition window over the per-user frame,
-    * so this formulation holds to roughly the rows one task can sort
-    * (~10⁸ users); past that, compute the three quintile assignments with
-    * the distributed two-phase rank ([[valueNtilesDist]] — same closed-form
-    * NTILE rule, no single-partition exchange) and join them back. Output
-    * per (r_tile, f_tile, m_tile): n_users, avg_monetary (r6 of DECIMAL
-    * sums).
+    * One corpus pass to the per-user frame (map-side combinable); each
+    * quintile assignment is a distributed two-phase rank (range exchange +
+    * partition-local index + closed-form NTILE rule — [[ntileAssignAll]]),
+    * so no user-cardinality frame ever funnels through one task: the
+    * formulation that holds at 10⁸+ users is the DEFAULT, not an opt-in
+    * sibling. Output per (r_tile, f_tile, m_tile): n_users, avg_monetary
+    * (r6 of DECIMAL sums).
     */
   /** The shared R/F/M per-user frame: ONE definition feeding both the
-    * window formulation ([[rfmSegments]]) and the distributed one
+    * default-named query ([[rfmSegments]]) and the plan-shape witness
     * ([[rfmSegmentsDist]]), so the two can never disagree on what R, F
     * and M mean. Columns: user_id, __last, __freq, __money, __rdays. */
   private def rfmPerUser(df: DataFrame, user: Column, ts: Column,
                          value: Column, monetaryFilter: Column): DataFrame = {
+    // null-ts rows are excluded (the kaplanMeier discipline): a user whose
+    // timestamps are all null has no recency and is not segmentable — and
+    // pinning this HERE keeps every downstream formulation agreeing on the
+    // null order instead of diverging per sort direction.
     val base = df.select(user.as("user_id"), ts.as("__ts"), value.as("__v"),
       monetaryFilter.as("__m"))
+      .filter(col("__ts").isNotNull)
     // recency anchor = one-row agg broadcast back (the topMovers pattern):
     // a partitionBy(lit(1)) max over the per-user frame would funnel an
     // entity-cardinality frame through ONE task at 100M+ users
@@ -301,48 +303,49 @@ object Stats {
         datediff(col("__corpus_max").cast("date"), col("__last").cast("date")))
   }
 
+  /** RFM quintile segmentation. Since round 11 this IS the distributed
+    * formulation ([[rfmSegmentsDist]]): the original single-partition
+    * NTILE(5) windows funneled the per-USER frame through one task — the
+    * known scale cliff at 100M+ users — while the distributed two-phase
+    * rank is oracle-identical (pinned sf0.001→sf10, SF10_PARITY_R10). The
+    * `rfm_segments_dist` query key stays bound as the plan-shape witness. */
   def rfmSegments(df: DataFrame, user: Column, ts: Column, value: Column,
-                  monetaryFilter: Column): DataFrame = {
-    val perUser = rfmPerUser(df, user, ts, value, monetaryFilter)
-    val rT = ntile(5).over(Window.partitionBy(lit(1))
-      .orderBy(col("__rdays").desc, col("user_id")))
-    val fT = ntile(5).over(Window.partitionBy(lit(1))
-      .orderBy(col("__freq"), col("user_id")))
-    val mT = ntile(5).over(Window.partitionBy(lit(1))
-      .orderBy(col("__money"), col("user_id")))
-    perUser
-      .withColumn("r_tile", rT).withColumn("f_tile", fT).withColumn("m_tile", mT)
-      .groupBy(col("r_tile"), col("f_tile"), col("m_tile"))
-      .agg(
-        count(lit(1)).as("n_users"),
-        r6(sum(col("__money")).cast("double") / count(lit(1)).cast("double"))
-          .as("avg_monetary"))
-  }
+                  monetaryFilter: Column): DataFrame =
+    rfmSegmentsDist(df, user, ts, value, monetaryFilter)
 
-  /** Corpus-wide NTILE(k) ASSIGNMENT with no single-partition sort — the
-    * distributed-rank kernel [[rfmSegmentsDist]] runs three times (the
-    * single-axis sibling of [[valueNtilesDist]]'s grouped form). Sort key
-    * is an exact LONG (no FP ordering ambiguity); output (__id, outName).
-    * The only unpartitioned window is the per-range-partition offset
-    * cumulation — a partition-count-sized frame (the ksDrift shape). */
+  /** Corpus-wide NTILE(k) ASSIGNMENT with no single-partition sort and no
+    * unpartitioned window AT ALL — the distributed-rank kernel
+    * [[rfmSegmentsDist]] runs three times (the single-axis sibling of
+    * [[valueNtilesDist]]'s grouped form). Sort key is an exact LONG (no FP
+    * ordering ambiguity); the id rides through UNCAST in its natural type
+    * (a string user id must not become a null long that silently empties
+    * every join-back), so ties on equal sort keys break on the id's own
+    * ordering — same tiebreak the window formulation used. The exclusive
+    * per-range-partition offsets come from a broadcast triangular
+    * self-join over the partition-count-sized segment frame (≤ the task
+    * count, never data-sized). */
   private def ntileAssignAll(df: DataFrame, id: Column, sortKey: Column,
                              k: Int, outName: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val ranged = df.select(sortKey.cast("long").as("__k"), id.cast("long").as("__id"))
+    import org.apache.spark.sql.types._
+    val ranged = df.select(sortKey.cast("long").as("__k"), id.as("__id"))
       .repartitionByRange(col("__k"), col("__id"))
       .sortWithinPartitions(col("__k"), col("__id"))
-      .as[(Long, Long)]
+    val idType = ranged.schema("__id").dataType
+    val localSchema = StructType(Seq(
+      StructField("__pid", IntegerType, nullable = false),
+      StructField("__rid", idType),
+      StructField("__i", LongType, nullable = false)))
     val local = ranged.mapPartitions { iter =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var i = 0L
-      iter.map { case (_, rid) => i += 1; (pid, rid, i) }
-    }.toDF("__pid", "__rid", "__i")
+      iter.map { r => i += 1; org.apache.spark.sql.Row(pid, r.get(1), i) }
+    }(org.apache.spark.sql.Encoders.row(localSchema))
     val perSeg = local.groupBy(col("__pid")).agg(max(col("__i")).as("__c"))
-    val wPrev = Window.orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = perSeg.select(col("__pid"),
-      coalesce(sum(col("__c")).over(wPrev), lit(0L)).as("__o"))
+    // exclusive prefix offsets WITHOUT a global window: triangular
+    // broadcast self-join on the ≤ #tasks-row segment frame
+    val segB = perSeg.select(col("__pid").as("__bpid"), col("__c").as("__bc"))
+    val offsets = perSeg.join(broadcast(segB), col("__bpid") < col("__pid"), "left")
+      .groupBy(col("__pid")).agg(coalesce(sum(col("__bc")), lit(0L)).as("__o"))
     val totals = perSeg.agg(sum(col("__c")).as("__n"))
     def d(c: Column) = c.cast("double")
     val r = d(col("__o") + col("__i"))
@@ -356,9 +359,9 @@ object Stats {
       .select(col("__rid").as("__id"), tile.cast("int").as(outName))
   }
 
-  /** [[rfmSegments]] WITHOUT the three single-partition ntile windows —
-    * the >10⁸-user formulation promised by rfmSegments' scale-ceiling
-    * note. Each quintile axis is a distributed two-phase rank
+  /** The RFM kernel ([[rfmSegments]] delegates here; the `_dist` query key
+    * stays bound as the plan-shape witness). Each quintile axis is a
+    * distributed two-phase rank
     * ([[ntileAssignAll]]) over an exact LONG key: recency ranks on
     * NEGATED __rdays (desc ≡ asc of the negation, int-exact), frequency
     * on the count, monetary on micro-units (decimal(28,6)·10⁶ — exact to
@@ -367,8 +370,15 @@ object Stats {
     * lineage discipline) because the three axes and the final rollup
     * would otherwise each re-aggregate the corpus — column pruning makes
     * their subtrees unequal, so AQE exchange reuse cannot collapse them
-    * (the kaplanMeier lesson). Output ≡ rfmSegments (oracle-identical
-    * when money stays in the exact-micro range).
+    * (the kaplanMeier lesson). The checkpoint is EAGER: the lazy form
+    * leaves the materializing tasks reporting SQL-metric accumulators that
+    * the finished query execution has already unregistered — ERROR-level
+    * DAGScheduler noise on every later action (measured round 11). The id
+    * rides in its natural type end-to-end — any orderable id works, same
+    * contract as the window formulation this replaced (a long cast here
+    * once nulled out non-numeric ids and silently emptied the join-back).
+    * Money stays oracle-identical in the exact-micro range (±9.2·10¹²
+    * units).
     */
   def rfmSegmentsDist(df: DataFrame, user: Column, ts: Column, value: Column,
                       monetaryFilter: Column): DataFrame = {
@@ -378,7 +388,7 @@ object Stats {
     val fT = ntileAssignAll(perUser, col("user_id"), col("__freq"), 5, "f_tile")
     val mT = ntileAssignAll(perUser, col("user_id"),
       (col("__money") * lit(1000000)).cast("long"), 5, "m_tile")
-    perUser.select(col("user_id").cast("long").as("__id"), col("__money"))
+    perUser.select(col("user_id").as("__id"), col("__money"))
       .join(rT, Seq("__id")).join(fT, Seq("__id")).join(mT, Seq("__id"))
       .groupBy(col("r_tile"), col("f_tile"), col("m_tile"))
       .agg(

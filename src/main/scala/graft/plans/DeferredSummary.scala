@@ -1,0 +1,75 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.classic.Strategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan, Statistics}
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.StructType
+
+/** A driver-deferred summary source: a leaf logical node whose rows are
+  * produced by a driver-side thunk that runs at EXECUTION time, not at plan
+  * construction.
+  *
+  * Purpose: sink-verification queries (dataset_export) must perform a real
+  * write + read-back round trip, but a query REGISTRY must stay inert —
+  * plan-only consumers (plan audits, bench plan-hashing, .explain) iterate
+  * every entry and must not trigger write jobs. Wrapping the side effect in
+  * this node moves it from DataFrame CONSTRUCTION to the first action, the
+  * same deferral discipline every other query already has for free.
+  *
+  * The thunk runs on the driver inside doExecute — the same nested-job
+  * pattern Spark's own BroadcastExchangeExec uses (child plans executed
+  * eagerly during plan materialization). It is re-run on every action, so
+  * thunks must be self-contained (fresh scratch paths per call).
+  */
+case class DeferredSummaryNode(
+    label: String,
+    override val output: Seq[Attribute],
+    thunk: () => Array[InternalRow]) extends LeafNode {
+  // A deferred summary is a handful of rows by contract (it exists to carry
+  // an aggregate proof, not data): advertise a tiny size so joins against
+  // it broadcast.
+  override def computeStats(): Statistics = Statistics(sizeInBytes = 256)
+  // The thunk is a JVM closure: its toString carries a per-run lambda
+  // identity (Lambda$N/0xADDR@HASH) that would churn plan fingerprints on
+  // identical code — keep it out of the explain string.
+  override def stringArgs: Iterator[Any] = Iterator(label, output)
+}
+
+case class DeferredSummaryExec(
+    label: String,
+    override val output: Seq[Attribute],
+    thunk: () => Array[InternalRow]) extends LeafExecNode {
+  override def stringArgs: Iterator[Any] = Iterator(label, output)
+  override protected def doExecute(): RDD[InternalRow] = {
+    // Driver-side: the thunk may itself run Spark jobs (write + read-back).
+    // Rows come back as collected (copied) UnsafeRows; a 1-partition
+    // parallelize hands them to the parent plan.
+    val rows = thunk()
+    sparkContext.parallelize(rows.toIndexedSeq, 1)
+  }
+}
+
+object DeferredSummaryStrategy extends Strategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case DeferredSummaryNode(label, out, thunk) =>
+      DeferredSummaryExec(label, out, thunk) :: Nil
+    case _ => Nil
+  }
+}
+
+object DeferredSummary {
+  /** Builds a DataFrame whose rows are produced by `thunk` at first action.
+    * The thunk must return InternalRows matching `schema` (use
+    * `executeCollect()` on a frame whose agg casts pin the exact types).
+    */
+  def of(spark: SparkSession, label: String, schema: StructType)
+        (thunk: () => Array[InternalRow]): DataFrame = {
+    val attrs = schema.map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+    Bridge.ofRows(spark, DeferredSummaryNode(label, attrs, thunk))
+  }
+}

@@ -82,6 +82,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => NanoTimestampFilterRewrite)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectPlannerStrategy(_ => DeferredSummaryStrategy)
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("token_count"),
       new ExpressionInfo("graft.functions.TokenCount", "token_count"),

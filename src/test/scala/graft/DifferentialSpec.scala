@@ -254,4 +254,60 @@ class DifferentialSpec extends SparkSpec {
       assert(got == expect, s"seed=$seed")
     }
   }
+
+  test("BPE train + encode equal an independent merge-algebra implementation on randomized word tables") {
+    // Independent reference, structurally unlike graft.text.Bpe:
+    //  * trainer: immutable List symbols, pair stats via groupBy-fold, best
+    //    pair by FULL SORT (vs Bpe's mutable arrays + linear argmax)
+    //  * encoder: merges applied SEQUENTIALLY in rank order (a new pair
+    //    formed by merge k contains the rank-k symbol, which only
+    //    participates in later-trained merges — so sequential replay equals
+    //    Bpe.encodeWord's greedy lowest-rank-present loop; Sennrich 2016)
+    def applyRef(syms: List[String], p: (String, String)): List[String] = syms match {
+      case a :: b :: rest if a == p._1 && b == p._2 => (a + b) :: applyRef(rest, p)
+      case a :: rest => a :: applyRef(rest, p)
+      case Nil => Nil
+    }
+    def trainRef(wf: Seq[(String, Long)], n: Int): Seq[(String, String)] = {
+      var vocab = wf.map { case (w, f) => (w.map(_.toString).toList, f) }
+      var merges = Vector.empty[(String, String)]
+      var done = false
+      while (!done && merges.size < n) {
+        val stats = vocab
+          .flatMap { case (s, f) => s.zip(s.drop(1)).map(p => (p, f)) }
+          .groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }
+        stats.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.headOption match {
+          case Some((p, c)) if c >= 2 =>
+            merges :+= p
+            vocab = vocab.map { case (s, f) => (applyRef(s, p), f) }
+          case _ => done = true
+        }
+      }
+      merges
+    }
+    def encodeRef(word: String, merges: Seq[(String, String)]): Seq[String] =
+      merges.foldLeft(word.map(_.toString).toList)(applyRef)
+
+    for (seed <- 0 until 3) {
+      val rnd = new scala.util.Random(7100 + seed)
+      val alphabet = "abcdef"
+      // >=1k distinct word types with hash-derived (deterministic) freqs
+      val types = Seq.fill(2500) {
+        val len = 1 + rnd.nextInt(8)
+        Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString
+      }.distinct
+      assert(types.size >= 1000, s"seed gave only ${types.size} types")
+      val wf = types.map(w => (w, (math.abs(w.hashCode) % 7 + 1).toLong))
+      val expect = trainRef(wf, 60)
+      val got = graft.text.Bpe.trainLocal(wf, 60)
+      assert(got == expect, s"seed=$seed: merge sequences diverge")
+      val rank = got.zipWithIndex.toMap
+      // every trained type AND unseen words encode identically on both paths
+      val unseen = Seq.fill(200)(
+        Seq.fill(1 + rnd.nextInt(10))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+      for (w <- types ++ unseen)
+        assert(graft.text.Bpe.encodeWord(w, rank).toSeq == encodeRef(w, got),
+          s"seed=$seed word=$w")
+    }
+  }
 }

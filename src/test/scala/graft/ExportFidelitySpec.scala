@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The export-sink contracts behind the `dataset_export` gate query.
+  *
+  * Round 11 rebound the gate query to a PARQUET round trip with a loud
+  * write/read row-count assertion (two rounds of driver-red on a CSV
+  * read-back whose only failure mode was a plausible-but-wrong hash). The
+  * CSV fidelity proof — every row and value survives the text round trip,
+  * unix-micros timestamps, shortest-round-trip doubles — moves HERE, where
+  * a failure is a named assertion instead of a hash mismatch.
+  */
+class ExportFidelitySpec extends SparkSpec {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def purchases = GraftSession.table(spark, sfDir, "events")
+    .filter(col("event_type") === "purchase")
+    .select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_micros"), col("value"))
+
+  private def summarize(df: org.apache.spark.sql.DataFrame) =
+    df.agg(count(lit(1)).as("n_rows"),
+      countDistinct(col("user_id")).as("n_users"),
+      sum(col("event_id").cast("decimal(38,0)")).as("sum_event_id"),
+      sum(floor(col("value") * lit(1000000.0) + lit(0.5)).cast("decimal(38,0)"))
+        .as("sum_value_q6"),
+      sum(col("ts_micros").cast("decimal(38,0)")).as("sum_ts_micros"))
+      .collect()(0).toSeq
+
+  test("csv export round-trips every row and value (FAILFAST, explicit schema)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_fidelity").toString
+    try {
+      graft.sources.Sources.writeCsv(purchases, dir)
+      val back = spark.read.option("header", "true").option("mode", "FAILFAST")
+        .schema("event_id BIGINT, user_id BIGINT, ts_micros BIGINT, value DOUBLE")
+        .csv(dir)
+      assert(summarize(back) == summarize(purchases))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("constructing the dataset_export DataFrame runs no Spark job") {
+    val sc = spark.sparkContext
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String)]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val grp = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).getOrElse("")
+        jobs.add((js.jobId, grp)); ()
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      val df = SparkEntry.queries("dataset_export")(spark, sfDir)
+      // also make sure PLAN-ONLY inspection stays inert (PlanAuditSpec's
+      // access pattern — this used to fire the CSV write job)
+      df.queryExecution.optimizedPlan.toString
+      df.queryExecution.sparkPlan.toString
+      // marker job: listener events are async, so submit one identifiable
+      // job and wait for it — any construction-time job would have been
+      // enqueued (and observed) before it
+      sc.setJobGroup("graft_export_marker", "marker")
+      try spark.range(1).count() finally sc.clearJobGroup()
+      import scala.jdk.CollectionConverters._
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!jobs.asScala.exists(_._2 == "graft_export_marker") &&
+             System.nanoTime() < deadline) Thread.sleep(20)
+      val observed = jobs.asScala.toSeq
+      assert(observed.exists(_._2 == "graft_export_marker"), "marker job never observed")
+      val nonMarker = observed.filterNot(_._2 == "graft_export_marker")
+      assert(nonMarker.isEmpty,
+        s"dataset_export construction triggered jobs: $nonMarker")
+    } finally sc.removeSparkListener(listener)
+  }
+
+  test("dataset_export executes the round trip at action time and matches the direct summary") {
+    val row = SparkEntry.queries("dataset_export")(spark, sfDir).collect()(0)
+    assert(row.toSeq == summarize(purchases))
+  }
+
+  test("a DeferredSummary thunk that throws surfaces at action time, loudly") {
+    val schema = StructType(Seq(StructField("x", LongType)))
+    val df = graft.plans.DeferredSummary.of(spark, "boom", schema) { () =>
+      throw new IllegalStateException("round-trip integrity: injected")
+    }
+    // construction did not throw; the action must, with the thunk's message
+    val e = intercept[Exception](df.collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).map(x => x.getMessage +: messages(x.getCause)).getOrElse(Nil)
+    assert(messages(e).exists(m => m != null && m.contains("round-trip integrity")))
+  }
+}

@@ -312,6 +312,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("the LSH band self-join is a shuffle join with no broadcast hint (AQE skew-split must stay available)") {
+    // The (band, bk) self-join is where a planted boilerplate cluster
+    // lands as one hot shuffle key (BandSkewProbeR11). AQE's
+    // OptimizeSkewedJoin can only split a SortMergeJoin/ShuffledHashJoin —
+    // a broadcast HINT on either side would both pin corpus-sized build
+    // memory and permanently disable the skew valve.
+    for (q <- Seq("dedup_minhash_lsh", "dedup_minhash_verified", "dedup_incremental")) {
+      val lp = SparkEntry.queries(q)(spark, sfDir).queryExecution.optimizedPlan.toString
+      assert(!lp.toLowerCase.contains("hint"),
+        s"$q: band join must carry no join-strategy hint\n$lp")
+      // with the size heuristic off, a hint is the only thing that could
+      // still force a broadcast — the plan must fall back to a shuffle join
+      val key = "spark.sql.autoBroadcastJoinThreshold"
+      val prev = spark.conf.get(key)
+      val p = try {
+        spark.conf.set(key, "-1")
+        SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+      } finally spark.conf.set(key, prev)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"$q: band join must plan as a shuffle join (AQE may still demote at runtime)\n$p")
+      assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: no broadcast survives with the size heuristic off = no hint anywhere\n$p")
+    }
+  }
+
   test("no query plans an unbroadcast cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"), s"$name plans a CartesianProduct")
@@ -506,19 +531,16 @@ class PlanAuditSpec extends SparkSpec {
     //   mutual_information — contingency cells (|classes|²)
     //   kaplan_meier       — distinct lifetime days (time axis)
     //   ks_drift           — per-input-partition count offsets (two-phase ECDF)
-    //   rfm_segments_dist  — the same partition-count offset frame, ×3
-    //                        (one per distributed quintile axis)
-    //   rfm_segments       — ntile quintiles over the per-user frame: the
-    //                        quintile assignment IS the semantic (the
-    //                        value_ntiles carve-out); >100M-user frames
-    //                        need the distributed-ECDF formulation — see
-    //                        Stats.rfmSegments scaladoc.
+    // rfm_segments / rfm_segments_dist were DELISTED in round 11: the
+    // single-partition ntile windows were replaced by the distributed
+    // two-phase rank, and the kernel's partition-count offset cumulation
+    // became a broadcast triangular self-join — no unpartitioned Window
+    // remains anywhere in either plan.
     // The set is checked for EQUALITY: a new global window fails loudly,
     // and a whitelisted query that stops needing one must be delisted.
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
     val allowed = Set("benford_digits", "bm25_topk", "chi2_independence",
-      "mutual_information", "kaplan_meier", "ks_drift", "rfm_segments",
-      "rfm_segments_dist")
+      "mutual_information", "kaplan_meier", "ks_drift")
     val found = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       val sp = SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan
       sp.collectFirst {
