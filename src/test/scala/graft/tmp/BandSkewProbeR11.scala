@@ -48,16 +48,45 @@ object BandSkewProbeR11 {
       .agg(count(lit(1)).as("buckets"), max(col("count")).as("hottest")).head()
     println(s"BAND_PROFILE buckets=${prof.getLong(0)} hottest_bucket=${prof.getLong(1)}")
 
-    val t0 = System.nanoTime()
-    val out = graft.dedup.Dedup.minhashDedupVerified(
-      docs, col("doc_id"), col("text"), 3, 16, 4, 0.8)
-    val pairs = out.count()
-    val secs = (System.nanoTime() - t0) / 1e9
+    // execute THROUGH the DataFrame's own QueryExecution (a .count() spawns
+    // a separate execution whose adaptive plan never materializes — the
+    // round-11 probe's first lesson) so the inspected plan is the one that ran
+    def runAndInspect(df: org.apache.spark.sql.DataFrame): (Long, Double, Boolean) = {
+      val qe = df.queryExecution
+      val t = System.nanoTime()
+      val n = qe.toRdd.count()
+      val secs = (System.nanoTime() - t) / 1e9
+      val plan = qe.executedPlan.toString
+      (n, secs, plan.contains("skew"))
+    }
     val expectHot = hot.toLong * (hot - 1) / 2
-    val planStr = out.queryExecution.executedPlan.toString
-    val skewEngaged = planStr.contains("skew")
+    val (pairs, secs, skewEngaged) = runAndInspect(
+      graft.dedup.Dedup.minhashDedupVerified(docs, col("doc_id"), col("text"), 3, 16, 4, 0.8))
     println(f"BAND_SKEW n=$nDocs hot=$hot pairs=$pairs (planted=$expectHot) " +
       f"secs=$secs%.1f aqe_skew_split=$skewEngaged")
+
+    // Second measurement with the skew thresholds scaled to the PROBE's
+    // byte volume (defaults: 256 MB / 5x — sized for production partitions,
+    // which a 1M-doc local replica never reaches): proves the valve itself
+    // engages on this plan shape once byte skew materializes, i.e. nothing
+    // in the plan (hint, join type) blocks OptimizeSkewedJoin.
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128KB")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64KB")
+    val (pairs2, secs2, skew2) = runAndInspect(
+      graft.dedup.Dedup.minhashDedupVerified(docs, col("doc_id"), col("text"), 3, 16, 4, 0.8))
+    println(f"BAND_SKEW_LOWTHRESH pairs=$pairs2 secs=$secs2%.1f aqe_skew_split=$skew2")
+
+    // Third pass: make the hot bucket VISIBLE as input-byte skew (fine
+    // shuffle grain so the bucket dominates its partition) — the proof
+    // that OptimizeSkewedJoin is free to fire on this exact plan shape.
+    spark.conf.set("spark.sql.shuffle.partitions", "1024")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    val (pairs3, secs3, skew3) = runAndInspect(
+      graft.dedup.Dedup.minhashDedupVerified(docs, col("doc_id"), col("text"), 3, 16, 4, 0.8))
+    println(f"BAND_SKEW_FINEGRAIN pairs=$pairs3 secs=$secs3%.1f aqe_skew_split=$skew3")
     spark.stop()
   }
 }
