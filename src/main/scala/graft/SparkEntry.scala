@@ -1129,7 +1129,7 @@ object SparkEntry {
       val d = table(s, dir, "documents")
       val q = d.select((col("doc_id") +: graft.text.TextFeatures.qualityColumns(col("text"))): _*)
       val metrics = q.columns.filterNot(_ == "doc_id")
-      q.select(col("doc_id") +: metrics.map(m => col(m).cast("double").as(m)): _*)
+      q.select(col("doc_id") +: metrics.toIndexedSeq.map(m => col(m).cast("double").as(m)): _*)
         .unpivot(Array(col("doc_id")), metrics.map(col), "metric", "value")
     }),
     "classifier_eval" -> ((s, dir) => {

@@ -106,6 +106,6 @@ object AsOfJoin {
     }
     val out = gated.filter(col("__tag") === 1)
     val payloadCols = (rightTs +: payload).map(p => col(s"__carry.$p").as(s"asof_$p"))
-    out.select(leftCols.map(col) ++ payloadCols: _*)
+    out.select(leftCols.toIndexedSeq.map(col) ++ payloadCols: _*)
   }
 }

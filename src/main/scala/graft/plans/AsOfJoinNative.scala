@@ -292,6 +292,6 @@ object AsOfJoinNative {
     val joined = Bridge.ofRows(left.sparkSession, node)
     val leftCols = left.columns.map(col)
     val payloadCols = (rightTs +: payload.filterNot(_ == rightTs)).map(p => col(s"__r_$p").as(s"asof_$p"))
-    joined.select(leftCols ++ payloadCols: _*)
+    joined.select(leftCols.toIndexedSeq ++ payloadCols: _*)
   }
 }

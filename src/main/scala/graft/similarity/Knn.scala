@@ -161,10 +161,10 @@ object Knn {
   /** Sign-bucket key: one bit per hyperplane. */
   def signBucket(vec: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.map { p =>
-      val planeCol = array(p.map(lit): _*)
+      val planeCol = array(p.toIndexedSeq.map(lit): _*)
       when(dot(vec, planeCol) >= 0, "1").otherwise("0")
     }
-    concat(bits: _*)
+    concat(bits.toIndexedSeq: _*)
   }
 
   /** LSH-bucketed approximate top-k: candidates share the query's sign

@@ -629,7 +629,7 @@ object Sources {
     val rows = back
       .groupBy(col(shardCol).cast("string").as("shard"))
       .agg(count(lit(1)).as("n_rows"),
-        pmod(sum(xxhash64(dataCols: _*).cast("decimal(38,0)")),
+        pmod(sum(xxhash64(dataCols.toIndexedSeq: _*).cast("decimal(38,0)")),
           lit(Long.MaxValue)).cast("long").as("content_hash"))
       .orderBy(col("shard"))
       .collect() // shard-count rows only — never the data

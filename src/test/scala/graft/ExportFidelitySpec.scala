@@ -85,6 +85,13 @@ class ExportFidelitySpec extends SparkSpec {
     assert(row.toSeq == summarize(purchases))
   }
 
+  test("dataset_export is idempotent across actions (fresh scratch per execution, same summary)") {
+    val df = SparkEntry.queries("dataset_export")(spark, sfDir)
+    // each action re-runs the thunk against a NEW scratch dir; the summary
+    // is a pure function of the source, so re-execution must agree exactly
+    assert(df.collect()(0).toSeq == df.collect()(0).toSeq)
+  }
+
   test("a DeferredSummary thunk that throws surfaces at action time, loudly") {
     val schema = StructType(Seq(StructField("x", LongType)))
     val df = graft.plans.DeferredSummary.of(spark, "boom", schema) { () =>
