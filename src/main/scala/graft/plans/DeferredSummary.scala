@@ -66,6 +66,9 @@ object DeferredSummary {
   /** Builds a DataFrame whose rows are produced by `thunk` at first action.
     * The thunk must return InternalRows matching `schema` (use
     * `executeCollect()` on a frame whose agg casts pin the exact types).
+    * Requires [[GraftExtensions]] on the session (GraftSession registers
+    * it) — without the injected strategy, planning fails with an explicit
+    * "no plan for DeferredSummaryNode".
     */
   def of(spark: SparkSession, label: String, schema: StructType)
         (thunk: () => Array[InternalRow]): DataFrame = {
