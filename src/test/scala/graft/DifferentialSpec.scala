@@ -255,6 +255,59 @@ class DifferentialSpec extends SparkSpec {
     }
   }
 
+  test("rfmSegments with STRING user ids equals brute-force NTILE (the natural-id-type contract)") {
+    // the r11 kernel keeps the id UNCAST; this pins the contract the old
+    // id.cast("long") silently broke (string ids -> null keys -> empty
+    // output). Tiebreaks use the STRING ordering, so ids are crafted to
+    // make lexicographic != numeric order (u_2 > u_10).
+    def ntileOf(k: Int, ordered: Seq[String]): Map[String, Int] = {
+      val n = ordered.size; val base = n / k; val rem = n % k
+      ordered.zipWithIndex.map { case (id, i) =>
+        id -> (if (i < (base + 1) * rem) i / (base + 1) + 1
+               else rem + (i - (base + 1) * rem) / base + 1)
+      }.toMap
+    }
+    def q6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    for (seed <- 0 until 3) {
+      val rnd = new scala.util.Random(8200 + seed)
+      val base = 1704067200L // 2024-01-01T00:00Z, seconds
+      val rows = Seq.tabulate(1200) { i =>
+        val uid = s"u_${rnd.nextInt(400)}"
+        val ts: java.sql.Timestamp = // ~7% null to exercise the null-ts pin
+          if (rnd.nextInt(15) == 0) null
+          else new java.sql.Timestamp((base + rnd.nextInt(90) * 86400L + rnd.nextInt(86400)) * 1000L)
+        (uid, ts, math.round(rnd.nextDouble() * 500 * 100) / 100.0, rnd.nextBoolean())
+      }
+      val got = graft.analysis.Stats.rfmSegments(
+          rows.toDF("uid", "ts", "v", "m"), col("uid"), col("ts"), col("v"), col("m"))
+        .as[(Int, Int, Int, Long, Double)].collect()
+        .map(r => (r._1, r._2, r._3) -> ((r._4, r._5))).toMap
+      // brute force on the driver (UTC dates, exact micro money)
+      val kept = rows.filter(_._2 != null)
+      val perUser = kept.groupBy(_._1).map { case (uid, rs) =>
+        val last = rs.map(_._2.getTime).max
+        val freq = rs.count(_._4)
+        val moneyMicros = rs.filter(_._4).map(r => math.round(q6d(r._3) * 1e6)).sum
+        (uid, last, freq.toLong, moneyMicros)
+      }.toSeq
+      val cmaxDay = java.time.Instant.ofEpochMilli(perUser.map(_._2).max)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+      val pu = perUser.map { case (uid, last, freq, money) =>
+        val rdays = java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.Instant.ofEpochMilli(last).atZone(java.time.ZoneOffset.UTC).toLocalDate, cmaxDay)
+        (uid, rdays, freq, money)
+      }
+      val rT = ntileOf(5, pu.sortBy { case (uid, rd, _, _) => (-rd, uid) }.map(_._1))
+      val fT = ntileOf(5, pu.sortBy { case (uid, _, f, _) => (f, uid) }.map(_._1))
+      val mT = ntileOf(5, pu.sortBy { case (uid, _, _, m) => (m, uid) }.map(_._1))
+      val expect = pu.groupBy(u => (rT(u._1), fT(u._1), mT(u._1))).map { case (cell, us) =>
+        val money = us.map(_._4).sum.toDouble / 1e6
+        cell -> ((us.size.toLong, q6d(money / us.size)))
+      }
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
   test("BPE train + encode equal an independent merge-algebra implementation on randomized word tables") {
     // Independent reference, structurally unlike graft.text.Bpe:
     //  * trainer: immutable List symbols, pair stats via groupBy-fold, best
