@@ -58,14 +58,21 @@ class ExportFidelitySpec extends SparkSpec {
     }
     sc.addSparkListener(listener)
     try {
-      val df = SparkEntry.queries("dataset_export")(spark, sfDir)
-      // also make sure PLAN-ONLY inspection stays inert (PlanAuditSpec's
-      // access pattern — this used to fire the CSV write job)
-      df.queryExecution.optimizedPlan.toString
-      df.queryExecution.sparkPlan.toString
+      // job groups are THREAD-local: tagging this thread before construction
+      // isolates the assertion from jobs of concurrently-running suites
+      // (SparkSpec shares one session across the parallel ScalaTest run)
+      sc.setJobGroup("graft_export_construct", "construction window")
+      val df = try {
+        val d = SparkEntry.queries("dataset_export")(spark, sfDir)
+        // also make sure PLAN-ONLY inspection stays inert (PlanAuditSpec's
+        // access pattern — this used to fire the CSV write job)
+        d.queryExecution.optimizedPlan.toString
+        d.queryExecution.sparkPlan.toString
+        d
+      } finally sc.clearJobGroup()
       // marker job: listener events are async, so submit one identifiable
-      // job and wait for it — any construction-time job would have been
-      // enqueued (and observed) before it
+      // job from this thread and wait for it — any construction-time job
+      // would have been enqueued (and observed) before it
       sc.setJobGroup("graft_export_marker", "marker")
       try spark.range(1).count() finally sc.clearJobGroup()
       import scala.jdk.CollectionConverters._
@@ -74,9 +81,10 @@ class ExportFidelitySpec extends SparkSpec {
              System.nanoTime() < deadline) Thread.sleep(20)
       val observed = jobs.asScala.toSeq
       assert(observed.exists(_._2 == "graft_export_marker"), "marker job never observed")
-      val nonMarker = observed.filterNot(_._2 == "graft_export_marker")
-      assert(nonMarker.isEmpty,
-        s"dataset_export construction triggered jobs: $nonMarker")
+      val construction = observed.filter(_._2 == "graft_export_construct")
+      assert(construction.isEmpty,
+        s"dataset_export construction triggered jobs: $construction")
+      df.queryExecution // keep the frame reachable past the assertions
     } finally sc.removeSparkListener(listener)
   }
 
