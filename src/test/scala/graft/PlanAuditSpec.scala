@@ -323,13 +323,13 @@ class PlanAuditSpec extends SparkSpec {
       assert(!lp.toLowerCase.contains("hint"),
         s"$q: band join must carry no join-strategy hint\n$lp")
       // with the size heuristic off, a hint is the only thing that could
-      // still force a broadcast — the plan must fall back to a shuffle join
-      val key = "spark.sql.autoBroadcastJoinThreshold"
-      val prev = spark.conf.get(key)
-      val p = try {
-        spark.conf.set(key, "-1")
-        SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
-      } finally spark.conf.set(key, prev)
+      // still force a broadcast — the plan must fall back to a shuffle
+      // join. The override lives in a cloned session (own SQLConf, shared
+      // context) so concurrently-running suites asserting broadcast plans
+      // against the shared SparkSpec session can never observe it.
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = SparkEntry.queries(q)(s2, sfDir).queryExecution.executedPlan.toString
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
         s"$q: band join must plan as a shuffle join (AQE may still demote at runtime)\n$p")
       assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
