@@ -6,8 +6,10 @@ package graft
   * that change physical structure at runtime — partition counts move
   * range/hash boundaries (the two-phase rank operators tag rows with
   * partition ids and MUST be boundary-invariant), and AQE rewrites
-  * exchanges/joins mid-flight. Both knobs are runtime-settable, so the
-  * suite toggles them on the shared session and restores.
+  * exchanges/joins mid-flight. Both knobs are runtime-settable; each
+  * variant runs in a CLONED session (own SQLConf, shared context) so the
+  * toggles are invisible to suites sharing the SparkSpec session under
+  * parallel test execution.
   */
 class ConfigInvarianceSpec extends SparkSpec {
 
@@ -21,8 +23,14 @@ class ConfigInvarianceSpec extends SparkSpec {
     "rfm_segments", "dedup_minhash_lsh", "line_dedup", "topk_movers",
     "mad_outliers", "psi_drift", "seq_packing")
 
-  private def canon(name: String): Seq[String] = {
-    val df = SparkEntry.queries(name)(spark, sfDir)
+  private def canon(name: String,
+                    confs: (String, String)*): Seq[String] = {
+    val s = if (confs.isEmpty) spark else {
+      val s2 = spark.newSession()
+      confs.foreach { case (k, v) => s2.conf.set(k, v) }
+      s2
+    }
+    val df = SparkEntry.queries(name)(s, sfDir)
     val cols = df.columns.sorted
     df.selectExpr(cols.map(c => s"`$c`"): _*)
       .collect()
@@ -30,16 +38,10 @@ class ConfigInvarianceSpec extends SparkSpec {
       .toSeq.sorted
   }
 
-  private def withConf[A](key: String, value: String)(body: => A): A = {
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, value)
-    try body finally spark.conf.set(key, prev)
-  }
-
   test("results are identical with AQE disabled") {
     for (q <- probes) {
       val base = canon(q)
-      val noAqe = withConf("spark.sql.adaptive.enabled", "false")(canon(q))
+      val noAqe = canon(q, "spark.sql.adaptive.enabled" -> "false")
       assert(noAqe == base, s"$q changes output when AQE is off")
     }
   }
@@ -49,7 +51,7 @@ class ConfigInvarianceSpec extends SparkSpec {
     // moves; the two-phase rank operators must still emit the same rows
     for (q <- probes) {
       val base = canon(q)
-      val p7 = withConf("spark.sql.shuffle.partitions", "7")(canon(q))
+      val p7 = canon(q, "spark.sql.shuffle.partitions" -> "7")
       assert(p7 == base, s"$q changes output at shuffle.partitions=7")
     }
   }
