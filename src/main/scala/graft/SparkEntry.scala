@@ -4027,7 +4027,7 @@ asofOracle,
         |    SUM(CAST(CASE WHEN event_type = 'purchase'
         |          THEN floor(value * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END
         |        AS DECIMAL(28,6))) AS money
-        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY 1),
         |r AS (
         |  SELECT user_id, freq, money,
         |    date_diff('day', CAST(last_ts AS DATE), CAST(MAX(last_ts) OVER () AS DATE)) AS rdays
@@ -4051,7 +4051,7 @@ asofOracle,
         |    SUM(CAST(CASE WHEN event_type = 'purchase'
         |          THEN floor(value * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END
         |        AS DECIMAL(28,6))) AS money
-        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY 1),
         |r AS (
         |  SELECT user_id, freq, money,
         |    date_diff('day', CAST(last_ts AS DATE), CAST(MAX(last_ts) OVER () AS DATE)) AS rdays

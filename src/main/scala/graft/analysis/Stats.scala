@@ -282,13 +282,16 @@ object Stats {
     * and M mean. Columns: user_id, __last, __freq, __money, __rdays. */
   private def rfmPerUser(df: DataFrame, user: Column, ts: Column,
                          value: Column, monetaryFilter: Column): DataFrame = {
-    // null-ts rows are excluded (the kaplanMeier discipline): a user whose
-    // timestamps are all null has no recency and is not segmentable — and
-    // pinning this HERE keeps every downstream formulation agreeing on the
-    // null order instead of diverging per sort direction.
+    // null-ts rows and null user ids are excluded (the kaplanMeier
+    // discipline): a user with no timestamp has no recency, and a null id
+    // is not an identity to segment — pinning BOTH here keeps every
+    // downstream formulation agreeing (a null id would otherwise survive
+    // the groupBy as its own group and then silently drop at the
+    // equi-join back from the rank tables, leaving n_users short with no
+    // error). The oracles carry the same WHERE.
     val base = df.select(user.as("user_id"), ts.as("__ts"), value.as("__v"),
       monetaryFilter.as("__m"))
-      .filter(col("__ts").isNotNull)
+      .filter(col("__ts").isNotNull && col("user_id").isNotNull)
     // recency anchor = one-row agg broadcast back (the topMovers pattern):
     // a partitionBy(lit(1)) max over the per-user frame would funnel an
     // entity-cardinality frame through ONE task at 100M+ users
@@ -342,7 +345,11 @@ object Stats {
     }(org.apache.spark.sql.Encoders.row(localSchema))
     val perSeg = local.groupBy(col("__pid")).agg(max(col("__i")).as("__c"))
     // exclusive prefix offsets WITHOUT a global window: triangular
-    // broadcast self-join on the ≤ #tasks-row segment frame
+    // broadcast self-join on the ≤ #tasks-row segment frame. Cost bound:
+    // P²/2 fixed-width comparisons for P range partitions, collapsed by
+    // map-side partial aggregation before any exchange — ~5·10⁷ at
+    // P = 10⁴ (sub-second, distributed); a job tuned to 10⁵+ range
+    // partitions should coarsen the exchange, not this kernel.
     val segB = perSeg.select(col("__pid").as("__bpid"), col("__c").as("__bc"))
     val offsets = perSeg.join(broadcast(segB), col("__bpid") < col("__pid"), "left")
       .groupBy(col("__pid")).agg(coalesce(sum(col("__bc")), lit(0L)).as("__o"))

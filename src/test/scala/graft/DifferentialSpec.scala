@@ -272,8 +272,11 @@ class DifferentialSpec extends SparkSpec {
       val rnd = new scala.util.Random(8200 + seed)
       val base = 1704067200L // 2024-01-01T00:00Z, seconds
       val rows = Seq.tabulate(1200) { i =>
-        val uid = s"u_${rnd.nextInt(400)}"
-        val ts: java.sql.Timestamp = // ~7% null to exercise the null-ts pin
+        // ~4% null ids and ~7% null ts: both are pinned OUT of the
+        // segmentable population (rfmPerUser filters, oracles carry the
+        // same WHERE) — the brute force below starts from the same filter
+        val uid = if (rnd.nextInt(25) == 0) null else s"u_${rnd.nextInt(400)}"
+        val ts: java.sql.Timestamp =
           if (rnd.nextInt(15) == 0) null
           else new java.sql.Timestamp((base + rnd.nextInt(90) * 86400L + rnd.nextInt(86400)) * 1000L)
         (uid, ts, math.round(rnd.nextDouble() * 500 * 100) / 100.0, rnd.nextBoolean())
@@ -283,7 +286,7 @@ class DifferentialSpec extends SparkSpec {
         .as[(Int, Int, Int, Long, Double)].collect()
         .map(r => (r._1, r._2, r._3) -> ((r._4, r._5))).toMap
       // brute force on the driver (UTC dates, exact micro money)
-      val kept = rows.filter(_._2 != null)
+      val kept = rows.filter(r => r._1 != null && r._2 != null)
       val perUser = kept.groupBy(_._1).map { case (uid, rs) =>
         val last = rs.map(_._2.getTime).max
         val freq = rs.count(_._4)
