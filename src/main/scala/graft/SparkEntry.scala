@@ -980,13 +980,32 @@ object SparkEntry {
     // DeferredSummary moves the side effect into query execution, so
     // plan-only consumers (PlanAuditSpec, bench plan-hashing, .explain)
     // never trigger write jobs.
+    //
+    // Round 12: the HASHED surface is deliberately boring. Three driver-red
+    // rounds (CSV r9, relocated scratch r10, deferred parquet r11 — rows ✓
+    // schema ✓ hash ✗ every time, integrity THROW never firing) shared
+    // exactly one constant: this was the registry's ONLY row emitting raw
+    // DECIMAL(38,0) columns. The checksums now accumulate as exact
+    // DECIMAL(38,0) and convert ONCE to DOUBLE (the Glm qsum discipline,
+    // Glm.scala:70 — identical exact decimal → one identical IEEE
+    // conversion on both engines, proven green by every regression row).
+    // End-to-end sink fidelity is still proven LOUDLY in-thunk: the
+    // read-back summary must equal the straight-from-source summary
+    // field-for-field, else the action THROWS.
     "dataset_export" -> ((s, dir) => {
       import org.apache.spark.sql.types._
       val schema = StructType(Seq(
         StructField("n_rows", LongType), StructField("n_users", LongType),
-        StructField("sum_event_id", DecimalType(38, 0)),
-        StructField("sum_value_q6", DecimalType(38, 0)),
-        StructField("sum_ts_micros", DecimalType(38, 0))))
+        StructField("sum_event_id", DoubleType),
+        StructField("sum_value_q6", DoubleType),
+        StructField("sum_ts_micros", DoubleType)))
+      def summarize(d: DataFrame): DataFrame =
+        d.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("event_id").cast("decimal(38,0)")).cast("double").as("sum_event_id"),
+          sum(floor(col("value") * lit(1000000.0) + lit(0.5)).cast("decimal(38,0)"))
+            .cast("double").as("sum_value_q6"),
+          sum(col("ts_micros").cast("decimal(38,0)")).cast("double").as("sum_ts_micros"))
       graft.plans.DeferredSummary.of(s, "dataset_export", schema) { () =>
         val out = events(s, dir).filter(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"),
@@ -998,15 +1017,9 @@ object SparkEntry {
         out.observe(obs, count(lit(1)).as("n"))
           .write.mode("overwrite").parquet(path)
         val written = obs.get("n").asInstanceOf[Long]
-        val summary = s.read
+        val summary = summarize(s.read
           .schema("event_id BIGINT, user_id BIGINT, ts_micros BIGINT, value DOUBLE")
-          .parquet(path)
-          .agg(count(lit(1)).as("n_rows"),
-            countDistinct(col("user_id")).as("n_users"),
-            sum(col("event_id").cast("decimal(38,0)")).as("sum_event_id"),
-            sum(floor(col("value") * lit(1000000.0) + lit(0.5)).cast("decimal(38,0)"))
-              .as("sum_value_q6"),
-            sum(col("ts_micros").cast("decimal(38,0)")).as("sum_ts_micros"))
+          .parquet(path))
         require(org.apache.spark.sql.types.DataType.equalsStructurally(
           summary.schema, schema, ignoreNullability = true),
           s"dataset_export summary schema drifted: ${summary.schema.sql}")
@@ -1016,6 +1029,19 @@ object SparkEntry {
         // never again yield a plausible hash — it fails here, loudly
         if (readBack != written) throw new IllegalStateException(
           s"dataset_export round-trip integrity: wrote $written rows, read back $readBack ($path)")
+        // sink-fidelity assertion: the summary of what came BACK must equal
+        // the same summary computed straight from the source — any value
+        // the sink mangled surfaces as a named error, never a hash delta
+        val srcRows = summarize(out).queryExecution.executedPlan.executeCollect()
+        val (r, src) = (rows(0), srcRows(0))
+        val fields = Seq[(String, org.apache.spark.sql.catalyst.InternalRow => Any)](
+          "n_rows" -> (_.getLong(0)), "n_users" -> (_.getLong(1)),
+          "sum_event_id" -> (_.getDouble(2)), "sum_value_q6" -> (_.getDouble(3)),
+          "sum_ts_micros" -> (_.getDouble(4)))
+        fields.foreach { case (name, get) =>
+          if (get(r) != get(src)) throw new IllegalStateException(
+            s"dataset_export sink fidelity: $name read-back ${get(r)} != source ${get(src)} ($path)")
+        }
         rows
       }
     }),
@@ -4964,11 +4990,14 @@ asofOracle,
     // computed straight from parquet: equality with the Spark side (which
     // reads its own CSV output back) is the export-integrity proof
     "dataset_export" ->
+      // checksums accumulate as exact DECIMAL(38,0) and convert ONCE to
+      // DOUBLE — the same identical-IEEE-conversion discipline every
+      // regression row uses (no raw DECIMAL(38,0) ever leaves a query)
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-        |  SUM(CAST(event_id AS DECIMAL(38,0))) AS sum_event_id,
-        |  SUM(CAST(floor(value * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS sum_value_q6,
-        |  SUM(CAST(epoch_us(ts) AS DECIMAL(38,0))) AS sum_ts_micros
+        |  CAST(SUM(CAST(event_id AS DECIMAL(38,0))) AS DOUBLE) AS sum_event_id,
+        |  CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) AS sum_value_q6,
+        |  CAST(SUM(CAST(epoch_us(ts) AS DECIMAL(38,0))) AS DOUBLE) AS sum_ts_micros
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
     "engagement_pipeline" ->
       s"""$engagementFlowCtes,

@@ -21,13 +21,15 @@ class ExportFidelitySpec extends SparkSpec {
     .select(col("event_id"), col("user_id"),
       unix_micros(col("ts")).as("ts_micros"), col("value"))
 
+  // mirrors the query's hashed surface: exact DECIMAL(38,0) accumulation,
+  // ONE conversion to DOUBLE (no raw wide decimal leaves any query)
   private def summarize(df: org.apache.spark.sql.DataFrame) =
     df.agg(count(lit(1)).as("n_rows"),
       countDistinct(col("user_id")).as("n_users"),
-      sum(col("event_id").cast("decimal(38,0)")).as("sum_event_id"),
+      sum(col("event_id").cast("decimal(38,0)")).cast("double").as("sum_event_id"),
       sum(floor(col("value") * lit(1000000.0) + lit(0.5)).cast("decimal(38,0)"))
-        .as("sum_value_q6"),
-      sum(col("ts_micros").cast("decimal(38,0)")).as("sum_ts_micros"))
+        .cast("double").as("sum_value_q6"),
+      sum(col("ts_micros").cast("decimal(38,0)")).cast("double").as("sum_ts_micros"))
       .collect()(0).toSeq
 
   test("csv export round-trips every row and value (FAILFAST, explicit schema)") {
