@@ -77,15 +77,26 @@ object Bench {
       // this box's typical warm time instead of an all-time lucky minimum
       // that turns the 2x regression tripwire into noise
       val warmReps = sys.env.get("SPARK_GRAFT_WARM_REPS").map(_.toInt).getOrElse(1)
-      val warmTime = if (warm && cold.isRight) {
+      // A failed warm rep is a real signal even when siblings survive: a
+      // partial failure surfaces as an error note (the median of survivors
+      // is still reported, flagged), never silently shifting the median
+      // toward the fast tail.
+      val (warmTime, warmPartialErr) = if (warm && cold.isRight) {
         val reps = Seq.fill(warmReps)(once())
         val ts = reps.flatMap(_.toOption).sorted
+        val fails = reps.collect { case Left(m) => m }
         // all-reps-failed must stay VISIBLE (a warm-only failure is a real
         // signal), not collapse into the same None as warm-disabled
-        if (ts.isEmpty) reps.headOption
-        else Some(Right(ts(ts.length / 2)): Either[String, Double])
-      } else None
-      (name, cold, warmTime, planHash)
+        val med: Option[Either[String, Double]] =
+          if (ts.isEmpty) reps.headOption
+          else Some(Right(ts(ts.length / 2)))
+        val note =
+          if (fails.nonEmpty && ts.nonEmpty)
+            Some(s"warm ${ts.length}/${reps.length} ok; first failure: ${fails.head}")
+          else None
+        (med, note)
+      } else (None, None)
+      (name, cold, warmTime, warmPartialErr, planHash)
     }
     def r3(v: Double) = math.round(v * 1000) / 1000.0
     def obj(xs: Seq[(String, Double)]) =
@@ -95,20 +106,27 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val ok = results.collect { case (n, Right(t), w, h) => (n, t, w, h) }
-    val errs = results.collect { case (n, Left(m), _, _) => (n, m) }
+    val ok = results.collect { case (n, Right(t), w, _, h) => (n, t, w, h) }
+    val errs = results.collect { case (n, Left(m), _, _, _) => (n, m) }
     val qs = obj(ok.map(r => r._1 -> r._2))
     val total = ok.map(_._2).sum
+    val warmOk = ok.flatMap(r => r._3.flatMap(_.toOption).map(r._1 -> _))
+    val warmTotal = warmOk.map(_._2).sum
+    // warm total rides in BOTH output forms: the warm number is what the
+    // 2x-of-floor bar is judged on, so the per-round snapshot (which keeps
+    // only the truncated stdout line) must stay self-contained
     val warmPart =
-      if (warm) s""","warm_queries":${obj(ok.flatMap(r => r._3.flatMap(_.toOption).map(r._1 -> _)))}"""
+      if (warm) s""","warm_queries":${obj(warmOk)},"warm_total":${r3(warmTotal)},"warm_count":${warmOk.length}"""
       else ""
-    val hashes = results.map(r => s"\"${r._1}\":\"${r._4}\"").mkString("{", ",", "}")
+    val hashes = results.map(r => s"\"${r._1}\":\"${r._5}\"").mkString("{", ",", "}")
     // a query whose COLD run passed but whose warm reps ALL failed is a real
     // signal (state leak, scratch exhaustion): surface it in errors rather
     // than letting it vanish from warm_queries indistinguishably from
-    // warm-disabled
+    // warm-disabled. Partial warm-rep failures surface the same way.
     val warmErrs = ok.flatMap(r => r._3.collect { case Left(m) => (r._1 + " (warm)", m) })
-    val errPart = (errs ++ warmErrs).map { case (n, m) => s"${jstr(n)}:${jstr(m)}" }.mkString("{", ",", "}")
+    val warmPartials = results.collect { case (n, _, _, Some(note), _) => (n + " (warm partial)", note) }
+    val errPart = (errs ++ warmErrs ++ warmPartials)
+      .map { case (n, m) => s"${jstr(n)}:${jstr(m)}" }.mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$warmPart,"plan_hashes":$hashes,"errors":$errPart,"sf":"$sfDir"}"""
     // The driver captures only the tail of stdout; with 120+ per-query
@@ -134,8 +152,14 @@ object Bench {
       if (full.length <= 1800) full
       else {
         val slowest = obj(ok.sortBy(-_._2).take(25).map(r => r._1 -> r._2))
+        // the truncated line is what the per-round snapshot keeps: carry the
+        // warm totals and the slowest warm queries so round history stays
+        // self-contained (the full per-query map lives in $outFile)
+        val warmSummary =
+          if (warm) s""","warm_total":${r3(warmTotal)},"warm_count":${warmOk.length},"warm_slowest":${obj(warmOk.sortBy(-_._2).take(15))}"""
+          else ""
         val fullPtr = if (wrote) s""","full":"$outFile"""" else ""
-        s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"errors":$errPart,"sf":"$sfDir","truncated":true$fullPtr}"""
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest$warmSummary,"errors":$errPart,"sf":"$sfDir","truncated":true$fullPtr}"""
       }
     println(line)
     spark.stop()

@@ -83,8 +83,20 @@ object GraftSession {
     *     identity on the wall clock, so downstream results are unchanged.
     *   - TIMESTAMP(MICROS, isAdjustedToUTC=true) → already TIMESTAMP: as-is.
     */
+  /** Per-JVM schema catalog: parquet schema inference launches a footer-read
+    * Spark JOB per `spark.read.parquet` call, so without a cache every
+    * registry DataFrame CONSTRUCTION pays one job per table it touches
+    * (measured: a 1-6 job baseline across all 246 queries). A production
+    * deployment declares table schemas in a catalog; this map is that
+    * catalog — first access per (dir, table) infers once, every later
+    * construction is job-free. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    val df = spark.read.schema(schema).parquet(path)
     val tsNorm =
       if (!df.schema.fieldNames.contains("ts")) df
       else df.schema("ts").dataType match {

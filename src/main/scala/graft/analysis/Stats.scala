@@ -326,23 +326,35 @@ object Stats {
     * ordering — same tiebreak the window formulation used. The exclusive
     * per-range-partition offsets come from a broadcast triangular
     * self-join over the partition-count-sized segment frame (≤ the task
-    * count, never data-sized). */
+    * count, never data-sized).
+    *
+    * The (partition, local index) pair never leaves whole-stage codegen:
+    * after the range exchange + local sort, `spark_partition_id()` and the
+    * low 33 bits of `monotonically_increasing_id()` ARE exactly that pair
+    * (the id is pid<<33 | row-index by definition — valid to 2^33 ≈ 8.6e9
+    * rows per partition, far past any sane task size). The previous typed
+    * `mapPartitions` hop deserialized the per-user frame to Rows once per
+    * rank axis — three object-codec round trips per rfm run, gone. AQE
+    * coalescing of the range exchange stays correct: merged partitions are
+    * adjacent ranges, the Sort re-sorts the merged run, and partition ids
+    * stay monotone in range order.
+    *
+    * The LONG cast of the sort key is GUARDED: under non-ANSI semantics an
+    * out-of-range value (money beyond ±9.2e12 micro-units) would cast to
+    * NULL, range-sort first, and silently misrank — it now raises instead. */
   private def ntileAssignAll(df: DataFrame, id: Column, sortKey: Column,
                              k: Int, outName: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val ranged = df.select(sortKey.cast("long").as("__k"), id.as("__id"))
+    val castK = sortKey.cast("long")
+    val guardedK = when(sortKey.isNotNull && castK.isNull,
+      raise_error(concat(lit("ntileAssignAll: sort key exceeds LONG range: "),
+        sortKey.cast("string")))).otherwise(castK)
+    val local = df.select(guardedK.as("__k"), id.as("__id"))
       .repartitionByRange(col("__k"), col("__id"))
       .sortWithinPartitions(col("__k"), col("__id"))
-    val idType = ranged.schema("__id").dataType
-    val localSchema = StructType(Seq(
-      StructField("__pid", IntegerType, nullable = false),
-      StructField("__rid", idType),
-      StructField("__i", LongType, nullable = false)))
-    val local = ranged.mapPartitions { iter =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var i = 0L
-      iter.map { r => i += 1; org.apache.spark.sql.Row(pid, r.get(1), i) }
-    }(org.apache.spark.sql.Encoders.row(localSchema))
+      .select(col("__id").as("__rid"),
+        spark_partition_id().as("__pid"),
+        (monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
+          .as("__i"))
     val perSeg = local.groupBy(col("__pid")).agg(max(col("__i")).as("__c"))
     // exclusive prefix offsets WITHOUT a global window: triangular
     // broadcast self-join on the ≤ #tasks-row segment frame. Cost bound:
@@ -373,24 +385,30 @@ object Stats {
     * NEGATED __rdays (desc ≡ asc of the negation, int-exact), frequency
     * on the count, monetary on micro-units (decimal(28,6)·10⁶ — exact to
     * ±9.2·10¹² money units, far past any real engagement feed). The
-    * per-user frame is localCheckpoint-ed once (the kmeans/pagerank
-    * lineage discipline) because the three axes and the final rollup
-    * would otherwise each re-aggregate the corpus — column pruning makes
-    * their subtrees unequal, so AQE exchange reuse cannot collapse them
-    * (the kaplanMeier lesson). The checkpoint is EAGER: the lazy form
-    * leaves the materializing tasks reporting SQL-metric accumulators that
-    * the finished query execution has already unregistered — ERROR-level
-    * DAGScheduler noise on every later action (measured round 11). The id
-    * rides in its natural type end-to-end — any orderable id works, same
-    * contract as the window formulation this replaced (a long cast here
-    * once nulled out non-numeric ids and silently emptied the join-back).
-    * Money stays oracle-identical in the exact-micro range (±9.2·10¹²
-    * units).
+    * per-user frame is `.persist()`-ed (LAZY) because the three axes and
+    * the final rollup would otherwise each re-aggregate the corpus —
+    * column pruning makes their subtrees unequal, so AQE exchange reuse
+    * cannot collapse them (the kaplanMeier lesson). persist, not
+    * localCheckpoint: constructing a plan must never run a corpus job
+    * (round 11's eager checkpoint executed the per-user aggregation for
+    * every plan-only consumer — PlanAuditSpec, bench plan-hashing,
+    * .explain), and the lazy checkpoint's unregistered-accumulator ERROR
+    * spam does not afflict the cache path — the InMemoryRelation
+    * materializes at first action and serves all three pruning-divergent
+    * rank subtrees from one cache. The CacheManager keys the entry by
+    * canonicalized plan, so re-constructions of the same query share it
+    * rather than stacking copies. The id rides in its natural type
+    * end-to-end — any orderable id works, same contract as the window
+    * formulation this replaced (a long cast here once nulled out
+    * non-numeric ids and silently emptied the join-back). Money stays
+    * oracle-identical in the exact-micro range (±9.2·10¹² units).
     */
   def rfmSegmentsDist(df: DataFrame, user: Column, ts: Column, value: Column,
                       monetaryFilter: Column): DataFrame = {
-    val perUser = rfmPerUser(df, user, ts, value, monetaryFilter)
-      .localCheckpoint(true)
+    val perUserRaw = rfmPerUser(df, user, ts, value, monetaryFilter)
+    val perUser =
+      if (org.apache.spark.sql.graft.Bridge.isCached(perUserRaw)) perUserRaw
+      else perUserRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rT = ntileAssignAll(perUser, col("user_id"), -col("__rdays"), 5, "r_tile")
     val fT = ntileAssignAll(perUser, col("user_id"), col("__freq"), 5, "f_tile")
     val mT = ntileAssignAll(perUser, col("user_id"),

@@ -54,10 +54,55 @@ case class DeferredSummaryExec(
   }
 }
 
+/** A driver-deferred FRAME source: like [[DeferredSummaryNode]], but the
+  * thunk returns a whole DataFrame whose rows may be corpus-sized — the
+  * deferral vehicle for kernels that must interleave driver actions with
+  * plan construction (IRLS moment collects, data-dependent pointer-jumping
+  * loops, kmeans/PQ codebook training, eager lineage-truncation
+  * checkpoints). Wrapping them moves every such job from DataFrame
+  * CONSTRUCTION to first action, so a registry of 246 queries can be
+  * constructed, plan-audited, and plan-hashed without scanning a byte.
+  *
+  * Unlike the summary node, output cardinality is UNKNOWN — stats advertise
+  * the session's defaultSizeInBytes so a join against a deferred frame is
+  * never auto-broadcast. The inner plan stays reachable for test-time
+  * audits via [[DeferredFrameNode.frame]] (building it MAY run jobs — that
+  * is the point of the deferral).
+  */
+case class DeferredFrameNode(
+    label: String,
+    override val output: Seq[Attribute],
+    frame: () => DataFrame) extends LeafNode {
+  override def computeStats(): Statistics =
+    Statistics(sizeInBytes = conf.defaultSizeInBytes)
+  override def stringArgs: Iterator[Any] = Iterator(label, output)
+}
+
+case class DeferredFrameExec(
+    label: String,
+    override val output: Seq[Attribute],
+    frame: () => DataFrame) extends LeafExecNode {
+  override def stringArgs: Iterator[Any] = Iterator(label, output)
+  override protected def doExecute(): RDD[InternalRow] = {
+    // Driver-side: building the inner frame may run nested jobs (the
+    // BroadcastExchangeExec pattern); its physical RDD is then consumed
+    // positionally by the parent, so only the column TYPES must agree.
+    val df = frame()
+    val declared = StructType(output.map(a =>
+      org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable)))
+    require(org.apache.spark.sql.types.DataType.equalsStructurally(
+      df.schema, declared, ignoreNullability = true),
+      s"deferred frame '$label' schema drifted: ${df.schema.sql} vs declared ${declared.sql}")
+    df.queryExecution.toRdd
+  }
+}
+
 object DeferredSummaryStrategy extends Strategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case DeferredSummaryNode(label, out, thunk) =>
       DeferredSummaryExec(label, out, thunk) :: Nil
+    case DeferredFrameNode(label, out, thunk) =>
+      DeferredFrameExec(label, out, thunk) :: Nil
     case _ => Nil
   }
 }
@@ -74,5 +119,15 @@ object DeferredSummary {
         (thunk: () => Array[InternalRow]): DataFrame = {
     val attrs = schema.map(f => AttributeReference(f.name, f.dataType, f.nullable)())
     Bridge.ofRows(spark, DeferredSummaryNode(label, attrs, thunk))
+  }
+
+  /** Builds a DataFrame whose rows come from the frame `thunk` at first
+    * action. `ddl` is the static output contract (checked structurally,
+    * nullability ignored, when the thunk runs). */
+  def frame(spark: SparkSession, label: String, ddl: String)
+           (thunk: () => DataFrame): DataFrame = {
+    val schema = StructType.fromDDL(ddl)
+    val attrs = schema.map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+    Bridge.ofRows(spark, DeferredFrameNode(label, attrs, thunk))
   }
 }

@@ -18,4 +18,14 @@ object Bridge {
 
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Whether `df`'s plan already has a CacheManager entry. Lets an
+    * idempotent kernel-level `.persist()` (the rfm per-user frame) skip the
+    * re-registration that logs "Asked to cache already cached data" on
+    * every re-construction of the same query. */
+  def isCached(df: DataFrame): Boolean = {
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    ds.sparkSession.sharedState.cacheManager
+      .lookupCachedData(ds.sparkSession, ds.queryExecution.analyzed).isDefined
+  }
 }

@@ -311,6 +311,52 @@ class DifferentialSpec extends SparkSpec {
     }
   }
 
+  test("pageRank equals an independent driver-side micro-long implementation on random graphs") {
+    // VERDICT r11 #5: pagerank's 100x parity can't come from the DuckDB
+    // oracle (recursive SQL exhausts its spill at sf10) — so the fixpoint
+    // algebra is pinned here against an INDEPENDENT reference: dense
+    // driver-side arrays accumulating the quantized contributions as exact
+    // micro-unit longs (the same contract — r6-quantized contributions,
+    // exact decimal sum, per-iteration re-round — expressed with none of
+    // the distributed machinery: no joins, no decimal type, no shuffle).
+    // Graphs sweep the corner cases the oracle distribution never hits:
+    // dangling sinks, self-loops, parallel edges, disconnected stars.
+    // Scale evidence (sf3/sf10 replicas) lives in the probe harness
+    // (tmp/PageRankDiffProbeR12) recorded in SURVEY §5.
+    for (seed <- 0 until 5; iters <- Seq(1, 3, 5)) {
+      val rnd = new scala.util.Random(seed)
+      val nMax = 60
+      val raw = Seq.fill(110)((rnd.nextInt(nMax).toLong, rnd.nextInt(nMax).toLong)) ++
+        Seq((7L, 7L), (8L, 9L), (8L, 9L)) // self-loop + parallel edge, always
+      val d = if (seed % 2 == 0) 0.85 else 0.75
+      val got = graft.analysis.Graph
+        .pageRank(raw.toDF("s", "t"), col("s"), col("t"), iters, d)
+        .as[(Long, Double)].collect().toMap
+
+      // independent reference: micro-long accumulation on dense arrays
+      val edges = raw.distinct
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
+      val idx = nodes.zipWithIndex.toMap
+      val out = new Array[Long](nodes.length)
+      edges.foreach { case (a, _) => out(idx(a)) += 1 }
+      val n = nodes.length.toDouble
+      val base = (1.0 - d) / n
+      def q(x: Double): Double = math.floor(x * 1.0e6 + 0.5) / 1.0e6
+      var rank = Array.fill(nodes.length)(q(1.0 / n))
+      for (_ <- 0 until iters) {
+        val micro = new Array[Long](nodes.length)
+        edges.foreach { case (a, b) =>
+          val c = q(rank(idx(a)) / out(idx(a)).toDouble)
+          micro(idx(b)) += math.round(c * 1.0e6)
+        }
+        rank = micro.map(m =>
+          q(base + d * (BigDecimal(m) / BigDecimal(1000000)).toDouble))
+      }
+      val expect = nodes.zipWithIndex.map { case (v, i) => v -> rank(i) }.toMap
+      assert(got == expect, s"seed=$seed iters=$iters d=$d")
+    }
+  }
+
   test("BPE train + encode equal an independent merge-algebra implementation on randomized word tables") {
     // Independent reference, structurally unlike graft.text.Bpe:
     //  * trainer: immutable List symbols, pair stats via groupBy-fold, best

@@ -59,6 +59,42 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("sf10 replica regime: capacity-1024 saturation with tied counts is a tested bound") {
+    // SF10_PARITY_R11 recorded topk_values_sketch diverging from the exact
+    // oracle past saturation: the key-shifted replica TIES token counts, so
+    // rank order reorders while every reported count stays a lower bound
+    // within n/(capacity+1). This pins that regime at the QUERY's own
+    // capacity (1024): vocabulary 3x capacity, counts tied in blocks (the
+    // replica shape), asserting (a) lower-bound, (b) the undercount bound,
+    // (c) coverage of every value hotter than the bound, (d) the
+    // deterministic (cnt desc, value asc) output order under ties.
+    val cap = 1024
+    val distinct = 3 * cap
+    // block-tied zipf-ish counts: value v_i has count 40 - (i mod 8)*2 (ties
+    // in blocks of 384), plus 16 hot values at 4000 each
+    val rows = (0 until distinct).flatMap { i =>
+      val c = if (i < 16) 4000 else 40 - (i % 8) * 2
+      Seq.fill(c)(f"v$i%04d")
+    }
+    val n = rows.length.toLong
+    val df = rows.toDF("value").repartition(32)
+    val truth = trueCounts(df)
+    val got = sketch(df, cap, k = 64)
+    val bound = n / (cap + 1)
+    got.foreach { case (v, est) =>
+      val t = truth(v)
+      assert(est <= t, s"$v: estimate $est must lower-bound true $t")
+      assert(t - est <= bound, s"$v: undercount ${t - est} exceeds n/(cap+1)=$bound")
+    }
+    val gotMap = got.toMap
+    truth.filter(_._2 > bound).keys.foreach { v =>
+      assert(gotMap.contains(v), s"hot value $v (true ${truth(v)} > $bound) missing")
+    }
+    // deterministic tie order: (estimated cnt desc, value asc)
+    assert(got == got.sortBy { case (v, c) => (-c, v) },
+      "output must be ordered (cnt desc, value asc) even under tied estimates")
+  }
+
   test("grouped sketch matches per-group exact counts in the exact regime") {
     val df = (1 to 3000).map { i =>
       (s"g${i % 3}", s"tok${i % (7 + i % 3)}")

@@ -12,8 +12,22 @@ class PlanAuditSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  /** Unwraps deferred-frame leaves so the audits see the REAL plan: a
+    * registry entry whose kernel interleaves driver actions with plan
+    * construction is bound behind [[graft.plans.DeferredFrameNode]]
+    * (construction stays job-free); here, in the audit, building the inner
+    * frame (and paying its jobs) is exactly the point. */
+  private def innerFrame(df: DataFrame): DataFrame =
+    df.queryExecution.analyzed match {
+      case n: graft.plans.DeferredFrameNode => innerFrame(n.frame())
+      case _ => df
+    }
+
+  private def auditFrame(name: String): DataFrame =
+    innerFrame(SparkEntry.queries(name)(spark, sfDir))
+
   private def plan(name: String): String =
-    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+    auditFrame(name).queryExecution.executedPlan.toString
 
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
@@ -542,7 +556,7 @@ class PlanAuditSpec extends SparkSpec {
     val allowed = Set("benford_digits", "bm25_topk", "chi2_independence",
       "mutual_information", "kaplan_meier", "ks_drift")
     val found = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
-      val sp = SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan
+      val sp = auditFrame(name).queryExecution.sparkPlan
       sp.collectFirst {
         case w: WindowExec if w.partitionSpec.isEmpty => w
         case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w
@@ -550,6 +564,74 @@ class PlanAuditSpec extends SparkSpec {
     }.toSet
     assert(found == allowed,
       s"global-window whitelist drift: unexpected=${(found -- allowed).toSeq.sorted} stale=${(allowed -- found).toSeq.sorted}")
+  }
+
+  test("constructing ANY registry DataFrame runs zero Spark jobs") {
+    // The 100 TB posture: a plan audit, bench plan-hash, or .explain must
+    // never scan a byte. Kernels that interleave driver actions with plan
+    // construction are bound behind deferred leaves (SparkEntry.
+    // deferredContracts); table schemas come from the per-JVM catalog
+    // (GraftSession.schemaCache) after a one-time footer inference. This
+    // generalizes ExportFidelitySpec's single-query listener assertion to
+    // the FULL registry so the construction-time-job class cannot recur.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val sc = spark.sparkContext
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val grp = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).getOrElse("")
+        if (grp.startsWith("audit_")) { jobs.add(grp); () }
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      // one-time schema discovery is allowed to run jobs; warm it first
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings")
+        .foreach(t => GraftSession.table(spark, sfDir, t))
+      // job groups are thread-local: tagging this thread isolates the
+      // assertion from concurrently-running suites on the shared session
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        sc.setJobGroup(s"audit_construct_$name", name)
+        try {
+          val df = fn(spark, sfDir)
+          // plan-only inspection must stay inert too (the bench
+          // plan-hash / .explain access pattern)
+          df.queryExecution.optimizedPlan.toString
+          df.queryExecution.sparkPlan.toString
+          ()
+        } finally sc.clearJobGroup()
+      }
+      // marker job: listener events are async — anything construction-time
+      // was enqueued before this
+      sc.setJobGroup("audit_marker", "marker")
+      try { spark.range(1).count(); () } finally sc.clearJobGroup()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      import scala.jdk.CollectionConverters._
+      while (!jobs.asScala.exists(_ == "audit_marker") &&
+             System.nanoTime() < deadline) Thread.sleep(20)
+      assert(jobs.asScala.exists(_ == "audit_marker"), "marker job never observed")
+      val offenders = jobs.asScala.toSeq.filter(_ != "audit_marker").distinct.sorted
+      assert(offenders.isEmpty,
+        s"queries running Spark jobs at DataFrame construction: $offenders")
+    } finally sc.removeSparkListener(listener)
+  }
+
+  test("rfm plans stay in codegen: no typed hop, no construction-time checkpoint") {
+    // VERDICT r11 #3: the (partition, local index) pair comes from
+    // spark_partition_id + monotonically_increasing_id now — the typed
+    // mapPartitions hop (one object-codec round trip per rank axis) is
+    // gone, so neither rfm plan may deserialize to objects. The eager
+    // localCheckpoint is gone too: the per-user frame is a lazy
+    // InMemoryRelation serving all three rank subtrees.
+    for (q <- Seq("rfm_segments", "rfm_segments_dist")) {
+      val p = plan(q)
+      assert(!p.contains("DeserializeToObject") && !p.contains("MapPartitions"),
+        s"$q left whole-stage codegen:\n$p")
+      assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+        s"$q must serve the per-user frame from the shared cache:\n$p")
+    }
   }
 
   test("pushdown rewrite preserves filter semantics on events") {

@@ -114,6 +114,28 @@ class ThetaSketchSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sf10 replica regime: sketch_distinct_users saturation error is a tested bound") {
+    // SF10_PARITY_R11 recorded sketch_distinct_users diverging from the
+    // exact oracle past saturation (~150k distinct users/type vs 65536
+    // nominal entries, observed +0.56%). This pins that divergence as a
+    // CONTRACT, not a narrative: at the replica's regime the relative
+    // error must sit inside 3x the published theta RSE (1/sqrt(k-1) per
+    // the DataSketches bound — ~1.17% at k = 65536, 3x => 99.7% band; the
+    // estimate is hash-deterministic, so this asserts the actual sf10-
+    // regime behavior, not a flaky sample).
+    import graft.functions.ThetaSketchAgg.{thetaSketch, thetaEstimate}
+    val n = 150000L
+    val k = 65536
+    val est = spark.range(n).repartition(32)
+      .agg(thetaSketch(col("id"), k).as("sk"))
+      .select(thetaEstimate(col("sk"))).head().getDouble(0)
+    val relErr = math.abs(est - n) / n.toDouble
+    val bound = 3.0 / math.sqrt(k - 1.0)
+    assert(relErr <= bound, f"saturated estimate $est%.0f vs $n: relErr=$relErr%.4f > 3*RSE=$bound%.4f")
+    // and it IS past saturation (the exact regime would be bit-equal):
+    assert(est != n.toDouble, "regime check: 150k distinct at k=65536 must be estimating")
+  }
+
   test("estimation regime: single-sketch and intersection error stay bounded") {
     val n = 200000
     // two overlapping key ranges: A = [0, n), B = [n/2, 3n/2)
