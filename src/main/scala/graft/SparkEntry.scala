@@ -2039,8 +2039,6 @@ object SparkEntry {
     */
   private val deferredContracts: Map[String, String] = Map(
     "pagerank" -> "node BIGINT, rank DOUBLE",
-    "clustering_coeff" -> "node BIGINT, deg BIGINT, n_tri BIGINT, coeff DOUBLE",
-    "triangle_count" -> "n_nodes BIGINT, n_edges BIGINT, n_triangles BIGINT",
     "dedup_components" -> "doc_id BIGINT, component BIGINT",
     "dedup_keep_best" -> "component BIGINT, keeper_id BIGINT, n_members BIGINT",
     "linkage_entities" -> "entity_id BIGINT, n_members BIGINT, min_doc BIGINT, max_doc BIGINT",

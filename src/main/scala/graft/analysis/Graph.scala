@@ -169,28 +169,36 @@ object Graph {
   }
 
   /** Shared core: canonical undirected edges, node degrees, and the closed
-    * triangles (wa, wb, wc) found by degree-ordered wedge generation. */
+    * triangles (wa, wb, wc) found by degree-ordered wedge generation.
+    *
+    * The two multiply-consumed frames — canonical edges (degrees, the
+    * degree joins, the edge count) and oriented edges (both wedge sides +
+    * the closing join) — are bound by `Bridge.shareLazily` (round 12):
+    * a LAZY persist replaces the former eager localCheckpoints, so
+    * CONSTRUCTING a triangle query runs zero jobs (these kernels are not
+    * iterative — nothing needs lineage truncation, only sharing), both
+    * queries left the deferred-leaf set, and each consumer is served from
+    * one InMemoryRelation materialized at first action. */
   private def closedTriangles(edgesIn: DataFrame, src: Column, dst: Column)
       : (DataFrame, DataFrame, DataFrame) = {
-    val und = edgesIn.select(src.as("a"), dst.as("b"))
-      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
-      .distinct()
-      .localCheckpoint()
+    val und = org.apache.spark.sql.graft.Bridge.shareLazily(
+      edgesIn.select(src.as("a"), dst.as("b"))
+        .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+        .distinct())
     val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     // attach endpoint degrees, orient low (deg, id) -> high (deg, id)
     val withDeg = und
       .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
       .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
-    val oriented = withDeg.select(
+    val oriented = org.apache.spark.sql.graft.Bridge.shareLazily(withDeg.select(
       when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("a"))
         .otherwise(col("b")).as("src"),
       when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("b"))
         .otherwise(col("a")).as("dst"),
       when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("db"))
-        .otherwise(col("da")).as("ddst"))
-      .localCheckpoint()
+        .otherwise(col("da")).as("ddst")))
     // wedges at the lowest vertex: pair the two higher endpoints in the
     // SAME (deg, id) order, so the closing edge is oriented b -> c
     val wedges = oriented.as("e1").join(oriented.as("e2"),

@@ -280,7 +280,7 @@ object Stats {
     * default-named query ([[rfmSegments]]) and the plan-shape witness
     * ([[rfmSegmentsDist]]), so the two can never disagree on what R, F
     * and M mean. Columns: user_id, __last, __freq, __money, __rdays. */
-  private def rfmPerUser(df: DataFrame, user: Column, ts: Column,
+  private[graft] def rfmPerUser(df: DataFrame, user: Column, ts: Column,
                          value: Column, monetaryFilter: Column): DataFrame = {
     // null-ts rows and null user ids are excluded (the kaplanMeier
     // discipline): a user with no timestamp has no recency, and a null id
@@ -316,105 +316,112 @@ object Stats {
                   monetaryFilter: Column): DataFrame =
     rfmSegmentsDist(df, user, ts, value, monetaryFilter)
 
-  /** Corpus-wide NTILE(k) ASSIGNMENT with no single-partition sort and no
-    * unpartitioned window AT ALL — the distributed-rank kernel
-    * [[rfmSegmentsDist]] runs three times (the single-axis sibling of
-    * [[valueNtilesDist]]'s grouped form). Sort key is an exact LONG (no FP
-    * ordering ambiguity); the id rides through UNCAST in its natural type
-    * (a string user id must not become a null long that silently empties
-    * every join-back), so ties on equal sort keys break on the id's own
-    * ordering — same tiebreak the window formulation used. The exclusive
-    * per-range-partition offsets come from a broadcast triangular
-    * self-join over the partition-count-sized segment frame (≤ the task
-    * count, never data-sized).
+  /** The RFM kernel ([[rfmSegments]] delegates here; the `_dist` query key
+    * stays bound as the plan-shape witness). ONE melted pass (round 12):
+    * the three quintile axes are MELTED into a single (axis, key, user)
+    * frame — 3 rows per user — and ranked by ONE range exchange +
+    * partition-local indices, the grouped two-phase rank
+    * [[valueNtilesDist]] uses with axis as the group. Round 11's three
+    * independent rank subtrees each re-executed their slice from their own
+    * broadcast-subquery branches (nine of them — 51 jobs and seconds of
+    * fixed overhead for a frame that is TINY next to the corpus), which is
+    * why the per-user frame had to be bound to a materialization vehicle
+    * at all. Melting removes that class: the corpus is aggregated once,
+    * the per-user frame is consumed once, and the monetary value rides
+    * through the melt on the m-axis row, so there is no join-back against
+    * the per-user frame. The one remaining shared subtree — the RANKED
+    * frame, consumed by the segment-stats branch and the rank join — is
+    * bound to a lazy cache (see the inline note), leaving a single
+    * broadcast future per run. Construction is job-free.
     *
-    * The (partition, local index) pair never leaves whole-stage codegen:
-    * after the range exchange + local sort, `spark_partition_id()` and the
-    * low 33 bits of `monotonically_increasing_id()` ARE exactly that pair
-    * (the id is pid<<33 | row-index by definition — valid to 2^33 ≈ 8.6e9
-    * rows per partition, far past any sane task size). The previous typed
-    * `mapPartitions` hop deserialized the per-user frame to Rows once per
-    * rank axis — three object-codec round trips per rfm run, gone. AQE
-    * coalescing of the range exchange stays correct: merged partitions are
-    * adjacent ranges, the Sort re-sorts the merged run, and partition ids
-    * stay monotone in range order.
+    * Rank mechanics (all inside whole-stage codegen): sort keys are exact
+    * LONGs — recency on NEGATED __rdays (desc ≡ asc of the negation,
+    * int-exact), frequency on the count, monetary on micro-units
+    * (decimal(28,6)·10⁶, exact to ±9.2·10¹² money units) with the cast
+    * GUARDED (an out-of-range value raises instead of casting to NULL and
+    * silently misranking). Ties on equal keys break on the id's own
+    * ordering in its natural type — any orderable id works, same contract
+    * as the window formulation this replaced. After the range exchange +
+    * local sort, `spark_partition_id()` and `monotonically_increasing_id()`
+    * give (segment, within-task position); the per-(partition, axis)
+    * local index is the id minus the segment's min id — three columns of
+    * codegen arithmetic, no typed hop. Global offsets and axis totals come
+    * from ONE window pass over the ≤ 3P-row (partition × axis) segment
+    * frame, partitioned BY AXIS (never a global window; P = range-task
+    * count, so the frame is task-bounded, the ks_drift discipline) and
+    * broadcast back. AQE coalescing of the range exchange stays correct:
+    * merged partitions are adjacent ranges, the Sort re-sorts the merged
+    * run, partition ids stay monotone in range order, and the min-id
+    * subtraction is oblivious to where segment boundaries fell.
     *
-    * The LONG cast of the sort key is GUARDED: under non-ANSI semantics an
-    * out-of-range value (money beyond ±9.2e12 micro-units) would cast to
-    * NULL, range-sort first, and silently misrank — it now raises instead. */
-  private def ntileAssignAll(df: DataFrame, id: Column, sortKey: Column,
-                             k: Int, outName: String): DataFrame = {
-    val castK = sortKey.cast("long")
-    val guardedK = when(sortKey.isNotNull && castK.isNull,
-      raise_error(concat(lit("ntileAssignAll: sort key exceeds LONG range: "),
-        sortKey.cast("string")))).otherwise(castK)
-    val local = df.select(guardedK.as("__k"), id.as("__id"))
-      .repartitionByRange(col("__k"), col("__id"))
-      .sortWithinPartitions(col("__k"), col("__id"))
-      .select(col("__id").as("__rid"),
+    * Scale shape: one corpus pass (map-side combinable per-user agg), one
+    * 3·U-row range shuffle (U = user cardinality), one U-row pivot
+    * shuffle, one segment-cell rollup — every stage distributed, nothing
+    * user-cardinality through one task, no state beyond the shuffles.
+    */
+  def rfmSegmentsDist(df: DataFrame, user: Column, ts: Column, value: Column,
+                      monetaryFilter: Column): DataFrame =
+    rfmFromPerUser(rfmPerUser(df, user, ts, value, monetaryFilter))
+
+  /** The melted single-pass rank + pivot over the per-user R/F/M frame
+    * (split out so specs can drive the kernel with a synthetic frame). */
+  private[graft] def rfmFromPerUser(perUser: DataFrame, k: Int = 5): DataFrame = {
+    def guardLong(c: Column, what: String): Column = {
+      val castK = c.cast("long")
+      when(c.isNotNull && castK.isNull,
+        raise_error(concat(lit(s"rfm: $what exceeds LONG range: "),
+          c.cast("string")))).otherwise(castK)
+    }
+    // melt: axis 0 = recency, 1 = frequency, 2 = monetary; money rides on
+    // the m-axis row only (null elsewhere — max() recovers it at the pivot)
+    val melted = perUser.select(col("user_id"), inline(array(
+      struct(lit(0).as("__ax"), guardLong(-col("__rdays"), "recency key").as("__k"),
+        lit(null).cast("decimal(28,6)").as("__mny")),
+      struct(lit(1).as("__ax"), guardLong(col("__freq"), "frequency key").as("__k"),
+        lit(null).cast("decimal(28,6)").as("__mny")),
+      struct(lit(2).as("__ax"),
+        guardLong(col("__money") * lit(1000000), "monetary key").as("__k"),
+        col("__money").as("__mny")))))
+    val rangedRaw = melted
+      .repartitionByRange(col("__ax"), col("__k"), col("user_id"))
+      .sortWithinPartitions(col("__ax"), col("__k"), col("user_id"))
+      .select(col("user_id"), col("__ax"), col("__mny"),
         spark_partition_id().as("__pid"),
-        (monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
-          .as("__i"))
-    val perSeg = local.groupBy(col("__pid")).agg(max(col("__i")).as("__c"))
-    // exclusive prefix offsets WITHOUT a global window: triangular
-    // broadcast self-join on the ≤ #tasks-row segment frame. Cost bound:
-    // P²/2 fixed-width comparisons for P range partitions, collapsed by
-    // map-side partial aggregation before any exchange — ~5·10⁷ at
-    // P = 10⁴ (sub-second, distributed); a job tuned to 10⁵+ range
-    // partitions should coarsen the exchange, not this kernel.
-    val segB = perSeg.select(col("__pid").as("__bpid"), col("__c").as("__bc"))
-    val offsets = perSeg.join(broadcast(segB), col("__bpid") < col("__pid"), "left")
-      .groupBy(col("__pid")).agg(coalesce(sum(col("__bc")), lit(0L)).as("__o"))
-    val totals = perSeg.agg(sum(col("__c")).as("__n"))
+        monotonically_increasing_id().as("__mid"))
+    // The ranked frame has TWO consumers (segment stats, rank join) whose
+    // column-pruned subtrees are canonically unequal, so AQE stage reuse
+    // cannot serve both from one shuffle — left alone, the whole chain
+    // below (corpus scan included) would execute twice (the kaplanMeier
+    // lesson). A LAZY persist closes that: cache replacement happens at
+    // analysis, BEFORE pruning can diverge the copies, so one
+    // InMemoryRelation (materialized at first action — construction stays
+    // job-free) serves both. The cache lookup keeps re-constructions of
+    // the same query from stacking duplicate entries.
+    val ranged = org.apache.spark.sql.graft.Bridge.shareLazily(rangedRaw)
+    val seg = ranged.groupBy(col("__pid"), col("__ax"))
+      .agg(min(col("__mid")).as("__lo"), count(lit(1)).as("__c"))
+    val wOff = Window.partitionBy(col("__ax")).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(col("__ax"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val segInfo = seg.select(col("__pid"), col("__ax"), col("__lo"),
+      coalesce(sum(col("__c")).over(wOff), lit(0L)).as("__o"),
+      sum(col("__c")).over(wTot).as("__n"))
     def d(c: Column) = c.cast("double")
-    val r = d(col("__o") + col("__i"))
+    val r = d(col("__o") + (col("__mid") - col("__lo") + lit(1L)))
     val base = floor(d(col("__n")) / lit(k.toDouble))
     val rem = d(col("__n")) - base * lit(k.toDouble)
     val cut = (base + lit(1.0)) * rem
     val tile = when(r <= cut, floor((r - lit(1.0)) / (base + lit(1.0))) + lit(1.0))
       .otherwise(rem + floor((r - cut - lit(1.0)) / base) + lit(1.0))
-    local.join(broadcast(offsets), Seq("__pid"))
-      .crossJoin(broadcast(totals))
-      .select(col("__rid").as("__id"), tile.cast("int").as(outName))
-  }
-
-  /** The RFM kernel ([[rfmSegments]] delegates here; the `_dist` query key
-    * stays bound as the plan-shape witness). Each quintile axis is a
-    * distributed two-phase rank
-    * ([[ntileAssignAll]]) over an exact LONG key: recency ranks on
-    * NEGATED __rdays (desc ≡ asc of the negation, int-exact), frequency
-    * on the count, monetary on micro-units (decimal(28,6)·10⁶ — exact to
-    * ±9.2·10¹² money units, far past any real engagement feed). The
-    * per-user frame is `.persist()`-ed (LAZY) because the three axes and
-    * the final rollup would otherwise each re-aggregate the corpus —
-    * column pruning makes their subtrees unequal, so AQE exchange reuse
-    * cannot collapse them (the kaplanMeier lesson). persist, not
-    * localCheckpoint: constructing a plan must never run a corpus job
-    * (round 11's eager checkpoint executed the per-user aggregation for
-    * every plan-only consumer — PlanAuditSpec, bench plan-hashing,
-    * .explain), and the lazy checkpoint's unregistered-accumulator ERROR
-    * spam does not afflict the cache path — the InMemoryRelation
-    * materializes at first action and serves all three pruning-divergent
-    * rank subtrees from one cache. The CacheManager keys the entry by
-    * canonicalized plan, so re-constructions of the same query share it
-    * rather than stacking copies. The id rides in its natural type
-    * end-to-end — any orderable id works, same contract as the window
-    * formulation this replaced (a long cast here once nulled out
-    * non-numeric ids and silently emptied the join-back). Money stays
-    * oracle-identical in the exact-micro range (±9.2·10¹² units).
-    */
-  def rfmSegmentsDist(df: DataFrame, user: Column, ts: Column, value: Column,
-                      monetaryFilter: Column): DataFrame = {
-    val perUserRaw = rfmPerUser(df, user, ts, value, monetaryFilter)
-    val perUser =
-      if (org.apache.spark.sql.graft.Bridge.isCached(perUserRaw)) perUserRaw
-      else perUserRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rT = ntileAssignAll(perUser, col("user_id"), -col("__rdays"), 5, "r_tile")
-    val fT = ntileAssignAll(perUser, col("user_id"), col("__freq"), 5, "f_tile")
-    val mT = ntileAssignAll(perUser, col("user_id"),
-      (col("__money") * lit(1000000)).cast("long"), 5, "m_tile")
-    perUser.select(col("user_id").as("__id"), col("__money"))
-      .join(rT, Seq("__id")).join(fT, Seq("__id")).join(mT, Seq("__id"))
+    ranged.join(broadcast(segInfo), Seq("__pid", "__ax"))
+      .select(col("user_id"), col("__ax"), col("__mny"),
+        tile.cast("int").as("__tile"))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("__ax") === 0, col("__tile"))).as("r_tile"),
+        max(when(col("__ax") === 1, col("__tile"))).as("f_tile"),
+        max(when(col("__ax") === 2, col("__tile"))).as("m_tile"),
+        max(col("__mny")).as("__money"))
       .groupBy(col("r_tile"), col("f_tile"), col("m_tile"))
       .agg(
         count(lit(1)).as("n_users"),

@@ -28,4 +28,19 @@ object Bridge {
     ds.sparkSession.sharedState.cacheManager
       .lookupCachedData(ds.sparkSession, ds.queryExecution.analyzed).isDefined
   }
+
+  /** Bind a multiply-consumed subtree to ONE materialization without
+    * running a job at construction: a LAZY persist, registered in the
+    * CacheManager immediately so cache replacement (which happens at
+    * analysis, BEFORE column pruning can make the consumer copies
+    * canonically unequal and defeat exchange reuse) serves every consumer
+    * from the same InMemoryRelation, materialized at first action. The
+    * lookup keeps re-constructions of the same query idempotent. This is
+    * the kernel-sharing vehicle for NON-iterative multi-consumer frames
+    * (rfm's ranked frame, the triangle core); genuinely iterative kernels
+    * (pagerank, pointer-jumping components, IRLS) still checkpoint inside
+    * a deferred leaf, because their lineage must be TRUNCATED, not shared. */
+  def shareLazily(df: DataFrame): DataFrame =
+    if (isCached(df)) df
+    else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 }

@@ -618,19 +618,47 @@ class PlanAuditSpec extends SparkSpec {
     } finally sc.removeSparkListener(listener)
   }
 
-  test("rfm plans stay in codegen: no typed hop, no construction-time checkpoint") {
-    // VERDICT r11 #3: the (partition, local index) pair comes from
-    // spark_partition_id + monotonically_increasing_id now — the typed
-    // mapPartitions hop (one object-codec round trip per rank axis) is
-    // gone, so neither rfm plan may deserialize to objects. The eager
-    // localCheckpoint is gone too: the per-user frame is a lazy
-    // InMemoryRelation serving all three rank subtrees.
+  test("rfm plans: one melted rank pass, codegen throughout, ranked frame cached once") {
+    // Round 12: the three quintile axes are MELTED into one (axis, key,
+    // user) frame and ranked by a SINGLE range exchange (Stats.
+    // rfmFromPerUser). The plan never leaves whole-stage codegen (no typed
+    // hop), and the RANKED frame — the only multiply-consumed subtree — is
+    // served to both its consumers (segment stats, rank join) by one lazy
+    // InMemoryRelation: cache replacement happens at analysis, before
+    // column pruning can make the copies canonically unequal and force the
+    // corpus chain to execute twice. So the OUTER plan must contain NO
+    // range repartition at all (ranking lives inside the cached plan,
+    // exactly once) and both rfm rows must share the cache shape. The
+    // offsets window is partitioned BY AXIS over the ≤ 3P-row segment
+    // frame — never a global window.
     for (q <- Seq("rfm_segments", "rfm_segments_dist")) {
-      val p = plan(q)
+      val df = auditFrame(q)
+      val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("DeserializeToObject") && !p.contains("MapPartitions"),
         s"$q left whole-stage codegen:\n$p")
       assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
-        s"$q must serve the per-user frame from the shared cache:\n$p")
+        s"$q must serve the ranked frame from the shared cache:\n$p")
+      val outerRanges = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => r
+      }
+      assert(outerRanges.isEmpty,
+        s"$q: all ranking must flow through the cached ranked frame, found " +
+          s"${outerRanges.length} range repartitions outside it:\n$p")
+      val cached = df.queryExecution.optimizedPlan.collect {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+      }
+      assert(cached.nonEmpty, s"$q: no InMemoryRelation in optimized plan:\n$p")
+      // the cached plan prints BOTH "Final Plan" and "Initial Plan"
+      // sections once AQE materialized it (e.g. a parallel suite ran the
+      // query first) — count the exchange in ONE section only
+      val inner = cached.head.cachedPlan.toString
+      val fin = inner.indexOf("== Final Plan ==")
+      val ini = inner.indexOf("== Initial Plan ==")
+      val section =
+        if (fin >= 0 && ini > fin) inner.substring(fin, ini)
+        else inner
+      assert(count(section.toLowerCase, "rangepartitioning") == 1,
+        s"$q: cached ranked frame must hold exactly ONE range exchange:\n$inner")
     }
   }
 
