@@ -1047,6 +1047,25 @@ object SparkEntry {
         rows
       }
     }),
+    // harness witness (SURVEY §2): a CONSTANT row bound through the
+    // deferred-summary leaf and driven through the full driver gate
+    // (Verify parquet dump -> DuckDB oracle -> value hash). Isolates the
+    // leaf's row plumbing from every kernel semantics: if a deferred query
+    // ever goes hash-red while this row is green, the vehicle is exonerated
+    // and the kernel is the suspect (the r11 dataset_export triage, made a
+    // permanent instrument).
+    "deferred_leaf_witness" -> ((s, _) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("k", LongType), StructField("label", StringType),
+        StructField("ratio", DoubleType)))
+      graft.plans.DeferredSummary.of(s, "deferred_leaf_witness", schema) { () =>
+        s.range(1)
+          .select(lit(42L).as("k"), lit("deferred").as("label"),
+            (lit(1.0) / lit(3.0)).as("ratio"))
+          .queryExecution.executedPlan.executeCollect()
+      }
+    }),
     // the composed end-to-end analysis run (engagement_db_to_analysis.py:56-130):
     // every stage above, chained in the reference's order, with per-stage
     // (stage x dataset) accounting — order-sensitive where unit parity isn't
@@ -5047,6 +5066,10 @@ asofOracle,
         |  CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) AS sum_value_q6,
         |  CAST(SUM(CAST(epoch_us(ts) AS DECIMAL(38,0))) AS DOUBLE) AS sum_ts_micros
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
+    // constant-row witness for the deferred-summary leaf (see the query's
+    // comment): any engine computes the same three literals
+    "deferred_leaf_witness" ->
+      "SELECT CAST(42 AS BIGINT) AS k, 'deferred' AS label, CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE) AS ratio",
     "engagement_pipeline" ->
       s"""$engagementFlowCtes,
          |stages AS (
