@@ -120,7 +120,8 @@ class ThetaSketchSpec extends SparkSpec {
     // nominal entries, observed +0.56%). This pins that divergence as a
     // CONTRACT, not a narrative: at the replica's regime the relative
     // error must sit inside 3x the published theta RSE (1/sqrt(k-1) per
-    // the DataSketches bound — ~1.17% at k = 65536, 3x => 99.7% band; the
+    // the DataSketches bound — RSE ~0.39% at k = 65536, 3x ~1.17%, the
+    // 99.7% band; the
     // estimate is hash-deterministic, so this asserts the actual sf10-
     // regime behavior, not a flaky sample).
     import graft.functions.ThetaSketchAgg.{thetaSketch, thetaEstimate}

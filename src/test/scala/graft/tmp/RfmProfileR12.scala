@@ -85,7 +85,7 @@ object RfmProfileR12 {
         col("event_type") === "purchase")
       .localCheckpoint(true)
     for (i <- 1 to 3)
-      time(s"r11-style kernel over localCheckpoint rep$i") {
+      time(s"melted kernel over an eager localCheckpoint rep$i") {
         graft.analysis.Stats.rfmFromPerUser(lcPerUser).count()
       }
 
