@@ -118,6 +118,26 @@ class StatsSpec extends SparkSpec {
     })
   }
 
+  test("rfmSegments: degenerate inputs (empty corpus, single user)") {
+    // the melted kernel's boundary algebra (per-partition min-id offsets,
+    // axis-grouped totals) must be exact when most range partitions are
+    // EMPTY and when n < k — not just on comfortable row counts
+    val empty = Seq.empty[(Long, java.sql.Timestamp, Double, String)]
+      .toDF("user_id", "ts", "value", "event_type")
+    assert(graft.analysis.Stats.rfmSegments(empty, col("user_id"), col("ts"),
+      col("value"), col("event_type") === "purchase").collect().isEmpty)
+
+    val one = Seq((7L, java.sql.Timestamp.valueOf("2024-01-10 00:00:00"),
+      12.5, "purchase")).toDF("user_id", "ts", "value", "event_type")
+    val row = graft.analysis.Stats.rfmSegments(one, col("user_id"), col("ts"),
+      col("value"), col("event_type") === "purchase").collect()
+    assert(row.length === 1)
+    // a lone user is rank 1 of n=1 on every axis -> tile 1 everywhere
+    assert((0 to 2).forall(i => row(0).getInt(i) === 1))
+    assert(row(0).getLong(3) === 1L)
+    assert(row(0).getDouble(4) === 12.5)
+  }
+
   test("scd2: collapses consecutive duplicates, intervals chain, one current per entity") {
     val df = Seq(
       (1L, "2024-01-01 00:00:00", "a", 1L),
