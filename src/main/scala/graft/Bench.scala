@@ -48,7 +48,23 @@ object Bench {
           // expression ids (#123) and typed-closure identities
           // (Lambda$NNN/0xADDR@HASH) vary per run, so those are normalized
           // away before hashing.
-          val s = fn(spark, sfDir).queryExecution.optimizedPlan.toString
+          // Deferred-frame kernels must be UNWRAPPED for the fingerprint:
+          // hashing the leaf alone would make the heaviest queries' hashes
+          // invariant to any kernel change, silently blinding the
+          // slower-than-floor-with-changed-plan regression tripwire.
+          // Building the inner frame pays the kernel's driver-side jobs
+          // once per bench run, OUTSIDE the timed region — the cost the
+          // registry deferral exists to keep out of plan-only consumers,
+          // spent deliberately here because the bench runs the kernels
+          // anyway. (DeferredSummaryNode — the side-effecting export sink
+          // and the constant witness — stays wrapped: its thunk IS the
+          // side effect.)
+          def unwrap(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+            df.queryExecution.analyzed match {
+              case n: graft.plans.DeferredFrameNode => unwrap(n.frame())
+              case _ => df
+            }
+          val s = unwrap(fn(spark, sfDir)).queryExecution.optimizedPlan.toString
           val stable = s
             .replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+@[0-9a-fA-F]+", "Lambda")
             .replaceAll("#\\d+", "#x")

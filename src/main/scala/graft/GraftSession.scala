@@ -89,13 +89,26 @@ object GraftSession {
     * (measured: a 1-6 job baseline across all 246 queries). A production
     * deployment declares table schemas in a catalog; this map is that
     * catalog — first access per (dir, table) infers once, every later
-    * construction is job-free. */
+    * construction is job-free. The key includes the file's modification
+    * time (a driver-side metadata stat, no job), so a path REWRITTEN in
+    * the same JVM — probe replicas, test scratch dirs — re-infers instead
+    * of silently applying a stale schema (which for a ts physical-type
+    * flip would mis-scale every timestamp 1000x). Inference-affecting
+    * session configs are uniform across GraftSession builders (nanosAsLong
+    * is set in `builder`), so config skew cannot poison the cache. */
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), org.apache.spark.sql.types.StructType]()
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
-    val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    val mtime =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(p).getModificationTime
+      } catch { case scala.util.control.NonFatal(_) => 0L }
+    val schema = schemaCache.computeIfAbsent((path, mtime),
+      { case (p, _) => spark.read.parquet(p).schema })
     val df = spark.read.schema(schema).parquet(path)
     val tsNorm =
       if (!df.schema.fieldNames.contains("ts")) df

@@ -366,21 +366,24 @@ object Stats {
   /** The melted single-pass rank + pivot over the per-user R/F/M frame
     * (split out so specs can drive the kernel with a synthetic frame). */
   private[graft] def rfmFromPerUser(perUser: DataFrame, k: Int = 5): DataFrame = {
-    def guardLong(c: Column, what: String): Column = {
-      val castK = c.cast("long")
-      when(c.isNotNull && castK.isNull,
-        raise_error(concat(lit(s"rfm: $what exceeds LONG range: "),
-          c.cast("string")))).otherwise(castK)
-    }
+    // Only the MONETARY key needs the overflow guard: a decimal(28,6)
+    // beyond ±9.2e12 money units would cast to NULL under non-ANSI
+    // semantics, range-sort first, and silently misrank — raise instead.
+    // Recency (negated int days) and frequency (already a LongType count)
+    // cannot overflow a long, so their casts are plain (a guard there is
+    // an unreachable branch in the hot 3·U-row path).
+    val moneyK = (col("__money") * lit(1000000)).cast("long")
+    val guardedMoneyK = when(col("__money").isNotNull && moneyK.isNull,
+      raise_error(concat(lit("rfm: monetary key exceeds LONG range: "),
+        (col("__money") * lit(1000000)).cast("string")))).otherwise(moneyK)
     // melt: axis 0 = recency, 1 = frequency, 2 = monetary; money rides on
     // the m-axis row only (null elsewhere — max() recovers it at the pivot)
     val melted = perUser.select(col("user_id"), inline(array(
-      struct(lit(0).as("__ax"), guardLong(-col("__rdays"), "recency key").as("__k"),
+      struct(lit(0).as("__ax"), (-col("__rdays")).cast("long").as("__k"),
         lit(null).cast("decimal(28,6)").as("__mny")),
-      struct(lit(1).as("__ax"), guardLong(col("__freq"), "frequency key").as("__k"),
+      struct(lit(1).as("__ax"), col("__freq").cast("long").as("__k"),
         lit(null).cast("decimal(28,6)").as("__mny")),
-      struct(lit(2).as("__ax"),
-        guardLong(col("__money") * lit(1000000), "monetary key").as("__k"),
+      struct(lit(2).as("__ax"), guardedMoneyK.as("__k"),
         col("__money").as("__mny")))))
     val rangedRaw = melted
       .repartitionByRange(col("__ax"), col("__k"), col("user_id"))

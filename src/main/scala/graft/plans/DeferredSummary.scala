@@ -90,8 +90,13 @@ case class DeferredFrameExec(
     val df = frame()
     val declared = StructType(output.map(a =>
       org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable)))
+    // structural (positional-type) AND name equality: the parent consumes
+    // rows positionally, so equalsStructurally alone would let a
+    // same-typed column swap/rename ship mislabeled values silently — the
+    // drift must fail loudly HERE, at first action, with the column named
     require(org.apache.spark.sql.types.DataType.equalsStructurally(
-      df.schema, declared, ignoreNullability = true),
+      df.schema, declared, ignoreNullability = true) &&
+      df.schema.fieldNames.sameElements(declared.fieldNames),
       s"deferred frame '$label' schema drifted: ${df.schema.sql} vs declared ${declared.sql}")
     df.queryExecution.toRdd
   }

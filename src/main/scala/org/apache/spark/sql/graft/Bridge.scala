@@ -39,7 +39,17 @@ object Bridge {
     * the kernel-sharing vehicle for NON-iterative multi-consumer frames
     * (rfm's ranked frame, the triangle core); genuinely iterative kernels
     * (pagerank, pointer-jumping components, IRLS) still checkpoint inside
-    * a deferred leaf, because their lineage must be TRUNCATED, not shared. */
+    * a deferred leaf, because their lineage must be TRUNCATED, not shared.
+    *
+    * Lifetime contract: entries live in the session's CacheManager until
+    * explicitly released (unlike checkpoint RDDs, which the ContextCleaner
+    * reaps when unreachable) — memory pressure demotes blocks to disk, but
+    * the entry itself persists. One-shot drivers (the bench/verify
+    * contract mains, batch jobs) never notice; a LONG-LIVED session
+    * running these kernels over many DISTINCT inputs should bound growth
+    * with `spark.catalog.clearCache()` between workloads or `unpersist`
+    * on frames it holds. The `isCached` lookup already keeps REPEATED
+    * constructions over the same input from stacking duplicates. */
   def shareLazily(df: DataFrame): DataFrame =
     if (isCached(df)) df
     else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

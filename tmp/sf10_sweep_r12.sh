@@ -16,8 +16,8 @@ print(' '.join(ns))")
 arr=($names)
 total=${#arr[@]}
 batch=20
-i=0
-n=0
+i=${1:-0}   # optional resume offset (in queries)
+n=$((i / batch))
 while [ $i -lt $total ]; do
   chunk=$(IFS=,; echo "${arr[*]:$i:$batch}")
   n=$((n+1))
