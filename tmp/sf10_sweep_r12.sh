@@ -24,8 +24,14 @@ while [ $i -lt $total ]; do
   echo "=== batch $n: $chunk"
   java -cp "$CP" $OPENS graft.Verify /tmp/sf10 /tmp/verify_sf10_r12 "$chunk" \
     2>/dev/null | tail -1
-  python3 tools/parity.py /tmp/sf10 /tmp/verify_sf10_r12 2>/dev/null \
-    | grep -E "OK|FAIL|ROWS" | grep -vE "MISS"
+  # per-QUERY parity with a hard timeout: one pathological oracle (the
+  # Levenshtein family needed >1h for a 20-query batch) must not stall
+  # the whole sweep — a timeout records the row for manual/r11 carry-over
+  for q in ${chunk//,/ }; do
+    timeout 420 python3 tools/parity.py /tmp/sf10 /tmp/verify_sf10_r12 "$q" 2>/dev/null \
+      | grep -E "OK|FAIL|ROWS" | grep -vE "MISS"
+    [ ${PIPESTATUS[0]} -eq 124 ] && echo "[TIMEOUT] $q: oracle exceeded 420s at sf10"
+  done
   rm -rf /tmp/verify_sf10_r12/[a-z]*/ 2>/dev/null
   i=$((i+batch))
 done
