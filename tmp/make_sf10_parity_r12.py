@@ -25,7 +25,7 @@ for log in logs:
     except OSError:
         continue
     for line in fh:
-        m = re.match(r"\[ (OK|FAIL)[^\]]*\] (\w+):", line.strip())
+        m = re.match(r"\[ ?(OK|FAIL) ?\] (\w+):", line.strip())
         if m:
             status, name = m.group(1), m.group(2)
             parity[name] = ("ok (sf10, r12 fresh)" if status == "OK" else
