@@ -36,8 +36,16 @@ object Bench {
         catch { case scala.util.control.NonFatal(e) =>
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(300)) }
       }
+      val cold = once()
       // canonicalized pre-AQE plan: stable across runs (normalized expr
-      // ids), changes exactly when the declared plan shape changes
+      // ids), changes exactly when the declared plan shape changes.
+      // Computed AFTER the cold rep: unwrapping a deferred-frame kernel
+      // executes its driver-side jobs (IRLS collects, pagerank iterations,
+      // checkpoints), and hashing first would systematically pre-warm the
+      // "cold" rep (shuffle files, page cache, JIT) — so cold keeps its
+      // original includes-kernel-construction semantics, and the hash's
+      // unwrap cost lands on an already-warm kernel, outside both timed
+      // regions.
       val planHash =
         try {
           // The NON-canonicalized optimized plan: canonicalization sorts
@@ -87,7 +95,6 @@ object Bench {
             .replaceAll("graft_dataset_export_[0-9a-f_]+", "graft_dataset_export_")
           f"${scala.util.hashing.MurmurHash3.stringHash(stable)}%08x"
         } catch { case _: Throwable => "err" }
-      val cold = once()
       // SPARK_GRAFT_WARM_REPS > 1: warm = MEDIAN of N steady-state reps —
       // the floor-recording mode (tools/make_floors.py), so floors carry
       // this box's typical warm time instead of an all-time lucky minimum
@@ -112,6 +119,15 @@ object Bench {
           else None
         (med, note)
       } else (None, None)
+      // Bound CacheManager growth across the run: shareLazily entries
+      // (rfm ranked frame, triangle core) are drained once THIS query's
+      // reps are done, so a 247-query session never accretes entries that
+      // compete with later queries' unified memory. Warm times are
+      // unaffected (the cold rep re-materializes the query's own cache);
+      // only cross-query cold freeloading (rfm_segments_dist reusing
+      // rfm_segments' frame) is given up — deliberately, cold is not the
+      // graded bar.
+      org.apache.spark.sql.graft.Bridge.releaseShared()
       (name, cold, warmTime, warmPartialErr, planHash)
     }
     def r3(v: Double) = math.round(v * 1000) / 1000.0

@@ -89,26 +89,39 @@ object GraftSession {
     * (measured: a 1-6 job baseline across all 246 queries). A production
     * deployment declares table schemas in a catalog; this map is that
     * catalog — first access per (dir, table) infers once, every later
-    * construction is job-free. The key includes the file's modification
-    * time (a driver-side metadata stat, no job), so a path REWRITTEN in
-    * the same JVM — probe replicas, test scratch dirs — re-infers instead
-    * of silently applying a stale schema (which for a ts physical-type
-    * flip would mis-scale every timestamp 1000x). Inference-affecting
-    * session configs are uniform across GraftSession builders (nanosAsLong
-    * is set in `builder`), so config skew cannot poison the cache. */
+    * construction is job-free. The cache is keyed by PATH with a content
+    * signature stored in the value (all driver-side metadata stats, no
+    * job): a path REWRITTEN in the same JVM — probe replicas, test scratch
+    * dirs — replaces its entry instead of leaking a superseded one per
+    * rewrite, and re-infers instead of silently applying a stale schema
+    * (which for a ts physical-type flip would mis-scale every timestamp
+    * 1000x). The signature is (mtime, total byte length, file count), not
+    * mtime alone: directory mtime is millisecond-granular on local
+    * filesystems and coarser on some object stores, so a delete+rewrite
+    * landing in the same tick would otherwise serve the stale schema —
+    * byte length and file count change with any real rewrite.
+    * Inference-affecting session configs are uniform across GraftSession
+    * builders (nanosAsLong is set in `builder`), so config skew cannot
+    * poison the cache. */
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), org.apache.spark.sql.types.StructType]()
+    new java.util.concurrent.ConcurrentHashMap[
+      String, ((Long, Long, Int), org.apache.spark.sql.types.StructType)]()
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
-    val mtime =
+    val sig: (Long, Long, Int) =
       try {
         val p = new org.apache.hadoop.fs.Path(path)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .getFileStatus(p).getModificationTime
-      } catch { case scala.util.control.NonFatal(_) => 0L }
-    val schema = schemaCache.computeIfAbsent((path, mtime),
-      { case (p, _) => spark.read.parquet(p).schema })
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val st = fs.getFileStatus(p)
+        if (st.isDirectory) {
+          val kids = fs.listStatus(p)
+          (st.getModificationTime, kids.map(_.getLen).sum, kids.length)
+        } else (st.getModificationTime, st.getLen, 1)
+      } catch { case scala.util.control.NonFatal(_) => (0L, 0L, 0) }
+    val schema = schemaCache.compute(path, (p, prev) =>
+      if (prev != null && prev._1 == sig) prev
+      else (sig, spark.read.parquet(p).schema))._2
     val df = spark.read.schema(schema).parquet(path)
     val tsNorm =
       if (!df.schema.fieldNames.contains("ts")) df

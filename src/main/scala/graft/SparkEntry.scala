@@ -100,6 +100,105 @@ object SparkEntry {
     p
   }
 
+  /** Output contract of the `dataset_export` gate row. */
+  private[graft] val datasetExportSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("n_rows", LongType), StructField("n_users", LongType),
+      StructField("sum_event_id", DoubleType),
+      StructField("sum_value_q6", DoubleType),
+      StructField("sum_ts_micros", DoubleType)))
+  }
+
+  /** The `dataset_export` sink round trip, factored out of the registry so
+    * ExportFidelitySpec can inject a fault between write and read-back.
+    *
+    * Round 12's hashed surface (exact DECIMAL(38,0) checksums converted
+    * ONCE to DOUBLE — the Glm qsum discipline that ended three driver-red
+    * rounds) is unchanged. Round 13 makes the sink-fidelity proof
+    * ZERO-EXTRA-PASS: the source-side truth now rides the write's own
+    * `Observation` (CollectMetrics computes the checksums during the write
+    * scan itself), so the thunk runs exactly two passes over data — the
+    * write (one source scan) and the read-back summary — where it
+    * previously re-aggregated the source a third time per action. At
+    * 100 TB that third pass scanned the export subset twice.
+    *
+    * One metric cannot ride the Observation: DISTINCT aggregates are
+    * rejected by CollectMetrics analysis (Spark's observed-metrics
+    * contract), so `n_users` is computed from the READ-BACK (the exported
+    * artifact itself) and the user column's fidelity is attested by an
+    * exact `sum(user_id)` checksum instead — the same checksum class as
+    * every other field. Any sink-mangled value surfaces as a NAMED throw
+    * (observed-source vs read-back field mismatch), never a hash delta.
+    *
+    * `afterWrite` is test instrumentation only (default no-op): it runs
+    * between the write and the read-back, where a scratch sweeper or a
+    * corrupting sink would strike (ExportFidelitySpec corrupts the scratch
+    * parquet there and asserts the loud throw; a sibling spec deletes the
+    * SOURCE there and proves the action no longer re-reads it). */
+  private[graft] def datasetExportRows(
+      s: SparkSession, dir: String,
+      afterWrite: String => Unit = _ => ()): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val out = events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_micros"), col("value"))
+    // fresh per-execution scratch dir (the thunk re-runs per action;
+    // no process- or thread-level sharing), cleaned up at JVM exit
+    val path = exportScratchDir(dir)
+    val obs = new org.apache.spark.sql.Observation()
+    out.observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(col("event_id").cast("decimal(38,0)")).cast("double").as("sum_event_id"),
+        sum(floor(col("value") * lit(1000000.0) + lit(0.5)).cast("decimal(38,0)"))
+          .cast("double").as("sum_value_q6"),
+        sum(col("ts_micros").cast("decimal(38,0)")).cast("double").as("sum_ts_micros"),
+        sum(col("user_id").cast("decimal(38,0)")).cast("double").as("sum_user_id"))
+      .write.mode("overwrite").parquet(path)
+    afterWrite(path)
+    val src = obs.get
+    // read-back summary: the 5 contract fields plus the user-id checksum
+    // (compared against the observed source values, then dropped)
+    val summary = s.read
+      .schema("event_id BIGINT, user_id BIGINT, ts_micros BIGINT, value DOUBLE")
+      .parquet(path)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("event_id").cast("decimal(38,0)")).cast("double").as("sum_event_id"),
+        sum(floor(col("value") * lit(1000000.0) + lit(0.5)).cast("decimal(38,0)"))
+          .cast("double").as("sum_value_q6"),
+        sum(col("ts_micros").cast("decimal(38,0)")).cast("double").as("sum_ts_micros"),
+        sum(col("user_id").cast("decimal(38,0)")).cast("double").as("sum_user_id"))
+    require(org.apache.spark.sql.types.DataType.equalsStructurally(
+      org.apache.spark.sql.types.StructType(summary.schema.fields.take(5)),
+      datasetExportSchema, ignoreNullability = true),
+      s"dataset_export summary schema drifted: ${summary.schema.sql}")
+    val r = summary.queryExecution.executedPlan.executeCollect()(0)
+    def boxed(i: Int): Any =
+      if (r.isNullAt(i)) null
+      else if (i <= 1) Long.box(r.getLong(i))
+      else Double.box(r.getDouble(i))
+    // the export-integrity + sink-fidelity assertion, zero-extra-pass: the
+    // observed-during-write source values must equal the read-back summary
+    // field-for-field — a swept scratch tree (row loss) or a value-mangling
+    // sink can never again yield a plausible hash; it fails HERE, loudly,
+    // with the field named
+    val checks = Seq(
+      ("n_rows", 0, src("n_rows")), ("sum_event_id", 2, src("sum_event_id")),
+      ("sum_value_q6", 3, src("sum_value_q6")),
+      ("sum_ts_micros", 4, src("sum_ts_micros")),
+      ("sum_user_id", 5, src("sum_user_id")))
+    checks.foreach { case (name, i, srcV) =>
+      if (!java.util.Objects.equals(boxed(i), srcV)) throw new IllegalStateException(
+        s"dataset_export sink fidelity: $name read-back ${boxed(i)} != source $srcV ($path)")
+    }
+    // the leaf's consumers assume UnsafeRow (the executeCollect contract
+    // the pre-round-13 shape delivered) — project the driver-built row
+    val unsafe = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(datasetExportSchema)
+    Array(unsafe(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](boxed(0), boxed(1), boxed(2), boxed(3), boxed(4)))).copy())
+  }
+
   /** The three-labeler vote frame over documents (declared lang + both
     * heuristic labelers) — ONE definition shared by krippendorff_alpha
     * and label_consensus, so the reliability statistic and the consensus
@@ -973,80 +1072,22 @@ object SparkEntry {
     //  * the round trip is PARQUET, not text — footer-validated files, no
     //    parse layer whose failure mode is a plausible-but-wrong value
     //    (CSV fidelity is pinned separately by ExportFidelitySpec);
-    //  * the query SELF-CHECKS: rows written (an Observation metric on the
-    //    write job, no extra scan) must equal rows read back, else it
+    //  * the query SELF-CHECKS: the source-side checksums ride the write's
+    //    own Observation (computed during the write scan, no extra pass)
+    //    and must equal the read-back summary field-for-field, else it
     //    THROWS — an environment that disturbs the scratch tree between
-    //    write and read-back now surfaces as a loud, diagnosable error row
-    //    in the gate instead of a silent hash mismatch.
+    //    write and read-back, or a value-mangling sink, surfaces as a
+    //    loud, diagnosable error row in the gate instead of a silent hash
+    //    mismatch.
     // The write runs at FIRST ACTION, not at DataFrame construction:
     // DeferredSummary moves the side effect into query execution, so
     // plan-only consumers (PlanAuditSpec, bench plan-hashing, .explain)
-    // never trigger write jobs.
-    //
-    // Round 12: the HASHED surface is deliberately boring. Three driver-red
-    // rounds (CSV r9, relocated scratch r10, deferred parquet r11 — rows ✓
-    // schema ✓ hash ✗ every time, integrity THROW never firing) shared
-    // exactly one constant: this was the registry's ONLY row emitting raw
-    // DECIMAL(38,0) columns. The checksums now accumulate as exact
-    // DECIMAL(38,0) and convert ONCE to DOUBLE (the Glm qsum discipline,
-    // Glm.scala:70 — identical exact decimal → one identical IEEE
-    // conversion on both engines, proven green by every regression row).
-    // End-to-end sink fidelity is still proven LOUDLY in-thunk: the
-    // read-back summary must equal the straight-from-source summary
-    // field-for-field, else the action THROWS.
-    "dataset_export" -> ((s, dir) => {
-      import org.apache.spark.sql.types._
-      val schema = StructType(Seq(
-        StructField("n_rows", LongType), StructField("n_users", LongType),
-        StructField("sum_event_id", DoubleType),
-        StructField("sum_value_q6", DoubleType),
-        StructField("sum_ts_micros", DoubleType)))
-      def summarize(d: DataFrame): DataFrame =
-        d.agg(count(lit(1)).as("n_rows"),
-          countDistinct(col("user_id")).as("n_users"),
-          sum(col("event_id").cast("decimal(38,0)")).cast("double").as("sum_event_id"),
-          sum(floor(col("value") * lit(1000000.0) + lit(0.5)).cast("decimal(38,0)"))
-            .cast("double").as("sum_value_q6"),
-          sum(col("ts_micros").cast("decimal(38,0)")).cast("double").as("sum_ts_micros"))
-      graft.plans.DeferredSummary.of(s, "dataset_export", schema) { () =>
-        val out = events(s, dir).filter(col("event_type") === "purchase")
-          .select(col("event_id"), col("user_id"),
-            unix_micros(col("ts")).as("ts_micros"), col("value"))
-        // fresh per-execution scratch dir (the thunk re-runs per action;
-        // no process- or thread-level sharing), cleaned up at JVM exit
-        val path = exportScratchDir(dir)
-        val obs = new org.apache.spark.sql.Observation()
-        out.observe(obs, count(lit(1)).as("n"))
-          .write.mode("overwrite").parquet(path)
-        val written = obs.get("n").asInstanceOf[Long]
-        val summary = summarize(s.read
-          .schema("event_id BIGINT, user_id BIGINT, ts_micros BIGINT, value DOUBLE")
-          .parquet(path))
-        require(org.apache.spark.sql.types.DataType.equalsStructurally(
-          summary.schema, schema, ignoreNullability = true),
-          s"dataset_export summary schema drifted: ${summary.schema.sql}")
-        val rows = summary.queryExecution.executedPlan.executeCollect()
-        val readBack = rows(0).getLong(0)
-        // the export-integrity assertion: a swept/partial scratch tree can
-        // never again yield a plausible hash — it fails here, loudly
-        if (readBack != written) throw new IllegalStateException(
-          s"dataset_export round-trip integrity: wrote $written rows, read back $readBack ($path)")
-        // sink-fidelity assertion: the summary of what came BACK must equal
-        // the same summary computed straight from the source — any value
-        // the sink mangled surfaces as a named error, never a hash delta
-        val srcRows = summarize(out).queryExecution.executedPlan.executeCollect()
-        val (r, src) = (rows(0), srcRows(0))
-        val fields = Seq[(String, org.apache.spark.sql.catalyst.InternalRow => Any)](
-          "n_rows" -> (_.getLong(0)), "n_users" -> (_.getLong(1)),
-          "sum_event_id" -> (_.getDouble(2)), "sum_value_q6" -> (_.getDouble(3)),
-          "sum_ts_micros" -> (_.getDouble(4)))
-        fields.foreach { case (name, get) =>
-          if (get(r) != get(src)) throw new IllegalStateException(
-            s"dataset_export sink fidelity: $name read-back ${get(r)} != source ${get(src)} ($path)")
-        }
-        rows
-      }
-    }),
+    // never trigger write jobs. Kernel + full design history (rounds 9-12
+    // red-row forensics, the exact-decimal discipline, the round-13
+    // zero-extra-pass Observation proof): [[datasetExportRows]].
+    "dataset_export" -> ((s, dir) =>
+      graft.plans.DeferredSummary.of(s, "dataset_export", datasetExportSchema)(
+        () => datasetExportRows(s, dir))),
     // harness witness (SURVEY §2): a CONSTANT row bound through the
     // deferred-summary leaf and driven through the full driver gate
     // (Verify parquet dump -> DuckDB oracle -> value hash). Isolates the

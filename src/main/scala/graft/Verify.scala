@@ -37,6 +37,10 @@ object Verify {
               .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
           } catch { case _: Throwable => () }
         }
+        // drain this query's shareLazily cache entries (rfm ranked frame,
+        // triangle core) so a full 247-query dump never accretes
+        // CacheManager entries for the rest of the run
+        finally org.apache.spark.sql.graft.Bridge.releaseShared()
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

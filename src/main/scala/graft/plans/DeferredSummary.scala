@@ -68,6 +68,19 @@ case class DeferredSummaryExec(
   * never auto-broadcast. The inner plan stays reachable for test-time
   * audits via [[DeferredFrameNode.frame]] (building it MAY run jobs — that
   * is the point of the deferral).
+  *
+  * COMPOSITION CONTRACT: the leaf is an optimization boundary. Catalyst
+  * sees an opaque relation, so a Filter or Project applied ON TOP of a
+  * wrapped registry entry stays ABOVE the leaf — it can never push into
+  * the inner plan's scans (DeferredCompositionSpec pins this: the inner
+  * frame's PushedFilters stay empty and the outer filter evaluates
+  * post-hoc over the full kernel output). Correct, but at corpus scale the
+  * kernel still reads everything. The registry rows are terminal driver
+  * surfaces, so this costs them nothing; a library USER composing further
+  * work on top of a deferred entry (e.g. filtering `pagerank` to one
+  * node's rank) should instead compose on the underlying `graft.analysis`
+  * / `graft.curation` kernel functions directly, where pushdown and
+  * column pruning reach the scans as usual.
   */
 case class DeferredFrameNode(
     label: String,

@@ -44,13 +44,42 @@ object Bridge {
     * Lifetime contract: entries live in the session's CacheManager until
     * explicitly released (unlike checkpoint RDDs, which the ContextCleaner
     * reaps when unreachable) — memory pressure demotes blocks to disk, but
-    * the entry itself persists. One-shot drivers (the bench/verify
-    * contract mains, batch jobs) never notice; a LONG-LIVED session
-    * running these kernels over many DISTINCT inputs should bound growth
-    * with `spark.catalog.clearCache()` between workloads or `unpersist`
-    * on frames it holds. The `isCached` lookup already keeps REPEATED
-    * constructions over the same input from stacking duplicates. */
+    * the entry itself persists. Every entry is therefore TRACKED here, and
+    * [[releaseShared]] is the bounded-growth recipe: one-shot drivers (the
+    * bench/verify contract mains) call it after each query's actions, and
+    * a long-lived session running these kernels over many DISTINCT inputs
+    * calls it between workloads — after which every shared entry is gone
+    * (BridgeLifetimeSpec pins both the idempotence and the release). The
+    * `isCached` lookup keeps REPEATED constructions over the same input
+    * from stacking duplicate entries. */
   def shareLazily(df: DataFrame): DataFrame =
     if (isCached(df)) df
-    else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sharedFrames.add(p)
+      p
+    }
+
+  // Strong refs are fine: the registry is drained by releaseShared, and
+  // between drains the CacheManager itself already holds the same plans.
+  private val sharedFrames =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Number of tracked (not-yet-released) shareLazily registrations —
+    * test instrumentation for the bounded-growth contract. */
+  def sharedCount: Int = sharedFrames.size
+
+  /** Release every cache entry [[shareLazily]] registered since the last
+    * drain. Non-blocking unpersist: block eviction proceeds async while the
+    * CacheManager entry is removed immediately, so a re-construction of the
+    * same kernel after release re-registers (and re-materializes) cleanly.
+    * Safe to call concurrently and when nothing is registered. */
+  def releaseShared(): Unit = {
+    var d = sharedFrames.poll()
+    while (d != null) {
+      try { d.unpersist(blocking = false); () }
+      catch { case scala.util.control.NonFatal(_) => () }
+      d = sharedFrames.poll()
+    }
+  }
 }

@@ -102,6 +102,57 @@ class ExportFidelitySpec extends SparkSpec {
     assert(df.collect()(0).toSeq == df.collect()(0).toSeq)
   }
 
+  test("dataset_export sink fidelity: a value-mangling sink throws a NAMED error") {
+    // Round 13: the source-side checksums ride the write's Observation, so
+    // the proof must still fire when the SINK lies. The afterWrite hook
+    // strikes exactly where a corrupting sink or scratch sweeper would —
+    // between write and read-back — and overwrites the scratch parquet
+    // with same-schema rows whose values differ. The action must fail with
+    // the field named, never return a plausible row.
+    val e = intercept[IllegalStateException] {
+      SparkEntry.datasetExportRows(spark, sfDir, { path =>
+        purchases.withColumn("value", col("value") * 2)
+          .write.mode("overwrite").parquet(path)
+      })
+    }
+    assert(e.getMessage.contains("sink fidelity"), e.getMessage)
+  }
+
+  test("dataset_export sink fidelity: row loss in the sink throws a NAMED error") {
+    val e = intercept[IllegalStateException] {
+      SparkEntry.datasetExportRows(spark, sfDir, { path =>
+        purchases.limit(3).write.mode("overwrite").parquet(path)
+      })
+    }
+    assert(e.getMessage.contains("sink fidelity"), e.getMessage)
+  }
+
+  test("dataset_export is zero-extra-pass: the source is never re-read after the write") {
+    // The direct proof that the fidelity checksums ride the write's own
+    // scan: run the kernel against a COPY of the source, delete that copy
+    // the instant the write completes, and the action must still succeed
+    // and produce the exact same summary — any post-write source re-scan
+    // (the pre-round-13 shape: summarize(out) re-aggregated the source
+    // per action) would fail on the missing file.
+    val dir = java.nio.file.Files.createTempDirectory("graft_zep_src")
+    val src = dir.resolve("events.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), src)
+    try {
+      val expected = summarize(purchases)
+      val rows = SparkEntry.datasetExportRows(spark, dir.toString, { _ =>
+        assert(java.nio.file.Files.deleteIfExists(src), "source copy vanished early")
+      })
+      val got = Seq[Any](rows(0).getLong(0), rows(0).getLong(1),
+        rows(0).getDouble(2), rows(0).getDouble(3), rows(0).getDouble(4))
+      assert(got == expected)
+    } finally {
+      java.nio.file.Files.deleteIfExists(src)
+      java.nio.file.Files.deleteIfExists(dir)
+      ()
+    }
+  }
+
   test("a DeferredSummary thunk that throws surfaces at action time, loudly") {
     val schema = StructType(Seq(StructField("x", LongType)))
     val df = graft.plans.DeferredSummary.of(spark, "boom", schema) { () =>
