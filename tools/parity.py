@@ -39,8 +39,13 @@ def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     # big-SF probes: bound DuckDB's memory and let it spill to disk instead
-    # of dying on allocation (line-explode oracles at 100x SF need this)
-    con.execute("SET memory_limit='24GB'")
+    # of dying on allocation (line-explode oracles at 100x SF need this).
+    # Targeted re-runs of the heaviest oracles (simhash64 pairwise,
+    # configured_pipeline_view at sf10) override via GRAFT_DUCK_MEM — the
+    # 24GB default still OOMs or crawls on those two.
+    con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCK_MEM', '24GB')}'")
+    if "GRAFT_DUCK_THREADS" in os.environ:
+        con.execute(f"SET threads={int(os.environ['GRAFT_DUCK_THREADS'])}")
     os.makedirs("/tmp/duck_spill", exist_ok=True)
     con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
