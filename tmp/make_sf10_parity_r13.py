@@ -27,13 +27,17 @@ import sys
 
 log = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10_sweep_r13.log"
 out = sys.argv[2] if len(sys.argv) > 2 else "SF10_PARITY_R13.json"
+# targeted re-run logs override sweep lines (the two heavy-oracle rows:
+# configured_pipeline_view needed GRAFT_DUCK_MEM=96GB after a visible
+# comparator OOM; dedup_simhash64_pairs needed the staged in-engine exact
+# compare, tmp/simhash64_sf10_probe.py — both fresh r13 runs)
+TARGETED = ["/tmp/parity_targeted_r13.log", "/tmp/simhash64_probe_r13.log"]
 oracle = json.load(open("/tmp/verify_r13/oracle_sql.json"))
 expected = sorted(set(oracle.keys()) | {"bpe_merges", "bpe_encode_stats"})
 
 APPROX = {"sketch_distinct_users", "topk_values_sketch"}
 
 parity = {}
-fails = []
 for line in open(log):
     line = line.strip()
     m = re.match(r"\[ ?(OK|FAIL) ?\] (\w+):(.*)", line)
@@ -49,7 +53,6 @@ for line in open(log):
                               "(ThetaSketchSpec / HeavyHittersSpec)")
         else:
             parity[name] = "FAIL (sf10, r13 fresh): " + line[:200]
-            fails.append(name)
         continue
     m = re.match(r"\[ROWS\] (\w+): (\d+) rows \(no oracle\)", line)
     if m:
@@ -60,8 +63,20 @@ for line in open(log):
     m = re.match(r"\[TIMEOUT\] (\w+):", line)
     if m:
         parity[m.group(1)] = "ORACLE-TIMEOUT in r13 sweep — re-run targeted"
-        fails.append(m.group(1))
 
+# targeted re-run results OVERRIDE sweep lines (OOM/timeout rows re-run)
+for tlog in TARGETED:
+    try:
+        for line in open(tlog):
+            m = re.match(r"\[ ?OK ?\] (\w+): (.*)", line.strip())
+            if m:
+                parity[m.group(1)] = (
+                    "ok (sf10, r13 fresh — targeted re-run: "
+                    + m.group(2)[:120] + ")")
+    except OSError:
+        pass
+
+fails = []
 # pagerank: in-Spark differential, re-run fresh this round
 try:
     pr = open("/tmp/pagerank_diff_r13.log").read()
@@ -80,6 +95,8 @@ except OSError:
     parity["pagerank"] = "differential log missing — re-run PageRankDiffProbeR12"
     fails.append("pagerank")
 
+fails += [k for k, v in parity.items()
+          if "FAIL" in v or "TIMEOUT" in v or "investigate" in v]
 missing = [q for q in expected if q not in parity]
 doc = {
     "round": 13,
