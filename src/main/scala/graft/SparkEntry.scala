@@ -4238,10 +4238,17 @@ asofOracle,
     // DuckDB's jaro_winkler_similarity IS the reference convention the
     // native expression pins (RapidFuzz: boost only when jaro > 0.7,
     // prefix cap 4); both sides r6-round BEFORE the 0.9 threshold
+    // both linkage oracles carry the kernel's hot-block occupancy guard
+    // (blocks > 1000 members dropped — the banded-simhash discipline);
+    // it never binds on the gate data (max occupancy 14 at the 100x
+    // replica), so results are unchanged at every tested SF
     "record_linkage_jw" ->
       """WITH b AS (
-        |  SELECT doc_id, substr(text, 1, 16) AS blk, substr(text, 1, 64) AS probe
-        |  FROM documents)
+        |  SELECT * FROM (
+        |    SELECT doc_id, substr(text, 1, 16) AS blk, substr(text, 1, 64) AS probe,
+        |      COUNT(*) OVER (PARTITION BY substr(text, 1, 16)) AS occ
+        |    FROM documents)
+        |  WHERE occ <= 1000)
         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
         |  floor(jaro_winkler_similarity(x.probe, y.probe) * 1000000.0 + 0.5)
         |    / 1000000.0 AS jw
@@ -4250,8 +4257,11 @@ asofOracle,
         |    / 1000000.0 >= 0.9""".stripMargin,
     "record_linkage_dl" ->
       """WITH b AS (
-        |  SELECT doc_id, substr(text, 1, 16) AS blk, substr(text, 1, 64) AS probe
-        |  FROM documents)
+        |  SELECT * FROM (
+        |    SELECT doc_id, substr(text, 1, 16) AS blk, substr(text, 1, 64) AS probe,
+        |      COUNT(*) OVER (PARTITION BY substr(text, 1, 16)) AS occ
+        |    FROM documents)
+        |  WHERE occ <= 1000)
         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
         |  CAST(damerau_levenshtein(x.probe, y.probe) AS INT) AS dl
         |FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id

@@ -590,19 +590,28 @@ object Dedup {
     * The fuzzy-entity-match sibling of prefixFilterJoin (token-set J) and
     * fuzzyEditDedup (Levenshtein): JW weights prefix agreement, the right
     * verifier for names/titles. Scale: candidates are confined to equal
-    * prefix blocks; a boilerplate-heavy corpus concentrates pairs in hot
-    * blocks — AQE skew-join splits them (same caveat as the LSH band
+    * prefix blocks, and blocks past `maxBlock` members are DROPPED — the
+    * banded-simhash hot-bucket discipline (round 13): a boilerplate-heavy
+    * corpus (many records opening with the same 16 chars) otherwise makes
+    * within-block pairs quadratic in the hot block's occupancy — the sf1
+    * replica measured pair volume growing 74x for 10x docs from exactly
+    * this mechanism. A block that hot carries no linkage signal anyway
+    * (the probe prefixes are near-identical boilerplate); real matches
+    * live in discriminative blocks. The cap never binds on the gate data
+    * (max occupancy 14 at the 100x replica), so the oracle carries the
+    * same guard and results are unchanged at every tested SF. Remaining
+    * sub-cap hot blocks are AQE skew-split (same caveat as the LSH band
     * joins). Output: (doc_a, doc_b, jw) with doc_a < doc_b.
     */
   def jaroWinklerLinkage(df: DataFrame, id: Column, key: Column,
-                         blockLen: Int, probeLen: Int, threshold: Double): DataFrame = {
+                         blockLen: Int, probeLen: Int, threshold: Double,
+                         maxBlock: Int = 1000): DataFrame = {
     require(blockLen >= 1 && probeLen >= blockLen,
       s"jaroWinklerLinkage needs 1 <= blockLen <= probeLen, got $blockLen/$probeLen")
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaroWinklerLinkage needs threshold in (0, 1], got $threshold")
     val r6 = graft.util.Portable.round6 _
-    val b = df.select(id.as("__id"), substring(key, 1, blockLen).as("__blk"),
-      substring(key, 1, probeLen).as("__probe"))
+    val b = linkageBlocks(df, id, key, blockLen, probeLen, maxBlock)
     b.as("x").join(b.as("y"),
         col("x.__blk") === col("y.__blk") && col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("doc_a"), col("y.__id").as("doc_b"),
@@ -611,20 +620,34 @@ object Dedup {
       .filter(col("jw") >= threshold)
   }
 
+  /** Shared blocking frame for the linkage pair: prefix block + probe,
+    * hot blocks (> maxBlock members) dropped before the self-join. The
+    * occupancy window partitions BY BLOCK (never global) and shuffles on
+    * the same key the join needs, so the guard adds no extra exchange. */
+  private def linkageBlocks(df: DataFrame, id: Column, key: Column,
+                            blockLen: Int, probeLen: Int, maxBlock: Int): DataFrame = {
+    require(maxBlock >= 1, s"linkage needs maxBlock >= 1, got $maxBlock")
+    df.select(id.as("__id"), substring(key, 1, blockLen).as("__blk"),
+        substring(key, 1, probeLen).as("__probe"))
+      .withColumn("__occ", count(lit(1)).over(Window.partitionBy(col("__blk"))))
+      .filter(col("__occ") <= maxBlock)
+      .drop("__occ")
+  }
+
   /** Blocked Damerau-Levenshtein linkage: the transposition-aware edit
     * verifier for typo-heavy sources ("teh"/"the" is ONE edit here, two
-    * for plain Levenshtein). Same blocking shape as
-    * [[jaroWinklerLinkage]]; keeps pairs whose unrestricted DL distance
-    * over the `probeLen`-char probe is ≤ `maxDist`. Integer distances —
-    * no rounding contract needed at the threshold.
+    * for plain Levenshtein). Same blocking shape (and hot-block `maxBlock`
+    * guard — see [[jaroWinklerLinkage]]); keeps pairs whose unrestricted
+    * DL distance over the `probeLen`-char probe is ≤ `maxDist`. Integer
+    * distances — no rounding contract needed at the threshold.
     */
   def damerauLinkage(df: DataFrame, id: Column, key: Column,
-                     blockLen: Int, probeLen: Int, maxDist: Int): DataFrame = {
+                     blockLen: Int, probeLen: Int, maxDist: Int,
+                     maxBlock: Int = 1000): DataFrame = {
     require(blockLen >= 1 && probeLen >= blockLen,
       s"damerauLinkage needs 1 <= blockLen <= probeLen, got $blockLen/$probeLen")
     require(maxDist >= 0, s"damerauLinkage needs maxDist >= 0, got $maxDist")
-    val b = df.select(id.as("__id"), substring(key, 1, blockLen).as("__blk"),
-      substring(key, 1, probeLen).as("__probe"))
+    val b = linkageBlocks(df, id, key, blockLen, probeLen, maxBlock)
     b.as("x").join(b.as("y"),
         col("x.__blk") === col("y.__blk") && col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("doc_a"), col("y.__id").as("doc_b"),

@@ -62,4 +62,25 @@ class JaroWinklerSpec extends SparkSpec {
         "the quick brown sheep sleeps all day".take(64)) >= 0.9
     })
   }
+
+  test("jaroWinklerLinkage: hot boilerplate blocks are dropped, discriminative blocks survive") {
+    // The maxBlock guard (round 13): a block past the occupancy cap is
+    // quadratic pair fuel with no linkage signal (identical boilerplate
+    // prefixes), so it is dropped BEFORE the self-join — the banded-simhash
+    // hot-bucket discipline. Sub-cap blocks are untouched.
+    val boiler = (1L to 12L).map(i => (i, s"unsubscribe here to stop msgs $i"))
+    val real = Seq(
+      (101L, "maria gonzalez from nairobi office"),
+      (102L, "maria gonzalez from nairobi officE"))
+    val docs = (boiler ++ real).toDF("doc_id", "text")
+    val capped = graft.dedup.Dedup.jaroWinklerLinkage(docs, col("doc_id"), col("text"),
+      16, 64, 0.9, maxBlock = 10).collect()
+    val pairs = capped.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((101L, 102L)),
+      s"hot block must be dropped, real pair kept: $pairs")
+    // without the cap the boilerplate block contributes its 66 pairs
+    val uncapped = graft.dedup.Dedup.jaroWinklerLinkage(docs, col("doc_id"), col("text"),
+      16, 64, 0.9, maxBlock = 1000).collect()
+    assert(uncapped.length > capped.length)
+  }
 }

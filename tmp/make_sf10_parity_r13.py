@@ -31,7 +31,12 @@ out = sys.argv[2] if len(sys.argv) > 2 else "SF10_PARITY_R13.json"
 # configured_pipeline_view needed GRAFT_DUCK_MEM=96GB after a visible
 # comparator OOM; dedup_simhash64_pairs needed the staged in-engine exact
 # compare, tmp/simhash64_sf10_probe.py — both fresh r13 runs)
-TARGETED = ["/tmp/parity_targeted_r13.log", "/tmp/simhash64_probe_r13.log"]
+TARGETED = ["/tmp/parity_targeted_r13.log", "/tmp/simhash64_probe_r13.log",
+            # linkage pair re-verified after the round-13 hot-block
+            # occupancy guard landed (kernel + oracle in lockstep; the cap
+            # never binds at sf10 — max block occupancy 14 — so this is a
+            # same-results re-confirmation, run for rigor)
+            "/tmp/relink_sf10.log"]
 oracle = json.load(open("/tmp/verify_r13/oracle_sql.json"))
 expected = sorted(set(oracle.keys()) | {"bpe_merges", "bpe_encode_stats"})
 
