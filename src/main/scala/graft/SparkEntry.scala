@@ -4782,10 +4782,15 @@ asofOracle,
         |ORDER BY abs(floor((CAST(n_second AS DOUBLE) / CAST(t2 AS DOUBLE)
         |         - CAST(n_first AS DOUBLE) / CAST(t1 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) DESC, stream
         |LIMIT 5""".stripMargin,
+    // the pairs CTE carries the same hot-block occupancy guard as the
+    // record_linkage oracles (the composed flow consumes the capped kernel)
     "linkage_entities" ->
       """WITH RECURSIVE b AS (
-        |  SELECT doc_id, substr(text, 1, 16) AS blk, substr(text, 1, 64) AS probe
-        |  FROM documents),
+        |  SELECT * FROM (
+        |    SELECT doc_id, substr(text, 1, 16) AS blk, substr(text, 1, 64) AS probe,
+        |      COUNT(*) OVER (PARTITION BY substr(text, 1, 16)) AS occ
+        |    FROM documents)
+        |  WHERE occ <= 1000),
         |p AS (
         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
         |  FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id

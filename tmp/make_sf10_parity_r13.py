@@ -36,7 +36,7 @@ TARGETED = ["/tmp/parity_targeted_r13.log", "/tmp/simhash64_probe_r13.log",
             # occupancy guard landed (kernel + oracle in lockstep; the cap
             # never binds at sf10 — max block occupancy 14 — so this is a
             # same-results re-confirmation, run for rigor)
-            "/tmp/relink_sf10.log"]
+            "/tmp/relink_sf10.log", "/tmp/relink2_sf10.log"]
 oracle = json.load(open("/tmp/verify_r13/oracle_sql.json"))
 expected = sorted(set(oracle.keys()) | {"bpe_merges", "bpe_encode_stats"})
 
