@@ -211,6 +211,9 @@ object Glm {
   /** Portable half-up 6dp rounding — scalar twin of [[r6s]]. */
   private def r6(v: Double): Double = math.floor(v * 1.0e6 + 0.5) / 1.0e6
 
+  /** Portable half-up 12dp rounding — scalar twin of [[r12s]]. */
+  private def r12(v: Double): Double = math.floor(v * 1.0e12 + 0.5) / 1.0e12
+
   /** Driver-side p×p solve — the SCALAR twin of [[ridgeStep]] +
     * [[solveStages]]: the identical IEEE-754 operations in the identical
     * order (stage snapshots, multiply-before-divide updates, left-
@@ -634,31 +637,37 @@ object Glm {
     miLogitMomentSteps(draws) ++ solve :+ out
   }
 
-  /** Final pass: Gram re-evaluated AT the converged betas gives each
-    * draw's Fisher slope variance (X'WX)⁻¹₁₁ = a00/det; then Rubin's rules
-    * over the m (slope, variance) pairs. */
-  private def miLogitPoolSteps(draws: Int, group: String, ridge: Double): Seq[Step] = {
-    val perRow = (0 until draws).flatMap { d =>
-      Seq(
-        Extend(s"__xf_$d", s"CAST(__xq_$d AS DOUBLE)"),
-        Extend(s"__eta_$d", s"(__b0_$d + (__b1_$d * __xf_$d))"),
-        Extend(s"__mu_$d", r9s(s"1.0 / (1.0 + EXP(-(__eta_$d)))")),
-        Extend(s"__w_$d", s"(__mu_$d * (1.0 - __mu_$d))"))
-    }
-    val agg = Aggregate(Seq(("__n", "COUNT(*)"), ("__n_obs", "COUNT(__xd)")) ++
-      (0 until draws).flatMap(d => Seq(
-        // betas are constant per group after the join; MIN is their
-        // order-insensitive carrier through the aggregate
-        (s"__b0_$d", s"MIN(__b0_$d)"), (s"__b1_$d", s"MIN(__b1_$d)"),
-        (s"__a00_$d", qsum(s"__w_$d")),
-        (s"__a01_$d", qsum(s"(__xf_$d * __w_$d)")),
-        (s"__a11_$d", qsum(s"((__xf_$d * __xf_$d) * __w_$d)")))))
-    val vs = (0 until draws).flatMap { d =>
+  /** The LAST IRLS iteration (round 14): same moments + solve as
+    * [[miLogitIterSteps]], but the Project ALSO emits each draw's Fisher
+    * slope variance (X'WX)⁻¹₁₁ = (a00+ridge)/det from THIS iteration's
+    * Gram — the Fisher information at the betas ENTERING the final solve.
+    * At a converged fixed-K fit those betas agree with the emitted ones to
+    * the 6dp grid, so the variance is the converged-fit Fisher variance —
+    * and harvesting it here removes the former dedicated pooling pass
+    * (which re-evaluated the per-row weights at the final betas), cutting
+    * the corpus passes from K+2 to K+1 (stats + K moment passes). */
+  private def miLogitFinalIterSteps(draws: Int, group: String, ridge: Double): Seq[Step] = {
+    val solve = (0 until draws).flatMap { d =>
       Seq(
         Extend(s"__det_$d",
           s"(((__a00_$d + $ridge) * (__a11_$d + $ridge)) - (__a01_$d * __a01_$d))"),
+        Extend(s"__b1n_$d",
+          s"((((__a00_$d + $ridge) * __r1_$d) - (__a01_$d * __r0_$d)) / __det_$d)"),
+        Extend(s"__b0n_$d",
+          s"((__r0_$d - (__a01_$d * __b1n_$d)) / (__a00_$d + $ridge))"),
         Extend(s"__vs_$d", s"((__a00_$d + $ridge) / __det_$d)"))
     }
+    val out = Project(Seq((group, group), ("__n", "__n"), ("__n_obs", "__n_obs")) ++
+      (0 until draws).flatMap(d => Seq(
+        (s"__b0_$d", r6s(s"__b0n_$d")), (s"__b1_$d", r6s(s"__b1n_$d")),
+        (s"__vs_$d", s"__vs_$d"))))
+    miLogitMomentSteps(draws) ++ solve :+ out
+  }
+
+  /** Rubin's-rules pooling over the final iteration's one-row-per-group
+    * frame — pure scalar algebra on (b0_d, b1_d, vs_d), NO corpus pass.
+    * Mirrored on the driver by [[poolMiLogit]] (same IEEE op order). */
+  private def miLogitPoolSteps(draws: Int, group: String): Seq[Step] = {
     val m = s"$draws.0"
     def mean(f: Int => String) =
       s"((${(0 until draws).map(f).reduce((a, b) => s"($a + $b)")}) / $m)"
@@ -666,7 +675,7 @@ object Glm {
       if (draws == 1) "0.0"
       else s"((${(0 until draws).map(d => s"((__b1_$d - __qbar) * (__b1_$d - __qbar))")
         .reduce((a, b) => s"($a + $b)")}) / ${draws - 1}.0)"
-    perRow ++ (agg +: vs) ++ Seq(
+    Seq(
       Extend("__qbar", mean(d => s"__b1_$d")),
       Extend("__b0bar", mean(d => s"__b0_$d")),
       Extend("__wbar", mean(d => s"__vs_$d")),
@@ -682,15 +691,40 @@ object Glm {
         ("se_total", r6s("SQRT(__ttot)")))))
   }
 
+  /** Driver twin of [[miLogitPoolSteps]]: identical IEEE ops in identical
+    * order (left-associated means, multiply-before-divide), so the
+    * collected-moments pooling bit-matches the oracle's CTE pooling. A
+    * null in any draw's (b0, b1, vs) poisons every pooled output to null —
+    * exactly the SQL null propagation through the sums. */
+  private def poolMiLogit(draws: Int, perDraw: Array[(java.lang.Double, java.lang.Double, java.lang.Double)])
+      : Array[java.lang.Double] = {
+    if (perDraw.exists(t => t._1 == null || t._2 == null || t._3 == null))
+      return Array[java.lang.Double](null, null, null, null, null)
+    val m = draws.toDouble
+    def mean(xs: Seq[Double]) = xs.reduce((a, b) => a + b) / m
+    val qbar = mean(perDraw.toSeq.map(_._2.doubleValue))
+    val b0bar = mean(perDraw.toSeq.map(_._1.doubleValue))
+    val wbar = mean(perDraw.toSeq.map(_._3.doubleValue))
+    val bvar =
+      if (draws == 1) 0.0
+      else perDraw.toSeq.map(t => (t._2.doubleValue - qbar) * (t._2.doubleValue - qbar))
+        .reduce((a, b) => a + b) / (draws - 1).toDouble
+    val ttot = wbar + ((1.0 + (1.0 / m)) * bvar)
+    Array[java.lang.Double](r6(b0bar), r6(qbar), r12(wbar), r12(bvar), r6(math.sqrt(ttot)))
+  }
+
   /** Multiple-imputation pooled LOGISTIC regression of binary y on x per
     * group — the faithful analogue of the reference's MI step (mice m
     * draws, bayesglm per draw, pool): m hash-seeded imputation draws, one
     * independent fixed-K IRLS chain per draw, Rubin's-rules pooling with
     * per-draw Fisher variances. All m chains fold into ONE aggregation
     * pass per iteration (the Gram columns are draw-suffixed), so the
-    * corpus is scanned K+1 times regardless of m (K moment passes, the
-    * first doubling as group discovery, plus the pooling pass) — never
-    * m×K.
+    * corpus is scanned K+1 times regardless of m (the imputation-stats
+    * pass plus K moment passes, the first doubling as group discovery) —
+    * never m×K. The former dedicated pooling pass is gone (round 14):
+    * iteration K's Gram IS the Fisher information at the converged fit
+    * (to the 6dp beta grid), so Rubin's rules run on the driver over the
+    * moments that produced the final betas — see [[miLogitFinalIterSteps]].
     */
   def miLogitPooledByGroup(df: DataFrame, group: String, id: Column, x: Column, y: Column,
                            draws: Int, firstOffset: Int = 2, spread: Double = 1.0,
@@ -710,9 +744,9 @@ object Glm {
       broadcast(stats.select(col(group), col("__mean"), col("__sd"))), Seq(group))
     val withQ = (0 until draws).foldLeft(joined)((d, i) =>
       d.withColumn(s"__xq_$i", expr(xqS(sparkPctSql("__id", firstOffset + i), spread))))
-      // persisted for the K+1 passes (K IRLS moment
-      // aggregations, final pooling) — without it every pass re-scans the
-      // raw fact; unpersisted after the pooled result is materialized
+      // persisted for the K IRLS moment aggregations — without it every
+      // pass re-scans the raw fact; unpersisted after the pooled result
+      // is materialized
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // driver-held model state (groups × 2m doubles), MLlib-style: one
     // distributed moment pass per iteration, per-draw 2×2 solves on the
@@ -736,6 +770,9 @@ object Glm {
     def betaDf(): DataFrame = spark.createDataFrame(
       java.util.Arrays.asList(beta.map { case (g, b) => Row.fromSeq(g +: b.toSeq) }: _*),
       betaSchema)
+    // the pooled result, assembled on the driver from iteration K's
+    // moments — (group, n, n_obs) plus the 5 pooled scalars per group
+    var pooledRows: Seq[Row] = Seq.empty
     try {
       for (k <- 1 to iters) {
         // iteration 1: literal zero betas instead of a join against a
@@ -746,28 +783,53 @@ object Glm {
             d.withColumn(s"__b0_$i", lit(0.0)).withColumn(s"__b1_$i", lit(0.0)))
           else withQ.join(broadcast(betaDf()), Seq(group))
         val moments = runSteps(it, group, miLogitMomentSteps(draws)).collect()
-        beta = moments.toSeq.map { row =>
+        val solved = moments.toSeq.map { row =>
           def f(n: String): java.lang.Double = {
             val i = row.fieldIndex(n)
             if (row.isNullAt(i)) null else row.getDouble(i)
           }
-          row.get(0) -> (0 until draws).flatMap { d =>
+          row.get(0) -> (0 until draws).map { d =>
             val ms = Seq(s"__a00_$d", s"__a01_$d", s"__a11_$d", s"__r0_$d", s"__r1_$d").map(f)
-            if (ms.contains(null)) Seq[java.lang.Double](null, null)
+            if (ms.contains(null))
+              (null: java.lang.Double, null: java.lang.Double, null: java.lang.Double)
             else {
               val (b0, b1) = solve2Ridged(ridge, ms(0), ms(1), ms(2), ms(3), ms(4))
-              Seq[java.lang.Double](b0, b1)
+              // Fisher slope variance from THIS iteration's Gram — the
+              // same det expression the solve used (IEEE-identical to the
+              // oracle's final-iteration CTE)
+              val det = ((ms(0) + ridge) * (ms(2) + ridge)) - (ms(1) * ms(1))
+              (java.lang.Double.valueOf(b0), java.lang.Double.valueOf(b1),
+                java.lang.Double.valueOf((ms(0) + ridge) / det))
             }
           }.toArray
         }
+        beta = solved.map { case (g, bs) =>
+          g -> bs.flatMap(t => Seq(t._1, t._2))
+        }
+        if (k == iters) {
+          // fold the pooling into the last moment pass: Rubin's rules on
+          // the driver over (beta_K, Fisher vs from iteration K's Gram)
+          pooledRows = solved.zip(moments.toSeq).map { case ((g, bs), row) =>
+            val pooled = poolMiLogit(draws, bs)
+            Row.fromSeq(Seq(g, row.getLong(row.fieldIndex("__n")),
+              row.getLong(row.fieldIndex("__n_obs")), draws) ++ pooled.toSeq)
+          }
+        }
       }
-      val fin = withQ.join(broadcast(betaDf()), Seq(group))
-      val pooled = runSteps(fin, group, miLogitPoolSteps(draws, group, ridge))
-      // materialize eagerly (groups-sized — model output, never data) so the
-      // working-set unpersist in the finally cannot force a recompute at
-      // caller action
-      spark.createDataFrame(
-        java.util.Arrays.asList(pooled.collect(): _*), pooled.schema)
+      import org.apache.spark.sql.types.{IntegerType, LongType}
+      val outSchema = StructType(Seq(groupField,
+        StructField("n", LongType, nullable = false),
+        StructField("n_obs", LongType, nullable = false),
+        StructField("m_draws", IntegerType, nullable = false),
+        StructField("intercept_pooled", DoubleType, nullable = true),
+        StructField("slope_pooled", DoubleType, nullable = true),
+        StructField("var_within", DoubleType, nullable = true),
+        StructField("var_between", DoubleType, nullable = true),
+        StructField("se_total", DoubleType, nullable = true)))
+      // groups-sized local result (model output, never data) — already
+      // materialized, so the working-set unpersist below cannot force a
+      // recompute at caller action
+      spark.createDataFrame(java.util.Arrays.asList(pooledRows: _*), outSchema)
     } finally withQ.unpersist(blocking = false)
   }
 
@@ -800,17 +862,20 @@ object Glm {
       val join = s"__jt_$k AS (SELECT q.*, " +
         (0 until draws).flatMap(d => Seq(s"b.__b0_$d", s"b.__b1_$d")).mkString(", ") +
         s" FROM __q q JOIN $prevBeta b USING ($group))"
-      val (ctes, last) = renderSql(s"__jt_$k", s"__mit${k}", group,
-        miLogitIterSteps(draws, group, ridge))
+      // the LAST iteration also emits each draw's Fisher slope variance
+      // from its own Gram (miLogitFinalIterSteps) — no re-evaluation pass
+      val steps =
+        if (k == iters) miLogitFinalIterSteps(draws, group, ridge)
+        else miLogitIterSteps(draws, group, ridge)
+      val (ctes, last) = renderSql(s"__jt_$k", s"__mit${k}", group, steps)
       b.append((join +: ctes).mkString(",\n")).append(",\n")
       prevBeta = last
     }
-    val finJoin = s"__jfin AS (SELECT q.*, " +
-      (0 until draws).flatMap(d => Seq(s"b.__b0_$d", s"b.__b1_$d")).mkString(", ") +
-      s" FROM __q q JOIN $prevBeta b USING ($group))"
-    val (ctes, last) = renderSql("__jfin", "__pool", group,
-      miLogitPoolSteps(draws, group, ridge))
-    b.append((finJoin +: ctes).mkString(",\n"))
+    // Rubin's rules over the final iteration's one-row-per-group frame —
+    // scalar CTEs only, never touching __q again
+    val (ctes, last) = renderSql(prevBeta, "__pool", group,
+      miLogitPoolSteps(draws, group))
+    b.append(ctes.mkString(",\n"))
     b.append(s"\nSELECT * FROM $last")
     b.toString
   }

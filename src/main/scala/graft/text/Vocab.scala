@@ -118,44 +118,54 @@ object Vocab {
     * ONE corpus pass, STRUCTURALLY: each document explodes to a
     * boundary-padded adjacency stream — (null, t[0]), (t[i], t[i+1])...,
     * (t[last], null) — and a single map-side-combinable groupBy(w1, w2)
-    * folds it. On that one frame, BOTH unigram marginals are window sums
-    * (Σc over w1 = occurrences of w1, the final-boundary row supplying its
-    * doc-final use; Σc over w2 symmetric via the initial boundary). N and
-    * B are a one-row conditional fold of the same frame, broadcast back —
-    * NOT global windows, which would funnel the distinct-bigram frame
-    * through a SinglePartition exchange (the cliff this shape exists to
-    * avoid); the fold's subtree is byte-identical to the main path up to
-    * the shared groupBy exchange, so AQE reuses it (plan-probed — unlike
-    * two earlier formulations where renamed-join subtrees and isNotNull
-    * pushdown split the exchange and re-scanned the corpus). The window
-    * shuffles act on the distinct-bigram frame, never the corpus. The ln
-    * runs once per SURVIVING pair on identical IEEE inputs, r6-rounded
-    * before the total-order top-k (TakeOrderedAndProject — no global
-    * sort).
+    * folds it. That distinct-bigram frame has FOUR consumers (both unigram
+    * marginals, the N/B totals, the surviving-pair spine), so it is bound
+    * to one materialization via Bridge.shareLazily; each marginal is then
+    * a map-side-combinable groupBy over the cache whose shuffled volume is
+    * bounded by UNIGRAM cardinality × partitions — unlike the previous
+    * window-sum formulation, which shuffled the full distinct-bigram frame
+    * twice with no partial aggregation (measured 12.1x for 10x docs at the
+    * sf1 replica: distinct-bigram keyspace growth hit both window
+    * exchanges head-on, VERDICT r13 item 6). The minCount floor prunes the
+    * pair spine BEFORE the marginal joins, so those joins move only
+    * surviving pairs; marginals stay EXACT (computed over the full frame —
+    * boundary rows supply doc-initial/final uses, inner joins on the
+    * non-null pair keys drop the null-key marginal rows untouched). N and
+    * B are a one-row fold of the same cache, broadcast back — never global
+    * windows, which would funnel the bigram frame through a
+    * SinglePartition exchange. The ln runs once per SURVIVING pair on
+    * identical IEEE inputs, r6-rounded before the total-order top-k
+    * (TakeOrderedAndProject — no global sort).
     */
   def bigramPmi(df: DataFrame, text: Column, minCount: Long, k: Int): DataFrame = {
     require(minCount >= 1, s"bigramPmi needs minCount >= 1, got $minCount")
     require(k >= 1, s"bigramPmi needs k >= 1, got $k")
     val r6 = graft.util.Portable.round6 _
-    val g = df.select(tokens(text).as("__t"))
-      // guard BEFORE sequence(): on an empty array sequence(0, -1) would
-      // generate a DESCENDING [0, -1] and emit phantom rows
-      .filter(size(col("__t")) >= 1)
-      .select(explode(expr(
-        "transform(sequence(0, size(__t)), i -> struct(" +
-          "CASE WHEN i > 0 THEN __t[i - 1] END AS w1, " +
-          "CASE WHEN i < size(__t) THEN __t[i] END AS w2))")).as("__e"))
-      .select(col("__e.w1"), col("__e.w2"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c"))
+    val g = org.apache.spark.sql.graft.Bridge.shareLazily(
+      df.select(tokens(text).as("__t"))
+        // guard BEFORE sequence(): on an empty array sequence(0, -1) would
+        // generate a DESCENDING [0, -1] and emit phantom rows
+        .filter(size(col("__t")) >= 1)
+        .select(explode(expr(
+          "transform(sequence(0, size(__t)), i -> struct(" +
+            "CASE WHEN i > 0 THEN __t[i - 1] END AS w1, " +
+            "CASE WHEN i < size(__t) THEN __t[i] END AS w2))")).as("__e"))
+        .select(col("__e.w1"), col("__e.w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c")))
     val totals = broadcast(g.agg(
       sum(when(col("w2").isNotNull, col("__c"))).as("__n"),
       sum(when(col("w1").isNotNull && col("w2").isNotNull, col("__c"))).as("__b")))
+    // exact unigram marginals: Σc over w1 (the final-boundary row supplies
+    // each word's doc-final use), Σc over w2 symmetric. The null-key rows
+    // ((null, t0) / (tlast, null)) never match the inner joins below.
+    val cx = g.groupBy(col("w1")).agg(sum(col("__c")).as("__cx"))
+    val cy = g.groupBy(col("w2")).agg(sum(col("__c")).as("__cy"))
     def d(c: Column) = c.cast("double")
     g
-      .withColumn("__cx", sum(col("__c")).over(Window.partitionBy(col("w1"))))
-      .withColumn("__cy", sum(col("__c")).over(Window.partitionBy(col("w2"))))
-      .crossJoin(totals)
       .filter(col("w1").isNotNull && col("w2").isNotNull && col("__c") >= minCount)
+      .join(cx, Seq("w1"))
+      .join(cy, Seq("w2"))
+      .crossJoin(totals)
       .select(col("w1"), col("w2"), col("__c").as("n_pair"),
         r6(log((d(col("__c")) * d(col("__n")) * d(col("__n"))) /
           (d(col("__b")) * d(col("__cx")) * d(col("__cy")))))
