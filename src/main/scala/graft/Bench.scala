@@ -72,7 +72,15 @@ object Bench {
               case n: graft.plans.DeferredFrameNode => unwrap(n.frame())
               case _ => df
             }
-          val s = unwrap(fn(spark, sfDir)).queryExecution.optimizedPlan.toString
+          // InMemoryRelation reprints (shareLazily-backed queries) embed
+          // the cached plan's RUNTIME physical reprint — post-
+          // materialization that includes AQE "Final Plan" sections with
+          // ShuffleQueryStage ids and coalesce counts that vary across
+          // boxes/configs. Strip the reprint (keep the InMemoryRelation
+          // line itself — its output schema IS declared shape) so the
+          // fingerprint stays a pure function of the declared plan.
+          val s = graft.util.PlanText.stripCachedReprints(
+            unwrap(fn(spark, sfDir)).queryExecution.optimizedPlan.toString)
           val stable = s
             .replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+@[0-9a-fA-F]+", "Lambda")
             .replaceAll("#\\d+", "#x")
@@ -95,11 +103,13 @@ object Bench {
             .replaceAll("graft_dataset_export_[0-9a-f_]+", "graft_dataset_export_")
           f"${scala.util.hashing.MurmurHash3.stringHash(stable)}%08x"
         } catch { case _: Throwable => "err" }
-      // SPARK_GRAFT_WARM_REPS > 1: warm = MEDIAN of N steady-state reps —
-      // the floor-recording mode (tools/make_floors.py), so floors carry
-      // this box's typical warm time instead of an all-time lucky minimum
-      // that turns the 2x regression tripwire into noise
-      val warmReps = sys.env.get("SPARK_GRAFT_WARM_REPS").map(_.toInt).getOrElse(1)
+      // warm = MEDIAN of N steady-state reps (default 3 since round 14 —
+      // VERDICT r13 item 7: a single warm rep misread ~10 queries as
+      // regressions that were box noise; the default run now IS the floor
+      // series, so the per-round BENCH_rN.json headline needs no floor
+      // cross-reference). SPARK_GRAFT_WARM_REPS=1 restores the quick mode
+      // for dev loops.
+      val warmReps = sys.env.get("SPARK_GRAFT_WARM_REPS").map(_.toInt).getOrElse(3)
       // A failed warm rep is a real signal even when siblings survive: a
       // partial failure surfaces as an error note (the median of survivors
       // is still reported, flagged), never silently shifting the median

@@ -1674,15 +1674,25 @@ object SparkEntry {
       // information (phrase-promotion signal for a tokenizer step)
       graft.text.Vocab.bigramPmi(table(s, dir, "documents"), col("text"), 5L, 50)),
     "record_linkage_jw" -> ((s, dir) =>
-      // fuzzy entity matching: 16-char blocking join, native Jaro-Winkler
-      // verify over the 64-char probe, rounded-then-thresholded at 0.9
+      // fuzzy entity matching: 16-char-prefix block UNIONED with the
+      // sorted-token block (word-order variants reachable), native
+      // Jaro-Winkler verify over the 64-char probe, rounded-then-
+      // thresholded at 0.9; hot blocks past 1000 members dropped per pass
+      // (explicit cap — linkage_block_report is the drop accounting)
       Dedup.jaroWinklerLinkage(table(s, dir, "documents"),
-        col("doc_id"), col("text"), 16, 64, 0.9)),
+        col("doc_id"), col("text"), 16, 64, 0.9, maxBlock = 1000)),
     "record_linkage_dl" -> ((s, dir) =>
-      // transposition-aware edit linkage on the same blocks as the JW
-      // verifier (typo-heavy-source contract); integer threshold
+      // transposition-aware edit linkage on the same two-pass blocks as
+      // the JW verifier (typo-heavy-source contract); integer threshold
       Dedup.damerauLinkage(table(s, dir, "documents"),
-        col("doc_id"), col("text"), 16, 64, 8)),
+        col("doc_id"), col("text"), 16, 64, 8, maxBlock = 1000)),
+    "linkage_block_report" -> ((s, dir) =>
+      // the linkage cap's observability companion: per blocking pass,
+      // how many blocks/rows the maxBlock occupancy guard drops (zero on
+      // healthy data — nonzero means the cap is CHANGING ANSWERS and the
+      // corpus needs a boilerplate look)
+      Dedup.linkageBlockReport(table(s, dir, "documents"),
+        col("doc_id"), col("text"), 16, 64, 1000)),
     "markov_transitions" -> ((s, dir) =>
       // per-user next-step transition matrix (row-normalized) — the
       // model-ready sibling of event_paths
@@ -2031,7 +2041,7 @@ object SparkEntry {
       // entity resolution end-to-end: blocked JW linkage pairs ->
       // pointer-jumping connected components -> canonical entity table
       val pairs = Dedup.jaroWinklerLinkage(table(s, dir, "documents"),
-        col("doc_id"), col("text"), 16, 64, 0.9)
+        col("doc_id"), col("text"), 16, 64, 0.9, maxBlock = 1000)
       Dedup.connectedComponents(pairs, "doc_a", "doc_b")
         .groupBy(col("component").as("entity_id"))
         .agg(count(lit(1)).as("n_members"), min(col("doc_id")).as("min_doc"),
@@ -4238,34 +4248,89 @@ asofOracle,
     // DuckDB's jaro_winkler_similarity IS the reference convention the
     // native expression pins (RapidFuzz: boost only when jaro > 0.7,
     // prefix cap 4); both sides r6-round BEFORE the 0.9 threshold
-    // both linkage oracles carry the kernel's hot-block occupancy guard
-    // (blocks > 1000 members dropped — the banded-simhash discipline);
-    // it never binds on the gate data (max occupancy 14 at the 100x
-    // replica), so results are unchanged at every tested SF
+    // both linkage oracles carry the kernel's TWO blocking passes (16-char
+    // prefix UNION sorted-token key of the 64-char probe — round 14) and
+    // the per-pass hot-block occupancy guard (blocks > 1000 members
+    // dropped — the banded-simhash discipline); the guard never binds on
+    // the gate data (max occupancy 14 at the 100x replica), so results
+    // are unchanged by it at every tested SF. UNION (not UNION ALL) is
+    // the cross-pass pair dedup, matching the kernel's .distinct()
     "record_linkage_jw" ->
-      """WITH b AS (
+      """WITH b1 AS (
         |  SELECT * FROM (
         |    SELECT doc_id, substr(text, 1, 16) AS blk, substr(text, 1, 64) AS probe,
         |      COUNT(*) OVER (PARTITION BY substr(text, 1, 16)) AS occ
         |    FROM documents)
-        |  WHERE occ <= 1000)
-        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-        |  floor(jaro_winkler_similarity(x.probe, y.probe) * 1000000.0 + 0.5)
+        |  WHERE occ <= 1000),
+        |b2 AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id,
+        |      array_to_string(list_sort(string_split(substr(text, 1, 64), ' ')), ' ') AS blk,
+        |      substr(text, 1, 64) AS probe,
+        |      COUNT(*) OVER (PARTITION BY
+        |        array_to_string(list_sort(string_split(substr(text, 1, 64), ' ')), ' ')) AS occ
+        |    FROM documents)
+        |  WHERE occ <= 1000),
+        |cand AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.probe AS pa, y.probe AS pb
+        |  FROM b1 x JOIN b1 y ON x.blk = y.blk AND x.doc_id < y.doc_id
+        |  UNION
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.probe AS pa, y.probe AS pb
+        |  FROM b2 x JOIN b2 y ON x.blk = y.blk AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b,
+        |  floor(jaro_winkler_similarity(pa, pb) * 1000000.0 + 0.5)
         |    / 1000000.0 AS jw
-        |FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id
-        |WHERE floor(jaro_winkler_similarity(x.probe, y.probe) * 1000000.0 + 0.5)
+        |FROM cand
+        |WHERE floor(jaro_winkler_similarity(pa, pb) * 1000000.0 + 0.5)
         |    / 1000000.0 >= 0.9""".stripMargin,
     "record_linkage_dl" ->
-      """WITH b AS (
+      """WITH b1 AS (
         |  SELECT * FROM (
         |    SELECT doc_id, substr(text, 1, 16) AS blk, substr(text, 1, 64) AS probe,
         |      COUNT(*) OVER (PARTITION BY substr(text, 1, 16)) AS occ
         |    FROM documents)
-        |  WHERE occ <= 1000)
-        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-        |  CAST(damerau_levenshtein(x.probe, y.probe) AS INT) AS dl
-        |FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id
-        |WHERE damerau_levenshtein(x.probe, y.probe) <= 8""".stripMargin,
+        |  WHERE occ <= 1000),
+        |b2 AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id,
+        |      array_to_string(list_sort(string_split(substr(text, 1, 64), ' ')), ' ') AS blk,
+        |      substr(text, 1, 64) AS probe,
+        |      COUNT(*) OVER (PARTITION BY
+        |        array_to_string(list_sort(string_split(substr(text, 1, 64), ' ')), ' ')) AS occ
+        |    FROM documents)
+        |  WHERE occ <= 1000),
+        |cand AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.probe AS pa, y.probe AS pb
+        |  FROM b1 x JOIN b1 y ON x.blk = y.blk AND x.doc_id < y.doc_id
+        |  UNION
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.probe AS pa, y.probe AS pb
+        |  FROM b2 x JOIN b2 y ON x.blk = y.blk AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(damerau_levenshtein(pa, pb) AS INT) AS dl
+        |FROM cand
+        |WHERE damerau_levenshtein(pa, pb) <= 8""".stripMargin,
+    // the cap-accounting companion (round 14): per blocking pass, blocks/
+    // rows the occupancy guard drops — zero on gate data, nonzero = the
+    // cap is changing answers (the no-silent-caps contract)
+    "linkage_block_report" ->
+      """WITH p1 AS (
+        |  SELECT substr(text, 1, 16) AS blk, COUNT(*) AS occ
+        |  FROM documents GROUP BY 1),
+        |p2 AS (
+        |  SELECT array_to_string(list_sort(string_split(substr(text, 1, 64), ' ')), ' ') AS blk,
+        |    COUNT(*) AS occ
+        |  FROM documents GROUP BY 1)
+        |SELECT 'prefix' AS block_kind, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |  CAST(MAX(occ) AS BIGINT) AS max_occupancy,
+        |  CAST(SUM(CASE WHEN occ > 1000 THEN 1 ELSE 0 END) AS BIGINT) AS blocks_dropped,
+        |  CAST(SUM(CASE WHEN occ > 1000 THEN occ ELSE 0 END) AS BIGINT) AS rows_dropped
+        |FROM p1
+        |UNION ALL
+        |SELECT 'sorted_tokens' AS block_kind, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |  CAST(MAX(occ) AS BIGINT) AS max_occupancy,
+        |  CAST(SUM(CASE WHEN occ > 1000 THEN 1 ELSE 0 END) AS BIGINT) AS blocks_dropped,
+        |  CAST(SUM(CASE WHEN occ > 1000 THEN occ ELSE 0 END) AS BIGINT) AS rows_dropped
+        |FROM p2""".stripMargin,
     "markov_transitions" ->
       """WITH s AS (
         |  SELECT event_type AS from_state,
@@ -4782,19 +4847,35 @@ asofOracle,
         |ORDER BY abs(floor((CAST(n_second AS DOUBLE) / CAST(t2 AS DOUBLE)
         |         - CAST(n_first AS DOUBLE) / CAST(t1 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) DESC, stream
         |LIMIT 5""".stripMargin,
-    // the pairs CTE carries the same hot-block occupancy guard as the
-    // record_linkage oracles (the composed flow consumes the capped kernel)
+    // the pairs CTE carries the same two-pass blocking + hot-block
+    // occupancy guard as the record_linkage oracles (the composed flow
+    // consumes the capped two-pass kernel)
     "linkage_entities" ->
-      """WITH RECURSIVE b AS (
+      """WITH RECURSIVE b1 AS (
         |  SELECT * FROM (
         |    SELECT doc_id, substr(text, 1, 16) AS blk, substr(text, 1, 64) AS probe,
         |      COUNT(*) OVER (PARTITION BY substr(text, 1, 16)) AS occ
         |    FROM documents)
         |  WHERE occ <= 1000),
+        |b2 AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id,
+        |      array_to_string(list_sort(string_split(substr(text, 1, 64), ' ')), ' ') AS blk,
+        |      substr(text, 1, 64) AS probe,
+        |      COUNT(*) OVER (PARTITION BY
+        |        array_to_string(list_sort(string_split(substr(text, 1, 64), ' ')), ' ')) AS occ
+        |    FROM documents)
+        |  WHERE occ <= 1000),
+        |cand AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.probe AS pa, y.probe AS pb
+        |  FROM b1 x JOIN b1 y ON x.blk = y.blk AND x.doc_id < y.doc_id
+        |  UNION
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.probe AS pa, y.probe AS pb
+        |  FROM b2 x JOIN b2 y ON x.blk = y.blk AND x.doc_id < y.doc_id),
         |p AS (
-        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |  FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id
-        |  WHERE floor(jaro_winkler_similarity(x.probe, y.probe) * 1000000.0 + 0.5)
+        |  SELECT doc_a, doc_b
+        |  FROM cand
+        |  WHERE floor(jaro_winkler_similarity(pa, pb) * 1000000.0 + 0.5)
         |      / 1000000.0 >= 0.9),
         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
         |          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),

@@ -579,80 +579,143 @@ object Dedup {
       .agg(max(col("a.sz")).as("sz_a"), max(col("b.sz")).as("sz_b"), count(lit(1)).as("inter"))
   }
 
-  /** Blocked Jaro-Winkler record linkage: candidate pairs share a
-    * `blockLen`-char key prefix (the blocking join — an EQUI-join, never a
-    * cross product), then the native [[graft.functions.JaroWinkler]]
-    * expression verifies the first `probeLen` chars and keeps pairs whose
-    * r6-rounded similarity reaches `threshold`. Rounding BEFORE the
-    * threshold compare is the contract: jw's last ulp may differ across
-    * engines, the 6-decimal quantization may not.
+  /** Blocked Jaro-Winkler record linkage: candidate pairs share a blocking
+    * key (the blocking join — an EQUI-join, never a cross product), then
+    * the native [[graft.functions.JaroWinkler]] expression verifies the
+    * first `probeLen` chars and keeps pairs whose r6-rounded similarity
+    * reaches `threshold`. Rounding BEFORE the threshold compare is the
+    * contract: jw's last ulp may differ across engines, the 6-decimal
+    * quantization may not.
+    *
+    * TWO blocking passes (round 14), unioned then deduped before the one
+    * verification: (1) the `blockLen`-char key PREFIX — the classic
+    * names/titles block; (2) the SORTED-TOKEN key of the probe region —
+    * so word-order/first-char variants ("Smith, John" vs "John Smith"),
+    * invisible to any prefix block, still become candidates. Candidates
+    * are verified once (the probe columns ride the candidate rows, so no
+    * join back to the corpus).
     *
     * The fuzzy-entity-match sibling of prefixFilterJoin (token-set J) and
     * fuzzyEditDedup (Levenshtein): JW weights prefix agreement, the right
-    * verifier for names/titles. Scale: candidates are confined to equal
-    * prefix blocks, and blocks past `maxBlock` members are DROPPED — the
-    * banded-simhash hot-bucket discipline (round 13): a boilerplate-heavy
-    * corpus (many records opening with the same 16 chars) otherwise makes
-    * within-block pairs quadratic in the hot block's occupancy — the sf1
-    * replica measured pair volume growing 74x for 10x docs from exactly
-    * this mechanism. A block that hot carries no linkage signal anyway
-    * (the probe prefixes are near-identical boilerplate); real matches
-    * live in discriminative blocks. The cap never binds on the gate data
-    * (max occupancy 14 at the 100x replica), so the oracle carries the
-    * same guard and results are unchanged at every tested SF. Remaining
-    * sub-cap hot blocks are AQE skew-split (same caveat as the LSH band
-    * joins). Output: (doc_a, doc_b, jw) with doc_a < doc_b.
+    * verifier for names/titles. Scale: each pass confines candidates to
+    * equal-key blocks, and blocks past `maxBlock` members are DROPPED per
+    * pass — the banded-simhash hot-bucket discipline (round 13): a
+    * boilerplate-heavy corpus (many records opening with the same 16
+    * chars) otherwise makes within-block pairs quadratic in the hot
+    * block's occupancy — the sf1 replica measured pair volume growing 74x
+    * for 10x docs from exactly this mechanism. A block that hot carries no
+    * linkage signal anyway; real matches live in discriminative blocks.
+    * The cap never binds on the gate data (max occupancy 14 at the 100x
+    * replica), so the oracle carries the same guard and results are
+    * unchanged at every tested SF. The cap is NOT silent: run
+    * [[linkageBlockReport]] over the same (key, blockLen, probeLen,
+    * maxBlock) to get per-pass (blocks_dropped, rows_dropped,
+    * max_occupancy) accounting — the registered `linkage_block_report`
+    * query is exactly that companion. Remaining sub-cap hot blocks are
+    * AQE skew-split (same caveat as the LSH band joins). Output:
+    * (doc_a, doc_b, jw) with doc_a < doc_b.
     */
   def jaroWinklerLinkage(df: DataFrame, id: Column, key: Column,
                          blockLen: Int, probeLen: Int, threshold: Double,
                          maxBlock: Int = 1000): DataFrame = {
-    require(blockLen >= 1 && probeLen >= blockLen,
-      s"jaroWinklerLinkage needs 1 <= blockLen <= probeLen, got $blockLen/$probeLen")
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaroWinklerLinkage needs threshold in (0, 1], got $threshold")
     val r6 = graft.util.Portable.round6 _
-    val b = linkageBlocks(df, id, key, blockLen, probeLen, maxBlock)
-    b.as("x").join(b.as("y"),
-        col("x.__blk") === col("y.__blk") && col("x.__id") < col("y.__id"))
-      .select(col("x.__id").as("doc_a"), col("y.__id").as("doc_b"),
-        r6(graft.functions.JaroWinkler.jaroWinkler(col("x.__probe"), col("y.__probe")))
-          .as("jw"))
+    linkageCandidates(df, id, key, blockLen, probeLen, maxBlock)
+      .select(col("doc_a"), col("doc_b"),
+        r6(graft.functions.JaroWinkler.jaroWinkler(col("__pa"), col("__pb"))).as("jw"))
       .filter(col("jw") >= threshold)
   }
 
-  /** Shared blocking frame for the linkage pair: prefix block + probe,
-    * hot blocks (> maxBlock members) dropped before the self-join. The
-    * occupancy window partitions BY BLOCK (never global) and shuffles on
-    * the same key the join needs, so the guard adds no extra exchange. */
-  private def linkageBlocks(df: DataFrame, id: Column, key: Column,
-                            blockLen: Int, probeLen: Int, maxBlock: Int): DataFrame = {
+  /** The sorted-token block key: tokens of the probe region, sorted and
+    * re-joined — word-order-insensitive, the recall pass prefix blocking
+    * cannot provide. Dialect twin: array_to_string(list_sort(
+    * string_split(substr(k,1,n), ' ')), ' ') in DuckDB (both engines
+    * split on the literal space keeping empties, sort bytewise). */
+  private def sortedTokenKey(key: Column, probeLen: Int): Column =
+    array_join(array_sort(split(substring(key, 1, probeLen), " ")), " ")
+
+  /** Candidate pairs for the linkage verifiers: the prefix pass unioned
+    * with the sorted-token pass, deduped on the id pair BEFORE the (more
+    * expensive) similarity verification. The base (id, probe) projection
+    * is shareLazily-bound: both passes and their self-joins read one
+    * materialization instead of re-scanning the corpus. */
+  private def linkageCandidates(df: DataFrame, id: Column, key: Column,
+                                blockLen: Int, probeLen: Int, maxBlock: Int): DataFrame = {
+    require(blockLen >= 1 && probeLen >= blockLen,
+      s"linkage needs 1 <= blockLen <= probeLen, got $blockLen/$probeLen")
+    val base = org.apache.spark.sql.graft.Bridge.shareLazily(
+      df.select(id.as("__id"), substring(key, 1, probeLen).as("__probe")))
+    def pass(blockKey: Column) = {
+      val b = linkageBlocks(base, blockKey, maxBlock)
+      b.as("x").join(b.as("y"),
+          col("x.__blk") === col("y.__blk") && col("x.__id") < col("y.__id"))
+        .select(col("x.__id").as("doc_a"), col("y.__id").as("doc_b"),
+          col("x.__probe").as("__pa"), col("y.__probe").as("__pb"))
+    }
+    // blockLen <= probeLen, so the prefix key is a prefix of the probe —
+    // both keys derive from the cached projection, never the raw corpus
+    pass(substring(col("__probe"), 1, blockLen))
+      .union(pass(sortedTokenKey(col("__probe"), probeLen)))
+      .distinct()
+  }
+
+  /** One blocking pass over the cached (id, probe) projection: block key +
+    * probe, hot blocks (> maxBlock members) dropped before the self-join.
+    * The occupancy window partitions BY BLOCK (never global) and shuffles
+    * on the same key the join needs, so the guard adds no extra exchange. */
+  private def linkageBlocks(base: DataFrame, blockKey: Column, maxBlock: Int): DataFrame = {
     require(maxBlock >= 1, s"linkage needs maxBlock >= 1, got $maxBlock")
-    df.select(id.as("__id"), substring(key, 1, blockLen).as("__blk"),
-        substring(key, 1, probeLen).as("__probe"))
+    base.select(col("__id"), blockKey.as("__blk"), col("__probe"))
       .withColumn("__occ", count(lit(1)).over(Window.partitionBy(col("__blk"))))
       .filter(col("__occ") <= maxBlock)
       .drop("__occ")
   }
 
+  /** Occupancy accounting for the linkage hot-block cap — the cap must
+    * never be silent (a dropped block CHANGES ANSWERS for callers whose
+    * hot prefixes hold true matches). One row per blocking pass:
+    * (block_kind, n_blocks, max_occupancy, blocks_dropped, rows_dropped)
+    * where *_dropped count the blocks/rows the linkage kernels' guard
+    * excludes at this `maxBlock`. Run it beside [[jaroWinklerLinkage]] /
+    * [[damerauLinkage]] with the same parameters — or ship it as the
+    * pre-flight check, the way `key_skew_report` fronts a join. One
+    * map-side-combinable groupBy per pass; the scalars fold the per-block
+    * frame. */
+  def linkageBlockReport(df: DataFrame, id: Column, key: Column,
+                         blockLen: Int, probeLen: Int, maxBlock: Int): DataFrame = {
+    require(blockLen >= 1 && probeLen >= blockLen,
+      s"linkage needs 1 <= blockLen <= probeLen, got $blockLen/$probeLen")
+    require(maxBlock >= 1, s"linkage needs maxBlock >= 1, got $maxBlock")
+    def report(kind: String, blockKey: Column) =
+      df.select(blockKey.as("__blk"))
+        .groupBy(col("__blk")).agg(count(lit(1)).as("__occ"))
+        .agg(count(lit(1)).as("n_blocks"),
+          max(col("__occ")).as("max_occupancy"),
+          sum(when(col("__occ") > maxBlock, 1L).otherwise(0L)).as("blocks_dropped"),
+          sum(when(col("__occ") > maxBlock, col("__occ")).otherwise(0L)).as("rows_dropped"))
+        .select(lit(kind).as("block_kind"), col("n_blocks"), col("max_occupancy"),
+          col("blocks_dropped"), col("rows_dropped"))
+    report("prefix", substring(key, 1, blockLen))
+      .union(report("sorted_tokens", sortedTokenKey(key, probeLen)))
+  }
+
   /** Blocked Damerau-Levenshtein linkage: the transposition-aware edit
     * verifier for typo-heavy sources ("teh"/"the" is ONE edit here, two
-    * for plain Levenshtein). Same blocking shape (and hot-block `maxBlock`
-    * guard — see [[jaroWinklerLinkage]]); keeps pairs whose unrestricted
-    * DL distance over the `probeLen`-char probe is ≤ `maxDist`. Integer
-    * distances — no rounding contract needed at the threshold.
+    * for plain Levenshtein). Same two-pass blocking (and per-pass
+    * hot-block `maxBlock` guard — see [[jaroWinklerLinkage]]); keeps pairs
+    * whose unrestricted DL distance over the `probeLen`-char probe is ≤
+    * `maxDist`. Integer distances — no rounding contract needed at the
+    * threshold.
     */
   def damerauLinkage(df: DataFrame, id: Column, key: Column,
                      blockLen: Int, probeLen: Int, maxDist: Int,
                      maxBlock: Int = 1000): DataFrame = {
-    require(blockLen >= 1 && probeLen >= blockLen,
-      s"damerauLinkage needs 1 <= blockLen <= probeLen, got $blockLen/$probeLen")
     require(maxDist >= 0, s"damerauLinkage needs maxDist >= 0, got $maxDist")
-    val b = linkageBlocks(df, id, key, blockLen, probeLen, maxBlock)
-    b.as("x").join(b.as("y"),
-        col("x.__blk") === col("y.__blk") && col("x.__id") < col("y.__id"))
-      .select(col("x.__id").as("doc_a"), col("y.__id").as("doc_b"),
+    linkageCandidates(df, id, key, blockLen, probeLen, maxBlock)
+      .select(col("doc_a"), col("doc_b"),
         graft.functions.DamerauLevenshtein
-          .damerauLevenshtein(col("x.__probe"), col("y.__probe")).as("dl"))
+          .damerauLevenshtein(col("__pa"), col("__pb")).as("dl"))
       .filter(col("dl") <= maxDist)
   }
 }

@@ -51,19 +51,45 @@ object Bridge {
     * calls it between workloads — after which every shared entry is gone
     * (BridgeLifetimeSpec pins both the idempotence and the release). The
     * `isCached` lookup keeps REPEATED constructions over the same input
-    * from stacking duplicate entries. */
-  def shareLazily(df: DataFrame): DataFrame =
+    * from stacking duplicate entries.
+    *
+    * NOTE: `spark.catalog.clearCache()` removes the CacheManager entries
+    * but does NOT drain this tracker — [[releaseShared]] is the drain. A
+    * session that clears the catalog cache directly leaves stale tracked
+    * refs behind; they are harmless (re-unpersisting an uncached frame is
+    * a no-op) and are PRUNED on the next [[shareLazily]] call, so the
+    * tracker cannot grow past the live-entry count plus one workload's
+    * registrations. */
+  def shareLazily(df: DataFrame): DataFrame = {
+    pruneStale()
     if (isCached(df)) df
     else {
       val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sharedFrames.add(p)
       p
     }
+  }
 
-  // Strong refs are fine: the registry is drained by releaseShared, and
+  // Strong refs are fine: the registry is drained by releaseShared (and
+  // entries whose plans left the CacheManager by other means — e.g. a
+  // caller's clearCache() — are pruned on the next shareLazily), so
   // between drains the CacheManager itself already holds the same plans.
   private val sharedFrames =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Drop tracked entries whose plans are no longer in the CacheManager —
+    * a caller that bounded cache growth with clearCache() (instead of
+    * [[releaseShared]]) must not leak tracked plan objects. */
+  private def pruneStale(): Unit = {
+    val it = sharedFrames.iterator()
+    while (it.hasNext) {
+      val d = it.next()
+      val gone =
+        try !isCached(d)
+        catch { case scala.util.control.NonFatal(_) => true }
+      if (gone) it.remove()
+    }
+  }
 
   /** Number of tracked (not-yet-released) shareLazily registrations —
     * test instrumentation for the bounded-growth contract. */

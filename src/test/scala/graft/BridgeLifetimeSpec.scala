@@ -81,4 +81,23 @@ class BridgeLifetimeSpec extends SparkSpec {
       "kernel must recompute identically after release")
     Bridge.releaseShared()
   }
+
+  test("a caller's clearCache() leaves stale tracked refs that the next shareLazily prunes") {
+    // ADVICE r13: a long-lived session bounding cache growth with
+    // spark.catalog.clearCache() bypasses releaseShared — the tracker must
+    // not accumulate stale plan refs indefinitely
+    Bridge.releaseShared()
+    val base = Bridge.sharedCount
+    (1 to 4).foreach { seed =>
+      Bridge.shareLazily(perUser(seed)).count(); ()
+    }
+    assert(Bridge.sharedCount - base >= 4)
+    spark.catalog.clearCache() // the "other" bounding recipe
+    // next registration prunes every entry whose plan left the CacheManager
+    val fresh = Bridge.shareLazily(perUser(99))
+    fresh.count()
+    assert(Bridge.sharedCount <= base + 1,
+      s"stale refs must be pruned: ${Bridge.sharedCount} tracked after clearCache")
+    Bridge.releaseShared()
+  }
 }

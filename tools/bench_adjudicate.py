@@ -18,13 +18,20 @@ import sys
 
 
 def main() -> None:
-    cur_f, base_f, ref_f = sys.argv[1], sys.argv[2], sys.argv[3]
+    cur_f, base_f = sys.argv[1], sys.argv[2]
+    ref_f = sys.argv[3] if len(sys.argv) > 3 else None
     cur = json.load(open(cur_f))
-    floors = json.load(open(base_f))
-    if "queries" in floors:
-        floors = floors["queries"]
-    ref = json.load(open(ref_f))
-    ref_hashes = ref.get("plan_hashes", {})
+    floors_file = json.load(open(base_f))
+    floor_hashes = floors_file.get("plan_hashes", {})
+    floors = floors_file.get("queries", floors_file)
+    # floor files carry their own plan hashes since r14 — a floor is only
+    # comparable against the SAME plan, so those take precedence over (and
+    # make optional) the reference-round hashes
+    ref_hashes = dict(floor_hashes)
+    if ref_f:
+        ref = json.load(open(ref_f))
+        for k, v in ref.get("plan_hashes", {}).items():
+            ref_hashes.setdefault(k, v)
 
     cold = cur["queries"]
     warm = cur.get("warm_queries", cold)
@@ -42,13 +49,13 @@ def main() -> None:
             print(f"  {k}: {v[:120]}")
 
     if not ref_hashes:
-        print(f"\n{ref_f} has NO plan_hashes — hash comparison did not run "
+        print("\nno plan hashes available — hash comparison did not run "
               "(use a committed BENCH_full.json as the reference)")
     else:
         changed = sorted(k for k, h in hashes.items()
                          if k in ref_hashes and ref_hashes[k] != h)
         missing = sorted(k for k in hashes if k not in ref_hashes)
-        print(f"\nplan hashes changed vs {ref_f}: {len(changed)}"
+        print(f"\nplan hashes changed vs floors/reference: {len(changed)}"
               + (f" ({len(missing)} not in reference)" if missing else ""))
         for k in changed:
             print(f"  {k}: {ref_hashes[k]} -> {hashes[k]}")
