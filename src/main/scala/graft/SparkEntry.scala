@@ -2101,7 +2101,7 @@ object SparkEntry {
     * iterative graph kernels, and the BPE merge loop. [[queries]] wraps each
     * behind [[graft.plans.DeferredSummary.frame]], moving those jobs from
     * DataFrame CONSTRUCTION to first action: constructing any registry
-    * entry is job-free (PlanAuditSpec asserts this for all 246), which is
+    * entry is job-free (PlanAuditSpec asserts this registry-wide), which is
     * the only posture that survives a 100 TB catalog — a plan audit, bench
     * plan-hash, or .explain must never scan the corpus. The DDL is the
     * static output contract, structurally checked against the inner frame

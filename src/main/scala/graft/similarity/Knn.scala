@@ -274,6 +274,30 @@ object Knn {
         .filter(col("cos_sim") < dupThreshold),
       k)
 
+  /** How many corpus vectors the EXACT mining path is allowed: beyond
+    * this, anchors-proportional × corpus dot products are arithmetic no
+    * plan can fix (measured 122 s at a mere 200k vectors / 2% anchors),
+    * and [[hardNegatives]] switches to the LSH path (12.1 s on the same
+    * input, 3.1x for 10x data). */
+  val HardNegativeExactMaxCorpus: Long = 100000L
+
+  /** The PRODUCTION entry point for hard-negative mining. The exact
+    * kernel ([[hardNegativeTopK]]) is corpus-quadratic BY CONTRACT when
+    * anchors are corpus-proportional — it exists as the verification
+    * reference (provably complete slots; the gate runs it at small SF to
+    * pin the LSH path's answers). Callers pass `corpusVectors` from
+    * catalog statistics (never a count() job here — plan construction
+    * stays job-free); at or below [[HardNegativeExactMaxCorpus]] the
+    * reference runs, above it mining dispatches to
+    * [[hardNegativeTopKLsh]], whose work scales with bucket occupancy
+    * instead of anchors × corpus. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+                    dupThreshold: Double, numPlanes: Int, dim: Int,
+                    corpusVectors: Long,
+                    exactMaxCorpus: Long = HardNegativeExactMaxCorpus): DataFrame =
+    if (corpusVectors <= exactMaxCorpus) hardNegativeTopK(queries, corpus, k, dupThreshold)
+    else hardNegativeTopKLsh(queries, corpus, k, dupThreshold, numPlanes, dim)
+
   /** IVF-style ANN: a coarse quantizer assigns every vector to its nearest
     * centroid (squared-L2, deterministic tie-break on centroid id); queries
     * search only their own bucket. With K centroids the corpus scan per

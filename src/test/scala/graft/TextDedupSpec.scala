@@ -327,6 +327,32 @@ class TextDedupSpec extends SparkSpec {
     assert(got.forall(_._2 < 0.95))
   }
 
+  test("hardNegatives dispatcher: exact path is the small-corpus reference, LSH above the cap") {
+    // the exact kernel is corpus-quadratic BY CONTRACT (anchors are
+    // corpus-proportional) — the production entry point must route any
+    // corpus past HardNegativeExactMaxCorpus to the LSH path (VERDICT r13
+    // item 8: the exact row is a labeled reference implementation)
+    import graft.similarity.Knn
+    val df = (0L until 32L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 31.0 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id").as("id"), Knn.toDoubleArray(col("embedding")).as("vec"))
+    val anchors = df.filter(col("id") % 8 === 0)
+    def planOf(x: org.apache.spark.sql.DataFrame) =
+      x.queryExecution.optimizedPlan.canonicalized.toString
+    // below the cap: the dispatcher IS the exact reference
+    val small = Knn.hardNegatives(anchors, df, 3, 0.95, 4, 8, corpusVectors = 32L)
+    assert(planOf(small) == planOf(Knn.hardNegativeTopK(anchors, df, 3, 0.95)))
+    // above the cap: the dispatcher IS the LSH path
+    val big = Knn.hardNegatives(anchors, df, 3, 0.95, 4, 8,
+      corpusVectors = Knn.HardNegativeExactMaxCorpus + 1)
+    assert(planOf(big) == planOf(Knn.hardNegativeTopKLsh(anchors, df, 3, 0.95, 4, 8)))
+    // and the cap itself routes exact (<=, not <)
+    val edge = Knn.hardNegatives(anchors, df, 3, 0.95, 4, 8,
+      corpusVectors = Knn.HardNegativeExactMaxCorpus)
+    assert(planOf(edge) == planOf(small))
+  }
+
   test("media decode is deterministic and preserves byte length") {
     val docs = GraftSession.table(spark, "/root/testdata/sf0.001", "documents").limit(20)
     val a = graft.multimodal.Media.decodeDocuments(spark, docs).orderBy("media_id").collect().toSeq
