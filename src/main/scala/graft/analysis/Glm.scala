@@ -743,7 +743,12 @@ object Glm {
     val joined = rows.join(
       broadcast(stats.select(col(group), col("__mean"), col("__sd"))), Seq(group))
     val withQ = (0 until draws).foldLeft(joined)((d, i) =>
-      d.withColumn(s"__xq_$i", expr(xqS(sparkPctSql("__id", firstOffset + i), spread))))
+        d.withColumn(s"__xq_$i", expr(xqS(sparkPctSql("__id", firstOffset + i), spread))))
+      // project to the columns the K moment passes actually read — the
+      // id/mean/sd columns exist only to mint the draws, and caching them
+      // would widen every per-iteration scan for nothing
+      .select(col(group) +: col("__xd") +: col("__y") +:
+        (0 until draws).map(i => col(s"__xq_$i")): _*)
       // persisted for the K IRLS moment aggregations — without it every
       // pass re-scans the raw fact; unpersisted after the pooled result
       // is materialized
