@@ -414,9 +414,20 @@ class PlanAuditSpec extends SparkSpec {
     val zs = plan("zscore_outliers")
     assert(count(zs, "Scan parquet") == 2 && zs.contains("BroadcastHashJoin"), zs)
     // linkage: blocking is an equi-join (hash or broadcast), no cartesian,
-    // and the JW verify sits ABOVE the join as a projected expression
-    val rl = plan("record_linkage_jw")
+    // and the JW verify sits ABOVE the join as a projected expression.
+    // Since r14 the two blocking passes read a shareLazily-cached (id,
+    // probe) projection — after stripping cache reprints, NO bare corpus
+    // scan remains (each pass hits the InMemoryRelation, one runtime
+    // materialization), and the cross-pass pair dedup is a hash aggregate
+    val rl = graft.util.PlanText.stripCachedReprints(plan("record_linkage_jw"))
     assert(!rl.contains("CartesianProduct") && rl.contains("jarowinkler"), rl)
+    assert(rl.contains("InMemoryTableScan") && count(rl, "Scan parquet") == 0, rl)
+    org.apache.spark.sql.graft.Bridge.releaseShared()
+    // the cap-accounting companion: two map-side-combinable aggregation
+    // branches (one per blocking pass), no join of any kind
+    val lbr = plan("linkage_block_report")
+    assert(count(lbr, "Scan parquet") == 2, lbr)
+    assert(!lbr.contains("Join") && !lbr.contains("CartesianProduct"), lbr)
   }
 
   test("drift/eval batch keeps its scale shapes") {
