@@ -51,7 +51,7 @@ class ZOrderSpec extends SparkSpec {
     Sources.writeZOrderLayout(grid, s"$base/z", "x", "y", 16)
     Sources.writeRangeLayout(grid, s"$base/r", "x", 16)
 
-    def candidateFiles(path: String): Int = {
+    def candidateFiles(path: String): (Int, Int) = {
       val back = spark.read.parquet(path)
       assert(back.count() == n.toLong * n)
       val files = back.inputFiles
@@ -59,23 +59,29 @@ class ZOrderSpec extends SparkSpec {
       // a file is a pruning candidate iff its (x, y) min/max rectangle
       // intersects the corner box x < 32, y < 32 — exactly the footer-stats
       // decision a parquet reader makes
-      files.count { f =>
+      (files.count { f =>
         val r = spark.read.parquet(f)
           .agg(min(col("x")), max(col("x")), min(col("y")), max(col("y"))).head
         r.getDouble(0) < 32.0 && r.getDouble(2) < 32.0
-      }
+      }, files.length)
     }
 
-    val zCand = candidateFiles(s"$base/z")
-    val rCand = candidateFiles(s"$base/r")
+    val (zCand, zFiles) = candidateFiles(s"$base/z")
+    val (rCand, _) = candidateFiles(s"$base/r")
     // the x-range layout slices x only: every file containing x < 32 spans
     // all of y, so the box query cannot prune on y at all. The z layout's
     // files are compact rectangles; only those near the corner qualify.
     assert(zCand < rCand,
       s"z-order candidates $zCand must beat 1-D range candidates $rCand")
     // and the z layout must actually prune: the corner box is 1/16 of the
-    // area, so well under half the files may qualify
-    assert(zCand <= 4, s"corner box should touch few z files, got $zCand")
+    // z key space, so well under half the files may qualify. The bound is
+    // RELATIVE (≤ ⅓ of the files), not an absolute count: the range
+    // partitioner places split points by reservoir sampling, so per-file
+    // z-extents jitter run to run — an absolute "≤ 4 of ~16" flaked
+    // in-suite (r14) whenever sampling handed a corner-adjacent file a
+    // wider extent.
+    assert(zCand <= zFiles / 3,
+      s"corner box should touch few z files, got $zCand of $zFiles")
 
     // correctness: the box read returns identical rows from both layouts
     val boxZ = spark.read.parquet(s"$base/z").filter(col("x") < 32 && col("y") < 32)
