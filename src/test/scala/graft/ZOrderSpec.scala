@@ -48,8 +48,14 @@ class ZOrderSpec extends SparkSpec {
       col("id").as("payload"))
 
     val base = Files.createTempDirectory("graft_zorder").toString
-    Sources.writeZOrderLayout(grid, s"$base/z", "x", "y", 16)
-    Sources.writeRangeLayout(grid, s"$base/r", "x", 16)
+    // 64 files, not 16: a z-file that straddles a major quadrant boundary
+    // has a near-global min/max rectangle, and with only 16 files the up
+    // to 3 structural straddlers plus the true corner file can TIE the
+    // range layout's 4 corner slices (observed in-suite, r14). At 64
+    // files the straddler count stays ~3 while the range layout's corner
+    // slice count grows to ~16 — the comparison margin is structural.
+    Sources.writeZOrderLayout(grid, s"$base/z", "x", "y", 64)
+    Sources.writeRangeLayout(grid, s"$base/r", "x", 64)
 
     def candidateFiles(path: String): (Int, Int) = {
       val back = spark.read.parquet(path)
