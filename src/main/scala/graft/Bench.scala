@@ -77,10 +77,12 @@ object Bench {
           // materialization that includes AQE "Final Plan" sections with
           // ShuffleQueryStage ids and coalesce counts that vary across
           // boxes/configs. Strip the reprint (keep the InMemoryRelation
-          // line itself — its output schema IS declared shape) so the
-          // fingerprint stays a pure function of the declared plan.
-          val s = graft.util.PlanText.stripCachedReprints(
-            unwrap(fn(spark, sfDir)).queryExecution.optimizedPlan.toString)
+          // line itself) and mix in each cached subtree's declared LOGICAL
+          // plan instead (PlanText.fingerprintText, ADVICE r14): the
+          // fingerprint stays a pure function of the declared plan AND
+          // still sees a regression INSIDE a shareLazily-cached subtree.
+          val s = graft.util.PlanText.fingerprintText(
+            unwrap(fn(spark, sfDir)).queryExecution.optimizedPlan)
           val stable = s
             .replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+@[0-9a-fA-F]+", "Lambda")
             .replaceAll("#\\d+", "#x")

@@ -144,4 +144,46 @@ object GraftSession {
       case _ => tsNorm
     }
   }
+
+  /** Catalog ROW COUNT for one of the standard tables — the statistic a
+    * size-dispatched operator (Knn.hardNegatives) consults to pick its
+    * physical strategy, the way a CBO reads a metastore's ANALYZE counts.
+    * For the local parquet layout the "catalog" is the parquet footers:
+    * every footer carries the file's exact row count, read DRIVER-SIDE via
+    * the Hadoop input-file API — never a Spark job, so operators that
+    * dispatch on it keep the job-free-construction contract
+    * (PlanAuditSpec). Cached under the same (mtime, bytes, file-count)
+    * content signature as [[table]]'s schema catalog: a rewritten path
+    * re-reads instead of serving a stale count across the exact/LSH
+    * dispatch boundary. */
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long = {
+    val path = s"$sfDir/$name.parquet"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    val sig: (Long, Long, Int) =
+      if (st.isDirectory) {
+        val kids = fs.listStatus(p)
+        (st.getModificationTime, kids.map(_.getLen).sum, kids.length)
+      } else (st.getModificationTime, st.getLen, 1)
+    rowCountCache.compute(path, (_, prev) =>
+      if (prev != null && prev._1 == sig) prev
+      else {
+        val files =
+          if (st.isDirectory)
+            fs.listStatus(p).toSeq.map(_.getPath)
+              .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+          else Seq(p)
+        val n = files.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum
+        (sig, n)
+      })._2
+  }
+
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ((Long, Long, Int), Long)]()
 }

@@ -1365,6 +1365,20 @@ object SparkEntry {
         .select(col("vec_id").as("id"), Knn.toDoubleArray(col("embedding")).as("vec"))
       Knn.hardNegativeTopKLsh(e.filter(col("id") % 50 === 0), e, 5, 0.25, 8, 64)
     }),
+    "hard_negatives_dispatch" -> ((s, dir) => {
+      // the PRODUCTION mining entry point (round 15): Knn.hardNegatives
+      // dispatches on the CATALOG row count (parquet-footer statistic,
+      // read driver-side — construction stays job-free). At the gate SFs
+      // (500-2000 vectors, <= the 100k exact bound) the dispatcher picks
+      // the exact verification reference, so this row is oracle-gated
+      // against the exact SQL; at the 100x replica (200k vectors) it
+      // provably flips to the LSH path — the sf10 sweep verifies THAT
+      // side against the hard_negatives_lsh oracle
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), Knn.toDoubleArray(col("embedding")).as("vec"))
+      Knn.hardNegatives(e.filter(col("id") % 50 === 0), e, 5, 0.25, 8, 64,
+        corpusVectors = GraftSession.rowCount(s, dir, "embeddings"))
+    }),
     "embedding_neardup" -> ((s, dir) =>
       Knn.nearDupPairs(table(s, dir, "embeddings"), col("vec_id"), col("embedding"),
         col("label"), col("id") % 50 === 0, 0.25)),
@@ -1683,7 +1697,11 @@ object SparkEntry {
         col("doc_id"), col("text"), 16, 64, 0.9, maxBlock = 1000)),
     "record_linkage_dl" -> ((s, dir) =>
       // transposition-aware edit linkage on the same two-pass blocks as
-      // the JW verifier (typo-heavy-source contract); integer threshold
+      // the JW verifier (typo-heavy-source contract); integer threshold.
+      // r15: verification is the threshold-BOUNDED banded DP (exact at
+      // dl <= 8, early-abandons the rest) behind a recall-free
+      // |len_a-len_b| <= 8 candidate gate — same rows, ~k/probeLen of
+      // the per-pair DP work
       Dedup.damerauLinkage(table(s, dir, "documents"),
         col("doc_id"), col("text"), 16, 64, 8, maxBlock = 1000)),
     "linkage_block_report" -> ((s, dir) =>
@@ -2254,6 +2272,24 @@ object SparkEntry {
     * so the plane constants / sign convention can never drift between the
     * single- and multi-probe rows (or from Knn.signBucket, whose
     * hyperplanes these literals come from). */
+  /** The exact hard-negative-mining oracle — shared by the reference row
+    * (`hard_negatives`) and the dispatcher row (`hard_negatives_dispatch`),
+    * whose plan at gate SFs IS the exact kernel (corpus under the 100k
+    * dispatch bound). */
+  private def hardNegativesExactOracle: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+      |SELECT query_id, vec_id, cos_sim, rank FROM (
+      |  SELECT query_id, vec_id, cos_sim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      |  FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+      |      floor((list_dot_product(q.v, c.v)
+      |        / NULLIF(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)), 0)) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+      |    FROM e q JOIN e c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id)
+      |  WHERE cos_sim < 0.25)
+      |WHERE rank <= 5""".stripMargin
+
   private def lshBucketExpr: String =
     Knn.hyperplanes(8, 64).map(p =>
       s"(CASE WHEN list_dot_product(v, [${p.mkString(", ")}]) >= 0 THEN '1' ELSE '0' END)")
@@ -4302,9 +4338,11 @@ asofOracle,
         |cand AS (
         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.probe AS pa, y.probe AS pb
         |  FROM b1 x JOIN b1 y ON x.blk = y.blk AND x.doc_id < y.doc_id
+        |    AND abs(length(x.probe) - length(y.probe)) <= 8
         |  UNION
         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.probe AS pa, y.probe AS pb
-        |  FROM b2 x JOIN b2 y ON x.blk = y.blk AND x.doc_id < y.doc_id)
+        |  FROM b2 x JOIN b2 y ON x.blk = y.blk AND x.doc_id < y.doc_id
+        |    AND abs(length(x.probe) - length(y.probe)) <= 8)
         |SELECT doc_a, doc_b,
         |  CAST(damerau_levenshtein(pa, pb) AS INT) AS dl
         |FROM cand
@@ -5547,19 +5585,12 @@ asofOracle,
         |        c.vec_id ASC) AS rank
         |  FROM e q JOIN e c ON q.vec_id < 8 AND q.vec_id <> c.vec_id)
         |WHERE rank <= 10""".stripMargin,
-    "hard_negatives" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
-        |SELECT query_id, vec_id, cos_sim, rank FROM (
-        |  SELECT query_id, vec_id, cos_sim,
-        |    ROW_NUMBER() OVER (PARTITION BY query_id
-        |      ORDER BY cos_sim DESC, vec_id ASC) AS rank
-        |  FROM (
-        |    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-        |      floor((list_dot_product(q.v, c.v)
-        |        / NULLIF(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)), 0)) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
-        |    FROM e q JOIN e c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id)
-        |  WHERE cos_sim < 0.25)
-        |WHERE rank <= 5""".stripMargin,
+    "hard_negatives" -> hardNegativesExactOracle,
+    // the dispatcher row: at every gate SF the corpus is under the 100k
+    // exact bound, so the dispatched plan IS the exact reference and this
+    // oracle decides it; at the 100x replica the dispatch flips to LSH and
+    // the sweep swaps in the hard_negatives_lsh oracle for that row
+    "hard_negatives_dispatch" -> hardNegativesExactOracle,
     "ann_ivf_topk" -> ivfOracleSql(nprobe = 1),
     "ann_ivf_multiprobe" -> ivfOracleSql(nprobe = 3),
     "ann_lsh_topk" -> {

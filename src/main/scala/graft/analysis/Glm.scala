@@ -645,7 +645,16 @@ object Glm {
     * the 6dp grid, so the variance is the converged-fit Fisher variance —
     * and harvesting it here removes the former dedicated pooling pass
     * (which re-evaluated the per-row weights at the final betas), cutting
-    * the corpus passes from K+2 to K+1 (stats + K moment passes). */
+    * the corpus passes from K+2 to K+1 (stats + K moment passes).
+    *
+    * The convergence premise is GUARDED, not assumed (ADVICE r14):
+    * MiLogitConvergenceSpec asserts that on gate data a K+1 run emits the
+    * identical frame (equal betas certify the 6dp fixed point, which makes
+    * Fisher(beta_{K-1}) = Fisher(beta_K)), and measures the drift on a
+    * deliberately unconverged K=1 fixture. A slow-converging group
+    * reaching the corpus fails that spec by name instead of silently
+    * shifting var_within off the reference's evaluate-at-converged-fit
+    * semantics. */
   private def miLogitFinalIterSteps(draws: Int, group: String, ridge: Double): Seq[Step] = {
     val solve = (0 until draws).flatMap { d =>
       Seq(
@@ -694,12 +703,16 @@ object Glm {
   /** Driver twin of [[miLogitPoolSteps]]: identical IEEE ops in identical
     * order (left-associated means, multiply-before-divide), so the
     * collected-moments pooling bit-matches the oracle's CTE pooling. A
-    * null in any draw's (b0, b1, vs) poisons every pooled output to null —
-    * exactly the SQL null propagation through the sums. */
+    * null in any draw's (b0, b1, vs) poisons the pooled outputs to null —
+    * exactly the SQL null propagation through the sums — EXCEPT
+    * var_between at draws == 1, which the SQL renders as the literal 0.0
+    * (a single draw has no between-imputation spread, null betas or not),
+    * so the driver twin emits 0.0 there too. */
   private def poolMiLogit(draws: Int, perDraw: Array[(java.lang.Double, java.lang.Double, java.lang.Double)])
       : Array[java.lang.Double] = {
     if (perDraw.exists(t => t._1 == null || t._2 == null || t._3 == null))
-      return Array[java.lang.Double](null, null, null, null, null)
+      return Array[java.lang.Double](null, null, null,
+        if (draws == 1) java.lang.Double.valueOf(0.0) else null, null)
     val m = draws.toDouble
     def mean(xs: Seq[Double]) = xs.reduce((a, b) => a + b) / m
     val qbar = mean(perDraw.toSeq.map(_._2.doubleValue))

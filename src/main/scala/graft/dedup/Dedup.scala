@@ -17,6 +17,33 @@ import org.apache.spark.sql.functions._
   * are affine maps of one 32-bit base hash (1 md5 per shingle instead of
   * numPerms md5s).
   */
+/** Handle on occupancy-cap accounting that RIDES a linkage/simhash action
+  * as observed metrics ([[org.apache.spark.sql.Observation]]): the caller
+  * acts on the pairs it was computing anyway and reads the drop counters
+  * for free — no second corpus scan at 100 TB.
+  *
+  * The ride has one structural gap (probed, round 15): when the query's
+  * result is provably EMPTY mid-flight, AQE's empty-relation propagation
+  * folds the plan before the observed stage runs — the CollectMetrics node
+  * vanishes and its stage is skipped, which is exactly the
+  * everything-was-dropped case where the caller most needs the accounting.
+  * [[get]] therefore falls back to the standalone report scan whenever the
+  * riding metrics never materialized (empty metrics map, or a null
+  * row-count sum from a never-updated accumulator): the second scan is
+  * paid ONLY in that degenerate corner, never on the healthy path.
+  */
+final class CapCounters private[dedup] (obs: org.apache.spark.sql.Observation,
+                                        presenceKey: String,
+                                        fallback: () => Map[String, Any]) {
+  /** Blocks until the first action on the observed frame (the Observation
+    * contract), then returns the counters — from the ride when it ran,
+    * from the fallback report scan when the plan folded empty. */
+  def get: Map[String, Any] = {
+    val m = obs.get
+    if (m.nonEmpty && m.getOrElse(presenceKey, null) != null) m else fallback()
+  }
+}
+
 object Dedup {
   // oracle-compared 6-decimal rounding uses the portable floor arithmetic
   // (Portable.round6): engine round() implementations disagree on
@@ -336,6 +363,100 @@ object Dedup {
       .distinct()
   }
 
+  /** [[simhashPairs64]] with the frequent-bucket cap's accounting attached
+    * as OBSERVED metrics — the linkage treatment (round 15) for the other
+    * results-changing occupancy guard in the engine: when `maxBucketSize`
+    * is enabled it silently drops hot (band, bucket) groups, and a silent
+    * results-changing cap is a contract violation (the
+    * `linkage_block_report` discipline). After the first action on the
+    * returned frame the Observation yields
+    * (n_buckets, max_bucket, buckets_dropped, rows_dropped) over the
+    * banded frame — zero drops on gate data, nonzero means the cap is
+    * CHANGING ANSWERS and the corpus needs a boilerplate look
+    * (SimhashObservedSpec pins both, against an unobserved groupBy of the
+    * same banded frame). Metrics ride the caller's own action: the same
+    * row_number-representative trick as the linkage counters (Observation
+    * metrics cannot hold DISTINCT aggregates), on the A side of the bucket
+    * self-join only so the CollectMetrics node executes exactly once.
+    * Requires the cap enabled — the uncapped kernel drops nothing, so
+    * there is nothing to observe.
+    */
+  def simhashPairs64Observed(df: DataFrame, id: Column, text: Column, numBands: Int,
+                             maxHamming: Int, maxBucketSize: Long)
+      : (DataFrame, CapCounters) = {
+    require(maxBucketSize > 0,
+      s"simhashPairs64Observed observes the bucket cap — needs maxBucketSize > 0, got $maxBucketSize")
+    val width = 64
+    require(width % numBands == 0)
+    val bandLen = width / numBands
+    val hashes = org.apache.spark.sql.graft.Bridge.shareLazily(simhash64(df, id, text))
+    val bandStructs = (0 until numBands).map { b =>
+      struct(lit(b).as("band"), substring(col("simhash"), b * bandLen + 1, bandLen).as("bk"))
+    }
+    def allBanded = hashes.select(col("doc_id"), col("simhash"),
+      explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("simhash"), col("bs.band").as("band"), col("bs.bk").as("bk"))
+    val w = Window.partitionBy(col("band"), col("bk")).orderBy(col("doc_id"))
+    val obs = org.apache.spark.sql.Observation("simhash_bucket_cap")
+    val observed = allBanded
+      .withColumn("__cnt", count(lit(1))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("__rn", row_number().over(w))
+      .observe(obs,
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_buckets"),
+        max(col("__cnt")).as("max_bucket"),
+        sum(when(col("__rn") === 1 && col("__cnt") > maxBucketSize, 1L).otherwise(0L))
+          .as("buckets_dropped"),
+        sum(when(col("__cnt") > maxBucketSize, 1L).otherwise(0L)).as("rows_dropped"))
+      .filter(col("__cnt") <= maxBucketSize)
+      .drop("__cnt", "__rn")
+    val plain = allBanded
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("band"), col("bk"))))
+      .filter(col("__cnt") <= maxBucketSize)
+      .drop("__cnt")
+    val out = observed.as("a").join(plain.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        graft.functions.ShingleExpressions.hammingDistance(
+          col("a.simhash"), col("b.simhash")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    def reportRow(): Map[String, Any] = {
+      val r = simhashBucketReport(df, id, text, numBands, maxBucketSize).collect().head
+      Map("n_buckets" -> r.get(0), "max_bucket" -> r.get(1),
+        "buckets_dropped" -> r.get(2), "rows_dropped" -> r.get(3))
+    }
+    (out, new CapCounters(obs, "n_buckets", reportRow _))
+  }
+
+  /** Standalone accounting for the simhash frequent-bucket cap — the
+    * [[linkageBlockReport]] sibling over the banded 64-bit frame: ONE row
+    * (n_buckets, max_bucket, buckets_dropped, rows_dropped) where
+    * *_dropped count the (band, bucket) groups / banded rows a
+    * `maxBucketSize` guard excludes. Serves as the pre-flight check when
+    * the cap is enabled, and as [[CapCounters]]' fallback when an
+    * everything-dropped query folds empty before the riding metrics run.
+    * One map-side-combinable groupBy over the banded frame. */
+  def simhashBucketReport(df: DataFrame, id: Column, text: Column, numBands: Int,
+                          maxBucketSize: Long): DataFrame = {
+    require(64 % numBands == 0)
+    require(maxBucketSize > 0,
+      s"simhashBucketReport accounts for an enabled cap — needs maxBucketSize > 0, got $maxBucketSize")
+    val bandLen = 64 / numBands
+    val bandStructs = (0 until numBands).map { b =>
+      struct(lit(b).as("band"), substring(col("simhash"), b * bandLen + 1, bandLen).as("bk"))
+    }
+    simhash64(df, id, text)
+      .select(explode(array(bandStructs: _*)).as("bs"))
+      .select(col("bs.band").as("band"), col("bs.bk").as("bk"))
+      .groupBy(col("band"), col("bk")).agg(count(lit(1)).as("__occ"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("__occ")).as("max_bucket"),
+        sum(when(col("__occ") > maxBucketSize, 1L).otherwise(0L)).as("buckets_dropped"),
+        sum(when(col("__occ") > maxBucketSize, col("__occ")).otherwise(0L)).as("rows_dropped"))
+  }
+
   /** Full production dedup flow: MinHash-LSH candidate generation, then
     * exact Jaccard verification on the candidates only. At 100 TB the
     * verification join touches just the candidate pairs (bounded by band
@@ -641,7 +762,9 @@ object Dedup {
     * is shareLazily-bound: both passes and their self-joins read one
     * materialization instead of re-scanning the corpus. */
   private def linkageCandidates(df: DataFrame, id: Column, key: Column,
-                                blockLen: Int, probeLen: Int, maxBlock: Int): DataFrame = {
+                                blockLen: Int, probeLen: Int, maxBlock: Int,
+                                pairFilter: (Column, Column) => Column = (_, _) => lit(true))
+      : DataFrame = {
     require(blockLen >= 1 && probeLen >= blockLen,
       s"linkage needs 1 <= blockLen <= probeLen, got $blockLen/$probeLen")
     val base = org.apache.spark.sql.graft.Bridge.shareLazily(
@@ -649,7 +772,8 @@ object Dedup {
     def pass(blockKey: Column) = {
       val b = linkageBlocks(base, blockKey, maxBlock)
       b.as("x").join(b.as("y"),
-          col("x.__blk") === col("y.__blk") && col("x.__id") < col("y.__id"))
+          col("x.__blk") === col("y.__blk") && col("x.__id") < col("y.__id") &&
+            pairFilter(col("x.__probe"), col("y.__probe")))
         .select(col("x.__id").as("doc_a"), col("y.__id").as("doc_b"),
           col("x.__probe").as("__pa"), col("y.__probe").as("__pb"))
     }
@@ -670,6 +794,121 @@ object Dedup {
       .withColumn("__occ", count(lit(1)).over(Window.partitionBy(col("__blk"))))
       .filter(col("__occ") <= maxBlock)
       .drop("__occ")
+  }
+
+  /** [[linkageBlocks]] with the cap accounting attached as OBSERVED metrics
+    * (n_blocks, max_occupancy, blocks_dropped, rows_dropped — the
+    * [[linkageBlockReport]] row, minus its block_kind tag): the counts ride
+    * the caller's own action instead of costing a second corpus scan, the
+    * `curationSurvivorsObserved` pattern. At 100 TB that second scan is the
+    * difference between "the cap is observable" and "observability doubles
+    * the job".
+    *
+    * The block representative (row_number == 1, same partition AND order
+    * spec as the occupancy count so both fold into ONE Window node) turns
+    * the per-BLOCK counts into per-ROW sums — `Observation` metrics cannot
+    * hold DISTINCT aggregates. Metrics observe the PRE-filter frame, so
+    * dropped blocks are counted before the guard removes them. */
+  private def linkageBlocksObserved(base: DataFrame, blockKey: Column, maxBlock: Int,
+                                    obs: org.apache.spark.sql.Observation): DataFrame = {
+    require(maxBlock >= 1, s"linkage needs maxBlock >= 1, got $maxBlock")
+    val w = Window.partitionBy(col("__blk")).orderBy(col("__id"))
+    base.select(col("__id"), blockKey.as("__blk"), col("__probe"))
+      .withColumn("__occ", count(lit(1))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("__rn", row_number().over(w))
+      .observe(obs,
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_blocks"),
+        max(col("__occ")).as("max_occupancy"),
+        sum(when(col("__rn") === 1 && col("__occ") > maxBlock, 1L).otherwise(0L))
+          .as("blocks_dropped"),
+        sum(when(col("__occ") > maxBlock, 1L).otherwise(0L)).as("rows_dropped"))
+      .filter(col("__occ") <= maxBlock)
+      .drop("__occ", "__rn")
+  }
+
+  /** [[linkageCandidates]] with per-pass drop accounting attached as
+    * observed metrics. The observed block frame sits on the X side of each
+    * pass's self-join ONLY (the Y side rebuilds the plain frame): a
+    * CollectMetrics node duplicated across a self-join risks one copy
+    * never executing under exchange reuse — its empty accumulator could
+    * shadow the real one in the name-keyed metrics map — so each metrics
+    * node here executes exactly once per action. Returns the candidate
+    * frame plus (prefix-pass, sorted-token-pass) counters; each yields
+    * (n_blocks, max_occupancy, blocks_dropped, rows_dropped) after the
+    * first action on the returned frame, equal to the corresponding
+    * [[linkageBlockReport]] row (LinkageObservedSpec pins both, on a
+    * synthetic hot corpus and on gate data). */
+  private def linkageCandidatesObserved(df: DataFrame, id: Column, key: Column,
+                                        blockLen: Int, probeLen: Int, maxBlock: Int,
+                                        pairFilter: (Column, Column) => Column)
+      : (DataFrame, CapCounters, CapCounters) = {
+    require(blockLen >= 1 && probeLen >= blockLen,
+      s"linkage needs 1 <= blockLen <= probeLen, got $blockLen/$probeLen")
+    val prefixObs = org.apache.spark.sql.Observation("linkage_block_prefix")
+    val sortedObs = org.apache.spark.sql.Observation("linkage_block_sorted_tokens")
+    def reportRow(kind: String)(): Map[String, Any] = {
+      val r = linkageBlockReport(df, id, key, blockLen, probeLen, maxBlock)
+        .filter(col("block_kind") === kind).collect().head
+      Map("n_blocks" -> r.get(1), "max_occupancy" -> r.get(2),
+        "blocks_dropped" -> r.get(3), "rows_dropped" -> r.get(4))
+    }
+    val base = org.apache.spark.sql.graft.Bridge.shareLazily(
+      df.select(id.as("__id"), substring(key, 1, probeLen).as("__probe")))
+    def pass(blockKey: Column, obs: org.apache.spark.sql.Observation) = {
+      val x = linkageBlocksObserved(base, blockKey, maxBlock, obs)
+      val y = linkageBlocks(base, blockKey, maxBlock)
+      x.as("x").join(y.as("y"),
+          col("x.__blk") === col("y.__blk") && col("x.__id") < col("y.__id") &&
+            pairFilter(col("x.__probe"), col("y.__probe")))
+        .select(col("x.__id").as("doc_a"), col("y.__id").as("doc_b"),
+          col("x.__probe").as("__pa"), col("y.__probe").as("__pb"))
+    }
+    val cand = pass(substring(col("__probe"), 1, blockLen), prefixObs)
+      .union(pass(sortedTokenKey(col("__probe"), probeLen), sortedObs))
+      .distinct()
+    (cand,
+      new CapCounters(prefixObs, "n_blocks", reportRow("prefix")),
+      new CapCounters(sortedObs, "n_blocks", reportRow("sorted_tokens")))
+  }
+
+  /** [[jaroWinklerLinkage]] with the hot-block cap accounting attached as
+    * observed metrics — same pairs, and the no-silent-cap guarantee rides
+    * the linkage job itself: after the first action on the returned frame,
+    * each [[CapCounters]] yields the matching [[linkageBlockReport]] row's
+    * (n_blocks, max_occupancy, blocks_dropped, rows_dropped). Production
+    * callers act on the pairs they were computing anyway and read the drop
+    * counters for free; `linkage_block_report` stays the standalone
+    * (oracle-gated) rendering of the same accounting. */
+  def jaroWinklerLinkageObserved(df: DataFrame, id: Column, key: Column,
+                                 blockLen: Int, probeLen: Int, threshold: Double,
+                                 maxBlock: Int = 1000)
+      : (DataFrame, CapCounters, CapCounters) = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaroWinklerLinkage needs threshold in (0, 1], got $threshold")
+    val r6 = graft.util.Portable.round6 _
+    val (cand, p, st) = linkageCandidatesObserved(df, id, key, blockLen, probeLen,
+      maxBlock, (_, _) => lit(true))
+    val out = cand.select(col("doc_a"), col("doc_b"),
+        r6(graft.functions.JaroWinkler.jaroWinkler(col("__pa"), col("__pb"))).as("jw"))
+      .filter(col("jw") >= threshold)
+    (out, p, st)
+  }
+
+  /** [[damerauLinkage]] with observed cap accounting — see
+    * [[jaroWinklerLinkageObserved]]. */
+  def damerauLinkageObserved(df: DataFrame, id: Column, key: Column,
+                             blockLen: Int, probeLen: Int, maxDist: Int,
+                             maxBlock: Int = 1000)
+      : (DataFrame, CapCounters, CapCounters) = {
+    require(maxDist >= 0, s"damerauLinkage needs maxDist >= 0, got $maxDist")
+    val (cand, p, st) = linkageCandidatesObserved(df, id, key, blockLen, probeLen,
+      maxBlock, (pa, pb) => abs(length(pa) - length(pb)) <= maxDist)
+    val out = cand.select(col("doc_a"), col("doc_b"),
+        graft.functions.DamerauLevenshtein
+          .damerauLevenshteinBounded(col("__pa"), col("__pb"), maxDist).as("dl"))
+      .filter(col("dl") <= maxDist)
+    (out, p, st)
   }
 
   /** Occupancy accounting for the linkage hot-block cap — the cap must
@@ -707,15 +946,29 @@ object Dedup {
     * whose unrestricted DL distance over the `probeLen`-char probe is ≤
     * `maxDist`. Integer distances — no rounding contract needed at the
     * threshold.
+    *
+    * Scale (round 15): the verifier is threshold-bounded at `maxDist`
+    * instead of running the full O(probeLen²) DP per pair — a banded DP
+    * with row-min early abandonment that is EXACT for every pair the
+    * filter keeps and proves `> maxDist` for the rest (see
+    * [[graft.functions.DamerauLevenshtein.boundedDistance]]). Candidate
+    * pairs additionally carry the PPJoin-style length gate
+    * |len_a − len_b| ≤ maxDist in the blocking join itself (every edit op
+    * changes length by at most 1, so the gate is recall-free at the
+    * threshold); on probes shorter than the corpus norm it prunes before
+    * any verification work. The r14 kernel spent pair-volume × 4096 DP
+    * cells at sf1 (11.9x for 10x data — the slowest non-contract row);
+    * both guards attack exactly that product.
     */
   def damerauLinkage(df: DataFrame, id: Column, key: Column,
                      blockLen: Int, probeLen: Int, maxDist: Int,
                      maxBlock: Int = 1000): DataFrame = {
     require(maxDist >= 0, s"damerauLinkage needs maxDist >= 0, got $maxDist")
-    linkageCandidates(df, id, key, blockLen, probeLen, maxBlock)
+    linkageCandidates(df, id, key, blockLen, probeLen, maxBlock,
+        (pa, pb) => abs(length(pa) - length(pb)) <= maxDist)
       .select(col("doc_a"), col("doc_b"),
         graft.functions.DamerauLevenshtein
-          .damerauLevenshtein(col("__pa"), col("__pb")).as("dl"))
+          .damerauLevenshteinBounded(col("__pa"), col("__pb"), maxDist).as("dl"))
       .filter(col("dl") <= maxDist)
   }
 }

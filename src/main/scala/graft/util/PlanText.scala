@@ -5,6 +5,30 @@ package graft.util
   */
 object PlanText {
 
+  /** The fingerprint TEXT for an optimized plan: the plan string with every
+    * InMemoryRelation's runtime reprint stripped ([[stripCachedReprints]]),
+    * PLUS each cached subtree's declared LOGICAL plan appended (ADVICE r14:
+    * stripping alone made the fingerprint blind to changes INSIDE a
+    * shareLazily-cached subtree — a real regression in the linkage
+    * (id, probe) projection or the bigram marginals base kept the same
+    * hash, letting floors min-merge across a plan change). The appended
+    * text is `CachedRDDBuilder.logicalPlan` — the ANALYZED plan captured at
+    * cache registration, a pure function of the declared query (no AQE
+    * stage ids / coalesce counts, which live only in the physical reprint).
+    * Appended blocks are themselves reprint-stripped (a cached plan can
+    * embed an inner InMemoryRelation whose string form reprints physical
+    * runtime state), and the caller applies the same id normalizations to
+    * the whole text. */
+  def fingerprintText(optimized: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String = {
+    val cachedLogical = optimized.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        stripCachedReprints(r.cacheBuilder.logicalPlan.toString)
+    }
+    stripCachedReprints(optimized.toString) +
+      (if (cachedLogical.isEmpty) ""
+       else cachedLogical.mkString("== cached logical ==\n", "\n", ""))
+  }
+
   /** Drop every InMemoryRelation's cached-plan reprint from a plan string.
     *
     * An InMemoryRelation is a LEAF in the logical/physical tree, but its

@@ -57,11 +57,22 @@ object Bridge {
     * but does NOT drain this tracker — [[releaseShared]] is the drain. A
     * session that clears the catalog cache directly leaves stale tracked
     * refs behind; they are harmless (re-unpersisting an uncached frame is
-    * a no-op) and are PRUNED on the next [[shareLazily]] call, so the
-    * tracker cannot grow past the live-entry count plus one workload's
+    * a no-op) and are PRUNED by the first [[shareLazily]] call that finds
+    * the tracker past [[PruneThreshold]], so the tracker cannot grow past
+    * the live-entry count plus the threshold plus one workload's
     * registrations. */
   def shareLazily(df: DataFrame): DataFrame = {
-    pruneStale()
+    // Stale-ref pruning is THROTTLED (round 15): pruning on every call is
+    // an isCached (CacheManager lookup = plan canonicalization) per tracked
+    // entry per registration — O(n²) canonicalizations across a workload
+    // registering n frames, a quiet constant on plan-construction paths the
+    // repo otherwise keeps work-free. Stale refs only exist after a caller
+    // bounded cache growth with clearCache() instead of releaseShared(),
+    // and they are harmless until the tracker grows — so prune only once
+    // the tracker exceeds the largest single-workload registration count
+    // (the bounded-growth contract survives: the tracker can never exceed
+    // the live-entry count plus this threshold).
+    if (sharedFrames.size > PruneThreshold) pruneStale()
     if (isCached(df)) df
     else {
       val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -69,6 +80,12 @@ object Bridge {
       p
     }
   }
+
+  /** Tracked-entry count above which [[shareLazily]] prunes stale refs —
+    * comfortably above any single query's registrations (the widest kernel
+    * registers 3), so the common path (construct → act → releaseShared)
+    * never pays a pruning pass. */
+  private val PruneThreshold = 8
 
   // Strong refs are fine: the registry is drained by releaseShared (and
   // entries whose plans left the CacheManager by other means — e.g. a

@@ -82,18 +82,24 @@ class BridgeLifetimeSpec extends SparkSpec {
     Bridge.releaseShared()
   }
 
-  test("a caller's clearCache() leaves stale tracked refs that the next shareLazily prunes") {
+  test("a caller's clearCache() leaves stale tracked refs that shareLazily prunes past the threshold") {
     // ADVICE r13: a long-lived session bounding cache growth with
     // spark.catalog.clearCache() bypasses releaseShared — the tracker must
-    // not accumulate stale plan refs indefinitely
+    // not accumulate stale plan refs indefinitely. ADVICE r14: pruning on
+    // EVERY registration is O(n²) canonicalizations, so the prune is
+    // throttled — it fires once the tracker exceeds the small threshold
+    // (8), and below that stale refs just sit harmlessly.
     Bridge.releaseShared()
     val base = Bridge.sharedCount
-    (1 to 4).foreach { seed =>
+    // 9 registrations: one past the prune threshold, so the post-clearCache
+    // registration is guaranteed to trigger the pruning pass
+    (1 to 9).foreach { seed =>
       Bridge.shareLazily(perUser(seed)).count(); ()
     }
-    assert(Bridge.sharedCount - base >= 4)
+    assert(Bridge.sharedCount - base >= 9)
     spark.catalog.clearCache() // the "other" bounding recipe
-    // next registration prunes every entry whose plan left the CacheManager
+    // the next registration finds the tracker past the threshold and prunes
+    // every entry whose plan left the CacheManager
     val fresh = Bridge.shareLazily(perUser(99))
     fresh.count()
     assert(Bridge.sharedCount <= base + 1,

@@ -40,6 +40,62 @@ class DamerauSpec extends SparkSpec {
     assert(n.head.isNullAt(0))
   }
 
+  test("boundedDistance: exact at or below k, pinned to k+1 above, on the full fixture") {
+    // the threshold contract the bounded linkage verifier leans on: for
+    // EVERY k, bounded == full when full <= k, and EXACTLY k+1 otherwise
+    fixture.foreach { case (a, b, expected) =>
+      (0 to 10).foreach { k =>
+        val got = graft.functions.DamerauLevenshtein.boundedDistance(a, b, k)
+        val want = if (expected <= k) expected else k + 1
+        assert(got === want, s"bounded($a, $b, k=$k): got $got want $want (full $expected)")
+      }
+    }
+    // the variant-distinguishing transposition case survives the band
+    assert(graft.functions.DamerauLevenshtein.boundedDistance("ca", "abc", 2) === 2)
+    assert(graft.functions.DamerauLevenshtein.boundedDistance("ca", "abc", 1) === 2)
+  }
+
+  test("boundedDistance: randomized agreement with the full DP (band + early-abandon fuzz)") {
+    // seeded fuzz over a small alphabet (repeats + transpositions are
+    // likely) and mixed lengths, so band edges, the length gate, and the
+    // row-min abandon all fire; 64-char pairs mirror the linkage probe
+    val rnd = new scala.util.Random(42)
+    def word(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    (1 to 400).foreach { _ =>
+      val a = word(rnd.nextInt(70))
+      val b =
+        if (rnd.nextBoolean()) word(rnd.nextInt(70))
+        else { // near-dup: mutate a few positions of a
+          val sb = new StringBuilder(a)
+          (0 until rnd.nextInt(6)).foreach { _ =>
+            if (sb.nonEmpty) sb.setCharAt(rnd.nextInt(sb.length), ('a' + rnd.nextInt(4)).toChar)
+          }
+          sb.toString
+        }
+      val full = graft.functions.DamerauLevenshtein.distance(a, b)
+      val k = rnd.nextInt(12)
+      val got = graft.functions.DamerauLevenshtein.boundedDistance(a, b, k)
+      val want = if (full <= k) full else k + 1
+      assert(got === want, s"fuzz mismatch: a=$a b=$b k=$k full=$full got=$got")
+    }
+  }
+
+  test("bounded expression filters identically to the full expression at the threshold") {
+    val df = fixture.toDF("a", "b", "expected")
+    val viaFull = df.select(col("a"), col("b"),
+        graft.functions.DamerauLevenshtein.damerauLevenshtein(col("a"), col("b")).as("dl"))
+      .filter(col("dl") <= 3).collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val viaBounded = df.select(col("a"), col("b"),
+        graft.functions.DamerauLevenshtein.damerauLevenshteinBounded(col("a"), col("b"), 3).as("dl"))
+      .filter(col("dl") <= 3).collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(viaFull === viaBounded)
+    // nulls propagate through the bounded codegen path too
+    val n = Seq((Option("x"), Option.empty[String])).toDF("a", "b")
+      .select(graft.functions.DamerauLevenshtein.damerauLevenshteinBounded(col("a"), col("b"), 3))
+      .collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("damerauLinkage: blocking confines, integer threshold keeps near pairs") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

@@ -2,19 +2,26 @@
 """Adjudicate a BENCH_full.json run against the per-query floors and a
 reference round's plan hashes.
 
-Usage: bench_adjudicate.py BENCH_full.json FLOORS_local.json BENCH_rREF.json
+Usage: bench_adjudicate.py BENCH_full.json FLOORS_local.json [BENCH_rREF.json]
 
-Floors: FLOORS_local.json (median-of-3 warm on the gate box, re-recorded
-per round via tools/make_floors.py). The older BASELINE_local.json
-(all-time minima across quiet and contended boxes) still parses, but its
-lucky-minimum floors make the 2x tripwire noisy — prefer the median file.
+Floors: FLOORS_local.json is THE floors file (median-of-3 warm on the gate
+box, re-recorded per round via tools/make_floors.py, plan-hash per query).
+The former min-over-rounds BASELINE_local.json was retired in r15 —
+exactly one floors file exists, under exactly one rule.
 
 Methodology (SURVEY §5 / round-5 bench note): a query slower than 2x its
 floor with an UNCHANGED plan fingerprint is machine noise; a changed
-fingerprint marks a real plan regression that needs a plan diff.
+fingerprint marks a real plan regression that needs a plan diff. Hash
+values of "err" or "" are NO-hash: they never count as same-plan.
 """
 import json
 import sys
+
+NO_HASH = ("", "err")
+
+
+def same_plan(a, b):
+    return a == b and a not in NO_HASH and a is not None
 
 
 def main() -> None:
@@ -53,9 +60,9 @@ def main() -> None:
               "(use a committed BENCH_full.json as the reference)")
     else:
         changed = sorted(k for k, h in hashes.items()
-                         if k in ref_hashes and ref_hashes[k] != h)
+                         if k in ref_hashes and not same_plan(ref_hashes[k], h))
         missing = sorted(k for k in hashes if k not in ref_hashes)
-        print(f"\nplan hashes changed vs floors/reference: {len(changed)}"
+        print(f"\nplan hashes changed/unverifiable vs floors/reference: {len(changed)}"
               + (f" ({len(missing)} not in reference)" if missing else ""))
         for k in changed:
             print(f"  {k}: {ref_hashes[k]} -> {hashes[k]}")
@@ -68,7 +75,7 @@ def main() -> None:
             continue
         w = warm.get(k, cold[k])
         if w > 2 * fl and w > 0.25:  # ignore sub-quarter-second jitter
-            same = "same-plan" if hashes.get(k) == ref_hashes.get(k) else "PLAN-CHANGED"
+            same = "same-plan" if same_plan(hashes.get(k), ref_hashes.get(k)) else "PLAN-CHANGED"
             flagged.append(k)
             print(f"  {k}: warm {w:.2f}s vs floor {fl:.2f}s "
                   f"({w / fl:.1f}x) [{same}] cold {cold[k]:.2f}s")

@@ -4,89 +4,79 @@
 Usage:
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
     sbt -batch "runMain graft.Bench"     # median-of-3 warm is the default
-  python3 tools/make_floors.py BENCH_full.json FLOORS_local.json [BASELINE_local.json]
+  python3 tools/make_floors.py BENCH_full.json FLOORS_local.json
 
-Methodology (VERDICT r9 item 7): the old BASELINE_local.json floors were
-all-time minima mixed across quiet and contended boxes, so a query whose
-lucky floor was 0.28 s but whose stable warm is ~1.9 s tripped the 2x
-regression flag every round. Floors are now the median-of-3 warm time on
-the gate box, re-recorded per round — a 2x excursion against THAT is a
-real regression signal.
+Methodology (VERDICT r9 item 7, r13 item 2, r14 item 6): ONE floors file.
+Floors are the median-of-3 warm time on the gate box, re-recorded per
+round — a 2x excursion against THAT is a real regression signal (all-time
+minima mixed across quiet and contended boxes were lucky floors that
+tripped the 2x flag on noise; the separate min-over-rounds baseline file
+was retired in r15 so no tool can read a floor under a different rule).
 
-Plan-hash-aware floors (VERDICT r13 item 2): every floor carries the
-query's plan fingerprint from the same bench run. When the optional third
-argument (the min-over-rounds baseline) is given, it is updated in place:
-a query keeps min(old, new) ONLY while its plan hash is unchanged; a
-changed hash RESETS the floor to the new median (comparing a new plan
-against a retired plan's lucky floor is exactly the rfm_segments 2.89x
-false flag), and queries absent from the baseline (new registry rows) get
-their first floor.
+Every floor carries the query's plan fingerprint from the same bench run:
+a floor is only comparable against the SAME hash (bench_adjudicate.py
+enforces this). Hash values of "err" (fingerprinting threw) or "" are
+NO-hash — they never count as matching, so an unverifiable plan can never
+launder a stale floor.
+
+A query absent from this round's warm set (errored, or filtered out)
+KEEPS its previous floor, carried with its previous hash and reported
+loudly — dropping it would forget the baseline exactly when the query is
+broken (ADVICE r14).
 """
 import json
 import sys
+
+NO_HASH = ("", "err")
 
 
 def main() -> None:
     bench_f = sys.argv[1] if len(sys.argv) > 1 else "BENCH_full.json"
     out_f = sys.argv[2] if len(sys.argv) > 2 else "FLOORS_local.json"
-    base_f = sys.argv[3] if len(sys.argv) > 3 else None
     bench = json.load(open(bench_f))
     warm = bench.get("warm_queries")
     if not warm:
         sys.exit(f"{bench_f} has no warm_queries — run Bench with warm on")
     hashes = bench.get("plan_hashes", {})
+
+    try:
+        prev = json.load(open(out_f))
+    except FileNotFoundError:
+        prev = {}
+    prev_q = prev.get("queries", {})
+    prev_h = prev.get("plan_hashes", {})
+
+    queries = dict(sorted(warm.items()))
+    plan_hashes = {k: hashes.get(k, "") for k in sorted(warm)}
+    unhashed = sorted(k for k, h in plan_hashes.items() if h in NO_HASH)
+    carried = sorted(set(prev_q) - set(warm))
+    for k in carried:
+        queries[k] = prev_q[k]
+        plan_hashes[k] = prev_h.get(k, "")
+
     floors = {
         "cpus": 32,
         "note": ("per-query median-of-3 warm seconds on the gate box "
                  "(tools/make_floors.py); re-recorded per round; plan_hashes "
                  "from the same run — compare floors only against the same "
-                 "hash"),
+                 "hash, and never against an 'err'/'' hash"),
         "sf": bench.get("sf"),
-        "queries": dict(sorted(warm.items())),
-        "plan_hashes": {k: hashes.get(k, "") for k in sorted(warm)},
+        "queries": dict(sorted(queries.items())),
+        "plan_hashes": dict(sorted(plan_hashes.items())),
     }
+    if carried:
+        floors["carried_from_previous_round"] = carried
     with open(out_f, "w") as f:
         json.dump(floors, f, indent=1)
         f.write("\n")
-    print(f"wrote {out_f}: {len(warm)} query floors, "
-          f"sum {sum(warm.values()):.1f}s")
-
-    if base_f:
-        try:
-            base = json.load(open(base_f))
-        except FileNotFoundError:
-            base = {}
-        old_q = base.get("queries", {})
-        old_h = base.get("plan_hashes", {})
-        new_q, new_h, resets, fresh = {}, {}, [], []
-        for k in sorted(warm):
-            h = hashes.get(k, "")
-            if k in old_q and old_h.get(k) == h and h:
-                new_q[k] = min(old_q[k], warm[k])
-            else:
-                new_q[k] = warm[k]
-                (resets if k in old_q else fresh).append(k)
-            new_h[k] = h
-        out = {
-            "cpus": 32,
-            "note": ("per-query wall-second floor: min over rounds WHILE the "
-                     "plan hash is unchanged, reset on plan change "
-                     "(tools/make_floors.py)"),
-            "queries": new_q,
-            "plan_hashes": new_h,
-        }
-        with open(base_f, "w") as f:
-            json.dump(out, f, indent=1)
-            f.write("\n")
-        dropped = sorted(set(old_q) - set(new_q))
-        print(f"updated {base_f}: {len(new_q)} floors "
-              f"({len(resets)} plan-change resets, {len(fresh)} new keys"
-              + (f", {len(dropped)} retired keys dropped" if dropped else "")
-              + ")")
-        if resets:
-            print("  resets: " + ", ".join(resets))
-        if fresh:
-            print("  new: " + ", ".join(fresh))
+    print(f"wrote {out_f}: {len(queries)} query floors, "
+          f"sum {sum(queries.values()):.1f}s")
+    if unhashed:
+        print("  NO-hash queries (fingerprint err — floors not "
+              "plan-comparable): " + ", ".join(unhashed))
+    if carried:
+        print("  carried (ABSENT this round — investigate): "
+              + ", ".join(carried))
 
 
 if __name__ == "__main__":
