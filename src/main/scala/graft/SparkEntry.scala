@@ -906,6 +906,14 @@ object SparkEntry {
       // production-width variant: same pigeonhole recall at numBands=4,
       // ~256x fewer random band collisions than 32-bit (16-bit band keys)
       Dedup.simhashPairs64(table(s, dir, "documents"), col("doc_id"), col("text"), 4, 3, 1000L)),
+    "simhash_block_report" -> ((s, dir) =>
+      // the simhash bucket cap's accounting companion (round 15 — the
+      // linkage_block_report discipline): dedup_simhash64_pairs runs with
+      // maxBucketSize=1000 ENABLED, so its drop accounting must be a
+      // gate-verified query, not just a spec; zero drops on healthy data,
+      // nonzero = the cap is changing answers
+      Dedup.simhashBucketReport(table(s, dir, "documents"), col("doc_id"), col("text"),
+        4, 1000L)),
     "ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(table(s, dir, "documents"), col("doc_id"), col("text"), 3,
         col("doc_id") < 50, 0.05)),
@@ -2231,10 +2239,10 @@ object SparkEntry {
       |         ELSE 'ws_correction' END AS sync_event
       |  FROM st)""".stripMargin
 
-  /** Width-parameterized simhash banded-pairs oracle (32- and 64-bit rows
-    * share one formulation so they can never drift). numBands=4,
-    * maxHamming=3, bucket cap 1000 — the constants the Spark queries use. */
-  private def simhashPairsOracleSql(width: Int): String = {
+  /** The shared simhash + banding CTE prefix (toks → votes → sh →
+    * banded_all) — one definition so the pairs oracle and the bucket-cap
+    * accounting oracle can never drift on the hash/banding convention. */
+  private def simhashBandedAllSql(width: Int): String = {
     val bandLen = width / 4
     s"""WITH toks AS (
        |  SELECT DISTINCT doc_id, md5(tok) AS h FROM (
@@ -2250,7 +2258,26 @@ object SparkEntry {
        |  FROM votes GROUP BY doc_id),
        |banded_all AS (
        |  SELECT doc_id, simhash, band, substr(simhash, band * $bandLen + 1, $bandLen) AS bk
-       |  FROM sh, (VALUES (0), (1), (2), (3)) AS v(band)),
+       |  FROM sh, (VALUES (0), (1), (2), (3)) AS v(band))""".stripMargin
+  }
+
+  /** DuckDB twin of `Dedup.simhashBucketReport` at the registered
+    * (numBands=4, maxBucketSize=1000): the same banded frame, grouped to
+    * per-bucket occupancies, folded to the one accounting row. */
+  private def simhashBucketReportOracleSql(width: Int): String =
+    s"""${simhashBandedAllSql(width)},
+       |occ AS (SELECT band, bk, COUNT(*) AS occ FROM banded_all GROUP BY 1, 2)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       |  CAST(MAX(occ) AS BIGINT) AS max_bucket,
+       |  CAST(SUM(CASE WHEN occ > 1000 THEN 1 ELSE 0 END) AS BIGINT) AS buckets_dropped,
+       |  CAST(SUM(CASE WHEN occ > 1000 THEN occ ELSE 0 END) AS BIGINT) AS rows_dropped
+       |FROM occ""".stripMargin
+
+  /** Width-parameterized simhash banded-pairs oracle (32- and 64-bit rows
+    * share one formulation so they can never drift). numBands=4,
+    * maxHamming=3, bucket cap 1000 — the constants the Spark queries use. */
+  private def simhashPairsOracleSql(width: Int): String = {
+    s"""${simhashBandedAllSql(width)},
        |banded AS (
        |  SELECT * FROM (
        |    SELECT *, COUNT(*) OVER (PARTITION BY band, bk) AS cnt FROM banded_all)
@@ -2268,10 +2295,6 @@ object SparkEntry {
        |WHERE hamming <= 3""".stripMargin
   }
 
-  /** The sign-bucket SQL expression both LSH oracles share — one definition
-    * so the plane constants / sign convention can never drift between the
-    * single- and multi-probe rows (or from Knn.signBucket, whose
-    * hyperplanes these literals come from). */
   /** The exact hard-negative-mining oracle — shared by the reference row
     * (`hard_negatives`) and the dispatcher row (`hard_negatives_dispatch`),
     * whose plan at gate SFs IS the exact kernel (corpus under the 100k
@@ -2290,6 +2313,10 @@ object SparkEntry {
       |  WHERE cos_sim < 0.25)
       |WHERE rank <= 5""".stripMargin
 
+  /** The sign-bucket SQL expression both LSH oracles share — one definition
+    * so the plane constants / sign convention can never drift between the
+    * single- and multi-probe rows (or from Knn.signBucket, whose
+    * hyperplanes these literals come from). */
   private def lshBucketExpr: String =
     Knn.hyperplanes(8, 64).map(p =>
       s"(CASE WHEN list_dot_product(v, [${p.mkString(", ")}]) >= 0 THEN '1' ELSE '0' END)")
@@ -5119,6 +5146,10 @@ asofOracle,
         |FROM votes GROUP BY doc_id""".stripMargin,
     "dedup_simhash_pairs" -> simhashPairsOracleSql(32),
     "dedup_simhash64_pairs" -> simhashPairsOracleSql(64),
+    // the bucket-cap accounting companion (round 15 — linkage_block_report
+    // discipline for the OTHER enabled occupancy cap): same banded CTE as
+    // the pairs oracle, folded to the one accounting row
+    "simhash_block_report" -> simhashBucketReportOracleSql(64),
     "ngram_jaccard" ->
       s"""$pairOverlapCtes
          |SELECT doc_a, doc_b, floor((j) * 1000000.0 + 0.5) / 1000000.0 AS jaccard FROM (

@@ -101,8 +101,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("damerau_levenshtein"),
       new ExpressionInfo("graft.functions.DamerauLevenshtein", "damerau_levenshtein"),
       (args: Seq[Expression]) => args match {
+        // 3-arg form: threshold-BOUNDED variant (exact at dist <= k,
+        // pinned to k+1 above — the linkage-verifier contract), mirroring
+        // Spark's own levenshtein(l, r, threshold) SQL shape
         case Seq(a, b) => graft.functions.DamerauLevenshtein(a, b)
-        case other => bad("damerau_levenshtein(a, b)", other)
+        case Seq(a, b, Literal(k: Int, _)) if k >= 0 =>
+          graft.functions.BoundedDamerauLevenshtein(a, b, k)
+        case other => bad("damerau_levenshtein(a, b[, maxDist >= 0])", other)
       }))
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("deflate_ratio"),

@@ -34,6 +34,12 @@ class DamerauSpec extends SparkSpec {
       .collect().foreach(r => assert(r.getInt(0) === r.getInt(1)))
     val viaSql = spark.sql("SELECT damerau_levenshtein('teh', 'the') AS d").collect().head
     assert(viaSql.getInt(0) === 1)
+    // 3-arg SQL form = the threshold-bounded variant (Spark's own
+    // levenshtein(l, r, threshold) shape): exact at <= k, k+1 above
+    val bounded = spark.sql(
+      "SELECT damerau_levenshtein('ca', 'abc', 2), damerau_levenshtein('abcdefgh', 'zzzzzzzz', 3)")
+      .collect().head
+    assert(bounded.getInt(0) === 2 && bounded.getInt(1) === 4)
     val n = Seq((Option("x"), Option.empty[String])).toDF("a", "b")
       .select(graft.functions.DamerauLevenshtein.damerauLevenshtein(col("a"), col("b")))
       .collect()
