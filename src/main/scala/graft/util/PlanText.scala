@@ -20,13 +20,19 @@ object PlanText {
     * runtime state), and the caller applies the same id normalizations to
     * the whole text. */
   def fingerprintText(optimized: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String = {
-    val cachedLogical = optimized.collect {
-      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
-        stripCachedReprints(r.cacheBuilder.logicalPlan.toString)
-    }
+    // recursive: a cached plan can itself read another InMemoryRelation
+    // (cache substitution runs before registration), and a fingerprint
+    // blind one level down would re-open the same gap one nesting deeper
+    def cachedLogical(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] =
+      p.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          val inner = r.cacheBuilder.logicalPlan
+          stripCachedReprints(inner.toString) +: cachedLogical(inner)
+      }.flatten
+    val cached = cachedLogical(optimized)
     stripCachedReprints(optimized.toString) +
-      (if (cachedLogical.isEmpty) ""
-       else cachedLogical.mkString("== cached logical ==\n", "\n", ""))
+      (if (cached.isEmpty) ""
+       else cached.mkString("== cached logical ==\n", "\n", ""))
   }
 
   /** Drop every InMemoryRelation's cached-plan reprint from a plan string.
