@@ -455,6 +455,18 @@ object Curation {
     * FIRST action on the returned frame; the counts agree with
     * `curationFunnel` on the same input by construction (same stage
     * flags, observed pre-filter).
+    *
+    * NOTE (round 15): ride-along metrics have one structural corner —
+    * when a query's result is provably EMPTY mid-flight, AQE
+    * empty-propagation can fold the plan before the observed stage runs
+    * (probed on the linkage kernels; see `graft.dedup.CapCounters`).
+    * Here the metrics sit UNDER the survivor filter in the same stage as
+    * the corpus scan, and the only join above them (the first-keeper
+    * join) folds empty only when the corpus itself is empty — in which
+    * case the Observation yields an empty map and the funnel is
+    * trivially all-zero. Callers running over possibly-empty inputs
+    * should treat an empty metrics map as the zero funnel (or run
+    * `curationFunnel` standalone, the CapCounters fallback pattern).
     */
   def curationSurvivorsObserved(df: DataFrame, id: Column, text: Column, source: Column,
                                 weights: Map[String, Int], defaultWeight: Int = 100)
