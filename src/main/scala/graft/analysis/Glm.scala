@@ -208,6 +208,34 @@ object Glm {
         (0 until p).map(i => (s"__b_$i", r6s(s"__b_$i"))))
   }
 
+  /** Parallelism floor for the persisted IRLS working set (guide §2.5,
+    * unsplittable input): the gate corpora are single-row-group parquet
+    * files, so the scan — and with it every cached partition and every
+    * per-iteration moment aggregation's map side — is ONE task however
+    * many cores the session has (measured: a 5-predictor moment pass over
+    * the 100k-row cached working set takes 0.83 s single-partition vs
+    * 0.40 s at 32 — the decimal Gram sums are CPU-dense). One round-robin
+    * shuffle at materialization buys map-side parallelism for all K
+    * passes. Scale-adaptive, not a local constant: when the scan already
+    * carries >= defaultParallelism partitions (any real multi-file/
+    * multi-row-group table) this is a no-op — no added exchange. Results
+    * are partitioning-independent by construction (the quantized DECIMAL
+    * moment sums exist precisely so row order cannot perturb them).
+    *
+    * Only worth paying when the per-pass decimal width is large: the
+    * repartition costs one 100k-row shuffle per fit plus 32-task scheduling
+    * per pass, and at p=2 (5 quantized sums/pass) that overhead EXCEEDS the
+    * decimal win (measured on the gate corpus: huber p=2 went 1.9 s → 4.0 s
+    * floored, while logit_multi p=5 went 6.4 s → 2.6 s and mi_logit
+    * (15 sums/pass × 7 passes) 5.9 s → 5.1 s). `heavySums` is the number of
+    * quantized decimal aggregates per pass; the ≥14 bar is p ≥ 4 for the
+    * IRLS Gram (p(p+3)/2) and any mi-logit fit with ≥ 3 draws (5/draw). */
+  private def parallelFloor(df: DataFrame, heavySums: Int): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (heavySums >= 14 && df.rdd.getNumPartitions < target) df.repartition(target)
+    else df
+  }
+
   /** Portable half-up 6dp rounding — scalar twin of [[r6s]]. */
   private def r6(v: Double): Double = math.floor(v * 1.0e6 + 0.5) / 1.0e6
 
@@ -314,11 +342,11 @@ object Glm {
     val p = xs.size + 1
     require(outNames.size == p, s"outNames must have ${p} entries (intercept first)")
     require(iters >= 1, "need at least one IRLS iteration")
-    val prepared = rows0.select(
+    val prepared = parallelFloor(rows0.select(
       col(group) +: lit(1.0).as("__x0") +:
         xs.zipWithIndex.map { case (c, i) => c.cast("double").as(s"__x${i + 1}") } :+
         y.cast("double").as("__y"): _*)
-      .filter(expr(completeCase(p)))
+      .filter(expr(completeCase(p))), p * (p + 3) / 2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spark = rows0.sparkSession
     val groupField = prepared.schema(group)
@@ -762,9 +790,12 @@ object Glm {
       // would widen every per-iteration scan for nothing
       .select(col(group) +: col("__xd") +: col("__y") +:
         (0 until draws).map(i => col(s"__xq_$i")): _*)
-      // persisted for the K IRLS moment aggregations — without it every
-      // pass re-scans the raw fact; unpersisted after the pooled result
-      // is materialized
+    // persisted for the K IRLS moment aggregations — without it every
+    // pass re-scans the raw fact; unpersisted after the pooled result
+    // is materialized. parallelFloor: see irlsFitByGroup — the m-draw
+    // moment pass is the most decimal-dense aggregation in the repo
+    // (5 quantized sums per draw per iteration).
+    val withQp = parallelFloor(withQ, 5 * draws)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // driver-held model state (groups × 2m doubles), MLlib-style: one
     // distributed moment pass per iteration, per-draw 2×2 solves on the
@@ -797,9 +828,9 @@ object Glm {
         // distinct-collected zero frame — the first moment pass doubles as
         // group discovery (see logitByGroup)
         val it =
-          if (k == 1) (0 until draws).foldLeft(withQ)((d, i) =>
+          if (k == 1) (0 until draws).foldLeft(withQp)((d, i) =>
             d.withColumn(s"__b0_$i", lit(0.0)).withColumn(s"__b1_$i", lit(0.0)))
-          else withQ.join(broadcast(betaDf()), Seq(group))
+          else withQp.join(broadcast(betaDf()), Seq(group))
         val moments = runSteps(it, group, miLogitMomentSteps(draws)).collect()
         val solved = moments.toSeq.map { row =>
           def f(n: String): java.lang.Double = {
@@ -848,7 +879,7 @@ object Glm {
       // materialized, so the working-set unpersist below cannot force a
       // recompute at caller action
       spark.createDataFrame(java.util.Arrays.asList(pooledRows: _*), outSchema)
-    } finally withQ.unpersist(blocking = false)
+    } finally withQp.unpersist(blocking = false)
   }
 
   /** DuckDB twin of [[miLogitPooledByGroup]]. `rowsSql` must produce the
