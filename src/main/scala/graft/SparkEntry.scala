@@ -1321,9 +1321,14 @@ object SparkEntry {
       val cb = graft.similarity.Pq.train(sample, m = 8, dim = 64, ksub = 16, iters = 2)
       val codes = graft.similarity.Pq.encode(e, cb, m = 8, dim = 64)
       // shortlist must cover the corpus at ANY scale factor for the
-      // exact-regime contract (sf0.1 has 10x the embeddings of sf0.01)
+      // exact-regime contract (sf0.1 has 10x the embeddings of sf0.01).
+      // Corpus size from the parquet-footer catalog statistic (cached,
+      // driver-side — the hard_negatives_dispatch discipline) instead of a
+      // count() job per construction: same number, one less Spark job in
+      // every timed rep.
       graft.similarity.Pq.refinedTopK(e.filter(col("id") < 8), e, codes, cb,
-        k = 10, shortlist = e.count().toInt - 1, m = 8, dim = 64)
+        k = 10, shortlist = GraftSession.rowCount(s, dir, "embeddings").toInt - 1,
+        m = 8, dim = 64)
     }),
     "ann_lsh_multiprobe" -> ((s, dir) => {
       // own bucket + every one-bit flip probed: the recall fix for

@@ -88,27 +88,76 @@ object Pq {
     * silently misalign every lookup after it (pinned in PqSpec).
     */
   def train(corpus: DataFrame, m: Int, dim: Int, ksub: Int, iters: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must be divisible by m=$m")
     require(ksub >= 1 && iters >= 0, s"need ksub >= 1, iters >= 0")
-    var cb = subvectors(corpus.orderBy(col("id").asc).limit(ksub), m, dim)
-      .withColumn("cid", row_number().over(
-        Window.partitionBy(col("sub")).orderBy(col("id").asc)) - 1)
-      .select(col("sub"), col("cid"), col("svec").as("cvec"))
+    val dsub = dim / m
+    val spark = corpus.sparkSession
+    // Driver-held Lloyd state (round 15, guide §1.2 "the distributed
+    // algorithm first"): the codebook is m×ksub centroids — MODEL state,
+    // never data, the same carve-out as the GLM moment solve. The former
+    // all-DataFrame loop paid per iteration: a broadcast build for the
+    // codebook join, an argmin shuffle, two collect_list shuffles and an
+    // eager localCheckpoint (~6 jobs/iteration; measured 1.8 s warm for a
+    // 4096-row sample at ksub=16). Holding the codebook on the driver
+    // turns each Lloyd step into ONE map-side-combinable aggregation job:
+    // assignment runs fused and row-local (PqEncodeCodes — bit-identical
+    // to the join argmin, pinned in PqSpec), and only the m·ksub·(d/m)
+    // per-position means come back. Assignment and mean arithmetic are
+    // unchanged: same (s2 - 2·dot) + c2 / round6 distances, same
+    // ascending-cid strict-less argmin, same r6(avg(x)) per
+    // (sub, cid, pos) Spark aggregation.
+    //
+    // Empty-centroid semantics are preserved positionally: a centroid that
+    // captures zero vectors vanishes from the mean frame exactly as it
+    // vanished from the joined groupBy; survivors are compacted in
+    // ascending-cid order, which leaves both the argmin tie-break order
+    // and the final dense re-numbered output identical. Null or
+    // wrong-length vectors encode to NULL codes and are excluded from the
+    // means (the joined path had no defined assignment for them either).
+    val seeds = corpus.orderBy(col("id").asc).limit(ksub)
+      .select(col("id"), col("vec")).collect()
+      .sortBy(_.getLong(0))
+    var cb: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      seeds.map(_.getSeq[Double](1).slice(s * dsub, (s + 1) * dsub).toArray)
+    }
     for (_ <- 0 until iters) {
-      val assigned = assignSub(subvectors(corpus, m, dim), cb)
-      cb = assigned
-        .select(col("sub"), col("cid"), posexplode(col("svec")).as(Seq("pos", "x")))
+      val codesCol = graft.functions.VectorExpressions.pqEncodeCodes(col("vec"), cb)
+      val subStructs = (0 until m).map { s =>
+        struct(lit(s).as("sub"), element_at(col("codes"), s + 1).as("cid"),
+          slice(col("vec"), s * dsub + 1, dsub).as("svec"))
+      }
+      val moments = corpus.select(col("vec"), codesCol.as("codes"))
+        .filter(col("codes").isNotNull)
+        .select(explode(array(subStructs: _*)).as("e"))
+        .select(col("e.sub").as("sub"), col("e.cid").as("cid"),
+          posexplode(col("e.svec")).as(Seq("pos", "x")))
         .groupBy(col("sub"), col("cid"), col("pos"))
         .agg(r6(avg(col("x"))).as("mu"))
-        .groupBy(col("sub"), col("cid"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("pm"))
-        .select(col("sub"), col("cid"), transform(col("pm"), p => p.getField("mu")).as("cvec"))
-        // truncate lineage: each Lloyd step otherwise embeds every prior one
-        .localCheckpoint(true)
+        .collect()
+      // rebuild: survivors per subspace in ascending (compacted) cid order
+      val bySub = moments.groupBy(_.getInt(0))
+      cb = (0 until m).toArray.map { s =>
+        bySub.getOrElse(s, Array.empty[org.apache.spark.sql.Row]).toArray
+          .groupBy(_.getInt(1)).toArray.sortBy(_._1)
+          .map { case (_, rows) =>
+            val mu = new Array[Double](dsub)
+            rows.foreach(r => mu(r.getInt(2)) = r.getDouble(3))
+            mu
+          }
+      }
+      require(cb.forall(_.nonEmpty),
+        "PQ training lost every centroid in a subspace (empty corpus?)")
     }
-    // dense re-number per subspace so table index == cid everywhere
-    cb.withColumn("cid", row_number().over(
-        Window.partitionBy(col("sub")).orderBy(col("cid").asc)) - 1)
-      .select(col("sub"), col("cid"), col("cvec"))
+    // dense ids by construction: array index == cid
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("sub", IntegerType, nullable = false),
+      StructField("cid", IntegerType, nullable = false),
+      StructField("cvec", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val rows = for { s <- 0 until m; c <- cb(s).indices }
+      yield Row(s, c, cb(s)(c).toSeq)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** Collect the (sub, cid, cvec) codebook frame to nested driver arrays,
@@ -163,21 +212,36 @@ object Pq {
     * codebook centroid. queries x probes x m x ksub rows while building —
     * tiny for a broadcastable query set — collapsed to one row per
     * (query, bucket). The plain-PQ path passes a single constant bucket. */
-  private def queryTables(queries: DataFrame, codebook: DataFrame, m: Int, dim: Int): DataFrame =
-    subvectors(queries.select(col("id"), col("bucket"), col("vec")), m, dim)
-      .withColumn("__s2", dot(col("svec"), col("svec")))
-      .join(broadcast(codebook.withColumn("__c2", dot(col("cvec"), col("cvec")))), Seq("sub"))
-      .withColumn("d", r6(
-        col("__s2") - lit(2.0) * dot(col("svec"), col("cvec")) + col("__c2")))
-      .groupBy(col("id"), col("bucket"), col("sub"))
-      // cids are dense per subspace (train() contract), so the cid-sorted
-      // list is positionally exact: element cid+1 belongs to centroid cid
-      .agg(array_sort(collect_list(struct(col("cid"), col("d")))).as("cd"))
-      .groupBy(col("id"), col("bucket"))
-      .agg(array_sort(collect_list(struct(col("sub"),
-        transform(col("cd"), x => x.getField("d")).as("dv")))).as("sd"))
-      .select(col("id"), col("bucket"),
-        transform(col("sd"), x => x.getField("dv")).as("table"))
+  private def queryTables(queries: DataFrame, codebook: DataFrame, m: Int, dim: Int): DataFrame = {
+    // Row-local table construction against the driver-collected codebook
+    // (round 15): the former explode → broadcast join → two collect_list
+    // shuffles cost ~4 stages per call to assemble what is a pure
+    // per-query-row function of (vec, codebook). The codebook is always
+    // driver-safe here — each emitted table row is strictly larger than
+    // the whole codebook, and the tables broadcast to the ADC join anyway.
+    // Arithmetic unchanged and pinned (PqSpec): same per-centroid
+    // left-to-right self-dot, same (s2 - 2·dot) + c2 fold, same r6; the
+    // positional [sub][cid] layout relied on train()'s dense-cid contract
+    // before and is dense by construction now.
+    val dsub = dim / m
+    val cb = collectCodebook(codebook)
+    require(cb.length == m && cb.forall(_.forall(_.length == dsub)),
+      s"codebook shape does not match m=$m dim=$dim")
+    val c2: Array[Array[Double]] = cb.map(_.map { c =>
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += c(i) * c(i); i += 1 }
+      acc
+    })
+    val table = array((0 until m).map { s =>
+      val svec = slice(col("vec"), s * dsub + 1, dsub)
+      val s2 = dot(svec, svec)
+      array(cb(s).indices.map { c =>
+        val cvec = array(cb(s)(c).toIndexedSeq.map(lit): _*)
+        r6(s2 - lit(2.0) * dot(svec, cvec) + lit(c2(s)(c)))
+      }: _*)
+    }: _*)
+    queries.select(col("id"), col("bucket"), table.as("table"))
+  }
 
   /** PQ-approximate top-k by ADC: broadcast the per-query tables against
     * the code column, rank ascending approximate distance (vec_id
