@@ -565,9 +565,25 @@ object Dedup {
     * lineage is truncated per round so round N never recomputes rounds
     * 1..N-1. Label propagation is the Spark-native formulation of
     * union-find: no driver-side state at any corpus size.
+    *
+    * Size dispatch (round 15, the Knn.hardNegatives discipline): an edge
+    * list that fits comfortably on the driver (`localEdgeCap`, default 2²⁰
+    * directed edges ≈ a few tens of MB) is solved by driver-side
+    * union-find in ONE job — the distributed loop costs ~3 jobs per round
+    * plus the convergence probe, which is pure scheduler latency on a
+    * small graph and the dominant cost of every components-consuming
+    * query at gate scale. The decision needs no count job: the bounded
+    * `limit(cap + 1).collect()` over the already-checkpointed edges both
+    * decides AND delivers the edge list. Past the cap (the 100x-replica
+    * pair tables), the pointer-jumping loop runs unchanged. Results are
+    * identical by construction — both label every node with the minimum
+    * member id of its component (DifferentialSpec pins local == looped on
+    * random graphs, both dispatch regimes) — and the local output is
+    * sorted by node so run order is deterministic. Driver state is
+    * bounded by the cap: edges, never the corpus.
     */
   def connectedComponents(pairs: DataFrame, a: String, b: String,
-                          maxIters: Int = 20): DataFrame = {
+                          maxIters: Int = 20, localEdgeCap: Int = 1 << 20): DataFrame = {
     // both edge directions from ONE evaluation of the (possibly expensive)
     // pair plan: a union of two references would recompute it twice before
     // the checkpoint cuts the lineage
@@ -576,6 +592,22 @@ object Dedup {
         struct(col(b).as("src"), col(a).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
+    if (localEdgeCap > 0) {
+      val keyOrd: Option[Ordering[Any]] = edges.schema("src").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          Some(Ordering.Long.on((x: Any) => x.asInstanceOf[Long]))
+        case org.apache.spark.sql.types.IntegerType =>
+          Some(Ordering.Int.on((x: Any) => x.asInstanceOf[Int]))
+        case org.apache.spark.sql.types.StringType =>
+          Some(Ordering.String.on((x: Any) => x.asInstanceOf[String]))
+        case _ => None
+      }
+      keyOrd.foreach { ord =>
+        val sample = edges.limit(localEdgeCap + 1).collect()
+        if (sample.length <= localEdgeCap)
+          return localComponents(sample, ord, edges.schema("src"), pairs.sparkSession)
+      }
+    }
     // initialize with the first propagation hop already folded in:
     // component0 = min(self, neighbors) comes free from one aggregation
     // over the edge list (which replaces the distinct-nodes scan), so
@@ -626,6 +658,60 @@ object Dedup {
       s"connectedComponents did not converge in $maxIters rounds; " +
         "raise maxIters (component diameter exceeds the cap)")
     labels.select(col("node").as("doc_id"), col("component"))
+  }
+
+  /** Driver-side union-find over a collected (src, dst) edge list — the
+    * small-graph half of [[connectedComponents]]'s size dispatch. Same
+    * semantics as the pointer-jumping loop: every node appearing in an
+    * edge is labeled with the minimum member id of its component
+    * (normalized after the unions, so link order cannot leak a non-min
+    * root). Output sorted by node for deterministic run order. */
+  private def localComponents(edgeRows: Array[org.apache.spark.sql.Row],
+                              ord: Ordering[Any],
+                              srcField: org.apache.spark.sql.types.StructField,
+                              spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x0: Any): Any = {
+      var x = x0
+      var p = parent.get(x)
+      while (p != null && p != x) { // path halving
+        val gp = parent.get(p)
+        if (gp != null && gp != p) { parent.put(x, gp); x = gp }
+        else x = p
+        p = parent.get(x)
+      }
+      x
+    }
+    edgeRows.foreach { r =>
+      val (s, d) = (r.get(0), r.get(1))
+      if (!parent.containsKey(s)) parent.put(s, s)
+      if (!parent.containsKey(d)) parent.put(d, d)
+      val (rs, rd) = (find(s), find(d))
+      if (rs != rd) {
+        if (ord.lt(rs, rd)) parent.put(rd, rs) else parent.put(rs, rd)
+      }
+    }
+    // normalize every root to the minimum member id of its component
+    val minOf = new java.util.HashMap[Any, Any]()
+    val it0 = parent.keySet().iterator()
+    while (it0.hasNext) {
+      val n = it0.next()
+      val r = find(n)
+      val cur = minOf.get(r)
+      if (cur == null || ord.lt(n, cur)) minOf.put(r, n)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Any, Any)]
+    val it1 = parent.keySet().iterator()
+    while (it1.hasNext) {
+      val n = it1.next()
+      out += ((n, minOf.get(find(n))))
+    }
+    val rows = out.sortBy(_._1)(ord).map { case (n, c) => Row(n, c) }
+    val schema = StructType(Seq(srcField.copy(name = "doc_id"),
+      srcField.copy(name = "component")))
+    spark.createDataFrame(java.util.Arrays.asList(rows.toSeq: _*), schema)
   }
 
   /** Quality-aware dedup decision: within each near-dup component keep the

@@ -27,9 +27,17 @@ class DifferentialSpec extends SparkSpec {
       }
       val touched = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
       val expect = touched.map(v => v -> find(v.toInt).toLong).toMap
+      // both dispatch regimes: the driver union-find path (default cap)
+      // and the distributed pointer-jumping loop (cap = 0) must agree
+      // with the reference AND each other
       val got = graft.dedup.Dedup
         .connectedComponents(edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
         .as[(Long, Long)].collect().toMap
+      val gotLooped = graft.dedup.Dedup
+        .connectedComponents(edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b",
+          localEdgeCap = 0)
+        .as[(Long, Long)].collect().toMap
+      assert(got == gotLooped, s"seed=$seed dispatch regimes disagree")
       // operator labels components by min MEMBER id; union-find roots are
       // min labels too because we always point the larger root at the
       // smaller — but path order can leave a non-min root, so normalize

@@ -213,8 +213,12 @@ class TextDedupSpec extends SparkSpec {
     // round, so log2(1000) ≈ 10 rounds must suffice. maxIters=12 pins the
     // complexity class — an accidental regression to linear propagation
     // fails here instead of silently slowing 100× at corpus scale.
+    // localEdgeCap = 0 forces the distributed loop: the size dispatch would
+    // otherwise solve this graph on the driver and the complexity-class pin
+    // would stop exercising pointer jumping
     val chain = (0L until 1000L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(chain, "doc_a", "doc_b", maxIters = 12)
+    val got = Dedup.connectedComponents(chain, "doc_a", "doc_b", maxIters = 12,
+        localEdgeCap = 0)
       .as[(Long, Long)].collect()
     assert(got.length == 1001)
     assert(got.forall(_._2 == 0L), "every chain node must reach the global min label")
