@@ -42,13 +42,40 @@ object Graph {
     * Output: (node, rank r6) for every node with an in- or out-edge.
     */
   def pageRank(edgesIn: DataFrame, src: Column, dst: Column,
-               iters: Int, d: Double = 0.85): DataFrame = {
+               iters: Int, d: Double = 0.85, localEdgeCap: Int = 1 << 20): DataFrame = {
     require(iters >= 1, s"pageRank needs iters >= 1, got $iters")
     require(d > 0.0 && d < 1.0, s"pageRank needs 0 < d < 1, got $d")
     val edges = edgesIn.select(src.as("src"), dst.as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .localCheckpoint()
+    // Size dispatch (round 15, the connectedComponents/hardNegatives
+    // discipline): a distinct edge list under `localEdgeCap` is ranked on
+    // the driver — the distributed loop costs ~1 checkpoint job per
+    // iteration plus setup (~9 jobs for the 5-iteration gate query),
+    // pure scheduler latency on a small graph. The local fixpoint is the
+    // DifferentialSpec-pinned micro-long reference ALGEBRA (r6-quantized
+    // contributions, exact micro-unit sums, per-iteration re-round), so
+    // local == looped bit-for-bit; the spec asserts both regimes. The
+    // bounded limit(cap+1).collect() decides AND delivers. Past the cap,
+    // the loop runs unchanged — driver state stays cap-bounded.
+    if (localEdgeCap > 0) {
+      val keyOrd: Option[Ordering[Any]] = edges.schema("src").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          Some(Ordering.Long.on((x: Any) => x.asInstanceOf[Long]))
+        case org.apache.spark.sql.types.IntegerType =>
+          Some(Ordering.Int.on((x: Any) => x.asInstanceOf[Int]))
+        case org.apache.spark.sql.types.StringType =>
+          Some(Ordering.String.on((x: Any) => x.asInstanceOf[String]))
+        case _ => None
+      }
+      keyOrd.foreach { ord =>
+        val sample = edges.limit(localEdgeCap + 1).collect()
+        if (sample.length <= localEdgeCap)
+          return pageRankLocal(sample, iters, d, ord,
+            edges.schema("src"), edgesIn.sparkSession)
+      }
+    }
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("__out"))
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
@@ -74,6 +101,44 @@ object Graph {
         .localCheckpoint()
     }
     ranks
+  }
+
+  /** Driver-side PageRank over a collected distinct edge list — the
+    * small-graph half of [[pageRank]]'s size dispatch. The micro-long
+    * fixpoint algebra is the DifferentialSpec reference implementation
+    * verbatim: contributions q6-quantized then accumulated as exact
+    * micro-unit longs (≡ the plan's DECIMAL(18,6) sum), rank re-rounded
+    * per iteration from the exactly-converted sum (BigDecimal m/10⁶ ≡ the
+    * plan's decimal→double cast). Output sorted by node for deterministic
+    * run order. */
+  private def pageRankLocal(edgeRows: Array[org.apache.spark.sql.Row],
+                            iters: Int, d: Double, ord: Ordering[Any],
+                            srcField: org.apache.spark.sql.types.StructField,
+                            spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val edges = edgeRows.map(r => (r.get(0), r.get(1)))
+    val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted(ord)
+    val idx = nodes.zipWithIndex.toMap
+    val out = new Array[Long](nodes.length)
+    edges.foreach { case (a, _) => out(idx(a)) += 1 }
+    val n = nodes.length.toDouble
+    val base = (1.0 - d) / n
+    def q(x: Double): Double = graft.util.Portable.round6d(x)
+    var rank = Array.fill(nodes.length)(q(1.0 / n))
+    for (_ <- 0 until iters) {
+      val micro = new Array[Long](nodes.length)
+      edges.foreach { case (a, b) =>
+        val c = q(rank(idx(a)) / out(idx(a)).toDouble)
+        micro(idx(b)) += math.round(c * 1.0e6)
+      }
+      rank = micro.map(m =>
+        q(base + d * (BigDecimal(m) / BigDecimal(1000000)).toDouble))
+    }
+    val rows = nodes.zipWithIndex.map { case (v, i) => Row(v, rank(i)) }
+    val schema = StructType(Seq(srcField.copy(name = "node"),
+      StructField("rank", DoubleType, nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(rows.toSeq: _*), schema)
   }
 
   /** Exact triangle count with DEGREE-ORDERED edge orientation (the

@@ -337,9 +337,17 @@ class DifferentialSpec extends SparkSpec {
       val raw = Seq.fill(110)((rnd.nextInt(nMax).toLong, rnd.nextInt(nMax).toLong)) ++
         Seq((7L, 7L), (8L, 9L), (8L, 9L)) // self-loop + parallel edge, always
       val d = if (seed % 2 == 0) 0.85 else 0.75
+      // both dispatch regimes (round 15): the driver micro-long path
+      // (default cap) and the distributed loop (cap = 0) must agree with
+      // the reference AND each other
       val got = graft.analysis.Graph
         .pageRank(raw.toDF("s", "t"), col("s"), col("t"), iters, d)
         .as[(Long, Double)].collect().toMap
+      val gotLooped = graft.analysis.Graph
+        .pageRank(raw.toDF("s", "t"), col("s"), col("t"), iters, d,
+          localEdgeCap = 0)
+        .as[(Long, Double)].collect().toMap
+      assert(got == gotLooped, s"seed=$seed iters=$iters d=$d dispatch regimes disagree")
 
       // independent reference: micro-long accumulation on dense arrays
       val edges = raw.distinct
