@@ -81,8 +81,11 @@ object ConfiguredCuration {
     }
     val withSplit = cfg.split match {
       case Some((train, valPct)) =>
-        base.join(Curation.datasetSplit(base, col("doc_id"), train, valPct),
-          Seq("doc_id"))
+        // row-local projection, not a self-join: the split coin is a pure
+        // function of doc_id, and the former join re-evaluated the entire
+        // fuzzy dedup pipeline a second time as its build side (export
+        // doc_ids are unique, so join ≡ projection row-for-row)
+        base.withColumn("split", Curation.datasetSplitCol(col("doc_id"), train, valPct))
       case None => base
     }
     cfg.shuffleShards match {

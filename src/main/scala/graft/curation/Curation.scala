@@ -928,14 +928,20 @@ object Curation {
     * both decisions.
     */
   def datasetSplit(df: DataFrame, id: Column,
-                   trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+                   trainPct: Int = 90, valPct: Int = 5): DataFrame =
+    df.select(id.as("doc_id"), datasetSplitCol(id, trainPct, valPct).as("split"))
+
+  /** The split assignment as a row-local COLUMN — a pure function of the
+    * id digest, so a caller that already holds the frame attaches it with
+    * a projection instead of a self-join (the configured export formerly
+    * re-evaluated its whole fuzzy pipeline as the join's build side). */
+  def datasetSplitCol(id: Column, trainPct: Int = 90, valPct: Int = 5): Column = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
       "need trainPct > 0, valPct >= 0, trainPct + valPct <= 100")
     val h = hashPct(id, offset = 5)
-    df.select(id.as("doc_id"),
-      when(h < trainPct, lit("train"))
-        .when(h < trainPct + valPct, lit("val"))
-        .otherwise(lit("test")).as("split"))
+    when(h < trainPct, lit("train"))
+      .when(h < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
   }
 
   /** Deterministic global training order WITHOUT a global sort: documents
