@@ -192,20 +192,13 @@ object Bench {
         true
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"bench: failed to write $outFile: $e"); false }
-    val line =
-      if (full.length <= 1800) full
-      else {
-        val slowest = obj(ok.sortBy(-_._2).take(25).map(r => r._1 -> r._2))
-        // the truncated line is what the per-round snapshot keeps: carry the
-        // warm totals and the slowest warm queries so round history stays
-        // self-contained (the full per-query map lives in $outFile)
-        val warmSummary =
-          if (warm) s""","warm_total":${r3(warmTotal)},"warm_count":${warmOk.length},"warm_slowest":${obj(warmOk.sortBy(-_._2).take(15))}"""
-          else ""
-        val fullPtr = if (wrote) s""","full":"$outFile"""" else ""
-        s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest$warmSummary,"errors":$errPart,"sf":"$sfDir","truncated":true$fullPtr}"""
-      }
-    println(line)
+    // Print the FULL one-line JSON (round 16, VERDICT r15 item 2): the
+    // truncated top-25 line was unparseable by the driver (PERF_r14/r15 both
+    // recorded parsed: null), which blinded two rounds of round-over-round
+    // comparison. ~20 KB on one line is fine; $outFile stays as a courtesy
+    // copy. `wrote` is still computed so a failed file write is reported.
+    if (!wrote) System.err.println(s"bench: $outFile not written; stdout line is canonical")
+    println(full)
     spark.stop()
   }
 }
