@@ -59,7 +59,13 @@ object Graph {
     // local == looped bit-for-bit; the spec asserts both regimes. The
     // bounded limit(cap+1).collect() decides AND delivers. Past the cap,
     // the loop runs unchanged — driver state stays cap-bounded.
-    if (localEdgeCap > 0) {
+    // the local path needs ONE node type: mixed src/dst widths would box
+    // to different classes (ClassCastException in the Ordering, and Any-
+    // equality would split Int 5 from Long 5) where the distributed loop
+    // coerces both to a common node space — so mixed-type edge lists fall
+    // through to the loop (ADVICE r15)
+    if (localEdgeCap > 0 &&
+        edges.schema("src").dataType == edges.schema("dst").dataType) {
       val keyOrd: Option[Ordering[Any]] = edges.schema("src").dataType match {
         case org.apache.spark.sql.types.LongType =>
           Some(Ordering.Long.on((x: Any) => x.asInstanceOf[Long]))

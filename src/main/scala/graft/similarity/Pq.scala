@@ -114,9 +114,16 @@ object Pq {
     // and the final dense re-numbered output identical. Null or
     // wrong-length vectors encode to NULL codes and are excluded from the
     // means (the joined path had no defined assignment for them either).
+    // already ascending-id ordered: TakeOrderedAndProject returns the
+    // collected rows in sort order, so no driver re-sort — which also
+    // keeps seeding type-agnostic over any orderable id column (the former
+    // getLong re-sort ClassCastException'd on int/string ids, ADVICE r15)
     val seeds = corpus.orderBy(col("id").asc).limit(ksub)
       .select(col("id"), col("vec")).collect()
-      .sortBy(_.getLong(0))
+    seeds.foreach { r =>
+      require(!r.isNullAt(1) && r.getSeq[Double](1).length == dim,
+        s"PQ training seed ${r.get(0)} has a null or wrong-length vec (need $dim)")
+    }
     var cb: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
       seeds.map(_.getSeq[Double](1).slice(s * dsub, (s + 1) * dsub).toArray)
     }
