@@ -465,10 +465,18 @@ object Dedup {
   def minhashDedupVerified(df: DataFrame, id: Column, text: Column, n: Int,
                            numPerms: Int, bandSize: Int, minJaccard: Double): DataFrame = {
     val pairs = lshCandidatePairs(minhashSignatures(df, id, text, n, numPerms), numPerms, bandSize)
-    val sets = df.select(id.as("doc_id"), distinctShingles(text, n).as("shingles"))
+    // shingles are computed AFTER the candidate joins, as projections over
+    // the joined (candidate-only) rows — the incrementalDedupVerified
+    // discipline (round 16, guide §3.2): the former pre-shingled `sets`
+    // frame re-shingled the ENTIRE corpus once per join side, when only
+    // band-collision candidates ever reach the intersection. The joins ship
+    // raw text for matching docs only; identical arithmetic on identical
+    // arrays, so the output is unchanged (oracle-pinned).
     pairs
-      .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
-      .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+      .join(df.select(id.as("doc_a"), text.as("__ta")), "doc_a")
+      .join(df.select(id.as("doc_b"), text.as("__tb")), "doc_b")
+      .withColumn("sh_a", distinctShingles(col("__ta"), n))
+      .withColumn("sh_b", distinctShingles(col("__tb"), n))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
@@ -568,7 +576,9 @@ object Dedup {
     *
     * Size dispatch (round 15, the Knn.hardNegatives discipline): an edge
     * list that fits comfortably on the driver (`localEdgeCap`, default 2²⁰
-    * directed edges ≈ a few tens of MB) is solved by driver-side
+    * directed edges — realistically a few hundred MB of boxed GenericRows
+    * at the cap, more for string ids; budget driver heap accordingly when
+    * raising it) is solved by driver-side
     * union-find in ONE job — the distributed loop costs ~3 jobs per round
     * plus the convergence probe, which is pure scheduler latency on a
     * small graph and the dominant cost of every components-consuming
@@ -604,7 +614,12 @@ object Dedup {
       }
       keyOrd.foreach { ord =>
         val sample = edges.limit(localEdgeCap + 1).collect()
-        if (sample.length <= localEdgeCap)
+        // null ids fall through to the distributed loop: union-find would
+        // unbox null to a primitive (conflating it with 0) where label
+        // propagation keeps null as its own group — the loop is the one
+        // source of truth for dirty input (ADVICE r15)
+        if (sample.length <= localEdgeCap &&
+            !sample.exists(r => r.isNullAt(0) || r.isNullAt(1)))
           return localComponents(sample, ord, edges.schema("src"), pairs.sparkSession)
       }
     }
