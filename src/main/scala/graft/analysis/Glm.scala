@@ -217,27 +217,77 @@ object Glm {
     * 0.40 s at 32 — the decimal Gram sums are CPU-dense). One round-robin
     * shuffle at materialization buys map-side parallelism for all K
     * passes. Scale-adaptive, not a local constant: when the scan already
-    * carries >= defaultParallelism partitions (any real multi-file/
+    * carries >= the floor's target partitions (any real multi-file/
     * multi-row-group table) this is a no-op — no added exchange. Results
     * are partitioning-independent by construction (the quantized DECIMAL
     * moment sums exist precisely so row order cannot perturb them).
     *
-    * Only worth paying when the per-pass decimal width is large: the
-    * repartition costs one 100k-row shuffle per fit plus 32-task scheduling
-    * per pass, and at p=2 (5 quantized sums/pass) that overhead EXCEEDS the
-    * decimal win (measured on the gate corpus: huber p=2 went 1.9 s → 4.0 s
-    * floored, while logit_multi p=5 went 6.4 s → 2.6 s and mi_logit
-    * (15 sums/pass × 7 passes) 5.9 s → 5.1 s). `heavySums` is the number of
-    * quantized decimal aggregates per pass; the ≥14 bar is p ≥ 4 for the
-    * IRLS Gram (p(p+3)/2) and any mi-logit fit with ≥ 3 draws (5/draw). */
-  private def parallelFloor(df: DataFrame, heavySums: Int): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (heavySums >= 14 && df.rdd.getNumPartitions < target) df.repartition(target)
+    * The floor target scales with the per-pass decimal width `heavySums`
+    * (the number of quantized decimal aggregates per pass): wide fits
+    * (≥14 — p ≥ 4 IRLS Gram at p(p+3)/2, or mi-logit with ≥ 3 draws at
+    * 5/draw) floor to defaultParallelism; narrow p=2 fits (5 sums/pass)
+    * floor to min(8, defaultParallelism) — at p=2 the full-width floor
+    * measurably LOST time on the gate corpus (huber 1.9 s → 4.0 s at 32
+    * tasks/pass: 32-way task scheduling × K passes exceeds the decimal
+    * win), while a few-way split still buys map-side parallelism for the
+    * CPU-dense sums at a fraction of the scheduling cost (round 16,
+    * VERDICT r15 #3 middle ground).
+    *
+    * `probe` must be an EXCHANGE-FREE frame (scan + narrow ops) that
+    * shares the working set's scan: probing `df` itself when it carries a
+    * broadcast join (the mi-logit imputation-stats join) finalizes the
+    * adaptive plan and EXECUTES the join's build side — a duplicated
+    * stats pass per fit (ADVICE r15). A narrow probe's RDD is built
+    * without running any job, and a broadcast join does not change the
+    * streamed side's partitioning, so the narrow count is the right one.
+    */
+  private def parallelFloor(df: DataFrame, heavySums: Int,
+                            probe: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val target = if (heavySums >= 14) cores else math.min(8, cores)
+    if (probe.rdd.getNumPartitions < target) df.repartition(target)
     else df
   }
 
   /** Portable half-up 6dp rounding — scalar twin of [[r6s]]. */
   private def r6(v: Double): Double = math.floor(v * 1.0e6 + 0.5) / 1.0e6
+
+  /** Scalar twin of [[r9s]] — the 9dp rounding that quenches EXP ulp
+    * drift. (FLOOR's BIGINT round-trip is exact here: the argument is
+    * ≤ ~1e9, inside the 2^53 integer-exact range.) */
+  private def r9d(v: Double): Double = math.floor(v * 1.0e9 + 0.5) / 1.0e9
+
+  /** Quantizers matching [[qsum]]/[[qsum9]]'s per-term FLOOR(t·grid + 0.5):
+    * SQL FLOOR(double) is a BIGINT via the JVM double→long cast (clamping
+    * included), so `.toLong` of the integral double is the identical
+    * value. */
+  private def q12l(t: Double): Long = math.floor(t * 1.0e12 + 0.5).toLong
+  private def q9l(t: Double): Long = math.floor(t * 1.0e9 + 0.5).toLong
+
+  /** Exact order-free accumulator — the driver twin of the DECIMAL(38,0)
+    * SUM over quantized terms in [[qsum]]/[[qsum9]]: partial long sums with
+    * an overflow-safe flush into a BigInt. Empty ≡ SQL's SUM over zero
+    * non-null terms (NULL). `toDouble` is CAST(DECIMAL AS DOUBLE), which
+    * Spark implements as BigDecimal.doubleValue — replicated verbatim so
+    * past-2^53 sums convert with the identical half-even rounding. */
+  private final class QuantSum {
+    private var big: BigInt = null
+    private var part: Long = 0L
+    private var any = false
+    def add(q: Long): Unit = {
+      any = true
+      val s = part + q
+      if (((part ^ s) & (q ^ s)) < 0L) { // signed-overflow test: flush
+        big = if (big == null) BigInt(part) else big + BigInt(part)
+        part = q
+      } else part = s
+    }
+    def isNull: Boolean = !any
+    def toDouble: Double = {
+      val tot = if (big == null) BigInt(part) else big + BigInt(part)
+      BigDecimal(tot).doubleValue
+    }
+  }
 
   /** Portable half-up 12dp rounding — scalar twin of [[r12s]]. */
   private def r12(v: Double): Double = math.floor(v * 1.0e12 + 0.5) / 1.0e12
@@ -310,8 +360,9 @@ object Glm {
     * eagerly, so the unpersist cannot trigger recomputation.
     */
   def logitByGroup(rows0: DataFrame, group: String, xs: Seq[Column], y: Column,
-                   outNames: Seq[String], iters: Int = 6, ridge: Double = 1e-6): DataFrame =
-    irlsFitByGroup(rows0, group, xs, y, outNames, iters, ridge, logitMomentSteps)
+                   outNames: Seq[String], iters: Int = 6, ridge: Double = 1e-6,
+                   localRowCap: Int = 1 << 20): DataFrame =
+    irlsFitByGroup(rows0, group, xs, y, outNames, iters, ridge, None, localRowCap)
 
   /** Huber robust regression per group — OLS whose influence function
     * caps at δ: a fat-tailed response (the exact shape real value feeds
@@ -327,26 +378,51 @@ object Glm {
     */
   def huberByGroup(rows0: DataFrame, group: String, xs: Seq[Column], y: Column,
                    outNames: Seq[String], delta: Double,
-                   iters: Int = 6, ridge: Double = 1e-6): DataFrame = {
+                   iters: Int = 6, ridge: Double = 1e-6,
+                   localRowCap: Int = 1 << 20): DataFrame = {
     require(delta > 0.0, s"huberByGroup needs delta > 0, got $delta")
     irlsFitByGroup(rows0, group, xs, y, outNames, iters, ridge,
-      p => huberMomentSteps(p, delta))
+      Some(delta), localRowCap)
   }
 
   private def irlsFitByGroup(rows0: DataFrame, group: String, xs: Seq[Column],
                              y: Column, outNames: Seq[String], iters: Int,
                              ridge: Double,
-                             momentSteps: Int => Seq[Step]): DataFrame = {
+                             huberDelta: Option[Double],
+                             localRowCap: Int): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
     val p = xs.size + 1
     require(outNames.size == p, s"outNames must have ${p} entries (intercept first)")
     require(iters >= 1, "need at least one IRLS iteration")
-    val prepared = parallelFloor(rows0.select(
+    val momentSteps: Int => Seq[Step] = huberDelta match {
+      case Some(d) => pp => huberMomentSteps(pp, d)
+      case None    => logitMomentSteps
+    }
+    val working = rows0.select(
       col(group) +: lit(1.0).as("__x0") +:
         xs.zipWithIndex.map { case (c, i) => c.cast("double").as(s"__x${i + 1}") } :+
         y.cast("double").as("__y"): _*)
-      .filter(expr(completeCase(p))), p * (p + 3) / 2)
+      .filter(expr(completeCase(p)))
+    // Size dispatch (round 16, the connectedComponents discipline): a
+    // complete-case working set that fits on the driver is fit there in
+    // ONE bounded limit(cap+1).collect() job — all K moment passes become
+    // driver arithmetic over the collected rows (localIrlsFit replays the
+    // moment fragments bit-for-bit), replacing K aggregation jobs + a
+    // persist + K−1 broadcast beta joins. Past the cap, the loop below
+    // runs unchanged. A null group falls through to the loop: the
+    // distributed beta join drops a null group after iteration 1 (null
+    // never equi-joins), and the loop is the one source of truth for that
+    // corner. Driver state is cap-bounded: ~(p+2)-column rows, never the
+    // corpus — at the default 2^20 cap and p=6 that is realistically a few
+    // hundred MB of boxed rows, transient.
+    if (localRowCap > 0) {
+      val sample = working.limit(localRowCap + 1).collect()
+      if (sample.length <= localRowCap && !sample.exists(_.isNullAt(0)))
+        return localIrlsFit(sample, p, iters, ridge, huberDelta,
+          working.schema(group), outNames, rows0.sparkSession)
+    }
+    val prepared = parallelFloor(working, p * (p + 3) / 2, working)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spark = rows0.sparkSession
     val groupField = prepared.schema(group)
@@ -386,6 +462,94 @@ object Glm {
         Row.fromSeq(g +: nByGroup(g) +: b.toSeq)
       }: _*),
       outSchema)
+  }
+
+  /** Driver-side fixed-K IRLS over a collected, cap-bounded working set —
+    * the small-fit half of [[irlsFitByGroup]]'s size dispatch. Replays the
+    * [[logitMomentSteps]]/[[huberMomentSteps]] per-row fragments with the
+    * IDENTICAL IEEE operations in the identical order (left-associated η,
+    * r9-rounded μ/weights, per-term FLOOR quantization) and accumulates
+    * with [[QuantSum]] (≡ the exact DECIMAL(38,0) sums, order-free), then
+    * the shared [[solveRidged]] + [[r6]] per iteration — so the local fit
+    * is bit-identical to the loop's collected moments on any input
+    * (GlmLocalFitSpec pins both regimes against each other).
+    * `sample` columns are positional: group, __x0..__x{p-1}, __y. */
+  private def localIrlsFit(sample: Array[org.apache.spark.sql.Row], p: Int,
+                           iters: Int, ridge: Double, huberDelta: Option[Double],
+                           groupField: org.apache.spark.sql.types.StructField,
+                           outNames: Seq[String],
+                           spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val es = entries(p).toArray
+    val nRows = sample.length
+    val gIndex = scala.collection.mutable.LinkedHashMap.empty[Any, Int]
+    val gOf = new Array[Int](nRows)
+    val xsA = Array.ofDim[Double](nRows, p)
+    val ysA = new Array[Double](nRows)
+    var i = 0
+    while (i < nRows) {
+      val r = sample(i)
+      gOf(i) = gIndex.getOrElseUpdate(r.get(0), gIndex.size)
+      var k = 0
+      while (k < p) { xsA(i)(k) = r.getDouble(1 + k); k += 1 }
+      ysA(i) = r.getDouble(1 + p)
+      i += 1
+    }
+    val nG = gIndex.size
+    // iteration-1 seed: beta = 0 per group (the loop's literal-zero seed)
+    val beta = Array.fill(nG)(new Array[Double](p))
+    val nByG = new Array[Long](nG)
+    val grid = if (huberDelta.isDefined) 1.0e9 else 1.0e12
+    for (_ <- 1 to iters) {
+      val aS = Array.fill(nG, es.length)(new QuantSum)
+      val rS = Array.fill(nG, p)(new QuantSum)
+      java.util.Arrays.fill(nByG, 0L)
+      i = 0
+      while (i < nRows) {
+        val g = gOf(i); val b = beta(g); val x = xsA(i); val y = ysA(i)
+        nByG(g) += 1
+        var eta = b(0) * x(0)
+        var k = 1
+        while (k < p) { eta = eta + (b(k) * x(k)); k += 1 }
+        huberDelta match {
+          case None =>
+            val mu = r9d(1.0 / (1.0 + math.exp(-eta)))
+            val w = mu * (1.0 - mu)
+            val u = (w * eta) + (y - mu)
+            var e = 0
+            while (e < es.length) {
+              aS(g)(e).add(q12l((x(es(e)._1) * x(es(e)._2)) * w)); e += 1
+            }
+            k = 0
+            while (k < p) { rS(g)(k).add(q12l(x(k) * u)); k += 1 }
+          case Some(d) =>
+            val res = y - eta
+            val w = r9d(if (math.abs(res) <= d) 1.0 else d / math.abs(res))
+            var e = 0
+            while (e < es.length) {
+              aS(g)(e).add(q9l((x(es(e)._1) * x(es(e)._2)) * w)); e += 1
+            }
+            k = 0
+            while (k < p) { rS(g)(k).add(q9l((x(k) * y) * w)); k += 1 }
+        }
+        i += 1
+      }
+      var g = 0
+      while (g < nG) {
+        val upper = (0 until es.length).map(e => aS(g)(e).toDouble / grid)
+        val grad = (0 until p).map(k => rS(g)(k).toDouble / grid)
+        beta(g) = solveRidged(p, ridge, upper, grad).map(r6)
+        g += 1
+      }
+    }
+    val outSchema = StructType(groupField +:
+      StructField("n", LongType, nullable = false) +:
+      outNames.map(StructField(_, DoubleType, nullable = false)))
+    val rows = gIndex.toSeq.map { case (gv, g) =>
+      Row.fromSeq(gv +: nByG(g) +: beta(g).toSeq)
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
   }
 
   /** DuckDB twin of [[logitByGroup]] — the SAME iteration fragments
@@ -769,7 +933,8 @@ object Glm {
     */
   def miLogitPooledByGroup(df: DataFrame, group: String, id: Column, x: Column, y: Column,
                            draws: Int, firstOffset: Int = 2, spread: Double = 1.0,
-                           iters: Int = 6, ridge: Double = 1e-6): DataFrame = {
+                           iters: Int = 6, ridge: Double = 1e-6,
+                           localRowCap: Int = 1 << 20): DataFrame = {
     require(draws >= 1 && firstOffset >= 1 && firstOffset + draws - 1 <= 8,
       "draws must fit in the md5 digest windows (8 of 4 hex chars)")
     require(iters >= 1, "need at least one IRLS iteration")
@@ -790,12 +955,29 @@ object Glm {
       // would widen every per-iteration scan for nothing
       .select(col(group) +: col("__xd") +: col("__y") +:
         (0 until draws).map(i => col(s"__xq_$i")): _*)
+    // Size dispatch (round 16 — see irlsFitByGroup): a cap-bounded working
+    // set is fit on the driver from ONE bounded collect of the Spark-minted
+    // (group, __xd, __y, __xq_*) frame — the imputation stats pass plus the
+    // collect replace the persist, K moment aggregations and K−1 broadcast
+    // beta joins (7 jobs → ~3 per fit). The xq draws stay IN-PLAN, so the
+    // md5 digest arithmetic has exactly one implementation. Null groups
+    // fall through (the beta equi-join drops them after iteration 1).
+    if (localRowCap > 0) {
+      val sample = withQ.limit(localRowCap + 1).collect()
+      if (sample.length <= localRowCap && !sample.exists(_.isNullAt(0)))
+        return localMiLogitFit(sample, draws, iters, ridge,
+          withQ.schema(group), df.sparkSession)
+    }
     // persisted for the K IRLS moment aggregations — without it every
     // pass re-scans the raw fact; unpersisted after the pooled result
     // is materialized. parallelFloor: see irlsFitByGroup — the m-draw
     // moment pass is the most decimal-dense aggregation in the repo
-    // (5 quantized sums per draw per iteration).
-    val withQp = parallelFloor(withQ, 5 * draws)
+    // (5 quantized sums per draw per iteration). The probe is the NARROW
+    // `rows` frame, not withQ: withQ carries the imputation-stats
+    // broadcast join, and probing through it executed the stats pass
+    // twice per fit (ADVICE r15); the join does not change the streamed
+    // side's partitioning, so rows' count is withQ's count.
+    val withQp = parallelFloor(withQ, 5 * draws, rows)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // driver-held model state (groups × 2m doubles), MLlib-style: one
     // distributed moment pass per iteration, per-draw 2×2 solves on the
@@ -880,6 +1062,126 @@ object Glm {
       // recompute at caller action
       spark.createDataFrame(java.util.Arrays.asList(pooledRows: _*), outSchema)
     } finally withQp.unpersist(blocking = false)
+  }
+
+  /** Driver-side m-chain fixed-K IRLS + Rubin pooling over a collected,
+    * cap-bounded working set — the small-fit half of
+    * [[miLogitPooledByGroup]]'s size dispatch. Replays
+    * [[miLogitMomentSteps]]' per-row, per-draw fragments with identical
+    * IEEE ops (η = b0 + (b1·x), r9-rounded μ, w, u, FLOOR-quantized terms
+    * into [[QuantSum]] ≡ the DECIMAL(38,0) sums), solves each draw with
+    * the shared [[solve2Ridged]], harvests the final iteration's Fisher
+    * variance from the same Gram, and pools with [[poolMiLogit]] — all
+    * driver twins the moments path already used, so local == loop
+    * bit-for-bit (GlmLocalFitSpec). SQL NULL semantics are preserved: a
+    * null draw value (all-missing or n_obs≤1 group) contributes to no sum
+    * for that draw (SUM skips NULL terms; all-null → NULL moments → NULL
+    * betas, which then null every later iteration exactly like the joined
+    * null betas do). `sample` columns are positional: group, __xd
+    * (DECIMAL, null = missing), __y, __xq_0..__xq_{m-1} (DECIMAL). */
+  private def localMiLogitFit(sample: Array[org.apache.spark.sql.Row], draws: Int,
+                              iters: Int, ridge: Double,
+                              groupField: org.apache.spark.sql.types.StructField,
+                              spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
+    val nRows = sample.length
+    val gIndex = scala.collection.mutable.LinkedHashMap.empty[Any, Int]
+    val gOf = new Array[Int](nRows)
+    val xdNull = new Array[Boolean](nRows)
+    val ysA = new Array[Double](nRows)
+    val xf = Array.ofDim[Double](nRows, draws)
+    val xfNull = Array.ofDim[Boolean](nRows, draws)
+    var i = 0
+    while (i < nRows) {
+      val r = sample(i)
+      gOf(i) = gIndex.getOrElseUpdate(r.get(0), gIndex.size)
+      xdNull(i) = r.isNullAt(1)
+      ysA(i) = r.getDouble(2)
+      var d = 0
+      while (d < draws) {
+        if (r.isNullAt(3 + d)) xfNull(i)(d) = true
+        // CAST(__xq_d AS DOUBLE): Spark's Decimal→Double is
+        // BigDecimal.doubleValue — replicated verbatim
+        else xf(i)(d) = r.getDecimal(3 + d).doubleValue
+        d += 1
+      }
+      i += 1
+    }
+    val nG = gIndex.size
+    val b0 = Array.fill[java.lang.Double](nG, draws)(java.lang.Double.valueOf(0.0))
+    val b1 = Array.fill[java.lang.Double](nG, draws)(java.lang.Double.valueOf(0.0))
+    val nArr = new Array[Long](nG)
+    val nObs = new Array[Long](nG)
+    val vs = Array.fill[java.lang.Double](nG, draws)(null)
+    for (it <- 1 to iters) {
+      val sums = Array.fill(nG, draws, 5)(new QuantSum)
+      java.util.Arrays.fill(nArr, 0L)
+      java.util.Arrays.fill(nObs, 0L)
+      i = 0
+      while (i < nRows) {
+        val g = gOf(i)
+        nArr(g) += 1
+        if (!xdNull(i)) nObs(g) += 1
+        var d = 0
+        while (d < draws) {
+          val bb0 = b0(g)(d); val bb1 = b1(g)(d)
+          if (!xfNull(i)(d) && bb0 != null && bb1 != null) {
+            val x = xf(i)(d)
+            val eta = bb0.doubleValue + (bb1.doubleValue * x)
+            val mu = r9d(1.0 / (1.0 + math.exp(-eta)))
+            val w = mu * (1.0 - mu)
+            val u = (w * eta) + (ysA(i) - mu)
+            val s = sums(g)(d)
+            s(0).add(q12l(w))           // __a00
+            s(1).add(q12l(x * w))       // __a01
+            s(2).add(q12l((x * x) * w)) // __a11
+            s(3).add(q12l(u))           // __r0
+            s(4).add(q12l(x * u))       // __r1
+          }
+          d += 1
+        }
+        i += 1
+      }
+      var g = 0
+      while (g < nG) {
+        var d = 0
+        while (d < draws) {
+          val s = sums(g)(d)
+          if (s.exists(_.isNull)) { b0(g)(d) = null; b1(g)(d) = null }
+          else {
+            val a00 = s(0).toDouble / 1.0e12
+            val a01 = s(1).toDouble / 1.0e12
+            val a11 = s(2).toDouble / 1.0e12
+            val r0 = s(3).toDouble / 1.0e12
+            val r1 = s(4).toDouble / 1.0e12
+            val (nb0, nb1) = solve2Ridged(ridge, a00, a01, a11, r0, r1)
+            b0(g)(d) = nb0; b1(g)(d) = nb1
+            if (it == iters) {
+              val det = ((a00 + ridge) * (a11 + ridge)) - (a01 * a01)
+              vs(g)(d) = (a00 + ridge) / det
+            }
+          }
+          d += 1
+        }
+        g += 1
+      }
+    }
+    val outSchema = StructType(Seq(groupField,
+      StructField("n", LongType, nullable = false),
+      StructField("n_obs", LongType, nullable = false),
+      StructField("m_draws", IntegerType, nullable = false),
+      StructField("intercept_pooled", DoubleType, nullable = true),
+      StructField("slope_pooled", DoubleType, nullable = true),
+      StructField("var_within", DoubleType, nullable = true),
+      StructField("var_between", DoubleType, nullable = true),
+      StructField("se_total", DoubleType, nullable = true)))
+    val rows = gIndex.toSeq.map { case (gv, g) =>
+      val perDraw = (0 until draws).map(d => (b0(g)(d), b1(g)(d), vs(g)(d))).toArray
+      val pooled = poolMiLogit(draws, perDraw)
+      Row.fromSeq(Seq(gv, nArr(g), nObs(g), draws) ++ pooled.toSeq)
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
   }
 
   /** DuckDB twin of [[miLogitPooledByGroup]]. `rowsSql` must produce the
