@@ -96,10 +96,20 @@ object Bm25 {
       .agg(count(lit(1)).as("n_terms_hit"), sum(col("part")).as("score_sum"))
       .select(col("doc_id"), col("n_terms_hit"),
         r6(col("score_sum").cast("double")).as("bm25"))
-    val w = Window.orderBy(col("bm25").desc, col("doc_id").asc)
-    // global top-k: the rank window is a single partition, but its input
-    // is only docs hitting >= 1 query term and WindowGroupLimit bounds
-    // per-task state to k before the final merge
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // global top-k via orderBy+limit (TakeOrderedAndProject): each task
+    // keeps a k-sized heap and the driver merges n_tasks×k rows — no
+    // single-partition WindowExec at any scale (round 16; the former
+    // global rank window was WindowGroupLimit-bounded per task but still
+    // funneled every task's survivors through one merge partition, and
+    // spiked to 25 s in a contended run). The ordering is total (doc_id
+    // tiebreak), so limit(k) selects exactly the rows rank<=k selected;
+    // the rank column is then minted by a window over just those k rows —
+    // a k-row single partition, constant-bounded.
+    val topK = scored.orderBy(col("bm25").desc, col("doc_id").asc).limit(k)
+    // partitionBy(lit(1)): one DECLARED partition over the k-row frame —
+    // identical ranks (the partition holds every row), but no
+    // "No Partition Defined" WindowExec warning in the bench tail
+    val w = Window.partitionBy(lit(1)).orderBy(col("bm25").desc, col("doc_id").asc)
+    topK.withColumn("rank", row_number().over(w))
   }
 }
