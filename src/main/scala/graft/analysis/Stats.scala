@@ -1614,8 +1614,14 @@ object Stats {
       .withColumn("__q", q6(col("__y")).cast("decimal(18,6)"))
     val cat = rows.groupBy(col("category"))
       .agg(count(lit(1)).as("__n"), sum(col("__q")).as("__s"))
-    val global = broadcast(rows.agg(
-      (sum(col("__q")).cast("double") / count(lit(1)).cast("double"))
+    // global mean DERIVED from the per-category frame, not a third corpus
+    // scan (round 16): Σ__q over all rows = Σ of the per-category exact
+    // DECIMAL sums and n = Σ__n, so the double quotient is bit-identical
+    // to aggregating the row frame directly — one less scan + JSON-parse
+    // pass, and at 100 TB the re-aggregation input is category-cardinality,
+    // not corpus-sized
+    val global = broadcast(cat.agg(
+      (sum(col("__s")).cast("double") / sum(col("__n")).cast("double"))
         .as("__gmean")))
     def d(c: Column) = c.cast("double")
     rows.join(cat, Seq("category"))
