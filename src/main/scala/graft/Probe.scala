@@ -30,12 +30,22 @@ object Probe {
         if (s != null) println(
           f"JOB ${je.jobId}%4d ${(System.nanoTime() - s._1) / 1e9}%8.3f s ${s._3}%4d tasks  ${s._2.take(80)}")
       }
+      override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = (for { a <- si.completionTime; b <- si.submissionTime } yield a - b).getOrElse(-1L)
+        if (wall > 300) println(
+          f"  STAGE ${si.stageId}%4d ${wall / 1e3}%8.3f s ${si.numTasks}%4d tasks  ${si.name.take(90)}")
+      }
     })
     for (n <- args.toSeq; rep <- 1 to 3) {
       spark.sparkContext.setJobDescription(s"$n rep$rep")
       val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
       println(f"QUERY $n rep$rep ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      // final adaptive plan of the last rep, for attributing stage costs
+      if (rep == 3 && sys.env.get("SPARK_GRAFT_PROBE_PLAN").contains("1"))
+        println(df.queryExecution.executedPlan.toString.take(12000))
       org.apache.spark.sql.graft.Bridge.releaseShared()
     }
     spark.stop()

@@ -661,7 +661,11 @@ object SparkEntry {
       // subexpression elimination — without the boundary the regexp ran
       // ~10x per row and this was the slowest small query in the suite
       val k = col("__k")
-      val base = events(s, dir).select(col("value"), propsInt.as("__k"))
+      // CpuFloor the RAW rows before the regex projection (guide §2.5,
+      // round 16): the whole extract+label pass ran as ONE scan task on the
+      // single-row-group events file (probe: 0.6-1.5 s single-task job)
+      val base = graft.util.CpuFloor(events(s, dir).select(col("value"), col("props")))
+        .select(col("value"), propsInt.as("__k"))
       val coderA = when(k.isNotNull, concat(lit("c"), k % 4))
       val coderB = when(k.isNotNull,
         concat(lit("c"), when(col("value") > 75.0, (k + 1) % 4).otherwise(k % 4)))

@@ -419,8 +419,13 @@ object Curation {
     */
   private def curationStages(df: DataFrame, id: Column, text: Column, source: Column,
                              weights: Map[String, Int], defaultWeight: Int): DataFrame = {
-    val flagged = df
-      .select(id.as("doc_id"), text.as("text"), source.as("source"))
+    // CpuFloor before the flag kernels (guide §2.5, round 16): this frame
+    // is referenced by both sides of the first-keeper join, so on a
+    // single-row-group input the tokenCount/filterDecision/md5 pass ran
+    // TWICE single-task; flooring the raw rows runs it post-exchange on
+    // every core (no-op at scale — see CpuFloor)
+    val flagged = graft.util.CpuFloor(
+        df.select(id.as("doc_id"), text.as("text"), source.as("source")))
       .withColumn("n_tok", graft.functions.TokenCount.tokenCount(col("text")))
       .withColumn("q", graft.text.TextFeatures.filterDecision(col("text")) === "kept")
       .withColumn("__digest", md5(col("text")))
@@ -558,10 +563,16 @@ object Curation {
   private def fuzzyCurationStages(df: DataFrame, id: Column, text: Column,
                                   source: Column, pairs: DataFrame, qscore: Column,
                                   weights: Map[String, Int], defaultWeight: Int): DataFrame = {
-    val flagged = df.select(id.as("doc_id"), source.as("source"),
-      graft.functions.TokenCount.tokenCount(text).as("n_tok"),
-      (graft.text.TextFeatures.filterDecision(text) === "kept").as("q"),
-      qscore.as("__qs"))
+    // CpuFloor before the flag kernels — see curationStages (the keeper
+    // aggregation references this frame from both sides of its join-back).
+    // The text column keeps its caller-visible name so the caller-bound
+    // `qscore` expression still resolves.
+    val flagged = graft.util.CpuFloor(
+        df.select(id.as("doc_id"), source.as("source"), text.as("text")))
+      .select(col("doc_id"), col("source"),
+        graft.functions.TokenCount.tokenCount(col("text")).as("n_tok"),
+        (graft.text.TextFeatures.filterDecision(col("text")) === "kept").as("q"),
+        qscore.as("__qs"))
     val comps = graft.dedup.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
       .withColumnRenamed("node", "doc_id")
     val st = flagged.join(comps, Seq("doc_id"), "left")

@@ -104,7 +104,12 @@ object Dedup {
   def prefixFilterJoin(df: DataFrame, id: Column, text: Column, n: Int,
                        tau: Double): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"prefixFilterJoin needs 0 < tau <= 1, got $tau")
-    val docs = df.select(id.as("doc_id"), distinctShingles(text, n).as("shingles"))
+    // CpuFloor before the shingle kernel (guide §2.5; see CpuFloor): this
+    // subtree is referenced by the df pass, the prefix ranking and both
+    // verification sides, so a single-task shingle pass serialized FOUR
+    // times over
+    val docs = graft.util.CpuFloor(df.select(id.as("doc_id"), text.as("__pf_text")))
+      .select(col("doc_id"), distinctShingles(col("__pf_text"), n).as("shingles"))
       .withColumn("sz", size(col("shingles")))
       .filter(col("sz") > 0)
     val ex = docs.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
@@ -197,10 +202,17 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, id: Column, text: Column, n: Int, numPerms: Int): DataFrame = {
     require(numPerms <= minhashA.length)
-    val sigs = df
-      .select(id.as("doc_id"),
+    // CpuFloor BEFORE the kernel projection (guide §2.5, round 16): the
+    // per-doc shingle/md5/permute pass is the most CPU-dense kernel in the
+    // dedup family, and on a single-row-group input it ran as ONE task —
+    // flooring the raw rows moves the kernel post-exchange onto every core.
+    // No-op (no exchange) when the scan already carries enough partitions.
+    val raw = graft.util.CpuFloor(df.select(id.as("doc_id"), text.as("__mh_text")))
+    val sigs = raw
+      .select(col("doc_id"),
         graft.functions.ShingleExpressions.minhashSig(
-          text, n, minhashA.take(numPerms), minhashB.take(numPerms), minhashPrime).as("sigs"))
+          col("__mh_text"), n, minhashA.take(numPerms), minhashB.take(numPerms),
+          minhashPrime).as("sigs"))
       .filter(size(col("sigs")) > 0)
     val sigCols = (0 until numPerms).map(p => element_at(col("sigs"), p + 1).as(s"sig_$p"))
     sigs.select((col("doc_id") +: sigCols): _*)
@@ -318,7 +330,14 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, id: Column, text: Column, numBands: Int, maxHamming: Int,
                    maxBucketSize: Long = 0L): DataFrame =
-    simhashPairsImpl(simhash32(df, id, text), 32, numBands, maxHamming, maxBucketSize)
+    simhashPairsImpl(simhash32(cpuFlooredText(df, id, text), col("doc_id"), col("__sh_text")),
+      32, numBands, maxHamming, maxBucketSize)
+
+  /** Shared CpuFloor prelude for the simhash kernels: raw (doc_id, text)
+    * floored to core-count partitions so the per-doc vote kernel runs
+    * post-exchange (guide §2.5; see CpuFloor). */
+  private def cpuFlooredText(df: DataFrame, id: Column, text: Column): DataFrame =
+    graft.util.CpuFloor(df.select(id.as("doc_id"), text.as("__sh_text")))
 
   /** 64-bit SimHash near-dup pairs — same banded pigeonhole + exact-hamming
     * verify as `simhashPairs`, over the production-width hash. At equal
@@ -329,18 +348,36 @@ object Dedup {
     */
   def simhashPairs64(df: DataFrame, id: Column, text: Column, numBands: Int, maxHamming: Int,
                      maxBucketSize: Long = 0L): DataFrame =
-    simhashPairsImpl(simhash64(df, id, text), 64, numBands, maxHamming, maxBucketSize)
+    simhashPairsImpl(simhash64(cpuFlooredText(df, id, text), col("doc_id"), col("__sh_text")),
+      64, numBands, maxHamming, maxBucketSize)
 
-  private def simhashPairsImpl(hashes: DataFrame, width: Int, numBands: Int, maxHamming: Int,
+  private def simhashPairsImpl(hashes0: DataFrame, width: Int, numBands: Int, maxHamming: Int,
                                maxBucketSize: Long): DataFrame = {
     require(width % numBands == 0)
+    // ONE evaluation of the hash kernel (round 16, the simhashPairs64Observed
+    // treatment): the banded frame feeds BOTH sides of the bucket self-join,
+    // and the probe showed the build side re-running the scan+simhash
+    // subtree single-task (~1.3 s of the query's ~2 s). The shared frame is
+    // (doc_id, simhash) — N small rows, drained by the caller's
+    // releaseShared like every other shared kernel frame.
+    val hashes = org.apache.spark.sql.graft.Bridge.shareLazily(hashes0)
     val bandLen = width / numBands
     val bandStructs = (0 until numBands).map { b =>
       struct(lit(b).as("band"), substring(col("simhash"), b * bandLen + 1, bandLen).as("bk"))
     }
+    // Explicit hash repartition on the bucket keys (round 16): the banded
+    // frame's BYTES are tiny but the bucket self-join's CPU is quadratic in
+    // bucket occupancy, and AQE's byte-based coalescing collapsed the join
+    // stage to ONE task (probed: ~1.1 s single-task stage = the whole
+    // pair-expansion + hamming verify serialized). A REPARTITION_BY_NUM
+    // shuffle is exempt from coalescing, provides exactly the clustering
+    // the window and join require (no extra exchange), and spreads buckets
+    // over the session's shuffle partitions at any scale.
+    val parts = hashes.sparkSession.sessionState.conf.numShufflePartitions
     val allBanded = hashes.select(col("doc_id"), col("simhash"),
       explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("simhash"), col("bs.band").as("band"), col("bs.bk").as("bk"))
+      .repartition(parts, col("band"), col("bk"))
     // frequent-bucket suppression: a band value shared by a large fraction of
     // the corpus is low-information and quadratic to join — drop those
     // buckets (a near-dup pair usually still shares a rarer band; standard
@@ -389,7 +426,8 @@ object Dedup {
     val width = 64
     require(width % numBands == 0)
     val bandLen = width / numBands
-    val hashes = org.apache.spark.sql.graft.Bridge.shareLazily(simhash64(df, id, text))
+    val hashes = org.apache.spark.sql.graft.Bridge.shareLazily(
+      simhash64(cpuFlooredText(df, id, text), col("doc_id"), col("__sh_text")))
     val bandStructs = (0 until numBands).map { b =>
       struct(lit(b).as("band"), substring(col("simhash"), b * bandLen + 1, bandLen).as("bk"))
     }
@@ -447,7 +485,7 @@ object Dedup {
     val bandStructs = (0 until numBands).map { b =>
       struct(lit(b).as("band"), substring(col("simhash"), b * bandLen + 1, bandLen).as("bk"))
     }
-    simhash64(df, id, text)
+    simhash64(cpuFlooredText(df, id, text), col("doc_id"), col("__sh_text"))
       .select(explode(array(bandStructs: _*)).as("bs"))
       .select(col("bs.band").as("band"), col("bs.bk").as("bk"))
       .groupBy(col("band"), col("bk")).agg(count(lit(1)).as("__occ"))
@@ -780,8 +818,9 @@ object Dedup {
     */
   private def pairOverlaps(df: DataFrame, id: Column, text: Column, n: Int,
                            leftPred: Column, maxShingleFreq: Long): DataFrame = {
-    val exploded = df
-      .select(id.as("doc_id"), distinctShingles(text, n).as("shingles"))
+    // CpuFloor before the shingle kernel (guide §2.5; see CpuFloor)
+    val exploded = graft.util.CpuFloor(df.select(id.as("doc_id"), text.as("__po_text")))
+      .select(col("doc_id"), distinctShingles(col("__po_text"), n).as("shingles"))
       .select(col("doc_id"), size(col("shingles")).as("sz"), explode(col("shingles")).as("sh"))
     // the frequency window partitions on sh — the same key the pair join
     // hashes on, so the exchange is reused, not added
