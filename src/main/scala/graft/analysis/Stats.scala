@@ -1608,7 +1608,12 @@ object Stats {
     */
   def targetEncodeLoo(df: DataFrame, id: Column, category: Column,
                       target: Column): DataFrame = {
-    val rows = df.select(id.as("row_id"), category.as("category"),
+    // CpuFloor before the category extraction (guide §2.5, round 16): the
+    // caller's category is typically a JSON-path parse per row, and on a
+    // single-row-group input both the encode side and the aggregate side
+    // ran it as ONE task (probed: two ~1 s single-task stages)
+    val rows = graft.util.CpuFloor(df)
+      .select(id.as("row_id"), category.as("category"),
         target.cast("double").as("__y"))
       .filter(col("category").isNotNull && col("__y").isNotNull)
       .withColumn("__q", q6(col("__y")).cast("decimal(18,6)"))

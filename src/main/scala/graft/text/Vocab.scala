@@ -77,7 +77,10 @@ object Vocab {
   }
 
   def tfidfTopTerms(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
-    val toks = df.select(id.as("doc_id"), explode(tokens(text)).as("token"))
+    // CpuFloor before the tokenize+explode kernel (guide §2.5, round 16):
+    // single-row-group inputs ran the whole corpus explode as one task
+    val toks = graft.util.CpuFloor(df.select(id.as("doc_id"), text.as("__tt_text")))
+      .select(col("doc_id"), explode(tokens(col("__tt_text"))).as("token"))
     val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     // tf rows ARE the distinct (doc, token) pairs — df falls out of the tf
     // aggregate (no second corpus explode, no extra distinct shuffle); AQE
@@ -142,7 +145,8 @@ object Vocab {
     require(k >= 1, s"bigramPmi needs k >= 1, got $k")
     val r6 = graft.util.Portable.round6 _
     val g = org.apache.spark.sql.graft.Bridge.shareLazily(
-      df.select(tokens(text).as("__t"))
+      graft.util.CpuFloor(df.select(text.as("__bg_text")))
+        .select(tokens(col("__bg_text")).as("__t"))
         // guard BEFORE sequence(): on an empty array sequence(0, -1) would
         // generate a DESCENDING [0, -1] and emit phantom rows
         .filter(size(col("__t")) >= 1)
