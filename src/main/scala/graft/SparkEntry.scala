@@ -1310,12 +1310,8 @@ object SparkEntry {
       // shortlist/IVF-PQ regimes are property-tested there). Exercises the
       // full train -> encode -> ADC-table -> fused-kernel -> re-rank path
       // against the same oracle as ann_topk.
-      // CpuFloor (guide §2.5, round 16): encode, the ADC scan and the
-      // refine re-rank are per-row vector kernels over this frame, and the
-      // single-row-group embeddings file laid them all on ONE task
-      // (probed: three ~0.3-0.6 s single-task stages)
-      val e = graft.util.CpuFloor(table(s, dir, "embeddings")
-        .select(col("vec_id").as("id"), Knn.toDoubleArray(col("embedding")).as("vec")))
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), Knn.toDoubleArray(col("embedding")).as("vec"))
       // codebook training is sample-bounded (256 vectors per centroid):
       // Lloyd passes run over <= 4096 rows however large the corpus, so
       // train cost is CONSTANT in corpus size — only encode (one

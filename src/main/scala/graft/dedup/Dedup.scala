@@ -104,12 +104,7 @@ object Dedup {
   def prefixFilterJoin(df: DataFrame, id: Column, text: Column, n: Int,
                        tau: Double): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"prefixFilterJoin needs 0 < tau <= 1, got $tau")
-    // CpuFloor before the shingle kernel (guide §2.5; see CpuFloor): this
-    // subtree is referenced by the df pass, the prefix ranking and both
-    // verification sides, so a single-task shingle pass serialized FOUR
-    // times over
-    val docs = graft.util.CpuFloor(df.select(id.as("doc_id"), text.as("__pf_text")))
-      .select(col("doc_id"), distinctShingles(col("__pf_text"), n).as("shingles"))
+    val docs = df.select(id.as("doc_id"), distinctShingles(text, n).as("shingles"))
       .withColumn("sz", size(col("shingles")))
       .filter(col("sz") > 0)
     val ex = docs.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
@@ -818,9 +813,8 @@ object Dedup {
     */
   private def pairOverlaps(df: DataFrame, id: Column, text: Column, n: Int,
                            leftPred: Column, maxShingleFreq: Long): DataFrame = {
-    // CpuFloor before the shingle kernel (guide §2.5; see CpuFloor)
-    val exploded = graft.util.CpuFloor(df.select(id.as("doc_id"), text.as("__po_text")))
-      .select(col("doc_id"), distinctShingles(col("__po_text"), n).as("shingles"))
+    val exploded = df
+      .select(id.as("doc_id"), distinctShingles(text, n).as("shingles"))
       .select(col("doc_id"), size(col("shingles")).as("sz"), explode(col("shingles")).as("sh"))
     // the frequency window partitions on sh — the same key the pair join
     // hashes on, so the exchange is reused, not added

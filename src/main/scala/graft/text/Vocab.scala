@@ -77,10 +77,7 @@ object Vocab {
   }
 
   def tfidfTopTerms(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
-    // CpuFloor before the tokenize+explode kernel (guide §2.5, round 16):
-    // single-row-group inputs ran the whole corpus explode as one task
-    val toks = graft.util.CpuFloor(df.select(id.as("doc_id"), text.as("__tt_text")))
-      .select(col("doc_id"), explode(tokens(col("__tt_text"))).as("token"))
+    val toks = df.select(id.as("doc_id"), explode(tokens(text)).as("token"))
     val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     // tf rows ARE the distinct (doc, token) pairs — df falls out of the tf
     // aggregate (no second corpus explode, no extra distinct shuffle); AQE
